@@ -1,0 +1,70 @@
+"""IRI minting + sanitization — the deterministic core of triple identity.
+
+Behavioral parity with the reference converter (see SURVEY.md §2.7):
+  - suffix sanitization: whitespace -> '_', '<' and '>' -> '-'
+    (reference: src/class/triplifier.js:18-22)
+  - element IRIs:   mms-element:<sanitized id>
+    (reference: src/class/triplifier.js:24-33)
+  - artifact IRIs:  mms-artifact:<Type>.ID:<sanitized id>, with
+    mms-artifact:Unknown.ID: as the unknown-type fallback
+    (reference: src/class/triplifier.js:35-58)
+  - ordered-list member IRIs carry an explicit Index:<i>
+    (reference: src/class/triplifier.js:264-277) — we keep the index in
+    a dedicated `idx` column instead of baking it into the IRI, which is
+    the join-friendly (and order-stable-under-repartition) encoding.
+
+Both a plain-Python form (shared with the single-process oracle so the
+P/R comparison tests one semantics, two engines) and a Column form
+(whole-stage-codegen'd JVM expressions for the Spark hot path) are
+provided. The Column forms are the ones used in the pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# mention surface syntax embedded in transcript text (FIXTURES.md §1).
+# Same regex string is compiled by Python `re` (oracle) and by the JVM
+# (Spark regexp_extract_all) — the char class is identical in both.
+MENTION_RE = r"@entity:([A-Za-z0-9_<>-]+)"
+
+_WS_RE = re.compile(r"\s+")
+
+
+# ---------------------------------------------------------------- python form
+def sanitize_suffix(s: str) -> str:
+    """whitespace -> '_', '<'/'>' -> '-' (triplifier.js:18-22 parity)."""
+    return _WS_RE.sub("_", s).replace("<", "-").replace(">", "-")
+
+
+def element_iri(element_id: str) -> str:
+    return "mms-element:" + sanitize_suffix(element_id)
+
+
+def artifact_iri(type_name: str | None, element_id: str) -> str:
+    t = type_name if type_name else "Unknown"
+    return f"mms-artifact:{t}.ID:" + sanitize_suffix(element_id)
+
+
+def turn_element_id(conv_id: str, turn_idx: int) -> str:
+    """Stable per-turn source id: the analog of the reference's element
+    `id` field — derived from data only, never from partition order."""
+    return f"{conv_id}.Turn.{turn_idx}"
+
+
+# ---------------------------------------------------------------- column form
+def sanitize_suffix_col(c: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, r"\s+", "_"), "<", "-"), ">", "-"
+    )
+
+
+def element_iri_col(id_col: Column) -> Column:
+    return F.concat(F.lit("mms-element:"), sanitize_suffix_col(id_col))
+
+
+def artifact_iri_col(type_name: str, id_col: Column) -> Column:
+    return F.concat(F.lit(f"mms-artifact:{type_name}.ID:"), sanitize_suffix_col(id_col))
