@@ -1,0 +1,156 @@
+"""Entity linking: mention surfaces -> similarity edges -> entities.
+
+The reference links records only by exact id (IRI minting is identity:
+triplifier.js:24-58) and patches dangling references after the fact
+(src/action/ammend.js). The north rule upgrades this to real entity
+resolution: near-duplicate mention surfaces ("Apache_Spark",
+"apache_spark", "APACHE SPARK") must canonicalize to one entity.
+
+Stages (all DataFrame ops, designed for 10^12-turn inputs):
+  1. distinct surfaces — the working set collapses from |mentions|
+     (potentially trillions) to |distinct surfaces| BEFORE any
+     expensive work: a groupBy(surface).count() that also yields the
+     mention frequency used for skew decisions.
+  2. blocking — each surface gets a block key (first 2 chars of the
+     normalized form + length bucket). Pairs are only generated within
+     a block: the classic O(n^2) -> O(sum b_i^2) cut.
+  3. candidate self-join within block with a.surface < b.surface
+     (dedup + no self-pairs). Hot blocks are the skew risk: we salt by
+     splitting oversized blocks on a hash of the THIRD character
+     (sub-blocking), and AQE skew-join splitting covers the residue.
+  4. scoring — character-3-gram Jaccard, entirely built-in
+     (transform/sequence/substring + array_intersect/union): no UDF.
+  5. edges(src, dst) for surfaces with jaccard >= threshold, plus the
+     implicit same-normalized-form edges (exact match after
+     normalization is always a link).
+
+Canonicalization (cc.py) then labels each surface with its component
+min, and `entity_table` mints canonical IRIs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.functions.iri import sanitize_suffix_col
+
+DEFAULT_JACCARD = 0.55
+MAX_BLOCK = 2000  # surfaces per (block, sub_block) before salting again
+
+
+def normalize_surface(c) -> F.Column:
+    """lower + strip non-alphanumerics: the normalization both the
+    linker and the oracle tests agree on."""
+    return F.regexp_replace(F.lower(c), r"[^a-z0-9]", "")
+
+
+def distinct_surfaces(mention_triples: DataFrame) -> DataFrame:
+    """mention triples (object = mms-artifact:Mention.ID:<surface>) ->
+    (surface, norm, freq). Frequency is carried so downstream stages
+    can reason about hot entities."""
+    return (
+        mention_triples
+        .select(F.regexp_extract("object", r"^mms-artifact:Mention\.ID:(.*)$", 1)
+                .alias("surface"))
+        .where(F.col("surface") != "")
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("norm", normalize_surface(F.col("surface")))
+    )
+
+
+def _ngrams(col, n: int = 3) -> F.Column:
+    """distinct character n-grams of a string column (built-in only)."""
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: F.substring(padded, i, n),
+        )
+    )
+
+
+def candidate_edges(
+    surfaces: DataFrame,
+    jaccard_threshold: float = DEFAULT_JACCARD,
+) -> DataFrame:
+    """surfaces(surface, norm) -> similarity edges (src, dst, score).
+
+    Two tiers:
+      - exact-norm edges: same normalized form => link, no scoring.
+        Done as a groupBy(norm) min-surface join (no pair blowup even
+        when one norm has millions of surface variants).
+      - fuzzy edges: within (block, salt) candidate pairs scored by
+        3-gram Jaccard.
+    """
+    s = surfaces.select("surface", "norm").where(F.col("norm") != "").distinct()
+
+    # tier 1: all surfaces sharing a norm link to the norm's min surface
+    # (star topology — CC collapses it; avoids quadratic within-norm pairs)
+    norm_rep = s.groupBy("norm").agg(F.min("surface").alias("rep"))
+    exact_edges = (
+        s.join(norm_rep, on="norm")
+        .where(F.col("surface") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("surface").alias("dst"),
+                F.lit(1.0).alias("score"))
+    )
+
+    # tier 2: fuzzy pairs between DISTINCT norms within a block
+    reps = norm_rep.select(F.col("norm"), F.col("rep"))
+    blocked = reps.withColumn(
+        "block",
+        F.concat(F.substring("norm", 1, 2),
+                 F.lit("#"),
+                 (F.length("norm") / 4).cast("int").cast("string")),
+    ).withColumn("grams", _ngrams(F.col("norm")))
+    # sub-block salting for hot blocks: blocks over MAX_BLOCK norms are
+    # split on a hash of the 3rd character (deterministic, data-derived).
+    # Pairs whose norms differ in the 3rd char are lost only inside
+    # oversized blocks — a bounded recall trade that caps the worst
+    # block at ~MAX_BLOCK^2/16 pairs; AQE skew-join covers the residue.
+    block_sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("_bn"))
+    blocked = blocked.join(F.broadcast(block_sizes), on="block").withColumn(
+        "salt",
+        F.when(F.col("_bn") > MAX_BLOCK,
+               F.crc32(F.substring("norm", 3, 1)) % 16).otherwise(F.lit(0)),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.salt") == F.col("b.salt"))
+               & (F.col("a.norm") < F.col("b.norm")))
+        .select(
+            F.col("a.rep").alias("src"), F.col("b.rep").alias("dst"),
+            (F.size(F.array_intersect("a.grams", "b.grams"))
+             / F.size(F.array_union("a.grams", "b.grams"))).alias("score"),
+        )
+    )
+    fuzzy_edges = pairs.where(F.col("score") >= jaccard_threshold)
+    return exact_edges.unionByName(fuzzy_edges)
+
+
+def entity_table(surfaces: DataFrame, components: DataFrame) -> DataFrame:
+    """(surface, norm, freq) x (node=surface, component) ->
+    entities(surface, entity_id, canonical_iri).
+
+    canonical id = min norm within the component (deterministic, data-
+    derived); singleton surfaces (no edges -> absent from components)
+    become their own entity."""
+    labeled = (
+        surfaces.join(components.withColumnRenamed("node", "surface"),
+                      on="surface", how="left")
+        .withColumn("component", F.coalesce("component", "surface"))
+    )
+    canon = (
+        labeled.groupBy("component")
+        .agg(F.min("norm").alias("entity_id"))
+    )
+    return (
+        labeled.join(canon, on="component")
+        .select(
+            "surface", "norm", "freq", "entity_id",
+            F.concat(F.lit("mms-element:Entity."),
+                     sanitize_suffix_col(F.col("entity_id"))).alias("canonical_iri"),
+        )
+    )

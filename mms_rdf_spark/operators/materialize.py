@@ -1,0 +1,189 @@
+"""Graph materialization: canonical SPO tables + LPG view.
+
+Mirrors the reference's two outputs:
+  - the RDF graph (Turtle -> triplestore; reference triplifier.js
+    ttl_write + src/action/update.js) => partitioned SPO parquet/
+    Iceberg tables, predicate-partitioned + subject-bucketed so
+    BGP-style lookups prune partitions and subject self-joins co-locate;
+  - the LPG view (Neptune bulk CSVs; reference src/lpg/convert.js) =>
+    nodes / edges DataFrames, including the Void stub nodes for
+    dangling edge targets (convert.js:268-273) and the predicate
+    classification pass (convert.js:86-107).
+
+The reference needed a 64 GiB single-process heap for this
+(emk.js:352); here each pass is a distributed job with no ceiling.
+
+Canonical rewrite: mention-artifact objects are replaced by their
+linked canonical entity IRI (the output of link+cc), and owl:sameAs
+bridges are emitted so the original artifact IRIs remain queryable —
+this is the KG-construction upgrade over the reference's exact-id
+identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.vocab import RDF_NIL
+
+# predicates never projected into the LPG (the analog of the
+# reference's fixed deny-set of internal predicates, convert.js:48-64)
+LPG_DENY = ["mms-ontology:elementId"]
+
+
+def rewrite_mentions_canonical(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Replace mention-artifact objects with canonical entity IRIs.
+
+    entities: (surface, entity_id, canonical_iri) from link.entity_table.
+    Broadcast when small; at 10^12-turn scale the distinct-surface table
+    is still dwarfed by the triples table, so this stays a map-side join
+    in practice (AQE decides)."""
+    ent = entities.select(
+        F.concat(F.lit("mms-artifact:Mention.ID:"),
+                 F.col("surface")).alias("mention_iri"),
+        "canonical_iri",
+    ).distinct()
+    rewritten = (
+        triples.join(ent, triples.object == ent.mention_iri, "left")
+        .withColumn("object",
+                    F.when(F.col("canonical_iri").isNotNull(),
+                           F.col("canonical_iri")).otherwise(F.col("object")))
+        .drop("mention_iri", "canonical_iri")
+    )
+    return rewritten
+
+
+def entity_triples(entities: DataFrame) -> DataFrame:
+    """Canonical entity elements: type + surfaceForm triples + sameAs
+    bridges from each mention artifact IRI (schema = TRIPLE_SCHEMA)."""
+    ent = entities.select("surface", "canonical_iri").distinct()
+    base = lambda df: (  # noqa: E731
+        df.withColumn("datatype", F.lit(None).cast("string"))
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("idx", F.lit(None).cast("int"))
+        .withColumn("conv_id", F.lit(None).cast("string"))
+        .withColumn("turn_idx", F.lit(None).cast("int"))
+    )
+    types = base(
+        ent.select(F.col("canonical_iri").alias("subject")).distinct()
+        .withColumn("predicate", F.lit("rdf:type"))
+        .withColumn("object", F.lit("mms-class:Entity"))
+        .withColumn("object_is_iri", F.lit(True))
+    )
+    surfaces = base(
+        ent.select(
+            F.col("canonical_iri").alias("subject"),
+            F.lit("mms-property:surfaceForm").alias("predicate"),
+            F.col("surface").alias("object"),
+            F.lit(False).alias("object_is_iri"),
+        )
+    ).withColumn("datatype", F.lit("xsd:string"))
+    same_as = base(
+        ent.select(
+            F.concat(F.lit("mms-artifact:Mention.ID:"), F.col("surface"))
+            .alias("subject"),
+            F.lit("owl:sameAs").alias("predicate"),
+            F.col("canonical_iri").alias("object"),
+            F.lit(True).alias("object_is_iri"),
+        )
+    )
+    cols = ["subject", "predicate", "object", "object_is_iri",
+            "datatype", "lang", "idx", "conv_id", "turn_idx"]
+    return types.select(cols).unionByName(surfaces.select(cols)) \
+        .unionByName(same_as.select(cols))
+
+
+def write_spo(triples: DataFrame, path: str, buckets: int = 64) -> None:
+    """Persist the graph as predicate-partitioned parquet (the Iceberg
+    stand-in). Predicates are low-cardinality (vocab-bounded) so
+    partition pruning turns per-predicate scans into direct directory
+    reads; subjects are repartitioned within predicate so subject
+    self-joins read co-located files."""
+    safe_pred = F.regexp_replace("predicate", "[^A-Za-z0-9_.-]", "_")
+    (
+        triples.withColumn("pred_part", safe_pred)
+        .repartition(buckets, "pred_part", "subject")
+        .write.mode("overwrite")
+        .partitionBy("pred_part")
+        .parquet(path)
+    )
+
+
+# ----------------------------------------------------------------- LPG view
+def classify_predicates(triples: DataFrame) -> DataFrame:
+    """Pass 1 of the LPG projection (A3): one row per predicate with
+    object-kind flags deciding property-column vs edge treatment
+    (reference convert.js:86-107 as a groupBy instead of a Set scan)."""
+    return (
+        triples.where(~F.col("predicate").isin(LPG_DENY))
+        .groupBy("predicate")
+        .agg(
+            F.max((~F.col("object_is_iri")).cast("int")).alias("has_literal"),
+            F.max((F.col("object_is_iri")
+                   & (F.col("object") != RDF_NIL)).cast("int")).alias("has_edge"),
+        )
+    )
+
+
+def lpg_nodes(triples: DataFrame) -> DataFrame:
+    """Pass 2a: one row per subject that has an rdf:type; one column per
+    literal-bearing predicate, multi-values ';'-joined (reference
+    convert.js:170-192 pivot). Pivot values are computed from the data
+    (predicate classification), not hardcoded."""
+    classes = (
+        triples.where((F.col("predicate") == "rdf:type"))
+        .select(F.col("subject").alias("~id"), F.col("object").alias("~label"))
+        .groupBy("~id").agg(F.min("~label").alias("~label"))
+    )
+    prop_preds = [
+        r["predicate"]
+        for r in classify_predicates(triples)
+        .where((F.col("has_literal") == 1) & (F.col("predicate") != "rdf:type"))
+        .collect()  # vocab-bounded small list — driver-side by design
+    ]
+    props = (
+        triples.where(F.col("predicate").isin(prop_preds) if prop_preds
+                      else F.lit(False))
+        .where(~F.col("object_is_iri"))
+        .groupBy(F.col("subject").alias("~id"))
+        .pivot("predicate", prop_preds)
+        .agg(F.concat_ws(";", F.sort_array(F.collect_list("object"))))
+    )
+    return classes.join(props, on="~id", how="left")
+
+
+def lpg_edges(triples: DataFrame) -> DataFrame:
+    """Pass 2b: object-property triples (object an IRI != rdf:nil) as
+    LPG edges with deterministic edge ids (hash of from/label/to/idx —
+    stable under repartitioning AND resumable, unlike the reference's
+    driver-side e<N> counter, convert.js:73)."""
+    e = (
+        triples.where(F.col("object_is_iri") & (F.col("object") != RDF_NIL)
+                      & (F.col("predicate") != "rdf:type")
+                      & ~F.col("predicate").isin(LPG_DENY))
+        .select(
+            F.col("subject").alias("~from"),
+            F.col("predicate").alias("~label"),
+            F.col("object").alias("~to"),
+            F.coalesce(F.col("idx"), F.lit(-1)).alias("_idx"),
+        )
+        .distinct()
+    )
+    return e.withColumn(
+        "~id",
+        F.concat(F.lit("e"),
+                 F.sha2(F.concat_ws("", "~from", "~label", "~to",
+                                    F.col("_idx").cast("string")), 256)
+                 .substr(1, 16)),
+    ).select("~id", "~label", "~from", "~to", F.col("_idx").alias("idx"))
+
+
+def lpg_void_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Edge targets with no node row -> ~label: Void stubs (J8;
+    reference convert.js:214,246-248,268-273). A left-anti join."""
+    return (
+        edges.select(F.col("~to").alias("~id")).distinct()
+        .join(nodes.select("~id"), on="~id", how="left_anti")
+        .withColumn("~label", F.lit("Void"))
+    )

@@ -1,0 +1,121 @@
+"""End-to-end KG-construction pipeline driver (spark-submit entry).
+
+    spark-submit --py-files mms_rdf_spark.zip -m  ... OR
+    python -m mms_rdf_spark.pipeline --input <transcripts parquet/iceberg> \
+        --out build/run1 [--cores 32] [--no-resume]
+
+Stage graph (each checkpointed + resumable via runlog manifests):
+
+    extract      transcripts -> triples            (extract.py)
+    link         triples -> entity table           (link.py + cc.py)
+    materialize  triples + entities -> final graph (materialize.py)
+    amend        final graph -> gap-filled graph   (amend.py)
+    lpg_nodes / lpg_edges                          (materialize.py)
+
+Each stage reads ONLY committed outputs of prior stages from disk, so
+a rerun after a mid-pipeline kill resumes from the last complete stage
+with byte-identical results (tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.operators import materialize as M
+from mms_rdf_spark.operators.amend import amend
+from mms_rdf_spark.operators.cc import connected_components
+from mms_rdf_spark.operators.extract import extract_triples
+from mms_rdf_spark.operators.link import (
+    candidate_edges,
+    distinct_surfaces,
+    entity_table,
+)
+from mms_rdf_spark.runlog import run_stage
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    resume: bool = True,
+    jaccard_threshold: float = 0.55,
+) -> dict[str, DataFrame]:
+    os.makedirs(out_dir, exist_ok=True)
+    params = {"jaccard": jaccard_threshold, "version": 1}
+
+    triples = run_stage(
+        spark, out_dir, "extract", [input_path], params,
+        lambda: extract_triples(spark, spark.read.parquet(input_path)),
+        resume=resume,
+    )
+
+    entities = run_stage(
+        spark, out_dir, "link", [input_path], params,
+        lambda: entity_table(
+            distinct_surfaces(
+                triples.where(F.col("predicate") == "mms-property:mentions")),
+            connected_components(
+                candidate_edges(
+                    distinct_surfaces(
+                        triples.where(
+                            F.col("predicate") == "mms-property:mentions")),
+                    jaccard_threshold),
+                "src", "dst"),
+        ),
+        resume=resume,
+    )
+
+    graph = run_stage(
+        spark, out_dir, "materialize", [input_path], params,
+        lambda: M.rewrite_mentions_canonical(triples, entities)
+        .unionByName(M.entity_triples(entities)),
+        resume=resume,
+    )
+
+    amended = run_stage(
+        spark, out_dir, "amend", [input_path], params,
+        lambda: amend(graph), resume=resume,
+    )
+
+    nodes = run_stage(
+        spark, out_dir, "lpg_nodes", [input_path], params,
+        lambda: M.lpg_nodes(amended), resume=resume,
+    )
+    edges = run_stage(
+        spark, out_dir, "lpg_edges", [input_path], params,
+        lambda: M.lpg_edges(amended), resume=resume,
+    )
+
+    return {"triples": triples, "entities": entities, "graph": graph,
+            "amended": amended, "lpg_nodes": nodes, "lpg_edges": edges}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--jaccard", type=float, default=0.55)
+    args = ap.parse_args()
+
+    from mms_rdf_spark.session import get_spark
+
+    spark = get_spark("mms-rdf-pipeline", cores=args.cores)
+    try:
+        out = run_pipeline(spark, args.input, args.out,
+                           resume=not args.no_resume,
+                           jaccard_threshold=args.jaccard)
+        summary = {k: v.count() for k, v in out.items()}
+        print(json.dumps({"stages": summary}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
