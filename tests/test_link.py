@@ -1,0 +1,51 @@
+"""Entity linking: near-duplicate surfaces resolve to exactly the
+seeded clusters; blocking + salting keep candidate pairs bounded."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mms_rdf_spark.operators.cc import connected_components
+from mms_rdf_spark.operators.link import (
+    candidate_edges,
+    distinct_surfaces,
+    entity_table,
+)
+from mms_rdf_spark.synth import ENTITY_CLUSTERS
+
+
+def _entities(spark, triples_df):
+    mentions = triples_df.where(F.col("predicate") == "mms-property:mentions")
+    surfaces = distinct_surfaces(mentions)
+    comps = connected_components(candidate_edges(surfaces), "src", "dst")
+    return entity_table(surfaces, comps)
+
+
+def test_clusters_resolve_exactly(spark, triples_df):
+    from mms_rdf_spark.functions import sanitize_suffix
+
+    ents = _entities(spark, triples_df).toPandas()
+    # linking operates on sanitized surfaces (they come from minted
+    # mention IRIs); every seeded cluster collapses to one entity id
+    surface_to_entity = dict(zip(ents.surface, ents.entity_id))
+    for cluster in ENTITY_CLUSTERS:
+        ids = {surface_to_entity[sanitize_suffix(s)]
+               for s in cluster if sanitize_suffix(s) in surface_to_entity}
+        assert len(ids) == 1, (cluster, ids)
+    # and distinct entities == number of seeded clusters present
+    present = ents.entity_id.nunique()
+    assert present == len(ENTITY_CLUSTERS)
+
+
+def test_canonical_iri_is_deterministic(spark, triples_df):
+    a = _entities(spark, triples_df).orderBy("surface").toPandas()
+    b = _entities(spark, triples_df).orderBy("surface").toPandas()
+    assert a.equals(b)
+
+
+def test_mention_frequency_carried(spark, triples_df):
+    surfaces = distinct_surfaces(
+        triples_df.where(F.col("predicate") == "mms-property:mentions"))
+    total_mentions = triples_df.where(
+        F.col("predicate") == "mms-property:mentions").count()
+    assert surfaces.agg(F.sum("freq")).collect()[0][0] == total_mentions

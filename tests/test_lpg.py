@@ -1,0 +1,59 @@
+"""LPG projection: predicate classification, node pivot, edge
+determinism, Void stubs (reference src/lpg/convert.js semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mms_rdf_spark.operators import materialize as M
+
+
+def test_predicate_classification(spark, triples_df):
+    cls = {r["predicate"]: (r["has_literal"], r["has_edge"])
+           for r in M.classify_predicates(triples_df).collect()}
+    assert cls["mms-property:text"] == (1, 0)
+    assert cls["mms-property:turns"] == (0, 1)
+    # role can be an IRI (enum) — edge-ish, never literal
+    assert cls["mms-property:role"][0] == 0
+    # deny-list predicates never classified
+    assert "mms-ontology:elementId" not in cls
+
+
+def test_node_pivot_multivalue(spark, triples_df):
+    nodes = M.lpg_nodes(triples_df)
+    row = nodes.where(F.col("~label") == "mms-class:AssistantTurn").first()
+    assert row is not None and row["~id"].startswith("mms-element:")
+    # every typed subject appears exactly once
+    assert nodes.groupBy("~id").count().where("count > 1").count() == 0
+
+
+def test_edges_deterministic_and_nil_free(spark, triples_df):
+    e1 = M.lpg_edges(triples_df)
+    e2 = M.lpg_edges(triples_df.repartition(7))
+    assert e1.where(F.col("~to") == "rdf:nil").count() == 0
+    ids1 = {r["~id"] for r in e1.collect()}
+    ids2 = {r["~id"] for r in e2.collect()}
+    assert ids1 == ids2  # hash ids stable under repartitioning
+
+
+def test_void_stubs_cover_dangling(spark, triples_df):
+    nodes = M.lpg_nodes(triples_df)
+    edges = M.lpg_edges(triples_df)
+    void = M.lpg_void_nodes(nodes, edges)
+    # without amend, tool artifacts dangle -> Void stubs exist
+    assert void.count() > 0
+    # every edge target is now covered
+    covered = nodes.select("~id").union(void.select("~id"))
+    uncovered = edges.select(F.col("~to").alias("~id")) \
+        .join(covered, on="~id", how="left_anti")
+    assert uncovered.count() == 0
+
+
+def test_amend_closes_graph(spark, triples_df):
+    from mms_rdf_spark.operators.amend import amend, dangling_objects
+
+    amended = amend(triples_df)
+    assert dangling_objects(amended).count() == 0
+    # idempotent: second pass adds nothing
+    again = amend(amended)
+    assert again.count() == amended.count()
