@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full KG triple extraction over transcripts
+                derived from sf0.001 events.
+queries()     — one entry per implemented operator family
+                (SURVEY.md §2 + the training-data-pipeline suite).
+oracle_sql()  — DuckDB-runnable ANSI SQL computing the same result on
+                the same parquet views; the KG queries re-derive the
+                transcripts shape from `events` in SQL so the
+                conversion semantics are checked cross-engine.
+
+Column names/rounding are aligned on both sides (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +18,590 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.kgdemo import TRANSCRIPTS_SQL, triples_from_events
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+_TYPE_CASE_SQL = (
+    "CASE role WHEN 'user' THEN 'mms-class:UserTurn' "
+    "WHEN 'assistant' THEN 'mms-class:AssistantTurn' "
+    "WHEN 'system' THEN 'mms-class:SystemTurn' "
+    "WHEN 'tool' THEN 'mms-class:ToolTurn' ELSE 'mms-class:Turn' END"
+)
+_SUBJ_SQL = "'mms-element:' || conv_id || '.Turn.' || CAST(turn_idx AS VARCHAR)"
+
+_T = f"WITH t AS ({TRANSCRIPTS_SQL})"
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# =========================================================== entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triple extraction over sf0.001-derived transcripts."""
+    return triples_from_events(spark, SF_DEFAULT).select(
+        "subject", "predicate", "object", "object_is_iri", "datatype",
+        "lang", "idx")
 
 
+# =========================================================== queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mms_rdf_spark.operators import dedup as D
+    from mms_rdf_spark.operators import multimodal as MM
+    from mms_rdf_spark.operators import similarity as S
+    from mms_rdf_spark.operators import textstats as TX
+    from mms_rdf_spark.operators.amend import dangling_objects
+    from mms_rdf_spark.operators.cc import connected_components
+    from mms_rdf_spark.plans.closure import transitive_closure
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _triples(spark, sf):
+        return triples_from_events(spark, sf)
+
+    # ---- KG conversion semantics (cross-engine-checked extraction)
+    def kg_type_triples(spark, sf):
+        return (_triples(spark, sf)
+                .where((F.col("predicate") == "rdf:type")
+                       & F.col("subject").contains(".Turn."))
+                .select("subject", "predicate", "object"))
+
+    def kg_role_enum(spark, sf):
+        return (_triples(spark, sf)
+                .where(F.col("predicate") == "mms-property:role")
+                .select("subject", "object"))
+
+    def kg_elementid(spark, sf):
+        return (_triples(spark, sf)
+                .where(F.col("predicate") == "mms-ontology:elementId")
+                .select("subject", "object", "datatype"))
+
+    def kg_turns_list(spark, sf):
+        return (_triples(spark, sf)
+                .where(F.col("predicate") == "mms-property:turns")
+                .select("subject", "object", "idx"))
+
+    def kg_tool_artifacts(spark, sf):
+        return (_triples(spark, sf)
+                .where(F.col("predicate").isin("mms-property:tool",
+                                               "mms-property:invokedTool"))
+                .select("subject", "predicate", "object"))
+
+    def kg_text_triples(spark, sf):
+        return (_triples(spark, sf)
+                .where(F.col("predicate") == "mms-property:text")
+                .select("subject", "object", "datatype", "lang"))
+
+    def kg_ts_triples(spark, sf):
+        return (_triples(spark, sf)
+                .where(F.col("predicate") == "mms-property:timestamp")
+                .select("subject", "object"))
+
+    def kg_dangling_anti(spark, sf):
+        return dangling_objects(_triples(spark, sf)).select("iri")
+
+    def kg_closure(spark, sf):
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        edges = nation.where(F.col("n_nationkey") > 0).select(
+            F.concat(F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"),
+                                        2, "0")).alias("sub"),
+            F.concat(F.lit("n"), F.lpad((F.col("n_nationkey") - 1)
+                                        .cast("string"), 2, "0")).alias("sup"),
+        )
+        return transitive_closure(edges).select("sub", "sup")
+
+    def kg_cc(spark, sf):
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        node = F.concat(F.lit("n"), F.lpad(F.col("n_nationkey")
+                                           .cast("string"), 2, "0"))
+        rep = nation.groupBy("n_regionkey").agg(
+            F.min("n_nationkey").alias("rep_key"))
+        edges = (nation.join(rep, on="n_regionkey")
+                 .where(F.col("n_nationkey") != F.col("rep_key"))
+                 .select(node.alias("src"),
+                         F.concat(F.lit("n"),
+                                  F.lpad(F.col("rep_key").cast("string"),
+                                         2, "0")).alias("dst")))
+        return connected_components(edges, "src", "dst") \
+            .select("node", "component")
+
+    # ---- generic relational coverage (scan/filter/join/agg/window/topk)
+    def tpch_q1(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def tpch_q3(spark, sf):
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            c.where(F.col("c_mktsegment") == "BUILDING")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
+
+    def events_window(spark, sf):
+        from pyspark.sql.window import Window
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "user_id", "event_id",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+            F.row_number().over(w).alias("seq"),
+        )
+
+    # ---- dedup suite
+    def dedup_exact(spark, sf):
+        return D.exact_duplicates(_docs(spark, sf))
+
+    def dedup_minhash(spark, sf):
+        return D.minhash_signatures(_docs(spark, sf))
+
+    def dedup_lsh_pairs(spark, sf):
+        return D.lsh_candidate_pairs(_docs(spark, sf))
+
+    def dedup_simhash(spark, sf):
+        return D.simhash(_docs(spark, sf))
+
+    def dedup_ngram_jaccard(spark, sf):
+        return D.ngram_jaccard_pairs(_docs(spark, sf))
+
+    # ---- similarity suite
+    def sim_cosine_topk(spark, sf):
+        return S.cosine_topk(_emb(spark, sf))
+
+    def sim_lsh_buckets(spark, sf):
+        return S.lsh_buckets(_emb(spark, sf))
+
+    def sim_ivf_assign(spark, sf):
+        return S.ivf_assign(_emb(spark, sf))
+
+    # ---- text analysis suite
+    def text_token_stats(spark, sf):
+        return TX.token_stats(_docs(spark, sf))
+
+    def text_quality(spark, sf):
+        return TX.quality_score(_docs(spark, sf))
+
+    def text_langid(spark, sf):
+        return TX.detect_language(_docs(spark, sf))
+
+    def text_fingerprint(spark, sf):
+        return TX.fingerprint(_docs(spark, sf))
+
+    # ---- multimodal plumbing (mapInPandas over binary payloads)
+    def mm_features(spark, sf):
+        return MM.extract_features(MM.synth_media(_docs(spark, sf))) \
+            .select("media_id", "kind", "n_bytes")
+
+    def mm_frame_sample(spark, sf):
+        return MM.sample_frames(MM.synth_media(_docs(spark, sf)))
+
+    return {
+        "kg_type_triples": kg_type_triples,
+        "kg_role_enum": kg_role_enum,
+        "kg_elementid": kg_elementid,
+        "kg_turns_list": kg_turns_list,
+        "kg_tool_artifacts": kg_tool_artifacts,
+        "kg_text_triples": kg_text_triples,
+        "kg_ts_triples": kg_ts_triples,
+        "kg_dangling_anti": kg_dangling_anti,
+        "kg_closure": kg_closure,
+        "kg_cc": kg_cc,
+        "tpch_q1": tpch_q1,
+        "tpch_q3": tpch_q3,
+        "events_window": events_window,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_lsh_buckets": sim_lsh_buckets,
+        "sim_ivf_assign": sim_ivf_assign,
+        "text_token_stats": text_token_stats,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "mm_features": mm_features,
+        "mm_frame_sample": mm_frame_sample,
+    }
 
 
+# =========================================================== oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    q: dict[str, str] = {}
+
+    q["kg_type_triples"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS subject, 'rdf:type' AS predicate,
+           {_TYPE_CASE_SQL} AS object
+    FROM t
     """
-    return {}
+
+    q["kg_role_enum"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS subject,
+           CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                WHEN 'system' THEN 'mms-class:Role.System'
+                WHEN 'tool' THEN 'mms-class:Role.Tool'
+                ELSE 'rdf:nil' END AS object
+    FROM t
+    """
+
+    q["kg_elementid"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS subject,
+           conv_id || '.Turn.' || CAST(turn_idx AS VARCHAR) AS object,
+           'xsd:string' AS datatype
+    FROM t
+    UNION ALL
+    SELECT DISTINCT 'mms-element:' || conv_id, conv_id, 'xsd:string' FROM t
+    """
+
+    q["kg_turns_list"] = f"""
+    {_T}
+    SELECT 'mms-element:' || conv_id AS subject,
+           {_SUBJ_SQL} AS object,
+           turn_idx AS idx
+    FROM t
+    """
+
+    q["kg_tool_artifacts"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS subject,
+           CASE WHEN role = 'tool' THEN 'mms-property:invokedTool'
+                ELSE 'mms-property:tool' END AS predicate,
+           CASE WHEN tool = '' THEN 'rdf:nil'
+                ELSE 'mms-artifact:Tool.ID:' || tool END AS object
+    FROM t WHERE tool IS NOT NULL
+    """
+
+    q["kg_text_triples"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS subject, text AS object,
+           CASE WHEN role = 'assistant' THEN NULL
+                ELSE 'xsd:string' END AS datatype,
+           CASE WHEN role = 'assistant' THEN 'en' END AS lang
+    FROM t WHERE text IS NOT NULL
+    """
+
+    q["kg_ts_triples"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS subject,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS object
+    FROM t
+    """
+
+    q["kg_dangling_anti"] = f"""
+    {_T}, triples AS (
+        SELECT {_SUBJ_SQL} AS subject,
+               CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                    WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                    WHEN 'system' THEN 'mms-class:Role.System'
+                    WHEN 'tool' THEN 'mms-class:Role.Tool'
+                    ELSE 'rdf:nil' END AS object
+        FROM t
+        UNION ALL
+        SELECT {_SUBJ_SQL},
+               CASE WHEN tool = '' THEN 'rdf:nil'
+                    ELSE 'mms-artifact:Tool.ID:' || tool END
+        FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT 'mms-element:' || conv_id, {_SUBJ_SQL} FROM t
+    ), subjects AS (
+        SELECT DISTINCT subject FROM triples
+    )
+    SELECT DISTINCT object AS iri FROM triples
+    WHERE object <> 'rdf:nil'
+      AND NOT EXISTS (SELECT 1 FROM subjects s WHERE s.subject = object)
+    """
+
+    q["kg_closure"] = """
+    WITH RECURSIVE edges AS (
+        SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS sub,
+               'n' || lpad(CAST(n_nationkey - 1 AS VARCHAR), 2, '0') AS sup
+        FROM nation WHERE n_nationkey > 0
+    ), nodes AS (
+        SELECT sub AS n FROM edges UNION SELECT sup FROM edges
+    ), reach(sub, sup) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.sub, r.sup FROM edges e JOIN reach r ON e.sup = r.sub
+    )
+    SELECT DISTINCT sub, sup FROM reach
+    """
+
+    q["kg_cc"] = """
+    WITH rep AS (
+        SELECT n_regionkey, min(n_nationkey) AS rep_key
+        FROM nation GROUP BY n_regionkey
+    )
+    SELECT 'n' || lpad(CAST(n.n_nationkey AS VARCHAR), 2, '0') AS node,
+           'n' || lpad(CAST(r.rep_key AS VARCHAR), 2, '0') AS component
+    FROM nation n JOIN rep r USING (n_regionkey)
+    """
+
+    q["tpch_q1"] = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+    q["tpch_q3"] = """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """
+
+    q["events_window"] = """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), 4)
+               AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS INT) AS seq
+    FROM events
+    """
+
+    q["dedup_exact"] = """
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    c AS (SELECT content_hash, min(doc_id) AS canonical_id,
+                 count(*) AS n
+          FROM h GROUP BY content_hash)
+    SELECT h.doc_id, c.canonical_id, h.content_hash
+    FROM h JOIN c USING (content_hash)
+    WHERE c.n > 1 AND h.doc_id <> c.canonical_id
+    """
+
+    _minhash_body = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents) u
+    ), sig AS (
+        SELECT doc_id,
+               {', '.join(f"min(md5('{j}|' || tok)) AS h{j}" for j in range(8))}
+        FROM toks GROUP BY doc_id
+    )
+    """
+    q["dedup_minhash"] = _minhash_body + "SELECT * FROM sig"
+
+    _band_exprs = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || h{4*b+3})"
+        " AS key FROM sig" for b in range(2))
+    q["dedup_lsh_pairs"] = _minhash_body + f""",
+    banded AS ({_band_exprs})
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+    _bit_sums = ", ".join(
+        "sum(CASE WHEN substr(md5(tok), {i}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+        .format(i=i + 1, j=i) for i in range(16))
+    _bit_concat = " || ".join(
+        f"CASE WHEN b{i} >= 0 THEN '1' ELSE '0' END" for i in range(16))
+    q["dedup_simhash"] = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents) u
+    ), agg AS (
+        SELECT doc_id, {_bit_sums} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {_bit_concat} AS simhash FROM agg
+    """
+
+    q["dedup_ngram_jaccard"] = f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 200
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+        FROM d, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ic
+        FROM grams a JOIN grams b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a_id, i.b_id,
+           round(CAST(i.ic AS DOUBLE) / (sa.sz + sb.sz - i.ic), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.ic AS DOUBLE) / (sa.sz + sb.sz - i.ic) >= 0.4
+    """
+
+    q["sim_cosine_topk"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    s AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.emb, e.emb), 6) AS score
+        FROM e q JOIN e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    ), r AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM s
+    )
+    SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+    """
+
+    q["sim_lsh_buckets"] = """
+    WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), planes AS (
+        SELECT p.i AS plane, d.i AS dim,
+               CASE WHEN substr(md5(CAST(p.i AS VARCHAR) || '_'
+                                   || CAST(d.i AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 1.0 ELSE -1.0 END AS w
+        FROM (SELECT unnest(generate_series(0, 7)) AS i) p,
+             (SELECT unnest(generate_series(0, 63)) AS i) d
+    ), dots AS (
+        SELECT dims.vec_id, planes.plane, sum(dims.v * planes.w) AS dot
+        FROM dims JOIN planes USING (dim)
+        GROUP BY dims.vec_id, planes.plane
+    )
+    SELECT vec_id,
+           string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY plane) AS bucket
+    FROM dots GROUP BY vec_id
+    """
+
+    q["sim_ivf_assign"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+          WHERE vec_id % 100 = 0),
+    s AS (
+        SELECT e.vec_id, c.centroid_id,
+               round(list_cosine_similarity(e.emb, c.c_emb), 6) AS score,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 6)
+                            DESC, c.centroid_id) AS rn
+        FROM e, c
+    )
+    SELECT vec_id, centroid_id, score FROM s WHERE rn = 1
+    """
+
+    q["text_token_stats"] = f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '{BPE_RE_SQL}')) AS n_bpe_tokens,
+           round(CAST(list_aggregate(list_transform(toks, x -> strlen(x)),
+                                     'sum') AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS mean_token_len
+    FROM d
+    """
+
+    q["text_quality"] = f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(toks,
+                   x -> list_contains({_STOP_SQL}, x))) AS stop_cnt,
+               greatest(len(toks), 1) AS n,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+               len(regexp_extract_all(text, '[A-Z]')) AS upper_cnt,
+               greatest(strlen(text), 1) AS chars
+        FROM d
+    )
+    SELECT doc_id,
+           round(CAST(stop_cnt AS DOUBLE) / n, 6) AS stopword_ratio,
+           round(CAST(punct AS DOUBLE) / chars, 6) AS punct_ratio,
+           round(CAST(upper_cnt AS DOUBLE) / chars, 6) AS upper_ratio,
+           round(CAST(stop_cnt AS DOUBLE) / n
+                 - CAST(punct AS DOUBLE) / chars
+                 - CAST(upper_cnt AS DOUBLE) / chars, 6) AS score
+    FROM m
+    """
+
+    q["text_langid"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               round(CAST(len(list_filter(toks,
+                   x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS stop_ratio
+        FROM d
+    )
+    SELECT doc_id, stop_ratio,
+           CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM m
+    """
+
+    q["text_fingerprint"] = r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """
+
+    q["mm_features"] = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           16 AS n_bytes
+    FROM documents
+    """
+
+    q["mm_frame_sample"] = """
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, (n_chars % 30 + 1) - 1, 5))
+                AS INT) AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """
+
+    return q

@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "triples_per_sec": ...}
+
+Headliners cover the engine's load-bearing paths: full KG triple
+extraction (the north-star metric), linking+CC, LPG projection, the
+relational suite, dedup/LSH, similarity top-k, and text curation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from mms_rdf_spark.kgdemo import transcripts_from_events, triples_from_events
+    from mms_rdf_spark.operators.cc import connected_components
+    from mms_rdf_spark.operators.link import (
+        candidate_edges,
+        distinct_surfaces,
+        entity_table,
+    )
+    from mms_rdf_spark.operators import materialize as M
+    from mms_rdf_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("mms-rdf-bench", cores=CPUS)
+    qs = E.queries()
+
+    timings: dict[str, float] = {}
+    n_triples = 0
+
+    def timed(name, fn):
+        nonlocal n_triples
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM/codegen once (excluded from timings)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    # 1. KG extraction throughput (north-star metric)
+    n_triples = timed(
+        "kg_extract",
+        lambda: triples_from_events(spark, SF_DIR).count())
+    n_turns = transcripts_from_events(spark, SF_DIR).count()
+
+    # 2. linking + connected components over extracted artifacts
+    def link_cc():
+        triples = triples_from_events(spark, SF_DIR)
+        art = triples.where(F.col("object").startswith("mms-artifact:Tool.ID:")) \
+            .select(F.regexp_extract("object", r"ID:(.*)$", 1).alias("surface")) \
+            .groupBy("surface").count() \
+            .withColumnRenamed("count", "freq") \
+            .withColumn("norm", F.lower(F.col("surface")))
+        comps = connected_components(candidate_edges(art), "src", "dst")
+        return entity_table(art, comps).count()
+    timed("kg_link_cc", link_cc)
+
+    # 3. LPG projection
+    def lpg():
+        triples = triples_from_events(spark, SF_DIR)
+        return M.lpg_edges(triples).count() + M.lpg_nodes(triples).count()
+    timed("kg_lpg", lpg)
+
+    # 4-9. operator-suite headliners via the contract queries
+    for name in ["tpch_q1", "tpch_q3", "events_window", "dedup_lsh_pairs",
+                 "sim_cosine_topk", "text_quality"]:
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "kg_triples": n_triples,
+        "kg_turns": n_turns,
+        "triples_per_sec": round(n_triples / timings["kg_extract"], 1)
+        if timings.get("kg_extract") else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

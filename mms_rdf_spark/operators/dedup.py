@@ -1,0 +1,157 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+Everything is deterministic and cross-engine reproducible (the pytest/
+driver oracle re-computes each in DuckDB): hash functions are md5 on
+explicit string encodings, never engine-internal hash(), so Spark and
+any ANSI engine agree bit-for-bit.
+
+Scale notes (the 100 TB story for each):
+  - exact: one groupBy on a 32-char digest — minimal shuffle width;
+    at scale this is the classic first pass that drops ~30% of a crawl.
+  - minhash/LSH: signatures are per-doc (narrow, no shuffle beyond the
+    token explode's map-side combine); banding turns all-pairs into
+    per-bucket joins. Bucket sizes are the skew knob: hot buckets
+    (boilerplate docs) are capped by AQE skew split + the band salt.
+  - simhash: one explode + groupBy(doc) with map-side partial sums.
+  - ngram-jaccard: quadratic verifier — only ever run WITHIN LSH/
+    block buckets at scale (here also exposed standalone for small n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "
+
+
+def _tokens(col) -> Column:
+    """Whitespace word tokens, empties dropped (split semantics verified
+    identical in DuckDB's string_split)."""
+    return F.filter(F.split(col, TOKEN_SPLIT), lambda t: t != "")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, content_hash) for every doc that is an
+    exact duplicate of an earlier doc (same md5(text); canonical = min
+    doc_id in the group). Docs with no duplicate are excluded."""
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    canon = (hashed.groupBy("content_hash")
+             .agg(F.min("doc_id").alias("canonical_id"),
+                  F.count(F.lit(1)).alias("n")))
+    return (
+        hashed.join(canon, on="content_hash")
+        .where((F.col("n") > 1) & (F.col("doc_id") != F.col("canonical_id")))
+        .select("doc_id", "canonical_id", "content_hash")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """Per-doc MinHash signature over word tokens: h_j(doc) =
+    min(md5(j || '|' || token)). Returned wide: (doc_id, h0..h{n-1}).
+
+    md5-of-salted-token is a drop-in for the classic (a*x+b) mod p
+    family; min over a 32-hex-digit string is a uniform order statistic
+    with the same collision semantics, and is portable across engines.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("tok")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 2
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature are
+    candidate near-duplicates. Returns distinct (a_id, b_id), a < b.
+
+    shingle -> minhash -> band -> bucket-join: the standard pipeline;
+    each band key is md5 over its rows so bucket keys stay short."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *parts)).alias("key")))
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over distinct word tokens: bit i is the sign of
+    the sum over tokens of ±1 decided by hex digit i of md5(token)
+    (high nibble-bit => +1). Returns (doc_id, simhash string of 0/1).
+
+    Portable: every engine computes the same md5 hex digits; 16 bits is
+    the demo width, the same plan runs at 64."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+    h = F.md5("tok")
+    sums = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1)
+                   .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*sums)
+    bit_exprs = [
+        F.when(F.col(f"b{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return agg.select("doc_id", F.concat(*bit_exprs).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.4,
+    max_doc_id: int | None = 200,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity pairs: (a_id, b_id, jaccard) for
+    pairs >= threshold. Quadratic — at scale this runs per LSH bucket;
+    `max_doc_id` bounds the standalone demo (and the SQL oracle)."""
+    d = docs if max_doc_id is None else docs.where(F.col("doc_id") < max_doc_id)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+            )
+        ).alias("grams"),
+    ).select("doc_id", F.explode("grams").alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.alias("a").join(sizes.withColumnsRenamed(
+        {"doc_id": "a_id", "sz": "a_sz"}), F.col("a.doc_id") == F.col("a_id"))
+    b = grams.alias("b").join(sizes.withColumnsRenamed(
+        {"doc_id": "b_id", "sz": "b_sz"}), F.col("b.doc_id") == F.col("b_id"))
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id", "a_sz", "b_sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.select(
+            "a_id", "b_id",
+            F.round(F.col("inter")
+                    / (F.col("a_sz") + F.col("b_sz") - F.col("inter")), 6)
+            .alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

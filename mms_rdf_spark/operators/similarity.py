@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (`embeddings` table).
+
+Baseline: brute-force cosine top-k — a cross join that Spark executes
+as broadcast-nested-loop with the (small) query side broadcast; all
+math stays in whole-stage codegen via higher-order array functions
+(zip_with/aggregate), no UDF, double precision end-to-end so results
+reproduce bit-for-bit against the DuckDB oracle.
+
+Scale paths:
+  - LSH random-hyperplane buckets: deterministic ±1 hyperplanes derived
+    from md5(plane, dim) — no RNG state to ship; bucket key = sign-bit
+    string. At 100 TB the bucket key becomes the shuffle/partition key
+    and probing is a per-bucket join instead of all-pairs.
+  - IVF: coarse quantizer with deterministic centroid choice (every
+    k-th vector); assignment = argmin over broadcast centroids; probe =
+    search only the query's cell. Both stages are broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    embeddings: DataFrame, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id <
+    n_queries) the k nearest other vectors. Returns
+    (query_id, rank, neighbor_id, score). Rank orders by
+    (round(score,6) desc, neighbor_id) — the rounding makes rank stable
+    across engines whose summation order differs at the ulp level."""
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    q = (e.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")))
+    scored = (
+        F.broadcast(q).crossJoin(e)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("q_emb"), F.col("emb"))
+                    / (_norm(F.col("q_emb")) * _norm(F.col("emb"))), 6)
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def hyperplane_weights(spark, planes: int = 8, dims: int = 64) -> DataFrame:
+    """Deterministic ±1 hyperplanes: weight(p, d) = +1 iff the first
+    hex digit of md5('<p>_<d>') is 0-7. Generated as a DataFrame so the
+    same rule is re-computable by any SQL engine (no RNG transport)."""
+    return spark.range(planes).withColumnRenamed("id", "plane").crossJoin(
+        spark.range(dims).withColumnRenamed("id", "dim")
+    ).select(
+        "plane", "dim",
+        F.when(F.substring(
+            F.md5(F.concat_ws("_", F.col("plane"), F.col("dim"))), 1, 1)
+            .isin(*list("01234567")), F.lit(1.0)).otherwise(F.lit(-1.0))
+        .alias("w"),
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame, planes: int = 8
+) -> DataFrame:
+    """(vec_id, bucket) — bucket = sign-bit string of the vector's dot
+    products with the deterministic hyperplanes. Vectorized: the
+    hyperplane set is collected once (planes*dims tiny) and folded into
+    a single array expression, so the scan stays narrow (no join)."""
+    spark = embeddings.sparkSession
+    w = hyperplane_weights(spark, planes).collect()
+    by_plane: dict[int, list[float]] = {}
+    for r in w:
+        by_plane.setdefault(r["plane"], [0.0] * 0)
+    for p in by_plane:
+        vals = sorted((r for r in w if r["plane"] == p), key=lambda r: r["dim"])
+        by_plane[p] = [r["w"] for r in vals]
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    bit_exprs = []
+    for p in sorted(by_plane):
+        plane_arr = F.array(*[F.lit(v) for v in by_plane[p]])
+        bit_exprs.append(
+            F.when(_dot(F.col("emb"), plane_arr) >= 0, F.lit("1"))
+            .otherwise(F.lit("0")))
+    return e.select("vec_id", F.concat(*bit_exprs).alias("bucket"))
+
+
+def ivf_assign(embeddings: DataFrame, every_k: int = 100) -> DataFrame:
+    """IVF coarse assignment: centroids = vectors with vec_id % every_k
+    == 0 (deterministic stand-in for k-means — the assignment plumbing,
+    which is the Spark-side work, is identical). Returns
+    (vec_id, centroid_id, score) with score = cosine to the centroid."""
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    cents = (e.where(F.col("vec_id") % every_k == 0)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("emb").alias("c_emb")))
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "centroid_id",
+            F.round(_dot(F.col("emb"), F.col("c_emb"))
+                    / (_norm(F.col("emb")) * _norm(F.col("c_emb"))), 6)
+            .alias("score"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "score")
+    )

@@ -1,0 +1,76 @@
+"""Text analysis operators for training-data curation (`documents`).
+
+All built-in column expressions (JVM, codegen'd); all deterministic and
+re-computable by the DuckDB oracle. At 100 TB each of these is a
+narrow map-only pass — no shuffle at all — which is exactly why they
+belong in the scan stage of a curation pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small English stopword list (fixed: part of the operator contract)
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_tokens, mean_token_len)."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count("text", F.lit(BPE_RE)).alias("n_bpe_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)), 6).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals + composite score:
+    stopword_ratio (fluency proxy), punct_ratio (noise proxy),
+    upper_ratio (shouting proxy). score = stopword_ratio
+    - punct_ratio - upper_ratio, rounded; deterministic arithmetic."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
+    upper = F.regexp_count("text", F.lit(r"[A-Z]"))
+    chars = F.greatest(F.length("text"), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.round(stop_cnt / n, 6).alias("stopword_ratio"),
+        F.round(punct / chars, 6).alias("punct_ratio"),
+        F.round(upper / chars, 6).alias("upper_ratio"),
+        F.round(stop_cnt / n - punct / chars - upper / chars, 6).alias("score"),
+    )
+
+
+def detect_language(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """N-gram-free language-ID heuristic: English-stopword token ratio;
+    >= threshold => 'en' else 'other'. (doc_id, stop_ratio, lang_pred).
+    A real model slots in behind the same signature as a pandas UDF."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n, 6)
+    return docs.select(
+        "doc_id", ratio.alias("stop_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over the whitespace-normalized,
+    lowercased text (rolling-hash stand-in, portable across engines).
+    (doc_id, fp)."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
