@@ -53,15 +53,22 @@ def main() -> None:
     # warm the JVM/codegen once (excluded from timings)
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
-    # 1. KG extraction throughput (north-star metric)
+    # 1. KG extraction throughput (north-star metric): compute-only
+    # first (the triples/sec figure), then the staged write the
+    # pipeline performs (downstream stages read committed output).
+    import tempfile
+    stage_dir = tempfile.mkdtemp(prefix="bench_triples_")
+
     n_triples = timed(
-        "kg_extract",
-        lambda: triples_from_events(spark, SF_DIR).count())
+        "kg_extract", lambda: triples_from_events(spark, SF_DIR).count())
+    timed("kg_extract_stage",
+          lambda: triples_from_events(spark, SF_DIR)
+          .write.mode("overwrite").parquet(stage_dir))
     n_turns = transcripts_from_events(spark, SF_DIR).count()
+    triples = spark.read.parquet(stage_dir)
 
     # 2. linking + connected components over extracted artifacts
     def link_cc():
-        triples = triples_from_events(spark, SF_DIR)
         art = triples.where(F.col("object").startswith("mms-artifact:Tool.ID:")) \
             .select(F.regexp_extract("object", r"ID:(.*)$", 1).alias("surface")) \
             .groupBy("surface").count() \
@@ -72,10 +79,8 @@ def main() -> None:
     timed("kg_link_cc", link_cc)
 
     # 3. LPG projection
-    def lpg():
-        triples = triples_from_events(spark, SF_DIR)
-        return M.lpg_edges(triples).count() + M.lpg_nodes(triples).count()
-    timed("kg_lpg", lpg)
+    timed("kg_lpg",
+          lambda: M.lpg_edges(triples).count() + M.lpg_nodes(triples).count())
 
     # 4-9. operator-suite headliners via the contract queries
     for name in ["tpch_q1", "tpch_q3", "events_window", "dedup_lsh_pairs",

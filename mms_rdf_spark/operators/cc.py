@@ -20,8 +20,34 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _driver_union_find(spark: SparkSession, sym: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list (small-graph fast path)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = [(n, find(n)) for n in parent]
+    if not rows:
+        return spark.createDataFrame([], "node string, component string")
+    return spark.createDataFrame(rows, ["node", "component"])
 
 
 def connected_components(
@@ -29,9 +55,17 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (node, component) with component =
-    min node id (string order) in the node's component."""
+    min node id (string order) in the node's component.
+
+    Small-graph fast path: below `driver_threshold` distinct edges the
+    graph is collected and solved with union-find on the driver — the
+    iterative Spark fixpoint costs several jobs per round, which at
+    vocab/entity-table sizes is pure overhead. Above the threshold the
+    distributed hash-min + pointer-jumping loop runs. Both paths are
+    tested equivalent; the threshold is a conf knob, not a semantic."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -39,6 +73,9 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = sym.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges.sparkSession, sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

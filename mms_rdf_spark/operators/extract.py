@@ -36,7 +36,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -56,7 +56,9 @@ from mms_rdf_spark.vocab import (
     ENUM_CLASSES,
     RDF_NIL,
     ROLE_TO_TYPE,
+    enum_lookup,
     enums_pdf,
+    resolve_vocabulary,
     resolved_vocab_pdf,
 )
 
@@ -123,8 +125,159 @@ def _finish(df: DataFrame, *, idx=None) -> DataFrame:
     )
 
 
-def extract_triples(spark: SparkSession, turns: DataFrame) -> DataFrame:
-    """Primary extractor: pure DataFrame ops, vocabulary-broadcast."""
+def extract_triples(spark: SparkSession, turns: DataFrame,
+                    include_conversations: bool = True) -> DataFrame:
+    """Primary extractor: single-scan fused plan.
+
+    include_conversations=False restricts to the stateless turn-level
+    subset (required for streaming input, where the per-conversation
+    window cannot run — see streaming/incremental.py).
+
+    The resolved vocabulary is STATIC at plan time, so the entire
+    turn-level emission folds into one projection: each turn row
+    computes an array<triple struct> (type + elementId + one entry per
+    vocabulary key + mention entries with their positional idx via the
+    2-arg transform lambda), which is exploded. One scan of the input,
+    zero joins, everything inside whole-stage codegen. Two additional
+    column-pruned passes (conv_id/turn_idx only) produce the
+    per-conversation triples; the turns-list window is the plan's only
+    shuffle.
+
+    `extract_triples_joined` keeps the generic broadcast-join
+    formulation (the literal J1 restatement) — equivalent results,
+    tested against each other; the fused form is what you want in
+    front of 100 TB because it reads the wide `text` column exactly
+    once.
+    """
+    t = _with_element_cols(turns).withColumn(
+        "ts_str", F.date_format("ts", _TS_FMT))
+
+    vocab = resolve_vocabulary()
+    enums = enum_lookup()
+    el_types = sorted({et for (et, _k) in vocab if et in ROLE_TO_TYPE.values()})
+
+    def _triple(predicate, obj, is_iri, datatype=None, lang=None, idx=None):
+        return F.struct(
+            predicate.alias("predicate") if isinstance(predicate, Column)
+            else F.lit(predicate).alias("predicate"),
+            obj.alias("object"),
+            F.lit(is_iri).alias("object_is_iri"),
+            (F.lit(datatype) if not isinstance(datatype, Column) else datatype)
+            .cast("string").alias("datatype"),
+            F.lit(lang).cast("string").alias("lang"),
+            (F.lit(idx) if idx is None else idx).cast("int").alias("idx"),
+        )
+
+    def _key_triple(p, key):
+        """One optional triple struct for (PropertyDef, input key)."""
+        val = F.col("ts_str") if key == "ts" else F.col(key)
+        if p.property_type in ("DatatypeProperty", "DerivedDatatypeProperty"):
+            dt, lang = (None, p.lang) if p.lang else (p.range, None)
+            return F.when(val.isNotNull(),
+                          _triple(p.predicate, val, False, dt, lang))
+        if p.range in ENUM_CLASSES:
+            # NULL -> the enum's nil row; unknown literal -> no triple
+            # (unmapped-value warn semantics, R11)
+            expr = F.when(val.isNull(), F.lit(enums.get((p.range, None))))
+            for (cls, v), iri in enums.items():
+                if cls == p.range and v is not None:
+                    expr = expr.when(val == v, F.lit(iri))
+            return F.when(expr.isNotNull(), _triple(p.predicate, expr, True))
+        art = p.range.split(":", 1)[1]
+        obj = F.when(val == "", F.lit(RDF_NIL)).otherwise(
+            F.concat(F.lit(f"mms-artifact:{art}.ID:"), sanitize_suffix_col(val)))
+        return F.when(val.isNotNull(), _triple(p.predicate, obj, True))
+
+    # per-el_type static triple array, dispatched by one CASE
+    per_type_arrays = {}
+    for et in el_types:
+        entries = [
+            _triple("rdf:type", F.lit(et), True),
+            _triple("mms-ontology:elementId", F.col("raw_id"), False,
+                    "xsd:string"),
+        ]
+        for key in ("role", "text", "tool", "ts"):
+            p = vocab.get((et, key))
+            if p is not None:
+                entries.append(_key_triple(p, key))
+        per_type_arrays[et] = F.filter(F.array(*entries),
+                                       lambda x: x.isNotNull())
+    base_arr = per_type_arrays[el_types[0]]
+    for et in el_types[1:]:
+        base_arr = F.when(F.col("el_type") == et,
+                          per_type_arrays[et]).otherwise(base_arr)
+
+    # mention triples with positional idx, same scan (2-arg transform)
+    mention_defs = {et: vocab[(et, "_mentions")] for et in el_types
+                    if (et, "_mentions") in vocab}
+    if mention_defs:
+        some = next(iter(mention_defs.values()))
+        art = some.list_item_range.split(":", 1)[1]
+        surfaces = F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(MENTION_RE), F.lit(1))
+        mention_arr = F.transform(
+            surfaces,
+            lambda m, i: _triple(
+                some.predicate,
+                F.concat(F.lit(f"mms-artifact:{art}.ID:"),
+                         sanitize_suffix_col(m)),
+                True, idx=i),
+        )
+        base_arr = F.concat(base_arr, mention_arr)
+
+    turn_triples = (
+        t.select("conv_id", "turn_idx", "subject",
+                 F.explode(base_arr).alias("tr"))
+        .select("conv_id", "turn_idx", "subject",
+                "tr.predicate", "tr.object", "tr.object_is_iri",
+                "tr.datatype", "tr.lang", "tr.idx")
+    )
+    turn_triples = _finish(turn_triples, idx=F.col("idx"))
+
+    if not include_conversations:
+        return turn_triples
+    return turn_triples.unionByName(_conversation_triples(turns))
+
+
+def _conversation_triples(turns: DataFrame) -> DataFrame:
+    """Per-conversation element + ordered _turns list (W1): the one
+    shuffle, keyed by conv_id, ordered by turn_idx (data-derived)."""
+    t = _with_element_cols(turns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    conv_turns = (
+        t.select("conv_id", "turn_idx", F.col("subject").alias("turn_subject"))
+        .withColumn("idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .withColumn("subject", element_iri_col(F.col("conv_id")))
+    )
+    turns_list_triples = _finish(
+        conv_turns.select(
+            "conv_id", "turn_idx", "subject",
+            F.lit("mms-property:turns").alias("predicate"),
+            F.col("turn_subject").alias("object"),
+            F.lit(True).alias("object_is_iri"), "idx"),
+        idx=F.col("idx"),
+    )
+    convs = turns.select("conv_id").distinct() \
+        .withColumn("subject", element_iri_col(F.col("conv_id")))
+    conv_type_triples = _finish(
+        convs.select("conv_id", "subject",
+                     F.lit("rdf:type").alias("predicate"),
+                     F.lit("mms-class:Conversation").alias("object"),
+                     F.lit(True).alias("object_is_iri"))
+    )
+    conv_id_triples = _finish(
+        convs.select("conv_id", "subject",
+                     F.lit("mms-ontology:elementId").alias("predicate"),
+                     F.col("conv_id").alias("object"),
+                     F.lit(False).alias("object_is_iri"),
+                     F.lit("xsd:string").alias("datatype"))
+    )
+    return turns_list_triples.unionByName(conv_type_triples) \
+        .unionByName(conv_id_triples)
+
+
+def extract_triples_joined(spark: SparkSession, turns: DataFrame) -> DataFrame:
+    """Generic broadcast-join extractor (the literal J1 restatement)."""
     vocab = F.broadcast(spark.createDataFrame(resolved_vocab_pdf()))
     enums = F.broadcast(
         spark.createDataFrame(enums_pdf()).withColumnsRenamed(

@@ -45,6 +45,9 @@ def cosine_topk(
     (round(score,6) desc, neighbor_id) — the rounding makes rank stable
     across engines whose summation order differs at the ulp level."""
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    # corpus side often arrives as a single file split — spread it so
+    # the nested-loop scoring uses every core
+    e = e.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     q = (e.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")))
     scored = (
@@ -112,6 +115,7 @@ def ivf_assign(embeddings: DataFrame, every_k: int = 100) -> DataFrame:
     which is the Spark-side work, is identical). Returns
     (vec_id, centroid_id, score) with score = cosine to the centroid."""
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    e = e.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     cents = (e.where(F.col("vec_id") % every_k == 0)
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("emb").alias("c_emb")))

@@ -171,13 +171,18 @@ class PropertyDef:
 def resolve_vocabulary(
     vocab_rows: list[dict] | None = None,
     hierarchy: list[tuple[str, str]] | None = None,
+    parent_key: str | None = None,
 ) -> dict[tuple[str, str], PropertyDef]:
     """Flatten vocabulary to {(concrete_type, key): PropertyDef}.
 
     For each concrete type T and key k: candidates are rows whose
-    domain_type D satisfies T subClassOf* D; the winner is the candidate
-    with minimal closure distance (most-derived domain). A distance tie
-    between distinct predicates raises VocabConflict.
+    domain_type D satisfies T subClassOf* D; rows carrying a
+    nested_under scope apply only when it equals `parent_key`
+    (the reference's nestedUnder disambiguation, triplifier.js:495-510),
+    and a matching scoped binding beats any unscoped one. Among the
+    surviving candidates the winner has minimal closure distance
+    (most-derived domain). A full tie between distinct predicates
+    raises VocabConflict.
     """
     vocab_rows = VOCAB_ROWS if vocab_rows is None else vocab_rows
     hierarchy = CLASS_HIERARCHY if hierarchy is None else hierarchy
@@ -186,16 +191,21 @@ def resolve_vocabulary(
 
     resolved: dict[tuple[str, str], PropertyDef] = {}
     for t in types:
-        by_key: dict[str, list[tuple[int, dict]]] = {}
+        by_key: dict[str, list[tuple[tuple[int, int], dict]]] = {}
         for row in vocab_rows:
             d = closure.get((t, row["domain_type"]))
             if d is None:
                 continue
-            by_key.setdefault(row["key"], []).append((d, row))
+            scope = row.get("nested_under")
+            if scope is not None and scope != parent_key:
+                continue  # scoped binding outside its parent context
+            scope_rank = 0 if (scope is not None and scope == parent_key) else 1
+            by_key.setdefault(row["key"], []).append(((scope_rank, d), row))
         for key, cands in by_key.items():
             cands.sort(key=lambda c: c[0])
-            best_d, best = cands[0]
-            ties = [r for d, r in cands if d == best_d and r["predicate"] != best["predicate"]]
+            best_rank, best = cands[0]
+            ties = [r for rk, r in cands
+                    if rk == best_rank and r["predicate"] != best["predicate"]]
             if ties:
                 raise VocabConflict(f"ambiguous vocab for ({t}, {key}): "
                                     f"{best['predicate']} vs {ties[0]['predicate']}")

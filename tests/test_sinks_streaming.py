@@ -1,0 +1,77 @@
+"""TTL / LPG-CSV export sinks and incremental streaming extraction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from mms_rdf_spark.operators import materialize as M
+from mms_rdf_spark.operators.sinks import ttl_header, ttl_lines, write_lpg_csvs, write_ttl
+
+
+def test_ttl_lines_shapes(spark, triples_df):
+    lines = ttl_lines(triples_df.limit(200)).collect()
+    for r in lines:
+        assert r["value"].endswith(" .")
+    # literal triples quoted, IRI triples not
+    lit = ttl_lines(
+        triples_df.where(~F.col("object_is_iri")
+                         & (F.col("predicate") == "mms-property:text"))
+        .limit(5)).collect()
+    assert all('"' in r["value"] for r in lit)
+
+
+def test_write_ttl_roundtrip_counts(spark, triples_df, tmp_path):
+    out = str(tmp_path / "ttl")
+    n = triples_df.count()
+    write_ttl(triples_df, out)
+    text = spark.read.text(out + "/part-*").count()
+    assert text == n
+    assert ttl_header().startswith("@prefix")
+    assert os.path.exists(out + "/_prefixes.ttl")
+
+
+def test_write_lpg_csvs(spark, triples_df, tmp_path):
+    out = str(tmp_path / "lpg")
+    nodes, edges = M.lpg_nodes(triples_df), M.lpg_edges(triples_df)
+    write_lpg_csvs(nodes, edges, out)
+    edge_files = glob.glob(out + "/edges/*.csv")
+    assert edge_files
+    back = spark.read.option("header", True).csv(out + "/edges")
+    assert back.columns == ["~id", "~label", "~from", "~to"]
+    assert back.count() == edges.count()
+
+
+def test_incremental_streaming_extract(spark, tmp_path):
+    from mms_rdf_spark.operators.extract import extract_triples
+    from mms_rdf_spark.streaming.incremental import incremental_extract
+    from mms_rdf_spark.synth import make_transcripts
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    pdf = make_transcripts(n_convs=10, hot_conv_turns=20)
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src + "/batch1.parquet", index=False)
+
+    q = incremental_extract(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).count()
+    want_first = extract_triples(
+        spark, spark.createDataFrame(pdf.iloc[:half]),
+        include_conversations=False).count()
+    assert first == want_first
+
+    # new file lands -> only the delta is processed
+    pdf.iloc[half:].to_parquet(src + "/batch2.parquet", index=False)
+    q2 = incremental_extract(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    total = spark.read.parquet(out).count()
+    want_total = extract_triples(
+        spark, spark.createDataFrame(pdf),
+        include_conversations=False).count()
+    assert total == want_total
