@@ -276,6 +276,21 @@ def _conversation_triples(turns: DataFrame) -> DataFrame:
         .unionByName(conv_id_triples)
 
 
+def unmapped_keys(spark: SparkSession, turns: DataFrame) -> DataFrame:
+    """Warn-once side output (A6, reference triplifier.js:10-16,
+    540-545): distinct (el_type, key) pairs present in the input that
+    the vocabulary does not map. O(distinct) like the reference's
+    Set-guarded warnings — a distinct over two tiny columns, not a log
+    stream. Unknown keys degrade to this side table, never to errors."""
+    t = _with_element_cols(turns)
+    present = t.select("el_type").distinct().crossJoin(
+        spark.createDataFrame([(k,) for k in ("role", "text", "tool", "ts")],
+                              ["key"]))
+    vocab = spark.createDataFrame(resolved_vocab_pdf()).select(
+        F.col("type").alias("el_type"), "key")
+    return present.join(vocab, on=["el_type", "key"], how="left_anti")
+
+
 def extract_triples_joined(spark: SparkSession, turns: DataFrame) -> DataFrame:
     """Generic broadcast-join extractor (the literal J1 restatement)."""
     vocab = F.broadcast(spark.createDataFrame(resolved_vocab_pdf()))

@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale must be visible in `explain` output and must not silently rot —
+shuffle count, predicate pushdown, column pruning, partition pruning.
+(The 100-TB story lives in these assertions.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mms_rdf_spark.operators.extract import extract_triples
+from mms_rdf_spark.synth import write_transcripts_parquet
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_turn_level_extraction_is_shuffle_free(spark, tmp_path):
+    data = str(tmp_path / "t")
+    write_transcripts_parquet(data, n_convs=5, hot_conv_turns=10, n_files=2)
+    turns = spark.read.parquet(data)
+    plan = _plan(extract_triples(spark, turns, include_conversations=False))
+    assert "Exchange" not in plan, "turn-level extraction must not shuffle"
+
+
+def test_full_extraction_has_bounded_shuffles(spark, tmp_path):
+    data = str(tmp_path / "t2")
+    write_transcripts_parquet(data, n_convs=5, hot_conv_turns=10, n_files=2)
+    turns = spark.read.parquet(data)
+    plan = _plan(extract_triples(spark, turns))
+    # one window exchange + one distinct exchange (conversation ids);
+    # anything more means a regression re-introduced per-branch shuffles
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    data = str(tmp_path / "t3")
+    write_transcripts_parquet(data, n_convs=5, hot_conv_turns=10, n_files=2)
+    df = spark.read.parquet(data).where(F.col("conv_id") == "conv-00001") \
+        .select("conv_id", "turn_idx")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv-00001)]" \
+        in plan or "PushedFilters" in plan and "conv-00001" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    data = str(tmp_path / "t4")
+    write_transcripts_parquet(data, n_convs=5, hot_conv_turns=10, n_files=2)
+    df = spark.read.parquet(data).select("conv_id", "turn_idx")
+    plan = _plan(df)
+    assert "text" not in plan.split("ReadSchema")[-1], \
+        "projection must prune the wide text column from the scan"
+
+
+def test_spo_partition_pruning(spark, triples_df, tmp_path):
+    from mms_rdf_spark.operators.materialize import write_spo
+
+    out = str(tmp_path / "spo")
+    write_spo(triples_df, out, buckets=8)
+    back = spark.read.parquet(out).where(
+        F.col("pred_part") == "mms-property_text")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "mms-property_text" in plan, plan
+    want = triples_df.where(F.col("predicate") == "mms-property:text").count()
+    assert back.count() == want
+
+
+def test_vocab_join_is_broadcast(spark, transcripts_df):
+    from mms_rdf_spark.operators.extract import extract_triples_joined
+
+    plan = _plan(extract_triples_joined(spark, transcripts_df))
+    assert "BroadcastHashJoin" in plan, \
+        "vocabulary join must broadcast, never shuffle"
+
+
+def test_salted_count_matches_plain(spark, transcripts_df):
+    from mms_rdf_spark.operators.skew import salted_agg, salted_count
+
+    plain = {(r["tool"], r["count"]) for r in
+             transcripts_df.groupBy("tool").count().collect()}
+    salted = {(r["tool"], r["count"]) for r in
+              salted_count(transcripts_df, "tool").collect()}
+    assert plain == salted
+    plain2 = {(r["conv_id"], r["s"]) for r in
+              transcripts_df.groupBy("conv_id")
+              .agg(F.sum("turn_idx").alias("s")).collect()}
+    salted2 = {(r["conv_id"], r["sum_turn_idx"]) for r in
+               salted_agg(transcripts_df, "conv_id", "turn_idx").collect()}
+    assert plain2 == salted2
+
+
+def test_unmapped_keys_side_output(spark, transcripts_df):
+    from mms_rdf_spark.operators.extract import unmapped_keys
+
+    # the fixture vocabulary maps every (type, key) combination
+    assert unmapped_keys(spark, transcripts_df).count() == 0
