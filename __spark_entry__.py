@@ -112,6 +112,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_dangling_anti(spark, sf):
         return dangling_objects(_triples(spark, sf)).select("iri")
 
+    def kg_amend(spark, sf):
+        from mms_rdf_spark.operators.amend import amend_triples
+        return amend_triples(_triples(spark, sf)).select(
+            "subject", "predicate", "object")
+
+    def kg_lpg_edges(spark, sf):
+        from mms_rdf_spark.operators.materialize import lpg_edges
+        return lpg_edges(_triples(spark, sf)).select(
+            "~id", "~label", "~from", "~to")
+
+    def kg_two_hop(spark, sf):
+        # Gremlin g.V().out('turns').out('invokedTool') analog:
+        # conversation -> turn -> tool artifact (SURVEY.md §2.10)
+        t = _triples(spark, sf)
+        turns = t.where(F.col("predicate") == "mms-property:turns") \
+            .select(F.col("subject").alias("conv"),
+                    F.col("object").alias("turn"))
+        tools = t.where(F.col("predicate") == "mms-property:invokedTool") \
+            .select(F.col("subject").alias("turn"),
+                    F.col("object").alias("tool"))
+        return (turns.join(tools, on="turn")
+                .groupBy("conv", "tool")
+                .agg(F.count(F.lit(1)).alias("n_calls")))
+
     def kg_closure(spark, sf):
         nation = spark.read.parquet(f"{sf}/nation.parquet")
         edges = nation.where(F.col("n_nationkey") > 0).select(
@@ -234,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_text_triples": kg_text_triples,
         "kg_ts_triples": kg_ts_triples,
         "kg_dangling_anti": kg_dangling_anti,
+        "kg_amend": kg_amend,
+        "kg_lpg_edges": kg_lpg_edges,
+        "kg_two_hop": kg_two_hop,
         "kg_closure": kg_closure,
         "kg_cc": kg_cc,
         "tpch_q1": tpch_q1,
@@ -344,6 +371,80 @@ def oracle_sql() -> dict[str, str]:
     SELECT DISTINCT object AS iri FROM triples
     WHERE object <> 'rdf:nil'
       AND NOT EXISTS (SELECT 1 FROM subjects s WHERE s.subject = object)
+    """
+
+    _DANGLING = f"""
+    {_T}, triples AS (
+        SELECT {_SUBJ_SQL} AS subject,
+               CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                    WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                    WHEN 'system' THEN 'mms-class:Role.System'
+                    WHEN 'tool' THEN 'mms-class:Role.Tool'
+                    ELSE 'rdf:nil' END AS object
+        FROM t
+        UNION ALL
+        SELECT {_SUBJ_SQL},
+               CASE WHEN tool = '' THEN 'rdf:nil'
+                    ELSE 'mms-artifact:Tool.ID:' || tool END
+        FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT 'mms-element:' || conv_id, {_SUBJ_SQL} FROM t
+    ), subjects AS (
+        SELECT DISTINCT subject FROM triples
+    ), dangling AS (
+        SELECT DISTINCT object AS iri FROM triples
+        WHERE object <> 'rdf:nil'
+          AND NOT EXISTS (SELECT 1 FROM subjects s WHERE s.subject = object)
+    )
+    """
+
+    q["kg_amend"] = _DANGLING + """
+    SELECT iri AS subject, 'rdf:type' AS predicate,
+           'mms-class:Unresolved' AS object FROM dangling
+    UNION ALL
+    SELECT iri, 'mms-ontology:elementId', iri FROM dangling
+    """
+
+    q["kg_lpg_edges"] = f"""
+    {_T}, e AS (
+        SELECT {_SUBJ_SQL} AS f, 'mms-property:role' AS l,
+               CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                    WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                    WHEN 'system' THEN 'mms-class:Role.System'
+                    WHEN 'tool' THEN 'mms-class:Role.Tool'
+                    ELSE 'rdf:nil' END AS o,
+               -1 AS idx
+        FROM t
+        UNION ALL
+        SELECT {_SUBJ_SQL},
+               CASE WHEN role = 'tool' THEN 'mms-property:invokedTool'
+                    ELSE 'mms-property:tool' END,
+               CASE WHEN tool = '' THEN 'rdf:nil'
+                    ELSE 'mms-artifact:Tool.ID:' || tool END,
+               -1
+        FROM t WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT 'mms-element:' || conv_id, 'mms-property:turns',
+               {_SUBJ_SQL}, turn_idx
+        FROM t
+    ), d AS (
+        SELECT DISTINCT f, l, o, idx FROM e WHERE o <> 'rdf:nil'
+    )
+    SELECT 'e' || substr(sha256(f || l || o || CAST(idx AS VARCHAR)), 1, 16)
+               AS "~id",
+           l AS "~label", f AS "~from", o AS "~to"
+    FROM d
+    """
+
+    q["kg_two_hop"] = f"""
+    {_T}
+    SELECT 'mms-element:' || conv_id AS conv,
+           CASE WHEN tool = '' THEN 'rdf:nil'
+                ELSE 'mms-artifact:Tool.ID:' || tool END AS tool,
+           count(*) AS n_calls
+    FROM t
+    WHERE role = 'tool' AND tool IS NOT NULL
+    GROUP BY 1, 2
     """
 
     q["kg_closure"] = """

@@ -5,22 +5,22 @@ The Spark restatement of the reference's conversion pipeline
 SURVEY.md §3.1): one input row (a turn) fans out to N triple rows,
 driven by the broadcast vocabulary.
 
-Physical shape (why this scales to 100 TB):
-  - The per-turn work is a single narrow stage: scan -> unpivot
-    (stack) -> broadcast vocab join -> column dispatch -> union. No
-    shuffle at all for turn-level triples; Iceberg/parquet split
-    planning parallelizes the scan, predicate pushdown prunes columns.
-  - The ONLY shuffle is the per-conversation ordered-turns list (W1),
-    a window over (conv_id, turn_idx) — exactly one exchange, keyed by
-    conv_id, AQE-coalesced. Order comes from turn_idx (data), never
-    from partition iteration order, so it is repartition-stable.
-  - The vocabulary join replaces the reference's per-element SPARQL
-    round-trips + memo cache (triplifier.js:433-436) with a broadcast
-    hash join: zero per-row lookups.
-  - Everything is built-in JVM expressions inside whole-stage codegen.
-    An equivalent Arrow-batched mapInPandas extractor
-    (`extract_triples_arrow`) is provided for the UDF surface the north
-    star names; both are tested equivalent to the oracle.
+Three equivalent formulations, all oracle-tested (P/R = 1.0):
+  - `extract_triples` (primary): FUSED single-scan plan — the static
+    vocabulary folds into one projection emitting array<triple struct>
+    per turn, exploded in place. One scan, zero joins, zero shuffles
+    for turn-level triples (asserted in tests/test_plans.py); the only
+    exchange in the full plan is the per-conversation ordered-turns
+    window (W1), keyed by conv_id and ordered by turn_idx — order from
+    data, never partition iteration, so repartition-stable.
+  - `extract_triples_joined`: the literal J1 restatement — unpivot ->
+    broadcast vocabulary join -> column dispatch. The broadcast join
+    replaces the reference's per-element SPARQL round-trips + memo
+    cache (triplifier.js:433-436) with zero per-row lookups.
+  - `extract_turn_triples_arrow`: Arrow-batched mapInPandas — the UDF
+    surface the north star names; vectorized pandas per batch, the
+    template for extraction logic that outgrows column expressions
+    (real NER models etc.).
 
 Output schema (triples):
   subject, predicate, object: string

@@ -173,7 +173,7 @@ def lpg_edges(triples: DataFrame) -> DataFrame:
     return e.withColumn(
         "~id",
         F.concat(F.lit("e"),
-                 F.sha2(F.concat_ws("", "~from", "~label", "~to",
+                 F.sha2(F.concat_ws("", F.col("~from"), F.col("~label"), F.col("~to"),
                                     F.col("_idx").cast("string")), 256)
                  .substr(1, 16)),
     ).select("~id", "~label", "~from", "~to", F.col("_idx").alias("idx"))
