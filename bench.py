@@ -82,6 +82,25 @@ def main() -> None:
     timed("kg_lpg",
           lambda: M.lpg_edges(triples).count() + M.lpg_nodes(triples).count())
 
+    # 3b. mention-scale entity linking: synth corpus with a 2k-entity
+    # Zipf pool (hot entities) — the real linking workload shape
+    from mms_rdf_spark.operators.extract import extract_triples
+    from mms_rdf_spark.synth import write_transcripts_parquet
+
+    link_dir = write_transcripts_parquet(
+        "build/transcripts_linkbench", n_convs=2000, hot_conv_turns=1000,
+        n_files=32, n_entities=2000)
+    link_turns = spark.read.parquet(link_dir)
+    link_triples = extract_triples(spark, link_turns, include_conversations=False)
+    mention_surfaces = distinct_surfaces(
+        link_triples.where(F.col("predicate") == "mms-property:mentions"))
+
+    def link_mentions():
+        comps = connected_components(
+            candidate_edges(mention_surfaces), "src", "dst")
+        return entity_table(mention_surfaces, comps).count()
+    timed("kg_link_mentions", link_mentions)
+
     # 4-9. operator-suite headliners via the contract queries
     for name in ["tpch_q1", "tpch_q3", "events_window", "dedup_lsh_pairs",
                  "sim_cosine_topk", "text_quality"]:

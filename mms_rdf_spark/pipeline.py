@@ -48,6 +48,16 @@ def run_pipeline(
     os.makedirs(out_dir, exist_ok=True)
     params = {"jaccard": jaccard_threshold, "version": 1}
 
+    # TBox named graph: the vocabulary as its own triples table
+    # (mms-graph:vocabulary analog — kept separate from the data graph)
+    from mms_rdf_spark.vocab import vocab_triples_pdf
+
+    vocab_triples = run_stage(
+        spark, out_dir, "vocab_triples", [], params,
+        lambda: spark.createDataFrame(vocab_triples_pdf()),
+        resume=resume,
+    )
+
     triples = run_stage(
         spark, out_dir, "extract", [input_path], params,
         lambda: extract_triples(spark, spark.read.parquet(input_path)),
@@ -91,8 +101,9 @@ def run_pipeline(
         lambda: M.lpg_edges(amended), resume=resume,
     )
 
-    return {"triples": triples, "entities": entities, "graph": graph,
-            "amended": amended, "lpg_nodes": nodes, "lpg_edges": edges}
+    return {"vocab_triples": vocab_triples, "triples": triples,
+            "entities": entities, "graph": graph, "amended": amended,
+            "lpg_nodes": nodes, "lpg_edges": edges}
 
 
 def main() -> None:

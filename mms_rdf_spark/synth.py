@@ -71,18 +71,54 @@ WORDS = (
 ).split()
 
 
+_SYLLABLES = ["ka", "ro", "vin", "tez", "mul", "qor", "ban", "sil", "dra",
+              "fen", "gor", "hax", "jul", "kem", "lor", "nim", "pra", "rus",
+              "tav", "wex", "yol", "zem", "bri", "cho", "dug", "eph"]
+
+
+def entity_pool(n_entities: int) -> list[list[str]]:
+    """Programmatic entity-surface clusters for linking at scale: each
+    entity gets a syllable-hashed base name (so DISTINCT entities share
+    few character n-grams and must NOT merge) and 4 near-duplicate
+    variants (title/lower/UPPER/underscored) that MUST merge.
+    Deterministic by construction (md5-driven, no RNG state)."""
+    import hashlib
+
+    pool = []
+    for i in range(n_entities):
+        h = hashlib.md5(f"entity-{i}".encode()).hexdigest()
+        syls = [_SYLLABLES[int(h[j:j + 2], 16) % len(_SYLLABLES)]
+                for j in (0, 2, 4, 6)]
+        base = "".join(s.capitalize() for s in syls) + h[8:12]
+        pool.append([base, base.lower(), base.upper(),
+                     "_".join(syls) + "_" + h[8:12]])
+    return pool
+
+
 def make_transcripts(
     n_convs: int = 100,
     seed: int = 42,
     hot_conv_turns: int = 1000,
     n_hot_convs: int = 2,
+    n_entities: int | None = None,
 ) -> pd.DataFrame:
     """Build a deterministic transcripts frame.
 
     Conversation lengths ~ long-tailed: `n_hot_convs` conversations get
     `hot_conv_turns` turns; the rest draw 5..50.
+
+    n_entities: if set, mention surfaces draw from a programmatic pool
+    of that many entities with Zipf-distributed popularity (hot-entity
+    skew for the linking stage) instead of the small fixed
+    ENTITY_CLUSTERS used by the oracle tests.
     """
     rng = np.random.default_rng(seed)
+    clusters = ENTITY_CLUSTERS if n_entities is None else entity_pool(n_entities)
+    if n_entities is None:
+        cluster_w = np.full(len(clusters), 1.0 / len(clusters))
+    else:  # Zipf popularity: a few hot entities dominate mentions
+        cluster_w = 1.0 / np.arange(1, len(clusters) + 1) ** 1.2
+        cluster_w /= cluster_w.sum()
 
     lengths = rng.integers(5, 51, size=n_convs)
     for i in range(min(n_hot_convs, n_convs)):
@@ -125,7 +161,7 @@ def make_transcripts(
     n_words = rng.integers(3, 21, size=n_total)
     word_pick = rng.integers(0, len(WORDS), size=(n_total, 20))
     n_mentions = rng.choice([0, 1, 2], size=n_total, p=[0.45, 0.40, 0.15])
-    cluster_pick = rng.integers(0, len(ENTITY_CLUSTERS), size=(n_total, 2))
+    cluster_pick = rng.choice(len(clusters), size=(n_total, 2), p=cluster_w)
     variant_pick = rng.integers(0, 4, size=(n_total, 2))
     long_mask = rng.random(n_total) < 0.002  # a few very long texts
     empty_text = rng.random(n_total) < 0.01
@@ -137,7 +173,7 @@ def make_transcripts(
             continue
         ws = [WORDS[w] for w in word_pick[i, : n_words[i]]]
         for m in range(n_mentions[i]):
-            cluster = ENTITY_CLUSTERS[cluster_pick[i, m]]
+            cluster = clusters[cluster_pick[i, m]]
             surface = cluster[variant_pick[i, m] % len(cluster)]
             pos = (i * 7 + m * 3) % (len(ws) + 1)
             ws.insert(pos, f"@entity:{surface}")
@@ -174,19 +210,23 @@ def write_transcripts_parquet(
     hot_conv_turns: int = 1000,
     n_hot_convs: int = 2,
     n_files: int = 8,
+    n_entities: int | None = None,
 ) -> str:
     """Materialize the frame as a multi-file parquet dir (so Spark's
     split planning has >1 input split even at tiny scale). Idempotent:
     skips if the dir already has a _SUCCESS marker for the same params."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(
-        out_dir, f"_SYNTH_{n_convs}_{seed}_{hot_conv_turns}_{n_hot_convs}_{n_files}"
+        out_dir,
+        f"_SYNTH_{n_convs}_{seed}_{hot_conv_turns}_{n_hot_convs}_{n_files}"
+        f"_{n_entities}"
     )
     if os.path.exists(marker):
         return out_dir
     for f in os.listdir(out_dir):
         os.remove(os.path.join(out_dir, f))
-    pdf = make_transcripts(n_convs, seed, hot_conv_turns, n_hot_convs)
+    pdf = make_transcripts(n_convs, seed, hot_conv_turns, n_hot_convs,
+                           n_entities)
     # shard round-robin by conversation so conversations stay contiguous
     # within a file (mirrors how an Iceberg write bucketed by conv_id
     # would lay the data out) but files stay balanced.

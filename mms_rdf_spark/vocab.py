@@ -237,6 +237,48 @@ def resolved_vocab_pdf() -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values(["type", "key"]).reset_index(drop=True)
 
 
+def vocab_triples_pdf() -> pd.DataFrame:
+    """The vocabulary itself as triples — the TBox named graph.
+
+    The reference keeps TBox and ABox in separate named graphs
+    (mms-graph:vocabulary vs mms-graph:data.<project>, emk.js:109,233);
+    our equivalent is a separate `vocab_triples` table (or a `graph`
+    partition column). Emits, per property row: rdf:type,
+    mms-ontology:key, rdfs:domain, rdfs:range, and (when set)
+    mms-ontology:cardinality / listItemRange / category — mirroring the
+    minted defs in build/vocabulary/element-properties.ttl. Class
+    hierarchy edges become rdfs:subClassOf; enum members become
+    owl:oneOf membership triples (flattened, idx = member position)."""
+    rows: list[tuple] = []
+
+    def emit(s, p, o, is_iri=True, dt=None, idx=None):
+        rows.append((s, p, o, is_iri, dt, None, idx))
+
+    for r in VOCAB_ROWS:
+        pred = r["predicate"]
+        emit(pred, "rdf:type", f"owl:{r['property_type']}")
+        emit(pred, "mms-ontology:key", r["key"], False, "xsd:string")
+        emit(pred, "rdfs:domain", r["domain_type"])
+        emit(pred, "rdfs:range", r["range"])
+        if r["cardinality"]:
+            emit(pred, "mms-ontology:cardinality", r["cardinality"],
+                 False, "xsd:integer")
+        if r["list_item_range"]:
+            emit(pred, "mms-ontology:listItemRange", r["list_item_range"])
+        if r["lang"]:
+            emit(pred, "mms-ontology:lang", r["lang"], False, "xsd:string")
+    for sub, sup in CLASS_HIERARCHY:
+        emit(sub, "rdfs:subClassOf", sup)
+    for i, e in enumerate(ENUM_ROWS):
+        if e["value"] is not None:
+            emit(e["enum_class"], "owl:oneOf", e["iri"], True, None, i)
+            emit(e["iri"], "mms-ontology:enumValue", e["value"],
+                 False, "xsd:string")
+    return pd.DataFrame(
+        rows, columns=["subject", "predicate", "object", "object_is_iri",
+                       "datatype", "lang", "idx"])
+
+
 def enums_pdf() -> pd.DataFrame:
     return pd.DataFrame(ENUM_ROWS)
 
