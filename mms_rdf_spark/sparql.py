@@ -1,0 +1,148 @@
+"""SPARQL-pattern helpers over the triples tables.
+
+The reference delegates all querying to an external SPARQL endpoint
+(src/action/query.js + endpoint.js — it contains no query engine,
+SURVEY.md §3.3). Here Catalyst IS the engine; this module packages the
+recurring SPARQL shapes from the reference's embedded queries and demo
+notebooks (SURVEY.md §2.10) as composable DataFrame functions, so a
+user can write the notebook queries almost 1:1:
+
+    g = Graph(triples_df)
+    unused = g.subjects_of_type("mms-class:Activity") \\
+              .join(g.pattern("?s", "mms-property:activity", "?o")
+                     .select(F.col("o").alias("subject")),
+                    on="subject", how="left_anti")
+
+Every helper compiles to plain relational ops — equi/semi/anti joins
+Catalyst can reorder, broadcast, and AQE-optimize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RDF_NIL = "rdf:nil"
+
+
+class Graph:
+    """A triples DataFrame wrapped with SPARQL-ish accessors."""
+
+    def __init__(self, triples: DataFrame):
+        self.t = triples
+
+    # --- basic graph patterns -------------------------------------
+    def pattern(self, s: str | None = None, p: str | None = None,
+                o: str | None = None) -> DataFrame:
+        """One BGP triple pattern. Constants filter; '?x' / None stay
+        free. Returns (subject, predicate, object, ...)."""
+        df = self.t
+        for col, v in (("subject", s), ("predicate", p), ("object", o)):
+            if v is not None and not v.startswith("?"):
+                df = df.where(F.col(col) == v)
+        return df
+
+    def bgp(self, *steps: tuple[str, str]) -> DataFrame:
+        """Property-path chain: steps = [(p1, v1), (p2, v2), ...] walks
+        subject -p1-> v1 -p2-> v2 ... Returns (subject, v1, v2, ...)."""
+        out = None
+        prev = "subject"
+        for i, (pred, name) in enumerate(steps):
+            hop = self.pattern(p=pred).select(
+                F.col("subject").alias(prev if i == 0 else f"_{prev}"),
+                F.col("object").alias(name))
+            if out is None:
+                out = hop
+            else:
+                out = out.join(hop.withColumnRenamed(f"_{prev}", prev),
+                               on=prev)
+            prev = name
+        return out.select("subject", *[n for _, n in steps])
+
+    # --- SPARQL filter shapes --------------------------------------
+    def subjects_of_type(self, cls: str) -> DataFrame:
+        return (self.pattern(p="rdf:type", o=cls)
+                .select("subject").distinct())
+
+    def not_exists(self, base: DataFrame, p: str,
+                   on: str = "subject") -> DataFrame:
+        """FILTER NOT EXISTS {?on p ?any} — the anti-join shape
+        (reference ammend.js:35-38, notebook cells 9/15/17)."""
+        has = self.pattern(p=p).select(F.col("subject").alias(on)).distinct()
+        return base.join(has, on=on, how="left_anti")
+
+    def values(self, base: DataFrame, col: str,
+               inline: list[str]) -> DataFrame:
+        """VALUES inline table -> isin (notebook cell 19)."""
+        return base.where(F.col(col).isin(inline))
+
+    def is_nil(self, p: str) -> DataFrame:
+        """?s p rdf:nil — emptiness test (notebook cells 11/13)."""
+        return self.pattern(p=p, o=RDF_NIL).select("subject").distinct()
+
+    def construct(self, base: DataFrame, s: Column, p: str,
+                  o: Column) -> DataFrame:
+        """CONSTRUCT projection: rows -> new triples (cells 3/5/6)."""
+        return base.select(
+            s.alias("subject"), F.lit(p).alias("predicate"), o.alias("object"),
+            F.lit(True).alias("object_is_iri"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("int").alias("idx"),
+        )
+
+    def closure_join(self, closure: DataFrame, cls: str) -> DataFrame:
+        """?s rdf:type/rdfs:subClassOf* cls — type check through the
+        precomputed hierarchy closure (reference triplifier.js:453-455)."""
+        subs = closure.where(F.col("sup") == cls) \
+            .select(F.col("sub").alias("object"))
+        return (self.pattern(p="rdf:type").join(subs, on="object")
+                .select("subject").distinct())
+
+    def ordered_list(self, p: str) -> DataFrame:
+        """p/rdf:rest*/rdf:first equivalent — unroll the idx-encoded
+        list into per-subject ordered arrays (W2)."""
+        from mms_rdf_spark.plans.closure import unroll_lists
+
+        return unroll_lists(self.pattern(p=p))
+
+
+# --- Gremlin-style traversal over the LPG view ---------------------
+class Traversal:
+    """g.V().out/in_/both analog over the LPG edges DataFrame
+    (reference notebooks/tmt-demo-gremlin.ipynb cells 3-8). Each hop is
+    an equi-join on the frontier; label filters prune before joining."""
+
+    def __init__(self, edges: DataFrame, frontier: DataFrame):
+        self.edges = edges
+        self.frontier = frontier  # one column: ~id
+
+    @classmethod
+    def V(cls, edges: DataFrame, ids: list[str] | None = None) -> "Traversal":
+        nodes = (edges.select(F.col("~from").alias("~id"))
+                 .union(edges.select(F.col("~to").alias("~id"))).distinct())
+        if ids:
+            nodes = nodes.where(F.col("~id").isin(ids))
+        return cls(edges, nodes)
+
+    def _hop(self, src: str, dst: str, label: str | None) -> "Traversal":
+        e = self.edges if label is None \
+            else self.edges.where(F.col("~label") == label)
+        nxt = (self.frontier
+               .join(e, self.frontier["~id"] == e[src])
+               .select(F.col(dst).alias("~id")).distinct())
+        return Traversal(self.edges, nxt)
+
+    def out(self, label: str | None = None) -> "Traversal":
+        return self._hop("~from", "~to", label)
+
+    def in_(self, label: str | None = None) -> "Traversal":
+        return self._hop("~to", "~from", label)
+
+    def both(self, label: str | None = None) -> "Traversal":
+        a = self._hop("~from", "~to", label).frontier
+        b = self._hop("~to", "~from", label).frontier
+        return Traversal(self.edges, a.union(b).distinct())
+
+    def to_df(self) -> DataFrame:
+        return self.frontier
