@@ -136,6 +136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("conv", "tool")
                 .agg(F.count(F.lit(1)).alias("n_calls")))
 
+    def kg_sessionize(spark, sf):
+        from mms_rdf_spark.kgdemo import transcripts_from_events
+        from mms_rdf_spark.operators.sessionize import sessionize
+        return sessionize(transcripts_from_events(spark, sf),
+                          gap_minutes=30).select(
+            "conv_id", "turn_idx", "session_idx", "session_id")
+
     def kg_closure(spark, sf):
         nation = spark.read.parquet(f"{sf}/nation.parquet")
         edges = nation.where(F.col("n_nationkey") > 0).select(
@@ -263,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": kg_two_hop,
         "kg_closure": kg_closure,
         "kg_cc": kg_cc,
+        "kg_sessionize": kg_sessionize,
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
         "events_window": events_window,
@@ -445,6 +453,27 @@ def oracle_sql() -> dict[str, str]:
     FROM t
     WHERE role = 'tool' AND tool IS NOT NULL
     GROUP BY 1, 2
+    """
+
+    q["kg_sessionize"] = f"""
+    {_T}, g AS (
+        SELECT conv_id, turn_idx, ts,
+               CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                        (PARTITION BY conv_id ORDER BY turn_idx)
+                        > 30 * 60
+                    OR lag(ts) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM t
+    )
+    SELECT conv_id, turn_idx,
+           CAST(sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                AS INT) AS session_idx,
+           conv_id || '#' || CAST(sum(is_new) OVER (PARTITION BY conv_id
+                ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) - 1 AS VARCHAR) AS session_id
+    FROM g
     """
 
     q["kg_closure"] = """

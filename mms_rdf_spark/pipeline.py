@@ -35,7 +35,7 @@ from mms_rdf_spark.operators.link import (
     distinct_surfaces,
     entity_table,
 )
-from mms_rdf_spark.runlog import run_stage
+from mms_rdf_spark.runlog import read_manifest, run_stage
 
 
 def run_pipeline(
@@ -101,9 +101,25 @@ def run_pipeline(
         lambda: M.lpg_edges(amended), resume=resume,
     )
 
+    # canonical SPO layout: predicate-partitioned + subject-repartitioned
+    # (partition pruning for per-predicate scans; asserted in test_plans)
+    spo_dir = os.path.join(out_dir, "spo")
+    if not resume or read_manifest(out_dir, "lpg_edges") is None \
+            or not os.path.isdir(spo_dir):
+        M.write_spo(amended, spo_dir)
+
+    # shape validation report (SHACL-ish, derived from the vocabulary)
+    from mms_rdf_spark.shapes import validate
+
+    violations = run_stage(
+        spark, out_dir, "shacl_violations", [input_path], params,
+        lambda: validate(spark, amended), resume=resume,
+    )
+
     return {"vocab_triples": vocab_triples, "triples": triples,
             "entities": entities, "graph": graph, "amended": amended,
-            "lpg_nodes": nodes, "lpg_edges": edges}
+            "lpg_nodes": nodes, "lpg_edges": edges,
+            "shacl_violations": violations}
 
 
 def main() -> None:
