@@ -235,6 +235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_ivf_assign(spark, sf):
         return S.ivf_assign(_emb(spark, sf))
 
+    def dedup_embedding_neardup(spark, sf):
+        return S.embedding_near_duplicates(_emb(spark, sf), threshold=0.25)
+
+    def sim_topk_lsh(spark, sf):
+        return S.topk_lsh(_emb(spark, sf))
+
     # ---- text analysis suite
     def text_token_stats(spark, sf):
         return TX.token_stats(_docs(spark, sf))
@@ -282,6 +288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_lsh_buckets": sim_lsh_buckets,
         "sim_ivf_assign": sim_ivf_assign,
+        "dedup_embedding_neardup": dedup_embedding_neardup,
+        "sim_topk_lsh": sim_topk_lsh,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -646,6 +654,60 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
                       ORDER BY plane) AS bucket
     FROM dots GROUP BY vec_id
+    """
+
+    def _bucket_cte(planes: int) -> str:
+        return f"""
+    dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), planes AS (
+        SELECT p.i AS plane, d.i AS dim,
+               CASE WHEN substr(md5(CAST(p.i AS VARCHAR) || '_'
+                                   || CAST(d.i AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 1.0 ELSE -1.0 END AS w
+        FROM (SELECT unnest(generate_series(0, {planes - 1})) AS i) p,
+             (SELECT unnest(generate_series(0, 63)) AS i) d
+    ), dots AS (
+        SELECT dims.vec_id, planes.plane, sum(dims.v * planes.w) AS dot
+        FROM dims JOIN planes USING (dim)
+        GROUP BY dims.vec_id, planes.plane
+    ), buckets AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY plane) AS bucket
+        FROM dots GROUP BY vec_id
+    ), e AS (
+        SELECT b.vec_id, b.bucket, CAST(m.embedding AS DOUBLE[]) AS emb
+        FROM buckets b JOIN embeddings m ON m.vec_id = b.vec_id
+    )"""
+
+    q["dedup_embedding_neardup"] = f"""
+    WITH {_bucket_cte(8)}
+    SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+           round(list_cosine_similarity(l.emb, r.emb), 6) AS score
+    FROM e l JOIN e r
+      ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round(list_cosine_similarity(l.emb, r.emb), 6) >= 0.25
+    """
+
+    q["sim_topk_lsh"] = f"""
+    WITH {_bucket_cte(4)},
+    s AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.emb, e.emb), 6) AS score
+        FROM e q JOIN e ON e.bucket = q.bucket
+                        AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    ), r AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM s
+    )
+    SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
     """
 
     q["sim_ivf_assign"] = """

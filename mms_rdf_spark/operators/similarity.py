@@ -109,6 +109,62 @@ def lsh_buckets(
     return e.select("vec_id", F.concat(*bit_exprs).alias("bucket"))
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.95, planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    The scale path for near-dup detection over vectors: pairs are only
+    scored WITHIN an LSH hyperplane bucket (identical sign pattern =>
+    high cosine likelihood), turning the all-pairs O(n^2) into
+    per-bucket joins keyed by the bucket string — the same
+    blocking-join shape as text LSH dedup, so AQE skew splitting covers
+    hot buckets. Returns (a_id, b_id, score) with score >= threshold,
+    a_id < b_id. Recall is bounded by the bucket resolution (`planes`);
+    the brute-force `cosine_topk` is the exact baseline."""
+    b = lsh_buckets(embeddings, planes)
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb")) \
+        .join(b, on="vec_id")
+    L, R = e.alias("l"), e.alias("r")
+    pairs = L.join(R, (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l.vec_id") < F.col("r.vec_id")))
+    scored = pairs.select(
+        F.col("l.vec_id").alias("a_id"), F.col("r.vec_id").alias("b_id"),
+        F.round(_dot(F.col("l.emb"), F.col("r.emb"))
+                / (_norm(F.col("l.emb")) * _norm(F.col("r.emb"))), 6)
+        .alias("score"))
+    return scored.where(F.col("score") >= threshold)
+
+
+def topk_lsh(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
+             planes: int = 4) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (coarse `planes` so buckets stay populated), then exact
+    rescoring + rank within the bucket. The ANN trade: one bucket probe
+    instead of a full scan; at 100 TB the bucket is the partition key."""
+    b = lsh_buckets(embeddings, planes)
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb")) \
+        .join(b, on="vec_id")
+    q = (e.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("emb").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket")))
+    scored = (
+        F.broadcast(q)
+        .join(e, (F.col("bucket") == F.col("q_bucket"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(_dot(F.col("q_emb"), F.col("emb"))
+                        / (_norm(F.col("q_emb")) * _norm(F.col("emb"))), 6)
+                .alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
 def ivf_assign(embeddings: DataFrame, every_k: int = 100) -> DataFrame:
     """IVF coarse assignment: centroids = vectors with vec_id % every_k
     == 0 (deterministic stand-in for k-means — the assignment plumbing,
