@@ -96,38 +96,49 @@ def candidate_edges(
                 F.lit(1.0).alias("score"))
     )
 
-    # tier 2: fuzzy pairs between DISTINCT norms within a block
-    reps = norm_rep.select(F.col("norm"), F.col("rep"))
-    blocked = reps.withColumn(
-        "block",
-        F.concat(F.substring("norm", 1, 2),
-                 F.lit("#"),
-                 (F.length("norm") / 4).cast("int").cast("string")),
-    ).withColumn("grams", _ngrams(F.col("norm")))
-    # sub-block salting for hot blocks: blocks over MAX_BLOCK norms are
-    # split on a hash of the 3rd character (deterministic, data-derived).
-    # Pairs whose norms differ in the 3rd char are lost only inside
-    # oversized blocks — a bounded recall trade that caps the worst
-    # block at ~MAX_BLOCK^2/16 pairs; AQE skew-join covers the residue.
-    block_sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("_bn"))
-    blocked = blocked.join(F.broadcast(block_sizes), on="block").withColumn(
-        "salt",
-        F.when(F.col("_bn") > MAX_BLOCK,
-               F.crc32(F.substring("norm", 3, 1)) % 16).otherwise(F.lit(0)),
-    )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.salt") == F.col("b.salt"))
-               & (F.col("a.norm") < F.col("b.norm")))
-        .select(
-            F.col("a.rep").alias("src"), F.col("b.rep").alias("dst"),
-            (F.size(F.array_intersect("a.grams", "b.grams"))
-             / F.size(F.array_union("a.grams", "b.grams"))).alias("score"),
+    # tier 2: fuzzy pairs between DISTINCT norms, MULTI-PASS blocking —
+    # two independent keys (prefix bigram, suffix bigram), each with
+    # hot-block sub-salting. A true pair is lost only if it crosses
+    # salts inside oversized blocks under BOTH keys; classic multi-pass
+    # blocking keeps recall while each pass stays O(sum b_i^2).
+    reps = norm_rep.select(F.col("norm"), F.col("rep")) \
+        .withColumn("grams", _ngrams(F.col("norm")))
+    len_bucket = (F.length("norm") / 4).cast("int").cast("string")
+    block_keys = [
+        F.concat(F.lit("p#"), F.substring("norm", 1, 2), F.lit("#"), len_bucket),
+        F.concat(F.lit("s#"), F.substring(F.col("norm"), -2, 2),
+                 F.lit("#"), len_bucket),
+    ]
+    salt_chars = [F.substring("norm", 3, 1),
+                  F.substring(F.col("norm"), -3, 1)]
+
+    fuzzy_parts = []
+    for block_key, salt_char in zip(block_keys, salt_chars):
+        blocked = reps.withColumn("block", block_key)
+        # sub-block salting: blocks over MAX_BLOCK norms split on a hash
+        # of a data-derived char; caps the worst block at
+        # ~MAX_BLOCK^2/16 pairs, AQE skew-join covers the residue.
+        block_sizes = blocked.groupBy("block").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        blocked = blocked.join(F.broadcast(block_sizes), on="block") \
+            .withColumn(
+                "salt",
+                F.when(F.col("_bn") > MAX_BLOCK,
+                       F.crc32(salt_char) % 16).otherwise(F.lit(0)))
+        a, b = blocked.alias("a"), blocked.alias("b")
+        fuzzy_parts.append(
+            a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.salt") == F.col("b.salt"))
+                   & (F.col("a.norm") < F.col("b.norm")))
+            .select(
+                F.col("a.rep").alias("src"), F.col("b.rep").alias("dst"),
+                (F.size(F.array_intersect("a.grams", "b.grams"))
+                 / F.size(F.array_union("a.grams", "b.grams")))
+                .alias("score"))
         )
-    )
-    fuzzy_edges = pairs.where(F.col("score") >= jaccard_threshold)
-    return exact_edges.unionByName(fuzzy_edges)
+    fuzzy = fuzzy_parts[0].unionByName(fuzzy_parts[1]) \
+        .where(F.col("score") >= jaccard_threshold).distinct()
+    return exact_edges.unionByName(fuzzy)
 
 
 def entity_table(surfaces: DataFrame, components: DataFrame) -> DataFrame:

@@ -94,9 +94,21 @@ def run_stage(
 
     shutil.rmtree(data_dir, ignore_errors=True)
     os.replace(tmp, data_dir)
+    # content snapshot id: hash of the committed file listing (name,
+    # size) — the parquet-dir analog of an Iceberg snapshot id; a
+    # resumed read can verify it still reads the bytes the manifest
+    # describes.
+    files = sorted(
+        (f, os.path.getsize(os.path.join(data_dir, "data", f)))
+        for f in os.listdir(os.path.join(data_dir, "data"))
+        if not f.startswith("_") and not f.startswith("."))
+    snapshot_id = hashlib.sha256(json.dumps(files).encode()).hexdigest()[:16]
+    out_bytes = sum(sz for _, sz in files)
     manifest = {
         "stage": stage,
         "fingerprint": fp,
+        "snapshot_id": snapshot_id,
+        "output_bytes": out_bytes,
         "inputs": inputs,
         "params": params,
         "rows": total,

@@ -1,0 +1,97 @@
+"""XMI (UML XML) vocabulary ingestion — the reference's S4 scan.
+
+The reference builds its TBox by SAX-parsing UML/SysML .xmi metamodels
+(src/vocabulary/convert-uml.js: classes + generalizations at :49-60,
+216-237, owned attributes with name/type/multiplicity at :76-123).
+Vocabulary is tiny, so this is a one-time driver-side parse (SURVEY.md
+§3.2 prescribes exactly that) feeding the same resolver as the minted
+and fixture vocabularies.
+
+Supported XMI subset (deliberately the same shapes convert-uml.js
+consumes):
+
+    <packagedElement xmi:type="uml:Class" name="Turn">
+      <generalization general="Element"/>
+      <ownedAttribute name="role" type="Role" multiplicity="1..1"/>
+      <ownedAttribute name="text" type="String"/>
+    </packagedElement>
+
+Primitive type names (String/Boolean/Integer/Real/Date) map to xsd
+ranges; anything else becomes an object-property range class.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from mms_rdf_spark.vocab_mint import multiplicity_to_cardinality
+
+PRIMITIVES = {
+    "String": "xsd:string",
+    "Boolean": "xsd:boolean",
+    "Integer": "xsd:integer",
+    "Real": "xsd:double",
+    "Date": "xsd:dateTime",
+}
+
+_XMI_TYPE_KEYS = ("{http://www.omg.org/XMI}type", "xmi:type", "type")
+
+
+def _xmi_type(el: ET.Element) -> str | None:
+    for k in _XMI_TYPE_KEYS:
+        if k in el.attrib:
+            return el.attrib[k]
+    return None
+
+
+def parse_xmi_vocabulary(
+    xml_text: str, class_prefix: str = "mms-class:",
+    property_prefix: str = "mms-property:",
+) -> tuple[list[dict], list[tuple[str, str]]]:
+    """XMI text -> (vocab rows, class-hierarchy edges), ready for
+    `vocab.resolve_vocabulary(rows, edges)`."""
+    root = ET.fromstring(xml_text)
+    rows: list[dict] = []
+    edges: list[tuple[str, str]] = []
+
+    for el in root.iter():
+        if not el.tag.endswith("packagedElement"):
+            continue
+        if _xmi_type(el) not in (None, "uml:Class"):
+            continue
+        cls_name = el.attrib.get("name")
+        if not cls_name:
+            continue
+        cls = class_prefix + cls_name
+        for gen in el.findall("generalization"):
+            general = gen.attrib.get("general")
+            if general:
+                edges.append((cls, class_prefix + general))
+        for attr in el.findall("ownedAttribute"):
+            name = attr.attrib.get("name")
+            if not name:
+                continue
+            type_name = attr.attrib.get("type", "String")
+            mult = attr.attrib.get("multiplicity")
+            is_list = mult is not None and mult.endswith("*")
+            if type_name in PRIMITIVES:
+                rows.append(dict(
+                    domain_type=cls, key=name,
+                    predicate=property_prefix + name,
+                    property_type="DatatypeProperty",
+                    range=PRIMITIVES[type_name], range_category=None,
+                    cardinality=multiplicity_to_cardinality(mult),
+                    list_item_range=None, is_list=False, lang=None,
+                    nested_under=None))
+            else:
+                rng = class_prefix + type_name
+                rows.append(dict(
+                    domain_type=cls, key=name,
+                    predicate=property_prefix + name,
+                    property_type="ObjectProperty",
+                    range=(rng + "List") if is_list else rng,
+                    range_category="Element",
+                    cardinality=multiplicity_to_cardinality(mult),
+                    list_item_range=rng if is_list else None,
+                    is_list=is_list, lang=None, nested_under=None))
+    return rows, edges
