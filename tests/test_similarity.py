@@ -1,0 +1,70 @@
+"""Similarity-search operators: exactness of the brute-force baseline,
+containment properties of the approximate paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from mms_rdf_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    ivf_assign,
+    lsh_buckets,
+    topk_lsh,
+)
+
+
+def _emb_df(spark, n=120, dims=16, seed=7, with_dupes=True):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dims)).astype("float32")
+    if with_dupes:
+        v[1] = v[0] + rng.normal(scale=1e-3, size=dims).astype("float32")
+        v[3] = v[2]
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, v))})
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_exact(spark):
+    e = _emb_df(spark)
+    got = cosine_topk(e, k=3, n_queries=4).toPandas()
+    # near-identical vector 1 must be vector 0's top neighbor
+    top0 = got[(got.query_id == 0) & (got["rank"] == 1)].iloc[0]
+    assert top0.neighbor_id == 1 and top0.score > 0.999
+    assert set(got.groupby("query_id")["rank"].max()) == {3}
+
+
+def test_near_duplicates_found(spark):
+    e = _emb_df(spark)
+    pairs = embedding_near_duplicates(e, threshold=0.99).toPandas()
+    found = {(r.a_id, r.b_id) for r in pairs.itertuples()}
+    assert (0, 1) in found and (2, 3) in found
+    assert all(a < b for a, b in found)
+
+
+def test_lsh_buckets_group_duplicates(spark):
+    e = _emb_df(spark)
+    b = {r["vec_id"]: r["bucket"] for r in lsh_buckets(e).collect()}
+    assert b[2] == b[3]  # identical vectors share a bucket
+    assert set(len(v) for v in b.values()) == {8}
+
+
+def test_topk_lsh_subset_of_bucket(spark):
+    e = _emb_df(spark)
+    approx = topk_lsh(e, k=3, n_queries=4, planes=2).toPandas()
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in lsh_buckets(e, planes=2).collect()}
+    for r in approx.itertuples():
+        assert buckets[r.neighbor_id] == buckets[r.query_id]
+        assert r.neighbor_id != r.query_id
+
+
+def test_ivf_assign_picks_nearest_centroid(spark):
+    e = _emb_df(spark, n=120)
+    got = ivf_assign(e, every_k=40).toPandas()  # centroids 0, 40, 80
+    assert set(got.centroid_id) <= {0, 40, 80}
+    assert len(got) == 120
+    # a centroid is its own nearest centroid with score 1
+    self_row = got[got.vec_id == 40].iloc[0]
+    assert self_row.centroid_id == 40 and self_row.score == 1.0
