@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf):
         return TX.fingerprint(_docs(spark, sf))
 
+    def text_curate(spark, sf):
+        from mms_rdf_spark.operators.curate import curate
+        return curate(_docs(spark, sf))
+
     # ---- multimodal plumbing (mapInPandas over binary payloads)
     def mm_features(spark, sf):
         return MM.extract_features(MM.synth_media(_docs(spark, sf))) \
@@ -294,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "text_curate": text_curate,
         "mm_features": mm_features,
         "mm_frame_sample": mm_frame_sample,
     }
@@ -777,6 +782,37 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id,
            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
     FROM documents
+    """
+
+    q["text_curate"] = f"""
+    WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+    c AS (SELECT ch, min(doc_id) AS canonical_id, count(*) AS n
+          FROM h GROUP BY ch),
+    dupes AS (
+        SELECT h.doc_id FROM h JOIN c USING (ch)
+        WHERE c.n > 1 AND h.doc_id <> c.canonical_id
+    ), d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(toks,
+                   x -> list_contains({_STOP_SQL}, x))) AS stop_cnt,
+               greatest(len(toks), 1) AS n,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+               len(regexp_extract_all(text, '[A-Z]')) AS upper_cnt,
+               greatest(strlen(text), 1) AS chars
+        FROM d
+    ), sig AS (
+        SELECT doc_id,
+               round(CAST(stop_cnt AS DOUBLE) / n
+                     - CAST(punct AS DOUBLE) / chars
+                     - CAST(upper_cnt AS DOUBLE) / chars, 6) AS score,
+               round(CAST(stop_cnt AS DOUBLE) / n, 6) AS stop_ratio
+        FROM m
+    )
+    SELECT s.doc_id, s.score, s.stop_ratio
+    FROM sig s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM dupes)
+      AND s.score > 0.0 AND s.stop_ratio >= 0.08
     """
 
     q["mm_features"] = """
