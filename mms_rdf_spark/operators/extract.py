@@ -83,13 +83,16 @@ def _with_element_cols(turns: DataFrame) -> DataFrame:
     """Add element type (role dispatch), raw element id, subject IRI."""
     # normalize input types (guards against VOID-typed all-null columns
     # from schema inference; a real Iceberg scan always has these types)
+    # ts normalizes to TIMESTAMP_NTZ: formatting/arithmetic on NTZ is
+    # session-timezone-INDEPENDENT (a TZ-typed cast would shift wall
+    # times around DST gaps when the consuming session isn't UTC).
     turns = turns.select(
         F.col("conv_id").cast("string"),
         F.col("turn_idx").cast("int"),
         F.col("role").cast("string"),
         F.col("text").cast("string"),
         F.col("tool").cast("string"),
-        F.col("ts").cast("timestamp"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
     )
     type_expr = F.lit(ROLE_TO_TYPE[None])
     for role, t in ROLE_TO_TYPE.items():

@@ -26,8 +26,13 @@ def sessionize(turns: DataFrame, gap_minutes: int = 30) -> DataFrame:
     a new session starts when the time since the previous turn exceeds
     `gap_minutes`. Deterministic: order is (turn_idx), not arrival."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    # NTZ-safe epoch seconds (session TZ is UTC; NTZ -> TZ cast is exact)
-    sec = F.col("ts").cast("timestamp").cast("long")
+    # timezone-independent epoch seconds: complete seconds from an NTZ
+    # epoch literal — never routes through the session zone (a TZ cast
+    # would shift wall times around DST gaps in non-UTC sessions), and
+    # floor-per-value semantics match an oracle's floor(epoch(ts)).
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(ts as timestamp_ntz))")
     gap = sec - F.lag(sec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     out = (
