@@ -64,20 +64,19 @@ def run_pipeline(
         resume=resume,
     )
 
+    def _link():
+        # one pass over the triples for the (small) surface table;
+        # localCheckpoint so candidate generation + CC + labeling reuse
+        # it instead of re-scanning the triples table
+        surfaces = distinct_surfaces(
+            triples.where(F.col("predicate") == "mms-property:mentions")
+        ).localCheckpoint()
+        comps = connected_components(
+            candidate_edges(surfaces, jaccard_threshold), "src", "dst")
+        return entity_table(surfaces, comps)
+
     entities = run_stage(
-        spark, out_dir, "link", [input_path], params,
-        lambda: entity_table(
-            distinct_surfaces(
-                triples.where(F.col("predicate") == "mms-property:mentions")),
-            connected_components(
-                candidate_edges(
-                    distinct_surfaces(
-                        triples.where(
-                            F.col("predicate") == "mms-property:mentions")),
-                    jaccard_threshold),
-                "src", "dst"),
-        ),
-        resume=resume,
+        spark, out_dir, "link", [input_path], params, _link, resume=resume,
     )
 
     graph = run_stage(

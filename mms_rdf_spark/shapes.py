@@ -70,7 +70,10 @@ def validate(spark: SparkSession, triples: DataFrame,
         F.first("datatype", ignorenulls=True).alias("obs_datatype"),
         F.first("lang", ignorenulls=True).alias("obs_lang"),
     )
-    joined = expected.join(observed, on=["subject", "predicate"], how="left")
+    # the five constraint branches below all filter this one frame;
+    # truncate lineage so the expensive join runs once, not per branch
+    joined = expected.join(observed, on=["subject", "predicate"], how="left") \
+        .localCheckpoint()
 
     cardinality_min = joined.where(
         (F.col("min_count") > 0) & F.col("n").isNull()
