@@ -1,5 +1,8 @@
 from mms_rdf_spark.functions.iri import (  # noqa: F401
+    EMAIL_RE,
+    MENTION_KINDS,
     MENTION_RE,
+    URL_RE,
     artifact_iri,
     artifact_iri_col,
     element_iri,

@@ -26,10 +26,21 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# mention surface syntax embedded in transcript text (FIXTURES.md §1).
-# Same regex string is compiled by Python `re` (oracle) and by the JVM
-# (Spark regexp_extract_all) — the char class is identical in both.
+# mention surface syntaxes embedded in transcript text (FIXTURES.md §1).
+# Same regex strings are compiled by Python `re` (oracle) and by the JVM
+# (Spark regexp_extract_all) — the char classes are identical in both.
 MENTION_RE = r"@entity:([A-Za-z0-9_<>-]+)"
+URL_RE = r"(https?://[A-Za-z0-9./_-]+)"
+EMAIL_RE = r"([A-Za-z0-9._-]+@[A-Za-z0-9-]+\.[a-z]{2,6})"
+
+# mention kinds: (vocab key, regex, artifact type). The kind dimension
+# of the mentions model — each kind is its own ordered list property
+# with its own artifact class (FIXTURES.md mentions.kind).
+MENTION_KINDS = [
+    ("_mentions", MENTION_RE, "Mention"),
+    ("_urls", URL_RE, "Url"),
+    ("_emails", EMAIL_RE, "Email"),
+]
 
 _WS_RE = re.compile(r"\s+")
 

@@ -46,7 +46,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mms_rdf_spark.functions import MENTION_RE
+from mms_rdf_spark.functions import MENTION_KINDS
 from mms_rdf_spark.functions.iri import (
     artifact_iri_col,
     element_iri_col,
@@ -210,23 +210,29 @@ def extract_triples(spark: SparkSession, turns: DataFrame,
         base_arr = F.when(F.col("el_type") == et,
                           per_type_arrays[et]).otherwise(base_arr)
 
-    # mention triples with positional idx, same scan (2-arg transform)
-    mention_defs = {et: vocab[(et, "_mentions")] for et in el_types
-                    if (et, "_mentions") in vocab}
-    if mention_defs:
-        some = next(iter(mention_defs.values()))
+    # mention triples with positional idx, same scan (2-arg transform);
+    # one ordered list per mention kind (entity / url / email)
+    for key, pattern, _art in MENTION_KINDS:
+        defs = {et: vocab[(et, key)] for et in el_types
+                if (et, key) in vocab}
+        if not defs:
+            continue
+        some = next(iter(defs.values()))
         art = some.list_item_range.split(":", 1)[1]
         surfaces = F.regexp_extract_all(
-            F.coalesce(F.col("text"), F.lit("")), F.lit(MENTION_RE), F.lit(1))
-        mention_arr = F.transform(
-            surfaces,
-            lambda m, i: _triple(
-                some.predicate,
-                F.concat(F.lit(f"mms-artifact:{art}.ID:"),
-                         sanitize_suffix_col(m)),
-                True, idx=i),
-        )
-        base_arr = F.concat(base_arr, mention_arr)
+            F.coalesce(F.col("text"), F.lit("")), F.lit(pattern), F.lit(1))
+
+        def _mk(pred: str, art_name: str):
+            def build(m, i):
+                return _triple(
+                    pred,
+                    F.concat(F.lit(f"mms-artifact:{art_name}.ID:"),
+                             sanitize_suffix_col(m)),
+                    True, idx=i)
+            return build
+
+        base_arr = F.concat(base_arr,
+                            F.transform(surfaces, _mk(some.predicate, art)))
 
     turn_triples = (
         t.select("conv_id", "turn_idx", "subject",
@@ -366,26 +372,35 @@ def extract_triples_joined(spark: SparkSession, turns: DataFrame) -> DataFrame:
         )
     )
 
-    # ---- R9: derived ordered mentions (posexplode keeps match order)
-    mention_vocab = vocab.where(F.col("key") == "_mentions").select(
-        "type", "predicate", F.regexp_extract("list_item_range",
-                                              r"^mms-class:(.*)$", 1).alias("m_type"))
-    mentions = (
-        t.select("conv_id", "turn_idx", "subject", "el_type",
-                 F.posexplode(F.regexp_extract_all("text", F.lit(MENTION_RE),
-                                                   F.lit(1))).alias("pos", "surface"))
-        .join(F.broadcast(mention_vocab), F.col("el_type") == F.col("type"), "inner")
-    )
-    mention_triples = _finish(
-        mentions.select(
-            "conv_id", "turn_idx", "subject", "predicate",
-            F.concat(F.lit("mms-artifact:"), F.col("m_type"), F.lit(".ID:"),
-                     sanitize_suffix_col(F.col("surface"))).alias("object"),
-            F.lit(True).alias("object_is_iri"),
-            F.col("pos").cast("int").alias("idx"),
-        ),
-        idx=F.col("idx"),
-    )
+    # ---- R9: derived ordered mentions, one branch per kind
+    # (posexplode keeps match order)
+    mention_parts = []
+    for key, pattern, _art in MENTION_KINDS:
+        mention_vocab = vocab.where(F.col("key") == key).select(
+            "type", "predicate",
+            F.regexp_extract("list_item_range",
+                             r"^mms-class:(.*)$", 1).alias("m_type"))
+        hits = (
+            t.select("conv_id", "turn_idx", "subject", "el_type",
+                     F.posexplode(
+                         F.regexp_extract_all("text", F.lit(pattern),
+                                              F.lit(1))).alias("pos", "surface"))
+            .join(F.broadcast(mention_vocab),
+                  F.col("el_type") == F.col("type"), "inner")
+        )
+        mention_parts.append(_finish(
+            hits.select(
+                "conv_id", "turn_idx", "subject", "predicate",
+                F.concat(F.lit("mms-artifact:"), F.col("m_type"), F.lit(".ID:"),
+                         sanitize_suffix_col(F.col("surface"))).alias("object"),
+                F.lit(True).alias("object_is_iri"),
+                F.col("pos").cast("int").alias("idx"),
+            ),
+            idx=F.col("idx"),
+        ))
+    mention_triples = mention_parts[0]
+    for mp in mention_parts[1:]:
+        mention_triples = mention_triples.unionByName(mp)
 
     # ---- per-conversation element + ordered _turns list (the one
     # shuffle: window keyed by conv_id, ordered by turn_idx — W1)
@@ -506,14 +521,17 @@ def _convert_turn_batch(pdf: pd.DataFrame, vocab, enums) -> pd.DataFrame:
                    ).where(val != "", RDF_NIL)
             emit(m, p.predicate, obj, True)
 
-    # mentions: vectorized extractall -> (row, match#) multi-index (R9)
+    # mentions: vectorized extractall -> (row, match#) multi-index (R9),
+    # one pass per mention kind
     text = pdf["text"].fillna("")
-    hits = text.str.extractall(MENTION_RE)
-    if len(hits) > 0:
+    for key, pattern, _art in MENTION_KINDS:
+        hits = text.str.extractall(pattern)
+        if len(hits) == 0:
+            continue
         hits = hits.reset_index()
         hits.columns = ["row", "match", "surface"]
         for el_type in hits["row"].map(base["el_type"]).unique():
-            p = vocab.get((el_type, "_mentions"))
+            p = vocab.get((el_type, key))
             if p is None:
                 continue
             hm = hits[hits["row"].map(base["el_type"]) == el_type]

@@ -34,7 +34,7 @@ import re
 import pandas as pd
 
 from mms_rdf_spark.functions import (
-    MENTION_RE,
+    MENTION_KINDS,
     artifact_iri,
     element_iri,
     turn_element_id,
@@ -52,7 +52,8 @@ GOLDEN_COLUMNS = [
     "subject", "predicate", "object", "object_is_iri", "datatype", "lang", "idx",
 ]
 
-_MENTION_CRE = re.compile(MENTION_RE)
+_MENTION_CRES = [(key, re.compile(pattern))
+                 for key, pattern, _art in MENTION_KINDS]
 
 
 def _fmt_ts(ts) -> str:
@@ -114,13 +115,16 @@ def convert_transcripts(pdf: pd.DataFrame) -> pd.DataFrame:
                     emit(subj, p.predicate,
                          artifact_iri(_artifact_type(p.range), str(value)), True)  # R7
 
-        # derived _mentions ordered list (R9)
-        p = prop(el_type, "_mentions")
-        if p is not None and isinstance(r.text, str):
-            for i, m in enumerate(_MENTION_CRE.findall(r.text)):
-                emit(subj, p.predicate,
-                     artifact_iri(_artifact_type(p.list_item_range), m),
-                     True, None, None, i)
+        # derived ordered mention lists, one per kind (R9)
+        if isinstance(r.text, str):
+            for key, cre in _MENTION_CRES:
+                p = prop(el_type, key)
+                if p is None:
+                    continue
+                for i, m in enumerate(cre.findall(r.text)):
+                    emit(subj, p.predicate,
+                         artifact_iri(_artifact_type(p.list_item_range), m),
+                         True, None, None, i)
 
     # ---- per-conversation elements (ordered _turns list, R9: order from
     # turn_idx — the stable-ordering invariant from input_hint)

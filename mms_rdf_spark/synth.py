@@ -165,6 +165,10 @@ def make_transcripts(
     variant_pick = rng.integers(0, 4, size=(n_total, 2))
     long_mask = rng.random(n_total) < 0.002  # a few very long texts
     empty_text = rng.random(n_total) < 0.01
+    url_mask = rng.random(n_total) < 0.10    # url mentions
+    email_mask = rng.random(n_total) < 0.05  # email mentions
+    url_pick = rng.integers(0, 20, size=n_total)
+    email_pick = rng.integers(0, 12, size=n_total)
 
     texts = np.empty(n_total, dtype=object)
     for i in range(n_total):
@@ -177,6 +181,10 @@ def make_transcripts(
             surface = cluster[variant_pick[i, m] % len(cluster)]
             pos = (i * 7 + m * 3) % (len(ws) + 1)
             ws.insert(pos, f"@entity:{surface}")
+        if url_mask[i]:
+            ws.append(f"https://docs.example.org/page_{url_pick[i]:02d}")
+        if email_mask[i]:
+            ws.insert(0, f"user.{email_pick[i]:02d}@example.com")
         t = " ".join(ws)
         if long_mask[i]:
             t = (t + " ") * 50
@@ -216,9 +224,11 @@ def write_transcripts_parquet(
     split planning has >1 input split even at tiny scale). Idempotent:
     skips if the dir already has a _SUCCESS marker for the same params."""
     os.makedirs(out_dir, exist_ok=True)
+    # marker carries a generator version: bump when make_transcripts'
+    # output changes so cached corpora regenerate
     marker = os.path.join(
         out_dir,
-        f"_SYNTH_{n_convs}_{seed}_{hot_conv_turns}_{n_hot_convs}_{n_files}"
+        f"_SYNTH_v2_{n_convs}_{seed}_{hot_conv_turns}_{n_hot_convs}_{n_files}"
         f"_{n_entities}"
     )
     if os.path.exists(marker):

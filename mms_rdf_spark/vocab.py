@@ -97,11 +97,20 @@ VOCAB_ROWS: list[dict] = [
          "ObjectProperty", "mms-class:Tool", range_category="Artifact"),
     _row("mms-class:Turn", "ts", "mms-property:timestamp",
          "DatatypeProperty", "xsd:dateTime"),
-    # derived keys (leading '_', reference mappings-to-rdf.js:968-970)
+    # derived keys (leading '_', reference mappings-to-rdf.js:968-970) —
+    # one ordered-list property per mention kind (FIXTURES mentions.kind)
     _row("mms-class:Turn", "_mentions", "mms-property:mentions",
          "DerivedObjectProperty", "mms-class:MentionList",
          range_category="Artifact", is_list=True,
          list_item_range="mms-class:Mention"),
+    _row("mms-class:Turn", "_urls", "mms-property:urls",
+         "DerivedObjectProperty", "mms-class:UrlList",
+         range_category="Artifact", is_list=True,
+         list_item_range="mms-class:Url"),
+    _row("mms-class:Turn", "_emails", "mms-property:emails",
+         "DerivedObjectProperty", "mms-class:EmailList",
+         range_category="Artifact", is_list=True,
+         list_item_range="mms-class:Email"),
     _row("mms-class:Conversation", "_turns", "mms-property:turns",
          "DerivedObjectProperty", "mms-class:TurnList",
          range_category="Element", is_list=True,
