@@ -33,13 +33,17 @@ MENTION_RE = r"@entity:([A-Za-z0-9_<>-]+)"
 URL_RE = r"(https?://[A-Za-z0-9./_-]+)"
 EMAIL_RE = r"([A-Za-z0-9._-]+@[A-Za-z0-9-]+\.[a-z]{2,6})"
 
-# mention kinds: (vocab key, regex, artifact type). The kind dimension
-# of the mentions model — each kind is its own ordered list property
-# with its own artifact class (FIXTURES.md mentions.kind).
+# mention kinds: (vocab key, regex, artifact type, required literal).
+# The kind dimension of the mentions model — each kind is its own
+# ordered-list property with its own artifact class (FIXTURES.md
+# mentions.kind). The literal is a SOUND pre-filter: the regex cannot
+# match a string that lacks it, so `contains(literal)` guards the
+# (much more expensive) regex scan — texts without the marker skip the
+# regex entirely.
 MENTION_KINDS = [
-    ("_mentions", MENTION_RE, "Mention"),
-    ("_urls", URL_RE, "Url"),
-    ("_emails", EMAIL_RE, "Email"),
+    ("_mentions", MENTION_RE, "Mention", "@entity:"),
+    ("_urls", URL_RE, "Url", "http"),
+    ("_emails", EMAIL_RE, "Email", "@"),
 ]
 
 _WS_RE = re.compile(r"\s+")

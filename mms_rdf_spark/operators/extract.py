@@ -212,15 +212,21 @@ def extract_triples(spark: SparkSession, turns: DataFrame,
 
     # mention triples with positional idx, same scan (2-arg transform);
     # one ordered list per mention kind (entity / url / email)
-    for key, pattern, _art in MENTION_KINDS:
+    for key, pattern, _art, guard_lit in MENTION_KINDS:
         defs = {et: vocab[(et, key)] for et in el_types
                 if (et, key) in vocab}
         if not defs:
             continue
         some = next(iter(defs.values()))
         art = some.list_item_range.split(":", 1)[1]
-        surfaces = F.regexp_extract_all(
-            F.coalesce(F.col("text"), F.lit("")), F.lit(pattern), F.lit(1))
+        # sound contains() pre-guard: the regex cannot match without its
+        # literal marker, and contains() is ~10x cheaper than the regex,
+        # so rows without the marker skip the scan entirely
+        text_nn = F.coalesce(F.col("text"), F.lit(""))
+        surfaces = F.when(
+            text_nn.contains(guard_lit),
+            F.regexp_extract_all(text_nn, F.lit(pattern), F.lit(1)),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
         def _mk(pred: str, art_name: str):
             def build(m, i):
@@ -375,16 +381,17 @@ def extract_triples_joined(spark: SparkSession, turns: DataFrame) -> DataFrame:
     # ---- R9: derived ordered mentions, one branch per kind
     # (posexplode keeps match order)
     mention_parts = []
-    for key, pattern, _art in MENTION_KINDS:
+    for key, pattern, _art, guard_lit in MENTION_KINDS:
         mention_vocab = vocab.where(F.col("key") == key).select(
             "type", "predicate",
             F.regexp_extract("list_item_range",
                              r"^mms-class:(.*)$", 1).alias("m_type"))
         hits = (
-            t.select("conv_id", "turn_idx", "subject", "el_type",
-                     F.posexplode(
-                         F.regexp_extract_all("text", F.lit(pattern),
-                                              F.lit(1))).alias("pos", "surface"))
+            t.where(F.col("text").contains(guard_lit))  # sound pre-guard
+            .select("conv_id", "turn_idx", "subject", "el_type",
+                    F.posexplode(
+                        F.regexp_extract_all("text", F.lit(pattern),
+                                             F.lit(1))).alias("pos", "surface"))
             .join(F.broadcast(mention_vocab),
                   F.col("el_type") == F.col("type"), "inner")
         )
@@ -524,8 +531,11 @@ def _convert_turn_batch(pdf: pd.DataFrame, vocab, enums) -> pd.DataFrame:
     # mentions: vectorized extractall -> (row, match#) multi-index (R9),
     # one pass per mention kind
     text = pdf["text"].fillna("")
-    for key, pattern, _art in MENTION_KINDS:
-        hits = text.str.extractall(pattern)
+    for key, pattern, _art, guard_lit in MENTION_KINDS:
+        # sound contains() pre-guard (see MENTION_KINDS)
+        candidates = text[text.str.contains(guard_lit, regex=False)]
+        hits = candidates.str.extractall(pattern) if len(candidates) \
+            else pd.DataFrame()
         if len(hits) == 0:
             continue
         hits = hits.reset_index()

@@ -53,7 +53,7 @@ GOLDEN_COLUMNS = [
 ]
 
 _MENTION_CRES = [(key, re.compile(pattern))
-                 for key, pattern, _art in MENTION_KINDS]
+                 for key, pattern, _art, _lit in MENTION_KINDS]
 
 
 def _fmt_ts(ts) -> str:
