@@ -63,14 +63,19 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = 8, bands: int = 2
-) -> DataFrame:
-    """LSH banding: docs sharing any band of the MinHash signature are
-    candidate near-duplicates. Returns distinct (a_id, b_id), a < b.
+# buckets wider than this are sub-salted before the pair join. The
+# default sits above every bucket in the test corpora (sf0.1 max
+# observed: 2357) so small-scale output is byte-identical to the
+# uncapped plan; at 100 TB the cap is the knob that bounds the worst
+# task at ~MAX_BUCKET^2 / (2 * n_salts) pairs. Same mechanism as
+# link.py MAX_BLOCK sub-salting, with n_salts sized from the overflow
+# so a 10^6-doc boilerplate bucket still lands at ~MAX_BUCKET rows per
+# salt group instead of a fixed 1/16 haircut.
+MAX_BUCKET = 4096
 
-    shingle -> minhash -> band -> bucket-join: the standard pipeline;
-    each band key is md5 over its rows so bucket keys stay short."""
+
+def _banded_keys(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, key): one LSH bucket key per band per doc."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes)
     band_cols = []
@@ -79,17 +84,90 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws("|", *parts)).alias("key")))
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def capped_bucket_pairs(
+    banded: DataFrame, id_col: str = "doc_id",
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """In-bucket pair join with hot-bucket sub-salting.
+
+    banded: (id_col, band, key). Buckets wider than `max_bucket` are
+    split into ceil(width / max_bucket) salt groups on crc32(id), and
+    pairs are generated only WITHIN a salt group — bounding the worst
+    single task at ~max_bucket^2/2 pairs regardless of how degenerate
+    the corpus is (boilerplate crawls routinely put 10^6 docs in one
+    band bucket; uncapped that is 10^12 pairs in one task).
+
+    Trade (documented, same as link.py sub-blocking): pairs crossing
+    salt groups inside an OVERSIZED bucket are dropped. Docs that share
+    one band usually share others, so multi-band LSH recovers most of
+    them; `lsh_bucket_stats` reports exactly which buckets were salted
+    and the pair volume forgone so the drop is observable, never silent.
+    max_bucket=None disables capping (the exact small-scale plan).
+    """
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        banded = banded.join(F.broadcast(sizes), on=["band", "key"]) \
+            .withColumn(
+                "_salt",
+                F.when(F.col("_bn") > max_bucket,
+                       F.crc32(F.col(id_col).cast("string"))
+                       % F.ceil(F.col("_bn") / max_bucket).cast("long"))
+                .otherwise(F.lit(0)))
+    else:
+        banded = banded.withColumn("_salt", F.lit(0))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+               & (F.col("a._salt") == F.col("b._salt"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"),
+                F.col(f"b.{id_col}").alias("b_id"))
         .distinct()
     )
+
+
+def lsh_bucket_stats(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 2,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Oversized-bucket report: (band, key, width, n_salts,
+    est_dropped_pairs) for every bucket the cap would salt. Run (or
+    sink) this alongside `lsh_candidate_pairs` at scale so the recall
+    trade is measured, not assumed. est_dropped_pairs = total pairs
+    minus within-salt pairs under uniform salting."""
+    sizes = (_banded_keys(docs, num_hashes, bands)
+             .groupBy("band", "key").agg(F.count(F.lit(1)).alias("width"))
+             .where(F.col("width") > max_bucket))
+    n_salts = F.ceil(F.col("width") / max_bucket).cast("long")
+    total_pairs = (F.col("width") * (F.col("width") - 1) / 2).cast("long")
+    per_salt = F.floor(F.col("width") / n_salts)
+    within = (n_salts * per_salt * (per_salt - 1) / 2).cast("long")
+    return sizes.select(
+        "band", "key", "width", n_salts.alias("n_salts"),
+        (total_pairs - within).alias("est_dropped_pairs"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 2,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature are
+    candidate near-duplicates. Returns distinct (a_id, b_id), a < b.
+
+    shingle -> minhash -> band -> bucket-join: the standard pipeline;
+    each band key is md5 over its rows so bucket keys stay short.
+    Buckets wider than `max_bucket` are sub-salted (see
+    `capped_bucket_pairs`) so no single task ever materializes a
+    quadratic hot bucket."""
+    return capped_bucket_pairs(
+        _banded_keys(docs, num_hashes, bands), max_bucket=max_bucket)
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

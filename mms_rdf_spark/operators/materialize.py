@@ -32,26 +32,37 @@ from mms_rdf_spark.vocab import RDF_NIL
 LPG_DENY = ["mms-ontology:elementId"]
 
 
+MENTION_IRI_PREFIX = "mms-artifact:Mention.ID:"
+
+
 def rewrite_mentions_canonical(triples: DataFrame, entities: DataFrame) -> DataFrame:
     """Replace mention-artifact objects with canonical entity IRIs.
 
     entities: (surface, entity_id, canonical_iri) from link.entity_table.
-    Broadcast when small; at 10^12-turn scale the distinct-surface table
-    is still dwarfed by the triples table, so this stays a map-side join
-    in practice (AQE decides)."""
+
+    The join is scoped to the MENTION SLICE only: rows whose object
+    starts with the mention-artifact prefix. At 10^12-turn scale the
+    entity side (distinct surfaces) can exceed the broadcast threshold;
+    scoping means the shuffled side is the mention subset (typically
+    <1% of the graph — one ordered-list entry per detected mention),
+    not the full 10^12-row triples table. The non-mention remainder is
+    a pure filter that never touches a join (asserted in
+    tests/test_plans.py) and unions back column-aligned."""
     ent = entities.select(
-        F.concat(F.lit("mms-artifact:Mention.ID:"),
+        F.concat(F.lit(MENTION_IRI_PREFIX),
                  F.col("surface")).alias("mention_iri"),
         "canonical_iri",
     ).distinct()
+    is_mention = F.col("object").startswith(MENTION_IRI_PREFIX)
+    mention_rows = triples.where(is_mention)
+    rest = triples.where(~is_mention | F.col("object").isNull())
     rewritten = (
-        triples.join(ent, triples.object == ent.mention_iri, "left")
+        mention_rows.join(ent, mention_rows.object == ent.mention_iri, "left")
         .withColumn("object",
-                    F.when(F.col("canonical_iri").isNotNull(),
-                           F.col("canonical_iri")).otherwise(F.col("object")))
+                    F.coalesce(F.col("canonical_iri"), F.col("object")))
         .drop("mention_iri", "canonical_iri")
     )
-    return rewritten
+    return rest.unionByName(rewritten.select(*rest.columns))
 
 
 def entity_triples(entities: DataFrame) -> DataFrame:

@@ -110,8 +110,9 @@ def lsh_buckets(
 
 
 def embedding_near_duplicates(
-    embeddings: DataFrame, threshold: float = 0.95, planes: int = 8
-) -> DataFrame:
+    embeddings: DataFrame, threshold: float = 0.95, planes: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:  # max_bucket=None -> dedup.MAX_BUCKET (one shared knob)
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
     The scale path for near-dup detection over vectors: pairs are only
@@ -121,12 +122,35 @@ def embedding_near_duplicates(
     blocking-join shape as text LSH dedup, so AQE skew splitting covers
     hot buckets. Returns (a_id, b_id, score) with score >= threshold,
     a_id < b_id. Recall is bounded by the bucket resolution (`planes`);
-    the brute-force `cosine_topk` is the exact baseline."""
+    the brute-force `cosine_topk` is the exact baseline.
+
+    `max_bucket` caps hot buckets exactly like dedup.capped_bucket_pairs:
+    buckets wider than the cap are split into ceil(width/cap) salt
+    groups on crc32(vec_id) and pairs are generated only within a salt
+    group, bounding the worst task at ~cap^2/2 pairs. Default None
+    (imported default dedup.MAX_BUCKET at the query layer) because a
+    near-dup sweep at 100 TB should pick the cap from its
+    `lsh_bucket_stats`-style audit; cross-salt pairs inside an
+    oversized bucket are the documented recall trade."""
+    if max_bucket is None:
+        from mms_rdf_spark.operators.dedup import MAX_BUCKET
+        max_bucket = MAX_BUCKET
     b = lsh_buckets(embeddings, planes)
+    if max_bucket is not None:
+        sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        b = b.join(F.broadcast(sizes), on="bucket").withColumn(
+            "_salt",
+            F.when(F.col("_bn") > max_bucket,
+                   F.crc32(F.col("vec_id").cast("string"))
+                   % F.ceil(F.col("_bn") / max_bucket).cast("long"))
+            .otherwise(F.lit(0))).drop("_bn")
+    else:
+        b = b.withColumn("_salt", F.lit(0))
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb")) \
         .join(b, on="vec_id")
     L, R = e.alias("l"), e.alias("r")
     pairs = L.join(R, (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l._salt") == F.col("r._salt"))
                    & (F.col("l.vec_id") < F.col("r.vec_id")))
     scored = pairs.select(
         F.col("l.vec_id").alias("a_id"), F.col("r.vec_id").alias("b_id"),
