@@ -143,6 +143,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           gap_minutes=30).select(
             "conv_id", "turn_idx", "session_idx", "session_id")
 
+    def kg_list_walk(spark, sf):
+        # round-trip through the RDF-collection interchange form:
+        # idx-encoded turns list -> rdf:first/rdf:rest cons chain ->
+        # pointer-doubling walk back to positions. The oracle computes
+        # the ground-truth ordering directly, so encode+walk are both
+        # checked end-to-end.
+        from mms_rdf_spark.operators.collections import (
+            to_rdf_collection,
+            unroll_collections,
+        )
+        t = (_triples(spark, sf)
+             .where(F.col("predicate") == "mms-property:turns"))
+        back = unroll_collections(to_rdf_collection(t))
+        return back.select("subject", "object", "idx")
+
     def kg_closure(spark, sf):
         nation = spark.read.parquet(f"{sf}/nation.parquet")
         edges = nation.where(F.col("n_nationkey") > 0).select(
@@ -278,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_amend": kg_amend,
         "kg_lpg_edges": kg_lpg_edges,
         "kg_two_hop": kg_two_hop,
+        "kg_list_walk": kg_list_walk,
         "kg_closure": kg_closure,
         "kg_cc": kg_cc,
         "kg_sessionize": kg_sessionize,
@@ -487,6 +503,14 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
                 CURRENT ROW) - 1 AS VARCHAR) AS session_id
     FROM g
+    """
+
+    q["kg_list_walk"] = f"""
+    {_T}
+    SELECT 'mms-element:' || conv_id AS subject,
+           {_SUBJ_SQL} AS object,
+           turn_idx AS idx
+    FROM t
     """
 
     q["kg_closure"] = """
