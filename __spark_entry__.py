@@ -158,6 +158,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back = unroll_collections(to_rdf_collection(t))
         return back.select("subject", "object", "idx")
 
+    def kg_sniffed_literals(spark, sf):
+        # F6: a text-typed value column carrying "true"/"42"/"3.14"
+        # strings gets its xsd:string datatype overridden by lexical
+        # sniffing (reference triplifier.js:151-172)
+        from mms_rdf_spark.functions.sniff import sniff_string_literals
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        m = F.col("event_id") % 5
+        val = (F.when(m == 0, F.lit("true"))
+               .when(m == 1, F.lit("false"))
+               .when(m == 2, F.col("event_id").cast("string"))
+               .when(m == 3, F.concat(F.col("event_id").cast("string"),
+                                      F.lit(".5")))
+               .otherwise(F.concat(F.lit("note "),
+                                   F.col("event_id").cast("string"))))
+        t = ev.select(
+            F.concat(F.lit("mms-element:Event."),
+                     F.col("event_id").cast("string")).alias("subject"),
+            F.lit("mms-property:value").alias("predicate"),
+            val.alias("object"),
+            F.lit(False).alias("object_is_iri"),
+            F.lit("xsd:string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        return sniff_string_literals(t).select("subject", "object", "datatype")
+
     def kg_closure(spark, sf):
         nation = spark.read.parquet(f"{sf}/nation.parquet")
         edges = nation.where(F.col("n_nationkey") > 0).select(
@@ -293,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_amend": kg_amend,
         "kg_lpg_edges": kg_lpg_edges,
         "kg_two_hop": kg_two_hop,
+        "kg_sniffed_literals": kg_sniffed_literals,
         "kg_list_walk": kg_list_walk,
         "kg_closure": kg_closure,
         "kg_cc": kg_cc,
@@ -503,6 +529,23 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
                 CURRENT ROW) - 1 AS VARCHAR) AS session_id
     FROM g
+    """
+
+    from mms_rdf_spark.functions.sniff import SNIFF_SQL
+    q["kg_sniffed_literals"] = f"""
+    WITH v AS (
+        SELECT event_id,
+               CASE CAST(event_id % 5 AS INT)
+                    WHEN 0 THEN 'true' WHEN 1 THEN 'false'
+                    WHEN 2 THEN CAST(event_id AS VARCHAR)
+                    WHEN 3 THEN CAST(event_id AS VARCHAR) || '.5'
+                    ELSE 'note ' || CAST(event_id AS VARCHAR) END AS val
+        FROM events
+    )
+    SELECT 'mms-element:Event.' || CAST(event_id AS VARCHAR) AS subject,
+           val AS object,
+           {SNIFF_SQL.format(v='val')} AS datatype
+    FROM v
     """
 
     q["kg_list_walk"] = f"""

@@ -51,3 +51,23 @@ def test_column_form_matches_python(spark):
     for raw, (sanitized, iri) in zip(raws, got):
         assert sanitized == sanitize_suffix(raw)
         assert iri == element_iri(raw)
+
+
+def test_sniffed_datatype_lexical_shapes(spark):
+    """F6 sniffing order: boolean > integer > double > string
+    (reference triplifier.js:151-172 JSON-type override)."""
+    from mms_rdf_spark.functions.sniff import sniffed_datatype
+
+    cases = {
+        "true": "xsd:boolean", "false": "xsd:boolean",
+        "True": "xsd:string",          # JSON booleans are lowercase
+        "42": "xsd:integer", "-7": "xsd:integer", "+3": "xsd:integer",
+        "3.14": "xsd:double", ".5": "xsd:double", "3.": "xsd:double",
+        "-2.5e-3": "xsd:double", "1e5": "xsd:double",
+        "": "xsd:string", "nan": "xsd:string", "12a": "xsd:string",
+        "1.2.3": "xsd:string",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"v": list(cases)}))
+    got = {r["v"]: r["dt"] for r in
+           df.select("v", sniffed_datatype(df.v).alias("dt")).collect()}
+    assert got == cases
