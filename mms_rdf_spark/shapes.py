@@ -24,7 +24,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mms_rdf_spark.vocab import ENUM_CLASSES, resolve_vocabulary
+from mms_rdf_spark.vocab import (
+    CLASS_HIERARCHY,
+    ENUM_CLASSES,
+    VOCAB_ROWS,
+    resolve_vocabulary,
+)
 
 SHAPE_COLUMNS = ["target_class", "predicate", "min_count", "max_count",
                  "node_kind", "datatype", "lang"]
@@ -108,3 +113,112 @@ def validate(spark: SparkSession, triples: DataFrame,
 
     return (cardinality_min.unionByName(cardinality_max)
             .unionByName(node_kind).unionByName(datatype).unionByName(lang))
+
+
+# ------------------------------------------------------------ text export
+# Schema-document generation (reference src/shapes/uml-to-shexc.js):
+# per-class ShExC shapes with `extends` for the hierarchy (:196-216),
+# a shape map targeting instances by rdf:type (:218-221), and SHACL
+# node shapes (:223-236). Multiplicity renders via the reference's
+# table (:38-56): 1..1 -> '', 0..1 -> '?', 0..* -> '*', 1..* -> '+',
+# m..n -> '{m,n}'.
+
+def _shex_multiplicity(min_count: int, max_count: int | None) -> str:
+    if (min_count, max_count) == (1, 1):
+        return ""
+    if (min_count, max_count) == (0, 1):
+        return "?"
+    if (min_count, max_count) == (0, None):
+        return "*"
+    if (min_count, max_count) == (1, None):
+        return "+"
+    return f"{{{min_count},{'' if max_count is None else max_count}}}"
+
+
+def _counts(row: dict) -> tuple[int, int | None]:
+    # UML multiplicity reconstruction: lower bound from cardinality,
+    # upper bound * only for ordered lists (0..1 / 1..1 otherwise)
+    min_count = 1 if row["cardinality"] == "1" else 0
+    max_count = None if row["is_list"] else 1
+    return min_count, max_count
+
+
+def _shape_name(cls: str) -> str:
+    return "mms-shape:" + cls.split(":", 1)[1]
+
+
+def _constraint(row: dict) -> str:
+    is_dt = row["property_type"] in ("DatatypeProperty",
+                                     "DerivedDatatypeProperty")
+    if is_dt:
+        target = "rdf:langString" if row["lang"] else row["range"]
+    else:
+        rng = row["list_item_range"] or row["range"]
+        target = "@" + _shape_name(rng)
+    return (f"{row['predicate']} {target}"
+            f"{_shex_multiplicity(*_counts(row))} ;")
+
+
+def _classes(rows: list[dict],
+             hierarchy: list[tuple[str, str]]) -> list[str]:
+    return sorted({r["domain_type"] for r in rows}
+                  | {c for e in hierarchy for c in e})
+
+
+def shexc_export(rows: list[dict] | None = None,
+                 hierarchy: list[tuple[str, str]] | None = None) -> str:
+    """The vocabulary as a ShExC schema document (uml-to-shexc.js
+    :196-216 layout: one shape per class, `extends @<super-shape>` per
+    direct superclass, one constraint line per OWN property)."""
+    rows = VOCAB_ROWS if rows is None else rows
+    hierarchy = CLASS_HIERARCHY if hierarchy is None else hierarchy
+    out = []
+    for cls in _classes(rows, hierarchy):
+        supers = [sup for (sub, sup) in hierarchy if sub == cls]
+        extends = "".join(f"extends @{_shape_name(s)} " for s in supers)
+        own = [_constraint(r) for r in rows if r["domain_type"] == cls]
+        body = "\n\t".join(own) if own else "# no own properties"
+        out.append(f"{_shape_name(cls)} {extends}{{\n\t{body}\n}}\n")
+    return "\n".join(out)
+
+
+def shape_map_export(rows: list[dict] | None = None,
+                     hierarchy: list[tuple[str, str]] | None = None) -> str:
+    """ShEx shape map: every instance typed `a <class>` validates
+    against the class's shape (uml-to-shexc.js:218-221)."""
+    rows = VOCAB_ROWS if rows is None else rows
+    hierarchy = CLASS_HIERARCHY if hierarchy is None else hierarchy
+    return "\n".join(
+        f"{{ FOCUS a {cls} }}@{_shape_name(cls)},"
+        for cls in _classes(rows, hierarchy)) + "\n"
+
+
+def shacl_export(rows: list[dict] | None = None,
+                 hierarchy: list[tuple[str, str]] | None = None) -> str:
+    """The vocabulary as SHACL node shapes in Turtle (prefixed-name
+    form, valid under sinks.ttl_header(); uml-to-shexc.js:223-236)."""
+    rows = VOCAB_ROWS if rows is None else rows
+    hierarchy = CLASS_HIERARCHY if hierarchy is None else hierarchy
+    blocks = []
+    for cls in _classes(rows, hierarchy):
+        lines = [f"{_shape_name(cls)} a shacl:NodeShape ;",
+                 f"\tshacl:targetClass {cls} ;",
+                 "\tshacl:nodeKind shacl:IRI ;"]
+        for r in (r for r in rows if r["domain_type"] == cls):
+            is_dt = r["property_type"] in ("DatatypeProperty",
+                                           "DerivedDatatypeProperty")
+            min_count, max_count = _counts(r)
+            props = [f"shacl:path {r['predicate']}"]
+            if is_dt:
+                props.append("shacl:datatype "
+                             + ("rdf:langString" if r["lang"] else r["range"]))
+            else:
+                props.append("shacl:class "
+                             + (r["list_item_range"] or r["range"]))
+            props.append(f"shacl:minCount {min_count}")
+            if max_count is not None:
+                props.append(f"shacl:maxCount {max_count}")
+            lines.append("\tshacl:property [ " + " ; ".join(props) + " ] ;")
+        lines[-1] = lines[-1].rstrip(" ;") + " ."
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks) + "\n"

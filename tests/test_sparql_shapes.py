@@ -102,3 +102,43 @@ def test_vocab_shapes_content():
     text = s[(s.target_class == "mms-class:AssistantTurn")
              & (s.predicate == "mms-property:text")].iloc[0]
     assert text.lang == "en" and pd.isna(text.datatype)
+
+
+def test_shexc_golden():
+    """Generated ShExC for the fixture vocabulary (uml-to-shexc.js
+    :196-216 layout, multiplicity table :38-56)."""
+    from mms_rdf_spark.shapes import shexc_export
+
+    text = shexc_export()
+    golden_turn = (
+        "mms-shape:Turn extends @mms-shape:Element {\n"
+        "\tmms-property:role @mms-shape:Role ;\n"
+        "\tmms-property:text xsd:string? ;\n"
+        "\tmms-property:tool @mms-shape:Tool? ;\n"
+        "\tmms-property:timestamp xsd:dateTime? ;\n"
+        "\tmms-property:mentions @mms-shape:Mention* ;\n"
+        "\tmms-property:urls @mms-shape:Url* ;\n"
+        "\tmms-property:emails @mms-shape:Email* ;\n"
+        "}\n"
+    )
+    assert golden_turn in text
+    # diamond: ToolTurn extends both supers, reference-style repetition
+    assert ("mms-shape:ToolTurn extends @mms-shape:Turn "
+            "extends @mms-shape:AgentAction {") in text
+    # lang-restricted override renders as rdf:langString
+    assert "mms-property:text rdf:langString? ;" in text
+
+
+def test_shape_map_and_shacl_export():
+    from mms_rdf_spark.shapes import shacl_export, shape_map_export
+
+    m = shape_map_export()
+    assert "{ FOCUS a mms-class:Turn }@mms-shape:Turn," in m
+    s = shacl_export()
+    assert "mms-shape:Turn a shacl:NodeShape ;" in s
+    assert "shacl:targetClass mms-class:Turn ;" in s
+    assert ("shacl:path mms-property:role ; shacl:class mms-class:Role ; "
+            "shacl:minCount 1 ; shacl:maxCount 1") in s
+    # every block ends as a complete turtle statement
+    for block in s.strip().split("\n\n"):
+        assert block.rstrip().endswith(".")
