@@ -158,6 +158,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back = unroll_collections(to_rdf_collection(t))
         return back.select("subject", "object", "idx")
 
+    def kg_nested_elements(spark, sf):
+        # nested {id, type, ...} objects become their own elements with
+        # parent links (reference triplifier.js:299-334); nested struct
+        # arrays synthesized deterministically from events columns
+        from mms_rdf_spark.operators.nested import nested_element_triples
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        eid = F.col("event_id").cast("string")
+        df = ev.select(
+            F.concat(F.lit("mms-element:Event."), eid).alias("subject"),
+            F.array(
+                F.struct(F.concat(eid, F.lit(".c0")).alias("id"),
+                         F.lit("Call").alias("type"),
+                         F.col("event_type").alias("name")),
+                F.struct(F.concat(eid, F.lit(".c1")).alias("id"),
+                         F.lit("Call").alias("type"),
+                         F.col("props").alias("name")),
+            ).alias("calls"))
+        return nested_element_triples(df, "calls").select(
+            "subject", "predicate", "object", "datatype", "idx")
+
     def kg_sniffed_literals(spark, sf):
         # F6: a text-typed value column carrying "true"/"42"/"3.14"
         # strings gets its xsd:string datatype overridden by lexical
@@ -318,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_amend": kg_amend,
         "kg_lpg_edges": kg_lpg_edges,
         "kg_two_hop": kg_two_hop,
+        "kg_nested_elements": kg_nested_elements,
         "kg_sniffed_literals": kg_sniffed_literals,
         "kg_list_walk": kg_list_walk,
         "kg_closure": kg_closure,
@@ -529,6 +550,31 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
                 CURRENT ROW) - 1 AS VARCHAR) AS session_id
     FROM g
+    """
+
+    q["kg_nested_elements"] = """
+    WITH c AS (
+        SELECT CAST(event_id AS VARCHAR) AS eid, 0 AS i,
+               event_type AS name FROM events
+        UNION ALL
+        SELECT CAST(event_id AS VARCHAR), 1, props FROM events
+    )
+    SELECT 'mms-element:Event.' || eid AS subject,
+           'mms-property:calls' AS predicate,
+           'mms-element:' || eid || '.c' || CAST(i AS VARCHAR) AS object,
+           NULL AS datatype, i AS idx
+    FROM c
+    UNION ALL
+    SELECT 'mms-element:' || eid || '.c' || CAST(i AS VARCHAR),
+           'rdf:type', 'mms-class:Call', NULL, NULL FROM c
+    UNION ALL
+    SELECT 'mms-element:' || eid || '.c' || CAST(i AS VARCHAR),
+           'mms-ontology:elementId', eid || '.c' || CAST(i AS VARCHAR),
+           'xsd:string', NULL FROM c
+    UNION ALL
+    SELECT 'mms-element:' || eid || '.c' || CAST(i AS VARCHAR),
+           'mms-property:name', name, 'xsd:string', NULL
+    FROM c WHERE name IS NOT NULL
     """
 
     from mms_rdf_spark.functions.sniff import SNIFF_SQL
