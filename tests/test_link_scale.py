@@ -58,3 +58,42 @@ def test_candidate_pairs_bounded_under_skew(spark):
     n = surfaces.count()
     pairs = candidate_edges(surfaces).count()
     assert pairs < n * 50, (n, pairs)  # far below n^2
+
+
+def test_cross_salt_recall_pinned(spark):
+    """Measure (not assume) the sub-salting recall trade: both blocking
+    passes overflow MAX_BLOCK so salting engages in BOTH, and every
+    seeded near-duplicate pair differs exactly at one pass's salt
+    character — the other pass must recover it (multi-pass blocking,
+    NOTES.md §2 / link.py docstring)."""
+    import hashlib
+
+    from mms_rdf_spark.operators.link import MAX_BLOCK
+
+    # all norms: length 12, prefix 'ab', suffix 'yz' -> one prefix
+    # block AND one suffix block, both oversized
+    def mid(i: int) -> str:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return "".join(c for c in h if c.isalpha())[:8].ljust(8, "q")
+
+    filler = [f"ab{mid(i)}yz" for i in range(MAX_BLOCK + 300)]
+    seeded: list[tuple[str, str]] = []
+    for i in range(15):
+        core = mid(10_000 + i)[:7]
+        # differ at position 2 = the prefix pass's salt char
+        seeded.append((f"abc{core}yz", f"abd{core}yz"))
+    for i in range(15):
+        core = mid(20_000 + i)[:7]
+        # differ at position 9 = the suffix pass's salt char
+        seeded.append((f"ab{core}cyz", f"ab{core}dyz"))
+
+    surfaces = list({s for p in seeded for s in p} | set(filler))
+    assert len(surfaces) > MAX_BLOCK  # salting must engage
+    df = spark.createDataFrame([(s, s, 1) for s in surfaces],
+                               "surface string, norm string, freq int")
+    edges = candidate_edges(df)
+    found = {frozenset((r["src"], r["dst"])) for r in edges.collect()}
+    recalled = sum(1 for a, b in seeded if frozenset((a, b)) in found)
+    recall = recalled / len(seeded)
+    assert recall >= 0.95, (recall, [p for p in seeded
+                                     if frozenset(p) not in found])
