@@ -1,0 +1,71 @@
+"""Source scans: NDJSON transcripts (S2) and the Turtle scan (S6,
+inverse of the Turtle sink)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA, extract_triples
+from mms_rdf_spark.operators.sinks import ttl_lines
+from mms_rdf_spark.sources import read_transcripts_ndjson, read_ttl
+
+TTL_COLS = ["subject", "predicate", "object", "object_is_iri",
+            "datatype", "lang"]
+
+
+def _multiset(df):
+    return sorted(map(tuple, df.select(TTL_COLS).collect()))
+
+
+def test_ttl_roundtrip(spark, triples_df, tmp_path):
+    out = str(tmp_path / "ttl")
+    ttl_lines(triples_df).write.text(out)
+    back = read_ttl(spark, out)
+    assert _multiset(back) == _multiset(triples_df)
+
+
+def test_ttl_escaping_roundtrip(spark, tmp_path):
+    nasty = 'say "hi" \\ and\nnewline plus \\n literal'
+    t = spark.createDataFrame(
+        [("mms-element:x", "mms-property:text", nasty, False,
+          "xsd:string", None, None, None, None),
+         ("mms-element:x", "mms-property:note", "plain", False,
+          None, "en", None, None, None),
+         ("mms-element:x", "rdf:type", "mms-class:Turn", True,
+          None, None, None, None, None)],
+        TRIPLE_SCHEMA)
+    out = str(tmp_path / "ttl2")
+    ttl_lines(t).write.text(out)
+    back = read_ttl(spark, out)
+    assert _multiset(back) == _multiset(t)
+    got = back.where(F.col("predicate") == "mms-property:text").first()
+    assert got["object"] == nasty
+
+
+def _write_ndjson(pdf, path):
+    pdf.to_json(path, orient="records", lines=True,
+                date_format="iso", date_unit="s")
+
+
+def test_ndjson_scan_extraction_parity(spark, transcripts_pdf, golden,
+                                       tmp_path):
+    from mms_rdf_spark.oracle import GOLDEN_COLUMNS, precision_recall
+
+    path = str(tmp_path / "transcripts.ndjson")
+    _write_ndjson(transcripts_pdf, path)
+    turns = read_transcripts_ndjson(spark, path)
+    got = extract_triples(spark, turns).toPandas()
+    assert precision_recall(got[GOLDEN_COLUMNS], golden) == (1.0, 1.0)
+
+
+def test_ndjson_corrupt_quarantine(spark, transcripts_pdf, tmp_path):
+    path = str(tmp_path / "nd2")
+    import os
+    os.makedirs(path)
+    _write_ndjson(transcripts_pdf.head(5), f"{path}/good.ndjson")
+    with open(f"{path}/bad.ndjson", "w") as f:
+        f.write('{"conv_id": "c1", "turn_idx": \n')  # truncated JSON
+    clean = read_transcripts_ndjson(spark, path)
+    assert clean.count() == 5
+    kept = read_transcripts_ndjson(spark, path, drop_corrupt=False)
+    assert kept.where(F.col("_corrupt_record").isNotNull()).count() == 1
