@@ -318,6 +318,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.curate import curate
         return curate(_docs(spark, sf))
 
+    def text_pack(spark, sf):
+        from mms_rdf_spark.operators.packing import pack_documents
+        return pack_documents(_docs(spark, sf))
+
+    def text_decontaminate(spark, sf):
+        # benchmark set = deterministic subset of the corpus
+        docs = _docs(spark, sf)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        return D.decontaminate(docs, bench)
+
     # ---- multimodal plumbing (mapInPandas over binary payloads)
     def mm_features(spark, sf):
         return MM.extract_features(MM.synth_media(_docs(spark, sf))) \
@@ -362,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "text_curate": text_curate,
+        "text_pack": text_pack,
+        "text_decontaminate": text_decontaminate,
         "mm_features": mm_features,
         "mm_frame_sample": mm_frame_sample,
     }
@@ -926,6 +938,42 @@ def oracle_sql() -> dict[str, str]:
     FROM sig s
     WHERE s.doc_id NOT IN (SELECT doc_id FROM dupes)
       AND s.score > 0.0 AND s.stop_ratio >= 0.08
+    """
+
+    q["text_pack"] = f"""
+    WITH d AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS lane
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens, lane,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY lane
+                               ORDER BY doc_id) - n_tokens) / 256.0)
+                    AS INT) AS shard
+        FROM d
+    )
+    SELECT doc_id, n_tokens, lane,
+           CAST(lane AS VARCHAR) || '#' || CAST(shard AS VARCHAR)
+               AS shard_id,
+           CAST(row_number() OVER (PARTITION BY lane, shard
+                                   ORDER BY doc_id) AS INT) AS pos_in_shard
+    FROM c
+    """
+
+    q["text_decontaminate"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS gram
+        FROM toks,
+             unnest(generate_series(1, greatest(len(toks) - 5, 0) + 1))
+                 AS t(i)
+    ), b AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM g JOIN b USING (gram)
+    GROUP BY g.doc_id
     """
 
     q["mm_features"] = """

@@ -170,6 +170,35 @@ def lsh_candidate_pairs(
         _banded_keys(docs, num_hashes, bands), max_bucket=max_bucket)
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 5) -> DataFrame:
+    """Test-set decontamination: (doc_id, n_hits) for every training
+    doc sharing at least one word n-gram with the benchmark corpus.
+
+    The standard pre-training hygiene pass (drop or flag training docs
+    that leak evaluation data). Shape at scale: distinct doc n-grams
+    join distinct benchmark n-grams — the benchmark side is distinct
+    grams only (millions, not the corpus), so the join broadcasts; the
+    training side never shuffles its text, only 32-char gram digests.
+    Compose with a left_anti on the result to drop contaminated docs."""
+    def grams(df):
+        toks = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        return toks.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.transform(
+                F.sequence(F.lit(0),
+                           F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.md5(F.concat_ws(
+                    " ", F.slice(F.col("toks"), i + 1, n)))
+            ))).alias("gram"))
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (grams(docs)
+            .join(F.broadcast(bench_grams), on="gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Per-doc SimHash over distinct word tokens: bit i is the sign of
     the sum over tokens of ±1 decided by hex digit i of md5(token)

@@ -1,0 +1,48 @@
+"""Token-budget sequence packing: assign documents to training shards.
+
+The step between a curated corpus and a training run: documents are
+packed into fixed-token-budget shards (sequence packing). Exact
+bin-packing is inherently sequential; the scalable deterministic rule
+used here is OFFSET PACKING — documents are laid out in a stable
+order, and a document's shard is its starting token offset divided by
+the budget. A shard can overflow by at most one document (the one
+straddling the boundary), which trainers handle by truncation or
+rollover; in exchange the assignment is one window cumsum, fully
+parallel, and bit-reproducible across engines.
+
+Scale design: a single global ordering would be ONE window partition —
+a single-task bottleneck at 10^9 docs. Documents are first striped
+into `groups` independent packing lanes by hash (pmod), each lane a
+separate window partition packed in doc order. Lanes pack
+independently and concurrently; shard ids are (lane, lane-local
+shard). `groups` should be ~4x the executor count at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.operators.dedup import _tokens
+
+
+def pack_documents(docs: DataFrame, budget: int = 256,
+                   groups: int = 8) -> DataFrame:
+    """(doc_id, n_tokens, lane, shard_id, pos_in_shard).
+
+    Deterministic: lane = pmod(doc_id, groups); within a lane, docs
+    pack in doc_id order; shard = floor(exclusive-cumulative-tokens /
+    budget); pos_in_shard = arrival rank within the shard."""
+    toks = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(groups)).cast("int").alias("lane"))
+    w = Window.partitionBy("lane").orderBy("doc_id")
+    cum_excl = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    shards = toks.withColumn(
+        "shard", F.floor(cum_excl / budget).cast("int"))
+    ws = Window.partitionBy("lane", "shard").orderBy("doc_id")
+    return shards.select(
+        "doc_id", "n_tokens", "lane",
+        F.concat(F.col("lane").cast("string"), F.lit("#"),
+                 F.col("shard").cast("string")).alias("shard_id"),
+        F.row_number().over(ws).cast("int").alias("pos_in_shard"))
