@@ -301,6 +301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_topk_lsh(spark, sf):
         return S.topk_lsh(_emb(spark, sf))
 
+    def sim_ivf_topk(spark, sf):
+        return S.ivf_topk(_emb(spark, sf))
+
     # ---- text analysis suite
     def text_token_stats(spark, sf):
         return TX.token_stats(_docs(spark, sf))
@@ -367,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_assign": sim_ivf_assign,
         "dedup_embedding_neardup": dedup_embedding_neardup,
         "sim_topk_lsh": sim_topk_lsh,
+        "sim_ivf_topk": sim_ivf_topk,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -830,6 +834,35 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(q.emb, e.emb), 6) AS score
         FROM e q JOIN e ON e.bucket = q.bucket
                         AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    ), r AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM s
+    )
+    SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+    """
+
+    q["sim_ivf_topk"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+          WHERE vec_id % 100 = 0),
+    a AS (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 6)
+                            DESC, c.centroid_id) AS rn
+        FROM e, c
+    ), cells AS (
+        SELECT e.vec_id, e.emb, a.centroid_id
+        FROM e JOIN a ON a.vec_id = e.vec_id AND a.rn = 1
+    ), s AS (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.emb, x.emb), 6) AS score
+        FROM cells q JOIN cells x
+          ON x.centroid_id = q.centroid_id AND x.vec_id <> q.vec_id
         WHERE q.vec_id < 10
     ), r AS (
         SELECT query_id, neighbor_id, score,

@@ -189,6 +189,41 @@ def topk_lsh(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
             .select("query_id", "rank", "neighbor_id", "score"))
 
 
+def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
+             every_k: int = 100) -> DataFrame:
+    """IVF probe: exact top-k restricted to the query's coarse cell.
+
+    The search half of the IVF pair (ivf_assign builds the index): a
+    query scores only vectors assigned to ITS centroid cell — at scale
+    the cell id is the partition key, so one probe touches one
+    partition's worth of vectors instead of the corpus. nprobe=1 here;
+    more probes = union over the n nearest cells, same plan shape.
+    Recall is bounded by the quantizer, `cosine_topk` is the exact
+    baseline (same trade as topk_lsh, different bucketing)."""
+    cells = ivf_assign(embeddings, every_k).select("vec_id", "centroid_id")
+    e = embeddings.select("vec_id",
+                          _as_double(F.col("embedding")).alias("emb")) \
+        .join(cells, on="vec_id")
+    q = (e.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("emb").alias("q_emb"),
+                 F.col("centroid_id").alias("q_cell")))
+    scored = (
+        F.broadcast(q)
+        .join(e, (F.col("centroid_id") == F.col("q_cell"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(_dot(F.col("q_emb"), F.col("emb"))
+                        / (_norm(F.col("q_emb")) * _norm(F.col("emb"))), 6)
+                .alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
 def ivf_assign(embeddings: DataFrame, every_k: int = 100) -> DataFrame:
     """IVF coarse assignment: centroids = vectors with vec_id % every_k
     == 0 (deterministic stand-in for k-means — the assignment plumbing,

@@ -1,0 +1,59 @@
+"""Offset packing + decontamination semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mms_rdf_spark.operators.dedup import decontaminate
+from mms_rdf_spark.operators.packing import pack_documents
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+
+def test_pack_single_lane_boundaries(spark):
+    # 4 docs x 3 tokens, budget 5, one lane: offsets 0,3,6,9 ->
+    # shards 0,0,1,1
+    docs = _docs(spark, ["a b c"] * 4)
+    out = pack_documents(docs, budget=5, groups=1).collect()
+    by_doc = {r["doc_id"]: (r["shard_id"], r["pos_in_shard"]) for r in out}
+    assert by_doc == {0: ("0#0", 1), 1: ("0#0", 2),
+                      2: ("0#1", 1), 3: ("0#1", 2)}
+
+
+def test_pack_overflow_bounded_by_one_doc(spark):
+    # each shard's token total exceeds budget by at most one doc
+    texts = [" ".join(["t"] * (3 + i % 7)) for i in range(200)]
+    docs = _docs(spark, texts)
+    out = pack_documents(docs, budget=32, groups=4)
+    shard_tokens = (out.groupBy("shard_id")
+                    .agg(F.sum("n_tokens").alias("total"),
+                         F.max("n_tokens").alias("biggest")).collect())
+    for r in shard_tokens:
+        assert r["total"] < 32 + r["biggest"], r
+
+
+def test_pack_lanes_are_independent(spark):
+    docs = _docs(spark, ["x y"] * 40)
+    out = pack_documents(docs, budget=8, groups=4)
+    lanes = {r["lane"] for r in out.collect()}
+    assert lanes == {0, 1, 2, 3}
+    # every doc appears exactly once
+    assert out.count() == 40
+    assert out.select("doc_id").distinct().count() == 40
+
+
+def test_decontaminate_flags_exact_leak(spark):
+    bench = _docs(spark, ["the quick brown fox jumps over the lazy dog"])
+    train = spark.createDataFrame(
+        [(10, "prefix the quick brown fox jumps over something"),
+         (11, "completely unrelated words with no overlap at all here"),
+         (12, "over the lazy dog jumps nothing shared of length five")],
+        "doc_id int, text string")
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in decontaminate(train, bench, n=5).collect()}
+    assert 10 in hits and hits[10] >= 1   # shares a 5-gram
+    assert 11 not in hits                 # clean
+    assert 12 not in hits                 # only a 4-gram overlap
