@@ -88,3 +88,75 @@ def test_fused_matches_oracle_on_random_frames(spark, rows):
     got = extract_triples(spark, spark.createDataFrame(pdf)).toPandas()
     p, r = precision_recall(got[GOLDEN_COLUMNS], convert_transcripts(pdf))
     assert (p, r) == (1.0, 1.0)
+
+
+# ---------------------------------------------------------- round-2 laws
+@given(st.lists(st.booleans(), min_size=0, max_size=6))
+def test_sniff_boolean_shapes(flags):
+    """Python-side mirror of the sniffing CASE order on generated
+    boolean-ish strings."""
+    from mms_rdf_spark.functions.sniff import BOOL_RE, DOUBLE_RE, INT_RE
+
+    for b in flags:
+        s = "true" if b else "false"
+        assert re.fullmatch(BOOL_RE, s)
+        assert not re.fullmatch(INT_RE, s)
+        assert not re.fullmatch(DOUBLE_RE, s)
+
+
+@given(st.integers(min_value=-10**15, max_value=10**15),
+       st.integers(min_value=0, max_value=999999))
+def test_sniff_numeric_order(i, frac):
+    """Every integer string matches INT before DOUBLE; every decimal
+    matches DOUBLE but never INT/BOOL (the dispatch order invariant)."""
+    from mms_rdf_spark.functions.sniff import BOOL_RE, DOUBLE_RE, INT_RE
+
+    s_int = str(i)
+    assert re.fullmatch(INT_RE, s_int) and not re.fullmatch(BOOL_RE, s_int)
+    s_dec = f"{i}.{frac}"
+    assert re.fullmatch(DOUBLE_RE, s_dec)
+    assert not re.fullmatch(INT_RE, s_dec)
+
+
+def test_collection_roundtrip_random_lists(spark):
+    """Random dense-idx list shapes (incl. singletons and the empty
+    frame) survive idx -> cons chain -> idx byte-identically."""
+    import random
+
+    from mms_rdf_spark.operators.collections import (
+        to_rdf_collection,
+        unroll_collections,
+    )
+    from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA
+
+    rng = random.Random(42)
+    rows = []
+    for s in range(12):
+        n = rng.choice([1, 2, 3, 7, 40])
+        pred = rng.choice(["mms-property:turns", "mms-property:mentions"])
+        for i in range(n):
+            rows.append((f"mms-element:s{s}", pred, f"mms-element:o{s}.{i}",
+                         True, None, None, i, None, None))
+    # plus non-list passthrough rows
+    rows += [(f"mms-element:s{s}", "rdf:type", "mms-class:Conversation",
+              True, None, None, None, None, None) for s in range(12)]
+    t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    back = unroll_collections(to_rdf_collection(t))
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_unroll_raises_on_cycle(spark):
+    from mms_rdf_spark.operators.collections import unroll_collections
+    from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA
+    import pytest as _pytest
+
+    # a two-cell rdf:rest cycle: c0 -> c1 -> c0
+    rows = [("c0", "rdf:first", "x", True, None, None, None, None, None),
+            ("c1", "rdf:first", "y", True, None, None, None, None, None),
+            ("c0", "rdf:rest", "c1", True, None, None, None, None, None),
+            ("c1", "rdf:rest", "c0", True, None, None, None, None, None),
+            ("mms-element:s", "mms-property:turns", "c0", True,
+             None, None, None, None, None)]
+    t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    with _pytest.raises(ValueError, match="cycle"):
+        unroll_collections(t, max_rounds=6)
