@@ -121,6 +121,37 @@ def write_spo(triples: DataFrame, path: str, buckets: int = 64) -> None:
     )
 
 
+def write_spo_bucketed(triples: DataFrame, table: str,
+                       buckets: int = 64) -> None:
+    """Persist the graph as a subject-BUCKETED catalog table.
+
+    The directory layout from `write_spo` gives partition pruning per
+    predicate; bucketing adds the other half of the BGP story: a
+    subject self-join (every `?s p1 ?a . ?s p2 ?b` pattern, SURVEY
+    §2.10) between bucketed tables is planned WITHOUT any Exchange —
+    both sides are already hash-distributed and sorted on subject at
+    write time, so the join cost at 10^12 triples is a per-bucket
+    merge, not a full-graph shuffle (asserted in
+    tests/test_plans.py::test_bucketed_spo_self_join_shuffle_free).
+    On Iceberg the same declaration is a `bucket(N, subject)`
+    partition transform."""
+    spark = triples.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog can forget a managed table whose files
+    # survive (e.g. after a crashed writer); clear the stale location
+    # so overwrite semantics hold across sessions too
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = urlparse(f"{warehouse}/{table.split('.')[-1]}").path
+    shutil.rmtree(loc, ignore_errors=True)
+    (triples
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(buckets, "subject").sortBy("subject")
+     .saveAsTable(table))
+
+
 # ----------------------------------------------------------------- LPG view
 def classify_predicates(triples: DataFrame) -> DataFrame:
     """Pass 1 of the LPG projection (A3): one row per predicate with

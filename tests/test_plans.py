@@ -94,3 +94,34 @@ def test_unmapped_keys_side_output(spark, transcripts_df):
 
     # the fixture vocabulary maps every (type, key) combination
     assert unmapped_keys(spark, transcripts_df).count() == 0
+
+
+def test_bucketed_spo_self_join_shuffle_free(spark, triples_df):
+    """Subject-bucketed SPO tables make BGP subject self-joins
+    exchange-free: both sides pre-hashed + pre-sorted on subject at
+    write time (the 10^12-triple join strategy)."""
+    from mms_rdf_spark.operators.materialize import write_spo_bucketed
+
+    write_spo_bucketed(triples_df, "spo_bucketed_test", buckets=8)
+    # pin the at-scale strategy: on toy data the planner prefers
+    # broadcast (and skips bucketing); at 10^12 triples neither side
+    # broadcasts, which is exactly the case bucketing exists for
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("spo_bucketed_test")
+        a = t.where(F.col("predicate") == "rdf:type") \
+            .select("subject", F.col("object").alias("cls"))
+        b = t.where(F.col("predicate") == "mms-property:role") \
+            .select("subject", F.col("object").alias("role"))
+        joined = a.join(b, on="subject")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and it computes the right thing
+        n = joined.count()
+        want = triples_df.where(
+            F.col("predicate") == "mms-property:role").count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

@@ -69,3 +69,22 @@ def test_ndjson_corrupt_quarantine(spark, transcripts_pdf, tmp_path):
     assert clean.count() == 5
     kept = read_transcripts_ndjson(spark, path, drop_corrupt=False)
     assert kept.where(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_reference_workflow_ttl_to_lpg(spark, triples_df, tmp_path):
+    """The reference's actual file pipeline (build-local.sh): triplify
+    -> master.ttl -> LPG conversion reads the TTL back. Edges derived
+    from the re-read graph must match edges derived directly (idx is a
+    collection-level concept the flat TTL doesn't carry, so compare
+    the edge relation, not the idx-salted ids)."""
+    from mms_rdf_spark.operators.materialize import lpg_edges
+
+    out = str(tmp_path / "master_ttl")
+    ttl_lines(triples_df).write.text(out)
+    back = read_ttl(spark, out)
+    direct = {(r["~label"], r["~from"], r["~to"]) for r in
+              lpg_edges(triples_df).collect()}
+    via_ttl = {(r["~label"], r["~from"], r["~to"]) for r in
+               lpg_edges(back.withColumn("idx", F.lit(None).cast("int")))
+               .collect()}
+    assert via_ttl == direct
