@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_ivf_topk(spark, sf):
         return S.ivf_topk(_emb(spark, sf))
 
+    def sim_quantize(spark, sf):
+        return S.quantize_embeddings(_emb(spark, sf))
+
     # ---- text analysis suite
     def text_token_stats(spark, sf):
         return TX.token_stats(_docs(spark, sf))
@@ -371,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": dedup_embedding_neardup,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_quantize": sim_quantize,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -871,6 +875,28 @@ def oracle_sql() -> dict[str, str]:
         FROM s
     )
     SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+    """
+
+    q["sim_quantize"] = """
+    WITH e AS (
+        SELECT vec_id,
+               round(list_aggregate(list_transform(
+                         CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')
+                     / 127.0, 9) AS scale,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), d AS (
+        SELECT vec_id, scale,
+               generate_subscripts(emb, 1) - 1 AS dim,
+               unnest(emb) AS v
+        FROM e
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(greatest(-127.0, least(127.0,
+                CASE WHEN scale = 0.0 THEN 0.0
+                     ELSE round(v / scale, 0) END)) AS INT) AS q,
+           scale
+    FROM d
     """
 
     q["sim_ivf_assign"] = """

@@ -189,6 +189,32 @@ def topk_lsh(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
             .select("query_id", "rank", "neighbor_id", "score"))
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization, exploded to (vec_id, dim, q, scale).
+
+    The storage/bandwidth lever for vector columns at 100 TB: a
+    float32 corpus shrinks 4x (and shuffles 4x cheaper through every
+    downstream join) at ~1% cosine error. Per-vector scale =
+    max|x|/127; q = round(x/scale) clamped to [-127, 127]. Pure column
+    expressions; dequantize is q*scale. Exploded (long) form here so
+    the cross-engine oracle compares scalar rows; the packed
+    array<tinyint> form is the same expressions un-exploded."""
+    e = embeddings.select("vec_id",
+                          _as_double(F.col("embedding")).alias("emb"))
+    scale = F.aggregate(F.col("emb"), F.lit(0.0),
+                        lambda acc, x: F.greatest(acc, F.abs(x))) / 127.0
+    q = e.select(
+        "vec_id", F.round(scale, 9).alias("scale"),
+        F.posexplode(F.col("emb")).alias("dim", "v"))
+    quantized = (F.when(F.col("scale") == 0.0, F.lit(0.0))
+                 .otherwise(F.round(F.col("v") / F.col("scale"), 0)))
+    return q.select(
+        "vec_id", F.col("dim").cast("int").alias("dim"),
+        F.greatest(F.lit(-127.0), F.least(F.lit(127.0), quantized))
+        .cast("int").alias("q"),
+        "scale")
+
+
 def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
              every_k: int = 100) -> DataFrame:
     """IVF probe: exact top-k restricted to the query's coarse cell.
