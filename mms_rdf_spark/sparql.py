@@ -106,6 +106,20 @@ class Graph:
 
         return unroll_lists(self.pattern(p=p))
 
+    def rest_star_first(self, p: str | None = None) -> DataFrame:
+        """The LITERAL `p/rdf:rest*/rdf:first` walk over a graph in
+        RDF-collection form (the reference notebook's deadlock query,
+        tmt-demo.ipynb cell 11): returns (subject, predicate, object,
+        idx) for every list member, positions recovered by the
+        pointer-doubling chain walk. Use `ordered_list` when the graph
+        carries the idx encoding instead."""
+        from mms_rdf_spark.operators.collections import unroll_collections
+
+        out = unroll_collections(self.t).where(F.col("idx").isNotNull())
+        if p is not None:
+            out = out.where(F.col("predicate") == p)
+        return out.select("subject", "predicate", "object", "idx")
+
 
 # --- Gremlin-style traversal over the LPG view ---------------------
 class Traversal:

@@ -89,3 +89,19 @@ def test_subclassof_closure_join(spark, triples_df):
     assert got.join(
         typed.where(F.col("object") == "mms-class:Conversation"),
         on="subject").count() == 0
+
+
+def test_rest_star_first_over_collection_graph(spark, triples_df):
+    """The literal p/rdf:rest*/rdf:first walk (notebook cell 11) over a
+    graph emitted in RDF-collection form recovers the same membership
+    + order as the idx encoding."""
+    from mms_rdf_spark.operators.collections import to_rdf_collection
+    from mms_rdf_spark.sparql import Graph
+
+    coll_graph = Graph(to_rdf_collection(triples_df))
+    got = {(r["subject"], r["object"], r["idx"]) for r in
+           coll_graph.rest_star_first("mms-property:turns").collect()}
+    want = {(r["subject"], r["object"], r["idx"]) for r in
+            triples_df.where(F.col("predicate") == "mms-property:turns")
+            .select("subject", "object", "idx").collect()}
+    assert got == want
