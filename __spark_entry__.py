@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_langid(spark, sf):
         return TX.detect_language(_docs(spark, sf))
 
+    def text_langid_multi(spark, sf):
+        return TX.detect_language_multi(_docs(spark, sf))
+
     def text_fingerprint(spark, sf):
         return TX.fingerprint(_docs(spark, sf))
 
@@ -378,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
+        "text_langid_multi": text_langid_multi,
         "text_fingerprint": text_fingerprint,
         "text_curate": text_curate,
         "text_pack": text_pack,
@@ -959,6 +963,36 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, stop_ratio,
            CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM m
+    """
+
+    from mms_rdf_spark.operators.textstats import LANG_STOPWORDS
+    _langs = sorted(LANG_STOPWORDS)
+    _ratio_sqls = {
+        lang: ("round(CAST(len(list_filter(toks, x -> list_contains(["
+               + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+               + "], x))) AS DOUBLE) / greatest(len(toks), 1), 6)")
+        for lang in _langs
+    }
+    _pred_cases = []
+    for lang in _langs:
+        conds = [f"ratio_{lang} >= 0.08"]
+        for other in _langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"ratio_{lang} {op} ratio_{other}")
+        _pred_cases.append(
+            "WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    q["text_langid_multi"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               {', '.join(f'{_ratio_sqls[lang]} AS ratio_{lang}' for lang in _langs)}
+        FROM d
+    )
+    SELECT doc_id, {', '.join(f'ratio_{lang}' for lang in _langs)},
+           CASE {' '.join(_pred_cases)} ELSE 'other' END AS lang_pred
     FROM m
     """
 

@@ -156,6 +156,30 @@ def _nested_from(frame: DataFrame, dt: DataType, key: str,
     return [links] + _child_triples(exploded, struct_type, predicate_prefix)
 
 
+def element_triples(df: DataFrame,
+                    predicate_prefix: str = "mms-property:") -> DataFrame:
+    """Generic element conversion: each ROW is an element `{id, type,
+    …fields}` (the reference's convert_object entry, triplifier.js:299
+    onward, without a parent). Emits rdf:type + elementId + one literal
+    triple per primitive column; struct(-array) columns with id+type
+    recurse through the nested machinery. The schema-generic companion
+    to the transcripts-specialized extractor: point it at any element
+    table whose columns ARE the fields."""
+    if "id" not in df.columns or "type" not in df.columns:
+        raise ValueError("element frame needs id + type columns")
+    struct_type = df.schema
+    frame = df.select(
+        element_iri_col(F.col("id").cast("string")).alias("_subject"),
+        F.struct(*[F.col(f.name) for f in struct_type.fields]).alias("_c"))
+    exploded = frame.select("_subject", F.lit(None).cast("int").alias("_pos"),
+                            F.col("_c").alias("_child"))
+    parts = _child_triples(exploded, struct_type, predicate_prefix)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def nested_element_triples(
     df: DataFrame, column: str, key: str | None = None,
     subject: Column | None = None,

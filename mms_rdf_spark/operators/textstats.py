@@ -68,6 +68,54 @@ def detect_language(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
     )
 
 
+# stopword profiles for the multi-language classifier: tiny,
+# high-frequency function words per language (the classic cheap
+# language-ID signal; a real model slots in as a pandas UDF behind the
+# same output schema)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+           "mit", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que",
+           "je"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que",
+           "de"],
+}
+
+
+def detect_language_multi(docs: DataFrame,
+                          threshold: float = 0.08) -> DataFrame:
+    """Multi-language stopword-ratio classifier: per-language function-
+    word ratios, argmax wins if it clears `threshold`, else 'other'.
+    (doc_id, ratio_<lang>..., lang_pred). Pure column expressions —
+    one scan, no shuffle; ties break alphabetically (deterministic
+    cross-engine)."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.greatest(F.size(toks), F.lit(1))
+    ratios = {}
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        ratios[lang] = F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n, 6)
+    best = None
+    for lang in sorted(LANG_STOPWORDS):  # alphabetical tie-break
+        cond = (ratios[lang] >= threshold)
+        for other in sorted(LANG_STOPWORDS):
+            if other == lang:
+                continue
+            op = (ratios[lang] >= ratios[other]) if other > lang \
+                else (ratios[lang] > ratios[other])
+            cond = cond & op
+        best = F.when(cond, F.lit(lang)) if best is None \
+            else best.when(cond, F.lit(lang))
+    pred = best.otherwise(F.lit("other"))
+    return docs.select(
+        "doc_id",
+        *[ratios[lang].alias(f"ratio_{lang}")
+          for lang in sorted(LANG_STOPWORDS)],
+        pred.alias("lang_pred"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized,
     lowercased text (rolling-hash stand-in, portable across engines).

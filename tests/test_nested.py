@@ -98,3 +98,30 @@ def test_non_element_column_rejected(spark):
                                "subject string, xs array<int>")
     with pytest.raises(ValueError):
         nested_element_triples(df, "xs")
+
+
+def test_top_level_element_triples(spark):
+    from mms_rdf_spark.operators.nested import element_triples
+
+    df = spark.createDataFrame(
+        [("e1", "Doc", "hello", 3, {"id": "e1.m", "type": "Meta",
+                                    "lang": "en"})],
+        "id string, type string, title string, pages long,"
+        "meta struct<id string, type string, lang string>")
+    out = element_triples(df)
+    rows = {(r["subject"], r["predicate"], r["object"]) for r in out.collect()}
+    assert ("mms-element:e1", "rdf:type", "mms-class:Doc") in rows
+    assert ("mms-element:e1", "mms-ontology:elementId", "e1") in rows
+    assert ("mms-element:e1", "mms-property:title", "hello") in rows
+    assert ("mms-element:e1", "mms-property:pages", "3") in rows
+    # nested struct recursed with a parent link
+    assert ("mms-element:e1", "mms-property:meta", "mms-element:e1.m") in rows
+    assert ("mms-element:e1.m", "mms-property:lang", "en") in rows
+
+
+def test_element_triples_requires_identity(spark):
+    from mms_rdf_spark.operators.nested import element_triples
+
+    df = spark.createDataFrame([("x",)], "name string")
+    with pytest.raises(ValueError):
+        element_triples(df)

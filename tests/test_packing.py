@@ -57,3 +57,18 @@ def test_decontaminate_flags_exact_leak(spark):
     assert 10 in hits and hits[10] >= 1   # shares a 5-gram
     assert 11 not in hits                 # clean
     assert 12 not in hits                 # only a 4-gram overlap
+
+
+def test_langid_multi_classifies_languages(spark):
+    from mms_rdf_spark.operators.textstats import detect_language_multi
+
+    docs = spark.createDataFrame([
+        (0, "the cat and the dog is in a house of it"),
+        (1, "der hund und die katze ist nicht ein tier zu haus"),
+        (2, "le chat et le chien est un animal des villes que je vois"),
+        (3, "el perro y la gata es un animal de las casas que veo"),
+        (4, "zzz qqq www eee rrr ttt yyy uuu"),
+    ], "doc_id int, text string")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in detect_language_multi(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "other"}
