@@ -43,23 +43,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mms_rdf_spark.functions.iri import sanitize_suffix_col
+# one source of truth for the triple column set (drives _blank and
+# every select below) — never a hand-copied list
+from mms_rdf_spark.operators.extract import TRIPLE_COLS
 from mms_rdf_spark.vocab import RDF_NIL
 
 RDF_FIRST = "rdf:first"
 RDF_REST = "rdf:rest"
 
-TRIPLE_COLS = ["subject", "predicate", "object", "object_is_iri",
-               "datatype", "lang", "idx", "conv_id", "turn_idx"]
-
 
 def _cons_iri(subject: Column, predicate: Column, idx: Column) -> Column:
-    """Deterministic cons-cell IRI: `<subject>.<pred-local>.Index:<i>`.
+    """Deterministic cons-cell IRI:
+    `<subject>.<sanitized-full-predicate>.Index:<i>`.
 
     Carries the reference's `.Index:<i>` member-IRI convention
     (triplifier.js:266) so a human reading the graph sees the position;
-    the inverse walk never relies on it."""
-    local = F.element_at(F.split(predicate, ":"), -1)
-    return F.concat(subject, F.lit("."), sanitize_suffix_col(local),
+    the inverse walk never relies on it. The FULL predicate (prefix
+    included, ':' mapped to '_') keys the cell — a local name alone
+    would collide two prefixes sharing it on one subject and merge
+    their chains."""
+    safe_pred = F.regexp_replace(
+        sanitize_suffix_col(predicate), ":", "_")
+    return F.concat(subject, F.lit("."), safe_pred,
                     F.lit(".Index:"), idx.cast("string"))
 
 
@@ -93,6 +98,7 @@ def to_rdf_collection(triples: DataFrame,
     Everything else passes through unchanged. The only exchange is the
     (subject, predicate) window ordering members by idx — same key as
     the list itself, so at 10^12 turns it shuffles each list once."""
+    triples = _blank(triples)  # tolerate partial frames (e.g. read_ttl)
     is_list = F.col("idx").isNotNull()
     if predicates is not None:
         is_list = is_list & F.col("predicate").isin(predicates)
@@ -137,6 +143,9 @@ def unroll_collections(triples: DataFrame, max_rounds: int = 40) -> DataFrame:
 
     max_rounds bounds the loop (2^40 list members is beyond any input);
     a cycle in rdf:rest would otherwise loop forever — raise instead."""
+    # tolerate partial frames: a graph loaded via sources.ttl.read_ttl
+    # carries only the 6 core columns; provenance/idx null-fill here
+    triples = _blank(triples)
     firsts = triples.where(F.col("predicate") == RDF_FIRST)
     rest_edges = (triples.where((F.col("predicate") == RDF_REST)
                                 & (F.col("object") != RDF_NIL))

@@ -110,12 +110,18 @@ def capped_bucket_pairs(
     max_bucket=None disables capping (the exact small-scale plan).
     """
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("_bn"))
-        banded = banded.join(F.broadcast(sizes), on=["band", "key"]) \
+        # broadcast ONLY the oversized buckets: on a healthy corpus the
+        # full width table is ~one row per (id, band) — billions of
+        # rows at 10^9 docs, an OOM as a broadcast — while buckets
+        # wider than the cap are few by construction. Rows in healthy
+        # buckets miss the left join and default to salt 0.
+        hot = (banded.groupBy("band", "key")
+               .agg(F.count(F.lit(1)).alias("_bn"))
+               .where(F.col("_bn") > max_bucket))
+        banded = banded.join(F.broadcast(hot), on=["band", "key"], how="left") \
             .withColumn(
                 "_salt",
-                F.when(F.col("_bn") > max_bucket,
+                F.when(F.col("_bn").isNotNull(),
                        F.crc32(F.col(id_col).cast("string"))
                        % F.ceil(F.col("_bn") / max_bucket).cast("long"))
                 .otherwise(F.lit(0)))

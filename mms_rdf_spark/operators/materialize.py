@@ -139,13 +139,20 @@ def write_spo_bucketed(triples: DataFrame, table: str,
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # the in-memory catalog can forget a managed table whose files
     # survive (e.g. after a crashed writer); clear the stale location
-    # so overwrite semantics hold across sessions too
+    # so overwrite semantics hold across sessions too. Managed layout:
+    # <warehouse>/<name> for the default database, <warehouse>/<db>.db/
+    # <name> otherwise; 3-part (catalog-qualified) names are left to
+    # the catalog (never guess a path to rm there).
     import shutil
     from urllib.parse import urlparse
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    loc = urlparse(f"{warehouse}/{table.split('.')[-1]}").path
-    shutil.rmtree(loc, ignore_errors=True)
+    parts = table.split(".")
+    if len(parts) <= 2:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        rel = parts[-1] if len(parts) == 1 or parts[0] == "default" \
+            else f"{parts[0]}.db/{parts[1]}"
+        shutil.rmtree(urlparse(f"{warehouse}/{rel}").path,
+                      ignore_errors=True)
     (triples
      .write.mode("overwrite").format("parquet")
      .bucketBy(buckets, "subject").sortBy("subject")

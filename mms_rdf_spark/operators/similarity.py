@@ -109,10 +109,15 @@ def lsh_buckets(
     return e.select("vec_id", F.concat(*bit_exprs).alias("bucket"))
 
 
+# sentinel: "use the shared dedup.MAX_BUCKET default" (distinct from
+# None, which disables capping — same semantics as lsh_candidate_pairs)
+_DEFAULT_CAP = object()
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95, planes: int = 8,
-    max_bucket: int | None = None,
-) -> DataFrame:  # max_bucket=None -> dedup.MAX_BUCKET (one shared knob)
+    max_bucket=_DEFAULT_CAP,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
     The scale path for near-dup detection over vectors: pairs are only
@@ -127,20 +132,24 @@ def embedding_near_duplicates(
     `max_bucket` caps hot buckets exactly like dedup.capped_bucket_pairs:
     buckets wider than the cap are split into ceil(width/cap) salt
     groups on crc32(vec_id) and pairs are generated only within a salt
-    group, bounding the worst task at ~cap^2/2 pairs. Default None
-    (imported default dedup.MAX_BUCKET at the query layer) because a
-    near-dup sweep at 100 TB should pick the cap from its
-    `lsh_bucket_stats`-style audit; cross-salt pairs inside an
-    oversized bucket are the documented recall trade."""
-    if max_bucket is None:
+    group, bounding the worst task at ~cap^2/2 pairs. The sentinel
+    default resolves to dedup.MAX_BUCKET (one shared knob);
+    max_bucket=None disables capping entirely — the same None
+    semantics as lsh_candidate_pairs. Unlike multi-band text LSH, a
+    vector has ONE bucket, so cross-salt pairs in an oversized bucket
+    have no second band to recover them: at >=10^6 vectors (every
+    2^planes bucket hot) pick planes so buckets stay under the cap, or
+    pass None and accept the quadratic."""
+    if max_bucket is _DEFAULT_CAP:
         from mms_rdf_spark.operators.dedup import MAX_BUCKET
         max_bucket = MAX_BUCKET
     b = lsh_buckets(embeddings, planes)
     if max_bucket is not None:
-        sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-        b = b.join(F.broadcast(sizes), on="bucket").withColumn(
+        hot = (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+               .where(F.col("_bn") > max_bucket))  # tiny by construction
+        b = b.join(F.broadcast(hot), on="bucket", how="left").withColumn(
             "_salt",
-            F.when(F.col("_bn") > max_bucket,
+            F.when(F.col("_bn").isNotNull(),
                    F.crc32(F.col("vec_id").cast("string"))
                    % F.ceil(F.col("_bn") / max_bucket).cast("long"))
             .otherwise(F.lit(0))).drop("_bn")

@@ -83,3 +83,35 @@ def test_sequence_member_elements(spark, triples_df):
     assert rewritten.where(
         ~F.col("object").contains(".Element:")).count() == 0
     out.unpersist()
+
+
+def test_unroll_from_ttl_loaded_graph(spark, triples_df, tmp_path):
+    """The documented interchange loop: emit collection-form Turtle,
+    re-read it (6 core columns only), walk the chains back to
+    positions. Partial frames must null-fill, not crash."""
+    from mms_rdf_spark.operators.sinks import ttl_lines
+    from mms_rdf_spark.sources.ttl import read_ttl
+
+    turns = triples_df.where(F.col("predicate") == "mms-property:turns")
+    out = str(tmp_path / "coll_ttl")
+    ttl_lines(to_rdf_collection(turns)).write.text(out)
+    back = unroll_collections(read_ttl(spark, out))
+    got = {(r["subject"], r["object"], r["idx"]) for r in back.collect()}
+    want = {(r["subject"], r["object"], r["idx"])
+            for r in turns.collect()}
+    assert got == want
+
+
+def test_cons_iris_distinct_across_prefixes(spark):
+    """Two predicates sharing a local name on one subject must not
+    merge chains (full-predicate cons keys)."""
+    from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA
+
+    rows = [("mms-element:c", "mms-property:turns", "a", True,
+             None, None, 0, None, None),
+            ("mms-element:c", "ext:turns", "b", True,
+             None, None, 0, None, None)]
+    t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    back = unroll_collections(to_rdf_collection(t))
+    got = {(r["predicate"], r["object"], r["idx"]) for r in back.collect()}
+    assert got == {("mms-property:turns", "a", 0), ("ext:turns", "b", 0)}
