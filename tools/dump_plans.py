@@ -122,6 +122,51 @@ def main() -> None:
                                            max_bucket=16, planes=2)),
     ))
 
+    from mms_rdf_spark.operators.packing import pack_documents
+
+    docs2 = spark.range(500).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit("word"), (F.col("id") % 23).cast("string"),
+                 F.lit(" the common tail")).alias("text"))
+    bench = docs2.where(F.col("doc_id") % 97 == 0)
+    from mms_rdf_spark.operators.dedup import decontaminate
+
+    sections.append((
+        "Decontamination: benchmark grams broadcast, corpus never shuffles text",
+        "Both sides reduce to md5 gram digests; the benchmark side is a "
+        "BroadcastExchange.",
+        skeleton(decontaminate(docs2, bench)),
+    ))
+
+    sections.append((
+        "Token-budget packing: one lane exchange reused by both windows",
+        "Lane striping is the only shuffle; the (lane, shard) window "
+        "reuses the lane partitioning.",
+        skeleton(pack_documents(docs2)),
+    ))
+
+    from mms_rdf_spark.operators.materialize import write_spo_bucketed
+
+    triples0 = extract_triples(spark, turns)
+    write_spo_bucketed(triples0, "spo_plans_demo", buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tb = spark.table("spo_plans_demo")
+        a = tb.where(F.col("predicate") == "rdf:type") \
+            .select("subject", F.col("object").alias("cls"))
+        b = tb.where(F.col("predicate") == "mms-property:role") \
+            .select("subject", F.col("object").alias("role"))
+        sections.append((
+            "Bucketed SPO subject self-join (no Exchange)",
+            "Both sides pre-hashed + pre-sorted on subject at write "
+            "time; the BGP join is a per-bucket merge (auto-broadcast "
+            "disabled to show the at-scale strategy).",
+            skeleton(a.join(b, on="subject")),
+        ))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
     triples = extract_triples(spark, turns)
     mentions = triples.where(
         F.col("object").startswith("mms-artifact:Mention.ID:"))
