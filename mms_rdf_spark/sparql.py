@@ -158,5 +158,21 @@ class Traversal:
         b = self._hop("~to", "~from", label).frontier
         return Traversal(self.edges, a.union(b).distinct())
 
+    def repeat(self, hop: str = "out", times: int = 1,
+               label: str | None = None) -> "Traversal":
+        """g.V().repeat(out()).times(n) analog — a fixed-depth loop
+        unrolled at plan time into n equi-joins (no runtime recursion;
+        unbounded repeat is `plans.closure.transitive_closure`)."""
+        t = self
+        for _ in range(times):
+            t = getattr(t, "out" if hop == "out" else "in_")(label)
+        return t
+
+    def values_map(self, nodes: DataFrame) -> DataFrame:
+        """g.V().propertiesMap() analog: join the frontier against the
+        LPG nodes table (one column per literal-bearing predicate,
+        reference tmt-demo-gremlin.ipynb cell 8)."""
+        return self.frontier.join(nodes, on="~id", how="left")
+
     def to_df(self) -> DataFrame:
         return self.frontier

@@ -142,3 +142,27 @@ def test_shape_map_and_shacl_export():
     # every block ends as a complete turtle statement
     for block in s.strip().split("\n\n"):
         assert block.rstrip().endswith(".")
+
+
+def test_traversal_repeat_and_values_map(spark, triples_df):
+    """repeat(out()).times(2) == out().out(); propertiesMap joins the
+    nodes table."""
+    from mms_rdf_spark.operators.materialize import lpg_edges, lpg_nodes
+
+    edges = lpg_edges(triples_df).cache()
+    convs = [r["~from"] for r in
+             edges.where(F.col("~label") == "mms-property:turns")
+             .select("~from").distinct().limit(3).collect()]
+    two_hops = (Traversal.V(edges, convs)
+                .out("mms-property:turns").out("mms-property:role").to_df())
+    repeated = (Traversal.V(edges, convs)
+                .repeat("out", 2).to_df())  # unlabeled: superset
+    got2 = {r["~id"] for r in two_hops.collect()}
+    gotr = {r["~id"] for r in repeated.collect()}
+    assert got2 and got2 <= gotr
+    nodes = lpg_nodes(triples_df)
+    vm = (Traversal.V(edges, convs).out("mms-property:turns")
+          .values_map(nodes))
+    row = vm.where(F.col("~label").isNotNull()).first()
+    assert row is not None and row["~label"].endswith("Turn")
+    edges.unpersist()
