@@ -75,3 +75,42 @@ def test_incremental_streaming_extract(spark, tmp_path):
         spark, spark.createDataFrame(pdf),
         include_conversations=False).count()
     assert total == want_total
+
+
+def test_streaming_dedup_incremental(spark, tmp_path):
+    """Two AvailableNow drains: duplicates within a batch AND across
+    batches (inside the watermark) are suppressed; state survives via
+    the checkpoint."""
+    import pandas as pd
+
+    from mms_rdf_spark.streaming.dedup import streaming_dedup
+
+    ind = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    batch1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha", "beta", "alpha"],          # in-batch dup
+        "ts": [t0, t0, t0 + pd.Timedelta(minutes=1)],
+    })
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(ind)
+    streaming_dedup(spark, ind, out, ckpt).awaitTermination()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2
+    assert {r["content_hash"] for r in got1.collect()} == \
+        {r["h"] for r in spark.createDataFrame(batch1)
+         .selectExpr("md5(text) h").distinct().collect()}
+
+    batch2 = pd.DataFrame({
+        "doc_id": [4, 5],
+        "text": ["alpha", "gamma"],                  # cross-batch dup
+        "ts": [t0 + pd.Timedelta(minutes=2), t0 + pd.Timedelta(minutes=3)],
+    })
+    spark.createDataFrame(batch2).coalesce(1).write.mode("append") \
+        .parquet(ind)
+    streaming_dedup(spark, ind, out, ckpt).awaitTermination()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3  # only 'gamma' is new
+    assert got2.where("doc_id = 4").count() == 0
