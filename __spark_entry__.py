@@ -289,6 +289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_cosine_topk(spark, sf):
         return S.cosine_topk(_emb(spark, sf))
 
+    def sim_cosine_topk_arrow(spark, sf):
+        # the numpy-matmul mapInPandas formulation; bit-identical to
+        # sim_cosine_topk (shared oracle)
+        return S.cosine_topk_arrow(_emb(spark, sf))
+
     def sim_lsh_buckets(spark, sf):
         return S.lsh_buckets(_emb(spark, sf))
 
@@ -372,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "sim_cosine_topk": sim_cosine_topk,
+        "sim_cosine_topk_arrow": sim_cosine_topk_arrow,
         "sim_lsh_buckets": sim_lsh_buckets,
         "sim_ivf_assign": sim_ivf_assign,
         "dedup_embedding_neardup": dedup_embedding_neardup,
@@ -773,6 +779,8 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
     """
+
+    q["sim_cosine_topk_arrow"] = q["sim_cosine_topk"]
 
     q["sim_lsh_buckets"] = """
     WITH dims AS (

@@ -69,6 +69,56 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    embeddings: DataFrame, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """cosine_topk's Arrow formulation: per-batch numpy matmul inside
+    mapInPandas instead of per-element zip_with/aggregate.
+
+    The JVM higher-order-function form (`cosine_topk`) is O(dims) of
+    expression interpretation per pair; one BLAS matmul per Arrow
+    batch amortizes that to hardware FLOPs — the winning formulation
+    once dims grow past a few hundred (same trade as the extractor's
+    fused-vs-Arrow shoot-out, BASELINE.md). Queries are collected once
+    (n_queries × dims floats — driver-side by design, like the
+    hyperplane fold); the corpus streams through in batches and never
+    shuffles. Scores round to 6 dp so results are bit-identical to
+    cosine_topk and the shared SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    e = e.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    q_rows = sorted(e.where(F.col("vec_id") < n_queries).collect(),
+                    key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["emb"] for r in q_rows])          # (Q, D)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["emb"].to_numpy())           # (B, D)
+            m_unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+            s = m_unit @ q_unit.T                          # (B, Q)
+            out = pd.DataFrame({
+                "query_id": np.repeat(q_ids, len(ids)),
+                "neighbor_id": np.tile(ids, len(q_ids)),
+                "score": np.round(s.T.ravel(), 6),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = e.mapInPandas(
+        score, schema="query_id int, neighbor_id int, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
 def hyperplane_weights(spark, planes: int = 8, dims: int = 64) -> DataFrame:
     """Deterministic ±1 hyperplanes: weight(p, d) = +1 iff the first
     hex digit of md5('<p>_<d>') is 0-7. Generated as a DataFrame so the

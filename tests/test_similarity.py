@@ -68,3 +68,17 @@ def test_ivf_assign_picks_nearest_centroid(spark):
     # a centroid is its own nearest centroid with score 1
     self_row = got[got.vec_id == 40].iloc[0]
     assert self_row.centroid_id == 40 and self_row.score == 1.0
+
+
+def test_cosine_topk_arrow_matches_jvm(spark):
+    """The Arrow/numpy matmul formulation must be bit-identical to the
+    higher-order-function plan (both round to 6 dp)."""
+    from mms_rdf_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    jvm = {tuple(r) for r in cosine_topk(emb).collect()}
+    arrow = {tuple(r) for r in cosine_topk_arrow(emb).collect()}
+    assert arrow == jvm
