@@ -125,3 +125,31 @@ def test_bucketed_spo_self_join_shuffle_free(spark, triples_df):
         assert n == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_bucketed_input_makes_full_extraction_shuffle_free(spark,
+                                                           transcripts_df):
+    """When the ingest table is bucketed on conv_id (sorted by
+    conv_id, turn_idx), even the conversation-level window and the
+    conv-id distincts are satisfied by the scan layout: FULL
+    extraction plans with ZERO exchanges. At 10^12 turns this deletes
+    the pipeline's only data shuffle — declare the Iceberg table with
+    a bucket(conv_id) partition transform and extraction is pure scan
+    work end-to-end."""
+    from mms_rdf_spark.operators.extract import extract_triples
+
+    spark.sql("DROP TABLE IF EXISTS transcripts_bucketed_test")
+    import shutil
+    shutil.rmtree("spark-warehouse/transcripts_bucketed_test",
+                  ignore_errors=True)
+    (transcripts_df.write.mode("overwrite").format("parquet")
+     .bucketBy(8, "conv_id").sortBy("conv_id", "turn_idx")
+     .saveAsTable("transcripts_bucketed_test"))
+    t = spark.table("transcripts_bucketed_test")
+    plan = _plan(extract_triples(spark, t))
+    assert "Exchange" not in plan, plan
+    # and results are identical to the unbucketed path
+    a = extract_triples(spark, t)
+    b = extract_triples(spark, transcripts_df)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
