@@ -332,6 +332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.curate import curate
         return curate(_docs(spark, sf))
 
+    def text_repetition(spark, sf):
+        return TX.repetition_stats(_docs(spark, sf))
+
+    def text_splits(spark, sf):
+        from mms_rdf_spark.operators.packing import assign_splits
+        return assign_splits(_docs(spark, sf))
+
     def text_pack(spark, sf):
         from mms_rdf_spark.operators.packing import pack_documents
         return pack_documents(_docs(spark, sf))
@@ -390,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_multi": text_langid_multi,
         "text_fingerprint": text_fingerprint,
         "text_curate": text_curate,
+        "text_repetition": text_repetition,
+        "text_splits": text_splits,
         "text_pack": text_pack,
         "text_decontaminate": text_decontaminate,
         "mm_features": mm_features,
@@ -1039,6 +1048,43 @@ def oracle_sql() -> dict[str, str]:
     FROM sig s
     WHERE s.doc_id NOT IN (SELECT doc_id FROM dupes)
       AND s.score > 0.0 AND s.stop_ratio >= 0.08
+    """
+
+    q["text_repetition"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                   AS grams
+        FROM d
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / greatest(len(grams), 1), 6) AS dup_ratio,
+           round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / greatest(len(grams), 1), 6) > 0.3 AS repetitive
+    FROM g
+    """
+
+    q["text_splits"] = """
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents
+    ), b AS (
+        SELECT doc_id,
+               (((ascii(substr(m, 1, 1)) * 31 + ascii(substr(m, 2, 1)))
+                 * 31 + ascii(substr(m, 3, 1)))
+                 * 31 + ascii(substr(m, 4, 1))) % 100 AS bucket
+        FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket < 99 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
     """
 
     q["text_pack"] = f"""

@@ -26,6 +26,36 @@ from pyspark.sql import functions as F
 from mms_rdf_spark.operators.dedup import _tokens
 
 
+def assign_splits(docs: DataFrame,
+                  weights: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic train/valid/test assignment: (doc_id, split).
+
+    Hash-based, not random: split membership must be a pure function
+    of the document id so re-runs, backfills, and incremental
+    ingestion never migrate a document across splits (the classic
+    leakage bug with rand()-based splits). Bucket = a two-hex-digit
+    slice of md5(doc_id) folded to 0..99 — chosen over engine hash
+    functions so ANY ANSI engine (the DuckDB oracle included)
+    recomputes the identical assignment. Pure projection, no shuffle."""
+    weights = weights or {"train": 98, "valid": 1, "test": 1}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    h = F.md5(F.col("doc_id").cast("string"))
+    # fold four hex chars (~65k combos) so nominal percentages hold to
+    # ±0.2% even for 1% splits
+    bucket = F.lit(0)
+    for i in range(1, 5):
+        bucket = bucket * 31 + F.ascii(F.substring(h, i, 1))
+    bucket = bucket % 100
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        expr = F.when(bucket < acc, F.lit(name)) if expr is None \
+            else expr.when(bucket < acc, F.lit(name))
+    return docs.select("doc_id", expr.alias("split"))
+
+
 def pack_documents(docs: DataFrame, budget: int = 256,
                    groups: int = 8) -> DataFrame:
     """(doc_id, n_tokens, lane, shard_id, pos_in_shard).

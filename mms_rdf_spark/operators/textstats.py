@@ -116,6 +116,26 @@ def detect_language_multi(docs: DataFrame,
         pred.alias("lang_pred"))
 
 
+def repetition_stats(docs: DataFrame, n: int = 2,
+                     dup_threshold: float = 0.3) -> DataFrame:
+    """Within-document repetition signal (the Gopher/MassiveText-style
+    quality rule: documents whose n-grams repeat heavily are boiler-
+    plate/spam): (doc_id, n_grams, n_distinct, dup_ratio, repetitive).
+    dup_ratio = 1 - distinct/total word n-grams; `repetitive` flags
+    docs over `dup_threshold`. Pure column expressions, no shuffle."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.round(1 - distinct / F.greatest(total, F.lit(1)), 6)
+    return docs.select(
+        "doc_id", total.alias("n_grams"), distinct.alias("n_distinct"),
+        ratio.alias("dup_ratio"),
+        (ratio > dup_threshold).alias("repetitive"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized,
     lowercased text (rolling-hash stand-in, portable across engines).

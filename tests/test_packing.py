@@ -72,3 +72,36 @@ def test_langid_multi_classifies_languages(spark):
     got = {r["doc_id"]: r["lang_pred"]
            for r in detect_language_multi(docs).collect()}
     assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "other"}
+
+
+def test_split_assignment_stable_and_weighted(spark):
+    from mms_rdf_spark.operators.packing import assign_splits
+
+    docs = spark.range(20000).selectExpr("cast(id as int) doc_id",
+                                         "'x' as text")
+    a = assign_splits(docs).collect()
+    b = assign_splits(docs).collect()  # re-run: identical (no rand())
+    assert {(r["doc_id"], r["split"]) for r in a} == \
+        {(r["doc_id"], r["split"]) for r in b}
+    counts = {}
+    for r in a:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert abs(counts["train"] / 20000 - 0.98) < 0.01
+    assert 0.003 < counts["valid"] / 20000 < 0.02
+    assert 0.003 < counts["test"] / 20000 < 0.02
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        assign_splits(docs, {"train": 50, "valid": 10})
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from mms_rdf_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "buy now " * 30), (1, "a perfectly normal varied sentence "
+                                   "with mostly unique word pairs here")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["repetitive"] and got[0]["dup_ratio"] > 0.9
+    assert not got[1]["repetitive"]
