@@ -332,6 +332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.curate import curate
         return curate(_docs(spark, sf))
 
+    def text_curate_full(spark, sf):
+        from mms_rdf_spark.operators.curate import curate_full
+        docs = _docs(spark, sf)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        return curate_full(docs, benchmark=bench)
+
     def text_repetition(spark, sf):
         return TX.repetition_stats(_docs(spark, sf))
 
@@ -397,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_multi": text_langid_multi,
         "text_fingerprint": text_fingerprint,
         "text_curate": text_curate,
+        "text_curate_full": text_curate_full,
         "text_repetition": text_repetition,
         "text_splits": text_splits,
         "text_pack": text_pack,
@@ -1048,6 +1055,75 @@ def oracle_sql() -> dict[str, str]:
     FROM sig s
     WHERE s.doc_id NOT IN (SELECT doc_id FROM dupes)
       AND s.score > 0.0 AND s.stop_ratio >= 0.08
+    """
+
+    q["text_curate_full"] = f"""
+    WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+    c AS (SELECT ch, min(doc_id) AS canonical_id, count(*) AS n
+          FROM h GROUP BY ch),
+    dupes AS (
+        SELECT h.doc_id FROM h JOIN c USING (ch)
+        WHERE c.n > 1 AND h.doc_id <> c.canonical_id
+    ), d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(toks,
+                   x -> list_contains({_STOP_SQL}, x))) AS stop_cnt,
+               greatest(len(toks), 1) AS n,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+               len(regexp_extract_all(text, '[A-Z]')) AS upper_cnt,
+               greatest(strlen(text), 1) AS chars
+        FROM d
+    ), sig AS (
+        SELECT doc_id,
+               round(CAST(stop_cnt AS DOUBLE) / n
+                     - CAST(punct AS DOUBLE) / chars
+                     - CAST(upper_cnt AS DOUBLE) / chars, 6) AS score,
+               round(CAST(stop_cnt AS DOUBLE) / n, 6) AS stop_ratio
+        FROM m
+    ), rep AS (
+        SELECT doc_id,
+               round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                         / greatest(len(grams), 1), 6) AS dup_ratio
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                       AS grams
+            FROM d
+        )
+    ), g5 AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS gram
+        FROM d, unnest(generate_series(1, greatest(len(toks) - 5, 0) + 1))
+                    AS t(i)
+    ), contaminated AS (
+        SELECT DISTINCT g5.doc_id
+        FROM g5 JOIN (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0) b
+          USING (gram)
+    ), splits AS (
+        SELECT doc_id,
+               CASE WHEN bucket < 98 THEN 'train'
+                    WHEN bucket < 99 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   (((ascii(substr(m2, 1, 1)) * 31 + ascii(substr(m2, 2, 1)))
+                     * 31 + ascii(substr(m2, 3, 1)))
+                     * 31 + ascii(substr(m2, 4, 1))) % 100 AS bucket
+            FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m2
+                  FROM documents)
+        )
+    )
+    SELECT s.doc_id, s.score, s.stop_ratio, r.dup_ratio, sp.split
+    FROM sig s
+    JOIN rep r USING (doc_id)
+    JOIN splits sp USING (doc_id)
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM dupes)
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND s.score > 0.0 AND s.stop_ratio >= 0.08
+      AND r.dup_ratio <= 0.3
     """
 
     q["text_repetition"] = f"""

@@ -18,8 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mms_rdf_spark.operators.dedup import exact_duplicates
-from mms_rdf_spark.operators.textstats import detect_language, quality_score
+from mms_rdf_spark.operators.dedup import decontaminate, exact_duplicates
+from mms_rdf_spark.operators.packing import assign_splits
+from mms_rdf_spark.operators.textstats import (
+    detect_language,
+    quality_score,
+    repetition_stats,
+)
 
 
 def curate(docs: DataFrame, min_score: float = 0.0,
@@ -37,3 +42,33 @@ def curate(docs: DataFrame, min_score: float = 0.0,
         .where((F.col("score") > min_score) & (F.col("lang_pred") == lang))
         .select("doc_id", "score", "stop_ratio")
     )
+
+
+def curate_full(docs: DataFrame, benchmark: DataFrame | None = None,
+                min_score: float = 0.0, lang: str = "en",
+                dup_threshold: float = 0.3) -> DataFrame:
+    """The complete corpus-curation recipe, composed from the suite:
+
+        keep a document iff
+          - not an exact duplicate (canonical survivor wins),
+          - quality score clears the floor and language-ID matches,
+          - its duplicate-n-gram ratio is under the boilerplate bar,
+          - it shares no 5-gram with the benchmark corpus
+            (decontamination; skipped when `benchmark` is None),
+        then stamp its deterministic train/valid/test split.
+
+    Returns (doc_id, score, stop_ratio, dup_ratio, split). Shuffle
+    inventory at 100 TB: the dedup digest groupBy, the decontamination
+    gram groupBy (+ broadcast of benchmark grams), and the final
+    doc_id joins — every filter signal itself is single-scan column
+    math. This is the one-call entry a user points at a raw crawl."""
+    base = curate(docs, min_score=min_score, lang=lang)
+    rep = repetition_stats(docs, dup_threshold=dup_threshold) \
+        .select("doc_id", "dup_ratio", "repetitive")
+    out = (base.join(rep, on="doc_id")
+           .where(~F.col("repetitive")))
+    if benchmark is not None:
+        contaminated = decontaminate(docs, benchmark).select("doc_id")
+        out = out.join(contaminated, on="doc_id", how="left_anti")
+    return (out.join(assign_splits(docs), on="doc_id")
+            .select("doc_id", "score", "stop_ratio", "dup_ratio", "split"))
