@@ -41,6 +41,47 @@ BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 _STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 
+# shared oracle fragments (each referenced by a standalone query AND by
+# text_curate_full, so the two can never drift apart)
+_SPLITS_CTE = """
+        SELECT doc_id,
+               CASE WHEN bucket < 98 THEN 'train'
+                    WHEN bucket < 99 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   (((ascii(substr(m_, 1, 1)) * 31 + ascii(substr(m_, 2, 1)))
+                     * 31 + ascii(substr(m_, 3, 1)))
+                     * 31 + ascii(substr(m_, 4, 1))) % 100 AS bucket
+            FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m_
+                  FROM documents)
+        )
+"""
+
+_REP_CTE = """
+        SELECT doc_id,
+               len(grams) AS n_grams,
+               len(list_distinct(grams)) AS n_distinct,
+               round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                         / greatest(len(grams), 1), 6) AS dup_ratio
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                       AS grams
+            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        )
+""".format(toks=_TOKS_SQL)
+
+_G5_CTE = """
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS gram
+        FROM (SELECT doc_id, {toks} AS toks FROM documents) d,
+             unnest(generate_series(1, greatest(len(toks) - 5, 0) + 1))
+                 AS t(i)
+""".format(toks=_TOKS_SQL)
+
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1081,40 +1122,13 @@ def oracle_sql() -> dict[str, str]:
                      - CAST(upper_cnt AS DOUBLE) / chars, 6) AS score,
                round(CAST(stop_cnt AS DOUBLE) / n, 6) AS stop_ratio
         FROM m
-    ), rep AS (
-        SELECT doc_id,
-               round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
-                         / greatest(len(grams), 1), 6) AS dup_ratio
-        FROM (
-            SELECT doc_id,
-                   list_transform(
-                       generate_series(1, greatest(len(toks) - 2, 0) + 1),
-                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))
-                       AS grams
-            FROM d
-        )
-    ), g5 AS (
-        SELECT DISTINCT doc_id,
-               md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS gram
-        FROM d, unnest(generate_series(1, greatest(len(toks) - 5, 0) + 1))
-                    AS t(i)
+    ), rep AS ({_REP_CTE}
+    ), g5 AS ({_G5_CTE}
     ), contaminated AS (
         SELECT DISTINCT g5.doc_id
         FROM g5 JOIN (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0) b
           USING (gram)
-    ), splits AS (
-        SELECT doc_id,
-               CASE WHEN bucket < 98 THEN 'train'
-                    WHEN bucket < 99 THEN 'valid'
-                    ELSE 'test' END AS split
-        FROM (
-            SELECT doc_id,
-                   (((ascii(substr(m2, 1, 1)) * 31 + ascii(substr(m2, 2, 1)))
-                     * 31 + ascii(substr(m2, 3, 1)))
-                     * 31 + ascii(substr(m2, 4, 1))) % 100 AS bucket
-            FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m2
-                  FROM documents)
-        )
+    ), splits AS ({_SPLITS_CTE}
     )
     SELECT s.doc_id, s.score, s.stop_ratio, r.dup_ratio, sp.split
     FROM sig s
@@ -1127,40 +1141,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["text_repetition"] = f"""
-    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    g AS (
-        SELECT doc_id,
-               list_transform(
-                   generate_series(1, greatest(len(toks) - 2, 0) + 1),
-                   i -> array_to_string(list_slice(toks, i, i + 1), ' '))
-                   AS grams
-        FROM d
-    )
-    SELECT doc_id,
-           len(grams) AS n_grams,
-           len(list_distinct(grams)) AS n_distinct,
-           round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
-                     / greatest(len(grams), 1), 6) AS dup_ratio,
-           round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
-                     / greatest(len(grams), 1), 6) > 0.3 AS repetitive
-    FROM g
+    SELECT doc_id, n_grams, n_distinct, dup_ratio,
+           dup_ratio > 0.3 AS repetitive
+    FROM ({_REP_CTE})
     """
 
-    q["text_splits"] = """
-    WITH h AS (
-        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents
-    ), b AS (
-        SELECT doc_id,
-               (((ascii(substr(m, 1, 1)) * 31 + ascii(substr(m, 2, 1)))
-                 * 31 + ascii(substr(m, 3, 1)))
-                 * 31 + ascii(substr(m, 4, 1))) % 100 AS bucket
-        FROM h
-    )
-    SELECT doc_id,
-           CASE WHEN bucket < 98 THEN 'train'
-                WHEN bucket < 99 THEN 'valid'
-                ELSE 'test' END AS split
-    FROM b
+    q["text_splits"] = f"""
+    SELECT doc_id, split FROM ({_SPLITS_CTE})
     """
 
     q["text_pack"] = f"""
@@ -1184,14 +1171,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["text_decontaminate"] = f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    g AS (
-        SELECT DISTINCT doc_id,
-               md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS gram
-        FROM toks,
-             unnest(generate_series(1, greatest(len(toks) - 5, 0) + 1))
-                 AS t(i)
-    ), b AS (
+    WITH g AS ({_G5_CTE}), b AS (
         SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
     )
     SELECT g.doc_id, count(*) AS n_hits

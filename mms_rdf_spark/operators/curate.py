@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mms_rdf_spark.operators.dedup import decontaminate, exact_duplicates
-from mms_rdf_spark.operators.packing import assign_splits
+from mms_rdf_spark.operators.packing import split_expr
 from mms_rdf_spark.operators.textstats import (
     detect_language,
     quality_score,
@@ -70,5 +70,7 @@ def curate_full(docs: DataFrame, benchmark: DataFrame | None = None,
     if benchmark is not None:
         contaminated = decontaminate(docs, benchmark).select("doc_id")
         out = out.join(contaminated, on="doc_id", how="left_anti")
-    return (out.join(assign_splits(docs), on="doc_id")
-            .select("doc_id", "score", "stop_ratio", "dup_ratio", "split"))
+    # split is a pure function of doc_id — stamped as a projection,
+    # never a join (it would be one more whole-corpus shuffle)
+    return out.select("doc_id", "score", "stop_ratio", "dup_ratio",
+                      split_expr().alias("split"))

@@ -31,6 +31,18 @@ def _tokens(col) -> Column:
     return F.filter(F.split(col, TOKEN_SPLIT), lambda t: t != "")
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram array over a token array (docs shorter than n yield
+    one truncated gram — the shared edge-case semantics every consumer
+    and its SQL oracle mirror). One definition for ngram_jaccard_pairs,
+    decontaminate, and textstats.repetition_stats, so the gram window
+    can never drift between operators."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """(doc_id, canonical_id, content_hash) for every doc that is an
     exact duplicate of an earlier doc (same md5(text); canonical = min
@@ -191,12 +203,9 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         toks = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
         return toks.select(
             "doc_id",
-            F.explode(F.array_distinct(F.transform(
-                F.sequence(F.lit(0),
-                           F.greatest(F.size("toks") - n, F.lit(0))),
-                lambda i: F.md5(F.concat_ws(
-                    " ", F.slice(F.col("toks"), i + 1, n)))
-            ))).alias("gram"))
+            F.explode(F.array_distinct(
+                F.transform(word_ngrams(F.col("toks"), n), F.md5)
+            )).alias("gram"))
 
     bench_grams = grams(benchmark).select("gram").distinct()
     return (grams(docs)
@@ -242,12 +251,7 @@ def ngram_jaccard_pairs(
     toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
     grams = toks.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
-            )
-        ).alias("grams"),
+        F.array_distinct(word_ngrams(F.col("toks"), n)).alias("grams"),
     ).select("doc_id", F.explode("grams").alias("gram"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = grams.alias("a").join(sizes.withColumnsRenamed(

@@ -26,23 +26,23 @@ from pyspark.sql import functions as F
 from mms_rdf_spark.operators.dedup import _tokens
 
 
-def assign_splits(docs: DataFrame,
-                  weights: dict[str, int] | None = None) -> DataFrame:
-    """Deterministic train/valid/test assignment: (doc_id, split).
+def split_expr(weights: dict[str, int] | None = None,
+               id_col: str = "doc_id"):
+    """The split-assignment Column: a pure function of the id column
+    (compose it into any projection — no join needed to stamp splits).
 
     Hash-based, not random: split membership must be a pure function
     of the document id so re-runs, backfills, and incremental
     ingestion never migrate a document across splits (the classic
-    leakage bug with rand()-based splits). Bucket = a two-hex-digit
-    slice of md5(doc_id) folded to 0..99 — chosen over engine hash
-    functions so ANY ANSI engine (the DuckDB oracle included)
-    recomputes the identical assignment. Pure projection, no shuffle."""
+    leakage bug with rand()-based splits). Bucket = four hex chars of
+    md5(id) folded to 0..99 (~65k combos, so nominal percentages hold
+    to ±0.2% even for 1% splits) — chosen over engine hash functions
+    so ANY ANSI engine (the DuckDB oracle included) recomputes the
+    identical assignment."""
     weights = weights or {"train": 98, "valid": 1, "test": 1}
     if sum(weights.values()) != 100:
         raise ValueError("split weights must sum to 100")
-    h = F.md5(F.col("doc_id").cast("string"))
-    # fold four hex chars (~65k combos) so nominal percentages hold to
-    # ±0.2% even for 1% splits
+    h = F.md5(F.col(id_col).cast("string"))
     bucket = F.lit(0)
     for i in range(1, 5):
         bucket = bucket * 31 + F.ascii(F.substring(h, i, 1))
@@ -53,7 +53,14 @@ def assign_splits(docs: DataFrame,
         acc += w
         expr = F.when(bucket < acc, F.lit(name)) if expr is None \
             else expr.when(bucket < acc, F.lit(name))
-    return docs.select("doc_id", expr.alias("split"))
+    return expr
+
+
+def assign_splits(docs: DataFrame,
+                  weights: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic train/valid/test assignment: (doc_id, split).
+    See `split_expr` — this is its one-column projection form."""
+    return docs.select("doc_id", split_expr(weights).alias("split"))
 
 
 def pack_documents(docs: DataFrame, budget: int = 256,

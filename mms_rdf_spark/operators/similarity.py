@@ -81,9 +81,14 @@ def cosine_topk_arrow(
     once dims grow past a few hundred (same trade as the extractor's
     fused-vs-Arrow shoot-out, BASELINE.md). Queries are collected once
     (n_queries × dims floats — driver-side by design, like the
-    hyperplane fold); the corpus streams through in batches and never
-    shuffles. Scores round to 6 dp so results are bit-identical to
-    cosine_topk and the shared SQL oracle."""
+    hyperplane fold). Shuffle inventory: the scoring itself is
+    join-free over the streamed corpus; the exchanges are the input
+    repartition (spreading a single-split file) and the per-query
+    top-k window over the Q×B scored rows — identical to cosine_topk's.
+    Raw scores come back from numpy and are rounded by F.round in
+    Spark (np.round is half-to-even on a binary scale — NOT the
+    HALF_UP decimal rounding F.round/DuckDB use; rounding engine-side
+    keeps results bit-identical to cosine_topk and the SQL oracle)."""
     import numpy as np
     import pandas as pd
 
@@ -91,7 +96,12 @@ def cosine_topk_arrow(
     e = e.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     q_rows = sorted(e.where(F.col("vec_id") < n_queries).collect(),
                     key=lambda r: r["vec_id"])
-    q_ids = np.array([r["vec_id"] for r in q_rows])
+    out_schema = "query_id long, neighbor_id long, score double"
+    if not q_rows:  # no queries -> empty result, like cosine_topk
+        empty = embeddings.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(0)).select(
+            "query_id", "rank", "neighbor_id", "score").limit(0)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["emb"] for r in q_rows])          # (Q, D)
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
@@ -99,19 +109,19 @@ def cosine_topk_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["vec_id"].to_numpy()
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             m = np.stack(pdf["emb"].to_numpy())           # (B, D)
             m_unit = m / np.linalg.norm(m, axis=1, keepdims=True)
             s = m_unit @ q_unit.T                          # (B, Q)
             out = pd.DataFrame({
                 "query_id": np.repeat(q_ids, len(ids)),
                 "neighbor_id": np.tile(ids, len(q_ids)),
-                "score": np.round(s.T.ravel(), 6),
+                "score": s.T.ravel(),
             })
             yield out[out.query_id != out.neighbor_id]
 
-    scored = e.mapInPandas(
-        score, schema="query_id int, neighbor_id int, score double")
+    scored = e.mapInPandas(score, schema=out_schema) \
+        .withColumn("score", F.round("score", 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -123,10 +123,10 @@ def repetition_stats(docs: DataFrame, n: int = 2,
     plate/spam): (doc_id, n_grams, n_distinct, dup_ratio, repetitive).
     dup_ratio = 1 - distinct/total word n-grams; `repetitive` flags
     docs over `dup_threshold`. Pure column expressions, no shuffle."""
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    from mms_rdf_spark.operators.dedup import _tokens, word_ngrams
+
+    toks = _tokens(F.col("text"))
+    grams = word_ngrams(toks, n)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     ratio = F.round(1 - distinct / F.greatest(total, F.lit(1)), 6)

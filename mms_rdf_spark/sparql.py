@@ -163,9 +163,13 @@ class Traversal:
         """g.V().repeat(out()).times(n) analog — a fixed-depth loop
         unrolled at plan time into n equi-joins (no runtime recursion;
         unbounded repeat is `plans.closure.transitive_closure`)."""
+        steps = {"out": Traversal.out, "in": Traversal.in_,
+                 "in_": Traversal.in_, "both": Traversal.both}
+        if hop not in steps:
+            raise ValueError(f"hop must be one of {sorted(steps)}: {hop!r}")
         t = self
         for _ in range(times):
-            t = getattr(t, "out" if hop == "out" else "in_")(label)
+            t = steps[hop](t, label)
         return t
 
     def values_map(self, nodes: DataFrame) -> DataFrame:

@@ -72,13 +72,21 @@ def test_ivf_assign_picks_nearest_centroid(spark):
 
 def test_cosine_topk_arrow_matches_jvm(spark):
     """The Arrow/numpy matmul formulation must be bit-identical to the
-    higher-order-function plan (both round to 6 dp)."""
-    from mms_rdf_spark.operators.similarity import (
-        cosine_topk,
-        cosine_topk_arrow,
-    )
+    higher-order-function plan (raw scores, F.round on both sides)."""
+    from mms_rdf_spark.operators.similarity import cosine_topk_arrow
 
-    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb = _emb_df(spark, n=200, dims=32)
     jvm = {tuple(r) for r in cosine_topk(emb).collect()}
     arrow = {tuple(r) for r in cosine_topk_arrow(emb).collect()}
     assert arrow == jvm
+
+
+def test_cosine_topk_arrow_empty_queries(spark):
+    """No query rows (id space starts past n_queries) -> empty result,
+    like cosine_topk, never a numpy axis error."""
+    from mms_rdf_spark.operators.similarity import cosine_topk_arrow
+
+    emb = _emb_df(spark, n=20).withColumn(
+        "vec_id", F.col("vec_id") + 1000)
+    assert cosine_topk_arrow(emb).count() == 0
+    assert cosine_topk(emb).count() == 0

@@ -147,8 +147,8 @@ def main() -> None:
 
     from mms_rdf_spark.operators.materialize import write_spo_bucketed
 
-    triples0 = extract_triples(spark, turns)
-    write_spo_bucketed(triples0, "spo_plans_demo", buckets=8)
+    triples = extract_triples(spark, turns)
+    write_spo_bucketed(triples, "spo_plans_demo", buckets=8)
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -167,7 +167,6 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
-    triples = extract_triples(spark, turns)
     mentions = triples.where(
         F.col("object").startswith("mms-artifact:Mention.ID:"))
     surfaces = distinct_surfaces(mentions)
