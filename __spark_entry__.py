@@ -366,6 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_langid_multi(spark, sf):
         return TX.detect_language_multi(_docs(spark, sf))
 
+    def text_redact(spark, sf):
+        return TX.redact_pii(_docs(spark, sf))
+
     def text_fingerprint(spark, sf):
         return TX.fingerprint(_docs(spark, sf))
 
@@ -442,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_langid_multi": text_langid_multi,
+        "text_redact": text_redact,
         "text_fingerprint": text_fingerprint,
         "text_curate": text_curate,
         "text_curate_full": text_curate_full,
@@ -1059,6 +1063,20 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, {', '.join(f'ratio_{lang}' for lang in _langs)},
            CASE {' '.join(_pred_cases)} ELSE 'other' END AS lang_pred
     FROM m
+    """
+
+    # PII redaction oracle generated from the SAME pattern table the
+    # Spark operator uses — one definition, two engines
+    from mms_rdf_spark.operators.textstats import PII_PATTERNS
+    _red = "text"
+    _cnt = "0"
+    for _pname, _pat, _tok in PII_PATTERNS:
+        _cnt = f"{_cnt} + len(regexp_extract_all({_red}, '{_pat}'))"
+        _red = f"regexp_replace({_red}, '{_pat}', '{_tok}', 'g')"
+    q["text_redact"] = f"""
+    SELECT doc_id, {_red} AS redacted,
+           CAST({_cnt} AS INT) AS n_redactions
+    FROM documents
     """
 
     q["text_fingerprint"] = r"""

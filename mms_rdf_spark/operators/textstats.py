@@ -136,6 +136,36 @@ def repetition_stats(docs: DataFrame, n: int = 2,
         (ratio > dup_threshold).alias("repetitive"))
 
 
+# PII patterns shared verbatim with the SQL oracle (anchoredness and
+# char classes behave identically in JVM regex and DuckDB RE2; the
+# email/url patterns reuse the mention-detection definitions,
+# functions/iri.py, so detect and redact can never disagree)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._-]+@[A-Za-z0-9-]+\.[a-z]{2,6}", "[EMAIL]"),
+    ("url", r"https?://[A-Za-z0-9./_-]+", "[URL]"),
+    ("phone", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+     "[PHONE]"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+]
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, redacted, n_redactions): PII spans replaced by typed
+    placeholders — emails, URLs, phone numbers, SSN-shaped ids. The
+    standard pre-training scrub; order matters (URL before bare-word
+    passes would, e.g., leave mailto fragments) and is fixed by
+    PII_PATTERNS. Pure single-scan column expressions; n_redactions
+    counts replaced spans so the scrub rate is monitorable."""
+    redacted = F.col("text")
+    n = F.lit(0)
+    for _name, pattern, token in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(redacted, F.lit(pattern),
+                                            F.lit(0)))
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return docs.select("doc_id", redacted.alias("redacted"),
+                       n.cast("int").alias("n_redactions"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized,
     lowercased text (rolling-hash stand-in, portable across engines).

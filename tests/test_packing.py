@@ -105,3 +105,21 @@ def test_repetition_stats_flags_boilerplate(spark):
     got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
     assert got[0]["repetitive"] and got[0]["dup_ratio"] > 0.9
     assert not got[1]["repetitive"]
+
+
+def test_redact_pii(spark):
+    from mms_rdf_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame([
+        (0, "contact jane.doe@example.com or visit https://ex.org/a_b"),
+        (1, "call +1-555-123-4567 about ssn 123-45-6789 today"),
+        (2, "nothing sensitive here"),
+    ], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[0]["redacted"] == "contact [EMAIL] or visit [URL]"
+    assert got[0]["n_redactions"] == 2
+    assert "[PHONE]" in got[1]["redacted"] and "[SSN]" in got[1]["redacted"]
+    assert "4567" not in got[1]["redacted"]
+    assert "6789" not in got[1]["redacted"]
+    assert got[2]["redacted"] == "nothing sensitive here"
+    assert got[2]["n_redactions"] == 0
