@@ -284,6 +284,27 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         "scale")
 
 
+def embedding_bucket_stats(embeddings: DataFrame, planes: int = 8,
+                           max_bucket: int = 4096) -> DataFrame:
+    """Oversized-hyperplane-bucket report: (bucket, width, n_salts,
+    est_dropped_pairs) — the audit to run before picking
+    embedding_near_duplicates' cap (dedup.lsh_bucket_stats' embedding
+    twin; unlike multi-band text LSH a vector has one bucket, so
+    dropped cross-salt pairs here have no second band to recover
+    them — this report is how that loss stays a DECISION, not a
+    surprise)."""
+    sizes = (lsh_buckets(embeddings, planes)
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("width"))
+             .where(F.col("width") > max_bucket))
+    n_salts = F.ceil(F.col("width") / max_bucket).cast("long")
+    total_pairs = (F.col("width") * (F.col("width") - 1) / 2).cast("long")
+    per_salt = F.floor(F.col("width") / n_salts)
+    within = (n_salts * per_salt * (per_salt - 1) / 2).cast("long")
+    return sizes.select(
+        "bucket", "width", n_salts.alias("n_salts"),
+        (total_pairs - within).alias("est_dropped_pairs"))
+
+
 def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
              every_k: int = 100) -> DataFrame:
     """IVF probe: exact top-k restricted to the query's coarse cell.

@@ -90,3 +90,16 @@ def test_cosine_topk_arrow_empty_queries(spark):
         "vec_id", F.col("vec_id") + 1000)
     assert cosine_topk_arrow(emb).count() == 0
     assert cosine_topk(emb).count() == 0
+
+
+def test_embedding_bucket_stats(spark):
+    from mms_rdf_spark.operators.similarity import embedding_bucket_stats
+
+    vec = [float(i % 5) + 1.0 for i in range(16)]
+    emb = spark.range(40).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.lit(v) for v in vec]).alias("embedding"))
+    stats = embedding_bucket_stats(emb, planes=2, max_bucket=10).collect()
+    assert stats and stats[0]["width"] == 40
+    assert stats[0]["n_salts"] == 4
+    assert 0 < stats[0]["est_dropped_pairs"] < 40 * 39 // 2
