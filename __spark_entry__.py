@@ -344,6 +344,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_embedding_neardup(spark, sf):
         return S.embedding_near_duplicates(_emb(spark, sf), threshold=0.25)
 
+    def dedup_embedding_neardup_mb(spark, sf):
+        # multi-band: 2 independent hyperplane bucket sets, capped
+        # in-bucket pair join, exact rescoring (recoverable recall)
+        return S.embedding_near_duplicates_mb(_emb(spark, sf),
+                                              threshold=0.25, bands=2)
+
     def sim_topk_lsh(spark, sf):
         return S.topk_lsh(_emb(spark, sf))
 
@@ -438,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": sim_lsh_buckets,
         "sim_ivf_assign": sim_ivf_assign,
         "dedup_embedding_neardup": dedup_embedding_neardup,
+        "dedup_embedding_neardup_mb": dedup_embedding_neardup_mb,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_quantize": sim_quantize,
@@ -902,6 +909,48 @@ def oracle_sql() -> dict[str, str]:
     FROM e l JOIN e r
       ON l.bucket = r.bucket AND l.vec_id < r.vec_id
     WHERE round(list_cosine_similarity(l.emb, r.emb), 6) >= 0.25
+    """
+
+    q["dedup_embedding_neardup_mb"] = """
+    WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), planes AS (
+        SELECT b.i AS band, p.i AS plane, d.i AS dim,
+               CASE WHEN substr(md5(
+                        CASE WHEN b.i = 0 THEN ''
+                             ELSE CAST(b.i AS VARCHAR) || '|' END
+                        || CAST(p.i AS VARCHAR) || '_'
+                        || CAST(d.i AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 1.0 ELSE -1.0 END AS w
+        FROM (SELECT unnest(generate_series(0, 1)) AS i) b,
+             (SELECT unnest(generate_series(0, 7)) AS i) p,
+             (SELECT unnest(generate_series(0, 63)) AS i) d
+    ), dots AS (
+        SELECT dims.vec_id, planes.band, planes.plane,
+               sum(dims.v * planes.w) AS dot
+        FROM dims JOIN planes USING (dim)
+        GROUP BY dims.vec_id, planes.band, planes.plane
+    ), buckets AS (
+        SELECT vec_id, band,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY plane) AS key
+        FROM dots GROUP BY vec_id, band
+    ), pairs AS (
+        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+        FROM buckets l JOIN buckets r
+          ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+    ), e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT p.a_id, p.b_id,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS score
+    FROM pairs p
+    JOIN e a ON a.vec_id = p.a_id
+    JOIN e b ON b.vec_id = p.b_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.25
     """
 
     q["sim_topk_lsh"] = f"""

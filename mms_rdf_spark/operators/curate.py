@@ -7,39 +7,59 @@ training-data pass that the individual operators exist to serve:
       - its heuristic quality score clears a floor,
       - language-ID says English.
 
-One narrow scan + one dedup groupBy; the quality/langid signals are
-pure column math fused into the same stage. This is the shape a 100 TB
-curation pass takes: the dedup hash groupBy is the only shuffle, and
-its key is a 32-char digest (uniform, unskewable by construction).
+Plan shape (the 100 TB contract, pinned in tests/test_plans.py):
+every signal — quality score, language-ID, repetition, split — is a
+pure column expression stamped in ONE projection of one scan
+(textstats *_expr builders), and exact dedup is a row_number window
+over md5(text), so `curate` runs with exactly ONE exchange (the
+window's hash partitioning on a uniform 32-char digest — unskewable by
+construction). `curate_full` adds only the decontamination branch:
+gram-digest broadcast join + per-doc groupBy, then one anti-join of
+the (small) contaminated id set. No per-signal doc_id re-joins
+anywhere — the round-2 formulation computed each signal as a separate
+projection and joined them back, 3-4 whole-corpus shuffles this
+version deletes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mms_rdf_spark.operators.dedup import decontaminate, exact_duplicates
+from mms_rdf_spark.operators.dedup import decontaminate
 from mms_rdf_spark.operators.packing import split_expr
 from mms_rdf_spark.operators.textstats import (
-    detect_language,
-    quality_score,
-    repetition_stats,
+    dup_ratio_expr,
+    lang_pred_expr,
+    quality_score_expr,
+    stop_ratio_expr,
 )
+
+
+def _dedup_window():
+    """Exact-dedup survivor rule shared by curate / curate_full: first
+    doc_id per content digest wins — identical semantics to
+    dedup.exact_duplicates (min doc_id canonical) but expressed as ONE
+    window over the digest instead of groupBy + join-back (one
+    exchange, not two, and no join of the whole id space)."""
+    return Window.partitionBy("_ch").orderBy("doc_id")
 
 
 def curate(docs: DataFrame, min_score: float = 0.0,
            lang: str = "en") -> DataFrame:
     """(doc_id, score, stop_ratio) for documents surviving curation,
-    deterministic under any partitioning."""
-    dupes = exact_duplicates(docs).select("doc_id")
-    q = quality_score(docs).select("doc_id", "score")
-    lid = detect_language(docs).select("doc_id", "stop_ratio", "lang_pred")
+    deterministic under any partitioning. One scan, one exchange."""
+    sig = docs.select(
+        "doc_id",
+        F.md5("text").alias("_ch"),
+        quality_score_expr().alias("score"),
+        stop_ratio_expr().alias("stop_ratio"),
+        lang_pred_expr().alias("lang_pred"),
+    )
     return (
-        docs.select("doc_id")
-        .join(dupes, on="doc_id", how="left_anti")
-        .join(q, on="doc_id")
-        .join(lid, on="doc_id")
-        .where((F.col("score") > min_score) & (F.col("lang_pred") == lang))
+        sig.withColumn("_rn", F.row_number().over(_dedup_window()))
+        .where((F.col("_rn") == 1) & (F.col("score") > min_score)
+               & (F.col("lang_pred") == lang))
         .select("doc_id", "score", "stop_ratio")
     )
 
@@ -58,19 +78,30 @@ def curate_full(docs: DataFrame, benchmark: DataFrame | None = None,
         then stamp its deterministic train/valid/test split.
 
     Returns (doc_id, score, stop_ratio, dup_ratio, split). Shuffle
-    inventory at 100 TB: the dedup digest groupBy, the decontamination
-    gram groupBy (+ broadcast of benchmark grams), and the final
-    doc_id joins — every filter signal itself is single-scan column
-    math. This is the one-call entry a user points at a raw crawl."""
-    base = curate(docs, min_score=min_score, lang=lang)
-    rep = repetition_stats(docs, dup_threshold=dup_threshold) \
-        .select("doc_id", "dup_ratio", "repetitive")
-    out = (base.join(rep, on="doc_id")
-           .where(~F.col("repetitive")))
+    inventory at 100 TB: ONE dedup-window exchange on the content
+    digest, plus — only when a benchmark is given — the decontamination
+    gram groupBy (+ broadcast of benchmark grams) and one anti-join of
+    the contaminated id set. Every filter signal and the split stamp
+    are column math fused into the scan projection. This is the
+    one-call entry a user points at a raw crawl."""
+    sig = docs.select(
+        "doc_id",
+        F.md5("text").alias("_ch"),
+        quality_score_expr().alias("score"),
+        stop_ratio_expr().alias("stop_ratio"),
+        lang_pred_expr().alias("lang_pred"),
+        dup_ratio_expr().alias("dup_ratio"),
+        # split is a pure function of doc_id — stamped in the same
+        # projection, never a join
+        split_expr().alias("split"),
+    )
+    out = (
+        sig.withColumn("_rn", F.row_number().over(_dedup_window()))
+        .where((F.col("_rn") == 1) & (F.col("score") > min_score)
+               & (F.col("lang_pred") == lang)
+               & (F.col("dup_ratio") <= dup_threshold))
+    )
     if benchmark is not None:
         contaminated = decontaminate(docs, benchmark).select("doc_id")
         out = out.join(contaminated, on="doc_id", how="left_anti")
-    # split is a pure function of doc_id — stamped as a projection,
-    # never a join (it would be one more whole-corpus shuffle)
-    return out.select("doc_id", "score", "stop_ratio", "dup_ratio",
-                      split_expr().alias("split"))
+    return out.select("doc_id", "score", "stop_ratio", "dup_ratio", "split")

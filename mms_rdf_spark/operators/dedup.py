@@ -115,11 +115,19 @@ def capped_bucket_pairs(
     band bucket; uncapped that is 10^12 pairs in one task).
 
     Trade (documented, same as link.py sub-blocking): pairs crossing
-    salt groups inside an OVERSIZED bucket are dropped. Docs that share
-    one band usually share others, so multi-band LSH recovers most of
-    them; `lsh_bucket_stats` reports exactly which buckets were salted
-    and the pair volume forgone so the drop is observable, never silent.
-    max_bucket=None disables capping (the exact small-scale plan).
+    salt groups inside an OVERSIZED bucket are dropped — but the salt
+    is crc32('<band>|<id>'), i.e. BAND-DEPENDENT, so a pair split
+    apart in one band's salting gets an independent 1/n_salts chance
+    of co-residing in every other band's. (With a band-independent
+    salt the degenerate corpus — identical docs, every band one hot
+    bucket — would partition identically in all bands and cross-salt
+    recall would be 0; band-dependent salting is what makes
+    "multi-band recovers the split pairs" a mechanism instead of a
+    hope. Recall after capping ≈ 1 - (1 - 1/n_salts)^bands per lost
+    pair.) `lsh_bucket_stats` reports exactly which buckets were
+    salted and the pair volume forgone so the drop is observable,
+    never silent. max_bucket=None disables capping (the exact
+    small-scale plan).
     """
     if max_bucket is not None:
         # broadcast ONLY the oversized buckets: on a healthy corpus the
@@ -134,7 +142,8 @@ def capped_bucket_pairs(
             .withColumn(
                 "_salt",
                 F.when(F.col("_bn").isNotNull(),
-                       F.crc32(F.col(id_col).cast("string"))
+                       F.crc32(F.concat_ws("|", F.col("band"),
+                                           F.col(id_col).cast("string")))
                        % F.ceil(F.col("_bn") / max_bucket).cast("long"))
                 .otherwise(F.lit(0)))
     else:

@@ -8,7 +8,7 @@ belong in the scan stage of a curation pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # small English stopword list (fixed: part of the operator contract)
@@ -16,6 +16,64 @@ STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+# ---- column-expression builders -------------------------------------
+# Each signal is exposed as a pure Column over `text` so COMPOSITE
+# recipes (operators/curate.py) can stamp every signal in ONE
+# projection of one scan instead of re-joining per-signal DataFrames on
+# doc_id. The DataFrame operators below are thin projections of these —
+# one definition per signal, so the fused and standalone forms (and
+# their SQL oracles) can never drift.
+
+def _text_col(text) -> Column:
+    return F.col("text") if text is None else text
+
+
+def _toks(text) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def stop_ratio_expr(text=None) -> Column:
+    """round(stopword-token ratio, 6) — the shared fluency signal."""
+    text = _text_col(text)
+    toks = _toks(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n, 6)
+
+
+def quality_score_expr(text=None) -> Column:
+    """round(stopword_ratio - punct_ratio - upper_ratio, 6)."""
+    text = _text_col(text)
+    toks = _toks(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    upper = F.regexp_count(text, F.lit(r"[A-Z]"))
+    chars = F.greatest(F.length(text), F.lit(1))
+    return F.round(stop_cnt / n - punct / chars - upper / chars, 6)
+
+
+def lang_pred_expr(text=None, threshold: float = 0.08) -> Column:
+    """'en' iff the ROUNDED stopword ratio clears `threshold` (the
+    comparison is on the rounded value so fused/standalone/SQL agree)."""
+    ratio = stop_ratio_expr(text)
+    return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
+
+
+def dup_ratio_expr(text=None, n: int = 2) -> Column:
+    """round(1 - distinct/total word n-grams, 6) — the Gopher-style
+    within-document repetition signal."""
+    from mms_rdf_spark.operators.dedup import _tokens, word_ngrams
+
+    text = _text_col(text)
+    grams = word_ngrams(_tokens(text), n)
+    return F.round(
+        1 - F.size(F.array_distinct(grams)) / F.greatest(F.size(grams),
+                                                         F.lit(1)), 6)
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -36,19 +94,15 @@ def quality_score(docs: DataFrame) -> DataFrame:
     stopword_ratio (fluency proxy), punct_ratio (noise proxy),
     upper_ratio (shouting proxy). score = stopword_ratio
     - punct_ratio - upper_ratio, rounded; deterministic arithmetic."""
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    n = F.greatest(F.size(toks), F.lit(1))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
     upper = F.regexp_count("text", F.lit(r"[A-Z]"))
     chars = F.greatest(F.length("text"), F.lit(1))
     return docs.select(
         "doc_id",
-        F.round(stop_cnt / n, 6).alias("stopword_ratio"),
+        stop_ratio_expr().alias("stopword_ratio"),
         F.round(punct / chars, 6).alias("punct_ratio"),
         F.round(upper / chars, 6).alias("upper_ratio"),
-        F.round(stop_cnt / n - punct / chars - upper / chars, 6).alias("score"),
+        quality_score_expr().alias("score"),
     )
 
 
@@ -56,15 +110,9 @@ def detect_language(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
     """N-gram-free language-ID heuristic: English-stopword token ratio;
     >= threshold => 'en' else 'other'. (doc_id, stop_ratio, lang_pred).
     A real model slots in behind the same signature as a pandas UDF."""
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    n = F.greatest(F.size(toks), F.lit(1))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    ratio = F.round(
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n, 6)
     return docs.select(
-        "doc_id", ratio.alias("stop_ratio"),
-        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
-        .alias("lang_pred"),
+        "doc_id", stop_ratio_expr().alias("stop_ratio"),
+        lang_pred_expr(threshold=threshold).alias("lang_pred"),
     )
 
 
@@ -129,7 +177,7 @@ def repetition_stats(docs: DataFrame, n: int = 2,
     grams = word_ngrams(toks, n)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
-    ratio = F.round(1 - distinct / F.greatest(total, F.lit(1)), 6)
+    ratio = dup_ratio_expr(n=n)
     return docs.select(
         "doc_id", total.alias("n_grams"), distinct.alias("n_distinct"),
         ratio.alias("dup_ratio"),

@@ -127,6 +127,70 @@ def test_bucketed_spo_self_join_shuffle_free(spark, triples_df):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
+def _curate_docs(spark):
+    """50 docs with duplicates + varied stopword density."""
+    return spark.range(50).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0,
+               F.lit("the cat sat on the mat and it is a story to read"))
+        .when(F.col("id") % 5 == 1, F.lit("ZZZZ!!! $$$ ???"))
+        .otherwise(F.concat(F.lit("word word the of to in doc "),
+                            F.col("id").cast("string"))).alias("text"))
+
+
+def test_curate_is_single_exchange(spark):
+    """The advertised one-call curation recipe must be ONE scan with
+    every signal fused into the projection: the only exchange allowed
+    is the dedup window's hash partitioning on the content digest.
+    (Round 2 computed each signal as its own projection and joined
+    them back on doc_id — 3-4 whole-corpus shuffles this pins away.)"""
+    from mms_rdf_spark.operators.curate import curate, curate_full
+
+    docs = _curate_docs(spark)
+    plan = _plan(curate(docs))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, "curate must not join signal branches"
+    # full recipe without a benchmark: still the one dedup exchange
+    plan_full = _plan(curate_full(docs))
+    assert plan_full.count("Exchange") <= 2, plan_full
+    assert "Join" not in plan_full, plan_full
+
+
+def test_curate_full_with_benchmark_joins_once(spark):
+    """With decontamination on, the ONLY join of the corpus id space is
+    the single anti-join against the contaminated set — the gram branch
+    adds its own (bounded) exchanges but no extra doc_id joins."""
+    from mms_rdf_spark.operators.curate import curate_full
+
+    docs = _curate_docs(spark)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    plan = _plan(curate_full(docs, benchmark=bench))
+    assert plan.count("LeftAnti") == 1, plan
+    # gram join broadcasts the benchmark side, never shuffles the corpus
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_similarity_skips_repartition_for_presplit_corpus(spark):
+    """cosine_topk / ivf_assign spread a single-split file across
+    cores, but a corpus that already has >= defaultParallelism splits
+    must pass through with NO round-robin exchange — at 100 TB that
+    repartition is a full shuffle of every embedding vector that the
+    broadcast join / mapInPandas does not need (round-2 verdict #1)."""
+    from mms_rdf_spark.operators.similarity import cosine_topk, ivf_assign
+
+    p = spark.sparkContext.defaultParallelism
+    emb = spark.range(0, 200, 1, numPartitions=p + 2).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[(F.col("id") * 7 + F.lit(d) * 3) % 11 - 5.0
+                  for d in range(8)]).alias("embedding"))
+    for op in (ivf_assign, cosine_topk):
+        plan = _plan(op(emb))
+        assert "RoundRobinPartitioning" not in plan, (op.__name__, plan)
+    # narrow input still gets spread (the toy-scale ergonomics)
+    narrow = emb.coalesce(1)
+    assert "RoundRobinPartitioning" in _plan(ivf_assign(narrow))
+
+
 def test_bucketed_input_makes_full_extraction_shuffle_free(spark,
                                                            transcripts_df):
     """When the ingest table is bucketed on conv_id (sorted by

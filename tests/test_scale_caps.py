@@ -30,9 +30,11 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     uncapped = lsh_candidate_pairs(docs, max_bucket=None).count()
     assert uncapped == 100 * 99 // 2  # the quadratic worst case
     capped = lsh_candidate_pairs(docs, max_bucket=10).count()
-    # ceil(100/10)=10 salt groups of ~10 docs: ~10 * C(10,2) pairs
+    # per band: ceil(100/10)=10 salt groups of ~10 docs -> ~10*C(10,2)
+    # pairs; the salt is band-dependent so the 2 bands union to at most
+    # 2x that (minus overlap) — still worlds below the quadratic
     assert 0 < capped < uncapped
-    assert capped <= 10 * (10 * 11 // 2)  # slack for uneven crc32 split
+    assert capped <= 2 * 10 * (10 * 11 // 2)  # slack for uneven crc32 split
 
 
 def test_lsh_cap_above_bucket_width_is_identity(spark):
@@ -66,6 +68,50 @@ def test_embedding_neardup_cap_bounds_pairs(spark):
     capped = embedding_near_duplicates(emb, threshold=0.5,
                                        max_bucket=6).count()
     assert 0 < capped < exact
+
+
+def test_multiband_neardup_recovers_capped_recall(spark):
+    """The round-2 gap, closed: with ONE band, pairs split across salt
+    groups of an oversized hyperplane bucket are unrecoverable; with b
+    bands (independent hyperplanes AND band-dependent salts) a split
+    pair is lost only if separated in every band — P(miss) ~
+    (1 - 1/n_salts)^b. Adversarial corpus: 120 identical vectors =
+    every band one maximal bucket, cap 60 => 2 salt groups/band."""
+    from mms_rdf_spark.operators.similarity import (
+        embedding_near_duplicates_mb,
+    )
+
+    vec = [float(i % 7) + 1.0 for i in range(64)]
+    emb = spark.range(120).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.lit(v) for v in vec]).alias("embedding"))
+    total = 120 * 119 // 2
+    single = embedding_near_duplicates(emb, threshold=0.5,
+                                       max_bucket=60).count()
+    assert single < 0.8 * total, "single band must demonstrably drop pairs"
+    multi = embedding_near_duplicates_mb(emb, threshold=0.5, planes=4,
+                                         bands=8, max_bucket=60).count()
+    assert multi >= 0.95 * total, f"multi-band recall {multi/total:.3f}"
+    assert multi <= total
+
+
+def test_multiband_bands1_matches_single_band(spark):
+    """bands=1 must reproduce embedding_near_duplicates row-for-row —
+    the multi-band operator is a strict generalization."""
+    from mms_rdf_spark.operators.similarity import (
+        embedding_near_duplicates_mb,
+    )
+
+    emb = spark.range(80).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[(F.col("id") * 7 + F.lit(d) * 3) % 11 - 5.0
+                  for d in range(16)]).alias("embedding"))
+    a = {(r["a_id"], r["b_id"], r["score"]) for r in
+         embedding_near_duplicates(emb, threshold=0.2).collect()}
+    b = {(r["a_id"], r["b_id"], r["score"]) for r in
+         embedding_near_duplicates_mb(emb, threshold=0.2,
+                                      bands=1).collect()}
+    assert a == b and a
 
 
 def test_rewrite_join_scoped_to_mention_slice(spark, triples_df):
