@@ -341,6 +341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_ivf_assign(spark, sf):
         return S.ivf_assign(_emb(spark, sf))
 
+    def sim_ivf_assign_trained(spark, sf):
+        # Lloyd's-trained coarse quantizer (2 bounded iterations,
+        # deterministic seed) — the oracle unrolls the same iterations
+        return S.ivf_assign_trained(_emb(spark, sf), iters=2)
+
     def dedup_embedding_neardup(spark, sf):
         return S.embedding_near_duplicates(_emb(spark, sf), threshold=0.25)
 
@@ -443,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_arrow": sim_cosine_topk_arrow,
         "sim_lsh_buckets": sim_lsh_buckets,
         "sim_ivf_assign": sim_ivf_assign,
+        "sim_ivf_assign_trained": sim_ivf_assign_trained,
         "dedup_embedding_neardup": dedup_embedding_neardup,
         "dedup_embedding_neardup_mb": dedup_embedding_neardup_mb,
         "sim_topk_lsh": sim_topk_lsh,
@@ -1036,6 +1042,45 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT vec_id, centroid_id, score FROM s WHERE rn = 1
     """
+
+    # Lloyd's iterations unrolled as CTE pairs (assign a_i -> means
+    # m_i -> centroids c_{i+1}); mirrors ivf_train exactly: rounded
+    # cosine argmax with smallest-cid tie-break, per-dim means rounded
+    # to 6 before the next round, empty clusters dropped
+    def _ivf_trained_sql(iters: int = 2, every_k: int = 100) -> str:
+        d_cte = ("(SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+                 "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)")
+        parts = [
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+            "FROM embeddings)",
+            f"c0 AS (SELECT vec_id AS cid, emb AS c FROM e "
+            f"WHERE vec_id % {every_k} = 0)",
+        ]
+        for i in range(iters):
+            parts.append(f"""a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c{i}.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.emb, c{i}.c),
+                                      6) DESC, c{i}.cid) AS rn
+            FROM e CROSS JOIN c{i}) WHERE rn = 1)""")
+            parts.append(f"""m{i} AS (
+        SELECT a{i}.cid, d.dim, round(avg(d.v), 6) AS m
+        FROM a{i} JOIN {d_cte} d USING (vec_id)
+        GROUP BY a{i}.cid, d.dim)""")
+            parts.append(f"c{i + 1} AS (SELECT cid, list(m ORDER BY dim) "
+                         f"AS c FROM m{i} GROUP BY cid)")
+        return "WITH " + ",\n    ".join(parts) + f"""
+    SELECT vec_id, cid AS centroid_id, score FROM (
+        SELECT e.vec_id, c{iters}.cid,
+               round(list_cosine_similarity(e.emb, c{iters}.c), 6) AS score,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.emb, c{iters}.c),
+                                  6) DESC, c{iters}.cid) AS rn
+        FROM e CROSS JOIN c{iters}) WHERE rn = 1
+    """
+
+    q["sim_ivf_assign_trained"] = _ivf_trained_sql(iters=2, every_k=100)
 
     q["text_token_stats"] = f"""
     WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)

@@ -429,6 +429,83 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
             .select("query_id", "rank", "neighbor_id", "score"))
 
 
+def _argmax_centroid(cent_rows) -> "tuple[Column, Column]":
+    """(centroid_id, score) column pair: argmax cosine over a
+    driver-collected centroid list, folded into pure array expressions
+    (the J1 static-fold pattern — k*dims floats on the driver, ZERO
+    shuffle per assignment; ties break to the smallest centroid_id via
+    max over struct(score, -cid))."""
+    best = F.array_max(F.array(*[
+        F.struct(
+            F.round(_dot(F.col("emb"), F.array(*[F.lit(v) for v in vec]))
+                    / (_norm(F.col("emb"))
+                       * F.lit(sum(v * v for v in vec) ** 0.5)), 6)
+            .alias("s"),
+            F.lit(-cid).alias("nc"))
+        for cid, vec in cent_rows
+    ]))
+    return (-best["nc"]).cast("long").alias("centroid_id"), \
+        best["s"].alias("score")
+
+
+def ivf_train(embeddings: DataFrame, every_k: int = 100,
+              iters: int = 2) -> DataFrame:
+    """Lloyd's k-means for the IVF coarse quantizer (the round-2
+    "trained centroids" gap): seeded deterministically (vec_id %
+    every_k == 0, so any engine re-derives the init), then `iters`
+    bounded iterations of
+        assign: argmax rounded cosine over the collected centroids —
+                pure column expressions, no shuffle (see
+                _argmax_centroid; same driver-fold budget as the LSH
+                hyperplanes: k*dims floats);
+        update: per-dimension mean via posexplode + groupBy(centroid,
+                dim) — the ONLY shuffle, and its map-side combine
+                reduces the exchange to n_partitions*k*dims partial
+                rows regardless of corpus size;
+    with a localCheckpoint per round to truncate lineage (the cc.py
+    pointer-jumping pattern). Means are rounded to 6 decimals BEFORE
+    the next round so Spark and the SQL oracle iterate on bit-identical
+    centroids. Empty clusters drop out (deterministic in both engines).
+    Returns (centroid_id, c_emb)."""
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    cents = (e.where(F.col("vec_id") % every_k == 0)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("emb").alias("c_emb")))
+    for _ in range(iters):
+        rows = sorted((r["centroid_id"], list(r["c_emb"]))
+                      for r in cents.collect())
+        cid, _score = _argmax_centroid(rows)
+        # two-step select: a generator (posexplode) in the same
+        # projection as the struct extraction makes the analyzer drop
+        # the struct field names (FIELD_NOT_FOUND on `nc`)
+        assigned = e.select(cid, "emb").select(
+            "centroid_id", F.posexplode("emb").alias("dim", "v"))
+        cents = (
+            assigned.groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"]).alias("c_emb"))
+        ).localCheckpoint()
+    return cents
+
+
+def ivf_assign_trained(embeddings: DataFrame, every_k: int = 100,
+                       iters: int = 2) -> DataFrame:
+    """ivf_assign with TRAINED centroids: (vec_id, centroid_id, score)
+    where centroid_id keys the ivf_train cluster (seed vec_id) and
+    score is the rounded cosine to its trained centroid. The
+    assignment itself is the same zero-shuffle static fold as
+    training's assign step."""
+    cents = sorted((r["centroid_id"], list(r["c_emb"]))
+                   for r in ivf_train(embeddings, every_k, iters).collect())
+    e = _spread(
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb")))
+    cid, score = _argmax_centroid(cents)
+    return e.select("vec_id", cid, score)
+
+
 def ivf_assign(embeddings: DataFrame, every_k: int = 100) -> DataFrame:
     """IVF coarse assignment: centroids = vectors with vec_id % every_k
     == 0 (deterministic stand-in for k-means — the assignment plumbing,

@@ -103,3 +103,35 @@ def test_embedding_bucket_stats(spark):
     assert stats and stats[0]["width"] == 40
     assert stats[0]["n_salts"] == 4
     assert 0 < stats[0]["est_dropped_pairs"] < 40 * 39 // 2
+
+
+def test_ivf_train_converges_and_improves(spark):
+    """Lloyd's loop sanity: (a) trained centroids move off the seeds,
+    (b) mean assignment cosine (the spherical k-means objective) is
+    non-decreasing over iterations, (c) every vector stays assigned."""
+    from mms_rdf_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_trained,
+        ivf_train,
+    )
+
+    emb = _emb_df(spark, n=150, dims=16, with_dupes=False)
+    seeded = {r["centroid_id"]: list(r["c_emb"]) for r in
+              ivf_train(emb, every_k=30, iters=0).collect()}
+    trained = {r["centroid_id"]: list(r["c_emb"]) for r in
+               ivf_train(emb, every_k=30, iters=2).collect()}
+    assert set(trained) <= set(seeded)
+    assert any(seeded[c] != trained[c] for c in trained), \
+        "training must move at least one centroid"
+
+    def mean_score(iters):
+        df = (ivf_assign(emb, every_k=30) if iters == 0
+              else ivf_assign_trained(emb, every_k=30, iters=iters))
+        assert df.count() == 150
+        return df.agg(F.avg("score")).collect()[0][0]
+
+    scores = [mean_score(i) for i in (0, 1, 2)]
+    # tiny tolerance: assignments use 6-decimal rounded cosines
+    assert scores[1] >= scores[0] - 1e-6
+    assert scores[2] >= scores[1] - 1e-6
+    assert scores[2] > scores[0], "2 iterations must beat the raw seeds"
