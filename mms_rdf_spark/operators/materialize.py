@@ -134,29 +134,13 @@ def write_spo_bucketed(triples: DataFrame, table: str,
     merge, not a full-graph shuffle (asserted in
     tests/test_plans.py::test_bucketed_spo_self_join_shuffle_free).
     On Iceberg the same declaration is a `bucket(N, subject)`
-    partition transform."""
-    spark = triples.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # the in-memory catalog can forget a managed table whose files
-    # survive (e.g. after a crashed writer); clear the stale location
-    # so overwrite semantics hold across sessions too. Managed layout:
-    # <warehouse>/<name> for the default database, <warehouse>/<db>.db/
-    # <name> otherwise; 3-part (catalog-qualified) names are left to
-    # the catalog (never guess a path to rm there).
-    import shutil
-    from urllib.parse import urlparse
+    partition transform — `tables.write_table` emits exactly that when
+    the Iceberg runtime is present (the adapter seam), Spark bucketBy
+    otherwise."""
+    from mms_rdf_spark.tables import write_table
 
-    parts = table.split(".")
-    if len(parts) <= 2:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        rel = parts[-1] if len(parts) == 1 or parts[0] == "default" \
-            else f"{parts[0]}.db/{parts[1]}"
-        shutil.rmtree(urlparse(f"{warehouse}/{rel}").path,
-                      ignore_errors=True)
-    (triples
-     .write.mode("overwrite").format("parquet")
-     .bucketBy(buckets, "subject").sortBy("subject")
-     .saveAsTable(table))
+    return write_table(triples, table, bucket_by="subject",
+                       buckets=buckets, sort_by=["subject"])
 
 
 # ----------------------------------------------------------------- LPG view

@@ -79,10 +79,12 @@ def run_stage(
     tmp = data_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(os.path.join(tmp, "data"))
+    # the format seam: parquet here; Iceberg (with a real snapshot id
+    # in `written`) when the runtime is present — see tables.py
+    from mms_rdf_spark.tables import write_table
+
+    written = write_table(df, os.path.join(tmp, "data"),
+                          partition_by=partition_by)
 
     committed = spark.read.parquet(os.path.join(tmp, "data"))
     part_counts = [
@@ -107,7 +109,8 @@ def run_stage(
     manifest = {
         "stage": stage,
         "fingerprint": fp,
-        "snapshot_id": snapshot_id,
+        "table_format": written["format"],
+        "snapshot_id": written.get("snapshot_id") or snapshot_id,
         "output_bytes": out_bytes,
         "inputs": inputs,
         "params": params,
