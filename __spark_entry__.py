@@ -393,6 +393,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.where(F.col("doc_id") % 97 == 0)
         return curate_full(docs, benchmark=bench)
 
+    def text_curate_semantic(spark, sf):
+        # curate_full + SemDeDup-style embedding near-dup drop
+        # (multi-band LSH buckets, greedy min-id survivor)
+        from mms_rdf_spark.operators.curate import curate_semantic
+        docs = _docs(spark, sf)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        return curate_semantic(docs, _emb(spark, sf), benchmark=bench,
+                               sim_threshold=0.25)
+
     def text_repetition(spark, sf):
         return TX.repetition_stats(_docs(spark, sf))
 
@@ -462,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_curate": text_curate,
         "text_curate_full": text_curate_full,
+        "text_curate_semantic": text_curate_semantic,
         "text_repetition": text_repetition,
         "text_splits": text_splits,
         "text_pack": text_pack,
@@ -1248,6 +1258,87 @@ def oracle_sql() -> dict[str, str]:
     JOIN splits sp USING (doc_id)
     WHERE s.doc_id NOT IN (SELECT doc_id FROM dupes)
       AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND s.score > 0.0 AND s.stop_ratio >= 0.08
+      AND r.dup_ratio <= 0.3
+    """
+
+    q["text_curate_semantic"] = f"""
+    WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+    c AS (SELECT ch, min(doc_id) AS canonical_id, count(*) AS n
+          FROM h GROUP BY ch),
+    dupes AS (
+        SELECT h.doc_id FROM h JOIN c USING (ch)
+        WHERE c.n > 1 AND h.doc_id <> c.canonical_id
+    ), d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(toks,
+                   x -> list_contains({_STOP_SQL}, x))) AS stop_cnt,
+               greatest(len(toks), 1) AS n,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+               len(regexp_extract_all(text, '[A-Z]')) AS upper_cnt,
+               greatest(strlen(text), 1) AS chars
+        FROM d
+    ), sig AS (
+        SELECT doc_id,
+               round(CAST(stop_cnt AS DOUBLE) / n
+                     - CAST(punct AS DOUBLE) / chars
+                     - CAST(upper_cnt AS DOUBLE) / chars, 6) AS score,
+               round(CAST(stop_cnt AS DOUBLE) / n, 6) AS stop_ratio
+        FROM m
+    ), rep AS ({_REP_CTE}
+    ), g5 AS ({_G5_CTE}
+    ), contaminated AS (
+        SELECT DISTINCT g5.doc_id
+        FROM g5 JOIN (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0) b
+          USING (gram)
+    ), splits AS ({_SPLITS_CTE}
+    ), dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), planes AS (
+        SELECT b.i AS band, p.i AS plane, d.i AS dim,
+               CASE WHEN substr(md5(
+                        CASE WHEN b.i = 0 THEN ''
+                             ELSE CAST(b.i AS VARCHAR) || '|' END
+                        || CAST(p.i AS VARCHAR) || '_'
+                        || CAST(d.i AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 1.0 ELSE -1.0 END AS w
+        FROM (SELECT unnest(generate_series(0, 1)) AS i) b,
+             (SELECT unnest(generate_series(0, 7)) AS i) p,
+             (SELECT unnest(generate_series(0, 63)) AS i) d
+    ), dots AS (
+        SELECT dims.vec_id, planes.band, planes.plane,
+               sum(dims.v * planes.w) AS dot
+        FROM dims JOIN planes USING (dim)
+        GROUP BY dims.vec_id, planes.band, planes.plane
+    ), buckets AS (
+        SELECT vec_id, band,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY plane) AS key
+        FROM dots GROUP BY vec_id, band
+    ), epairs AS (
+        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+        FROM buckets l JOIN buckets r
+          ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+    ), ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), losers AS (
+        SELECT DISTINCT p.b_id AS doc_id
+        FROM epairs p
+        JOIN ev a ON a.vec_id = p.a_id
+        JOIN ev b ON b.vec_id = p.b_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.25
+    )
+    SELECT s.doc_id, s.score, s.stop_ratio, r.dup_ratio, sp.split
+    FROM sig s
+    JOIN rep r USING (doc_id)
+    JOIN splits sp USING (doc_id)
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM dupes)
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND s.doc_id NOT IN (SELECT doc_id FROM losers)
       AND s.score > 0.0 AND s.stop_ratio >= 0.08
       AND r.dup_ratio <= 0.3
     """

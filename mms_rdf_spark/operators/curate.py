@@ -105,3 +105,40 @@ def curate_full(docs: DataFrame, benchmark: DataFrame | None = None,
         contaminated = decontaminate(docs, benchmark).select("doc_id")
         out = out.join(contaminated, on="doc_id", how="left_anti")
     return out.select("doc_id", "score", "stop_ratio", "dup_ratio", "split")
+
+
+def curate_semantic(docs: DataFrame, embeddings: DataFrame,
+                    benchmark: DataFrame | None = None,
+                    min_score: float = 0.0, lang: str = "en",
+                    dup_threshold: float = 0.3,
+                    sim_threshold: float = 0.95,
+                    planes: int = 8, bands: int = 2) -> DataFrame:
+    """curate_full + SEMANTIC dedup — the last stage of the standard
+    pretraining recipe (SemDeDup-style): after the textual filters, a
+    document is also dropped if its embedding is a near-duplicate
+    (cosine >= sim_threshold within a multi-band LSH bucket) of a
+    SMALLER-id document. `embeddings.vec_id` keys `docs.doc_id`.
+
+    Survivor policy: greedy min-id — the smaller-id member of every
+    near-dup pair wins, consistent with exact dedup's canonical rule
+    and deterministic under any partitioning. (A doc whose only
+    near-dup is itself dropped still loses; full transitive-cluster
+    canonicalization is one connected_components call over the pair
+    edges if a deployment wants exactly-one-survivor-per-cluster.)
+
+    Shuffle inventory on top of curate_full: the (capped, multi-band)
+    near-dup bucket joins over SIGNATURES and one anti-join of the
+    loser id set — the embedding matrix itself never joins the text
+    corpus."""
+    from mms_rdf_spark.operators.similarity import (
+        embedding_near_duplicates_mb,
+    )
+
+    base = curate_full(docs, benchmark=benchmark, min_score=min_score,
+                       lang=lang, dup_threshold=dup_threshold)
+    losers = (
+        embedding_near_duplicates_mb(embeddings, threshold=sim_threshold,
+                                     planes=planes, bands=bands)
+        .select(F.col("b_id").alias("doc_id")).distinct()
+    )
+    return base.join(losers, on="doc_id", how="left_anti")
