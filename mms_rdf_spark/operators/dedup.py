@@ -116,15 +116,19 @@ def capped_bucket_pairs(
 
     Trade (documented, same as link.py sub-blocking): pairs crossing
     salt groups inside an OVERSIZED bucket are dropped — but the salt
-    is crc32('<band>|<id>'), i.e. BAND-DEPENDENT, so a pair split
-    apart in one band's salting gets an independent 1/n_salts chance
-    of co-residing in every other band's. (With a band-independent
-    salt the degenerate corpus — identical docs, every band one hot
-    bucket — would partition identically in all bands and cross-salt
-    recall would be 0; band-dependent salting is what makes
-    "multi-band recovers the split pairs" a mechanism instead of a
-    hope. Recall after capping ≈ 1 - (1 - 1/n_salts)^bands per lost
-    pair.) `lsh_bucket_stats` reports exactly which buckets were
+    is derived from md5('<band>|<id>'), i.e. BAND-DEPENDENT, so a pair
+    split apart in one band's salting gets an independent 1/n_salts
+    chance of co-residing in every other band's. (With a
+    band-independent salt the degenerate corpus — identical docs,
+    every band one hot bucket — would partition identically in all
+    bands and cross-salt recall would be 0. And the hash must be
+    md5, NOT crc32: CRC is linear, so for same-length ids
+    crc32('<band>|<id>') decomposes into band-term XOR id-term and the
+    band term CANCELS in the same-group equality — every band then
+    splits the same pairs, silently defeating recovery; measured
+    recall 0.70 with crc32 vs 1.00 with md5 on the adversarial
+    fixture. Recall after capping ≈ 1 - (1 - 1/n_salts)^bands per
+    lost pair.) `lsh_bucket_stats` reports exactly which buckets were
     salted and the pair volume forgone so the drop is observable,
     never silent. max_bucket=None disables capping (the exact
     small-scale plan).
@@ -138,12 +142,15 @@ def capped_bucket_pairs(
         hot = (banded.groupBy("band", "key")
                .agg(F.count(F.lit(1)).alias("_bn"))
                .where(F.col("_bn") > max_bucket))
+        salt_hash = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("band"),
+                                          F.col(id_col).cast("string"))),
+                        1, 15), 16, 10).cast("long")
         banded = banded.join(F.broadcast(hot), on=["band", "key"], how="left") \
             .withColumn(
                 "_salt",
                 F.when(F.col("_bn").isNotNull(),
-                       F.crc32(F.concat_ws("|", F.col("band"),
-                                           F.col(id_col).cast("string")))
+                       salt_hash
                        % F.ceil(F.col("_bn") / max_bucket).cast("long"))
                 .otherwise(F.lit(0)))
     else:

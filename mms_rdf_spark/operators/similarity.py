@@ -92,9 +92,9 @@ def cosine_topk_arrow(
     fused-vs-Arrow shoot-out, BASELINE.md). Queries are collected once
     (n_queries × dims floats — driver-side by design, like the
     hyperplane fold). Shuffle inventory: the scoring itself is
-    join-free over the streamed corpus; the exchanges are the input
-    repartition (spreading a single-split file) and the per-query
-    top-k window over the Q×B scored rows — identical to cosine_topk's.
+    join-free over the streamed corpus; the only exchanges are the
+    per-query top-k window over the Q×B scored rows and — for a
+    single-split toy input only — the _spread repartition.
     Raw scores come back from numpy and are rounded by F.round in
     Spark (np.round is half-to-even on a binary scale — NOT the
     HALF_UP decimal rounding F.round/DuckDB use; rounding engine-side
