@@ -104,10 +104,11 @@ def main() -> None:
     sections.append((
         "LSH candidate pairs with hot-bucket cap",
         "Bucket widths are counted and broadcast back; oversized "
-        "buckets salt on crc32(doc_id) before the in-bucket self-join "
-        "(operators/dedup.py capped_bucket_pairs). The BroadcastExchange "
-        "is the (band,key)->width table; the SortMergeJoin keys include "
-        "_salt.",
+        "buckets salt on md5('band|id') before the in-bucket self-join "
+        "(operators/dedup.py capped_bucket_pairs; md5 not crc32 — CRC "
+        "linearity made every band split identically). The "
+        "BroadcastExchange is the (band,key)->width table; the "
+        "SortMergeJoin keys include _salt.",
         skeleton(lsh_candidate_pairs(docs, max_bucket=16)),
     ))
 
@@ -143,6 +144,34 @@ def main() -> None:
         "Lane striping is the only shuffle; the (lane, shard) window "
         "reuses the lane partitioning.",
         skeleton(pack_documents(docs2)),
+    ))
+
+    from mms_rdf_spark.operators.curate import curate_full
+
+    sections.append((
+        "Fused curation recipe: one scan, one exchange",
+        "Every signal (quality, lang-ID, repetition, split) is column "
+        "math in the scan projection; exact dedup is the row_number "
+        "window over md5(text) — its hashpartitioning is the ONLY "
+        "exchange (asserted in tests/test_plans.py). Round 2 joined "
+        "four per-signal projections back on doc_id; those shuffles "
+        "are gone.",
+        skeleton(curate_full(docs2)),
+    ))
+
+    from mms_rdf_spark.operators.similarity import (
+        embedding_near_duplicates_mb,
+    )
+
+    sections.append((
+        "Multi-band embedding near-duplicates (capped, recoverable)",
+        "All band bucket strings computed in ONE scan (array of "
+        "structs, exploded); capped in-bucket join shared with text "
+        "LSH; band-dependent md5 salt so cross-salt pairs recover in "
+        "other bands.",
+        skeleton(embedding_near_duplicates_mb(emb, threshold=0.5,
+                                              planes=2, bands=2,
+                                              max_bucket=16)),
     ))
 
     from mms_rdf_spark.operators.materialize import write_spo_bucketed
