@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_ivf_topk(spark, sf):
         return S.ivf_topk(_emb(spark, sf))
 
+    def sim_ivf_topk_trained(spark, sf):
+        return S.ivf_topk_trained(_emb(spark, sf), iters=2)
+
     def sim_quantize(spark, sf):
         return S.quantize_embeddings(_emb(spark, sf))
 
@@ -462,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup_mb": dedup_embedding_neardup_mb,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_ivf_topk_trained": sim_ivf_topk_trained,
         "sim_quantize": sim_quantize,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
@@ -1057,7 +1061,7 @@ def oracle_sql() -> dict[str, str]:
     # m_i -> centroids c_{i+1}); mirrors ivf_train exactly: rounded
     # cosine argmax with smallest-cid tie-break, per-dim means rounded
     # to 6 before the next round, empty clusters dropped
-    def _ivf_trained_sql(iters: int = 2, every_k: int = 100) -> str:
+    def _ivf_trained_ctes(iters: int = 2, every_k: int = 100) -> str:
         d_cte = ("(SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
                  "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)")
         parts = [
@@ -1080,17 +1084,40 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY a{i}.cid, d.dim)""")
             parts.append(f"c{i + 1} AS (SELECT cid, list(m ORDER BY dim) "
                          f"AS c FROM m{i} GROUP BY cid)")
-        return "WITH " + ",\n    ".join(parts) + f"""
-    SELECT vec_id, cid AS centroid_id, score FROM (
-        SELECT e.vec_id, c{iters}.cid,
-               round(list_cosine_similarity(e.emb, c{iters}.c), 6) AS score,
-               row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY round(list_cosine_similarity(e.emb, c{iters}.c),
-                                  6) DESC, c{iters}.cid) AS rn
-        FROM e CROSS JOIN c{iters}) WHERE rn = 1
+        # final assignment against the trained centroids c{iters}
+        parts.append(f"""assign AS (
+        SELECT vec_id, cid, score FROM (
+            SELECT e.vec_id, c{iters}.cid,
+                   round(list_cosine_similarity(e.emb, c{iters}.c), 6)
+                       AS score,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.emb,
+                                      c{iters}.c), 6) DESC, c{iters}.cid)
+                       AS rn
+            FROM e CROSS JOIN c{iters}) WHERE rn = 1)""")
+        return "WITH " + ",\n    ".join(parts)
+
+    q["sim_ivf_assign_trained"] = _ivf_trained_ctes(iters=2, every_k=100) + """
+    SELECT vec_id, cid AS centroid_id, score FROM assign
     """
 
-    q["sim_ivf_assign_trained"] = _ivf_trained_sql(iters=2, every_k=100)
+    q["sim_ivf_topk_trained"] = _ivf_trained_ctes(iters=2, every_k=100) + """
+    , cells AS (
+        SELECT e.vec_id, e.emb, a.cid FROM e JOIN assign a USING (vec_id)
+    ), s AS (
+        SELECT qq.vec_id AS query_id, x.vec_id AS neighbor_id,
+               round(list_cosine_similarity(qq.emb, x.emb), 6) AS score
+        FROM cells qq JOIN cells x
+          ON x.cid = qq.cid AND x.vec_id <> qq.vec_id
+        WHERE qq.vec_id < 10
+    ), r AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM s
+    )
+    SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+    """
 
     q["text_token_stats"] = f"""
     WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
