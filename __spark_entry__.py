@@ -355,6 +355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.embedding_near_duplicates_mb(_emb(spark, sf),
                                               threshold=0.25, bands=2)
 
+    def sim_neardup_clusters(spark, sf):
+        # transitive closure of multi-band near-dup pairs (CC over the
+        # pair set): (vec_id, cluster_id = min id in component)
+        return S.neardup_clusters(_emb(spark, sf), threshold=0.25, bands=2)
+
     def sim_topk_lsh(spark, sf):
         return S.topk_lsh(_emb(spark, sf))
 
@@ -463,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_assign_trained": sim_ivf_assign_trained,
         "dedup_embedding_neardup": dedup_embedding_neardup,
         "dedup_embedding_neardup_mb": dedup_embedding_neardup_mb,
+        "sim_neardup_clusters": sim_neardup_clusters,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ivf_topk_trained": sim_ivf_topk_trained,
@@ -931,8 +937,10 @@ def oracle_sql() -> dict[str, str]:
     WHERE round(list_cosine_similarity(l.emb, r.emb), 6) >= 0.25
     """
 
-    q["dedup_embedding_neardup_mb"] = """
-    WITH dims AS (
+    # shared multi-band (2 bands x 8 planes) near-dup pair CTE chain:
+    # one definition for dedup_embedding_neardup_mb, sim_neardup_clusters
+    # and text_curate_semantic so the bucket rule can never drift
+    _MB_CTES = """dims AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings
@@ -958,19 +966,39 @@ def oracle_sql() -> dict[str, str]:
                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
                           ORDER BY plane) AS key
         FROM dots GROUP BY vec_id, band
-    ), pairs AS (
+    ), epairs AS (
         SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
         FROM buckets l JOIN buckets r
           ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
-    ), e AS (
+    ), ev AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), scored_pairs AS (
+        SELECT p.a_id, p.b_id,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS score
+        FROM epairs p
+        JOIN ev a ON a.vec_id = p.a_id
+        JOIN ev b ON b.vec_id = p.b_id
+    )"""
+
+    q["dedup_embedding_neardup_mb"] = f"""
+    WITH {_MB_CTES}
+    SELECT a_id, b_id, score FROM scored_pairs WHERE score >= 0.25
+    """
+
+    q["sim_neardup_clusters"] = f"""
+    WITH RECURSIVE {_MB_CTES}, nd AS (
+        SELECT a_id, b_id FROM scored_pairs WHERE score >= 0.25
+    ), edges AS (
+        SELECT a_id AS s, b_id AS d FROM nd
+        UNION SELECT b_id, a_id FROM nd
+    ), reach (s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN edges e2 ON e2.s = r.d
+        WHERE e2.d <> r.s
     )
-    SELECT p.a_id, p.b_id,
-           round(list_cosine_similarity(a.emb, b.emb), 6) AS score
-    FROM pairs p
-    JOIN e a ON a.vec_id = p.a_id
-    JOIN e b ON b.vec_id = p.b_id
-    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.25
+    SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+    FROM reach GROUP BY s
     """
 
     q["sim_topk_lsh"] = f"""
@@ -1320,44 +1348,9 @@ def oracle_sql() -> dict[str, str]:
         FROM g5 JOIN (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0) b
           USING (gram)
     ), splits AS ({_SPLITS_CTE}
-    ), dims AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
-               CAST(unnest(embedding) AS DOUBLE) AS v
-        FROM embeddings
-    ), planes AS (
-        SELECT b.i AS band, p.i AS plane, d.i AS dim,
-               CASE WHEN substr(md5(
-                        CASE WHEN b.i = 0 THEN ''
-                             ELSE CAST(b.i AS VARCHAR) || '|' END
-                        || CAST(p.i AS VARCHAR) || '_'
-                        || CAST(d.i AS VARCHAR)), 1, 1)
-                    IN ('0','1','2','3','4','5','6','7')
-                    THEN 1.0 ELSE -1.0 END AS w
-        FROM (SELECT unnest(generate_series(0, 1)) AS i) b,
-             (SELECT unnest(generate_series(0, 7)) AS i) p,
-             (SELECT unnest(generate_series(0, 63)) AS i) d
-    ), dots AS (
-        SELECT dims.vec_id, planes.band, planes.plane,
-               sum(dims.v * planes.w) AS dot
-        FROM dims JOIN planes USING (dim)
-        GROUP BY dims.vec_id, planes.band, planes.plane
-    ), buckets AS (
-        SELECT vec_id, band,
-               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
-                          ORDER BY plane) AS key
-        FROM dots GROUP BY vec_id, band
-    ), epairs AS (
-        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
-        FROM buckets l JOIN buckets r
-          ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
-    ), ev AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ), losers AS (
-        SELECT DISTINCT p.b_id AS doc_id
-        FROM epairs p
-        JOIN ev a ON a.vec_id = p.a_id
-        JOIN ev b ON b.vec_id = p.b_id
-        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.25
+    ), {_MB_CTES}, losers AS (
+        SELECT DISTINCT b_id AS doc_id FROM scored_pairs
+        WHERE score >= 0.25
     )
     SELECT s.doc_id, s.score, s.stop_ratio, r.dup_ratio, sp.split
     FROM sig s

@@ -112,19 +112,24 @@ def curate_semantic(docs: DataFrame, embeddings: DataFrame,
                     min_score: float = 0.0, lang: str = "en",
                     dup_threshold: float = 0.3,
                     sim_threshold: float = 0.95,
-                    planes: int = 8, bands: int = 2) -> DataFrame:
+                    planes: int = 8, bands: int = 2,
+                    policy: str = "greedy") -> DataFrame:
     """curate_full + SEMANTIC dedup — the last stage of the standard
     pretraining recipe (SemDeDup-style): after the textual filters, a
     document is also dropped if its embedding is a near-duplicate
     (cosine >= sim_threshold within a multi-band LSH bucket) of a
-    SMALLER-id document. `embeddings.vec_id` keys `docs.doc_id`.
+    canonical document. `embeddings.vec_id` keys `docs.doc_id`.
 
-    Survivor policy: greedy min-id — the smaller-id member of every
-    near-dup pair wins, consistent with exact dedup's canonical rule
-    and deterministic under any partitioning. (A doc whose only
-    near-dup is itself dropped still loses; full transitive-cluster
-    canonicalization is one connected_components call over the pair
-    edges if a deployment wants exactly-one-survivor-per-cluster.)
+    Survivor policies (both deterministic under any partitioning):
+      - "greedy" (default): the smaller-id member of every near-dup
+        PAIR wins — consistent with exact dedup's canonical rule. A
+        doc whose only near-dup was itself dropped still loses (pairs
+        (1,2) + (2,3) keep only 1).
+      - "cluster": transitive — connected components over the pair
+        edges (similarity.neardup_clusters); exactly ONE survivor
+        (the min id) per semantic cluster (pairs (1,2) + (2,3) keep 1,
+        and 3 is dropped as part of cluster 1). Costs one CC pass over
+        the PAIR set, not the corpus.
 
     Shuffle inventory on top of curate_full: the (capped, multi-band)
     near-dup bucket joins over SIGNATURES and one anti-join of the
@@ -132,13 +137,25 @@ def curate_semantic(docs: DataFrame, embeddings: DataFrame,
     corpus."""
     from mms_rdf_spark.operators.similarity import (
         embedding_near_duplicates_mb,
+        neardup_clusters,
     )
 
     base = curate_full(docs, benchmark=benchmark, min_score=min_score,
                        lang=lang, dup_threshold=dup_threshold)
-    losers = (
-        embedding_near_duplicates_mb(embeddings, threshold=sim_threshold,
-                                     planes=planes, bands=bands)
-        .select(F.col("b_id").alias("doc_id")).distinct()
-    )
+    if policy == "greedy":
+        losers = (
+            embedding_near_duplicates_mb(embeddings,
+                                         threshold=sim_threshold,
+                                         planes=planes, bands=bands)
+            .select(F.col("b_id").alias("doc_id")).distinct()
+        )
+    elif policy == "cluster":
+        losers = (
+            neardup_clusters(embeddings, threshold=sim_threshold,
+                             planes=planes, bands=bands)
+            .where(F.col("vec_id") != F.col("cluster_id"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+    else:
+        raise ValueError(f"unknown survivor policy: {policy!r}")
     return base.join(losers, on="doc_id", how="left_anti")

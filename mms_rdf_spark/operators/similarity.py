@@ -318,6 +318,32 @@ def embedding_near_duplicates_mb(
     return scored.where(F.col("score") >= threshold)
 
 
+def neardup_clusters(
+    embeddings: DataFrame, threshold: float = 0.95, planes: int = 8,
+    bands: int = 2, max_bucket=_DEFAULT_CAP,
+) -> DataFrame:
+    """Semantic duplicate CLUSTERS: transitive closure of the
+    multi-band near-dup pairs via connected components →
+    (vec_id, cluster_id), cluster_id = min vec_id in the component.
+    Only vectors participating in at least one near-dup pair appear
+    (every other vector is trivially its own cluster).
+
+    This is the cluster-canonical upgrade over pairwise min-id: with
+    pairs (1,2) and (2,3), greedy min-id drops 2 AND 3; here 2 and 3
+    share cluster 1 and exactly one survivor per semantic group
+    remains (`curate_semantic(policy="cluster")` uses this). CC runs
+    over the PAIR set — orders of magnitude smaller than the corpus —
+    with cc.py's driver fast path / pointer-jumping split."""
+    from mms_rdf_spark.operators.cc import connected_components
+
+    pairs = embedding_near_duplicates_mb(
+        embeddings, threshold=threshold, planes=planes, bands=bands,
+        max_bucket=max_bucket)
+    comps = connected_components(pairs, src="a_id", dst="b_id")
+    return comps.select(F.col("node").alias("vec_id"),
+                        F.col("component").alias("cluster_id"))
+
+
 def topk_lsh(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
              planes: int = 4) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH

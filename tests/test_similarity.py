@@ -135,3 +135,46 @@ def test_ivf_train_converges_and_improves(spark):
     assert scores[1] >= scores[0] - 1e-6
     assert scores[2] >= scores[1] - 1e-6
     assert scores[2] > scores[0], "2 iterations must beat the raw seeds"
+
+
+def test_cluster_policy_differs_from_greedy_where_it_should(spark):
+    """Pairs (1,3) + (2,3) with NO (1,2) pair: greedy min-id drops only
+    3 (the b-side of both pairs), keeping 1 AND 2; cluster policy
+    canonicalizes the whole component {1,2,3} to min id 1. The
+    geometry: v1,v2,v3 = base + d*u where u3 bisects u1,u2 —
+    cos(1,3)=cos(2,3)=0.93 > thr=0.85 > cos(1,2)=0.77."""
+    from mms_rdf_spark.operators.curate import curate_semantic
+    from mms_rdf_spark.operators.similarity import (
+        embedding_near_duplicates_mb,
+        neardup_clusters,
+    )
+
+    b = np.ones(16) / 4.0
+    u1 = np.zeros(16); u1[0] = 1.0
+    u1 -= u1.dot(b) * b; u1 /= np.linalg.norm(u1)
+    u2 = np.zeros(16); u2[1] = 1.0
+    u2 -= u2.dot(b) * b + u2.dot(u1) * u1; u2 /= np.linalg.norm(u2)
+    u3 = (u1 + u2) / np.sqrt(2)
+    d = np.sqrt(0.3)
+    vecs = {1: b + d * u1, 2: b + d * u2, 3: b + d * u3}
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(vecs), "embedding": [list(v) for v in vecs.values()]}))
+    pairs = {(r["a_id"], r["b_id"]) for r in embedding_near_duplicates_mb(
+        emb, threshold=0.85, planes=2, bands=2).collect()}
+    assert pairs == {(1, 3), (2, 3)}, pairs
+
+    clusters = {r["vec_id"]: r["cluster_id"] for r in
+                neardup_clusters(emb, threshold=0.85, planes=2,
+                                 bands=2).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1}
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(vecs),
+        "text": [f"the of to in is it doc {i}" for i in vecs]}))
+    greedy = {r["doc_id"] for r in curate_semantic(
+        docs, emb, sim_threshold=0.85, planes=2, bands=2).collect()}
+    cluster = {r["doc_id"] for r in curate_semantic(
+        docs, emb, sim_threshold=0.85, planes=2, bands=2,
+        policy="cluster").collect()}
+    assert greedy == {1, 2}
+    assert cluster == {1}, "exactly one survivor per semantic cluster"
