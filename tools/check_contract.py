@@ -84,4 +84,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    main(only=sys.argv[1:] or None)
+    # usage: check_contract.py [sf_dir] [query ...] — a leading arg that
+    # is a directory selects the scale factor (previously it was
+    # silently swallowed into the query filter and every CLI run used
+    # the sf0.01 default, whatever the caller thought they asked for)
+    import os
+
+    args = sys.argv[1:]
+    if args and (os.path.isdir(args[0]) or args[0].startswith("/")):
+        sf_dir, only = args[0], args[1:] or None
+        failures = main(sf_dir=sf_dir, only=only)
+    else:
+        failures = main(only=args or None)
+    sys.exit(1 if failures else 0)
