@@ -427,6 +427,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.where(F.col("doc_id") % 97 == 0)
         return D.decontaminate(docs, bench)
 
+    # ---- temporal operators (as-of / range join / hypertable rollup)
+    def events_asof(spark, sf):
+        from mms_rdf_spark.operators.temporal import _epoch_s, asof_join
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        right = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("value")))
+        left = (ev.where(F.col("event_type") != "purchase")
+                .select("event_id", "user_id", "ts"))
+        return (asof_join(left, right, on="user_id")
+                .select("event_id", "user_id",
+                        _epoch_s("ts").alias("ts_s"),
+                        F.round("asof_value", 4)
+                        .alias("last_purchase_value")))
+
+    def events_range_join(spark, sf):
+        from mms_rdf_spark.operators.temporal import range_join_bucketed
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        iv = (ev.where(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("interval_id"), "user_id",
+                      F.col("ts").alias("start_ts"),
+                      (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                      .alias("end_ts")))
+        pt = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("point_id"), "user_id",
+                      "ts"))
+        return (range_join_bucketed(iv, pt, on="user_id")
+                .select("interval_id", "point_id", "user_id"))
+
+    def events_rollup(spark, sf):
+        from mms_rdf_spark.operators.temporal import time_rollup
+        return time_rollup(spark.read.parquet(f"{sf}/events.parquet"))
+
     # ---- multimodal plumbing (mapInPandas over binary payloads)
     def mm_features(spark, sf):
         return MM.extract_features(MM.synth_media(_docs(spark, sf))) \
@@ -456,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
         "events_window": events_window,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "events_rollup": events_rollup,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -783,6 +819,46 @@ def oracle_sql() -> dict[str, str]:
            CAST(row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS INT) AS seq
     FROM events
+    """
+
+    # DuckDB's NATIVE ASOF JOIN is the cross-engine check for our
+    # union+window formulation (temporal.asof_join)
+    q["events_asof"] = """
+    WITH r AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), l AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
+           round(r.value, 4) AS last_purchase_value
+    FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    q["events_range_join"] = """
+    SELECT i.event_id AS interval_id, c.event_id AS point_id, i.user_id
+    FROM events i JOIN events c ON i.user_id = c.user_id
+    WHERE i.event_type = 'error' AND c.event_type = 'click'
+      AND c.ts BETWEEN i.ts AND i.ts + INTERVAL 30 MINUTE
+    """
+
+    q["events_rollup"] = """
+    WITH e AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)
+                   AS day_s,
+               CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS hour_s,
+               value
+        FROM events
+    )
+    SELECT day_s, hour_s,
+           CAST(grouping(day_s) * 2 + grouping(hour_s) AS INT) AS level,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM e GROUP BY ROLLUP(day_s, hour_s)
     """
 
     q["dedup_exact"] = """

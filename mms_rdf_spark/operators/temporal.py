@@ -1,0 +1,181 @@
+"""Temporal join / rollup operators Spark lacks as built-ins.
+
+Three operator families the task brief names explicitly (as-of join,
+range join, hypertable rollup), each expressed as a composition of
+DataFrame ops so Catalyst keeps the whole plan declarative — no
+mapPartitions, no Python in the hot path:
+
+- `asof_join`: point-in-time join (each left row picks the most recent
+  right row at-or-before its timestamp, per key). Implemented as
+  tag -> unionByName -> one window scan, i.e. ONE shuffle on the join
+  key and a linear pass per key — never the O(rows_l * rows_r) expansion
+  a naive `l.ts >= r.ts` theta-join gives Spark (which would plan a
+  BroadcastNestedLoopJoin). This is the standard feature-store /
+  market-data join; DuckDB's native ASOF JOIN is the cross-engine
+  oracle.
+- `range_join_bucketed`: interval-point join via time bucketing. Each
+  interval explodes into the epoch buckets it covers, each point maps
+  to its single bucket, and the join becomes an equi-join on
+  (key, bucket) plus a residual `between` filter. Expansion factor is
+  ceil(span/bucket)+1 per interval — bounded and chosen by the caller —
+  instead of the unbounded per-key cross product of an inequality join.
+  A point lies in exactly one bucket, so no post-join dedup is needed.
+- `time_rollup`: hypertable-style multi-resolution aggregate
+  (hour -> day -> grand total) in ONE pass via `rollup` + grouping_id
+  (partial aggregation handles all levels map-side; no per-resolution
+  rescan of the fact table).
+
+Scale notes (100 TB): the as-of union-window shuffles each side once on
+the key — skewed keys fall under the same AQE skew-split evidence as the
+link joins (tests/test_aqe_skew.py). The bucketed range join's shuffle
+width is rows + sum(spans)/bucket exploded rows; pick `bucket_seconds`
+near the median span so the blowup stays ~2x. The rollup is a single
+grouping-sets aggregate: L levels cost one shuffle, not L scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _epoch_s(col_name: str) -> Column:
+    """Timezone-independent whole epoch seconds (the sessionize.py
+    idiom): never routes through the session zone, and matches a DuckDB
+    oracle's floor(epoch(ts))."""
+    return F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({col_name} as timestamp_ntz))")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str = "value",
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach `value_col` from the most recent right
+    row with right.ts <= left.ts (direction="backward"; "forward" takes
+    the earliest right row with right.ts >= left.ts), matching on `on`.
+    Left rows with no qualifying right row keep NULL (left-outer
+    semantics, same as DuckDB `ASOF LEFT JOIN`).
+
+    Contract: `right` must be unique per (on, right_ts) — pre-aggregate
+    ties (the demo query takes max(value) per instant) or the picked row
+    is undefined. Result column is `asof_value`; all left columns pass
+    through.
+
+    Plan: right rows are tagged side=0, left rows side=1, unioned, then
+    `last(asof_value, ignorenulls=True)` over a per-key window ordered
+    by (ts, side) rows UNBOUNDED PRECEDING..CURRENT. Ordering side=0
+    first makes an equal-timestamp right row visible to the left row
+    (the at-or-before convention). One exchange total, both inputs
+    hash-partitioned together on the key.
+    """
+    asc = direction == "backward"
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+
+    lcols = [c for c in left.columns]
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.col(value_col).alias("_asof_value"),
+        F.lit(0).alias("_asof_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c != on],
+    )
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(None).cast(right.schema[value_col].dataType)
+        .alias("_asof_value"),
+        F.lit(1).alias("_asof_side"),
+    )
+    ts_key = F.col("_asof_ts") if asc else F.col("_asof_ts").desc()
+    w = (Window.partitionBy(on)
+         .orderBy(ts_key, "_asof_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        l.unionByName(r.select(*l.columns))
+        .withColumn("asof_value",
+                    F.last("_asof_value", ignorenulls=True).over(w))
+        .where(F.col("_asof_side") == 1)
+        .select(*lcols, "asof_value")
+    )
+
+
+def range_join_bucketed(
+    intervals: DataFrame,
+    points: DataFrame,
+    on: str,
+    start: str = "start_ts",
+    end: str = "end_ts",
+    point_ts: str = "ts",
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """Join each point to every interval containing it (same key,
+    start <= point_ts <= end) without an inequality join.
+
+    Intervals explode to the epoch-bucket ids they cover
+    (`sequence(floor(start/b), floor(end/b))`); each point computes its
+    single bucket id; the pair match is then an EQUI-join on
+    (key, bucket) with the exact `between` as a residual filter. Every
+    qualifying (interval, point) pair meets in exactly one bucket — the
+    point's own — so the output needs no dedup.
+
+    Returns intervals' columns + points' columns (caller aliases any
+    clashes beforehand; `on` appears once).
+    """
+    b = int(bucket_seconds)
+    icols = [c for c in intervals.columns]
+    pcols = [c for c in points.columns if c != on]
+    iv = intervals.select(
+        *icols,
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_s(start) / b),
+                F.floor(_epoch_s(end) / b),
+            )
+        ).alias("_bkt"),
+    )
+    pt = points.select(
+        F.col(on).alias("_p_key"),
+        *pcols,
+        F.floor(_epoch_s(point_ts) / b).alias("_bkt"),
+    )
+    return (
+        iv.join(pt, (F.col(on) == F.col("_p_key"))
+                & (iv["_bkt"] == pt["_bkt"]))
+        .where(F.col(point_ts).between(F.col(start), F.col(end)))
+        .select(*icols, *pcols)
+    )
+
+
+def time_rollup(
+    events: DataFrame, ts: str = "ts", value: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup in one aggregate:
+    (day, hour) grouping-set levels hour, day, and grand total, each row
+    stamped with its `level` (grouping_id: 0 = hour-within-day,
+    1 = day, 3 = total). day/hour are epoch seconds of the truncated
+    timestamp (NULL above their level), computed arithmetically from
+    tz-independent epoch seconds so any engine reproduces them. One
+    shuffle computes every resolution — the continuous-aggregate
+    pattern without rescanning the fact table per resolution."""
+    sec = _epoch_s(ts)
+    day = (F.floor(sec / 86400) * 86400).cast("long").alias("day_s")
+    hour = (F.floor(sec / 3600) * 3600).cast("long").alias("hour_s")
+    return (
+        events.select(day, hour, F.col(value).alias("_v"))
+        .rollup("day_s", "hour_s")
+        .agg(
+            F.grouping_id().cast("int").alias("level"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("_v"), 2).alias("sum_value"),
+        )
+    )

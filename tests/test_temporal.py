@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+    time_rollup,
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(10)), (3, 10, _ts(20)),
+         (4, 20, _ts(7)), (5, 30, _ts(1))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(4), 1.0), (10, _ts(10), 2.0), (10, _ts(15), 3.0),
+         (20, _ts(9), 9.0)],
+        "user_id long, ts timestamp, value double")
+    return left, right
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left, right = _fixture(spark)
+    got = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, on="user_id").collect()}
+    # t=5 -> right@4; t=10 -> right@10 (equal ts INCLUDED); t=20 -> right@15
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0,
+                   4: None,   # user 20's only right row is later (t=9 > 7)
+                   5: None}   # user 30 has no right rows
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left, right = _fixture(spark)
+    got = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, on="user_id",
+                              direction="forward").collect()}
+    assert got == {1: 2.0, 2: 2.0, 3: None, 4: 9.0, 5: None}
+
+
+def test_asof_is_one_exchange_no_join(spark):
+    """The whole point vs a theta-join: one hash exchange on the key,
+    zero Join nodes (a naive l.ts >= r.ts join plans a
+    BroadcastNestedLoopJoin that is quadratic per key)."""
+    left, right = _fixture(spark)
+    plan = asof_join(left, right, on="user_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_range_join_matches_naive_inequality_join(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = (ev.where(F.col("event_type") == "error")
+          .select(F.col("event_id").alias("interval_id"), "user_id",
+                  F.col("ts").alias("start_ts"),
+                  (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                  .alias("end_ts")))
+    pt = (ev.where(F.col("event_type") == "click")
+          .select(F.col("event_id").alias("point_id"), "user_id", "ts"))
+    got = sorted(
+        (r["interval_id"], r["point_id"])
+        for r in range_join_bucketed(iv, pt, on="user_id").collect())
+    naive = sorted(
+        (r["interval_id"], r["point_id"])
+        for r in iv.join(pt.withColumnRenamed("user_id", "u2"),
+                         (F.col("user_id") == F.col("u2"))
+                         & F.col("ts").between(F.col("start_ts"),
+                                               F.col("end_ts")))
+        .collect())
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_plans_equi_join_not_nested_loop(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = (ev.where(F.col("event_type") == "error")
+          .select(F.col("event_id").alias("interval_id"), "user_id",
+                  F.col("ts").alias("start_ts"),
+                  (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                  .alias("end_ts")))
+    pt = (ev.where(F.col("event_type") == "click")
+          .select(F.col("event_id").alias("point_id"), "user_id", "ts"))
+    plan = range_join_bucketed(iv, pt, on="user_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Join" in plan  # a real equi-join on (key, bucket)
+
+
+def test_rollup_levels_are_consistent(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = time_rollup(ev).collect()
+    total = [r for r in rows if r["level"] == 3]
+    days = [r for r in rows if r["level"] == 1]
+    hours = [r for r in rows if r["level"] == 0]
+    assert len(total) == 1
+    assert total[0]["n"] == ev.count() == sum(r["n"] for r in days)
+    assert sum(r["n"] for r in hours) == total[0]["n"]
+    # every hour row nests inside its day row
+    day_keys = {r["day_s"] for r in days}
+    assert all(r["day_s"] in day_keys for r in hours)
+    assert all(r["hour_s"] is None for r in days)
