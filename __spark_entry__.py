@@ -460,6 +460,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.temporal import time_rollup
         return time_rollup(spark.read.parquet(f"{sf}/events.parquet"))
 
+    # ---- deterministic KMV sketches (cross-engine-checkable approx)
+    def sketch_distinct(spark, sf):
+        from mms_rdf_spark.operators.sketch import kmv_distinct
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return kmv_distinct(ev, "event_id", k=64)
+
+    def sketch_jaccard(spark, sf):
+        from mms_rdf_spark.operators.sketch import kmv_jaccard
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return kmv_jaccard(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "view"),
+            "user_id", k=64)
+
     # ---- multimodal plumbing (mapInPandas over binary payloads)
     def mm_features(spark, sf):
         return MM.extract_features(MM.synth_media(_docs(spark, sf))) \
@@ -492,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "events_rollup": events_rollup,
+        "sketch_distinct": sketch_distinct,
+        "sketch_jaccard": sketch_jaccard,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -859,6 +875,45 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n,
            round(sum(value), 2) AS sum_value
     FROM e GROUP BY ROLLUP(day_s, hour_s)
+    """
+
+    # KMV is a pure function of the value set, so even the APPROXIMATE
+    # estimate hash-matches across engines (div order mirrored exactly)
+    q["sketch_distinct"] = """
+    WITH s AS (
+        SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) AS h
+        FROM events ORDER BY h LIMIT 64
+    )
+    SELECT CAST(count(*) AS INT) AS k_used,
+           max(h) AS kth_hash,
+           round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 63.0 /
+                           (CAST(concat('0x', substr(max(h), 1, 12))
+                                 AS BIGINT) / power(2, 48))
+                 END, 4) AS est_distinct
+    FROM s
+    """
+
+    q["sketch_jaccard"] = """
+    WITH sa AS (
+        SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'click' ORDER BY h LIMIT 64
+    ), sb AS (
+        SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'view' ORDER BY h LIMIT 64
+    ), u AS (
+        SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+        ORDER BY h LIMIT 64
+    )
+    SELECT CAST(count(*) AS INT) AS k_used,
+           CAST(sum(CASE WHEN h IN (SELECT h FROM sa)
+                          AND h IN (SELECT h FROM sb)
+                     THEN 1 ELSE 0 END) AS INT) AS n_both,
+           round(CAST(sum(CASE WHEN h IN (SELECT h FROM sa)
+                               AND h IN (SELECT h FROM sb)
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS jaccard
+    FROM u
     """
 
     q["dedup_exact"] = """

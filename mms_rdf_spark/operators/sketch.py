@@ -1,0 +1,98 @@
+"""Deterministic KMV (k-minimum-values) sketches.
+
+The "novel sketch" slot of the task brief, designed so the SAME sketch
+is computable by any engine — unlike HLL (whose register layout is
+implementation-defined, so approx_count_distinct can never be
+cross-engine-checked), KMV over md5 is a pure function of the input
+set. That makes it the rare approximate operator that still passes the
+exact DuckDB hash-match gate.
+
+Theory (Bar-Yossef et al. 2002; Beyer et al. 2007 "Distinct-value
+synopses"): hash every distinct value to [0,1); keep the k smallest
+hashes. If the kth smallest is U_(k), then E[U_(k)] ~ k/(D+1), so
+D_hat = (k-1)/U_(k) is (nearly) unbiased with relative error
+~1/sqrt(k-2). The sketch is a bounded set of k hashes, so it is:
+
+- mergeable: bottom-k of a union = bottom-k of the concatenated
+  sketches — partial sketches combine associatively across partitions,
+  days, or tables (kmv_merge);
+- similarity-capable: for sets A and B, the bottom-k of A u B is a
+  uniform sample of the union, so the fraction of it present in BOTH
+  per-set sketches estimates Jaccard(A,B) (Beyer et al. §4).
+
+Plan shape at 100 TB: `orderBy(h).limit(k)` compiles to
+TakeOrderedAndProject — each task keeps its own k smallest, the driver
+merges P*k values; no full sort, no wide shuffle. The hash fraction
+uses the first 12 hex chars (48 bits) so the integer is exact in a
+double in every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 48  # 12 hex chars: exact in an IEEE double everywhere
+
+
+def _frac(h: Column) -> Column:
+    """Hash fraction in [0,1): first 48 bits of the md5 hex / 2^48."""
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+            / float(2 ** HASH_BITS))
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """The sketch itself: the k smallest distinct md5 hashes of `col`
+    (fixed-width lowercase hex, so lexicographic order IS numeric
+    order). One column `h`; <=k rows."""
+    return (df.select(F.md5(F.col(col).cast("string")).alias("h"))
+            .distinct().orderBy("h").limit(k))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two KMV sketches: bottom-k of the union. Associative and
+    commutative — the property that lets per-partition / per-day
+    sketches roll up without touching raw data again."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Single-row distinct-count estimate: (k_used, kth_hash,
+    est_distinct). If the input has fewer than k distinct values the
+    sketch IS the value set and the count is exact; otherwise
+    D_hat = (k-1)/frac(kth smallest hash), rounded to 4 so both engines
+    agree bit-for-bit after formatting."""
+    s = kmv_sketch(df, col, k)
+    kth = F.max("h")
+    n = F.count(F.lit(1))
+    est = F.when(n < k, n.cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / _frac(kth))
+    return s.agg(
+        n.cast("int").alias("k_used"),
+        kth.alias("kth_hash"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, col: str, k: int = 64,
+) -> DataFrame:
+    """Single-row Jaccard estimate between the distinct `col` sets of
+    two DataFrames: the bottom-k of A u B is a uniform sample of the
+    union; the fraction of those hashes found in both per-set sketches
+    estimates |A n B| / |A u B|. Exact when |A u B| <= k."""
+    sa, sb = kmv_sketch(a, col, k), kmv_sketch(b, col, k)
+    u = kmv_merge(sa, sb, k)
+    both = (u.join(sa.withColumnRenamed("h", "ha"),
+                   u["h"] == F.col("ha"), "left")
+            .join(sb.withColumnRenamed("h", "hb"),
+                  u["h"] == F.col("hb"), "left"))
+    return both.agg(
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+        F.sum((F.col("ha").isNotNull() & F.col("hb").isNotNull())
+              .cast("int")).cast("int").alias("n_both"),
+        F.round(
+            F.sum((F.col("ha").isNotNull() & F.col("hb").isNotNull())
+                  .cast("int"))
+            / F.count(F.lit(1)), 4).alias("jaccard"),
+    )

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_jaccard,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def test_exact_below_k(spark):
+    df = spark.range(40).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=64).collect()[0]
+    assert row["k_used"] == 40
+    assert row["est_distinct"] == 40.0
+
+
+def test_estimator_within_tolerance(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    true = ev.select("event_id").distinct().count()
+    row = kmv_distinct(ev, "event_id", k=256).collect()[0]
+    assert row["k_used"] == 256
+    # rel err ~ 1/sqrt(k-2) ~ 6%; allow 3 sigma
+    assert abs(row["est_distinct"] - true) / true < 0.20, row
+
+
+def test_sketch_is_mergeable(spark):
+    """bottom-k(A u B) == merge(sketch(A), sketch(B)) — the property
+    that lets per-partition/per-day sketches roll up."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    whole = {r["h"] for r in kmv_sketch(ev, "event_id", 64).collect()}
+    merged = {r["h"] for r in kmv_merge(kmv_sketch(a, "event_id", 64),
+                                        kmv_sketch(b, "event_id", 64),
+                                        64).collect()}
+    assert whole == merged
+
+
+def test_jaccard_exact_on_small_sets(spark):
+    a = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "v long")
+    row = kmv_jaccard(a, b, "v", k=64).collect()[0]
+    # |A n B| = 5, |A u B| = 15 -> exact below k
+    assert row["k_used"] == 15 and row["n_both"] == 5
+    assert abs(row["jaccard"] - 5 / 15) < 1e-4
+
+
+def test_sketch_plans_as_top_k_not_full_sort(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-task
+    top-k + driver merge), not a global Sort exchange."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = kmv_sketch(ev, "event_id", 64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
