@@ -460,6 +460,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.temporal import time_rollup
         return time_rollup(spark.read.parquet(f"{sf}/events.parquet"))
 
+    # ---- retrieval + corpus-wide duplication signals
+    def text_bm25(spark, sf):
+        return TX.bm25_topk(_docs(spark, sf),
+                            ["spark", "join", "vector"], k=10)
+
+    def text_dup_grams(spark, sf):
+        return TX.cross_doc_gram_stats(_docs(spark, sf))
+
     # ---- deterministic KMV sketches (cross-engine-checkable approx)
     def sketch_distinct(spark, sf):
         from mms_rdf_spark.operators.sketch import kmv_distinct
@@ -506,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "events_rollup": events_rollup,
+        "text_bm25": text_bm25,
+        "text_dup_grams": text_dup_grams,
         "sketch_distinct": sketch_distinct,
         "sketch_jaccard": sketch_jaccard,
         "dedup_exact": dedup_exact,
@@ -875,6 +885,56 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n,
            round(sum(value), 2) AS sum_value
     FROM e GROUP BY ROLLUP(day_s, hour_s)
+    """
+
+    # BM25 with the idf rounded to 6 on both sides (Python math.log vs
+    # DuckDB ln) and every other operation mirrored in order
+    q["text_bm25"] = f"""
+    WITH t AS (
+        SELECT doc_id, len(toks) AS dl,
+               len(list_filter(toks, x -> x = 'spark')) AS tf0,
+               len(list_filter(toks, x -> x = 'join')) AS tf1,
+               len(list_filter(toks, x -> x = 'vector')) AS tf2
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               round(avg(dl), 6) AS avgdl,
+               CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS df0,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS df2
+        FROM t
+    )
+    SELECT doc_id,
+           round(
+               round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)), 6)
+                   * (CAST(tf0 AS DOUBLE) * 2.2)
+                   / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5)), 6)
+                   * (CAST(tf1 AS DOUBLE) * 2.2)
+                   / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5)), 6)
+                   * (CAST(tf2 AS DOUBLE) * 2.2)
+                   / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+             4) AS score
+    FROM t, s
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+    q["text_dup_grams"] = f"""
+    WITH g AS ({_G5_CTE}),
+    w AS (SELECT gram, count(*) AS w FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN w.w > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(CAST(sum(CASE WHEN w.w > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS shared_frac
+    FROM g JOIN w USING (gram)
+    GROUP BY g.doc_id
     """
 
     # KMV is a pure function of the value set, so even the APPROXIMATE

@@ -220,3 +220,82 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     (doc_id, fp)."""
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 keyword ranking: top-k documents for a fixed term list.
+    (doc_id, score), score rounded to 4, ties broken by doc_id.
+
+    Plan shape for 100 TB: for a handful of query terms there is no
+    inverted index to shuffle — per-term tf is a pure column expression
+    over the token array, so pass 1 is ONE map-side-combined aggregate
+    producing a single driver row (N, avgdl, df per term), and pass 2
+    folds the idf constants (computed driver-side, rounded to 6 so the
+    SQL oracle's ln() agrees) into a second scan's projection followed
+    by a TakeOrderedAndProject top-k. Two scans, zero joins, zero wide
+    shuffles — the J1 static-fold pattern applied to retrieval.
+    """
+    import math
+
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tf_cols = {t: F.size(F.filter(toks, lambda x: x == F.lit(t)))
+               for t in terms}
+    per_doc = docs.select(
+        "doc_id", F.size(toks).alias("dl"),
+        *[tf_cols[t].alias(f"tf_{i}") for i, t in enumerate(terms)])
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+          for i in range(len(terms))]).collect()[0]
+    n, avgdl = stats["n"], stats["avgdl"]
+    idf = [round(math.log(1 + (n - stats[f"df_{i}"] + 0.5)
+                          / (stats[f"df_{i}"] + 0.5)), 6)
+           for i in range(len(terms))]
+    norm = F.col("dl") / avgdl
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        part = F.lit(idf[i]) * (tf * (k1 + 1)) \
+            / (tf + k1 * (1 - b + b * norm))
+        score = part if score is None else score + part
+    any_hit = None
+    for i in range(len(terms)):
+        hit = F.col(f"tf_{i}") > 0
+        any_hit = hit if any_hit is None else any_hit | hit
+    return (per_doc.where(any_hit)
+            .select("doc_id", F.round(score, 4).alias("score"))
+            .orderBy(F.col("score").desc(), "doc_id").limit(k))
+
+
+def cross_doc_gram_stats(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Cross-document duplicated-n-gram statistics: for each doc, how
+    much of it is text that also appears verbatim elsewhere in the
+    corpus — the n-gram-granular form of substring-level exact dedup
+    (the "Deduplicating Training Data" signal, computed corpus-wide).
+    (doc_id, n_grams, n_shared, shared_frac): distinct word-5-gram
+    digests per doc, how many occur in >=2 docs, and their fraction.
+
+    Scale shape: docs ship 32-char gram DIGESTS (never text) keyed by
+    gram — one gram-keyed aggregate for document frequency, the join
+    back reuses the same hash partitioning, then a doc_id aggregate.
+    Gram df is naturally heavy-tailed but the df aggregate is map-side
+    combinable, so hot grams cost partial rows, not a hot task. Shares
+    token + gram + digest definitions with decontaminate/repetition
+    (dedup.word_ngrams), so the signals can never drift."""
+    from mms_rdf_spark.operators.dedup import _tokens, word_ngrams
+
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.transform(word_ngrams(_tokens(F.col("text")), n), F.md5)
+        )).alias("gram"))
+    df_w = g.groupBy("gram").agg(F.count(F.lit(1)).alias("w"))
+    return (g.join(df_w, on="gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("w") > 1).cast("int")).cast("long")
+                 .alias("n_shared"),
+                 F.round(F.sum((F.col("w") > 1).cast("int"))
+                         / F.count(F.lit(1)), 6).alias("shared_frac")))

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from mms_rdf_spark.operators.textstats import (
+    bm25_topk,
+    cross_doc_gram_stats,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, "spark join vector spark join"),          # stuffed with terms
+        (2, "spark table scan over the big table"),   # one term
+        (3, "nothing relevant here at all"),          # no terms
+        (4, "a b c d e f g h i j k l m n o p"),       # no terms, long
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    got = bm25_topk(_corpus(spark), ["spark", "join", "vector"],
+                    k=10).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]  # no-hit docs excluded
+    assert got[0]["score"] > got[1]["score"] > 0
+
+
+def test_bm25_respects_k_and_tiebreak(spark):
+    rows = [(i, "same text here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, ["same"], k=5).collect()
+    # identical scores -> doc_id tiebreak, k enforced
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3, 4]
+    assert len({r["score"] for r in got}) == 1
+
+
+def test_cross_doc_grams_flags_shared_spans(spark):
+    shared = "one two three four five"
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon"),
+        (2, shared + " zeta eta theta iota kappa"),
+        (3, "completely different words in this document entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in cross_doc_gram_stats(df).collect()}
+    # docs 1/2 share exactly the 5-gram of `shared`; doc 3 shares none
+    assert got[1]["n_shared"] == 1 and got[2]["n_shared"] == 1
+    assert got[3]["n_shared"] == 0 and got[3]["shared_frac"] == 0.0
+    assert 0 < got[1]["shared_frac"] < 1
