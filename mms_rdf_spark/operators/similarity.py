@@ -474,8 +474,43 @@ def _argmax_centroid(cent_rows) -> "tuple[Column, Column]":
         best["s"].alias("score")
 
 
+def _broadcast_argmax(e: DataFrame, cents: DataFrame,
+                      carry_emb: bool = False) -> DataFrame:
+    """Broadcast-join argmax assignment: score every (vector, centroid)
+    pair via crossJoin(broadcast(cents)), then collapse to the best
+    centroid per vec_id with groupBy + max(struct(score, -cid)) — the
+    SAME tie rule as the static fold (_argmax_centroid), and the same
+    rounded score, so the two paths are row-identical. The groupBy is
+    partially aggregated map-side; since the broadcast multiplies rows
+    WITHIN a partition, every vec_id collapses to one row before the
+    exchange, so the shuffle carries n rows — not n*k.
+
+    This is the scale path past ~10^5 k*dims, where collecting the
+    centroids to fold them into a literal expression tree stops being
+    reasonable (NOTES.md round-3 limitation #5); below that the static
+    fold wins because it has NO exchange at all.
+
+    Returns (vec_id, centroid_id, score) (+ emb when carry_emb)."""
+    c = cents.select(F.col("centroid_id").cast("long").alias("_cid"),
+                     F.col("c_emb"))
+    score = F.round(_dot(F.col("emb"), F.col("c_emb"))
+                    / (_norm(F.col("emb")) * _norm(F.col("c_emb"))), 6)
+    cand = [score.alias("s"), (-F.col("_cid")).alias("nc")]
+    if carry_emb:
+        cand.append(F.col("emb").alias("emb"))
+    best = (e.crossJoin(F.broadcast(c))
+            .select("vec_id", F.struct(*cand).alias("_cand"))
+            .groupBy("vec_id").agg(F.max("_cand").alias("_b")))
+    out = [F.col("vec_id"),
+           (-F.col("_b.nc")).cast("long").alias("centroid_id"),
+           F.col("_b.s").alias("score")]
+    if carry_emb:
+        out.append(F.col("_b.emb").alias("emb"))
+    return best.select(*out)
+
+
 def ivf_train(embeddings: DataFrame, every_k: int = 100,
-              iters: int = 2) -> DataFrame:
+              iters: int = 2, fold: str = "static") -> DataFrame:
     """Lloyd's k-means for the IVF coarse quantizer (the round-2
     "trained centroids" gap): seeded deterministically (vec_id %
     every_k == 0, so any engine re-derives the init), then `iters`
@@ -492,19 +527,36 @@ def ivf_train(embeddings: DataFrame, every_k: int = 100,
     pointer-jumping pattern). Means are rounded to 6 decimals BEFORE
     the next round so Spark and the SQL oracle iterate on bit-identical
     centroids. Empty clusters drop out (deterministic in both engines).
-    Returns (centroid_id, c_emb)."""
+    Returns (centroid_id, c_emb).
+
+    fold="static" (default) collects the centroids each round and folds
+    them into the assignment expression — zero shuffle for assign, the
+    right call while k*dims fits a literal tree (~10^5 floats).
+    fold="broadcast" keeps the centroids distributed and assigns via
+    crossJoin(broadcast) + map-side-combined argmax
+    (_broadcast_argmax) — nothing ever collects to the driver, which is
+    the 10^6+-centroid regime. Both paths share the rounded-cosine /
+    min-id tie rule, so they produce bit-identical centroids (pinned in
+    test_similarity)."""
+    if fold not in ("static", "broadcast"):
+        raise ValueError(f"unknown fold {fold!r}")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
     cents = (e.where(F.col("vec_id") % every_k == 0)
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("emb").alias("c_emb")))
     for _ in range(iters):
-        rows = sorted((r["centroid_id"], list(r["c_emb"]))
-                      for r in cents.collect())
-        cid, _score = _argmax_centroid(rows)
-        # two-step select: a generator (posexplode) in the same
-        # projection as the struct extraction makes the analyzer drop
-        # the struct field names (FIELD_NOT_FOUND on `nc`)
-        assigned = e.select(cid, "emb").select(
+        if fold == "static":
+            rows = sorted((r["centroid_id"], list(r["c_emb"]))
+                          for r in cents.collect())
+            cid, _score = _argmax_centroid(rows)
+            # two-step select: a generator (posexplode) in the same
+            # projection as the struct extraction makes the analyzer
+            # drop the struct field names (FIELD_NOT_FOUND on `nc`)
+            assigned = e.select(cid, "emb")
+        else:
+            assigned = _broadcast_argmax(e, cents, carry_emb=True) \
+                .select("centroid_id", "emb")
+        assigned = assigned.select(
             "centroid_id", F.posexplode("emb").alias("dim", "v"))
         cents = (
             assigned.groupBy("centroid_id", "dim")
@@ -518,16 +570,21 @@ def ivf_train(embeddings: DataFrame, every_k: int = 100,
 
 
 def ivf_assign_trained(embeddings: DataFrame, every_k: int = 100,
-                       iters: int = 2) -> DataFrame:
+                       iters: int = 2, fold: str = "static") -> DataFrame:
     """ivf_assign with TRAINED centroids: (vec_id, centroid_id, score)
     where centroid_id keys the ivf_train cluster (seed vec_id) and
-    score is the rounded cosine to its trained centroid. The
-    assignment itself is the same zero-shuffle static fold as
-    training's assign step."""
-    cents = sorted((r["centroid_id"], list(r["c_emb"]))
-                   for r in ivf_train(embeddings, every_k, iters).collect())
+    score is the rounded cosine to its trained centroid. fold="static"
+    (default): zero-shuffle driver-folded assignment, same as
+    training's assign step. fold="broadcast": fully distributed
+    crossJoin(broadcast)+argmax — the path for centroid sets too large
+    to collect; row-identical to static (shared rounding + tie rule)."""
+    trained = ivf_train(embeddings, every_k, iters, fold=fold)
     e = _spread(
         embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb")))
+    if fold == "broadcast":
+        return _broadcast_argmax(e, trained)
+    cents = sorted((r["centroid_id"], list(r["c_emb"]))
+                   for r in trained.collect())
     cid, score = _argmax_centroid(cents)
     return e.select("vec_id", cid, score)
 

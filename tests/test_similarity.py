@@ -178,3 +178,51 @@ def test_cluster_policy_differs_from_greedy_where_it_should(spark):
         policy="cluster").collect()}
     assert greedy == {1, 2}
     assert cluster == {1}, "exactly one survivor per semantic cluster"
+
+
+def test_ivf_broadcast_fold_matches_static(spark):
+    """The distributed (crossJoin-broadcast argmax) fold must be
+    row-identical to the driver-folded static path — same rounded
+    cosine, same min-id tie rule — for both training and assignment
+    (NOTES round-3 limitation: the static fold stops scaling past
+    ~10^5 k*dims, so the broadcast path must be a drop-in)."""
+    from mms_rdf_spark.operators.similarity import (
+        ivf_assign_trained,
+        ivf_train,
+    )
+
+    emb = _emb_df(spark, n=150, dims=16, with_dupes=False)
+    t_static = {r["centroid_id"]: list(r["c_emb"]) for r in
+                ivf_train(emb, every_k=30, iters=2).collect()}
+    t_bcast = {r["centroid_id"]: list(r["c_emb"]) for r in
+               ivf_train(emb, every_k=30, iters=2,
+                         fold="broadcast").collect()}
+    assert t_static == t_bcast
+
+    a_static = {tuple(r) for r in
+                ivf_assign_trained(emb, every_k=30, iters=2).collect()}
+    a_bcast = {tuple(r) for r in
+               ivf_assign_trained(emb, every_k=30, iters=2,
+                                  fold="broadcast").collect()}
+    assert a_static == a_bcast
+
+
+def test_ivf_broadcast_fold_plan_has_no_collect_side_shuffle(spark):
+    """The broadcast assign must plan as BroadcastNestedLoopJoin (tiny
+    broadcast centroid side) + partial/final HashAggregate — no
+    SortMergeJoin and no window sort over the n*k candidate rows."""
+    from mms_rdf_spark.operators.similarity import (
+        _as_double,
+        _broadcast_argmax,
+    )
+
+    emb = _emb_df(spark, n=60, dims=8, with_dupes=False)
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    cents = (e.where(F.col("vec_id") % 20 == 0)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("emb").alias("c_emb")))
+    plan = _broadcast_argmax(e, cents) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
