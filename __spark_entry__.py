@@ -460,6 +460,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.temporal import time_rollup
         return time_rollup(spark.read.parquet(f"{sf}/events.parquet"))
 
+    # ---- graph centrality (KG entity salience)
+    def kg_pagerank(spark, sf):
+        from mms_rdf_spark.operators.pagerank import pagerank
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
+        return pagerank(e, iters=3)
+
     # ---- retrieval + corpus-wide duplication signals
     def text_bm25(spark, sf):
         return TX.bm25_topk(_docs(spark, sf),
@@ -514,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "events_rollup": events_rollup,
+        "kg_pagerank": kg_pagerank,
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "sketch_distinct": sketch_distinct,
@@ -886,6 +902,43 @@ def oracle_sql() -> dict[str, str]:
            round(sum(value), 2) AS sum_value
     FROM e GROUP BY ROLLUP(day_s, hour_s)
     """
+
+    # PageRank: the SQL unrolls the SAME bounded iterations the Spark
+    # loop runs (per-iteration round-8 means both engines iterate on
+    # bit-identical rank vectors — the ivf_train k-means parity trick)
+    pr = """
+    WITH edges AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+               'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+        SELECT src AS node, count(*) AS d FROM edges GROUP BY src
+    ), nn AS (SELECT count(*) AS n FROM nodes
+    ), r0 AS (
+        SELECT node, round(1.0 / n, 8) AS r FROM nodes CROSS JOIN nn
+    )"""
+    for i in range(1, 4):
+        pr += f""", c{i} AS (
+        SELECT e.dst AS node, sum(r.r / deg.d) AS c
+        FROM edges e JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+    ), d{i} AS (
+        SELECT coalesce(sum(r.r), 0.0) AS dm
+        FROM r{i - 1} r LEFT JOIN deg ON r.node = deg.node
+        WHERE deg.node IS NULL
+    ), r{i} AS (
+        SELECT nd.node,
+               round((1 - 0.85) / n
+                     + 0.85 * (coalesce(c{i}.c, 0.0) + dm / n), 8) AS r
+        FROM nodes nd CROSS JOIN nn CROSS JOIN d{i}
+        LEFT JOIN c{i} ON nd.node = c{i}.node
+    )"""
+    q["kg_pagerank"] = pr + "\n    SELECT node, r AS rank FROM r3"
 
     # BM25 with the idf rounded to 6 on both sides (Python math.log vs
     # DuckDB ln) and every other operation mirrored in order

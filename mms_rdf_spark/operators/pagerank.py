@@ -1,0 +1,75 @@
+"""PageRank over a KG edge table (bounded iterations, cross-engine
+deterministic).
+
+The graph-centrality companion to cc.py's connected components:
+entity/link graphs built by the KG pipeline need a salience score for
+canonical-entity ranking, and PageRank over the (src, dst) edge
+DataFrame is the standard one.
+
+Determinism contract (what makes the DuckDB unrolled-CTE oracle
+hash-match): ranks are rounded to `precision` decimals AFTER EVERY
+iteration, so both engines iterate on bit-identical vectors; all
+scalar constants (1-d, d) are computed ENGINE-side from the same
+literals, never pre-folded in Python (1 - 0.85 differs from a 0.15
+literal in the last ulp).
+
+Plan shape at 100 TB: per iteration, one join of ranks to edges on the
+src key + one dst-keyed aggregate (both map-side combined), one
+broadcast of the two single-row scalars (node count, dangling mass) —
+no collect() anywhere, so the loop never funnels the graph through the
+driver; localCheckpoint per round truncates lineage exactly like
+cc.py's pointer jumping. Hot dst nodes (celebrity entities) are a
+skewed aggregate, not a skewed join — partial aggregation absorbs them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+    precision: int = 8,
+) -> DataFrame:
+    """(node, rank) for every node appearing in `edges`. Dangling-node
+    mass (sinks) is redistributed uniformly each iteration, so total
+    rank stays ~1 (up to the per-iteration rounding)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+           .withColumnRenamed("src", "node"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    one_minus_d = F.lit(1.0) - F.lit(damping)  # engine-side arithmetic
+    ranks = (nodes.crossJoin(F.broadcast(nn))
+             .select("node", F.round(F.lit(1.0) / F.col("n"), precision)
+                     .alias("r")))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, on="node")
+            .join(e, ranks["node"] == e["src"])
+            .select("dst", (F.col("r") / F.col("d")).alias("_c"))
+            .groupBy("dst").agg(F.sum("_c").alias("c")))
+        dangling = (ranks.join(deg, on="node", how="left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")))
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dangling))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    one_minus_d / F.col("n")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("dm") / F.col("n")),
+                    precision).alias("r"))
+        ).localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank"))
