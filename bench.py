@@ -117,8 +117,13 @@ def main() -> None:
         timed("kg_link_mentions", link_mentions)
 
         # 4-9. operator-suite headliners via the contract queries
+        # (events_asof / kg_pagerank / text_bm25 / sketch_distinct are
+        # late-round-3 additions: headline totals before/after are not
+        # comparable, but per-query minima are — compare on `queries`)
         for name in ["tpch_q1", "tpch_q3", "events_window",
-                     "dedup_lsh_pairs", "sim_cosine_topk", "text_quality"]:
+                     "dedup_lsh_pairs", "sim_cosine_topk", "text_quality",
+                     "events_asof", "kg_pagerank", "text_bm25",
+                     "sketch_distinct"]:
             timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
         return timings, n_triples, n_turns
 

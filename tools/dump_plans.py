@@ -210,6 +210,40 @@ def main() -> None:
         skeleton(rewrite_mentions_canonical(triples, entities)),
     ))
 
+    from mms_rdf_spark.operators.temporal import (
+        asof_join,
+        range_join_bucketed,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    right = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    left = (ev.where(F.col("event_type") != "purchase")
+            .select("event_id", "user_id", "ts"))
+    sections.append((
+        "As-of join: one exchange, zero Join nodes",
+        "tag -> unionByName -> per-key window scan. The naive "
+        "l.ts >= r.ts formulation plans a BroadcastNestedLoopJoin "
+        "(quadratic per key); this is a single hash exchange on the "
+        "key (asserted in tests/test_temporal.py).",
+        skeleton(asof_join(left, right, on="user_id")),
+    ))
+
+    iv = (ev.where(F.col("event_type") == "error")
+          .select(F.col("event_id").alias("interval_id"), "user_id",
+                  F.col("ts").alias("start_ts"),
+                  (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                  .alias("end_ts")))
+    pt = (ev.where(F.col("event_type") == "click")
+          .select(F.col("event_id").alias("point_id"), "user_id", "ts"))
+    sections.append((
+        "Bucketed range join: equi-join, no NestedLoop/Cartesian",
+        "Intervals explode to covered epoch buckets; the containment "
+        "match is an equi-join on (key, bucket) + residual between "
+        "(asserted in tests/test_temporal.py).",
+        skeleton(range_join_bucketed(iv, pt, on="user_id")),
+    ))
+
     out = ["# PLANS — captured physical plans (evidence for SCALE.md "
            "claims)", "",
            "Regenerated by `python tools/dump_plans.py` from live "
