@@ -489,6 +489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return kmv_distinct(ev, "event_id", k=64)
 
+    def events_quantiles(spark, sf):
+        from mms_rdf_spark.operators.sketch import grouped_quantiles
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return grouped_quantiles(ev, "event_type", "value")
+
     def sketch_jaccard(spark, sf):
         from mms_rdf_spark.operators.sketch import kmv_jaccard
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -534,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_grams": text_dup_grams,
         "sketch_distinct": sketch_distinct,
         "sketch_jaccard": sketch_jaccard,
+        "events_quantiles": events_quantiles,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1005,6 +1011,16 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT) / power(2, 48))
                  END, 4) AS est_distinct
     FROM s
+    """
+
+    q["events_quantiles"] = """
+    SELECT event_type,
+           round(q[1], 6) AS q50,
+           round(q[2], 6) AS q90,
+           round(q[3], 6) AS q99
+    FROM (SELECT event_type,
+                 quantile_cont(value, [0.5, 0.9, 0.99]) AS q
+          FROM events GROUP BY event_type)
     """
 
     q["sketch_jaccard"] = """

@@ -96,3 +96,23 @@ def kmv_jaccard(
                   .cast("int"))
             / F.count(F.lit(1)), 4).alias("jaccard"),
     )
+
+
+def grouped_quantiles(
+    df: DataFrame, key: str, value: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation): one row per
+    key with a round-6 column per requested percentile (q50, q90, ...).
+
+    The exact baseline for any approximate-quantile rollout (the same
+    role cosine_topk plays for ANN): `percentile` in Spark and
+    `quantile_cont` in DuckDB share the (n-1)*p linear-interpolation
+    definition, so the oracle matches after rounding. Exact grouped
+    percentiles sort within each group — fine while single groups fit
+    an executor (our event_type-style keys); for unbounded cardinality
+    swap in approx_percentile with the same output schema."""
+    pcts = F.percentile(F.col(value), F.array(*[F.lit(p) for p in ps]))
+    return (df.groupBy(key)
+            .agg(*[F.round(pcts[i], 6).alias(f"q{round(p * 100)}")
+                   for i, p in enumerate(ps)]))

@@ -55,3 +55,17 @@ def test_sketch_plans_as_top_k_not_full_sort(spark):
     plan = kmv_sketch(ev, "event_id", 64) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_grouped_quantiles_exact_values(spark):
+    from mms_rdf_spark.operators.sketch import grouped_quantiles
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {r["k"]: r for r in
+           grouped_quantiles(df, "k", "value").collect()}
+    # (n-1)*p linear interpolation over 1..100
+    assert got["a"]["q50"] == 50.5
+    assert got["a"]["q90"] == 90.1
+    assert abs(got["a"]["q99"] - 99.01) < 1e-9
+    assert got["b"]["q50"] == got["b"]["q99"] == 5.0
