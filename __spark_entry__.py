@@ -489,6 +489,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return kmv_distinct(ev, "event_id", k=64)
 
+    def events_zorder(spark, sf):
+        from mms_rdf_spark.operators.layout import zorder_key
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .select("event_id", "user_id", _epoch_s("ts").alias("ts_s")))
+        return zorder_key(ev, "user_id", "ts_s") \
+            .select("event_id", "zkey")
+
     def events_quantiles(spark, sf):
         from mms_rdf_spark.operators.sketch import grouped_quantiles
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -540,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": sketch_distinct,
         "sketch_jaccard": sketch_jaccard,
         "events_quantiles": events_quantiles,
+        "events_zorder": events_zorder,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1011,6 +1020,36 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT) / power(2, 48))
                  END, 4) AS est_distinct
     FROM s
+    """
+
+    # Morton interleave mirrored operation-for-operation (the product
+    # stays under 2^53 so the floor'd double division is exact in both)
+    zterms = " | ".join(
+        f"((((a >> {i}) & 1) << {2 * i + 1}) "
+        f"| (((b >> {i}) & 1) << {2 * i}))"
+        for i in range(16))
+    q["events_zorder"] = f"""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events
+    ), bounds AS (
+        SELECT min(user_id) AS amin, max(user_id) AS amax,
+               min(ts_s) AS bmin, max(ts_s) AS bmax
+        FROM e
+    ), n AS (
+        SELECT event_id,
+               CASE WHEN amax - amin = 0 THEN 0
+                    ELSE CAST(floor(((user_id - amin) * 65535)
+                                    / (amax - amin)) AS BIGINT)
+               END AS a,
+               CASE WHEN bmax - bmin = 0 THEN 0
+                    ELSE CAST(floor(((ts_s - bmin) * 65535)
+                                    / (bmax - bmin)) AS BIGINT)
+               END AS b
+        FROM e CROSS JOIN bounds
+    )
+    SELECT event_id, {zterms} AS zkey FROM n
     """
 
     q["events_quantiles"] = """
