@@ -61,3 +61,49 @@ def windowed_turn_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_windowed_turn_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Per-conversation SESSION windows via the built-in
+    `session_window` (dynamic gap-based windows that merge as turns
+    arrive): (conv_id, session_start, session_end, n_turns).
+
+    This is the engine-managed counterpart to the custom
+    applyInPandasWithState sessionizers (stateful.py): sessions CLOSE by
+    event-time watermark — deterministic, replay-safe, and AvailableNow
+    drains terminate (unlike the processing-time-TTL variant, NOTES §4)
+    — at the price of session semantics fixed to gap-merge on one
+    event-time column. State per (conv_id, open session) merges as the
+    watermark advances; append emits each session exactly once after it
+    can no longer grow."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", gap).alias("w"),
+                       F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select("conv_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_turns")
+    )
+    return (
+        agg.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
