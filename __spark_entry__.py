@@ -483,6 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_dup_grams(spark, sf):
         return TX.cross_doc_gram_stats(_docs(spark, sf))
 
+    def text_sample_stratified(spark, sf):
+        from mms_rdf_spark.operators.packing import stratified_sample
+        return stratified_sample(
+            _docs(spark, sf),
+            rates={"src0": 100, "src1": 50}).select("doc_id", "source")
+
     # ---- deterministic KMV sketches (cross-engine-checkable approx)
     def sketch_distinct(spark, sf):
         from mms_rdf_spark.operators.sketch import kmv_distinct
@@ -545,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": kg_pagerank,
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
+        "text_sample_stratified": text_sample_stratified,
         "sketch_distinct": sketch_distinct,
         "sketch_jaccard": sketch_jaccard,
         "events_quantiles": events_quantiles,
@@ -1003,6 +1010,17 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE) / count(*), 6) AS shared_frac
     FROM g JOIN w USING (gram)
     GROUP BY g.doc_id
+    """
+
+    q["text_sample_stratified"] = """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               CAST(concat('0x', substr(
+                   md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 6))
+                    AS BIGINT) % 100 AS b
+        FROM documents)
+    WHERE b < CASE source WHEN 'src0' THEN 100
+                          WHEN 'src1' THEN 50 ELSE 25 END
     """
 
     # KMV is a pure function of the value set, so even the APPROXIMATE

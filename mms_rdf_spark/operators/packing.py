@@ -83,3 +83,34 @@ def pack_documents(docs: DataFrame, budget: int = 256,
         F.concat(F.col("lane").cast("string"), F.lit("#"),
                  F.col("shard").cast("string")).alias("shard_id"),
         F.row_number().over(ws).cast("int").alias("pos_in_shard"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    key: str = "source",
+    rates: dict[str, int] | None = None,
+    default_rate: int = 25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a row iff
+    md5(id ':' stratum) mod 100 < rate(stratum), with per-stratum
+    percentage overrides in `rates` and `default_rate` elsewhere.
+
+    The source-rebalancing pass of a curation pipeline (downsample
+    overrepresented crawl sources, keep books/code at 100%): purely a
+    function of (id, stratum) — no RNG state — so the SAME rows survive
+    across reruns, partitionings, and engines (the oracle mirrors the
+    hash), and any downstream incremental join sees a stable sample.
+    One scan, one filter, zero shuffle; composable with assign_splits
+    (which hashes a different string, so sampling and splitting stay
+    independent)."""
+    rates = rates or {}
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                           F.col(key))), 1, 6), 16, 10).cast("long"),
+        F.lit(100))
+    rate = F.lit(default_rate)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(key) == stratum, F.lit(pct)).otherwise(rate)
+    return docs.where(bucket < rate)

@@ -123,3 +123,24 @@ def test_redact_pii(spark):
     assert "6789" not in got[1]["redacted"]
     assert got[2]["redacted"] == "nothing sensitive here"
     assert got[2]["n_redactions"] == 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from mms_rdf_spark.operators.packing import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = stratified_sample(docs, rates={"src0": 100, "src1": 0})
+    kept = {r["source"]: 0 for r in out.collect()}
+    for r in out.collect():
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    assert kept.get("src0") == 25      # 100% stratum fully kept
+    assert "src1" not in kept          # 0% stratum fully dropped
+    # other strata at the 25% default: binomial(25, .25) stays in range
+    others = [v for k, v in kept.items() if k not in ("src0", "src1")]
+    assert others and all(0 <= v <= 18 for v in others)
+    # purely id/stratum-hash based -> identical under repartition
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(docs.repartition(7),
+                                 rates={"src0": 100, "src1": 0}).collect())
+    assert a == b

@@ -106,3 +106,80 @@ def test_rollup_levels_are_consistent(spark):
     day_keys = {r["day_s"] for r in days}
     assert all(r["day_s"] in day_keys for r in hours)
     assert all(r["hour_s"] is None for r in days)
+
+
+def test_asof_property_matches_naive_reference(spark):
+    """Randomized (hypothesis) check of the union-window formulation
+    against a driver-side naive reference, including duplicate
+    timestamps on both sides (right pre-aggregated per the uniqueness
+    contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pair = st.tuples(st.integers(0, 3), st.integers(0, 40))
+    triple = st.tuples(st.integers(0, 3), st.integers(0, 40),
+                       st.integers(-5, 5))
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(pair, min_size=1, max_size=25),
+           st.lists(triple, min_size=0, max_size=25))
+    def check(lrows, rrows):
+        left = spark.createDataFrame(
+            [(i, k, base + dt.timedelta(seconds=t))
+             for i, (k, t) in enumerate(lrows)],
+            "event_id long, user_id long, ts timestamp")
+        ragg = {}
+        for k, t, v in rrows:
+            ragg[(k, t)] = max(ragg.get((k, t), float(v)), float(v))
+        right = spark.createDataFrame(
+            [(k, base + dt.timedelta(seconds=t), v)
+             for (k, t), v in ragg.items()] or [(99, base, 0.0)],
+            "user_id long, ts timestamp, value double")
+        got = {r["event_id"]: r["asof_value"]
+               for r in asof_join(left, right, on="user_id").collect()}
+        for i, (k, t) in enumerate(lrows):
+            cand = [(rt, v) for (rk, rt), v in ragg.items()
+                    if rk == k and rt <= t]
+            want = max(cand)[1] if cand else None
+            assert got[i] == want, (i, k, t, got[i], want)
+
+    check()
+
+
+def test_range_join_property_matches_naive(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    iv = st.tuples(st.integers(0, 2), st.integers(0, 60),
+                   st.integers(0, 90))
+    pt = st.tuples(st.integers(0, 2), st.integers(0, 120))
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(iv, min_size=1, max_size=15),
+           st.lists(pt, min_size=1, max_size=20))
+    def check(ivs, pts):
+        intervals = spark.createDataFrame(
+            [(i, k, base + dt.timedelta(seconds=s),
+              base + dt.timedelta(seconds=s + d))
+             for i, (k, s, d) in enumerate(ivs)],
+            "interval_id long, user_id long, "
+            "start_ts timestamp, end_ts timestamp")
+        points = spark.createDataFrame(
+            [(j, k, base + dt.timedelta(seconds=t))
+             for j, (k, t) in enumerate(pts)],
+            "point_id long, user_id long, ts timestamp")
+        got = sorted((r["interval_id"], r["point_id"]) for r in
+                     range_join_bucketed(intervals, points,
+                                         on="user_id",
+                                         bucket_seconds=16).collect())
+        want = sorted(
+            (i, j)
+            for i, (ik, s, d) in enumerate(ivs)
+            for j, (pk, t) in enumerate(pts)
+            if ik == pk and s <= t <= s + d)
+        assert got == want
+
+    check()
