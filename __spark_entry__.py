@@ -503,6 +503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zorder_key(ev, "user_id", "ts_s") \
             .select("event_id", "zkey")
 
+    def events_heavy_hitters(spark, sf):
+        from mms_rdf_spark.operators.skew import grouped_topk
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return grouped_topk(ev, "event_type", "user_id", k=3)
+
     def events_quantiles(spark, sf):
         from mms_rdf_spark.operators.sketch import grouped_quantiles
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -556,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_jaccard": sketch_jaccard,
         "events_quantiles": events_quantiles,
         "events_zorder": events_zorder,
+        "events_heavy_hitters": events_heavy_hitters,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1068,6 +1074,17 @@ def oracle_sql() -> dict[str, str]:
         FROM e CROSS JOIN bounds
     )
     SELECT event_id, {zterms} AS zkey FROM n
+    """
+
+    q["events_heavy_hitters"] = """
+    SELECT event_type, user_id, n, rank FROM (
+        SELECT event_type, user_id, n,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n DESC, user_id)
+                    AS INT) AS rank
+        FROM (SELECT event_type, user_id, count(*) AS n
+              FROM events GROUP BY event_type, user_id))
+    WHERE rank <= 3
     """
 
     q["events_quantiles"] = """

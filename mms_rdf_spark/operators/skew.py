@@ -55,3 +55,29 @@ def repartition_salted(df: DataFrame, key: str | Column,
     salted = with_salt(df, buckets)
     return salted.repartition(F.col(key) if isinstance(key, str) else key,
                               F.col("_salt")).drop("_salt")
+
+
+def grouped_topk(df: DataFrame, group: str, key: str, k: int = 3,
+                 buckets: int = 16) -> DataFrame:
+    """Heavy hitters per group: top-k `key`s by count within each
+    `group` (group, key, n, rank), rank ties broken by key for
+    determinism.
+
+    Built on the two-phase salted count, so a celebrity key (one user
+    behind 10^9 events) is partial-counted across `buckets` tasks
+    before the per-(group,key) row ever exists; the final window ranks
+    |distinct keys| rows per group, not raw events. The standard
+    "top sources / top entities" report at corpus scale."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        with_salt(df, buckets)
+        .groupBy(group, key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+        .groupBy(group, key)
+        .agg(F.sum("_partial").alias("n"))
+    )
+    w = Window.partitionBy(group).orderBy(F.col("n").desc(), F.col(key))
+    return (counts.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))

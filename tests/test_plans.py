@@ -89,6 +89,28 @@ def test_salted_count_matches_plain(spark, transcripts_df):
     assert plain2 == salted2
 
 
+def test_grouped_topk_matches_plain_window(spark, transcripts_df):
+    """Salted heavy hitters == plain count+rank, and the first
+    aggregate is keyed by (group, key, salt) so a hot key partial-
+    counts across buckets before the final per-key row exists."""
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.skew import grouped_topk
+
+    got = {(r["role"], r["conv_id"], r["n"], r["rank"]) for r in
+           grouped_topk(transcripts_df, "role", "conv_id", k=2).collect()}
+    w = Window.partitionBy("role").orderBy(F.col("n").desc(), "conv_id")
+    want = {(r["role"], r["conv_id"], r["n"], r["rank"]) for r in
+            transcripts_df.groupBy("role", "conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 2).collect()}
+    assert got == want and got
+    plan = grouped_topk(transcripts_df, "role", "conv_id", k=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, plan
+
+
 def test_unmapped_keys_side_output(spark, transcripts_df):
     from mms_rdf_spark.operators.extract import unmapped_keys
 
