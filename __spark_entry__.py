@@ -503,6 +503,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zorder_key(ev, "user_id", "ts_s") \
             .select("event_id", "zkey")
 
+    def events_gap_fill(spark, sf):
+        from mms_rdf_spark.operators.temporal import gap_fill
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (gap_fill(ev, key="user_id", step_seconds=21600)
+                .select("user_id", "bucket_s",
+                        F.round("value", 4).alias("value"),
+                        "is_observed"))
+
+    def orders_merge_upsert(spark, sf):
+        from mms_rdf_spark.operators.cdc import merge_upsert
+        o = (spark.read.parquet(f"{sf}/orders.parquet")
+             .select("o_orderkey", "o_totalprice"))
+        base = (o.withColumn("version", F.lit(1))
+                .withColumn("deleted", F.lit(False)))
+        updates = (o.where(F.col("o_orderkey") % 7 == 0)
+                   .select("o_orderkey",
+                           F.round(F.col("o_totalprice") * 2, 2)
+                           .alias("o_totalprice"))
+                   .withColumn("version", F.lit(2))
+                   .withColumn("deleted", F.col("o_orderkey") % 21 == 0))
+        return (merge_upsert(base, updates, "o_orderkey", "version",
+                             deleted_col="deleted")
+                .select("o_orderkey",
+                        F.round("o_totalprice", 2).alias("price"),
+                        "version"))
+
     def events_heavy_hitters(spark, sf):
         from mms_rdf_spark.operators.skew import grouped_topk
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -562,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": events_quantiles,
         "events_zorder": events_zorder,
         "events_heavy_hitters": events_heavy_hitters,
+        "events_gap_fill": events_gap_fill,
+        "orders_merge_upsert": orders_merge_upsert,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1074,6 +1102,50 @@ def oracle_sql() -> dict[str, str]:
         FROM e CROSS JOIN bounds
     )
     SELECT event_id, {zterms} AS zkey FROM n
+    """
+
+    q["events_gap_fill"] = """
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(floor(epoch(ts)) / 21600) AS BIGINT) AS bkt,
+               value
+        FROM events
+    ), obs AS (
+        SELECT user_id, bkt, max(value) AS v FROM e GROUP BY user_id, bkt
+    ), rng AS (
+        SELECT user_id, min(bkt) AS lo, max(bkt) AS hi
+        FROM obs GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi)) AS bkt FROM rng
+    )
+    SELECT g.user_id,
+           CAST(g.bkt * 21600 AS BIGINT) AS bucket_s,
+           round(last_value(o.v IGNORE NULLS)
+                     OVER (PARTITION BY g.user_id ORDER BY g.bkt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW), 4) AS value,
+           o.v IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.bkt = o.bkt
+    """
+
+    q["orders_merge_upsert"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, 1 AS version,
+               FALSE AS deleted, 0 AS src
+        FROM orders
+    ), upd AS (
+        SELECT o_orderkey, round(o_totalprice * 2, 2) AS o_totalprice,
+               2 AS version, o_orderkey % 21 = 0 AS deleted, 1 AS src
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), m AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC, src DESC)
+                      AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS price, version
+    FROM m WHERE rn = 1 AND NOT deleted
     """
 
     q["events_heavy_hitters"] = """

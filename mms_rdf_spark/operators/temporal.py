@@ -179,3 +179,40 @@ def time_rollup(
             F.round(F.sum("_v"), 2).alias("sum_value"),
         )
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Resample each key's series onto a regular `step_seconds` grid
+    between its first and last observation, forward-filling gaps:
+    (key, bucket_s, value, is_observed). Observed buckets aggregate to
+    max(value) (the documented, engine-portable reduction); missing
+    buckets carry the last observed value forward.
+
+    The timeseries regularization every downstream window/join wants
+    (hypertable `time_bucket_gapfill` + `locf`). Shape: one bucket
+    aggregate, a per-key range explode of (span/step)+1 grid rows, a
+    co-partitioned left join, and one forward-fill window — all keyed
+    on `key`, so a single hash partitioning serves the aggregate, the
+    join, and the window. Grid density is the caller's lever exactly
+    like range_join_bucketed's bucket."""
+    b = int(step_seconds)
+    bkt = F.floor(_epoch_s(ts) / b).alias("_bkt")
+    obs = (df.select(F.col(key), bkt, F.col(value).alias("_v"))
+           .groupBy(key, "_bkt").agg(F.max("_v").alias("_v")))
+    grid = (obs.groupBy(key)
+            .agg(F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi"))
+            .select(key, F.explode(F.sequence("_lo", "_hi"))
+                    .alias("_bkt")))
+    w = (Window.partitionBy(key).orderBy("_bkt")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(obs, on=[key, "_bkt"], how="left")
+            .select(key,
+                    (F.col("_bkt") * b).cast("long").alias("bucket_s"),
+                    F.last("_v", ignorenulls=True).over(w).alias("value"),
+                    F.col("_v").isNotNull().alias("is_observed")))

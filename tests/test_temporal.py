@@ -183,3 +183,42 @@ def test_range_join_property_matches_naive(spark):
         assert got == want
 
     check()
+
+
+def test_gap_fill_fills_and_carries_forward(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", base, 5.0),
+            ("u", base + dt.timedelta(hours=3), 9.0),
+            ("v", base + dt.timedelta(hours=1), 1.0)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    from mms_rdf_spark.operators.temporal import gap_fill
+
+    got = {(r["user_id"], r["bucket_s"]): (r["value"], r["is_observed"])
+           for r in gap_fill(df, "user_id", step_seconds=3600).collect()}
+    e0 = int(base.timestamp())  # session TZ is UTC
+    # u: observed at h0 and h3, h1/h2 forward-filled with 5.0
+    assert got[("u", e0)] == (5.0, True)
+    assert got[("u", e0 + 3600)] == (5.0, False)
+    assert got[("u", e0 + 7200)] == (5.0, False)
+    assert got[("u", e0 + 10800)] == (9.0, True)
+    # v: single observation -> single grid row
+    assert got[("v", e0 + 3600)] == (1.0, True)
+    assert len(got) == 5
+
+
+def test_merge_upsert_semantics(spark):
+    from mms_rdf_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)],
+        "k long, v string, version int, deleted boolean")
+    upd = spark.createDataFrame(
+        [(2, "b2", 2, False),   # newer version wins
+         (3, "c2", 2, True),    # tombstone removes the key
+         (4, "d", 1, False),    # insert; version TIES base-era rows ->
+         (1, "a2", 1, False)],  # update wins the tie
+        "k long, v string, version int, deleted boolean")
+    got = {r["k"]: (r["v"], r["version"]) for r in
+           merge_upsert(base, upd, "k", "version",
+                        deleted_col="deleted").collect()}
+    assert got == {1: ("a2", 1), 2: ("b2", 2), 4: ("d", 1)}
