@@ -483,6 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_dup_grams(spark, sf):
         return TX.cross_doc_gram_stats(_docs(spark, sf))
 
+    def text_vocab_topk(spark, sf):
+        return TX.token_vocab(_docs(spark, sf), k=50)
+
+    def text_cooccur_pmi(spark, sf):
+        return TX.cooccurrence_pmi(_docs(spark, sf))
+
     def text_sample_stratified(spark, sf):
         from mms_rdf_spark.operators.packing import stratified_sample
         return stratified_sample(
@@ -583,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
+        "text_vocab_topk": text_vocab_topk,
+        "text_cooccur_pmi": text_cooccur_pmi,
         "sketch_distinct": sketch_distinct,
         "sketch_jaccard": sketch_jaccard,
         "events_quantiles": events_quantiles,
@@ -1044,6 +1052,48 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE) / count(*), 6) AS shared_frac
     FROM g JOIN w USING (gram)
     GROUP BY g.doc_id
+    """
+
+    q["text_vocab_topk"] = f"""
+    SELECT token, n, rank FROM (
+        SELECT token, n,
+               CAST(row_number() OVER (ORDER BY n DESC, token) AS INT)
+                   AS rank
+        FROM (SELECT token, count(*) AS n
+              FROM (SELECT unnest(toks) AS token
+                    FROM (SELECT {_TOKS_SQL} AS toks FROM documents))
+              GROUP BY token))
+    WHERE rank <= 50
+    """
+
+    q["text_cooccur_pmi"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(toks)) AS tok
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ), d AS (
+        SELECT tok, count(*) AS n_t FROM t GROUP BY tok
+        HAVING count(*) >= 5
+    ), tf AS (
+        SELECT t.doc_id, t.tok, d.n_t FROM t JOIN d USING (tok)
+    ), nd AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), p AS (
+        SELECT x.tok AS tok_a, y.tok AS tok_b,
+               x.n_t AS n_a, y.n_t AS n_b, count(*) AS n_ab
+        FROM tf x JOIN tf y
+            ON x.doc_id = y.doc_id AND x.tok < y.tok
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 5
+    ), s AS (
+        SELECT tok_a, tok_b, n_ab,
+               round(ln((n_ab * n_docs) / (n_a * n_b)), 6) AS pmi
+        FROM p CROSS JOIN nd
+    )
+    SELECT tok_a, tok_b, n_ab, pmi, rank FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC,
+                                          tok_a, tok_b) AS INT) AS rank
+        FROM s)
+    WHERE rank <= 50
     """
 
     q["text_sample_stratified"] = """

@@ -299,3 +299,64 @@ def cross_doc_gram_stats(docs: DataFrame, n: int = 5) -> DataFrame:
                  .alias("n_shared"),
                  F.round(F.sum((F.col("w") > 1).cast("int"))
                          / F.count(F.lit(1)), 6).alias("shared_frac")))
+
+
+def token_vocab(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus token-frequency vocabulary: top-k tokens by count
+    (token, n, rank), ties by token. The induction pass a tokenizer
+    build starts from (count -> merge-rank); one explode + one
+    map-side-combined count + a top-k. At 100 TB the count output is
+    |vocab| rows, not corpus rows — the explode never materializes."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    counts = (docs.select(F.explode(toks).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))
+
+
+def cooccurrence_pmi(docs: DataFrame, min_df: int = 5,
+                     min_pairs: int = 5, k: int = 50) -> DataFrame:
+    """Document-level pointwise mutual information between token pairs:
+    top-k (tok_a, tok_b, n_ab, pmi) with tok_a < tok_b, where
+    pmi = ln(n_ab * N_docs / (n_a * n_b)) over document frequencies —
+    the classic collocation / embedding-era association score.
+
+    Scale shape: tokens prune to df >= min_df BEFORE pairing (the
+    vocabulary filter that bounds the quadratic step), pairs generate
+    per doc_id via a co-partitioned self-join (pair count bounded by
+    per-doc distinct filtered tokens squared), and all frequencies are
+    map-side-combined counts. pmi rounds to 6 so JVM log and the
+    oracle's ln agree after formatting (the BM25 precedent)."""
+    from pyspark.sql.window import Window
+
+    t = (docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(
+                F.filter(F.split("text", " "), lambda x: x != "")))
+            .alias("tok")))
+    dfreq = (t.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+             .where(F.col("n_t") >= min_df))
+    tf = t.join(F.broadcast(dfreq), on="tok")
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    pairs = (
+        tf.alias("x")
+        .join(tf.alias("y"), on="doc_id")
+        .where(F.col("x.tok") < F.col("y.tok"))
+        .groupBy(F.col("x.tok").alias("tok_a"),
+                 F.col("y.tok").alias("tok_b"),
+                 F.col("x.n_t").alias("n_a"),
+                 F.col("y.n_t").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs))
+    scored = (pairs.crossJoin(F.broadcast(n_docs))
+              .select("tok_a", "tok_b", "n_ab",
+                      F.round(F.log((F.col("n_ab") * F.col("n_docs"))
+                                    / (F.col("n_a") * F.col("n_b"))), 6)
+                      .alias("pmi")))
+    w = Window.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))

@@ -45,3 +45,32 @@ def test_cross_doc_grams_flags_shared_spans(spark):
     assert got[1]["n_shared"] == 1 and got[2]["n_shared"] == 1
     assert got[3]["n_shared"] == 0 and got[3]["shared_frac"] == 0.0
     assert 0 < got[1]["shared_frac"] < 1
+
+
+def test_token_vocab_counts_and_rank(spark):
+    from mms_rdf_spark.operators.textstats import token_vocab
+
+    rows = [(1, "a a a b b c"), (2, "a b x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["token"], r["n"], r["rank"])
+           for r in token_vocab(df, k=3).orderBy("rank").collect()]
+    assert got == [("a", 4, 1), ("b", 3, 2), ("c", 1, 3)]  # c ties x, token asc
+
+
+def test_cooccurrence_pmi_prefers_exclusive_pairs(spark):
+    from mms_rdf_spark.operators.textstats import cooccurrence_pmi
+
+    rows = []
+    # p/q always together (5 docs), r everywhere (10 docs)
+    for i in range(5):
+        rows.append((i, "p q r"))
+    for i in range(5, 10):
+        rows.append((i, "r s t"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"]): r["pmi"] for r in
+           cooccurrence_pmi(df, min_df=5, min_pairs=5, k=10).collect()}
+    # exclusive pair (p,q): pmi = ln(5*10/(5*5)) = ln 2 > 0
+    # ubiquitous partner (p,r): pmi = ln(5*10/(5*10)) = 0
+    assert round(got[("p", "q")], 4) == round(0.6931, 4)
+    assert got[("p", "r")] == 0.0
+    assert got[("p", "q")] > got[("p", "r")]
