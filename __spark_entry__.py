@@ -475,6 +475,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
         return pagerank(e, iters=3)
 
+    def link_sorted_neighborhood(spark, sf):
+        from mms_rdf_spark.operators.link import (
+            normalize_surface,
+            sorted_neighborhood_pairs,
+        )
+        cust = (spark.read.parquet(f"{sf}/customer.parquet")
+                .select(F.col("c_name").alias("surface"),
+                        normalize_surface(F.col("c_name")).alias("norm")))
+        return sorted_neighborhood_pairs(cust, window=2)
+
     # ---- retrieval + corpus-wide duplication signals
     def text_bm25(spark, sf):
         return TX.bm25_topk(_docs(spark, sf),
@@ -586,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "events_rollup": events_rollup,
         "kg_pagerank": kg_pagerank,
+        "link_sorted_neighborhood": link_sorted_neighborhood,
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
@@ -1052,6 +1063,23 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE) / count(*), 6) AS shared_frac
     FROM g JOIN w USING (gram)
     GROUP BY g.doc_id
+    """
+
+    q["link_sorted_neighborhood"] = """
+    WITH s AS (
+        SELECT c_name AS _id,
+               regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+                   AS norm
+        FROM customer
+    ), r AS (
+        SELECT _id, CAST(row_number() OVER (ORDER BY norm, _id)
+                         AS BIGINT) AS rank
+        FROM s
+    )
+    SELECT a._id AS a_id, b._id AS b_id,
+           a.rank AS a_rank, b.rank AS b_rank
+    FROM r a JOIN r b
+        ON b.rank BETWEEN a.rank + 1 AND a.rank + 2
     """
 
     q["text_vocab_topk"] = f"""

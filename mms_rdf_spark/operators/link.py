@@ -165,3 +165,63 @@ def entity_table(surfaces: DataFrame, components: DataFrame) -> DataFrame:
                      sanitize_suffix_col(F.col("entity_id"))).alias("canonical_iri"),
         )
     )
+
+
+def global_rank(df: DataFrame, order_col: str, id_col: str) -> DataFrame:
+    """Dense global position under the total order (order_col, id_col),
+    computed WITHOUT a single-partition window: repartitionByRange on
+    the order key, rank within each partition, then add per-partition
+    offsets (a collected list of partition counts — P integers, not
+    data). The standard distributed global-index pattern; deterministic
+    because the order is total."""
+    from pyspark.sql.window import Window
+
+    ranged = df.repartitionByRange(F.col(order_col), F.col(id_col))
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(order_col, id_col)
+    local = part.withColumn("_lrank", F.row_number().over(w))
+    sizes = {r["_pid"]: r["n"] for r in
+             local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.lit(0)
+    for pid in sorted(offsets):
+        off = F.when(F.col("_pid") == pid, F.lit(offsets[pid])) \
+            .otherwise(off)
+    return (local.withColumn("rank",
+                             (F.col("_lrank") + off).cast("long"))
+            .drop("_pid", "_lrank"))
+
+
+def sorted_neighborhood_pairs(
+    surfaces: DataFrame,
+    key: str = "norm",
+    id_col: str = "surface",
+    window: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic entity-resolution
+    alternative to key blocking): sort all surfaces by `key`, pair each
+    with its next `window` neighbors in sort order. Near-identical
+    strings land adjacent after normalization, so candidate volume is
+    n*window — linear, skew-free, and complementary to gram blocking
+    (catches prefix-typo families the gram blocks may split).
+
+    Pairing is the bucketed-range-join trick in rank space: each row
+    explodes to (rank + 1 .. rank + window) probe positions and
+    equi-joins the neighbor's own rank — no inequality join, no
+    single-partition window (ranks come from global_rank). Returns
+    (a_id, b_id, a_rank, b_rank)."""
+    ranked = global_rank(
+        surfaces.select(F.col(id_col).alias("_id"), F.col(key)),
+        key, "_id")
+    probes = ranked.select(
+        F.col("_id").alias("a_id"), F.col("rank").alias("a_rank"),
+        F.explode(F.sequence(F.col("rank") + 1,
+                             F.col("rank") + window)).alias("rank"))
+    return (probes.join(ranked.select(F.col("_id").alias("b_id"),
+                                      "rank"), on="rank")
+            .select("a_id", "b_id", "a_rank",
+                    F.col("rank").alias("b_rank")))

@@ -49,3 +49,35 @@ def test_mention_frequency_carried(spark, triples_df):
     total_mentions = triples_df.where(
         F.col("predicate") == "mms-property:mentions").count()
     assert surfaces.agg(F.sum("freq")).collect()[0][0] == total_mentions
+
+
+def test_global_rank_matches_single_window(spark):
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.link import global_rank
+
+    rows = [(f"s{i:03d}", f"n{(i * 17) % 50:02d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "surface string, norm string") \
+        .repartition(8)
+    got = {r["surface"]: r["rank"] for r in
+           global_rank(df, "norm", "surface").collect()}
+    w = Window.orderBy("norm", "surface")
+    want = {r["surface"]: r["rank"] for r in
+            df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .collect()}
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_adjacency(spark):
+    from mms_rdf_spark.operators.link import sorted_neighborhood_pairs
+
+    # typo family normalizes adjacent; unrelated string sorts away
+    rows = [("GPT-4", "gpt4"), ("gpt_4", "gpt4"), ("gpt 4!", "gpt4"),
+            ("zebra", "zebra"), ("aardvark", "aardvark")]
+    df = spark.createDataFrame(rows, "surface string, norm string")
+    pairs = {(r["a_id"], r["b_id"]) for r in
+             sorted_neighborhood_pairs(df, window=1).collect()}
+    # window=1 chains the sort order: each consecutive pair once
+    assert len(pairs) == 4
+    # the gpt4 family (ties broken by surface) is chained together
+    assert ("GPT-4", "gpt 4!") in pairs and ("gpt 4!", "gpt_4") in pairs
