@@ -475,6 +475,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
         return pagerank(e, iters=3)
 
+    def kg_triangles(spark, sf):
+        from mms_rdf_spark.operators.pagerank import triangle_count
+        li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+              .select("l_orderkey", "l_partkey").distinct())
+        pairs = (li.alias("x")
+                 .join(li.alias("y"), on="l_orderkey")
+                 .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+                 .select(F.col("x.l_partkey").alias("src"),
+                         F.col("y.l_partkey").alias("dst")))
+        return triangle_count(pairs)
+
     def link_sorted_neighborhood(spark, sf):
         from mms_rdf_spark.operators.link import (
             normalize_surface,
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": events_rollup,
         "kg_pagerank": kg_pagerank,
         "link_sorted_neighborhood": link_sorted_neighborhood,
+        "kg_triangles": kg_triangles,
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
@@ -1063,6 +1075,21 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE) / count(*), 6) AS shared_frac
     FROM g JOIN w USING (gram)
     GROUP BY g.doc_id
+    """
+
+    # co-purchase triangle count: the oracle is the NAIVE canonical
+    # 3-way join, checking the degree-oriented plan's exactness
+    q["kg_triangles"] = """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+    )
+    SELECT count(*) AS n_triangles
+    FROM e ab JOIN e bc ON ab.b = bc.a
+              JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
     """
 
     q["link_sorted_neighborhood"] = """

@@ -54,3 +54,19 @@ def test_no_collect_in_loop(spark):
     # localCheckpoint per iteration truncates lineage: final plan is
     # flat (scan of the checkpointed RDD), not nested joins
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_triangle_count_known_graphs(spark):
+    from mms_rdf_spark.operators.pagerank import triangle_count
+
+    def count(pairs):
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    # K4: 4 triangles (with duplicate/reversed/self edges thrown in)
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+    assert count(k4 + [("a", "a"), ("b", "a")]) == 4
+    # 4-cycle: none
+    assert count([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]) == 0
+    # star + one chord: exactly 1
+    assert count([("h", "x"), ("h", "y"), ("h", "z"), ("x", "y")]) == 1
