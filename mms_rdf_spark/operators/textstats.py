@@ -250,6 +250,9 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
         *[F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
           for i in range(len(terms))]).collect()[0]
     n, avgdl = stats["n"], stats["avgdl"]
+    if not n:  # empty corpus: aggregates are NULL, nothing to rank
+        return per_doc.select("doc_id",
+                              F.lit(None).cast("double").alias("score"))
     idf = [round(math.log(1 + (n - stats[f"df_{i}"] + 0.5)
                           / (stats[f"df_{i}"] + 0.5)), 6)
            for i in range(len(terms))]
