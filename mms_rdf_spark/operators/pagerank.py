@@ -39,12 +39,16 @@ def pagerank(
     """(node, rank) for every node appearing in `edges`. Dangling-node
     mass (sinks) is redistributed uniformly each iteration, so total
     rank stays ~1 (up to the per-iteration rounding)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the loop re-references these every iteration: materialize ONCE
+    # (localCheckpoint) instead of recomputing the node/degree lineage
+    # `iters` times from the raw edge scan
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()).localCheckpoint()
     deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-           .withColumnRenamed("src", "node"))
+           .withColumnRenamed("src", "node")).localCheckpoint()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     one_minus_d = F.lit(1.0) - F.lit(damping)  # engine-side arithmetic

@@ -321,7 +321,8 @@ def token_vocab(docs: DataFrame, k: int = 50) -> DataFrame:
 
 
 def cooccurrence_pmi(docs: DataFrame, min_df: int = 5,
-                     min_pairs: int = 5, k: int = 50) -> DataFrame:
+                     min_pairs: int = 5, k: int = 50,
+                     max_tokens_per_doc: int | None = None) -> DataFrame:
     """Document-level pointwise mutual information between token pairs:
     top-k (tok_a, tok_b, n_ab, pmi) with tok_a < tok_b, where
     pmi = ln(n_ab * N_docs / (n_a * n_b)) over document frequencies —
@@ -331,15 +332,19 @@ def cooccurrence_pmi(docs: DataFrame, min_df: int = 5,
     vocabulary filter that bounds the quadratic step), pairs generate
     per doc_id via a co-partitioned self-join (pair count bounded by
     per-doc distinct filtered tokens squared), and all frequencies are
-    map-side-combined counts. pmi rounds to 6 so JVM log and the
-    oracle's ln agree after formatting (the BM25 precedent)."""
+    map-side-combined counts. A pathological 10^5-token document makes
+    that square the hot task — `max_tokens_per_doc` slices each doc's
+    distinct-token list (first-occurrence order, deterministic) before
+    pairing; at corpus scale set it near the p99 doc length. pmi rounds
+    to 6 so JVM log and the oracle's ln agree after formatting (the
+    BM25 precedent)."""
     from pyspark.sql.window import Window
 
-    t = (docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(
-                F.filter(F.split("text", " "), lambda x: x != "")))
-            .alias("tok")))
+    toks = F.array_distinct(
+        F.filter(F.split("text", " "), lambda x: x != ""))
+    if max_tokens_per_doc is not None:
+        toks = F.slice(toks, 1, max_tokens_per_doc)
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
     dfreq = (t.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
              .where(F.col("n_t") >= min_df))
     tf = t.join(F.broadcast(dfreq), on="tok")
