@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_ivf_topk_trained(spark, sf):
         return S.ivf_topk_trained(_emb(spark, sf), iters=2)
 
+    def sim_pq_encode(spark, sf):
+        return S.pq_encode(_emb(spark, sf), m=4, every_k=100, iters=1)
+
     def sim_quantize(spark, sf):
         return S.quantize_embeddings(_emb(spark, sf))
 
@@ -638,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ivf_topk_trained": sim_ivf_topk_trained,
         "sim_quantize": sim_quantize,
+        "sim_pq_encode": sim_pq_encode,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -1150,6 +1154,44 @@ def oracle_sql() -> dict[str, str]:
         FROM s)
     WHERE rank <= 50
     """
+
+    # PQ: per-subspace k-means unrolled exactly like the IVF oracle
+    # (round-6 L2 via list_distance, min-id ties, round-6 means)
+    pq_parts = []
+    for s in range(4):
+        lo, hi = s * 16 + 1, s * 16 + 16
+        pq_parts.append(f"""
+    e{s} AS (SELECT vec_id,
+                    list_slice(CAST(embedding AS DOUBLE[]), {lo}, {hi})
+                        AS sub
+             FROM embeddings),
+    s{s}c0 AS (SELECT vec_id AS cid, sub AS c FROM e{s}
+               WHERE vec_id % 100 = 0),
+    s{s}a0 AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.sub, c.c), 6) ASC,
+                            c.cid) AS rn
+        FROM e{s} e CROSS JOIN s{s}c0 c) WHERE rn = 1),
+    s{s}m0 AS (SELECT a.cid, d.dim, round(avg(d.v), 6) AS mu
+        FROM s{s}a0 a JOIN (
+            SELECT vec_id, generate_subscripts(sub, 1) AS dim,
+                   unnest(sub) AS v
+            FROM e{s}) d USING (vec_id)
+        GROUP BY a.cid, d.dim),
+    s{s}c1 AS (SELECT cid, list(mu ORDER BY dim) AS c
+               FROM s{s}m0 GROUP BY cid),
+    s{s}enc AS (SELECT vec_id, CAST({s} AS INT) AS subspace,
+                       cid AS code, dist FROM (
+        SELECT e.vec_id, c.cid,
+               round(list_distance(e.sub, c.c), 6) AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_distance(e.sub, c.c), 6) ASC,
+                            c.cid) AS rn
+        FROM e{s} e CROSS JOIN s{s}c1 c) WHERE rn = 1)""")
+    q["sim_pq_encode"] = ("WITH " + ",".join(pq_parts) + "\n    "
+                          + " UNION ALL ".join(
+                              f"SELECT * FROM s{s}enc" for s in range(4)))
 
     q["text_sample_stratified"] = """
     SELECT doc_id, source FROM (

@@ -647,3 +647,97 @@ def ivf_assign(embeddings: DataFrame, every_k: int = 100) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "centroid_id", "score")
     )
+
+
+def _argmin_centroid_l2(cent_rows) -> "tuple[Column, Column]":
+    """(centroid_id, dist) pair: argmin ROUNDED Euclidean distance to a
+    driver-collected centroid list over the `sub` column, folded into
+    pure array expressions (the L2 twin of _argmax_centroid; ties break
+    to the smallest centroid_id via lexicographic struct min)."""
+    best = F.array_min(F.array(*[
+        F.struct(
+            F.round(F.sqrt(F.aggregate(
+                F.zip_with(F.col("sub"),
+                           F.array(*[F.lit(v) for v in vec]),
+                           lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda acc, x: acc + x)), 6).alias("d"),
+            F.lit(cid).alias("c"))
+        for cid, vec in cent_rows
+    ]))
+    return best["c"].cast("long").alias("code"), best["d"].alias("dist")
+
+
+def _subspace(e: DataFrame, s: int, dsub: int) -> DataFrame:
+    return e.select("vec_id",
+                    F.slice(F.col("emb"), s * dsub + 1, dsub).alias("sub"))
+
+
+def pq_train(embeddings: DataFrame, m: int = 4, every_k: int = 100,
+             iters: int = 1) -> DataFrame:
+    """Product-quantization codebooks: split the vector into `m` equal
+    subspaces and run bounded Lloyd's k-means (L2) independently in
+    each — the FAISS-style IVF+PQ storage companion: an encoded vector
+    costs m codes (bytes) instead of dims floats, an ~dims*4/m
+    compression of every shuffle that moves vectors. Returns
+    (subspace, centroid_id, c_emb).
+
+    Same determinism contract as ivf_train (seed = vec_id % every_k,
+    per-round round-6 means, min-id ties) so the DuckDB oracle unrolls
+    the identical iterations per subspace; distances are rounded
+    Euclidean (sqrt is correctly-rounded IEEE in both engines)."""
+    e = embeddings.select("vec_id",
+                          _as_double(F.col("embedding")).alias("emb"))
+    dims = len(e.select("emb").first()["emb"])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    dsub = dims // m
+    out = None
+    for s in range(m):
+        sub = _subspace(e, s, dsub)
+        cents = (sub.where(F.col("vec_id") % every_k == 0)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("sub").alias("c_emb")))
+        for _ in range(iters):
+            rows = sorted((r["centroid_id"], list(r["c_emb"]))
+                          for r in cents.collect())
+            code, _dist = _argmin_centroid_l2(rows)
+            assigned = sub.select(code.alias("centroid_id"), "sub") \
+                .select("centroid_id",
+                        F.posexplode("sub").alias("dim", "v"))
+            cents = (
+                assigned.groupBy("centroid_id", "dim")
+                .agg(F.round(F.avg("v"), 6).alias("mu"))
+                .groupBy("centroid_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                    lambda st: st["mu"]).alias("c_emb"))
+            ).localCheckpoint()
+        part = cents.select(F.lit(s).alias("subspace"),
+                            "centroid_id", "c_emb")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def pq_encode(embeddings: DataFrame, m: int = 4, every_k: int = 100,
+              iters: int = 1) -> DataFrame:
+    """PQ encoding: (vec_id, subspace, code, dist) — each subvector's
+    nearest trained codeword (rounded L2, min-id ties) and its
+    distance. Long format so the cross-engine oracle compares scalar
+    rows; the packed array<code> form is the same values un-exploded.
+    Encoding is the zero-shuffle static fold per subspace (codebooks
+    are k*dims/m floats on the driver — the _argmax_centroid budget)."""
+    e = embeddings.select("vec_id",
+                          _as_double(F.col("embedding")).alias("emb"))
+    dims = len(e.select("emb").first()["emb"])
+    dsub = dims // m
+    books = pq_train(embeddings, m, every_k, iters)
+    out = None
+    for s in range(m):
+        rows = sorted((r["centroid_id"], list(r["c_emb"]))
+                      for r in books.where(F.col("subspace") == s)
+                      .collect())
+        code, dist = _argmin_centroid_l2(rows)
+        part = _subspace(e, s, dsub).select(
+            "vec_id", F.lit(s).alias("subspace"), code, dist)
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -226,3 +226,29 @@ def test_ivf_broadcast_fold_plan_has_no_collect_side_shuffle(spark):
     assert "Broadcast" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_pq_training_reduces_reconstruction_distance(spark):
+    """Lloyd's per subspace must not worsen the quantization: mean
+    encode distance after 1 iteration <= seeds-only (iters=0), and
+    every (vec, subspace) gets exactly one code from that subspace's
+    codebook."""
+    import pytest
+
+    from mms_rdf_spark.operators.similarity import pq_encode, pq_train
+
+    emb = _emb_df(spark, n=150, dims=16, with_dupes=False)
+
+    def mean_dist(iters):
+        df = pq_encode(emb, m=4, every_k=30, iters=iters)
+        assert df.count() == 150 * 4
+        return df.agg(F.avg("dist")).collect()[0][0]
+
+    assert mean_dist(1) <= mean_dist(0) + 1e-6
+    books = pq_train(emb, m=4, every_k=30, iters=1)
+    codes = pq_encode(emb, m=4, every_k=30, iters=1)
+    valid = {(r["subspace"], r["centroid_id"]) for r in books.collect()}
+    assert all((r["subspace"], r["code"]) in valid
+               for r in codes.collect())
+    with pytest.raises(ValueError):
+        pq_train(emb, m=5)  # 16 dims not divisible
