@@ -507,6 +507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_dup_grams(spark, sf):
         return TX.cross_doc_gram_stats(_docs(spark, sf))
 
+    def text_sample_weighted(spark, sf):
+        from mms_rdf_spark.operators.packing import weighted_sample
+        return weighted_sample(
+            _docs(spark, sf), "n_chars", n=50) \
+            .select("doc_id", "n_chars", "sample_key")
+
     def text_vocab_topk(spark, sf):
         return TX.token_vocab(_docs(spark, sf), k=50)
 
@@ -615,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
+        "text_sample_weighted": text_sample_weighted,
         "text_vocab_topk": text_vocab_topk,
         "text_cooccur_pmi": text_cooccur_pmi,
         "sketch_distinct": sketch_distinct,
@@ -1111,6 +1118,17 @@ def oracle_sql() -> dict[str, str]:
            a.rank AS a_rank, b.rank AS b_rank
     FROM r a JOIN r b
         ON b.rank BETWEEN a.rank + 1 AND a.rank + 2
+    """
+
+    q["text_sample_weighted"] = """
+    SELECT doc_id, n_chars, sample_key FROM (
+        SELECT doc_id, n_chars,
+               round(pow((CAST(concat('0x',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                              AS BIGINT) + 1.0) / power(2, 48),
+                         1.0 / n_chars), 9) AS sample_key
+        FROM documents WHERE n_chars > 0)
+    ORDER BY sample_key DESC, doc_id LIMIT 50
     """
 
     q["text_vocab_topk"] = f"""

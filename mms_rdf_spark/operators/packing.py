@@ -114,3 +114,27 @@ def stratified_sample(
     for stratum, pct in sorted(rates.items()):
         rate = F.when(F.col(key) == stratum, F.lit(pct)).otherwise(rate)
     return docs.where(bucket < rate)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    n: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row draws key = u^(1/w) with u a
+    hash-derived uniform in (0,1) — md5 of the id, no RNG state — and
+    the n largest keys win. Inclusion probability is proportional to
+    weight, the sample is reproducible across reruns/partitions/
+    engines, and selection is a TakeOrderedAndProject top-n (per-task
+    heap + driver merge, no global sort). Keys round to 9 so both
+    engines' pow() agree after formatting. Rows with weight <= 0 are
+    excluded (zero chance mass)."""
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+                16, 10).cast("double") + 1.0) / float(2 ** 48)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 9)
+    return (docs.where(F.col(weight_col) > 0)
+            .withColumn("sample_key", key)
+            .orderBy(F.col("sample_key").desc(), F.col(id_col))
+            .limit(n))

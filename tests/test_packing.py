@@ -144,3 +144,25 @@ def test_stratified_sample_rates_and_determinism(spark):
                stratified_sample(docs.repartition(7),
                                  rates={"src0": 100, "src1": 0}).collect())
     assert a == b
+
+
+def test_weighted_sample_prefers_heavy_rows_deterministically(spark):
+    from mms_rdf_spark.operators.packing import weighted_sample
+
+    # 200 light rows (w=1) vs 20 heavy rows (w=1000): heavy rows should
+    # dominate the sample despite being 10x rarer
+    rows = [(i, 1) for i in range(200)] + \
+           [(1000 + i, 1000) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [r["doc_id"] for r in weighted_sample(df, "w", n=20).collect()]
+    heavy = sum(1 for d in got if d >= 1000)
+    assert heavy >= 15, got  # P(this failing under proportionality) ~ 0
+    # deterministic across partitionings
+    again = [r["doc_id"] for r in
+             weighted_sample(df.repartition(7), "w", n=20).collect()]
+    assert got == again
+    # zero/negative weights never selected
+    z = spark.createDataFrame([(1, 0), (2, -5), (3, 10)],
+                              "doc_id long, w long")
+    assert [r["doc_id"] for r in
+            weighted_sample(z, "w", n=5).collect()] == [3]
