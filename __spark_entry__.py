@@ -478,6 +478,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
         return pagerank(e, iters=3)
 
+    def kg_random_walks(spark, sf):
+        from mms_rdf_spark.operators.pagerank import random_walks
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        c = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+        n1 = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+        n2 = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+        r = F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))
+        e = (cust.select(c.alias("src"), n1.alias("dst"))
+             .union(cust.select(n1.alias("src"), c.alias("dst")))
+             .union(nat.select(n2.alias("src"), r.alias("dst")))
+             .union(nat.select(r.alias("src"), n2.alias("dst"))))
+        return random_walks(e, walk_len=3)
+
     def kg_triangles(spark, sf):
         from mms_rdf_spark.operators.pagerank import triangle_count
         li = (spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -618,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": kg_pagerank,
         "link_sorted_neighborhood": link_sorted_neighborhood,
         "kg_triangles": kg_triangles,
+        "kg_random_walks": kg_random_walks,
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
@@ -1087,6 +1102,35 @@ def oracle_sql() -> dict[str, str]:
     FROM g JOIN w USING (gram)
     GROUP BY g.doc_id
     """
+
+    # deterministic random walks: unrolled per-step min-hash choice
+    rw_steps = []
+    for i in range(1, 4):
+        rw_steps.append(f"""
+    w{i} AS (SELECT walk_id, {i} AS step, node FROM (
+        SELECT w.walk_id, e.d AS node,
+               row_number() OVER (PARTITION BY w.walk_id
+                   ORDER BY md5(w.walk_id || '|{i}|' || e.d)) AS rn
+        FROM w{i - 1} w JOIN e ON w.node = e.s) WHERE rn = 1)""")
+    q["kg_random_walks"] = ("""
+    WITH e AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+               'n' || CAST(c_nationkey AS VARCHAR) AS d FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+               'c' || CAST(c_custkey AS VARCHAR) FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'r' || CAST(n_regionkey AS VARCHAR),
+               'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+    ), w0 AS (SELECT DISTINCT s AS walk_id, 0 AS step, s AS node
+              FROM e),""" + ",".join(rw_steps) + """
+    SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+        SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+    """)
 
     # co-purchase triangle count: the oracle is the NAIVE canonical
     # 3-way join, checking the degree-oriented plan's exactness

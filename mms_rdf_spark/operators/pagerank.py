@@ -123,3 +123,44 @@ def triangle_count(edges: DataFrame, src: str = "src",
         oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
         on=["v1", "v2"])
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def random_walks(edges: DataFrame, walk_len: int = 3,
+                 src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic random-walk corpus over the graph: one walk per
+    distinct source node, extended `walk_len` steps; at each step the
+    next hop is the neighbor minimizing md5(walk_id|step|neighbor) — a
+    per-(walk, step) uniform choice derived from a hash instead of RNG
+    state, so the walk corpus is reproducible across reruns, partition
+    layouts, and engines (the DeepWalk/node2vec input corpus without a
+    seed to ship). Walks at a sink node simply end (no padding rows).
+    Returns (walk_id, step, node).
+
+    Per step: one join of the frontier (|walks| rows) to the edge
+    table on the current node + one per-walk min-aggregate — both
+    map-side combined, frontier localCheckpointed so lineage stays flat
+    at any walk length. Hot hubs are a skewed JOIN key here (many walks
+    standing on one node): AQE skew split covers it, and the aggregate
+    after is per-walk, not per-node."""
+    e = edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed")) \
+        .localCheckpoint()
+    frontier = (e.select(F.col("_es").alias("walk_id"))
+                .distinct()
+                .select("walk_id", F.lit(0).alias("step"),
+                        F.col("walk_id").alias("node")))
+    walks = frontier
+    for step in range(1, walk_len + 1):
+        cand = (frontier.join(e, frontier["node"] == e["_es"])
+                .select("walk_id",
+                        F.md5(F.concat_ws("|", F.col("walk_id"),
+                                          F.lit(str(step)),
+                                          F.col("_ed"))).alias("h"),
+                        F.col("_ed").alias("nxt")))
+        frontier = (cand.groupBy("walk_id")
+                    .agg(F.min(F.struct("h", "nxt")).alias("b"))
+                    .select("walk_id",
+                            F.lit(step).alias("step"),
+                            F.col("b.nxt").alias("node"))
+                    ).localCheckpoint()
+        walks = walks.unionByName(frontier)
+    return walks

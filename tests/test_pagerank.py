@@ -70,3 +70,27 @@ def test_triangle_count_known_graphs(spark):
     assert count([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]) == 0
     # star + one chord: exactly 1
     assert count([("h", "x"), ("h", "y"), ("h", "z"), ("x", "y")]) == 1
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    from mms_rdf_spark.operators.pagerank import random_walks
+
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    e = _edges(spark, rows)
+    out = sorted(map(tuple, random_walks(e, walk_len=3).collect()))
+    # every step follows an actual edge
+    eset = set(rows)
+    by_walk = {}
+    for wid, step, node in out:
+        by_walk.setdefault(wid, {})[step] = node
+    for wid, steps in by_walk.items():
+        assert steps[0] == wid
+        for s in range(1, max(steps) + 1):
+            assert (steps[s - 1], steps[s]) in eset
+    # 'd' is a sink: any walk reaching d stops there, others reach len 3
+    assert all(max(s) <= 3 for s in by_walk.values())
+    # deterministic under repartition
+    again = sorted(map(tuple,
+                       random_walks(e.repartition(5), walk_len=3)
+                       .collect()))
+    assert out == again
