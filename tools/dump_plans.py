@@ -244,6 +244,30 @@ def main() -> None:
         skeleton(range_join_bucketed(iv, pt, on="user_id")),
     ))
 
+    from mms_rdf_spark.operators.layout import zorder_key
+    from mms_rdf_spark.operators.pagerank import triangle_count
+
+    sections.append((
+        "Z-order key: pure projection, bounds broadcast only",
+        "Morton interleave as JVM bit arithmetic; the only exchanges "
+        "are the single-row min/max aggregate and its broadcast — the "
+        "corpus never shuffles (asserted in tests/test_layout.py).",
+        skeleton(zorder_key(
+            ev.select("event_id", "user_id",
+                      F.col("value").cast("long").alias("v")),
+            "user_id", "v")),
+    ))
+
+    tri_edges = (ev.select(F.col("user_id").cast("string").alias("src"),
+                           F.col("event_type").alias("dst")))
+    sections.append((
+        "Triangle count: oriented wedge join, no nested loop",
+        "Degree-ordered orientation caps out-degree at O(sqrt m); the "
+        "wedge enumeration and closure are hash equi-joins on the "
+        "oriented edge list.",
+        skeleton(triangle_count(tri_edges)),
+    ))
+
     out = ["# PLANS — captured physical plans (evidence for SCALE.md "
            "claims)", "",
            "Regenerated by `python tools/dump_plans.py` from live "
