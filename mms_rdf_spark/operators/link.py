@@ -183,17 +183,21 @@ def global_rank(df: DataFrame, order_col: str, id_col: str) -> DataFrame:
     sizes = {r["_pid"]: r["n"] for r in
              local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
              .collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes[pid]
-    off = F.lit(0)
-    for pid in sorted(offsets):
-        off = F.when(F.col("_pid") == pid, F.lit(offsets[pid])) \
-            .otherwise(off)
-    return (local.withColumn("rank",
-                             (F.col("_lrank") + off).cast("long"))
-            .drop("_pid", "_lrank"))
+    # broadcast-join the P offsets (a P-row frame) instead of folding
+    # them into a P-branch CASE expression — identical result, but the
+    # expression tree stays O(1) at any partition count
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long")
+    return (local.join(F.broadcast(off_df), on="_pid", how="left")
+            .withColumn("rank",
+                        (F.col("_lrank")
+                         + F.coalesce(F.col("_off"), F.lit(0)))
+                        .cast("long"))
+            .drop("_pid", "_lrank", "_off"))
 
 
 def sorted_neighborhood_pairs(
