@@ -478,6 +478,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
         return pagerank(e, iters=3)
 
+    def kg_khop_mean(spark, sf):
+        from mms_rdf_spark.operators.pagerank import neighborhood_mean
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        c = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+        n1 = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+        n2 = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+        r = F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))
+        e = (cust.select(c.alias("src"), n1.alias("dst"))
+             .union(cust.select(n1.alias("src"), c.alias("dst")))
+             .union(nat.select(n2.alias("src"), r.alias("dst")))
+             .union(nat.select(r.alias("src"), n2.alias("dst"))))
+        feats = cust.select(c.alias("node"),
+                            F.col("c_acctbal").alias("f"))
+        return neighborhood_mean(e, feats, hops=2)
+
     def kg_random_walks(spark, sf):
         from mms_rdf_spark.operators.pagerank import random_walks
         cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -633,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_sorted_neighborhood": link_sorted_neighborhood,
         "kg_triangles": kg_triangles,
         "kg_random_walks": kg_random_walks,
+        "kg_khop_mean": kg_khop_mean,
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
@@ -1101,6 +1118,33 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE) / count(*), 6) AS shared_frac
     FROM g JOIN w USING (gram)
     GROUP BY g.doc_id
+    """
+
+    q["kg_khop_mean"] = """
+    WITH e AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+               'n' || CAST(c_nationkey AS VARCHAR) AS d FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+               'c' || CAST(c_custkey AS VARCHAR) FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'r' || CAST(n_regionkey AS VARCHAR),
+               'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+    ), h0 AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+               CAST(c_acctbal AS DOUBLE) AS f
+        FROM customer
+    ), h1 AS (
+        SELECT e.d AS node, round(avg(h.f), 6) AS f
+        FROM h0 h JOIN e ON h.node = e.s GROUP BY e.d
+    ), h2 AS (
+        SELECT e.d AS node, round(avg(h.f), 6) AS f
+        FROM h1 h JOIN e ON h.node = e.s GROUP BY e.d
+    )
+    SELECT node, f FROM h2
     """
 
     # deterministic random walks: unrolled per-step min-hash choice

@@ -164,3 +164,32 @@ def random_walks(edges: DataFrame, walk_len: int = 3,
                     ).localCheckpoint()
         walks = walks.unionByName(frontier)
     return walks
+
+
+def neighborhood_mean(edges: DataFrame, features: DataFrame,
+                      hops: int = 2, id_col: str = "node",
+                      feature_col: str = "f",
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """K-hop mean message passing (the GraphSAGE-mean primitive without
+    the learned weights): hop k assigns every destination node the mean
+    of its in-neighbors' hop-(k-1) values, rounded to 6 per hop so both
+    engines iterate on identical doubles (the pagerank parity rule).
+    Nodes whose in-neighbors carry no value at a hop drop out of that
+    hop (inner join semantics). Returns (node, f) after `hops` rounds —
+    the feature-propagation table a GNN pre-processing stage
+    materializes before training.
+
+    Per hop: one src-keyed join of the (narrow) feature frame to the
+    edge table + one dst-keyed map-side-combined average; edges are
+    localCheckpointed once, the feature frontier per hop."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+        .localCheckpoint()
+    h = features.select(F.col(id_col).alias("node"),
+                        F.col(feature_col).cast("double").alias("f"))
+    for _ in range(hops):
+        h = (h.join(e, h["node"] == e["_s"])
+             .groupBy(F.col("_d").alias("node_"))
+             .agg(F.round(F.avg("f"), 6).alias("f"))
+             .withColumnRenamed("node_", "node")
+             ).localCheckpoint()
+    return h

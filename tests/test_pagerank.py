@@ -94,3 +94,18 @@ def test_random_walks_follow_edges_and_are_deterministic(spark):
                        random_walks(e.repartition(5), walk_len=3)
                        .collect()))
     assert out == again
+
+
+def test_neighborhood_mean_two_hops(spark):
+    from mms_rdf_spark.operators.pagerank import neighborhood_mean
+
+    # star: leaves l1/l2 feed hub h; hub feeds t
+    e = _edges(spark, [("l1", "h"), ("l2", "h"), ("h", "t")])
+    feats = spark.createDataFrame([("l1", 10.0), ("l2", 30.0)],
+                                  "node string, f double")
+    h1 = {r["node"]: r["f"] for r in
+          neighborhood_mean(e, feats, hops=1).collect()}
+    assert h1 == {"h": 20.0}   # mean of the leaves; t has no valued in
+    h2 = {r["node"]: r["f"] for r in
+          neighborhood_mean(e, feats, hops=2).collect()}
+    assert h2 == {"t": 20.0}   # hub's value propagates one hop further
