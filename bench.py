@@ -123,7 +123,7 @@ def main() -> None:
         for name in ["tpch_q1", "tpch_q3", "events_window",
                      "dedup_lsh_pairs", "sim_cosine_topk", "text_quality",
                      "events_asof", "kg_pagerank", "text_bm25",
-                     "sketch_distinct"]:
+                     "sketch_distinct", "text_curate_full"]:
             timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
         return timings, n_triples, n_turns
 
