@@ -537,6 +537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_dup_grams(spark, sf):
         return TX.cross_doc_gram_stats(_docs(spark, sf))
 
+    def text_quality_relative(spark, sf):
+        from mms_rdf_spark.operators.curate import relative_quality_filter
+        return relative_quality_filter(_docs(spark, sf), pctl=0.1)
+
     def text_sample_weighted(spark, sf):
         from mms_rdf_spark.operators.packing import weighted_sample
         return weighted_sample(
@@ -654,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
         "text_sample_weighted": text_sample_weighted,
+        "text_quality_relative": text_quality_relative,
         "text_vocab_topk": text_vocab_topk,
         "text_cooccur_pmi": text_cooccur_pmi,
         "sketch_distinct": sketch_distinct,
@@ -1206,6 +1211,28 @@ def oracle_sql() -> dict[str, str]:
            a.rank AS a_rank, b.rank AS b_rank
     FROM r a JOIN r b
         ON b.rank BETWEEN a.rank + 1 AND a.rank + 2
+    """
+
+    q["text_quality_relative"] = f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(toks,
+                   x -> list_contains({_STOP_SQL}, x))) AS stop_cnt,
+               greatest(len(toks), 1) AS n,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+               len(regexp_extract_all(text, '[A-Z]')) AS upper_cnt,
+               greatest(strlen(text), 1) AS chars
+        FROM d
+    ), s AS (
+        SELECT doc_id,
+               round(CAST(stop_cnt AS DOUBLE) / n
+                     - CAST(punct AS DOUBLE) / chars
+                     - CAST(upper_cnt AS DOUBLE) / chars, 6) AS score
+        FROM m
+    ), c AS (SELECT round(quantile_cont(score, 0.1), 6) AS cutoff FROM s)
+    SELECT doc_id, score, cutoff
+    FROM s CROSS JOIN c WHERE score >= cutoff
     """
 
     q["text_sample_weighted"] = """

@@ -159,3 +159,28 @@ def curate_semantic(docs: DataFrame, embeddings: DataFrame,
     else:
         raise ValueError(f"unknown survivor policy: {policy!r}")
     return base.join(losers, on="doc_id", how="left_anti")
+
+
+def relative_quality_filter(docs: DataFrame,
+                            pctl: float = 0.1) -> DataFrame:
+    """Percentile-based quality cut (the Gopher-style RELATIVE rule):
+    keep documents whose quality score clears the corpus `pctl`
+    quantile, instead of an absolute floor — robust to corpus-wide
+    score drift between crawls, which is why production curation uses
+    distribution cuts. Returns (doc_id, score, cutoff).
+
+    Composition of the existing pieces: the score is the SAME fused
+    quality_score_expr every other recipe stamps (one scan), the
+    cutoff is one single-row exact-percentile aggregate (linear
+    interpolation — the grouped_quantiles definition) broadcast back,
+    and the filter compares round-6 values so the SQL oracle's
+    quantile_cont agrees exactly. Two passes over the corpus, zero
+    joins of the id space."""
+    scored = docs.select("doc_id",
+                         quality_score_expr().alias("score"))
+    cut = scored.agg(
+        F.round(F.percentile(F.col("score"), F.lit(pctl)), 6)
+        .alias("cutoff"))
+    return (scored.crossJoin(F.broadcast(cut))
+            .where(F.col("score") >= F.col("cutoff"))
+            .select("doc_id", "score", "cutoff"))

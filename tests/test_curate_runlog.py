@@ -39,3 +39,17 @@ def test_manifest_snapshot_fields(spark, tmp_path):
     # resume leaves the snapshot untouched
     run_pipeline(spark, data, out)
     assert read_manifest(out, "extract")["snapshot_id"] == m["snapshot_id"]
+
+
+def test_relative_quality_filter_cuts_bottom_decile(spark):
+    from mms_rdf_spark.operators.curate import relative_quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = relative_quality_filter(docs, pctl=0.1)
+    kept = out.count()
+    # the p10 cut keeps ~90% (ties at the cutoff may keep a few more)
+    assert 0.88 * n <= kept <= 0.95 * n, (kept, n)
+    rows = out.collect()
+    cut = rows[0]["cutoff"]
+    assert all(r["score"] >= cut and r["cutoff"] == cut for r in rows)
