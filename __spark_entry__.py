@@ -478,6 +478,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
         return pagerank(e, iters=3)
 
+    def kg_graph_diff(spark, sf):
+        from mms_rdf_spark.operators.amend import graph_diff
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        subj = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+        old = cust.select(
+            subj.alias("subject"),
+            F.lit("in-nation").alias("predicate"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+            .alias("object"))
+        # v2: every 13th customer deterministically migrates nation
+        moved = F.when(F.col("c_custkey") % 13 == 0,
+                       (F.col("c_nationkey") + 1) % 25) \
+            .otherwise(F.col("c_nationkey"))
+        new = cust.select(
+            subj.alias("subject"),
+            F.lit("in-nation").alias("predicate"),
+            F.concat(F.lit("n"), moved.cast("string")).alias("object"))
+        return graph_diff(old, new)
+
     def kg_khop_mean(spark, sf):
         from mms_rdf_spark.operators.pagerank import neighborhood_mean
         cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -654,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": kg_triangles,
         "kg_random_walks": kg_random_walks,
         "kg_khop_mean": kg_khop_mean,
+        "kg_graph_diff": kg_graph_diff,
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
@@ -1123,6 +1143,28 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE) / count(*), 6) AS shared_frac
     FROM g JOIN w USING (gram)
     GROUP BY g.doc_id
+    """
+
+    q["kg_graph_diff"] = """
+    WITH old AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subject,
+               'in-nation' AS predicate,
+               'n' || CAST(c_nationkey AS VARCHAR) AS object
+        FROM customer
+    ), new AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS subject,
+               'in-nation' AS predicate,
+               'n' || CAST(CASE WHEN c_custkey % 13 = 0
+                                THEN (c_nationkey + 1) % 25
+                                ELSE c_nationkey END AS VARCHAR)
+                   AS object
+        FROM customer
+    )
+    SELECT subject, predicate, object, 'added' AS change
+    FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+    UNION ALL
+    SELECT subject, predicate, object, 'removed' AS change
+    FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
     """
 
     q["kg_khop_mean"] = """

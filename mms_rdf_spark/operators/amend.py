@@ -71,3 +71,33 @@ def amend_triples(triples: DataFrame) -> DataFrame:
 def amend(triples: DataFrame) -> DataFrame:
     """One idempotent amend pass: graph ∪ placeholders."""
     return triples.unionByName(amend_triples(triples))
+
+
+def graph_diff(old: DataFrame, new: DataFrame,
+               keys: list[str] | None = None) -> DataFrame:
+    """Snapshot diff between two graph versions: one row per triple
+    present in exactly one side, tagged `change` = 'added' | 'removed'.
+    The KG-versioning companion to amend (which closes gaps) and
+    merge_upsert (which applies changes): a diff of consecutive
+    snapshots is the audit/export artifact a downstream consumer
+    replays instead of re-reading the full graph.
+
+    Two anti-joins on the full triple key — each shuffles both sides
+    once on the same key, and at scale both snapshots stored bucketed
+    on (subject) make them co-partitioned merge joins. Columns compare
+    null-safely (eqNullSafe), so triples differing only in a NULL
+    field count as different."""
+    keys = keys or ["subject", "predicate", "object"]
+    o = old.select(*keys)
+    n = new.select(*keys)
+
+    def anti(left, right, tag):
+        r = right.select(*[F.col(k).alias(f"_r_{k}") for k in keys])
+        cond = None
+        for k in keys:  # eqNullSafe: NULL fields must match themselves
+            c = F.col(k).eqNullSafe(F.col(f"_r_{k}"))
+            cond = c if cond is None else cond & c
+        return (left.join(r, cond, "left_anti")
+                .withColumn("change", F.lit(tag)))
+
+    return anti(n, o, "added").unionByName(anti(o, n, "removed"))

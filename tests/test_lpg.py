@@ -57,3 +57,17 @@ def test_amend_closes_graph(spark, triples_df):
     # idempotent: second pass adds nothing
     again = amend(amended)
     assert again.count() == amended.count()
+
+
+def test_graph_diff_tags_changes(spark):
+    from mms_rdf_spark.operators.amend import graph_diff
+
+    ddl = "subject string, predicate string, object string"
+    old = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("c", "p", None)], ddl)
+    new = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "z"), ("c", "p", None)], ddl)
+    got = {(r["subject"], r["object"], r["change"])
+           for r in graph_diff(old, new).collect()}
+    # unchanged (incl. the NULL-object triple) absent; change tagged
+    assert got == {("b", "z", "added"), ("b", "y", "removed")}
