@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_ivf_topk_trained(spark, sf):
         return S.ivf_topk_trained(_emb(spark, sf), iters=2)
 
+    def sim_standardize(spark, sf):
+        return S.standardize_embeddings(_emb(spark, sf))
+
     def sim_pq_encode(spark, sf):
         return S.pq_encode(_emb(spark, sf), m=4, every_k=100, iters=1)
 
@@ -706,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk_trained": sim_ivf_topk_trained,
         "sim_quantize": sim_quantize,
         "sim_pq_encode": sim_pq_encode,
+        "sim_standardize": sim_standardize,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -1328,6 +1332,23 @@ def oracle_sql() -> dict[str, str]:
                                           tok_a, tok_b) AS INT) AS rank
         FROM s)
     WHERE rank <= 50
+    """
+
+    q["sim_standardize"] = """
+    WITH x AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1
+                            AS INT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT dim, round(avg(v), 6) AS mu,
+               round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS sigma
+        FROM x GROUP BY dim
+    )
+    SELECT x.vec_id, x.dim,
+           CASE WHEN s.sigma = 0 THEN 0.0
+                ELSE round((x.v - s.mu) / s.sigma, 4) END + 0.0 AS z
+    FROM x JOIN s USING (dim)
     """
 
     # PQ: per-subspace k-means unrolled exactly like the IVF oracle

@@ -741,3 +741,43 @@ def pq_encode(embeddings: DataFrame, m: int = 4, every_k: int = 100,
             "vec_id", F.lit(s).alias("subspace"), code, dist)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics: (dim, mu, sigma), round-6.
+    Variance uses the explicit E[x^2] - E[x]^2 form so any engine
+    reproduces the exact doubles (builtin stddev implementations differ
+    numerically across engines); one posexplode + one map-side-combined
+    aggregate, output is dims rows."""
+    x = embeddings.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v"))
+    return (x.groupBy("dim")
+            .agg(F.round(F.avg("v"), 6).alias("mu"),
+                 F.round(F.sqrt(F.avg(F.col("v") * F.col("v"))
+                                - F.avg("v") * F.avg("v")), 6)
+                 .alias("sigma"))
+            .select(F.col("dim").cast("int").alias("dim"), "mu", "sigma"))
+
+
+def standardize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension z-scoring (whitening without rotation): the ANN
+    preprocessing that stops high-variance dimensions from dominating
+    L2/PQ distances. Exploded output (vec_id, dim, z) with
+    z = round((v - mu) / sigma, 4) against the ROUNDED corpus stats, so
+    the oracle's arithmetic matches exactly; constant dimensions
+    (sigma 0) map to 0. Stats are dims rows — broadcast join; the
+    packed array form is the same expression un-exploded via a
+    transform over the stats folded into literals."""
+    stats = embedding_dim_stats(embeddings)
+    x = embeddings.select(
+        "vec_id",
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v")) \
+        .withColumn("dim", F.col("dim").cast("int"))
+    # + 0.0 collapses IEEE negative zero (round can emit -0.0, which
+    # formats as "-0.000000" and breaks the cross-engine hash)
+    return (x.join(F.broadcast(stats), on="dim")
+            .select("vec_id", "dim",
+                    (F.when(F.col("sigma") == 0.0, F.lit(0.0))
+                     .otherwise(F.round((F.col("v") - F.col("mu"))
+                                        / F.col("sigma"), 4))
+                     + F.lit(0.0)).alias("z")))

@@ -252,3 +252,17 @@ def test_pq_training_reduces_reconstruction_distance(spark):
                for r in codes.collect())
     with pytest.raises(ValueError):
         pq_train(emb, m=5)  # 16 dims not divisible
+
+
+def test_standardize_zero_mean_unit_std_per_dim(spark):
+    from mms_rdf_spark.operators.similarity import standardize_embeddings
+
+    emb = _emb_df(spark, n=200, dims=8, with_dupes=False)
+    z = standardize_embeddings(emb)
+    stats = (z.groupBy("dim")
+             .agg(F.avg("z").alias("m"), F.stddev_pop("z").alias("s"))
+             .collect())
+    assert len(stats) == 8
+    for r in stats:
+        assert abs(r["m"]) < 1e-3          # centered
+        assert abs(r["s"] - 1.0) < 1e-2    # unit variance (round-4 z)
