@@ -559,6 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_dup_grams(spark, sf):
         return TX.cross_doc_gram_stats(_docs(spark, sf))
 
+    def text_lm_score(spark, sf):
+        return TX.bigram_lm_scores(_docs(spark, sf))
+
     def text_quality_relative(spark, sf):
         from mms_rdf_spark.operators.curate import relative_quality_filter
         return relative_quality_filter(_docs(spark, sf), pctl=0.1)
@@ -682,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_stratified": text_sample_stratified,
         "text_sample_weighted": text_sample_weighted,
         "text_quality_relative": text_quality_relative,
+        "text_lm_score": text_lm_score,
         "text_vocab_topk": text_vocab_topk,
         "text_cooccur_pmi": text_cooccur_pmi,
         "sketch_distinct": sketch_distinct,
@@ -1257,6 +1261,32 @@ def oracle_sql() -> dict[str, str]:
            a.rank AS a_rank, b.rank AS b_rank
     FROM r a JOIN r b
         ON b.rank BETWEEN a.rank + 1 AND a.rank + 2
+    """
+
+    q["text_lm_score"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    db AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + 1), ' ') AS bg,
+               string_split(array_to_string(
+                   list_slice(toks, i, i + 1), ' '), ' ')[1] AS tok
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ), cab AS (SELECT bg, count(*) AS n_ab FROM db GROUP BY bg),
+    ca AS (SELECT unnest(toks) AS tok FROM t),
+    ca2 AS (SELECT tok, count(*) AS n_a FROM ca GROUP BY tok),
+    vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ca),
+    s AS (
+        SELECT db.doc_id,
+               round(ln((cab.n_ab + 0.1) / (ca2.n_a + 0.1 * vv.v)), 6)
+                   AS lp
+        FROM db JOIN cab USING (bg)
+        JOIN ca2 ON db.tok = ca2.tok
+        CROSS JOIN vv
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM s GROUP BY doc_id
     """
 
     q["text_quality_relative"] = f"""

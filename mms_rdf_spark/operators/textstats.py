@@ -368,3 +368,45 @@ def cooccurrence_pmi(docs: DataFrame, min_df: int = 5,
     return (scored.withColumn("rank",
                               F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k))
+
+
+def bigram_lm_scores(docs: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """CCNet-style language-model quality signal: score every document
+    by the average log-probability of its word bigrams under an
+    add-alpha-smoothed bigram model TRAINED ON THE CORPUS ITSELF
+    (self-perplexity — boilerplate and gibberish score low against the
+    corpus distribution, which is exactly the filtering signal).
+    (doc_id, n_bigrams, avg_logprob); higher is more fluent; docs with
+    no bigram (<2 tokens) are excluded.
+
+    logp(b|a) = ln((c_ab + alpha) / (c_a + alpha * V)), with c_* corpus
+    counts and V the unigram vocabulary size. Per-bigram logp rounds to
+    6 (JVM log vs oracle ln — the BM25 precedent) before the per-doc
+    mean. Scale shape: bigram and unigram counts are map-side-combined
+    aggregates over exploded digests-free grams; the per-doc score is
+    one gram-keyed join (counts side ~|observed bigrams|) + one doc_id
+    aggregate — the dup-gram plan with a probability attached. A real
+    KenLM slots in behind the same output schema as a pandas UDF."""
+    from mms_rdf_spark.operators.dedup import _tokens, word_ngrams
+
+    toks = _tokens(F.col("text"))
+    # true bigrams only: word_ngrams emits one truncated gram for
+    # docs shorter than n — those contain no space and are dropped
+    bi = F.filter(word_ngrams(toks, 2), lambda g: g.contains(" "))
+    doc_bi = docs.select("doc_id", F.explode(bi).alias("bg"))
+    c_ab = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = docs.select(F.explode(toks).alias("tok"))
+    c_a = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_a"))
+    vocab = uni.agg(F.countDistinct("tok").alias("v"))
+    logp = F.round(
+        F.log((F.col("n_ab") + alpha)
+              / (F.col("n_a") + alpha * F.col("v"))), 6)
+    scored = (doc_bi
+              .join(c_ab, on="bg")
+              .withColumn("tok", F.split("bg", " ")[0])
+              .join(c_a, on="tok")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id", logp.alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("lp"), 6).alias("avg_logprob")))

@@ -74,3 +74,18 @@ def test_cooccurrence_pmi_prefers_exclusive_pairs(spark):
     assert round(got[("p", "q")], 4) == round(0.6931, 4)
     assert got[("p", "r")] == 0.0
     assert got[("p", "q")] > got[("p", "r")]
+
+
+def test_bigram_lm_scores_fluency_ordering(spark):
+    from mms_rdf_spark.operators.textstats import bigram_lm_scores
+
+    # a corpus dominated by one phrase: docs repeating it score high,
+    # a doc of unseen-pair gibberish scores low
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "mat the on sat cat the"))  # same words, odd order
+    rows.append((200, "x"))                        # <2 tokens: excluded
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert 200 not in got
+    assert got[0]["n_bigrams"] == 5
+    assert got[0]["avg_logprob"] > got[100]["avg_logprob"]
