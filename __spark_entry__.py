@@ -1278,14 +1278,16 @@ def oracle_sql() -> dict[str, str]:
     vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ca),
     s AS (
         SELECT db.doc_id,
-               round(ln((cab.n_ab + 0.1) / (ca2.n_a + 0.1 * vv.v)), 6)
-                   AS lp
+               CAST(round(round(ln((cab.n_ab + 0.1)
+                                   / (ca2.n_a + 0.1 * vv.v)), 6)
+                          * 1e6, 0) AS BIGINT) AS lp_u
         FROM db JOIN cab USING (bg)
         JOIN ca2 ON db.tok = ca2.tok
         CROSS JOIN vv
     )
     SELECT doc_id, count(*) AS n_bigrams,
-           round(avg(lp), 6) AS avg_logprob
+           round((CAST(sum(lp_u) AS DOUBLE) / count(*)) / 1e6, 6)
+               AS avg_logprob
     FROM s GROUP BY doc_id
     """
 

@@ -401,12 +401,19 @@ def bigram_lm_scores(docs: DataFrame, alpha: float = 0.1) -> DataFrame:
     logp = F.round(
         F.log((F.col("n_ab") + alpha)
               / (F.col("n_a") + alpha * F.col("v"))), 6)
+    # aggregate in EXACT integer micro-units: a float mean of round-6
+    # values still sums order-dependently and flips the last digit at
+    # round boundaries (21/5000 docs at sf0.1 did) — summing longs is
+    # associative, so both engines divide the identical integer
     scored = (doc_bi
               .join(c_ab, on="bg")
               .withColumn("tok", F.split("bg", " ")[0])
               .join(c_a, on="tok")
               .crossJoin(F.broadcast(vocab))
-              .select("doc_id", logp.alias("lp")))
+              .select("doc_id",
+                      F.round(logp * 1e6, 0).cast("long").alias("lp_u")))
+    n = F.count(F.lit(1))
     return (scored.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.round(F.avg("lp"), 6).alias("avg_logprob")))
+            .agg(n.alias("n_bigrams"),
+                 F.round((F.sum("lp_u") / n) / 1e6, 6)
+                 .alias("avg_logprob")))
