@@ -1193,10 +1193,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_acctbal AS DOUBLE) AS f
         FROM customer
     ), h1 AS (
-        SELECT e.d AS node, round(avg(h.f), 6) AS f
+        SELECT e.d AS node,
+               round((CAST(sum(CAST(round(h.f * 1e6, 0) AS BIGINT))
+                           AS DOUBLE) / count(*)) / 1e6, 6) AS f
         FROM h0 h JOIN e ON h.node = e.s GROUP BY e.d
     ), h2 AS (
-        SELECT e.d AS node, round(avg(h.f), 6) AS f
+        SELECT e.d AS node,
+               round((CAST(sum(CAST(round(h.f * 1e6, 0) AS BIGINT))
+                           AS DOUBLE) / count(*)) / 1e6, 6) AS f
         FROM h1 h JOIN e ON h.node = e.s GROUP BY e.d
     )
     SELECT node, f FROM h2

@@ -181,15 +181,23 @@ def neighborhood_mean(edges: DataFrame, features: DataFrame,
 
     Per hop: one src-keyed join of the (narrow) feature frame to the
     edge table + one dst-keyed map-side-combined average; edges are
-    localCheckpointed once, the feature frontier per hop."""
+    localCheckpointed once, the feature frontier per hop. Averages run
+    in EXACT integer micro-units (values quantized to 1e-6): a float
+    mean of grid-aligned round-6 values lands mid-grid constantly, and
+    engine-dependent summation order then flips the rounded digit (the
+    text_lm_score sf0.1 lesson) — long sums are associative, so both
+    engines divide the identical integer at every hop."""
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
         .localCheckpoint()
     h = features.select(F.col(id_col).alias("node"),
                         F.col(feature_col).cast("double").alias("f"))
     for _ in range(hops):
-        h = (h.join(e, h["node"] == e["_s"])
+        hu = h.select("node", F.round(F.col("f") * 1e6, 0)
+                      .cast("long").alias("fu"))
+        h = (hu.join(e, hu["node"] == e["_s"])
              .groupBy(F.col("_d").alias("node_"))
-             .agg(F.round(F.avg("f"), 6).alias("f"))
+             .agg(F.round((F.sum("fu") / F.count(F.lit(1))) / 1e6, 6)
+                  .alias("f"))
              .withColumnRenamed("node_", "node")
              ).localCheckpoint()
     return h
