@@ -32,7 +32,12 @@ def merge_upsert(
     """One row per key: the highest-`version` row across base and
     updates (updates win version ties). Rows whose winning version has
     `deleted_col` true are dropped entirely (tombstone semantics).
-    Columns = base's columns (+ deleted_col until filtered)."""
+    Columns = base's columns (+ deleted_col until filtered).
+
+    Contract: (key, version) must be unique WITHIN each side — two
+    update rows carrying the same key and version leave the winner
+    undefined (same input contract as asof_join's right side;
+    pre-aggregate the change batch if a producer can emit dupes)."""
     b = base.withColumn("_src", F.lit(0))
     u = updates.withColumn("_src", F.lit(1))
     w = Window.partitionBy(key).orderBy(

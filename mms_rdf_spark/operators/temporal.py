@@ -40,6 +40,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _reserve(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    """Fail fast if an input already uses one of the operator's
+    internal column names — a silent collision would corrupt the join
+    keys instead of erroring."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with reserved "
+            f"internal names {names}; rename them first")
+
+
 def _epoch_s(col_name: str) -> Column:
     """Timezone-independent whole epoch seconds (the sessionize.py
     idiom): never routes through the session zone, and matches a DuckDB
@@ -79,6 +90,8 @@ def asof_join(
     asc = direction == "backward"
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
+    _reserve(left, ("_asof_ts", "_asof_value", "_asof_side",
+                    "asof_value"), "asof_join")
 
     lcols = [c for c in left.columns]
     r = right.select(
@@ -132,6 +145,8 @@ def range_join_bucketed(
     clashes beforehand; `on` appears once).
     """
     b = int(bucket_seconds)
+    _reserve(intervals, ("_bkt", "_p_key"), "range_join_bucketed")
+    _reserve(points, ("_bkt", "_p_key"), "range_join_bucketed")
     icols = [c for c in intervals.columns]
     pcols = [c for c in points.columns if c != on]
     iv = intervals.select(
@@ -202,6 +217,7 @@ def gap_fill(
     join, and the window. Grid density is the caller's lever exactly
     like range_join_bucketed's bucket."""
     b = int(step_seconds)
+    _reserve(df, ("_bkt", "_v", "_lo", "_hi"), "gap_fill")
     bkt = F.floor(_epoch_s(ts) / b).alias("_bkt")
     obs = (df.select(F.col(key), bkt, F.col(value).alias("_v"))
            .groupBy(key, "_bkt").agg(F.max("_v").alias("_v")))

@@ -222,3 +222,23 @@ def test_merge_upsert_semantics(spark):
            merge_upsert(base, upd, "k", "version",
                         deleted_col="deleted").collect()}
     assert got == {1: ("a2", 1), 2: ("b2", 2), 4: ("d", 1)}
+
+
+def test_reserved_column_collisions_fail_fast(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5), 0.0)],
+        "event_id long, user_id long, ts timestamp, asof_value double")
+    right = spark.createDataFrame(
+        [(10, _ts(4), 1.0)], "user_id long, ts timestamp, value double")
+    with pytest.raises(ValueError, match="asof_join"):
+        asof_join(left, right, on="user_id")
+    iv = spark.createDataFrame(
+        [(1, 10, _ts(0), _ts(9), 7)],
+        "interval_id long, user_id long, start_ts timestamp, "
+        "end_ts timestamp, _bkt long")
+    pt = spark.createDataFrame(
+        [(2, 10, _ts(3))], "point_id long, user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="range_join"):
+        range_join_bucketed(iv, pt, on="user_id")
