@@ -58,6 +58,11 @@ def zorder_key(
     min/max pass is one tiny all-column aggregate broadcast back as a
     single-row frame — same scalar-stage pattern as pagerank; at scale
     you'd pin static domain bounds instead to keep it one pass."""
+    clash = [c for c in df.columns
+             if c in ("_amin", "_amax", "_bmin", "_bmax", "zkey")]
+    if clash:
+        raise ValueError(f"zorder_key: input columns {clash} collide "
+                         "with reserved internal names; rename first")
     bounds = df.agg(
         F.min(F.col(col_a).cast("long")).alias("_amin"),
         F.max(F.col(col_a).cast("long")).alias("_amax"),

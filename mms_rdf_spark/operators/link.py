@@ -176,6 +176,11 @@ def global_rank(df: DataFrame, order_col: str, id_col: str) -> DataFrame:
     because the order is total."""
     from pyspark.sql.window import Window
 
+    clash = [c for c in df.columns if c in ("_pid", "_lrank", "_off",
+                                            "rank")]
+    if clash:
+        raise ValueError(f"global_rank: input columns {clash} collide "
+                         "with reserved internal names; rename first")
     ranged = df.repartitionByRange(F.col(order_col), F.col(id_col))
     part = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(order_col, id_col)

@@ -131,6 +131,9 @@ def weighted_sample(
     heap + driver merge, no global sort). Keys round to 9 so both
     engines' pow() agree after formatting. Rows with weight <= 0 are
     excluded (zero chance mass)."""
+    if "sample_key" in docs.columns:
+        raise ValueError("weighted_sample: input already has a "
+                         "'sample_key' column; rename it first")
     u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
                 16, 10).cast("double") + 1.0) / float(2 ** 48)
     key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 9)
