@@ -481,6 +481,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
         return pagerank(e, iters=3)
 
+    def kg_conv_fingerprint(spark, sf):
+        from mms_rdf_spark.kgdemo import transcripts_from_events
+        from mms_rdf_spark.operators.dedup import conversation_fingerprints
+        return conversation_fingerprints(
+            transcripts_from_events(spark, sf))
+
     def kg_graph_diff(spark, sf):
         from mms_rdf_spark.operators.amend import graph_diff
         cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -680,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": kg_random_walks,
         "kg_khop_mean": kg_khop_mean,
         "kg_graph_diff": kg_graph_diff,
+        "kg_conv_fingerprint": kg_conv_fingerprint,
         "text_bm25": text_bm25,
         "text_dup_grams": text_dup_grams,
         "text_sample_stratified": text_sample_stratified,
@@ -1151,6 +1158,15 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE) / count(*), 6) AS shared_frac
     FROM g JOIN w USING (gram)
     GROUP BY g.doc_id
+    """
+
+    q["kg_conv_fingerprint"] = f"""
+    {_T}
+    SELECT conv_id, count(*) AS n_turns,
+           md5(array_to_string(
+               list_transform(list(text ORDER BY turn_idx),
+                              x -> md5(x)), '')) AS fp
+    FROM t GROUP BY conv_id
     """
 
     q["kg_graph_diff"] = """

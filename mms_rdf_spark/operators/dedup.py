@@ -288,3 +288,25 @@ def ngram_jaccard_pairs(
             .alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def conversation_fingerprints(turns: DataFrame) -> DataFrame:
+    """Conversation-level dedup keys over the KG's own substrate:
+    (conv_id, n_turns, fp) where fp = md5 of the per-turn text digests
+    concatenated in turn order. Joining fp to itself (the
+    exact_duplicates pattern) dedups whole conversations — the
+    curation family applied to transcripts rather than documents, so
+    the KG ingest can drop replayed/forked conversations before
+    extraction ever runs.
+
+    Delimiter-free by construction (each turn contributes a fixed
+    32-char digest, so no text can smear across turn boundaries) and
+    order-deterministic (array_sort over (turn_idx, text) structs).
+    One conv_id-keyed aggregate — the same partitioning extraction
+    already uses, so with conv_id-bucketed ingest it is exchange-free."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+        lambda s: F.md5(s["text"]))
+    return (turns.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.md5(F.concat_ws("", ordered)).alias("fp")))

@@ -115,3 +115,22 @@ def test_cons_iris_distinct_across_prefixes(spark):
     back = unroll_collections(to_rdf_collection(t))
     got = {(r["predicate"], r["object"], r["idx"]) for r in back.collect()}
     assert got == {("mms-property:turns", "a", 0), ("ext:turns", "b", 0)}
+
+
+def test_conversation_fingerprints_detect_replays(spark):
+    from mms_rdf_spark.operators.dedup import conversation_fingerprints
+
+    rows = [("a", 0, "hi"), ("a", 1, "there"),
+            ("b", 0, "hi"), ("b", 1, "there"),    # replay of a
+            ("c", 1, "there"), ("c", 0, "hi"),    # same, rows shuffled
+            ("d", 0, "hithere")]                  # boundary smear probe
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "text string")
+    fps = {r["conv_id"]: r["fp"]
+           for r in conversation_fingerprints(df).collect()}
+    assert fps["a"] == fps["b"] == fps["c"]   # order-insensitive input
+    assert fps["d"] != fps["a"]               # digests prevent smearing
+    # repartition-stable
+    again = {r["conv_id"]: r["fp"] for r in
+             conversation_fingerprints(df.repartition(5)).collect()}
+    assert fps == again
