@@ -407,6 +407,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.where(F.col("doc_id") % 97 == 0)
         return curate_full(docs, benchmark=bench)
 
+    def text_pretrain_corpus(spark, sf):
+        from mms_rdf_spark.operators.curate import (
+            prepare_pretraining_corpus,
+        )
+        docs = _docs(spark, sf)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        return prepare_pretraining_corpus(docs, bench)
+
     def text_curate_semantic(spark, sf):
         # curate_full + SemDeDup-style embedding near-dup drop
         # (multi-band LSH buckets, greedy min-id survivor)
@@ -730,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_curate": text_curate,
         "text_curate_full": text_curate_full,
         "text_curate_semantic": text_curate_semantic,
+        "text_pretrain_corpus": text_pretrain_corpus,
         "text_repetition": text_repetition,
         "text_splits": text_splits,
         "text_pack": text_pack,
@@ -2116,6 +2125,41 @@ def oracle_sql() -> dict[str, str]:
       AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
       AND s.score > 0.0 AND s.stop_ratio >= 0.08
       AND r.dup_ratio <= 0.3
+    """
+
+    # capstone: curate_full's assembled SQL becomes the `kept` CTE of
+    # the one-call pretraining pipeline (survivors -> token counts ->
+    # hash-lane offset packing) — string reuse, so the recipes can
+    # never drift
+    _cf = q["text_curate_full"].strip()
+    assert _cf.startswith("WITH")
+    _split_at = _cf.rindex("SELECT s.doc_id")
+    _cf_ctes = _cf[4:_split_at].rstrip()
+    _cf_select = _cf[_split_at:]
+    q["text_pretrain_corpus"] = f"""
+    WITH {_cf_ctes}, kept AS (
+        {_cf_select}
+    ), ktok AS (
+        SELECT k.doc_id, k.split, k.score,
+               len({_TOKS_SQL.replace('text', 'd.text')}) AS n_tokens
+        FROM kept k JOIN documents d USING (doc_id)
+    ), lanes AS (
+        SELECT *, CAST(doc_id % 8 AS INT) AS lane FROM ktok
+    ), offs AS (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY lane
+                                      ORDER BY doc_id) - n_tokens
+                      AS off_
+        FROM lanes
+    ), sh AS (
+        SELECT *, CAST(floor(off_ / 256) AS INT) AS shard FROM offs
+    )
+    SELECT doc_id, split, score, n_tokens, lane,
+           CAST(lane AS VARCHAR) || '#' || CAST(shard AS VARCHAR)
+               AS shard_id,
+           CAST(row_number() OVER (PARTITION BY lane, shard
+                                   ORDER BY doc_id) AS INT)
+               AS pos_in_shard
+    FROM sh
     """
 
     q["text_curate_semantic"] = f"""

@@ -66,7 +66,8 @@ def curate(docs: DataFrame, min_score: float = 0.0,
 
 def curate_full(docs: DataFrame, benchmark: DataFrame | None = None,
                 min_score: float = 0.0, lang: str = "en",
-                dup_threshold: float = 0.3) -> DataFrame:
+                dup_threshold: float = 0.3,
+                include_tokens: bool = False) -> DataFrame:
     """The complete corpus-curation recipe, composed from the suite:
 
         keep a document iff
@@ -94,6 +95,11 @@ def curate_full(docs: DataFrame, benchmark: DataFrame | None = None,
         # split is a pure function of doc_id — stamped in the same
         # projection, never a join
         split_expr().alias("split"),
+        # token count rides the same projection when a downstream
+        # packer needs it (prepare_pretraining_corpus) — never a
+        # join-back of the id space
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .alias("n_tokens"),
     )
     out = (
         sig.withColumn("_rn", F.row_number().over(_dedup_window()))
@@ -104,7 +110,10 @@ def curate_full(docs: DataFrame, benchmark: DataFrame | None = None,
     if benchmark is not None:
         contaminated = decontaminate(docs, benchmark).select("doc_id")
         out = out.join(contaminated, on="doc_id", how="left_anti")
-    return out.select("doc_id", "score", "stop_ratio", "dup_ratio", "split")
+    cols = ["doc_id", "score", "stop_ratio", "dup_ratio", "split"]
+    if include_tokens:
+        cols.append("n_tokens")
+    return out.select(*cols)
 
 
 def curate_semantic(docs: DataFrame, embeddings: DataFrame,
@@ -184,3 +193,43 @@ def relative_quality_filter(docs: DataFrame,
     return (scored.crossJoin(F.broadcast(cut))
             .where(F.col("score") >= F.col("cutoff"))
             .select("doc_id", "score", "cutoff"))
+
+
+def prepare_pretraining_corpus(
+    docs: DataFrame, benchmark: DataFrame | None = None,
+    budget: int = 256, groups: int = 8,
+) -> DataFrame:
+    """The capstone one-call pipeline: raw documents in, packed
+    training shards out.
+
+        curate_full (dedup + quality + lang + repetition
+                     [+ decontamination]) with n_tokens riding the
+                     fused projection,
+        then hash-lane offset packing of the SURVIVORS into
+        token-budget shards (lane = doc_id % groups; shard = cumulative
+        token offset / budget within the lane).
+
+    Returns (doc_id, split, score, n_tokens, lane, shard_id,
+    pos_in_shard). Shuffle inventory = curate_full's (one dedup window
+    [+ decontamination branch]) plus the per-lane packing window —
+    `groups` should be sized ~4x executors at scale (packing.py's
+    documented knob). No join of the corpus id space anywhere: tokens
+    are computed inside curation's scan, packing windows run over the
+    (small) survivor set."""
+    kept = curate_full(docs, benchmark, include_tokens=True)
+    lane = F.pmod(F.col("doc_id"), F.lit(groups)).cast("int")
+    w = Window.partitionBy("lane").orderBy("doc_id")
+    packed = (kept.withColumn("lane", lane)
+              .withColumn(
+                  "_off",
+                  F.sum("n_tokens").over(
+                      w.rowsBetween(Window.unboundedPreceding, 0))
+                  - F.col("n_tokens"))
+              .withColumn("shard",
+                          F.floor(F.col("_off") / budget).cast("int")))
+    return packed.select(
+        "doc_id", "split", "score", "n_tokens", "lane",
+        F.concat_ws("#", "lane", "shard").alias("shard_id"),
+        F.row_number().over(
+            Window.partitionBy("lane", "shard").orderBy("doc_id"))
+        .cast("int").alias("pos_in_shard"))

@@ -53,3 +53,26 @@ def test_relative_quality_filter_cuts_bottom_decile(spark):
     rows = out.collect()
     cut = rows[0]["cutoff"]
     assert all(r["score"] >= cut and r["cutoff"] == cut for r in rows)
+
+
+def test_prepare_pretraining_corpus_shards_respect_budget(spark):
+    from mms_rdf_spark.operators.curate import prepare_pretraining_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = prepare_pretraining_corpus(docs, budget=256, groups=4).cache()
+    rows = out.collect()
+    assert rows and {r["lane"] for r in rows} <= {0, 1, 2, 3}
+    # a shard's starting offset is below the budget boundary for every
+    # member (documents can individually exceed the budget; the OFFSET
+    # rule assigns each doc to the shard its start falls into)
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["lane"], r["shard_id"],
+                                         r["pos_in_shard"])):
+        by_shard.setdefault(r["shard_id"], []).append(r["n_tokens"])
+    for shard, toks in by_shard.items():
+        starts = [sum(toks[:i]) for i in range(len(toks))]
+        assert all(s < 256 for s in starts), (shard, starts)
+    # survivors only: same population as curate_full
+    from mms_rdf_spark.operators.curate import curate_full
+    kept = {r["doc_id"] for r in curate_full(docs).collect()}
+    assert {r["doc_id"] for r in rows} == kept
