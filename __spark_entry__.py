@@ -656,6 +656,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev.where(F.col("event_type") == "view"),
             "user_id", k=64)
 
+    # ---- behavioral analytics (funnel / sliding mean / markov /
+    # cohort retention / histogram) over the events stream
+    def events_funnel(spark, sf):
+        from mms_rdf_spark.operators.analytics import funnel_steps
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return funnel_steps(ev, ["signup", "click", "purchase"])
+
+    def events_moving_avg(spark, sf):
+        from mms_rdf_spark.operators.analytics import time_moving_avg
+        # exact-integer-unit averaging (NOTES.md recipe): value has 2
+        # decimals, so avg(cents)/100 is engine-order-independent
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .select("event_id", "user_id", "ts",
+                      F.round(F.col("value") * 100).cast("long")
+                      .alias("cents")))
+        out = time_moving_avg(ev, value_col="cents", ndigits=None)
+        return out.select("event_id", "user_id", "ts_s",
+                          F.round(F.col("moving_avg") / 100.0, 4)
+                          .alias("moving_avg"))
+
+    def events_transitions(spark, sf):
+        from mms_rdf_spark.operators.analytics import transition_probs
+        return transition_probs(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def events_retention(spark, sf):
+        from mms_rdf_spark.operators.analytics import cohort_retention
+        return cohort_retention(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def events_histogram(spark, sf):
+        from mms_rdf_spark.operators.analytics import value_histogram
+        return value_histogram(spark.read.parquet(f"{sf}/events.parquet"),
+                               n_bins=20)
+
     # ---- multimodal plumbing (mapInPandas over binary payloads)
     def mm_features(spark, sf):
         return MM.extract_features(MM.synth_media(_docs(spark, sf))) \
@@ -710,6 +743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": events_heavy_hitters,
         "events_gap_fill": events_gap_fill,
         "orders_merge_upsert": orders_merge_upsert,
+        "events_funnel": events_funnel,
+        "events_moving_avg": events_moving_avg,
+        "events_transitions": events_transitions,
+        "events_retention": events_retention,
+        "events_histogram": events_histogram,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1550,6 +1588,100 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT o_orderkey, round(o_totalprice, 2) AS price, version
     FROM m WHERE rn = 1 AND NOT deleted
+    """
+
+    # behavioral analytics: funnel, sliding time-mean, markov matrix,
+    # cohort retention, equi-width histogram
+    q["events_funnel"] = """
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(t1))) AS BIGINT) AS t1_s,
+           CAST(floor(epoch(min(t2))) AS BIGINT) AS t2_s,
+           CAST(floor(epoch(min(t3))) AS BIGINT) AS t3_s,
+           CAST((CASE WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN min(t2) IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END)
+                AS INT) AS steps_reached
+    FROM w3 GROUP BY user_id
+    """
+
+    q["events_moving_avg"] = """
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, user_id, ts_s,
+           round(avg(cents) OVER (PARTITION BY user_id ORDER BY ts_s
+                                  RANGE BETWEEN 3600 PRECEDING
+                                            AND CURRENT ROW)
+                 / 100.0, 4) AS moving_avg
+    FROM e
+    """
+
+    q["events_transitions"] = """
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), c AS (
+        SELECT src, dst, count(*) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(n / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM c
+    """
+
+    q["events_retention"] = """
+    WITH d AS (
+        SELECT user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)
+                   AS day_s
+        FROM events
+    ), c AS (
+        SELECT user_id, day_s,
+               min(day_s) OVER (PARTITION BY user_id) AS cohort_s
+        FROM d
+    )
+    SELECT cohort_s AS cohort_day_s,
+           CAST((day_s - cohort_s) / 86400 AS BIGINT) AS day_offset,
+           count(DISTINCT user_id) AS active_keys
+    FROM c GROUP BY 1, 2
+    """
+
+    q["events_histogram"] = """
+    WITH b AS (SELECT min(value) AS blo, max(value) AS bhi FROM events),
+    binned AS (
+        SELECT CASE WHEN bhi = blo THEN CAST(0 AS BIGINT)
+                    ELSE CAST(least(floor((value - blo)
+                                          / ((bhi - blo) / 20.0)), 19)
+                              AS BIGINT) END AS bin,
+               blo, (bhi - blo) / 20.0 AS width
+        FROM events, b
+    )
+    SELECT bin,
+           round(blo + bin * width, 6) AS lo,
+           round(blo + (bin + 1) * width, 6) AS hi,
+           count(*) AS n
+    FROM binned GROUP BY bin, blo, width
     """
 
     q["events_heavy_hitters"] = """

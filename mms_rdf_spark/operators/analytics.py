@@ -1,0 +1,214 @@
+"""Event-sequence / behavioral analytics operators.
+
+Product-analytics families a transcript/event warehouse needs beside the
+KG pipeline (reference scope: the mms-rdf converter feeds dashboards of
+element activity — `/root/reference/README.md` describes query access
+patterns; these are the Spark-native batch analogs):
+
+- `funnel_steps`: ordered-funnel completion (step1 -> step2 -> step3
+  with strictly increasing timestamps) per key. Implemented as three
+  STACKED conditional-min window expressions over the SAME partition
+  key, then a groupBy on that key: Catalyst plans ONE exchange (the
+  later windows and the final aggregate reuse the hash partitioning)
+  and one sort — never a per-user collect or a self-join per step.
+- `time_moving_avg`: sliding time-range mean (RANGE frame over epoch
+  seconds, peers included) — the batch analog of the streaming
+  watermarked window; one shuffle on the key.
+- `transition_probs`: first-order Markov transition matrix over the
+  per-key event sequence (lead() bigrams -> count -> normalize by
+  source row-total). The normalizing sum runs as a window over the
+  tiny (src,dst) aggregate, not a rescan of the fact table.
+- `cohort_retention`: classic cohort analysis — cohort = first active
+  day per key (window min, same exchange as the offset computation),
+  then countDistinct keys per (cohort_day, day_offset).
+- `value_histogram`: equi-width histogram. Global min/max is a 1-row
+  aggregate broadcast back over the scan; bin math is pure column
+  arithmetic, so the histogram costs one scan + one tiny shuffle.
+
+Scale notes (100 TB): every operator shuffles the fact table at most
+once, on the analysis key (user/conv); hot keys fall under the AQE
+skew-split evidence in tests/test_aqe_skew.py. The second exchange in
+transitions/retention/histogram is over the aggregate's key space
+(types^2, cohort-days x offsets, n_bins) — thousands of rows, not the
+corpus. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mms_rdf_spark.operators.temporal import _epoch_s, _reserve
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per `key`, earliest completion times of an ordered funnel.
+
+    Step i's timestamp is the minimum `ts_col` of an event of type
+    steps[i] that is STRICTLY after step i-1's timestamp (the standard
+    "ordered funnel" semantic: a purchase before the click does not
+    count). Returns one row per key with `t1_s..tN_s` (epoch seconds,
+    NULL when the step was never reached in order) and `steps_reached`.
+
+    Plan shape: N stacked window projections partitioned by `key`
+    followed by a groupBy on `key` — one exchange total; the aggregate
+    reuses the window's hash partitioning.
+    """
+    if not 1 <= len(steps) <= 8:
+        raise ValueError("funnel_steps: 1..8 steps supported")
+    _reserve(events, tuple(f"_t{i}" for i in range(1, len(steps) + 1)),
+             "funnel_steps")
+    w = Window.partitionBy(key)
+    df = events.select(key, type_col, ts_col)
+    prev = None
+    names = []
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == F.lit(step)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"_t{i}"
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+        names.append(name)
+    reached = sum(
+        (F.when(F.col(n).isNotNull(), 1).otherwise(0) for n in names),
+        F.lit(0))
+    out_cols = [F.first(_epoch_s(n)).alias(f"t{i}_s")
+                for i, n in enumerate(names, start=1)]
+    return (df.withColumn("_reached", reached)
+            .groupBy(key)
+            .agg(*out_cols, F.first("_reached").alias("steps_reached")))
+
+
+def time_moving_avg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    ndigits: int | None = 4,
+) -> DataFrame:
+    """Sliding time-window mean: for each event, the average of
+    `value_col` over this key's events in the trailing
+    `window_seconds` (inclusive frame ends; RANGE semantics, so
+    same-timestamp peers are all included — identical in ANSI SQL).
+
+    One shuffle on `key`; the frame is evaluated in a single sorted
+    pass per partition. `ndigits=None` skips rounding (callers that
+    average pre-scaled integer units divide and round themselves — the
+    cross-engine-exact recipe from NOTES.md).
+    """
+    _reserve(events, ("ts_s", "moving_avg"), "time_moving_avg")
+    w = (Window.partitionBy(key).orderBy("ts_s")
+         .rangeBetween(-window_seconds, 0))
+    ma = F.avg(value_col).over(w)
+    if ndigits is not None:
+        ma = F.round(ma, ndigits)
+    return (events
+            .withColumn("ts_s", _epoch_s(ts_col))
+            .withColumn("moving_avg", ma)
+            .drop(ts_col))
+
+
+def transition_probs(
+    events: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: P(dst | src) with counts, ordered deterministically by
+    (ts, tiebreak). Terminal events (no successor within the key) are
+    dropped — they contribute no transition.
+
+    Plan: one exchange on `key` for the lead(), one tiny exchange on
+    (src, dst) for the counts; the row-normalizing sum is a window over
+    the |types|^2-row aggregate.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    pairs = (events
+             .select(key, type_col, ts_col, tiebreak_col)
+             .withColumn("_dst", F.lead(type_col).over(w))
+             .where(F.col("_dst").isNotNull()))
+    counts = (pairs.groupBy(F.col(type_col).alias("src"),
+                            F.col("_dst").alias("dst"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    wsrc = Window.partitionBy("src")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wsrc), ndigits))
+
+
+def cohort_retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: cohort_day_s = the key's first active day
+    (UTC-day floor of its earliest event); for each (cohort, offset in
+    days) the number of distinct keys active that day.
+
+    Plan: window-min over `key` (one fact-table exchange), then a
+    distinct aggregate over (cohort_day_s, day_offset, key) — the
+    second exchange is the per-day active-key set, already collapsed
+    per key/day map-side.
+    """
+    _reserve(events, ("_day_s", "_cohort_s"), "cohort_retention")
+    day = (F.floor(_epoch_s(ts_col) / 86400) * 86400).cast("long")
+    w = Window.partitionBy(key)
+    return (events
+            .withColumn("_day_s", day)
+            .withColumn("_cohort_s", F.min("_day_s").over(w))
+            .groupBy(F.col("_cohort_s").alias("cohort_day_s"),
+                     ((F.col("_day_s") - F.col("_cohort_s")) / 86400)
+                     .cast("long").alias("day_offset"))
+            .agg(F.countDistinct(key).alias("active_keys")))
+
+
+def value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of `value_col`: global [min, max] split into
+    `n_bins` bins; the max value lands in the last bin. Returns
+    (bin, lo, hi, n) for non-empty bins.
+
+    The 1-row min/max aggregate is broadcast back over the scan
+    (crossJoin with a broadcast hint), so the fact table is read twice
+    but never shuffled; the final groupBy moves at most `n_bins` rows
+    per task. Bin arithmetic is plain IEEE double math — identical in
+    any ANSI engine, which is what makes the histogram oracle-able.
+    """
+    if n_bins < 1:
+        raise ValueError("value_histogram: n_bins >= 1")
+    _reserve(events, ("_lo", "_hi", "_width"), "value_histogram")
+    bounds = events.agg(F.min(value_col).alias("_lo"),
+                        F.max(value_col).alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    # degenerate all-equal input: width 0 would NULL the division; park
+    # every row in bin 0 instead
+    bin_expr = F.when(F.col("_width") == 0.0, F.lit(0)).otherwise(
+        F.least(F.floor((F.col(value_col) - F.col("_lo"))
+                        / F.col("_width")),
+                F.lit(n_bins - 1)))
+    binned = (events.crossJoin(F.broadcast(bounds))
+              .withColumn("_width", width)
+              .select(bin_expr.cast("long").alias("bin"),
+                      "_lo", "_width"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.first("_lo") + F.col("bin") * F.first("_width"),
+                         6).alias("lo"),
+                 F.round(F.first("_lo")
+                         + (F.col("bin") + 1) * F.first("_width"),
+                         6).alias("hi"))
+            .select("bin", "lo", "hi", "n"))

@@ -1,0 +1,141 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.operators.analytics import (
+    cohort_retention,
+    funnel_steps,
+    time_moving_avg,
+    transition_probs,
+    value_histogram,
+)
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = _events(spark, [
+        # user 1 completes in order: signup@1 click@2 purchase@3
+        (1, 1, "signup", _ts(1), 0.0),
+        (2, 1, "click", _ts(2), 0.0),
+        (3, 1, "purchase", _ts(3), 0.0),
+        # user 2 purchased BEFORE clicking -> purchase must not count
+        (4, 2, "signup", _ts(1), 0.0),
+        (5, 2, "purchase", _ts(2), 0.0),
+        (6, 2, "click", _ts(3), 0.0),
+        # user 3 never signs up -> nothing counts
+        (7, 3, "click", _ts(1), 0.0),
+        (8, 3, "purchase", _ts(2), 0.0),
+    ])
+    got = {r["user_id"]: (r["steps_reached"], r["t1_s"], r["t2_s"], r["t3_s"])
+           for r in funnel_steps(
+               ev, ["signup", "click", "purchase"]).collect()}
+    d = 86400
+    jan1 = 1704067200  # 2024-01-01T00:00:00Z
+    assert got[1] == (3, jan1, jan1 + d, jan1 + 2 * d)
+    assert got[2][0] == 2 and got[2][3] is None
+    assert got[3] == (0, None, None, None)
+
+
+def test_funnel_picks_earliest_qualifying(spark):
+    ev = _events(spark, [
+        (1, 1, "signup", _ts(5), 0.0),
+        (2, 1, "click", _ts(2), 0.0),   # before signup: skipped
+        (3, 1, "click", _ts(6), 0.0),   # first qualifying click
+        (4, 1, "click", _ts(7), 0.0),
+    ])
+    row = funnel_steps(ev, ["signup", "click"]).collect()[0]
+    assert row["t2_s"] - row["t1_s"] == 86400
+    assert row["steps_reached"] == 2
+
+
+def test_moving_avg_trailing_range(spark):
+    ev = _events(spark, [
+        (1, 1, "x", _ts(1, 0, 0), 10.0),
+        (2, 1, "x", _ts(1, 0, 30), 20.0),   # within 1h of #1
+        (3, 1, "x", _ts(1, 2, 0), 40.0),    # alone in its window
+        (4, 2, "x", _ts(1, 0, 30), 100.0),  # other user isolated
+    ])
+    got = {r["event_id"]: r["moving_avg"]
+           for r in time_moving_avg(ev, window_seconds=3600).collect()}
+    assert got == {1: 10.0, 2: 15.0, 3: 40.0, 4: 100.0}
+
+
+def test_transition_probs_normalize_per_source(spark):
+    ev = _events(spark, [
+        (1, 1, "a", _ts(1), 0.0), (2, 1, "b", _ts(2), 0.0),
+        (3, 1, "a", _ts(3), 0.0), (4, 1, "c", _ts(4), 0.0),
+        (5, 2, "a", _ts(1), 0.0), (6, 2, "b", _ts(2), 0.0),
+    ])
+    got = {(r["src"], r["dst"]): (r["n"], r["p"])
+           for r in transition_probs(ev).collect()}
+    # a -> b twice, a -> c once? no: user1 a@1->b@2, b@2->a@3, a@3->c@4;
+    # user2 a->b. So a->b 2x, a->c 1x, b->a 1x.
+    assert got[("a", "b")] == (2, 0.666667)
+    assert got[("a", "c")] == (1, 0.333333)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", None) not in got  # terminal events dropped
+
+
+def test_cohort_retention_counts_distinct_keys(spark):
+    ev = _events(spark, [
+        (1, 1, "x", _ts(1), 0.0), (2, 1, "x", _ts(1, 5), 0.0),
+        (3, 1, "x", _ts(3), 0.0),
+        (4, 2, "x", _ts(1), 0.0), (5, 2, "x", _ts(2), 0.0),
+        (6, 3, "x", _ts(2), 0.0),
+    ])
+    got = {(r["cohort_day_s"], r["day_offset"]): r["active_keys"]
+           for r in cohort_retention(ev).collect()}
+    d1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    d2 = d1 + 86400
+    assert got[(d1, 0)] == 2          # users 1,2 on their cohort day
+    assert got[(d1, 1)] == 1          # user 2 returned next day
+    assert got[(d1, 2)] == 1          # user 1 returned on day 3
+    assert got[(d2, 0)] == 1          # user 3's cohort is day 2
+
+
+def test_histogram_edges_and_max_bin(spark):
+    ev = _events(spark, [
+        (i, 1, "x", _ts(1), v) for i, v in
+        enumerate([0.0, 0.5, 1.0, 2.0, 3.9, 4.0])
+    ])
+    got = {r["bin"]: (r["lo"], r["hi"], r["n"])
+           for r in value_histogram(ev, n_bins=4).collect()}
+    # range [0,4], width 1: max value 4.0 folds into last bin 3
+    assert got[0] == (0.0, 1.0, 2)
+    assert got[1] == (1.0, 2.0, 1)
+    assert got[2] == (2.0, 3.0, 1)
+    assert got[3] == (3.0, 4.0, 2)
+
+
+def test_histogram_degenerate_single_value(spark):
+    ev = _events(spark, [(1, 1, "x", _ts(1), 7.0), (2, 1, "x", _ts(1), 7.0)])
+    rows = value_histogram(ev, n_bins=5).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 2
+
+
+def test_funnel_single_exchange_plan(spark):
+    """The stacked windows + groupBy share one hash partitioning: the
+    physical plan must contain exactly one shuffle of the fact table."""
+    ev = _events(spark, [(1, 1, "a", _ts(1), 0.0)])
+    plan = funnel_steps(
+        ev, ["a", "b", "c"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_reserved_column_collision_raises(spark):
+    ev = _events(spark, [(1, 1, "a", _ts(1), 0.0)]).withColumn(
+        "_t1", F.lit(1))
+    with pytest.raises(ValueError, match="_t1"):
+        funnel_steps(ev, ["a", "b"])
