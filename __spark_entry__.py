@@ -300,6 +300,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
+    def tpch_q5(spark, sf):
+        # local-supplier revenue by nation: the classic 6-way join;
+        # dims broadcast, revenue summed in exact 1e-4 units
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 10000)
+                     .cast("long"))
+        return (
+            li.join(o.where((F.col("o_orderdate") >= "1996-01-01")
+                            & (F.col("o_orderdate") < "1997-01-01")),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(rev_units) / 10000.0, 2).alias("revenue"))
+        )
+
+    def tpch_q6(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * F.col("l_discount") * 10000).cast("long"))
+        return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                         & (F.col("l_shipdate") < "1997-01-01")
+                         & (F.col("l_discount") >= 0.05)
+                         & (F.col("l_discount") <= 0.07)
+                         & (F.col("l_quantity") < 24))
+                .agg(F.round(F.sum(rev_units) / 10000.0, 2)
+                     .alias("revenue")))
+
+    def tpch_q18(spark, sf):
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.round(F.sum("l_quantity")).cast("long")
+                    .alias("total_qty"))
+               .where(F.col("total_qty") > 150))
+        return (big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(c, F.col("o_custkey") == F.col("c_custkey"))
+                .select("c_name", "c_custkey", "o_orderkey",
+                        _epoch_s("o_orderdate").alias("o_orderdate_s"),
+                        F.round("o_totalprice", 2).alias("o_totalprice"),
+                        "total_qty"))
+
     def events_window(spark, sf):
         from pyspark.sql.window import Window
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -656,6 +711,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev.where(F.col("event_type") == "view"),
             "user_id", k=64)
 
+    def orders_scd2(spark, sf):
+        # order-status history per customer as an SCD2 dimension
+        from mms_rdf_spark.operators.cdc import scd2_history
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        out = scd2_history(o, "o_custkey", "o_orderstatus",
+                           ts_col="o_orderdate",
+                           tiebreak_col="o_orderkey")
+        return out.select(
+            "o_custkey", "o_orderstatus",
+            _epoch_s("valid_from").alias("valid_from_s"),
+            _epoch_s("valid_to").alias("valid_to_s"),
+            "is_current")
+
+    def link_fuzzy_parts(spark, sf):
+        # near-identical part names, blocked by the noun token
+        from mms_rdf_spark.operators.link import fuzzy_edit_pairs
+        p = (spark.read.parquet(f"{sf}/part.parquet")
+             .withColumn("blk",
+                         F.element_at(F.split("p_name", " "), -1)))
+        return fuzzy_edit_pairs(p, "p_partkey", "p_name", "blk",
+                                max_dist=2)
+
     # ---- behavioral analytics (funnel / sliding mean / markov /
     # cohort retention / histogram) over the events stream
     def events_funnel(spark, sf):
@@ -743,6 +821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": events_heavy_hitters,
         "events_gap_fill": events_gap_fill,
         "orders_merge_upsert": orders_merge_upsert,
+        "tpch_q5": tpch_q5,
+        "tpch_q6": tpch_q6,
+        "tpch_q18": tpch_q18,
+        "orders_scd2": orders_scd2,
+        "link_fuzzy_parts": link_fuzzy_parts,
         "events_funnel": events_funnel,
         "events_moving_avg": events_moving_avg,
         "events_transitions": events_transitions,
@@ -1588,6 +1671,89 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT o_orderkey, round(o_totalprice, 2) AS price, version
     FROM m WHERE rn = 1 AND NOT deleted
+    """
+
+    # classic OLAP: TPC-H q5 (6-way join), q6 (scan-agg), q18 (having
+    # semi-join); revenue summed in exact 1e-4 integer units so the
+    # float-sum order can't flip a rounded digit cross-engine
+    q["tpch_q5"] = """
+    SELECT n_name,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 2)
+               AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """
+
+    q["tpch_q6"] = """
+    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                          AS BIGINT)) / 10000.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+
+    q["tpch_q18"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+           round(o_totalprice, 2) AS o_totalprice, total_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """
+
+    # SCD2 dimension build over the order-status change stream
+    q["orders_scd2"] = """
+    WITH s AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ), ch AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        FROM s WHERE prev IS NULL OR o_orderstatus <> prev
+    ), iv AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate,
+               lead(o_orderdate)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS nxt
+        FROM ch
+    )
+    SELECT o_custkey, o_orderstatus,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from_s,
+           CAST(floor(epoch(nxt)) AS BIGINT) AS valid_to_s,
+           nxt IS NULL AS is_current
+    FROM iv
+    """
+
+    # blocked edit-distance fuzzy matching over part names
+    q["link_fuzzy_parts"] = """
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[-1] AS blk,
+               length(p_name) AS ln
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE abs(a.ln - b.ln) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
     """
 
     # behavioral analytics: funnel, sliding time-mean, markov matrix,

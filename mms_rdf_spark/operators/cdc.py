@@ -52,3 +52,47 @@ def merge_upsert(
         out = out.where(~F.coalesce(F.col(deleted_col), F.lit(False))) \
             .drop(deleted_col)
     return out
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse a
+    per-key change stream into validity intervals of `attr`.
+
+    A row opens a new interval only when `attr` differs from the key's
+    previous value in (ts, tiebreak) order (classic SCD2 no-change
+    collapse); `valid_to` is the next interval's `valid_from` (NULL =
+    current, also flagged `is_current`). Output columns: key, attr,
+    valid_from, valid_to, is_current.
+
+    Plan: lag() to detect changes, filter, lead() for the close — both
+    windows share one hash partitioning on `key`, so the fact table
+    shuffles exactly once. Contract: `attr` must be non-null (NULL
+    would need null-safe change detection; encode absent as a
+    sentinel) and (key, ts, tiebreak) unique.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(attr).over(w)
+    opened = (changes
+              .select(key, attr, ts_col,
+                      *([tiebreak_col] if tiebreak_col else []))
+              .withColumn("_prev", prev)
+              .where(F.col("_prev").isNull()
+                     | (F.col(attr) != F.col("_prev"))))
+    out = (opened
+           .withColumn("valid_from", F.col(ts_col))
+           .withColumn("valid_to", F.lead(ts_col).over(w))
+           .withColumn("is_current", F.col("valid_to").isNull())
+           .drop("_prev"))
+    if tiebreak_col:
+        out = out.drop(tiebreak_col)
+    if ts_col != "valid_from":
+        out = out.drop(ts_col)
+    return out

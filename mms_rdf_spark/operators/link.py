@@ -234,3 +234,52 @@ def sorted_neighborhood_pairs(
                                       "rank"), on="rank")
             .select("a_id", "b_id", "a_rank",
                     F.col("rank").alias("b_rank")))
+
+
+def fuzzy_edit_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy matching by edit distance: all (a, b) pairs with
+    `a.id < b.id`, the same `block_col`, and
+    levenshtein(a.text, b.text) <= max_dist. Complements the gram-
+    Jaccard scorer for short strings where a single typo wrecks the
+    gram set but edit distance stays small.
+
+    Scale shape: candidates are generated ONLY within a block (the
+    caller picks the blocking function; sum b_i^2 is the cost), and a
+    length pre-filter |len(a) - len(b)| <= max_dist runs BEFORE the
+    levenshtein call — edit distance can never beat the length gap, so
+    the expensive expression is evaluated on the surviving fraction
+    only. Everything is JVM-side (F.levenshtein is a built-in).
+
+    `max_block`: if set, blocks with more members are DROPPED (not
+    sub-salted — sub-salting would silently lose cross-salt pairs and
+    edit distance has no multi-band recovery). Dropped volume is the
+    same observable-cap philosophy as dedup.lsh_bucket_stats; count it
+    with df.groupBy(block_col) before raising the cap.
+    """
+    cols = df.select(F.col(id_col).alias("_fid"),
+                     F.col(text_col).alias("_ftext"),
+                     F.col(block_col).alias("_fblk"),
+                     F.length(text_col).alias("_flen"))
+    if max_block is not None:
+        sizes = cols.groupBy("_fblk").agg(F.count(F.lit(1)).alias("_fbn"))
+        cols = (cols.join(F.broadcast(sizes.where(
+            F.col("_fbn") <= max_block)), on="_fblk").drop("_fbn"))
+    a = cols.select(F.col("_fblk"), F.col("_fid").alias("id_a"),
+                    F.col("_ftext").alias("_ta"),
+                    F.col("_flen").alias("_la"))
+    b = cols.select(F.col("_fblk"), F.col("_fid").alias("id_b"),
+                    F.col("_ftext").alias("_tb"),
+                    F.col("_flen").alias("_lb"))
+    return (a.join(b, on="_fblk")
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist))
+            .withColumn("dist", F.levenshtein("_ta", "_tb"))
+            .where(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist"))
