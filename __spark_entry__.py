@@ -544,6 +544,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
         return pagerank(e, iters=3)
 
+    def kg_labelprop(spark, sf):
+        # LPA communities over the same customer->nation->region graph
+        # as kg_pagerank (mode-adoption, min tiebreak, 3 sync rounds)
+        from mms_rdf_spark.operators.pagerank import label_propagation
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
+        return label_propagation(e, iters=3)
+
+    def kg_kcore(spark, sf):
+        # bounded 30-core peel of the part<->supplier co-occurrence
+        # bipartite graph (3 rounds)
+        from mms_rdf_spark.operators.pagerank import k_core
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        return k_core(e, k=30, iters=3)
+
+    def events_pivot(spark, sf):
+        from mms_rdf_spark.operators.analytics import pivot_counts
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .select((F.floor(_epoch_s("ts") / 86400) * 86400)
+                      .cast("long").alias("day_s"), "event_type"))
+        return pivot_counts(ev, "day_s", "event_type",
+                            ["click", "error", "purchase", "signup",
+                             "view"])
+
+    def events_cube(spark, sf):
+        from mms_rdf_spark.operators.analytics import cube_counts
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .select("event_type",
+                      (F.floor(_epoch_s("ts") / 86400) * 86400)
+                      .cast("long").alias("day_s")))
+        return cube_counts(ev, ["event_type", "day_s"])
+
     def kg_conv_fingerprint(spark, sf):
         from mms_rdf_spark.kgdemo import transcripts_from_events
         from mms_rdf_spark.operators.dedup import conversation_fingerprints
@@ -821,6 +868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": events_heavy_hitters,
         "events_gap_fill": events_gap_fill,
         "orders_merge_upsert": orders_merge_upsert,
+        "kg_labelprop": kg_labelprop,
+        "kg_kcore": kg_kcore,
+        "events_pivot": events_pivot,
+        "events_cube": events_cube,
         "tpch_q5": tpch_q5,
         "tpch_q6": tpch_q6,
         "tpch_q18": tpch_q18,
@@ -1239,6 +1290,97 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN c{i} ON nd.node = c{i}.node
     )"""
     q["kg_pagerank"] = pr + "\n    SELECT node, r AS rank FROM r3"
+
+    # label propagation: same unrolled-round discipline as pagerank —
+    # mode of neighbor labels, tie -> min, 3 synchronous rounds
+    lp = """
+    WITH e0 AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+               'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), sym AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst, src FROM e0)
+        WHERE src <> dst
+    ), nodes AS (SELECT DISTINCT src AS node FROM sym
+    ), l0 AS (SELECT node, node AS label FROM nodes)"""
+    for i in range(1, 4):
+        lp += f""", c{i} AS (
+        SELECT s.dst AS node, l.label, count(*) AS cnt
+        FROM sym s JOIN l{i - 1} l ON s.src = l.node
+        GROUP BY s.dst, l.label
+    ), b{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM c{i}) WHERE rn = 1
+    ), l{i} AS (
+        SELECT n.node, coalesce(b.label, n.node) AS label
+        FROM nodes n LEFT JOIN b{i} b ON n.node = b.node
+    )"""
+    q["kg_labelprop"] = lp + "\n    SELECT node, label FROM l3"
+
+    # bounded k-core peel, 3 unrolled rounds over the part-supplier
+    # bipartite graph (k = 30)
+    kc = """
+    WITH e0 AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+    ), s0 AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst, src FROM e0)
+        WHERE src <> dst
+    )"""
+    for i in range(1, 4):
+        kc += f""", d{i} AS (
+        SELECT src, count(*) AS d FROM s{i - 1} GROUP BY src
+    ), k{i} AS (SELECT src FROM d{i} WHERE d >= 30
+    ), s{i} AS (
+        SELECT s.src, s.dst FROM s{i - 1} s
+        JOIN k{i} a ON s.src = a.src
+        JOIN k{i} b ON s.dst = b.src
+    )"""
+    q["kg_kcore"] = kc + """
+    SELECT src AS node, count(*) AS degree FROM s3 GROUP BY src"""
+
+    q["events_pivot"] = """
+    WITH d AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)
+                   AS day_s,
+               event_type
+        FROM events
+    )
+    SELECT day_s,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view
+    FROM d GROUP BY day_s
+    """
+
+    q["events_cube"] = """
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)
+                   AS day_s
+        FROM events
+    )
+    SELECT coalesce(event_type, '__all__') AS event_type,
+           coalesce(CAST(day_s AS VARCHAR), '__all__') AS day_s,
+           count(*) AS n
+    FROM d GROUP BY CUBE (event_type, day_s)
+    """
 
     # BM25 with the idf rounded to 6 on both sides (Python math.log vs
     # DuckDB ln) and every other operation mirrored in order

@@ -212,3 +212,51 @@ def value_histogram(
                          + (F.col("bin") + 1) * F.first("_width"),
                          6).alias("hi"))
             .select("bin", "lo", "hi", "n"))
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_key,
+    pivot_col: str,
+    pivot_values: list[str],
+) -> DataFrame:
+    """Wide crosstab: one row per `row_key`, one count column per value
+    in `pivot_values` (missing cells 0). The value list is EXPLICIT —
+    passing it skips Spark's extra distinct-values collect job and
+    makes the output schema deterministic (a scan-order-dependent
+    column order would break any downstream schema contract).
+
+    One shuffle on `row_key`; the pivot itself is a map-side
+    conditional aggregate, so unknown pivot values are dropped, not
+    errored (filter first if that should be a failure).
+    """
+    if not pivot_values:
+        raise ValueError("pivot_counts: pivot_values must be explicit")
+    return (df.groupBy(row_key)
+            .pivot(pivot_col, pivot_values)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, pivot_values))
+
+
+def cube_counts(
+    df: DataFrame,
+    dims: list[str],
+    all_sentinels: dict[str, object] | None = None,
+) -> DataFrame:
+    """CUBE over `dims`: counts for every subset of the dimensions in
+    ONE pass (grouping-sets aggregate — partial aggregation covers all
+    2^|dims| levels map-side; no per-level rescan). NULL grouping slots
+    are replaced by per-column sentinels (default "__all__") so the
+    output is join- and hash-friendly — the caller's dims must be
+    non-null (sentinel collision would conflate a real NULL with the
+    total row).
+    """
+    if not dims:
+        raise ValueError("cube_counts: dims must be non-empty")
+    sent = all_sentinels or {}
+    out = (df.cube(*dims).agg(F.count(F.lit(1)).alias("n")))
+    for d in dims:
+        out = out.withColumn(
+            d, F.coalesce(F.col(d).cast("string"),
+                          F.lit(str(sent.get(d, "__all__")))))
+    return out

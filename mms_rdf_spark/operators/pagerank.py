@@ -201,3 +201,91 @@ def neighborhood_mean(edges: DataFrame, features: DataFrame,
              .withColumnRenamed("node_", "node")
              ).localCheckpoint()
     return h
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) over the
+    undirected graph: every node starts labeled with itself; each round
+    it adopts the most frequent label among its neighbors, ties broken
+    toward the smallest label. Returns (node, label) after `iters`
+    rounds.
+
+    Fully deterministic (no RNG, unlike classic async LPA): rounds are
+    synchronous and the tiebreak is total, so the DuckDB oracle can
+    unroll the same rounds as CTEs and hash-match. Unlike cc.py's
+    hash-min (which converges to per-component minima), mode-adoption
+    keeps DENSE regions together while letting bridges flip — a
+    community signal, not reachability.
+
+    Per round: one join of labels to the symmetrized edges on the src
+    key, one (node, label) count aggregate (map-side combined — hot
+    nodes collapse before the shuffle), one per-node argmax window.
+    localCheckpoint truncates lineage per round (cc.py pattern). Nodes
+    with no neighbors keep their own label via the left join.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = (e.union(e.select(F.col("dst"), F.col("src")))
+           .where(F.col("src") != F.col("dst"))
+           .distinct().localCheckpoint())
+    nodes = (sym.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint())
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label"))
+    for _ in range(iters):
+        nbr = (sym.join(labels.withColumnRenamed("node", "src"),
+                        on="src")
+               .select(F.col("dst").alias("node"), "label"))
+        best = (nbr.groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("node", "label"))
+        labels = (nodes.join(best, on="node", how="left")
+                  .select("node",
+                          F.coalesce(F.col("label"), F.col("node"))
+                          .alias("label"))).localCheckpoint()
+    return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes with degree
+    < k (in the undirected simple graph) and the edges touching them,
+    `iters` rounds. Returns the surviving (node, degree) — after
+    enough rounds this IS the k-core; with bounded rounds it's the
+    deterministic round-limited peel (each extra round only removes
+    more, so survivors are always a superset of the true core).
+
+    Per round: one degree aggregate + two semi-joins to filter the
+    edge list — no windows, no driver state; localCheckpoint bounds
+    lineage. At 100 TB the degree agg is map-side combined and the
+    semi-joins broadcast when the survivor set is small (AQE decides).
+    """
+    if k < 1:
+        raise ValueError("k_core: k >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = (e.union(e.select(F.col("dst"), F.col("src")))
+           .where(F.col("src") != F.col("dst"))
+           .distinct().localCheckpoint())
+    for _ in range(iters):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        sym = (sym.join(keep, on="src", how="left_semi")
+               .join(keep.withColumnRenamed("src", "dst"), on="dst",
+                     how="left_semi")
+               .select("src", "dst")).localCheckpoint()
+    return (sym.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree")))

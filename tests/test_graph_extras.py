@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+from mms_rdf_spark.operators.analytics import cube_counts, pivot_counts
+from mms_rdf_spark.operators.pagerank import k_core, label_propagation
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_labelprop_triangle_absorbs_bridge(spark):
+    # triangle a-b-c with pendant d hanging off a; 2 synchronous
+    # rounds hand-simulated (mode of neighbors, tie -> min label)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(e, iters=2).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "b"}
+
+
+def test_labelprop_deterministic_across_runs(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+                       ("x", "y")])
+    r1 = sorted(map(tuple, label_propagation(e, iters=3).collect()))
+    r2 = sorted(map(tuple, label_propagation(e, iters=3).collect()))
+    assert r1 == r2
+
+
+def test_kcore_peels_pendant_keeps_cycle(spark):
+    # square 1-2-3-4 plus pendant 5 on 1: 2-core is exactly the square
+    e = _edges(spark, [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"),
+                       ("1", "5")])
+    got = {r["node"]: r["degree"] for r in k_core(e, k=2, iters=2).collect()}
+    assert got == {"1": 2, "2": 2, "3": 2, "4": 2}
+
+
+def test_kcore_empty_when_k_exceeds_graph(spark):
+    e = _edges(spark, [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1")])
+    assert k_core(e, k=3, iters=2).count() == 0
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    # chain of triangles sharing vertices: removing the tail pendant
+    # drops the next node below k only in the following round
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),  # triangle
+                       ("c", "d"), ("d", "e")])             # tail
+    one = {r["node"] for r in k_core(e, k=2, iters=1).collect()}
+    two = {r["node"] for r in k_core(e, k=2, iters=2).collect()}
+    assert "e" not in one and "d" in one       # first peel: only e
+    assert two == {"a", "b", "c"}              # second peel: d cascades
+
+
+def test_pivot_counts_explicit_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b")], "k long, t string")
+    got = {r["k"]: (r["a"], r["b"], r["c"])
+           for r in pivot_counts(df, "k", "t", ["a", "b", "c"]).collect()}
+    assert got == {1: (2, 1, 0), 2: (0, 1, 0)}
+
+
+def test_pivot_drops_unlisted_values(spark):
+    df = spark.createDataFrame([(1, "zz")], "k long, t string")
+    row = pivot_counts(df, "k", "t", ["a"]).collect()[0]
+    assert row["a"] == 0
+
+
+def test_cube_counts_all_levels(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1)], "t string, d long")
+    got = {(r["t"], r["d"]): r["n"]
+           for r in cube_counts(df, ["t", "d"]).collect()}
+    assert got[("a", "1")] == 2 and got[("b", "1")] == 1
+    assert got[("a", "__all__")] == 3
+    assert got[("__all__", "1")] == 3
+    assert got[("__all__", "__all__")] == 4
+    # 3 cells + 2 row margins + 2 col margins + 1 grand total
+    assert len(got) == 8
