@@ -814,6 +814,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return value_histogram(spark.read.parquet(f"{sf}/events.parquet"),
                                n_bins=20)
 
+    def events_anomaly(spark, sf):
+        # per-type z-score outliers from exact integer moment sums
+        from mms_rdf_spark.operators.analytics import (
+            grouped_zscore_outliers,
+        )
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        out = grouped_zscore_outliers(ev, "event_type", "value",
+                                      "event_id", z_thresh=1.5)
+        return out.select("event_id", "event_type",
+                          F.round("value", 2).alias("value"), "z")
+
+    def events_ntile(spark, sf):
+        from mms_rdf_spark.operators.analytics import grouped_ntiles
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        out = grouped_ntiles(ev, "event_type", "value", "event_id",
+                             n=10)
+        return out.select("event_id", "event_type",
+                          F.round("value", 2).alias("value"),
+                          "tile", "pct_rank")
+
+    def reco_also_bought(spark, sf):
+        # item-item association edges over order baskets
+        from mms_rdf_spark.operators.basket import (
+            cooccurrence_similarity,
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return cooccurrence_similarity(li, "l_orderkey", "l_partkey",
+                                       min_pairs=2)
+
     # ---- multimodal plumbing (mapInPandas over binary payloads)
     def mm_features(spark, sf):
         return MM.extract_features(MM.synth_media(_docs(spark, sf))) \
@@ -882,6 +911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_retention": events_retention,
         "events_histogram": events_histogram,
+        "events_anomaly": events_anomaly,
+        "events_ntile": events_ntile,
+        "reco_also_bought": reco_also_bought,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1896,6 +1928,52 @@ def oracle_sql() -> dict[str, str]:
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     WHERE abs(a.ln - b.ln) <= 2
       AND levenshtein(a.p_name, b.p_name) <= 2
+    """
+
+    # z-score anomalies from exact integer moment sums (u, u^2 as
+    # BIGINT; all float math is a single conversion at the end)
+    q["events_anomaly"] = """
+    WITH d AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), s AS (
+        SELECT event_type, count(*) AS n, sum(u) AS s1,
+               sum(u * u) AS s2
+        FROM d GROUP BY event_type
+    ), z AS (
+        SELECT event_id, event_type, value,
+               round((u - s1 / n)
+                     / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+        FROM d JOIN s USING (event_type)
+        WHERE sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+    )
+    SELECT event_id, event_type, round(value, 2) AS value, z
+    FROM z WHERE abs(z) >= 1.5
+    """
+
+    q["events_ntile"] = """
+    SELECT event_id, event_type, round(value, 2) AS value,
+           CAST(ntile(10) OVER w AS INT) AS tile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """
+
+    q["reco_also_bought"] = """
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), p AS (
+        SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+        FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2
+    ), t AS (SELECT it, count(*) AS nx FROM bi GROUP BY it)
+    SELECT item_a, item_b, n_ab,
+           round(n_ab / sqrt(ta.nx * tb.nx), 6) AS cosine
+    FROM p
+    JOIN t ta ON p.item_a = ta.it
+    JOIN t tb ON p.item_b = tb.it
+    WHERE n_ab >= 2
     """
 
     # behavioral analytics: funnel, sliding time-mean, markov matrix,

@@ -260,3 +260,66 @@ def cube_counts(
             d, F.coalesce(F.col(d).cast("string"),
                           F.lit(str(sent.get(d, "__all__")))))
     return out
+
+
+def grouped_zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    z_thresh: float = 3.0,
+    unit: int = 100,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: rows whose value deviates
+    from the group mean by at least `z_thresh` population standard
+    deviations. Returns (id, group, value, z).
+
+    Determinism recipe: mean and variance are derived from EXACT
+    integer sums (value scaled by `unit` into longs; n, sum, sum of
+    squares), then converted to doubles once — no float accumulation
+    order anywhere, so a SQL oracle computing the same three sums
+    hash-matches. Var uses the fixed formula s2/n - mean^2 (mirrored
+    verbatim in the oracle; don't "simplify" one side).
+
+    Plan: one map-side-combined aggregate to |groups| rows, broadcast
+    back over the scan — the fact table is never shuffled. Note the
+    long sum-of-squares: at ~1e12 rows of 5-digit units it approaches
+    int64 range; scale `unit` down or switch the sums to
+    decimal(38,0) at that point.
+    """
+    _reserve(df, ("_u", "_n", "_s1", "_s2"), "grouped_zscore_outliers")
+    d = df.withColumn(
+        "_u", F.round(F.col(value_col) * unit).cast("long"))
+    stats = (d.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum("_u").alias("_s1"),
+                  F.sum(F.col("_u") * F.col("_u")).alias("_s2")))
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    std = F.sqrt(var)
+    return (d.join(F.broadcast(stats), on=group_col)
+            .withColumn("z", F.round((F.col("_u") - mean) / std, ndigits))
+            .where(std > 0)
+            .where(F.abs(F.col("z")) >= z_thresh)
+            .select(id_col, group_col, value_col, "z"))
+
+
+def grouped_ntiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    n: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Within-group rank statistics: ntile bucket (1..n) and
+    percent_rank for every row, ordered by (value, tiebreak) — the
+    unique tiebreak makes both engine-independent (peer-order inside a
+    tile is otherwise undefined). One shuffle on the group key.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    return (df.select(
+        tiebreak_col, group_col, value_col,
+        F.ntile(n).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), ndigits).alias("pct_rank")))

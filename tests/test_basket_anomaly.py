@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import math
+
+from mms_rdf_spark.operators.analytics import (
+    grouped_ntiles,
+    grouped_zscore_outliers,
+)
+from mms_rdf_spark.operators.basket import cooccurrence_similarity
+
+
+def test_zscore_flags_only_outliers(spark):
+    rows = [(i, "a", 10.0) for i in range(20)] + [(99, "a", 1000.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = grouped_zscore_outliers(df, "grp", "v", "id").collect()
+    assert [r["id"] for r in got] == [99]
+    # hand-check the z value from exact integer sums
+    n, s1, s2 = 21, 20 * 1000 + 100000, 20 * 1000**2 + 100000**2
+    mean = s1 / n
+    std = math.sqrt(s2 / n - mean * mean)
+    assert abs(got[0]["z"] - round((100000 - mean) / std, 4)) < 1e-9
+
+
+def test_zscore_zero_variance_group_silent(spark):
+    df = spark.createDataFrame([(1, "a", 5.0), (2, "a", 5.0)],
+                               "id long, grp string, v double")
+    assert grouped_zscore_outliers(df, "grp", "v", "id").count() == 0
+
+
+def test_zscore_no_fact_table_shuffle(spark):
+    df = spark.createDataFrame([(1, "a", 5.0)],
+                               "id long, grp string, v double")
+    plan = grouped_zscore_outliers(df, "grp", "v", "id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # only the tiny stats aggregate exchanges; fact side joins broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_ntiles_and_percent_rank(spark):
+    rows = [(i, "g", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {r["id"]: (r["tile"], r["pct_rank"])
+           for r in grouped_ntiles(df, "grp", "v", "id", n=5).collect()}
+    assert got[1] == (1, 0.0)
+    assert got[10] == (5, 1.0)
+    assert got[5][0] == 3  # 10 rows / 5 tiles -> 2 per tile
+    assert abs(got[5][1] - round(4 / 9, 6)) < 1e-9
+
+
+def test_cooccurrence_cosine(spark):
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            (3, "z")]  # dup item in basket 3 collapses
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = {(r["item_a"], r["item_b"]): (r["n_ab"], r["cosine"])
+           for r in cooccurrence_similarity(df, "bk", "item").collect()}
+    # x in 3 baskets, y in 2, z in 1; xy together twice
+    assert got[("x", "y")] == (2, round(2 / math.sqrt(6), 6))
+    assert got[("x", "z")] == (1, round(1 / math.sqrt(3), 6))
+    assert ("y", "z") not in got
+
+
+def test_cooccurrence_max_basket_drops(spark):
+    rows = ([(1, f"i{k}") for k in range(8)]      # oversized basket
+            + [(2, "a"), (2, "b")])
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = cooccurrence_similarity(df, "bk", "item", max_basket=5).collect()
+    assert {(r["item_a"], r["item_b"]) for r in got} == {("a", "b")}
+    # and totals are computed AFTER the drop: cosine is 1.0, not diluted
+    assert got[0]["cosine"] == 1.0
