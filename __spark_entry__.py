@@ -814,6 +814,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return value_histogram(spark.read.parquet(f"{sf}/events.parquet"),
                                n_bins=20)
 
+    def kg_bfs(spark, sf):
+        # hop distance from 4 seed parts over the part<->supplier
+        # bipartite graph (undirected, 3 hops)
+        from mms_rdf_spark.operators.pagerank import bfs_levels
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        srcs = (spark.read.parquet(f"{sf}/part.parquet")
+                .where(F.col("p_partkey") % 500 == 0)
+                .select(F.concat(F.lit("p"),
+                                 F.col("p_partkey").cast("string"))
+                        .alias("node")))
+        return bfs_levels(e, srcs, max_hops=3)
+
+    def events_winsorize(spark, sf):
+        from mms_rdf_spark.operators.analytics import winsorize
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        out = winsorize(ev, "event_type", "value", "event_id",
+                        lower=0.05, upper=0.95)
+        return out.select("event_id", "event_type",
+                          F.round("value", 2).alias("value"), "clipped")
+
+    def text_inverted_index(spark, sf):
+        from mms_rdf_spark.operators.textstats import inverted_index
+        return inverted_index(_docs(spark, sf))
+
     def events_anomaly(spark, sf):
         # per-type z-score outliers from exact integer moment sums
         from mms_rdf_spark.operators.analytics import (
@@ -911,6 +940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_retention": events_retention,
         "events_histogram": events_histogram,
+        "kg_bfs": kg_bfs,
+        "events_winsorize": events_winsorize,
+        "text_inverted_index": text_inverted_index,
         "events_anomaly": events_anomaly,
         "events_ntile": events_ntile,
         "reco_also_bought": reco_also_bought,
@@ -1928,6 +1960,64 @@ def oracle_sql() -> dict[str, str]:
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     WHERE abs(a.ln - b.ln) <= 2
       AND levenshtein(a.p_name, b.p_name) <= 2
+    """
+
+    # multi-source BFS, 3 unrolled frontier rounds over the
+    # part-supplier graph (min-dist = first round a node appears)
+    bfs = """
+    WITH e0 AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+    ), sym AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst, src FROM e0)
+    ), d0 AS (
+        SELECT DISTINCT 'p' || CAST(p_partkey AS VARCHAR) AS node,
+               0 AS dist
+        FROM part WHERE p_partkey % 500 = 0
+    )"""
+    for i in range(1, 4):
+        bfs += f""", f{i} AS (
+        SELECT DISTINCT s.dst AS node
+        FROM sym s JOIN d{i - 1} d
+            ON s.src = d.node AND d.dist = {i - 1}
+    ), d{i} AS (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT node, {i} AS dist FROM f{i}
+        WHERE node NOT IN (SELECT node FROM d{i - 1})
+    )"""
+    q["kg_bfs"] = bfs + "\n    SELECT node, dist FROM d3"
+
+    q["events_winsorize"] = """
+    WITH s AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS plo,
+               quantile_cont(value, 0.95) AS phi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type, round(value, 2) AS value,
+           round(least(greatest(value, plo), phi), 4) AS clipped
+    FROM events JOIN s USING (event_type)
+    """
+
+    q["text_inverted_index"] = f"""
+    WITH tok AS (
+        SELECT doc_id AS d, unnest({_TOKS_SQL}) AS token
+        FROM documents
+    ), tf AS (
+        SELECT token, d, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), r AS (
+        SELECT token, d, tf,
+               count(*) OVER (PARTITION BY token) AS df,
+               row_number() OVER (PARTITION BY token ORDER BY d) AS rn
+        FROM tf
+    )
+    SELECT token, df,
+           string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      ',' ORDER BY d) AS postings
+    FROM r WHERE rn <= 32 GROUP BY token, df
     """
 
     # z-score anomalies from exact integer moment sums (u, u^2 as

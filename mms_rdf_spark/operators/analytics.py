@@ -323,3 +323,35 @@ def grouped_ntiles(
         tiebreak_col, group_col, value_col,
         F.ntile(n).over(w).alias("tile"),
         F.round(F.percent_rank().over(w), ndigits).alias("pct_rank")))
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lower: float = 0.05,
+    upper: float = 0.99,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group winsorization: clip `value_col` to the group's
+    [lower, upper] exact interpolated percentiles (the quantile_cont
+    definition shared with sketch.grouped_quantiles). Returns
+    (id, group, value, clipped).
+
+    The two percentiles per group are a tiny aggregate broadcast back
+    over the scan — the robust-stats sibling of
+    grouped_zscore_outliers, same no-fact-shuffle plan. Exact
+    percentiles sort within the aggregate; at extreme group sizes swap
+    in approx_percentile and accept the documented error band.
+    """
+    _reserve(df, ("_plo", "_phi"), "winsorize")
+    stats = (df.groupBy(group_col)
+             .agg(F.percentile(value_col, F.lit(lower)).alias("_plo"),
+                  F.percentile(value_col, F.lit(upper)).alias("_phi")))
+    return (df.join(F.broadcast(stats), on=group_col)
+            .select(id_col, group_col, value_col,
+                    F.round(F.least(F.greatest(F.col(value_col),
+                                               F.col("_plo")),
+                                    F.col("_phi")), ndigits)
+                    .alias("clipped")))

@@ -289,3 +289,45 @@ def k_core(
                .select("src", "dst")).localCheckpoint()
     return (sym.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("degree")))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (0..max_hops) from any
+    node in `sources` to every reachable node. Returns (node, dist);
+    unreached nodes are absent (left-outer against the node set is the
+    caller's join if needed).
+
+    Frontier-based: each round expands ONLY the newly discovered
+    frontier (anti-join against the known set), so total work is
+    O(edges within max_hops), not O(rounds * edges) — the textbook
+    Pregel BFS expressed as join + anti-join, localCheckpoint per
+    round. Distance semantics (min over paths) come free from the
+    anti-join: a node is labeled the first round it appears.
+    Complements plans/closure.py's transitive_closure (reachability by
+    doubling, no distances, O(log diameter) rounds vs O(diameter) here
+    — use closure for deep chains, BFS for hop-bounded neighborhoods).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.union(e.select(F.col("dst"), F.col("src")))
+    e = e.distinct().localCheckpoint()
+    dist = sources.select(F.col(node_col).alias("node"),
+                          F.lit(0).alias("dist")).distinct() \
+        .localCheckpoint()
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node")).distinct())
+        new = (nxt.join(dist, on="node", how="left_anti")
+               .withColumn("dist", F.lit(h)).localCheckpoint())
+        dist = dist.union(new).localCheckpoint()
+        frontier = new.select("node")
+    return dist

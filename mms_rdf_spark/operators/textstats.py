@@ -417,3 +417,44 @@ def bigram_lm_scores(docs: DataFrame, alpha: float = 0.1) -> DataFrame:
             .agg(n.alias("n_bigrams"),
                  F.round((F.sum("lp_u") / n) / 1e6, 6)
                  .alias("avg_logprob")))
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 32,
+) -> DataFrame:
+    """Retrieval-index construction: (token, df, postings) where
+    postings is the first `max_postings` docs by id as a "doc:tf"
+    comma string. `df` counts ALL docs containing the token (computed
+    before the cap), so idf stays exact while hot-token posting lists
+    (stopwords) are bounded — the shard-size cap every real inverted
+    index applies; the serialized-string form is the cross-engine-
+    hashable stand-in for a posting array.
+
+    Plan: explode -> (token, doc) count (map-side combined) -> one
+    token-keyed window pass for df + rank -> ordered fold. Hot tokens
+    are a skewed WINDOW partition, not a collect: the cap bounds the
+    fold, and the (token, doc) aggregate bounds the explode before any
+    shuffle of raw positions.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(_toks(F.col(text_col))).alias("token"))
+    tf = toks.groupBy("token", "_d").agg(F.count(F.lit(1)).alias("_tf"))
+    w = Window.partitionBy("token")
+    wo = w.orderBy("_d")
+    ranked = (tf.withColumn("df", F.count(F.lit(1)).over(w))
+              .withColumn("_rn", F.row_number().over(wo))
+              .where(F.col("_rn") <= max_postings))
+    return (ranked.groupBy("token", "df")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_tf"))),
+                    lambda x: F.concat(x["_d"].cast("string"),
+                                       F.lit(":"),
+                                       x["_tf"].cast("string"))),
+                ",").alias("postings")))
