@@ -814,6 +814,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return value_histogram(spark.read.parquet(f"{sf}/events.parquet"),
                                n_bins=20)
 
+    def kg_hits(spark, sf):
+        # hubs = parts sourcing many strong suppliers, authorities =
+        # suppliers; directed part->supplier edges, 3 rounds
+        from mms_rdf_spark.operators.pagerank import hits
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        return hits(e, iters=3)
+
+    def parts_skyline(spark, sf):
+        # cheapest-size / highest-price Pareto frontier of the catalog
+        from mms_rdf_spark.operators.analytics import pareto_frontier_2d
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        return pareto_frontier_2d(p, "p_size", "p_retailprice")
+
+    def events_trend(spark, sf):
+        # per-type linear trend of value over hours-since-2024-01-01
+        from mms_rdf_spark.operators.analytics import grouped_ols_trend
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        x = F.floor(_epoch_s("ts") / 3600) - 473352
+        return grouped_ols_trend(ev, "event_type", x, "value")
+
     def kg_bfs(spark, sf):
         # hop distance from 4 seed parts over the part<->supplier
         # bipartite graph (undirected, 3 hops)
@@ -940,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_retention": events_retention,
         "events_histogram": events_histogram,
+        "kg_hits": kg_hits,
+        "parts_skyline": parts_skyline,
+        "events_trend": events_trend,
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
@@ -1960,6 +1989,77 @@ def oracle_sql() -> dict[str, str]:
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     WHERE abs(a.ln - b.ln) <= 2
       AND levenshtein(a.p_name, b.p_name) <= 2
+    """
+
+    # HITS, 3 unrolled rounds; max-normalized per half-step with the
+    # same coalesce-zeros frame as the Spark side
+    ht = """
+    WITH e AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+    ), nodes AS (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), h0 AS (SELECT node, 1.0 AS h FROM nodes)"""
+    for i in range(1, 4):
+        ht += f""", ar{i} AS (
+        SELECT e.dst AS node, sum(h.h) AS a
+        FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+    ), af{i} AS (
+        SELECT n.node, coalesce(r.a, 0.0) AS a
+        FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node
+    ), am{i} AS (SELECT max(a) AS mx FROM af{i}
+    ), a{i} AS (
+        SELECT node, round(a / mx, 8) AS a FROM af{i}, am{i}
+    ), hr{i} AS (
+        SELECT e.src AS node, sum(a.a) AS h
+        FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    ), hf{i} AS (
+        SELECT n.node, coalesce(r.h, 0.0) AS h
+        FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node
+    ), hm{i} AS (SELECT max(h) AS mx FROM hf{i}
+    ), h{i} AS (
+        SELECT node, round(h / mx, 8) AS h FROM hf{i}, hm{i}
+    )"""
+    q["kg_hits"] = ht + """
+    SELECT h3.node, h3.h AS hub, a3.a AS auth
+    FROM h3 JOIN a3 ON h3.node = a3.node"""
+
+    q["parts_skyline"] = """
+    WITH px AS (
+        SELECT p_size, max(p_retailprice) AS best
+        FROM part GROUP BY p_size
+    ), c AS (
+        SELECT p_size, best,
+               max(best) OVER (ORDER BY p_size
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS cm
+        FROM px
+    )
+    SELECT p_size, best AS best_p_retailprice
+    FROM c WHERE cm IS NULL OR best > cm
+    """
+
+    # OLS from exact integer moment sums; x = hours since 2024-01-01
+    q["events_trend"] = """
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) - 473352
+                   AS x,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), s AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(u) AS su,
+               sum(x * u) AS sxu, sum(x * x) AS sxx
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxu - sx * su)
+                 / (n * sxx - sx * sx) / 100.0, 6) AS slope,
+           round((su / 100.0
+                  - (n * sxu - sx * su)
+                    / (n * sxx - sx * sx) / 100.0 * sx) / n, 6)
+               AS intercept
+    FROM s WHERE n * sxx - sx * sx <> 0
     """
 
     # multi-source BFS, 3 unrolled frontier rounds over the

@@ -355,3 +355,70 @@ def winsorize(
                                                F.col("_plo")),
                                     F.col("_phi")), ndigits)
                     .alias("clipped")))
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline (minimize x, maximize y): the (x, best_y) points not
+    dominated by any other point. Two steps, both one exchange over the
+    tiny distinct-x space after a map-side-combined max: collapse to
+    max(y) per x, then a single ordered window pass keeps x's whose
+    best y strictly beats every smaller x's cumulative best — no
+    pairwise dominance join (the naive skyline is O(n^2); this is the
+    sort-scan formulation, O(n log n) and distributable because the
+    per-x collapse happens before the one-partition window over
+    |distinct x| rows, never the fact table).
+    """
+    _reserve(df, ("_best", "_cm"), "pareto_frontier_2d")
+    per_x = df.groupBy(x_col).agg(F.max(y_col).alias("_best"))
+    w = (Window.orderBy(x_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (per_x
+            .withColumn("_cm", F.max("_best").over(w))
+            .where(F.col("_cm").isNull()
+                   | (F.col("_best") > F.col("_cm")))
+            .select(x_col, F.col("_best").alias("best_" + y_col)))
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x_expr,
+    value_col: str,
+    unit: int = 100,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit of value against an
+    integer regressor (`x_expr`, e.g. hours since an epoch — keep it
+    small-ranged so the exact moment sums below stay in int64).
+    Returns (group, n, slope, intercept), slope in value-units per x.
+
+    Determinism: the five sums n, Σx, Σu, Σxu, Σx² (u = value·unit as
+    long) are exact integers; slope = (nΣxu − ΣxΣu)/(nΣx² − (Σx)²) and
+    intercept = (Σu − slope·Σx)/n are each ONE float expression over
+    them — the grouped_zscore_outliers recipe extended to regression.
+    Degenerate groups (all x equal) are dropped. One map-side-combined
+    aggregate; nothing else moves.
+    """
+    d = df.select(
+        F.col(group_col),
+        x_expr.cast("long").alias("_x"),
+        F.round(F.col(value_col) * unit).cast("long").alias("_u"))
+    s = (d.groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_x").alias("_sx"),
+              F.sum("_u").alias("_su"),
+              F.sum(F.col("_x") * F.col("_u")).alias("_sxu"),
+              F.sum(F.col("_x") * F.col("_x")).alias("_sxx")))
+    den = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = ((F.col("n") * F.col("_sxu")
+              - F.col("_sx") * F.col("_su")) / den / F.lit(float(unit)))
+    intercept = ((F.col("_su") / F.lit(float(unit))
+                  - slope * F.col("_sx")) / F.col("n"))
+    return (s.where(den != 0)
+            .select(group_col, "n",
+                    F.round(slope, ndigits).alias("slope"),
+                    F.round(intercept, ndigits).alias("intercept")))

@@ -331,3 +331,54 @@ def bfs_levels(
         dist = dist.union(new).localCheckpoint()
         frontier = new.select("node")
     return dist
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    precision: int = 8,
+) -> DataFrame:
+    """HITS hubs & authorities over the directed graph, bounded
+    iterations. Returns (node, hub, auth).
+
+    Normalization is BY THE MAX (not L2): scores stay in [0, 1], the
+    ranking is identical, and max-normalization needs no sqrt-of-sum —
+    one fewer float-accumulation per round, which is what lets the
+    per-round round(precision) keep both engines bit-identical (the
+    pagerank determinism contract). Per round: auth = incoming hub sum
+    (src-keyed join + dst-keyed map-side-combined agg), hub = outgoing
+    auth sum (mirrored), each followed by a broadcast 1-row max; no
+    collect anywhere; localCheckpoint truncates lineage.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct().localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()).localCheckpoint()
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = nodes.select("node", F.lit(1.0).alias("a"))
+
+    def _norm(df, col):
+        mx = df.agg(F.max(col).alias("_mx"))
+        return (df.crossJoin(F.broadcast(mx))
+                .select("node", F.round(F.col(col) / F.col("_mx"),
+                                        precision).alias(col)))
+
+    for _ in range(iters):
+        a_raw = (hub.join(e, hub["node"] == e["src"])
+                 .groupBy("dst").agg(F.sum("h").alias("a")))
+        auth = _norm(
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .select("node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")),
+            "a").localCheckpoint()
+        h_raw = (auth.join(e, auth["node"] == e["dst"])
+                 .groupBy("src").agg(F.sum("a").alias("h")))
+        hub = _norm(
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .select("node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")),
+            "h").localCheckpoint()
+    return (hub.join(auth, on="node")
+            .select("node", F.col("h").alias("hub"),
+                    F.col("a").alias("auth")))
