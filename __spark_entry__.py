@@ -869,6 +869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def text_bpe_merges(spark, sf):
+        from mms_rdf_spark.operators.bpe import bpe_merges
+        return bpe_merges(_docs(spark, sf), rounds=5)
+
+    def text_bpe_segment(spark, sf):
+        from mms_rdf_spark.operators.bpe import bpe_merges, bpe_segment
+        docs = _docs(spark, sf)
+        return bpe_segment(docs, bpe_merges(docs, rounds=5))
+
     def events_anomaly(spark, sf):
         # per-type z-score outliers from exact integer moment sums
         from mms_rdf_spark.operators.analytics import (
@@ -972,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "text_bpe_merges": text_bpe_merges,
+        "text_bpe_segment": text_bpe_segment,
         "events_anomaly": events_anomaly,
         "events_ntile": events_ntile,
         "reco_also_bought": reco_also_bought,
@@ -2119,6 +2130,72 @@ def oracle_sql() -> dict[str, str]:
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
     """
+
+    # BPE merge training, 5 unrolled rounds: identical greedy
+    # left-to-right replace() semantics on unit-separator-joined
+    # symbol strings in both engines
+    bpe_base = rf"""
+    WITH wf AS (
+        SELECT t AS w, count(*) AS freq
+        FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+        GROUP BY t
+    ), w0 AS (
+        SELECT substr(cs, 1, length(cs) - 1) AS s, freq FROM (
+            SELECT regexp_replace(w, '(.)', '\1' || chr(31), 'g')
+                       AS cs,
+                   freq
+            FROM wf)
+    )"""
+    bpe_rounds = ""
+    for i in range(1, 6):
+        bpe_rounds += f""", pr{i} AS (
+        SELECT unnest(list_zip(l, l[2:])) AS pr, freq
+        FROM (SELECT string_split(s, chr(31)) AS l, freq FROM w{i - 1})
+    ), p{i} AS (
+        SELECT pr[1] AS a, pr[2] AS b,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM pr{i} WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), t{i} AS (
+        SELECT CAST({i} AS INT) AS "round", a, b, cnt FROM p{i}
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ), w{i} AS (
+        SELECT replace(s, a || chr(31) || b, a || b) AS s, freq
+        FROM w{i - 1} CROSS JOIN t{i}
+    )"""
+    q["text_bpe_merges"] = bpe_base + bpe_rounds + """
+    SELECT * FROM t1 UNION ALL SELECT * FROM t2
+    UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4
+    UNION ALL SELECT * FROM t5"""
+
+    # segmentation with the learned merges: same per-word replace
+    # chain, then words/subwords per document
+    q["text_bpe_segment"] = bpe_base + bpe_rounds + rf""", dw AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+    ), ds0 AS (
+        SELECT doc_id, substr(cs, 1, length(cs) - 1) AS s FROM (
+            SELECT doc_id,
+                   regexp_replace(w, '(.)', '\1' || chr(31), 'g') AS cs
+            FROM dw)
+    ), ds1 AS (
+        SELECT doc_id, replace(s, a || chr(31) || b, a || b) AS s
+        FROM ds0 CROSS JOIN t1
+    ), ds2 AS (
+        SELECT doc_id, replace(s, a || chr(31) || b, a || b) AS s
+        FROM ds1 CROSS JOIN t2
+    ), ds3 AS (
+        SELECT doc_id, replace(s, a || chr(31) || b, a || b) AS s
+        FROM ds2 CROSS JOIN t3
+    ), ds4 AS (
+        SELECT doc_id, replace(s, a || chr(31) || b, a || b) AS s
+        FROM ds3 CROSS JOIN t4
+    ), ds5 AS (
+        SELECT doc_id, replace(s, a || chr(31) || b, a || b) AS s
+        FROM ds4 CROSS JOIN t5
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(len(string_split(s, chr(31)))) AS BIGINT)
+               AS n_subwords
+    FROM ds5 GROUP BY doc_id"""
 
     # z-score anomalies from exact integer moment sums (u, u^2 as
     # BIGINT; all float math is a single conversion at the end)
