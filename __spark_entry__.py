@@ -869,6 +869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def events_twap(spark, sf):
+        from mms_rdf_spark.operators.temporal import time_weighted_avg
+        return time_weighted_avg(
+            spark.read.parquet(f"{sf}/events.parquet"))
+
+    def events_ohlc(spark, sf):
+        from mms_rdf_spark.operators.temporal import ohlc_bars
+        return ohlc_bars(spark.read.parquet(f"{sf}/events.parquet"))
+
     def text_bpe_merges(spark, sf):
         from mms_rdf_spark.operators.bpe import bpe_merges
         return bpe_merges(_docs(spark, sf), rounds=5)
@@ -981,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_twap": events_twap,
+        "events_ohlc": events_ohlc,
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_segment": text_bpe_segment,
         "events_anomaly": events_anomaly,
@@ -2129,6 +2140,46 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # TWAP from exact (value-cents x whole-second) weight sums
+    q["events_twap"] = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), d AS (
+        SELECT user_id, u,
+               lead(ts_s) OVER (PARTITION BY user_id
+                                ORDER BY ts_s, event_id) - ts_s AS dur
+        FROM e
+    )
+    SELECT user_id,
+           round((CAST(sum(u * dur) AS BIGINT)
+                  / CAST(sum(dur) AS BIGINT)) / 100.0, 4) AS twap,
+           CAST(sum(dur) AS BIGINT) AS total_s
+    FROM d WHERE dur IS NOT NULL GROUP BY user_id
+    """
+
+    q["events_ohlc"] = """
+    WITH e AS (
+        SELECT user_id, value,
+               CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)
+                   AS bucket_s,
+               lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR),
+                    12, '0')
+                   || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                   AS ord
+        FROM events
+    )
+    SELECT user_id, bucket_s,
+           round(arg_min(value, ord), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, ord), 2) AS close,
+           count(*) AS n
+    FROM e GROUP BY user_id, bucket_s
     """
 
     # BPE merge training, 5 unrolled rounds: identical greedy

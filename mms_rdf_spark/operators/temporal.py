@@ -232,3 +232,81 @@ def gap_fill(
                     (F.col("_bkt") * b).cast("long").alias("bucket_s"),
                     F.last("_v", ignorenulls=True).over(w).alias("value"),
                     F.col("_v").isNotNull().alias("is_observed")))
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    unit: int = 100,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation is
+    weighted by how long it was "current" — the interval to the key's
+    next event. The last observation has no successor and is dropped
+    (standard right-open convention). Returns (key, twap, total_s).
+
+    Determinism: weights are whole epoch seconds and values scale to
+    integer `unit`s, so Σ(value·dur) and Σ(dur) are EXACT longs and
+    twap is one float division (the analytics.py moment-sum recipe).
+    One shuffle on `key` (the lead window); the aggregate reuses its
+    partitioning. Overflow headroom: Σ(value·dur) caps at
+    ~value_max·unit·total_seconds per key — rescale `unit` for
+    decade-long hot keys.
+    """
+    _reserve(events, ("_ts_s", "_dur", "_u"), "time_weighted_avg")
+    # the tiebreak totalizes the order: same-second events would
+    # otherwise pair values with durations engine-dependently
+    w = Window.partitionBy(key).orderBy("_ts_s", tiebreak_col)
+    return (events
+            .withColumn("_ts_s", _epoch_s(ts_col))
+            .withColumn("_u", F.round(F.col(value_col) * unit)
+                        .cast("long"))
+            .withColumn("_dur", F.lead("_ts_s").over(w) - F.col("_ts_s"))
+            .where(F.col("_dur").isNotNull())
+            .groupBy(key)
+            .agg(F.round((F.sum(F.col("_u") * F.col("_dur"))
+                          / F.sum("_dur")) / F.lit(float(unit)),
+                         ndigits).alias("twap"),
+                 F.sum("_dur").alias("total_s")))
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket_seconds: int = 86400,
+    ndigits: int = 2,
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (key, bucket) the
+    opening value (earliest by (ts, tiebreak)), high, low, close
+    (latest), and count. min_by/max_by over a zero-padded
+    "(ts, tiebreak)" sort string — ONE map-side-combinable aggregate,
+    no window sort, no per-bar rescan; the tiebreak makes open/close
+    well-defined when two events share a timestamp. (A struct key
+    would be idiomatic Spark, but arg_min over VARCHAR is the form
+    every SQL engine shares — cross-engine checkability wins.
+    Contract: ts >= epoch 0 and a non-negative integer tiebreak, else
+    the zero-pad ordering breaks.)
+    """
+    _reserve(events, ("bucket_s", "_ord"), "ohlc_bars")
+    ord_key = F.concat(
+        F.lpad(_epoch_s(ts_col).cast("string"), 12, "0"), F.lit(":"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 12, "0"))
+    return (events
+            .withColumn("bucket_s",
+                        (F.floor(_epoch_s(ts_col) / bucket_seconds)
+                         * bucket_seconds).cast("long"))
+            .withColumn("_ord", ord_key)
+            .groupBy(key, "bucket_s")
+            .agg(F.round(F.min_by(value_col, "_ord"), ndigits)
+                 .alias("open"),
+                 F.round(F.max(value_col), ndigits).alias("high"),
+                 F.round(F.min(value_col), ndigits).alias("low"),
+                 F.round(F.max_by(value_col, "_ord"), ndigits)
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("n")))
