@@ -869,6 +869,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def dq_audit(spark, sf):
+        from mms_rdf_spark.operators import quality as Q
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        return Q.audit([
+            Q.check_unique(o, ["o_orderkey"]),
+            Q.check_not_null(o, "o_totalprice"),
+            Q.check_range(o, "o_totalprice", 0.0, 10000000.0),
+            Q.check_ref_integrity(li, "l_orderkey", o, "o_orderkey",
+                                  name="ref:l_orderkey"),
+            Q.check_ref_integrity(o, "o_custkey", c, "c_custkey",
+                                  name="ref:o_custkey"),
+        ])
+
+    def orders_profile(spark, sf):
+        from mms_rdf_spark.operators.quality import profile
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return profile(o, ["o_orderkey", "o_custkey", "o_orderstatus",
+                           "o_orderpriority"])
+
+    def orders_bloom_join(spark, sf):
+        # bloom prefilter feeding an exact join: result is identical
+        # to the plain join (the oracle IS the plain join), which is
+        # the no-false-negatives guarantee under test
+        from mms_rdf_spark.operators.skew import bloom_prejoin
+        li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+              .select("l_orderkey", "l_linenumber"))
+        o = (spark.read.parquet(f"{sf}/orders.parquet")
+             .where(F.col("o_orderpriority") == "1-URGENT")
+             .select(F.col("o_orderkey").alias("l_orderkey"),
+                     "o_totalprice"))
+        return (bloom_prejoin(li, o.select("l_orderkey"), "l_orderkey")
+                .join(o, on="l_orderkey")
+                .select("l_orderkey", "l_linenumber",
+                        F.round("o_totalprice", 2)
+                        .alias("o_totalprice")))
+
     def events_twap(spark, sf):
         from mms_rdf_spark.operators.temporal import time_weighted_avg
         return time_weighted_avg(
@@ -990,6 +1028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "dq_audit": dq_audit,
+        "orders_profile": orders_profile,
+        "orders_bloom_join": orders_bloom_join,
         "events_twap": events_twap,
         "events_ohlc": events_ohlc,
         "text_bpe_merges": text_bpe_merges,
@@ -2140,6 +2181,78 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # data-quality audit: every check a 1-row exact-count aggregate
+    q["dq_audit"] = """
+    SELECT 'unique:o_orderkey' AS "check",
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'not_null:o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range:o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0
+                               OR o_totalprice > 10000000)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'ref:l_orderkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN
+        (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'ref:o_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN
+        (SELECT c_custkey FROM customer)
+    """
+
+    q["orders_profile"] = """
+    SELECT 'o_orderkey' AS "column",
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR),
+           CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(sum(CASE WHEN o_orderpriority IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """
+
+    # bloom prejoin correctness: oracle is the PLAIN join (the
+    # prefilter may only change the plan, never the rows)
+    q["orders_bloom_join"] = """
+    SELECT l.l_orderkey, l.l_linenumber,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
     """
 
     # TWAP from exact (value-cents x whole-second) weight sums

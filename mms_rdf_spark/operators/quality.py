@@ -1,0 +1,103 @@
+"""Data-quality auditing and table profiling (Deequ-lite).
+
+A 100-TB ingest pipeline needs machine-checkable gate metrics before
+materialization — the batch analog of the reference's validation-side
+concerns (ammend.js patches dangling refs after the fact; these checks
+surface them as counted violations up front).
+
+Every check is a 1-row aggregate (map-side combined, no shuffle of the
+fact table beyond its scan); an audit is the unionByName of its
+checks, so N checks over the same table still scan it N times only if
+they come from different helpers — pass a pre-cached df when auditing
+many aspects of one huge table. Counts are exact integers: trivially
+cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _one(name: str, violations_col) -> list:
+    return [F.lit(name).alias("check"),
+            violations_col.cast("long").alias("violations")]
+
+
+def check_unique(df: DataFrame, cols: list[str],
+                 name: str | None = None) -> DataFrame:
+    """Rows beyond the first per key (0 = the columns form a key)."""
+    label = name or ("unique:" + ",".join(cols))
+    return df.agg(*_one(
+        label, F.count(F.lit(1)) - F.countDistinct(*[F.col(c)
+                                                     for c in cols])))
+
+
+def check_not_null(df: DataFrame, col: str,
+                   name: str | None = None) -> DataFrame:
+    return df.agg(*_one(
+        name or f"not_null:{col}",
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))))
+
+
+def check_range(df: DataFrame, col: str, lo: float, hi: float,
+                name: str | None = None) -> DataFrame:
+    """Values outside [lo, hi] (NULLs don't count — pair with
+    check_not_null)."""
+    return df.agg(*_one(
+        name or f"range:{col}",
+        F.sum(F.when(F.col(col).isNotNull()
+                     & ((F.col(col) < lo) | (F.col(col) > hi)),
+                     1).otherwise(0))))
+
+
+def check_ref_integrity(child: DataFrame, child_key: str,
+                        parent: DataFrame, parent_key: str,
+                        name: str | None = None) -> DataFrame:
+    """Child rows whose key has no parent (orphans). The anti-join
+    broadcasts when the parent key set is small; at scale pre-distinct
+    the parent side (Catalyst usually pushes the aggregate)."""
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key, how="left_anti")
+    return orphans.agg(*_one(
+        name or f"ref:{child_key}", F.count(F.lit(1))))
+
+
+def audit(checks: list[DataFrame]) -> DataFrame:
+    """Union the 1-row check frames into the audit report
+    (check, violations)."""
+    if not checks:
+        raise ValueError("audit: no checks")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profile: (column, n_null, n_distinct, min_s, max_s) for
+    each requested column, from ONE aggregate pass over the table
+    (all per-column measures are computed in the same agg, then
+    unpivoted with stack — no per-column rescan).
+
+    min/max are emitted as strings so one schema fits every column
+    type; the caller picks columns whose string form is canonical
+    (integers/varchars — float and timestamp formatting is
+    engine-specific, cast those upstream).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"_n_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_lo_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_hi_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _n_{c}, _d_{c}, _lo_{c}, _hi_{c}" for c in cols)
+    return wide.select(F.expr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, n_null, n_distinct, min_s, max_s)"))

@@ -81,3 +81,44 @@ def grouped_topk(df: DataFrame, group: str, key: str, k: int = 3,
     return (counts.withColumn("rank",
                               F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k))
+
+
+def bloom_prejoin(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_bits: int = 1 << 20,
+) -> DataFrame:
+    """Shuffle-reduction semi-filter: drop big-side rows whose join key
+    CANNOT match `small` before the real join shuffles them — the
+    hand-rolled form of runtime bloom-filter pushdown, for when the
+    optimizer can't infer it (e.g. the small side is itself a subquery
+    Spark won't derive an InSubquery filter from).
+
+    The filter is a (word, mask) bitmap built from md5(key) mod
+    `n_bits` (k=1 hash — the regime runtime join filters use, where
+    the goal is shuffle-volume reduction and a ~load-factor false-pass
+    rate is fine; false NEGATIVES are impossible, so the subsequent
+    exact join keeps correctness). The bitmap is at most n_bits/64
+    rows, built with one map-side-combined bit_or aggregate and
+    broadcast; the big side probes it with one broadcast join — no
+    explode, no second shuffle. Returns the filtered big side; compose
+    with the real join for results identical to joining unfiltered.
+    """
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(n_bits))
+    words = (small
+             .select((h / 64).cast("long").alias("_w"),
+                     (h % 64).cast("int").alias("_bit"))
+             .select("_w", F.expr("shiftleft(1L, _bit)").alias("_b"))
+             .groupBy("_w")
+             .agg(F.bit_or("_b").alias("_mask")))
+    return (big
+            .withColumn("_h", h)
+            .withColumn("_w", (F.col("_h") / 64).cast("long"))
+            .withColumn("_bit", (F.col("_h") % 64).cast("int"))
+            .join(F.broadcast(words), on="_w", how="inner")
+            .where(F.expr("(_mask & shiftleft(1L, _bit)) != 0"))
+            .drop("_h", "_w", "_bit", "_mask"))

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.operators.quality import (
+    audit,
+    check_not_null,
+    check_range,
+    check_ref_integrity,
+    check_unique,
+    profile,
+)
+from mms_rdf_spark.operators.skew import bloom_prejoin
+
+
+def test_audit_counts_violations(spark):
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (3, 99, None), (3, 10, 2.0)],
+        "id long, fk long, v double")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    rep = {r["check"]: r["violations"] for r in audit([
+        check_unique(child, ["id"]),
+        check_not_null(child, "v"),
+        check_range(child, "v", 0.0, 100.0),
+        check_ref_integrity(child, "fk", parent, "pk"),
+    ]).collect()}
+    assert rep == {"unique:id": 1, "not_null:v": 1,
+                   "range:v": 1,       # -1.0 only; NULL not counted
+                   "ref:fk": 1}        # fk=99 orphan
+
+
+def test_audit_clean_table_all_zero(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    rep = audit([check_unique(df, ["id"]), check_not_null(df, "v"),
+                 check_range(df, "v", 0.0, 10.0)]).collect()
+    assert all(r["violations"] == 0 for r in rep)
+
+
+def test_profile_one_pass_per_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "k long, s string")
+    got = {r["column"]: (r["n_null"], r["n_distinct"], r["min_s"],
+                         r["max_s"])
+           for r in profile(df, ["k", "s"]).collect()}
+    assert got["k"] == (0, 2, "1", "2")
+    assert got["s"] == (1, 2, "a", "c")
+
+
+def test_bloom_prejoin_never_drops_matches(spark):
+    big = spark.createDataFrame([(i, i % 100) for i in range(1000)],
+                                "id long, key long")
+    small = spark.createDataFrame([(k,) for k in (3, 7, 42)], "key long")
+    filtered = bloom_prejoin(big, small, "key")
+    exact = filtered.join(small, on="key")
+    want = big.join(small, on="key")
+    assert exact.count() == want.count() == 30
+    # the prefilter really filters (false-pass rate ~ load factor)
+    assert filtered.count() < 1000
+
+
+def test_bloom_prejoin_tiny_bitmap_still_correct(spark):
+    # pathological 64-bit bloom: everything collides, nothing is lost
+    big = spark.createDataFrame([(i, i) for i in range(50)],
+                                "id long, key long")
+    small = spark.createDataFrame([(7,), (13,)], "key long")
+    filtered = bloom_prejoin(big, small, "key", n_bits=64)
+    got = {r["key"] for r in filtered.join(small, on="key").collect()}
+    assert got == {7, 13}
+
+
+def test_bloom_prejoin_preserves_columns(spark):
+    big = spark.createDataFrame([(1, 5, "x")], "id long, key long, p string")
+    small = spark.createDataFrame([(5,)], "key long")
+    out = bloom_prejoin(big, small, "key")
+    assert set(out.columns) == {"id", "key", "p"}
