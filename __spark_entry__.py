@@ -869,6 +869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def events_changepoint(spark, sf):
+        from mms_rdf_spark.operators.analytics import change_point
+        return change_point(spark.read.parquet(f"{sf}/events.parquet"),
+                            "event_type", "value")
+
     def dq_audit(spark, sf):
         from mms_rdf_spark.operators import quality as Q
         o = spark.read.parquet(f"{sf}/orders.parquet")
@@ -1028,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_changepoint": events_changepoint,
         "dq_audit": dq_audit,
         "orders_profile": orders_profile,
         "orders_bloom_join": orders_bloom_join,
@@ -2181,6 +2187,37 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # CUSUM change point: exact long cumsum of (u*n - sum) deviations
+    q["events_changepoint"] = """
+    WITH d AS (
+        SELECT event_type, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(u) AS BIGINT) AS s1
+        FROM d GROUP BY event_type
+    ), c AS (
+        SELECT d.event_type, ts_s, event_id, n,
+               CAST(sum(u * n - s1)
+                    OVER (PARTITION BY d.event_type
+                          ORDER BY ts_s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cs
+        FROM d JOIN s USING (event_type)
+    ), r AS (
+        SELECT event_type, ts_s, cs, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cs) DESC, ts_s,
+                                           event_id) AS rn
+        FROM c
+    )
+    SELECT event_type, ts_s AS change_ts_s,
+           round(cs / (n * 100.0), 4) AS cusum_max
+    FROM r WHERE rn = 1
     """
 
     # data-quality audit: every check a 1-row exact-count aggregate

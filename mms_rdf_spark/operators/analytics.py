@@ -422,3 +422,50 @@ def grouped_ols_trend(
             .select(group_col, "n",
                     F.round(slope, ndigits).alias("slope"),
                     F.round(intercept, ndigits).alias("intercept")))
+
+
+def change_point(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    unit: int = 100,
+    ndigits: int = 4,
+) -> DataFrame:
+    """CUSUM-style change-point estimate per group: the timestamp
+    where the running sum of deviations from the group mean attains
+    its maximum absolute value — the classic single-change-point
+    location statistic (argmax |S_t|, S_t = Σ(x_i - mean)).
+
+    Exact arithmetic end-to-end: deviations are integer units scaled
+    by the group count (x_i·n - Σx avoids the fractional mean), so
+    the cumulative sum is an exact long and the argmax total-orders on
+    (|S|, ts, tiebreak). Two passes sharing one hash partitioning:
+    the moment aggregate broadcasts back, then one ordered window
+    computes the cumsum and one ranks the argmax. Returns
+    (group, change_ts_s, cusum_max) with cusum_max rescaled to value
+    units.
+    """
+    _reserve(df, ("_u", "_n", "_s1", "_c", "_ts_s"), "change_point")
+    d = (df.withColumn("_u", F.round(F.col(value_col) * unit)
+                       .cast("long"))
+         .withColumn("_ts_s", _epoch_s(ts_col)))
+    stats = (d.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum("_u").alias("_s1")))
+    wc = (Window.partitionBy(group_col)
+          .orderBy("_ts_s", tiebreak_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wr = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("_c")).desc(), "_ts_s", tiebreak_col)
+    return (d.join(F.broadcast(stats), on=group_col)
+            .withColumn("_c", F.sum(F.col("_u") * F.col("_n")
+                                    - F.col("_s1")).over(wc))
+            .withColumn("_rn", F.row_number().over(wr))
+            .where(F.col("_rn") == 1)
+            .select(group_col,
+                    F.col("_ts_s").alias("change_ts_s"),
+                    F.round(F.col("_c")
+                            / (F.col("_n") * F.lit(float(unit))),
+                            ndigits).alias("cusum_max")))

@@ -139,3 +139,30 @@ def test_reserved_column_collision_raises(spark):
         "_t1", F.lit(1))
     with pytest.raises(ValueError, match="_t1"):
         funnel_steps(ev, ["a", "b"])
+
+
+def test_change_point_locates_level_shift(spark):
+    from mms_rdf_spark.operators.analytics import change_point
+    # level shift at minute 5: values jump 10 -> 20
+    rows = ([(i, 1, "a", _ts(1, 0, i), 10.0) for i in range(5)]
+            + [(i + 5, 1, "a", _ts(1, 0, i + 5), 20.0)
+               for i in range(5)])
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    got = change_point(ev, "event_type", "value").collect()[0]
+    # S_t = cumsum(x - 15) is most negative right before the shift
+    # (after the 5th low sample); |S| max there
+    assert got["change_ts_s"] == 1704067200 + 4 * 60
+    assert got["cusum_max"] == -25.0
+
+
+def test_change_point_deterministic_tiebreak(spark):
+    from mms_rdf_spark.operators.analytics import change_point
+    rows = [(1, 1, "a", _ts(1, 0, 0), 5.0), (2, 1, "a", _ts(1, 0, 1), 5.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    got = change_point(ev, "event_type", "value").collect()[0]
+    # zero deviations everywhere -> earliest row wins the tie
+    assert got["change_ts_s"] == 1704067200 and got["cusum_max"] == 0.0
