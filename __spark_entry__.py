@@ -869,6 +869,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def events_top_paths(spark, sf):
+        from mms_rdf_spark.operators.analytics import top_paths
+        return top_paths(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def events_abtest(spark, sf):
+        from mms_rdf_spark.operators.analytics import ab_test_zstats
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ab_test_zstats(ev, "event_type", F.col("user_id") % 2)
+
+    def events_wow(spark, sf):
+        from mms_rdf_spark.operators.analytics import period_over_period
+        return period_over_period(
+            spark.read.parquet(f"{sf}/events.parquet"), "event_type")
+
     def events_changepoint(spark, sf):
         from mms_rdf_spark.operators.analytics import change_point
         return change_point(spark.read.parquet(f"{sf}/events.parquet"),
@@ -1033,6 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_top_paths": events_top_paths,
+        "events_abtest": events_abtest,
+        "events_wow": events_wow,
         "events_changepoint": events_changepoint,
         "dq_audit": dq_audit,
         "orders_profile": orders_profile,
@@ -2187,6 +2204,70 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    q["events_top_paths"] = """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 8 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n FROM p GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """
+
+    # two-sample z from six exact conditional moment sums
+    q["events_abtest"] = """
+    WITH d AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN arm = 0 THEN u ELSE 0 END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN arm = 1 THEN u ELSE 0 END)
+                    AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN arm = 0 THEN u * u ELSE 0 END)
+                    AS BIGINT) AS qa,
+               CAST(sum(CASE WHEN arm = 1 THEN u * u ELSE 0 END)
+                    AS BIGINT) AS qb
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round((sb / n_b - sa / n_a) / 100.0, 4) AS diff,
+           round((sb / n_b - sa / n_a)
+                 / sqrt((qa / n_a - (sa / n_a) * (sa / n_a)) / n_a
+                        + (qb / n_b - (sb / n_b) * (sb / n_b)) / n_b),
+                 4) AS z
+    FROM s
+    WHERE n_a > 0 AND n_b > 0
+      AND sqrt((qa / n_a - (sa / n_a) * (sa / n_a)) / n_a
+               + (qb / n_b - (sb / n_b) * (sb / n_b)) / n_b) > 0
+    """
+
+    q["events_wow"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 604800) * 604800
+                    AS BIGINT) AS period_s,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, period_s, n,
+           lag(n) OVER w AS prev_n,
+           round((n - lag(n) OVER w) / lag(n) OVER w, 6) AS pct_change
+    FROM c
+    WINDOW w AS (PARTITION BY event_type ORDER BY period_s)
     """
 
     # CUSUM change point: exact long cumsum of (u*n - sum) deviations

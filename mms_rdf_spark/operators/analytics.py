@@ -469,3 +469,107 @@ def change_point(
                     F.round(F.col("_c")
                             / (F.col("_n") * F.lit(float(unit))),
                             ndigits).alias("cusum_max")))
+
+
+def top_paths(
+    events: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    max_len: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Most common event-type journeys: each key's first `max_len`
+    events (by ts, tiebreak) joined into a ">"-separated path string,
+    then the top `k` paths by frequency (ties -> lexicographic path).
+
+    The ordered fold is sort_array over (rank, type) structs collected
+    AFTER a rank<=max_len filter — collect_list order is undefined in
+    a distributed run, sorting the struct restores determinism and the
+    cap bounds per-key state. One key exchange + one tiny path count.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    ranked = (events.select(key, type_col, ts_col, tiebreak_col)
+              .withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= max_len))
+    paths = (ranked.groupBy(key)
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("_rn", type_col))),
+                     lambda x: x[type_col]),
+                 ">").alias("path")))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "path").limit(k))
+
+
+def ab_test_zstats(
+    events: DataFrame,
+    group_col: str,
+    arm_col,
+    value_col: str = "value",
+    unit: int = 100,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Two-sample z statistics per group: users split by the caller's
+    deterministic `arm_col` expression (0 = control, 1 = treatment);
+    returns (group, n_a, n_b, diff, z) with
+    z = (mean_b - mean_a) / sqrt(var_a/n_a + var_b/n_b).
+
+    Same exact-integer-moment-sum discipline as
+    grouped_zscore_outliers, conditional per arm, so ONE map-side
+    aggregate produces all six sums and every float op is a final
+    conversion. Degenerate groups (an empty arm or zero variance in
+    both) are dropped.
+    """
+    d = events.withColumn(
+        "_u", F.round(F.col(value_col) * unit).cast("long")) \
+        .withColumn("_arm", arm_col.cast("int"))
+
+    def _s(arm, expr, name):
+        return F.sum(F.when(F.col("_arm") == arm, expr)
+                     .otherwise(F.lit(0))).alias(name)
+
+    s = (d.groupBy(group_col)
+         .agg(_s(0, F.lit(1), "n_a"), _s(1, F.lit(1), "n_b"),
+              _s(0, F.col("_u"), "sa"), _s(1, F.col("_u"), "sb"),
+              _s(0, F.col("_u") * F.col("_u"), "qa"),
+              _s(1, F.col("_u") * F.col("_u"), "qb")))
+    ma = F.col("sa") / F.col("n_a")
+    mb = F.col("sb") / F.col("n_b")
+    va = F.col("qa") / F.col("n_a") - ma * ma
+    vb = F.col("qb") / F.col("n_b") - mb * mb
+    se = F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    return (s.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+            .where(se > 0)
+            .select(group_col, "n_a", "n_b",
+                    F.round((mb - ma) / F.lit(float(unit)), ndigits)
+                    .alias("diff"),
+                    F.round((mb - ma) / se, ndigits).alias("z")))
+
+
+def period_over_period(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    period_seconds: int = 604800,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Period-over-period volume change per group: counts per
+    (group, period bucket) with the previous period's count and the
+    relative change ((n - prev)/prev; NULL for a group's first
+    period). One count aggregate, then a lag window over the tiny
+    (group, period) space.
+    """
+    bucket = (F.floor(_epoch_s(ts_col) / period_seconds)
+              * period_seconds).cast("long")
+    counts = (events.groupBy(F.col(group_col),
+                             bucket.alias("period_s"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy(group_col).orderBy("period_s")
+    prev = F.lag("n").over(w)
+    return (counts.withColumn("prev_n", prev)
+            .withColumn("pct_change",
+                        F.round((F.col("n") - F.col("prev_n"))
+                                / F.col("prev_n"), ndigits)))

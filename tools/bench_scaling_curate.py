@@ -1,0 +1,50 @@
+"""Curation-pipeline scaling pair (third operator class under the
+N-vs-4N protocol, alongside extraction in bench_scaling.py and the
+as-of join in bench_scaling_asof.py): the fused one-exchange `curate`
+recipe at local[1] vs local[4] — both below this host's memory-
+bandwidth knee (BASELINE.md) — on the same 1M-doc corpus. Writes
+BENCH_scaling_curate.json and prints the summary pair. Run on a QUIET
+box only."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+DATA = "/root/repo/build/docs_scaling_curate"
+PAIR = (1, 4)
+
+
+def run(args: list[str]) -> str:
+    out = subprocess.run([sys.executable,
+                          "/root/repo/tools/scaling_worker_curate.py",
+                          *args], capture_output=True, text=True,
+                         check=True)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    return lines[-1] if lines else ""
+
+
+def main() -> None:
+    run(["synth", DATA])
+    results = {}
+    for cores in PAIR:
+        results[cores] = json.loads(run([str(cores), DATA, "3"]))
+        print(f"cores={cores}: "
+              f"{results[cores]['rows_per_sec']:,.0f} docs/s", flush=True)
+    lo, hi = results[PAIR[0]], results[PAIR[1]]
+    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (PAIR[1] / PAIR[0])
+    out = {"pair": {"N": PAIR[0], "4N": PAIR[1],
+                    "docs_per_sec_N": lo["rows_per_sec"],
+                    "docs_per_sec_4N": hi["rows_per_sec"],
+                    "scaling_efficiency": round(eff, 3)},
+           "raw": results}
+    with open("/root/repo/BENCH_scaling_curate.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out["pair"]))
+
+
+if __name__ == "__main__":
+    main()
