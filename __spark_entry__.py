@@ -869,6 +869,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def events_entropy(spark, sf):
+        from mms_rdf_spark.operators.analytics import activity_entropy
+        return activity_entropy(
+            spark.read.parquet(f"{sf}/events.parquet"))
+
+    def events_gini(spark, sf):
+        from mms_rdf_spark.operators.analytics import gini_concentration
+        return gini_concentration(
+            spark.read.parquet(f"{sf}/events.parquet"))
+
+    def events_chisq(spark, sf):
+        # event-type x epoch-day-of-week independence cells (epoch
+        # modulo, not dayofweek(): engines disagree on week origin)
+        from mms_rdf_spark.operators.analytics import chi_square_cells
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        dow = F.pmod(F.floor(_epoch_s("ts") / 86400), F.lit(7)) \
+            .cast("int")
+        return chi_square_cells(ev, "event_type", dow)
+
     def events_top_paths(spark, sf):
         from mms_rdf_spark.operators.analytics import top_paths
         return top_paths(spark.read.parquet(f"{sf}/events.parquet"))
@@ -1047,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_entropy": events_entropy,
+        "events_gini": events_gini,
+        "events_chisq": events_chisq,
         "events_top_paths": events_top_paths,
         "events_abtest": events_abtest,
         "events_wow": events_wow,
@@ -2204,6 +2227,62 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # entropy in exact integer micro-nats (ln rounded 6dp BEFORE the
+    # weighted sum, bm25 discipline)
+    q["events_entropy"] = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT user_id, c,
+               CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS t
+        FROM c
+    ), m AS (
+        SELECT user_id, c, t,
+               CAST(round(round(ln(c * 1.0 / t), 6) * 1000000)
+                    AS BIGINT) AS mu
+        FROM w
+    )
+    SELECT user_id, CAST(max(t) AS BIGINT) AS n,
+           round(-CAST(sum(c * mu) AS BIGINT)
+                 / (max(t) * 1000000.0), 6) AS entropy
+    FROM m GROUP BY user_id
+    """
+
+    q["events_gini"] = """
+    WITH x AS (
+        SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+    ), r AS (
+        SELECT x, row_number() OVER (ORDER BY x, user_id) AS rank
+        FROM x
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           round((2.0 * CAST(sum(rank * x) AS BIGINT))
+                 / (count(*) * CAST(sum(x) AS BIGINT))
+                 - (count(*) + 1) / count(*), 6) AS gini
+    FROM r
+    """
+
+    q["events_chisq"] = """
+    WITH cells AS (
+        SELECT event_type AS a,
+               CAST(floor(floor(epoch(ts)) / 86400) % 7 AS INT) AS b,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT a, b, o,
+               CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+               CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT a, b, o,
+           round((ra * cb) / n, 4) AS e,
+           round((o - (ra * cb) / n) * (o - (ra * cb) / n)
+                 / ((ra * cb) / n), 6) AS contrib
+    FROM m
     """
 
     q["events_top_paths"] = """

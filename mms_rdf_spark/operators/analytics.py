@@ -573,3 +573,102 @@ def period_over_period(
             .withColumn("pct_change",
                         F.round((F.col("n") - F.col("prev_n"))
                                 / F.col("prev_n"), ndigits)))
+
+
+def activity_entropy(
+    df: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Shannon entropy (nats) of each key's event-type distribution —
+    the behavioral-diversity signal (bots repeat one action; humans
+    mix). Returns (key, n, entropy).
+
+    Exactness: H = -(1/T)·Σ cnt·ln(cnt/T). The only transcendental,
+    ln(cnt/T), is rounded to 6dp and scaled to integer micro-nats
+    BEFORE the weighted sum, so Σ cnt·µln is an exact long and the
+    final division is one float op (the bm25 round-the-log recipe +
+    the integer micro-unit rule from NOTES.md — a float Σ here would
+    flip last digits between engines). Two aggregates sharing the key
+    partitioning: (key, type) counts, then the per-key fold.
+    """
+    cnts = (df.groupBy(key, type_col)
+            .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy(key)
+    mu_ln = F.round(
+        F.log(F.col("_c") / F.col("_t")), 6) * 1e6
+    return (cnts
+            .withColumn("_t", F.sum("_c").over(w))
+            .withColumn("_mu", F.round(mu_ln).cast("long"))
+            .groupBy(key)
+            .agg(F.first("_t").alias("n"),
+                 F.round(-F.sum(F.col("_c") * F.col("_mu"))
+                         / (F.first("_t") * F.lit(1e6)), ndigits)
+                 .alias("entropy")))
+
+
+def gini_concentration(
+    df: DataFrame,
+    key: str = "user_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Gini coefficient of activity concentration across keys (0 =
+    everyone equally active, ->1 = one key dominates) — the corpus-
+    inequality diagnostic for spotting bot-dominated traffic or
+    crawler-skewed document sources. Returns one row (n_keys, gini).
+
+    G = (2·Σ rank·x) / (n·Σx) − (n+1)/n over counts ranked ascending.
+    Ranks come from link.global_rank (range-repartition + per-partition
+    offsets), NOT a single-partition window, so the rank pass scales to
+    any key cardinality; the two moment sums are exact longs and G is
+    one float expression.
+    """
+    from mms_rdf_spark.operators.link import global_rank
+
+    x = df.groupBy(key).agg(F.count(F.lit(1)).alias("_x"))
+    ranked = global_rank(x, "_x", key)
+    return (ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("rank") * F.col("_x")).alias("_srx"))
+        .select("n_keys",
+                F.round((2.0 * F.col("_srx"))
+                        / (F.col("n_keys") * F.col("_sx"))
+                        - (F.col("n_keys") + 1) / F.col("n_keys"),
+                        ndigits).alias("gini")))
+
+
+def chi_square_cells(
+    df: DataFrame,
+    a_col: str,
+    b_col,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chi-square independence contributions per contingency cell of
+    a_col x b_col: observed, expected (row·col/total) and
+    (o−e)²/e. Per-cell values are single float expressions over exact
+    integer marginals — engine-deterministic without any float
+    accumulation (summing the statistic would reintroduce order
+    dependence; downstream sums should use the micro-unit rule).
+    Returns (a, b, o, e, contrib).
+
+    One fact-table aggregate to |cells| rows; the two marginals are
+    windows over that tiny frame.
+    """
+    cells = (df.select(F.col(a_col).alias("a"),
+                       b_col.alias("b") if not isinstance(b_col, str)
+                       else F.col(b_col).alias("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("o")))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wn = Window.partitionBy()
+    e = (F.col("_ra") * F.col("_cb")) / F.col("_n")
+    return (cells
+            .withColumn("_ra", F.sum("o").over(wa))
+            .withColumn("_cb", F.sum("o").over(wb))
+            .withColumn("_n", F.sum("o").over(wn))
+            .select("a", "b", "o",
+                    F.round(e, 4).alias("e"),
+                    F.round((F.col("o") - e) * (F.col("o") - e) / e,
+                            ndigits).alias("contrib")))

@@ -44,6 +44,28 @@ def stop_ratio_expr(text=None) -> Column:
         F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n, 6)
 
 
+# translate()-based char-class counters, value-identical to the regex
+# forms they replaced (regex [^A-Za-z0-9\s] / [A-Z]; Java \s is exactly
+# " \t\n\x0b\f\r"). Swapped because regexp_count's marginal thread
+# efficiency measured ~0.42 on this JVM while translate's char-map scan
+# stays ~0.9 — the curation signal stage is the flagship one-scan
+# recipe, and a 2x multicore regression there is real money at 100 TB.
+_UPPER_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ALNUM_WS_CHARS = ("abcdefghijklmnopqrstuvwxyz" + _UPPER_CHARS
+                   + "0123456789" + " \t\n\x0b\f\r")
+
+
+def punct_count_expr(text) -> Column:
+    """Chars matching [^A-Za-z0-9\\s] — counted by deleting the
+    65-char alnum+whitespace set and measuring what's left."""
+    return F.length(F.translate(text, _ALNUM_WS_CHARS, ""))
+
+
+def upper_count_expr(text) -> Column:
+    """Chars matching [A-Z]."""
+    return F.length(text) - F.length(F.translate(text, _UPPER_CHARS, ""))
+
+
 def quality_score_expr(text=None) -> Column:
     """round(stopword_ratio - punct_ratio - upper_ratio, 6)."""
     text = _text_col(text)
@@ -51,8 +73,8 @@ def quality_score_expr(text=None) -> Column:
     n = F.greatest(F.size(toks), F.lit(1))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
-    upper = F.regexp_count(text, F.lit(r"[A-Z]"))
+    punct = punct_count_expr(text)
+    upper = upper_count_expr(text)
     chars = F.greatest(F.length(text), F.lit(1))
     return F.round(stop_cnt / n - punct / chars - upper / chars, 6)
 
@@ -94,8 +116,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
     stopword_ratio (fluency proxy), punct_ratio (noise proxy),
     upper_ratio (shouting proxy). score = stopword_ratio
     - punct_ratio - upper_ratio, rounded; deterministic arithmetic."""
-    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
-    upper = F.regexp_count("text", F.lit(r"[A-Z]"))
+    punct = punct_count_expr(F.col("text"))
+    upper = upper_count_expr(F.col("text"))
     chars = F.greatest(F.length("text"), F.lit(1))
     return docs.select(
         "doc_id",

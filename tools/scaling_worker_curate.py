@@ -28,11 +28,16 @@ def synth(spark, data_dir: str, n_docs: int = 1_000_000) -> None:
     arr = F.array(*[F.lit(w) for w in vocab])
     base_id = F.when(F.col("id") % 97 == 0,
                      F.col("id") - 1).otherwise(F.col("id"))
+    # word index mixes the doc id multiplicatively so texts are
+    # genuinely distinct across docs (a purely additive formula makes
+    # every text id-mod-|vocab| periodic: ~21 distinct strings and a
+    # degenerate dedup hash space)
     text = F.concat_ws(" ", F.transform(
         F.sequence(F.lit(0), F.lit(19)),
         lambda i: F.element_at(
-            arr, (F.pmod(base_id * 7 + i * 3, F.lit(len(vocab))) + 1)
-            .cast("int"))))
+            arr,
+            (F.pmod(base_id * 7919 + (i + 1) * (base_id % 101 + 3),
+                    F.lit(len(vocab))) + 1).cast("int"))))
     (spark.range(n_docs)
      .select(F.col("id").alias("doc_id"), text.alias("text"))
      .repartition(64).write.mode("overwrite").parquet(data_dir))
@@ -44,6 +49,14 @@ def main(cores: int, data_dir: str, reps: int) -> None:
 
     spark = get_spark(f"scaling-curate-{cores}", cores=cores,
                       shuffle_partitions=128)
+    # the corpus parquet dictionary-compresses hard, so default
+    # 128MB/4MB split packing collapses 64 files into ~2 scan splits —
+    # capping parallelism at 2 TASKS no matter the core count (measured:
+    # 1->4 cores gave 1.26x on the signal stage). Size splits to the
+    # workload: this is the spark.sql.files.maxPartitionBytes lever,
+    # and it is the experiment's independent variable done right.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 2 * 1024 * 1024)
+    spark.conf.set("spark.sql.files.openCostInBytes", 64 * 1024)
     docs = spark.read.parquet(data_dir)
     n_docs = docs.count()
 
