@@ -869,6 +869,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def events_survival(spark, sf):
+        # time-to-first-purchase after signup, right-censored at the
+        # corpus end; KM curve over the per-user durations
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.analytics import kaplan_meier
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .select("user_id", "event_type",
+                      _epoch_s("ts").alias("s")))
+        w = Window.partitionBy("user_id")
+        d = ev.withColumn(
+            "_sg", F.min(F.when(F.col("event_type") == "signup",
+                                F.col("s"))).over(w))
+        d = d.withColumn(
+            "_pu", F.min(F.when((F.col("event_type") == "purchase")
+                                & (F.col("s") > F.col("_sg")),
+                                F.col("s"))).over(w))
+        gmax = d.agg(F.max("s").alias("_gm"))
+        per_user = (d.groupBy("user_id")
+                    .agg(F.first("_sg").alias("sg"),
+                         F.first("_pu").alias("pu"))
+                    .where(F.col("sg").isNotNull())
+                    .crossJoin(F.broadcast(gmax)))
+        durations = per_user.select(
+            F.floor((F.coalesce(F.col("pu"), F.col("_gm"))
+                     - F.col("sg")) / 86400).cast("long")
+            .alias("duration"),
+            F.when(F.col("pu").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("event"))
+        return kaplan_meier(durations)
+
+    def events_psi(spark, sf):
+        # drift between the even/odd event-id samples (a null test:
+        # terms should be near zero) over fixed [0, 350) bins
+        from mms_rdf_spark.operators.analytics import psi_drift
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ref = ev.where(F.col("event_id") % 2 == 0)
+        cur = ev.where(F.col("event_id") % 2 == 1)
+        return psi_drift(ref, cur, "value", lo=0.0, hi=350.0,
+                         n_bins=10)
+
     def events_entropy(spark, sf):
         from mms_rdf_spark.operators.analytics import activity_entropy
         return activity_entropy(
@@ -1067,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_survival": events_survival,
+        "events_psi": events_psi,
         "events_entropy": events_entropy,
         "events_gini": events_gini,
         "events_chisq": events_chisq,
@@ -2227,6 +2271,90 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # Kaplan-Meier: product -> exact micro-unit ln-sum -> one exp
+    q["events_survival"] = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    ), w1 AS (
+        SELECT *, min(CASE WHEN event_type = 'signup' THEN s END)
+                      OVER (PARTITION BY user_id) AS sg
+        FROM e
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND s > sg
+                           THEN s END)
+                      OVER (PARTITION BY user_id) AS pu
+        FROM w1
+    ), g AS (SELECT max(s) AS gm FROM e
+    ), u AS (
+        SELECT user_id, min(sg) AS sg, min(pu) AS pu
+        FROM w2 GROUP BY user_id
+    ), dur AS (
+        SELECT CAST(floor((coalesce(pu, gm) - sg) / 86400) AS BIGINT)
+                   AS t,
+               CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u CROSS JOIN g WHERE sg IS NOT NULL
+    ), per_t AS (
+        SELECT t, count(*) AS m, CAST(sum(ev) AS BIGINT) AS d
+        FROM dur GROUP BY t
+    ), r AS (
+        SELECT t, d, m,
+               CAST(sum(m) OVER ()
+                    - coalesce(sum(m) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+                   AS n_at_risk
+        FROM per_t
+    ), mu AS (
+        SELECT t, d, n_at_risk,
+               CASE WHEN d >= n_at_risk THEN -1000000000000
+                    WHEN d > 0 THEN CAST(round(
+                        round(ln(1.0 - d / n_at_risk), 6) * 1000000)
+                        AS BIGINT)
+                    ELSE 0 END AS mu
+        FROM r
+    )
+    SELECT t, n_at_risk, d,
+           round(exp(CAST(sum(mu) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
+                     / 1000000.0), 6) AS survival
+    FROM mu
+    """
+
+    q["events_psi"] = """
+    WITH grid AS (
+        SELECT unnest(generate_series(0, 9)) AS bin
+    ), cr AS (
+        SELECT CAST(least(greatest(floor((value - 0.0) / 35.0), 0), 9)
+                    AS BIGINT) AS bin,
+               count(*) AS c
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ), cc AS (
+        SELECT CAST(least(greatest(floor((value - 0.0) / 35.0), 0), 9)
+                    AS BIGINT) AS bin,
+               count(*) AS c
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1
+    ), cells AS (
+        SELECT g.bin,
+               CAST(coalesce(cr.c, 0) AS BIGINT) AS ncr,
+               CAST(coalesce(cc.c, 0) AS BIGINT) AS ncc
+        FROM grid g
+        LEFT JOIN cr ON g.bin = cr.bin
+        LEFT JOIN cc ON g.bin = cc.bin
+    )
+    SELECT bin,
+           round((ncr + 1) / (sum(ncr) OVER () + 10), 6) AS p,
+           round((ncc + 1) / (sum(ncc) OVER () + 10), 6) AS q,
+           round(((ncr + 1) / (sum(ncr) OVER () + 10)
+                  - (ncc + 1) / (sum(ncc) OVER () + 10))
+                 * round(ln(((ncr + 1) / (sum(ncr) OVER () + 10))
+                            / ((ncc + 1) / (sum(ncc) OVER () + 10))),
+                         6), 6) AS term
+    FROM cells
     """
 
     # entropy in exact integer micro-nats (ln rounded 6dp BEFORE the

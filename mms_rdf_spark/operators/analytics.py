@@ -672,3 +672,100 @@ def chi_square_cells(
                     F.round(e, 4).alias("e"),
                     F.round((F.col("o") - e) * (F.col("o") - e) / e,
                             ndigits).alias("contrib")))
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over (duration, event) rows
+    (event = 1 observed, 0 right-censored): for every distinct event
+    time t, the at-risk count, observed events d, and the survival
+    probability S(t) = Π(1 − d_i/n_i) for i ≤ t. Returns
+    (t, n_at_risk, d, survival), rows only at times with d > 0 plus
+    censoring-only times (standard KM support).
+
+    Determinism: the product becomes a SUM of ln(1 − d/n) terms, each
+    rounded to 6dp and scaled to integer micro-units BEFORE the
+    cumulative window sum (exact long), with exp applied once at the
+    end — the float-product order problem never arises. d = n (the
+    risk set dies out) uses a −10^12 micro-unit sentinel so S rounds
+    to exactly 0 on every engine. Plan: one aggregate to |distinct
+    times| rows, then two windows over that tiny frame.
+    """
+    per_t = (durations.groupBy(F.col(duration_col).alias("t"))
+             .agg(F.count(F.lit(1)).alias("_m"),
+                  F.sum(event_col).cast("long").alias("d")))
+    prior = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    upto = (Window.orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    total = Window.partitionBy()
+    term_mu = F.when(
+        F.col("d") >= F.col("n_at_risk"), F.lit(-1000000000000)
+    ).when(F.col("d") > 0, F.round(
+        F.round(F.log(1.0 - F.col("d") / F.col("n_at_risk")), 6)
+        * 1e6).cast("long")
+    ).otherwise(F.lit(0))
+    return (per_t
+            .withColumn("n_at_risk",
+                        (F.sum("_m").over(total)
+                         - F.coalesce(F.sum("_m").over(prior),
+                                      F.lit(0))).cast("long"))
+            .withColumn("_mu", term_mu)
+            .withColumn("survival",
+                        F.round(F.exp(F.sum("_mu").over(upto) / 1e6),
+                                ndigits))
+            .select("t", "n_at_risk", "d", "survival"))
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population-stability-index cells between a reference and a
+    current sample of `value_col`: fixed [lo, hi) equi-width bins
+    (caller-pinned edges — deriving them from data couples the two
+    samples), Laplace-smoothed shares p (ref) and q (cur), and the PSI
+    term (p − q)·ln(p/q) per bin. Returns (bin, p, q, term); sum the
+    terms with the micro-unit rule for the scalar (>0.2 = major
+    drift).
+
+    Each side is one map-side-combined bin count; shares and terms are
+    single float expressions over exact counts with the ln rounded to
+    6dp. Out-of-range values clamp to the edge bins so totals are
+    never silently dropped.
+    """
+    if n_bins < 1 or hi <= lo:
+        raise ValueError("psi_drift: need n_bins >= 1 and hi > lo")
+    width = (hi - lo) / float(n_bins)
+
+    def _bins(df, name):
+        b = F.least(F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(0)), F.lit(n_bins - 1)).cast("long")
+        return df.select(b.alias("bin")).groupBy("bin") \
+            .agg(F.count(F.lit(1)).alias(name))
+    grid = ref.sparkSession.range(n_bins).select(
+        F.col("id").alias("bin"))
+    cells = (grid
+             .join(_bins(ref, "_cr"), on="bin", how="left")
+             .join(_bins(cur, "_cc"), on="bin", how="left")
+             .na.fill(0, ["_cr", "_cc"]))
+    tot = Window.partitionBy()
+    p = ((F.col("_cr") + 1)
+         / (F.sum("_cr").over(tot) + F.lit(n_bins)))
+    q = ((F.col("_cc") + 1)
+         / (F.sum("_cc").over(tot) + F.lit(n_bins)))
+    term = (p - q) * F.round(F.log(p / q), 6)
+    return cells.select(
+        "bin", F.round(p, ndigits).alias("p"),
+        F.round(q, ndigits).alias("q"),
+        F.round(term, ndigits).alias("term"))

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import math
+
+from mms_rdf_spark.operators.analytics import kaplan_meier, psi_drift
+
+
+def test_km_textbook_curve(spark):
+    # classic toy: deaths at t=1 (1 of 5), t=3 (2 of 3); censored at 2, 5
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "duration long, event long")
+    got = {r["t"]: (r["n_at_risk"], r["d"], r["survival"])
+           for r in kaplan_meier(df).collect()}
+    assert got[1][:2] == (5, 1)
+    assert got[2][:2] == (4, 0)
+    assert got[3][:2] == (3, 2)
+
+    def mu(x):
+        return round(round(math.log(x), 6) * 1e6)
+
+    s1 = round(math.exp(mu(1 - 1 / 5) / 1e6), 6)
+    s3 = round(math.exp((mu(1 - 1 / 5) + mu(1 - 2 / 3)) / 1e6), 6)
+    assert got[1][2] == s1
+    assert got[2][2] == s1          # censoring doesn't move S
+    assert got[3][2] == s3
+    assert got[5][2] == s3
+
+
+def test_km_risk_set_exhausted_goes_to_zero(spark):
+    rows = [(1, 1), (2, 1)]  # last subject dies at t=2: d == n
+    df = spark.createDataFrame(rows, "duration long, event long")
+    got = {r["t"]: r["survival"] for r in kaplan_meier(df).collect()}
+    assert got[2] == 0.0
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    a = spark.createDataFrame([(float(i % 10),) for i in range(1000)],
+                              "v double")
+    out = psi_drift(a, a, "v", lo=0.0, hi=10.0, n_bins=10).collect()
+    assert len(out) == 10
+    assert all(r["term"] == 0.0 for r in out)
+    assert all(abs(r["p"] - 0.1) < 0.01 for r in out)
+
+
+def test_psi_shifted_distribution_positive(spark):
+    a = spark.createDataFrame([(float(i % 5),) for i in range(1000)],
+                              "v double")
+    b = spark.createDataFrame([(5.0 + i % 5,) for i in range(1000)],
+                              "v double")
+    out = psi_drift(a, b, "v", lo=0.0, hi=10.0, n_bins=10).collect()
+    total = sum(r["term"] for r in out)
+    assert total > 0.2  # major drift
+
+
+def test_psi_clamps_out_of_range(spark):
+    a = spark.createDataFrame([(-5.0,), (50.0,)], "v double")
+    out = {r["bin"]: r["p"] for r in
+           psi_drift(a, a, "v", lo=0.0, hi=10.0, n_bins=5).collect()}
+    # both rows land in edge bins, none dropped
+    assert out[0] > 0.1 and out[4] > 0.1
