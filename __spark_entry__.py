@@ -869,6 +869,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def kg_assortativity(spark, sf):
+        from mms_rdf_spark.operators.pagerank import degree_assortativity
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        return degree_assortativity(e)
+
+    def text_readability(spark, sf):
+        from mms_rdf_spark.operators.textstats import readability
+        return readability(_docs(spark, sf))
+
     def events_survival(spark, sf):
         # time-to-first-purchase after signup, right-censored at the
         # corpus end; KM curve over the per-user durations
@@ -1109,6 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "kg_assortativity": kg_assortativity,
+        "text_readability": text_readability,
         "events_survival": events_survival,
         "events_psi": events_psi,
         "events_entropy": events_entropy,
@@ -2271,6 +2287,58 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # degree assortativity: Pearson over endpoint degrees, all five
+    # moment sums exact longs
+    q["kg_assortativity"] = """
+    WITH e0 AS (
+        SELECT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+               's' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem
+    ), sym AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+        WHERE a <> b
+    ), deg AS (
+        SELECT a, count(*) AS d FROM sym GROUP BY a
+    ), pairs AS (
+        SELECT dx.d AS x, dy.d AS y
+        FROM sym JOIN deg dx ON sym.a = dx.a
+        JOIN deg dy ON sym.b = dy.a
+    ), s AS (
+        SELECT count(*) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           round((m * sxy - sx * sy)
+                 / sqrt((m * sxx - sx * sx) * 1.0
+                        * (m * syy - sy * sy)), 6) AS assortativity
+    FROM s
+    WHERE sqrt((m * sxx - sx * sx) * 1.0 * (m * syy - sy * sy)) > 0
+    """
+
+    q["text_readability"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               greatest(len({_TOKS_SQL}), 1) AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS s,
+               greatest(len(regexp_extract_all(text, '[aeiouAEIOU]+')),
+                        greatest(len({_TOKS_SQL}), 1)) AS syl
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS n_words,
+           CAST(s AS INT) AS n_sentences,
+           CAST(syl AS INT) AS n_syllables,
+           round(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 4)
+               AS flesch
+    FROM t
     """
 
     # Kaplan-Meier: product -> exact micro-unit ln-sum -> one exp

@@ -382,3 +382,51 @@ def hits(
     return (hub.join(auth, on="node")
             .select("node", F.col("h").alias("hub"),
                     F.col("a").alias("auth")))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Degree assortativity of the undirected graph: the Pearson
+    correlation of endpoint degrees over edges (positive = hubs link
+    hubs, negative = hub-and-spoke). Returns one row
+    (n_edges, assortativity).
+
+    Both directions of every edge enter the sum (the standard
+    undirected convention — the correlation is then symmetric in
+    x and y, so ONE set of moment sums suffices). All five sums are
+    exact longs (degrees are counts; degree^2 sums stay in int64 up
+    to ~10^9-degree hubs) and r is a single float expression — the
+    moment-sum discipline of analytics.grouped_ols_trend applied to
+    graph topology. Plan: degree aggregate, two broadcast joins onto
+    the edge list, one global aggregate.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (e.union(e.select(F.col("b"), F.col("a")))
+           .where(F.col("a") != F.col("b")).distinct())
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (sym
+             .join(F.broadcast(deg.select(F.col("a"), F.col("d")
+                                          .alias("_dx"))), on="a")
+             .join(F.broadcast(deg.select(F.col("a").alias("b"),
+                                          F.col("d").alias("_dy"))),
+                   on="b"))
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("_dx").alias("sx"), F.sum("_dy").alias("sy"),
+        F.sum(F.col("_dx") * F.col("_dy")).alias("sxy"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("sxx"),
+        F.sum(F.col("_dy") * F.col("_dy")).alias("syy"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # each variance term fits int64; their PRODUCT does not — promote
+    # to double between the two exact factors (oracle mirrors * 1.0)
+    den = F.sqrt((F.col("m") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")) * F.lit(1.0)
+                 * (F.col("m") * F.col("syy")
+                    - F.col("sy") * F.col("sy")))
+    return (s.where(den > 0)
+            .select((F.col("m") / 2).cast("long").alias("n_edges"),
+                    F.round(num / den, ndigits).alias("assortativity")))

@@ -480,3 +480,30 @@ def inverted_index(
                                        F.lit(":"),
                                        x["_tf"].cast("string"))),
                 ",").alias("postings")))
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document from the three classic
+    counts: words (whitespace tokens), sentences ([.!?]+ runs,
+    minimum 1), and syllables (vowel-group runs, minimum 1 per word
+    approximated corpus-wide). Single-scan column math; the two run
+    counts are genuine regexes (runs have no translate() form — see
+    NOTES.md on regexp thread efficiency; this is a per-doc metric,
+    not the curation hot path). score = 206.835 − 1.015·(W/S) −
+    84.6·(Syl/W), one float expression over exact counts, rounded 4.
+    """
+    text = F.col(text_col)
+    words = F.greatest(F.size(_toks(text)), F.lit(1))
+    sentences = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(
+        F.regexp_count(text, F.lit(r"[aeiouAEIOU]+")), words)
+    return docs.select(
+        F.col(id_col), words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(F.lit(206.835)
+                - F.lit(1.015) * (words / sentences)
+                - F.lit(84.6) * (syllables / words),
+                4).alias("flesch"))

@@ -65,3 +65,23 @@ def test_inverted_index_tf_and_order(spark):
            for r in inverted_index(docs).collect()}
     assert got["a"] == "1:1,2:2"  # sorted by doc id, tf counted
     assert got["b"] == "2:1"
+
+
+def test_readability_counts_and_score(spark):
+    from mms_rdf_spark.operators.textstats import readability
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!")], "doc_id long, text string")
+    r = readability(docs).collect()[0]
+    assert r["n_words"] == 6
+    assert r["n_sentences"] == 2
+    # vowel groups: e,a,a,e,o,a = 6
+    assert r["n_syllables"] == 6
+    assert r["flesch"] == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 4)
+
+
+def test_readability_floors_empty(spark):
+    from mms_rdf_spark.operators.textstats import readability
+    docs = spark.createDataFrame([(1, "xyz")], "doc_id long, text string")
+    r = readability(docs).collect()[0]
+    # no vowels, no sentence marks: floors kick in (syllables >= words)
+    assert r["n_sentences"] == 1 and r["n_syllables"] == 1

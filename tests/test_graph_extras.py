@@ -74,3 +74,19 @@ def test_cube_counts_all_levels(spark):
     assert got[("__all__", "__all__")] == 4
     # 3 cells + 2 row margins + 2 col margins + 1 grand total
     assert len(got) == 8
+
+
+def test_assortativity_star_is_negative(spark):
+    from mms_rdf_spark.operators.pagerank import degree_assortativity
+    # star: hub degree 4, leaves degree 1 -> perfectly disassortative
+    e = _edges(spark, [("h", f"l{i}") for i in range(4)])
+    r = degree_assortativity(e).collect()[0]
+    assert r["n_edges"] == 4
+    assert r["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_dropped(spark):
+    from mms_rdf_spark.operators.pagerank import degree_assortativity
+    # cycle: every degree 2 -> zero variance -> row dropped (den=0)
+    e = _edges(spark, [("1", "2"), ("2", "3"), ("3", "1")])
+    assert degree_assortativity(e).count() == 0
