@@ -869,6 +869,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import inverted_index
         return inverted_index(_docs(spark, sf))
 
+    def kg_adamic(spark, sf):
+        # missing-edge ranking (supplier pairs mediated by shared
+        # parts; hub suppliers excluded as mediators by the deg cap)
+        from mms_rdf_spark.operators.pagerank import adamic_adar
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        return adamic_adar(e, max_deg=50)
+
     def kg_assortativity(spark, sf):
         from mms_rdf_spark.operators.pagerank import degree_assortativity
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -1123,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "kg_adamic": kg_adamic,
         "kg_assortativity": kg_assortativity,
         "text_readability": text_readability,
         "events_survival": events_survival,
@@ -2287,6 +2300,30 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # Adamic-Adar: per-mediator micro-unit weights, exact long sums
+    q["kg_adamic"] = """
+    WITH e0 AS (
+        SELECT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+               's' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem
+    ), sym AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+        WHERE a <> b
+    ), deg AS (
+        SELECT a AS z, count(*) AS d FROM sym GROUP BY a
+    ), keep AS (
+        SELECT z, CAST(round(1000000.0 / ln(d)) AS BIGINT) AS w
+        FROM deg WHERE d >= 2 AND d <= 50
+    ), nb AS (
+        SELECT sym.a AS z, sym.b AS n, k.w
+        FROM sym JOIN keep k ON sym.a = k.z
+    )
+    SELECT x.n AS a, y.n AS b,
+           round(CAST(sum(x.w) AS BIGINT) / 1000000.0, 6) AS score
+    FROM nb x JOIN nb y ON x.z = y.z AND x.n < y.n
+    GROUP BY 1, 2
     """
 
     # degree assortativity: Pearson over endpoint degrees, all five

@@ -430,3 +430,43 @@ def degree_assortativity(
     return (s.where(den > 0)
             .select((F.col("m") / 2).cast("long").alias("n_edges"),
                     F.round(num / den, ndigits).alias("assortativity")))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_deg: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected graph: for
+    every non-adjacent-or-adjacent pair (a < b) sharing neighbors,
+    score = Σ_z 1/ln(deg z) over common neighbors z — the classic
+    missing-edge ranking for KG completion. Returns (a, b, score).
+
+    Scale shape: pairs are generated per mediating node z (the basket
+    self-join pattern — cost Σ deg(z)²), so `max_deg` DROPS super-hub
+    mediators, observable via the degree table. That cap is also the
+    statistically right one: a hub's 1/ln(deg) weight is noise while
+    its deg² pair volume is the whole bill. Determinism: each z's
+    weight is one float chain rounded to integer micro-units; per-pair
+    scores are exact long sums converted once.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (e.union(e.select(F.col("b"), F.col("a")))
+           .where(F.col("a") != F.col("b")).distinct())
+    deg = sym.groupBy(F.col("a").alias("z")) \
+        .agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.where(F.col("d") >= 2)
+    if max_deg is not None:
+        keep = keep.where(F.col("d") <= max_deg)
+    w_mu = F.round(F.lit(1e6) / F.log(F.col("d"))).cast("long")
+    nbrs = (sym.select(F.col("a").alias("z"), F.col("b").alias("n"))
+            .join(F.broadcast(keep.withColumn("_w", w_mu)
+                              .select("z", "_w")), on="z"))
+    x = nbrs.select("z", F.col("n").alias("pa"), "_w")
+    y = nbrs.select("z", F.col("n").alias("pb"))
+    return (x.join(y, on="z")
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+            .agg(F.round(F.sum("_w") / 1e6, ndigits).alias("score")))

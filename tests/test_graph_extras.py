@@ -90,3 +90,32 @@ def test_assortativity_regular_graph_dropped(spark):
     # cycle: every degree 2 -> zero variance -> row dropped (den=0)
     e = _edges(spark, [("1", "2"), ("2", "3"), ("3", "1")])
     assert degree_assortativity(e).count() == 0
+
+
+def test_adamic_adar_weights_rare_mediators_higher(spark):
+    import math
+
+    from mms_rdf_spark.operators.pagerank import adamic_adar
+    # z1 connects a,b (deg 2); z2 connects a,b,c (deg 3): the pair
+    # (a,b) is mediated by BOTH, (a,c)/(b,c) only by z2
+    e = _edges(spark, [("z1", "a"), ("z1", "b"),
+                       ("z2", "a"), ("z2", "b"), ("z2", "c")])
+    got = {(r["a"], r["b"]): r["score"]
+           for r in adamic_adar(e).collect()}
+    w2 = round(1e6 / math.log(2))
+    w3 = round(1e6 / math.log(3))
+    assert got[("a", "b")] == round((w2 + w3) / 1e6, 6)
+    assert got[("a", "c")] == round(w3 / 1e6, 6)
+    # a and b are themselves mediators of (z1, z2)
+    assert got[("z1", "z2")] == round(2 * w2 / 1e6, 6)
+
+
+def test_adamic_adar_max_deg_drops_hub_mediator(spark):
+    from mms_rdf_spark.operators.pagerank import adamic_adar
+    e = _edges(spark, [("hub", f"x{i}") for i in range(6)]
+               + [("z", "x0"), ("z", "x1")])
+    got = {(r["a"], r["b"]) for r in
+           adamic_adar(e, max_deg=3).collect()}
+    # hub (deg 6) is excluded as MEDIATOR, so no x_i-x_j pairs via it;
+    # z still mediates x0-x1, and x0/x1 (deg 2) mediate (hub, z)
+    assert got == {("x0", "x1"), ("hub", "z")}
