@@ -881,6 +881,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return adamic_adar(e, max_deg=50)
 
+    def kg_sssp(spark, sf):
+        # cheapest-quantity routes from 4 seed parts, 3 relaxations
+        from mms_rdf_spark.operators.pagerank import weighted_sssp
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = (li.groupBy(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                .alias("dst"))
+             .agg(F.round(F.min("l_quantity")).cast("long").alias("w")))
+        srcs = (spark.read.parquet(f"{sf}/part.parquet")
+                .where(F.col("p_partkey") % 500 == 0)
+                .select(F.concat(F.lit("p"),
+                                 F.col("p_partkey").cast("string"))
+                        .alias("node")))
+        return weighted_sssp(e, srcs, rounds=3)
+
     def kg_assortativity(spark, sf):
         from mms_rdf_spark.operators.pagerank import degree_assortativity
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -1135,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "kg_sssp": kg_sssp,
         "kg_adamic": kg_adamic,
         "kg_assortativity": kg_assortativity,
         "text_readability": text_readability,
@@ -2301,6 +2319,33 @@ def oracle_sql() -> dict[str, str]:
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
     """
+
+    # weighted SSSP: 3 unrolled Bellman-Ford relaxations, exact longs
+    sssp = """
+    WITH e0 AS (
+        SELECT 'p' || CAST(l_partkey AS VARCHAR) AS s,
+               's' || CAST(l_suppkey AS VARCHAR) AS d,
+               CAST(round(min(l_quantity)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), und AS (
+        SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0
+    ), e AS (
+        SELECT s, d, min(w) AS w FROM und WHERE s <> d GROUP BY s, d
+    ), d0 AS (
+        SELECT DISTINCT 'p' || CAST(p_partkey AS VARCHAR) AS node,
+               CAST(0 AS BIGINT) AS dist
+        FROM part WHERE p_partkey % 500 = 0
+    )"""
+    for i in range(1, 4):
+        sssp += f""", d{i} AS (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.d AS node, p.dist + e.w AS dist
+            FROM d{i - 1} p JOIN e ON p.node = e.s
+        ) GROUP BY node
+    )"""
+    q["kg_sssp"] = sssp + "\n    SELECT node, dist FROM d3"
 
     # Adamic-Adar: per-mediator micro-unit weights, exact long sums
     q["kg_adamic"] = """

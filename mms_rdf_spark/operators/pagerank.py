@@ -470,3 +470,48 @@ def adamic_adar(
             .where(F.col("pa") < F.col("pb"))
             .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
             .agg(F.round(F.sum("_w") / 1e6, ndigits).alias("score")))
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, Bellman-Ford style: after
+    `rounds` relaxations, (node, dist) holds the exact shortest
+    distance among paths of <= `rounds` edges (non-negative integer
+    weights; unreached nodes absent). Set rounds >= diameter for the
+    true SSSP — bounded rounds are the deterministic contract, same as
+    k_core/bfs_levels.
+
+    Per round: one join of the current distance frame to the edge list
+    on the source endpoint + one min-aggregate over (old U relaxed) —
+    both map-side combined; localCheckpoint per round. Distances are
+    exact longs, so any engine agrees bit-for-bit. Unlike bfs_levels'
+    frontier trick, relaxation must revisit settled nodes (a longer
+    path found earlier may be beaten through a later hop), so the full
+    distance frame joins each round — the price of weights.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                     F.col(weight_col).cast("long").alias("w"))
+    if not directed:
+        e = e.union(e.select(F.col("d"), F.col("s"), F.col("w")))
+    e = (e.where(F.col("s") != F.col("d"))
+         .groupBy("s", "d").agg(F.min("w").alias("w"))
+         .localCheckpoint())
+    dist = sources.select(F.col(node_col).alias("node"),
+                          F.lit(0).cast("long").alias("dist")) \
+        .distinct().localCheckpoint()
+    for _ in range(rounds):
+        relaxed = (dist.join(e, dist["node"] == e["s"])
+                   .select(F.col("d").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return dist

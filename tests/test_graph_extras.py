@@ -119,3 +119,26 @@ def test_adamic_adar_max_deg_drops_hub_mediator(spark):
     # hub (deg 6) is excluded as MEDIATOR, so no x_i-x_j pairs via it;
     # z still mediates x0-x1, and x0/x1 (deg 2) mediate (hub, z)
     assert got == {("x0", "x1"), ("hub", "z")}
+
+
+def test_weighted_sssp_prefers_cheap_detour(spark):
+    from mms_rdf_spark.operators.pagerank import weighted_sssp
+    e = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 2), ("b", "d", 1)],
+        "src string, dst string, w long")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in weighted_sssp(e, srcs, rounds=3).collect()}
+    # a->c->b (3) beats a->b (10); d via the detour at 4
+    assert got == {"a": 0, "c": 1, "b": 3, "d": 4}
+
+
+def test_weighted_sssp_round_bound_limits_hops(spark):
+    from mms_rdf_spark.operators.pagerank import weighted_sssp
+    e = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 2)],
+        "src string, dst string, w long")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in weighted_sssp(e, srcs, rounds=1).collect()}
+    assert got["b"] == 10  # the 2-hop detour needs a second round
