@@ -881,6 +881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return adamic_adar(e, max_deg=50)
 
+    def events_median(spark, sf):
+        # exact global median via 2-scan distributed selection
+        from mms_rdf_spark.operators.sketch import kth_smallest
+        return kth_smallest(spark.read.parquet(f"{sf}/events.parquet"),
+                            "value", q=0.5)
+
     def kg_sssp(spark, sf):
         # cheapest-quantity routes from 4 seed parts, 3 relaxations
         from mms_rdf_spark.operators.pagerank import weighted_sssp
@@ -1152,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_median": events_median,
         "kg_sssp": kg_sssp,
         "kg_adamic": kg_adamic,
         "kg_assortativity": kg_assortativity,
@@ -2318,6 +2325,22 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # exact k-th order statistic (the oracle sorts; the engine uses
+    # two-scan histogram selection — same answer, no global sort)
+    q["events_median"] = """
+    WITH s AS (
+        SELECT count(*) AS n,
+               greatest(1, CAST(ceil(0.5 * count(*)) AS BIGINT)) AS k
+        FROM events
+    ), r AS (
+        SELECT value, row_number() OVER (ORDER BY value) AS rn
+        FROM events
+    )
+    SELECT CAST(s.n AS INT) AS n, CAST(s.k AS INT) AS k,
+           r.value AS kth
+    FROM r, s WHERE r.rn = s.k
     """
 
     # weighted SSSP: 3 unrolled Bellman-Ford relaxations, exact longs

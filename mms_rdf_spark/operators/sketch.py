@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 HASH_BITS = 48  # 12 hex chars: exact in an IEEE double everywhere
 
@@ -116,3 +117,68 @@ def grouped_quantiles(
     return (df.groupBy(key)
             .agg(*[F.round(pcts[i], 6).alias(f"q{round(p * 100)}")
                    for i, p in enumerate(ps)]))
+
+
+def kth_smallest(
+    df: DataFrame,
+    value_col: str,
+    q: float = 0.5,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Exact order statistic (the ceil(q*n)-th smallest value) in TWO
+    scans and zero global sorts — the distributed-selection algorithm
+    that makes exact medians feasible at 100 TB where
+    grouped_quantiles' per-group sort would not be:
+
+      pass 1: equi-width histogram of the value range (map-side
+              combined to n_bins rows) + the total count;
+      locate: cumulative-sum over the tiny bin frame finds the bin
+              holding the k-th element and the residual offset;
+      pass 2: only that bin's rows (~n/n_bins of the data) go through
+              a TakeOrdered of the residual offset — per-task top-k,
+              never a full shuffle-sort.
+
+    Returns one row (n, k, kth). Exact under duplicates (bin
+    assignment is a pure function of the value). Degenerate all-equal
+    input collapses to bin 0 and still answers exactly; the bin-2 top-k
+    is bounded by the worst bin's population, so a pathological
+    single-value distribution degrades to TakeOrdered(k) — the honest
+    worst case, not a wrong answer.
+    """
+    if not 0 < q <= 1:
+        raise ValueError("kth_smallest: 0 < q <= 1")
+    b = df.agg(F.min(value_col).alias("_lo"),
+               F.max(value_col).alias("_hi"),
+               F.count(F.lit(1)).alias("_n"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    binned = (df.crossJoin(F.broadcast(b))
+              .select(F.col(value_col).alias("_v"), "_lo", "_n",
+                      F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+                      .otherwise(F.least(
+                          F.floor((F.col(value_col) - F.col("_lo"))
+                                  / width),
+                          F.lit(n_bins - 1))).cast("long")
+                      .alias("_b")))
+    hist = (binned.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"),
+                 F.first("_n").alias("_n")))
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    k_expr = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n"))
+                        .cast("long"))
+    located = (hist
+               .withColumn("_before",
+                           F.coalesce(F.sum("_c").over(w), F.lit(0)))
+               .withColumn("_k", k_expr)
+               .where((F.col("_before") < F.col("_k"))
+                      & (F.col("_before") + F.col("_c") >= F.col("_k")))
+               .select("_b", "_before", "_k", "_n"))
+    # the located bin is ONE row — a scalar fetch (limit() needs a
+    # Python int), not a data collect
+    row = located.collect()[0]
+    offset = int(row["_k"] - row["_before"])
+    in_bin = binned.where(F.col("_b") == row["_b"]).select("_v")
+    # TakeOrdered of the residual offset within the one located bin
+    kth = in_bin.orderBy("_v").limit(offset).agg(
+        F.max("_v").alias("kth"))
+    return kth.select(F.lit(int(row["_n"])).alias("n"),
+                      F.lit(int(row["_k"])).alias("k"), "kth")

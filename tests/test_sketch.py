@@ -69,3 +69,30 @@ def test_grouped_quantiles_exact_values(spark):
     assert got["a"]["q90"] == 90.1
     assert abs(got["a"]["q99"] - 99.01) < 1e-9
     assert got["b"]["q50"] == got["b"]["q99"] == 5.0
+
+
+def test_kth_smallest_median_and_extremes(spark):
+    from mms_rdf_spark.operators.sketch import kth_smallest
+    vals = [float(v) for v in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = kth_smallest(df, "v", q=0.5).collect()[0]
+    assert (r["n"], r["k"], r["kth"]) == (10, 5, 5.0)
+    assert kth_smallest(df, "v", q=0.1).collect()[0]["kth"] == 1.0
+    assert kth_smallest(df, "v", q=1.0).collect()[0]["kth"] == 10.0
+
+
+def test_kth_smallest_with_duplicates_and_few_bins(spark):
+    from mms_rdf_spark.operators.sketch import kth_smallest
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 1, 2, 2, 3]], "v double")
+    # few bins force multiple values per bin; still exact
+    r = kth_smallest(df, "v", q=0.5, n_bins=2).collect()[0]
+    assert (r["k"], r["kth"]) == (3, 1.0)
+    assert kth_smallest(df, "v", q=0.99, n_bins=2) \
+        .collect()[0]["kth"] == 3.0
+
+
+def test_kth_smallest_degenerate_all_equal(spark):
+    from mms_rdf_spark.operators.sketch import kth_smallest
+    df = spark.createDataFrame([(7.0,)] * 5, "v double")
+    assert kth_smallest(df, "v").collect()[0]["kth"] == 7.0
