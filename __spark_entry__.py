@@ -881,6 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return adamic_adar(e, max_deg=50)
 
+    def text_keywords(spark, sf):
+        from mms_rdf_spark.operators.textstats import keywords_tfidf
+        return keywords_tfidf(_docs(spark, sf), k=3)
+
     def events_median(spark, sf):
         # exact global median via 2-scan distributed selection
         from mms_rdf_spark.operators.sketch import kth_smallest
@@ -1158,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "text_keywords": text_keywords,
         "events_median": events_median,
         "kg_sssp": kg_sssp,
         "kg_adamic": kg_adamic,
@@ -2325,6 +2330,33 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # tf-idf keywords: ranking on exact tf*idf_mu longs (idf in
+    # integer micro-nats), ties -> token
+    q["text_keywords"] = f"""
+    WITH tok AS (
+        SELECT doc_id AS d, unnest({_TOKS_SQL}) AS token
+        FROM documents
+    ), tf AS (
+        SELECT d, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfq AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents
+    ), sc AS (
+        SELECT tf.d, tf.token, tf.tf,
+               CAST(round(round(ln((n + 1) * 1.0 / (df + 1)), 6)
+                          * 1000000) AS BIGINT) AS mu
+        FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN nn
+    ), r AS (
+        SELECT d, token, tf * mu AS s,
+               row_number() OVER (PARTITION BY d
+                                  ORDER BY tf * mu DESC, token) AS rn
+        FROM sc
+    )
+    SELECT d AS doc_id, token, CAST(rn AS INT) AS rank,
+           round(s / 1000000.0, 6) AS score
+    FROM r WHERE rn <= 3
     """
 
     # exact k-th order statistic (the oracle sorts; the engine uses

@@ -507,3 +507,44 @@ def readability(docs: DataFrame, id_col: str = "doc_id",
                 - F.lit(1.015) * (words / sentences)
                 - F.lit(84.6) * (syllables / words),
                 4).alias("flesch"))
+
+
+def keywords_tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic keywords per document by tf-idf:
+    score = tf · ln((N+1)/(df+1)) (smoothed idf). Returns
+    (doc_id, token, rank, score).
+
+    The ranking compares tf·idf_mu as EXACT longs (idf in integer
+    micro-nats, the bm25 rounding discipline), so the per-doc top-k is
+    totally ordered (ties -> token) and engine-stable — a float score
+    sort would tie-flip across engines. Plan: explode -> (token, doc)
+    tf -> token df aggregate broadcast back -> one per-doc window.
+    Stopwords demote themselves (df ~ N makes idf ~ 0); no list to
+    maintain.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(_toks(F.col(text_col))).alias("token"))
+    tf = toks.groupBy("_d", "token").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n = docs.agg(F.countDistinct(id_col).alias("_n"))
+    idf_mu = F.round(F.round(
+        F.log((F.col("_n") + 1) / (F.col("_df") + 1)), 6) * 1e6) \
+        .cast("long")
+    scored = (tf.join(F.broadcast(dfreq), on="token")
+              .crossJoin(F.broadcast(n))
+              .withColumn("_mu", idf_mu)
+              .withColumn("_s", F.col("_tf") * F.col("_mu")))
+    w = Window.partitionBy("_d").orderBy(F.col("_s").desc(), "token")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("_d").alias(id_col), "token",
+                    F.col("rank").cast("int").alias("rank"),
+                    F.round(F.col("_s") / 1e6, 6).alias("score")))

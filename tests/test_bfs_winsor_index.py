@@ -85,3 +85,25 @@ def test_readability_floors_empty(spark):
     r = readability(docs).collect()[0]
     # no vowels, no sentence marks: floors kick in (syllables >= words)
     assert r["n_sentences"] == 1 and r["n_syllables"] == 1
+
+
+def test_keywords_tfidf_picks_distinctive_terms(spark):
+    from mms_rdf_spark.operators.textstats import keywords_tfidf
+    docs = spark.createDataFrame(
+        [(1, "common common unicorn"), (2, "common dragon dragon"),
+         (3, "common plain")], "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): r["token"]
+           for r in keywords_tfidf(docs, k=2).collect()}
+    # the doc-specific rare word outranks the everywhere-word
+    assert got[(1, 1)] == "unicorn"
+    assert got[(2, 1)] == "dragon"
+    assert got[(3, 1)] == "plain"
+
+
+def test_keywords_tfidf_deterministic_ties(spark):
+    from mms_rdf_spark.operators.textstats import keywords_tfidf
+    docs = spark.createDataFrame(
+        [(1, "zebra apple")], "doc_id long, text string")
+    got = [r["token"] for r in keywords_tfidf(docs, k=2)
+           .orderBy("rank").collect()]
+    assert got == ["apple", "zebra"]  # equal scores -> token order
