@@ -881,6 +881,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return adamic_adar(e, max_deg=50)
 
+    def kg_clustering(spark, sf):
+        # triangle-bearing graph: c->n, n->r, plus closing c->r edges
+        from mms_rdf_spark.operators.pagerank import (
+            clustering_coefficient,
+        )
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        c = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+        n_of_c = F.concat(F.lit("n"),
+                          F.col("c_nationkey").cast("string"))
+        e = (cust.select(c.alias("src"), n_of_c.alias("dst"))
+             .union(nat.select(
+                 F.concat(F.lit("n"),
+                          F.col("n_nationkey").cast("string")),
+                 F.concat(F.lit("r"),
+                          F.col("n_regionkey").cast("string"))))
+             .union(cust.join(
+                 nat, F.col("c_nationkey") == F.col("n_nationkey"))
+                 .select(c, F.concat(
+                     F.lit("r"),
+                     F.col("n_regionkey").cast("string")))))
+        return clustering_coefficient(e)
+
     def text_keywords(spark, sf):
         from mms_rdf_spark.operators.textstats import keywords_tfidf
         return keywords_tfidf(_docs(spark, sf), k=3)
@@ -1162,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "kg_clustering": kg_clustering,
         "text_keywords": text_keywords,
         "events_median": events_median,
         "kg_sssp": kg_sssp,
@@ -2330,6 +2354,46 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # clustering coefficient: naive canonical-triple oracle vs the
+    # engine's degree-ordered enumeration (exact counts must agree)
+    q["kg_clustering"] = """
+    WITH e0 AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS a,
+               'n' || CAST(c_nationkey AS VARCHAR) AS b FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'c' || CAST(c_custkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR)
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), und AS (
+        SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        FROM e0 WHERE a <> b
+    ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tn AS (
+        SELECT v AS node, count(*) AS n_tri FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+        GROUP BY v
+    ), sym AS (
+        SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ), deg AS (
+        SELECT a AS node, count(*) AS degree FROM sym GROUP BY a
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+           round((2 * coalesce(tn.n_tri, 0))
+                 / (d.degree * (d.degree - 1)), 6) AS coeff
+    FROM deg d LEFT JOIN tn ON d.node = tn.node
+    WHERE d.degree >= 2
     """
 
     # tf-idf keywords: ranking on exact tf*idf_mu longs (idf in

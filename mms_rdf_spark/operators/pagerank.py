@@ -79,19 +79,10 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank"))
 
 
-def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
-    """Exact triangle count of the undirected graph (single row,
-    `n_triangles`), via degree-ordered orientation: direct every edge
-    from its lower-(degree, id) endpoint to the higher one, list
-    wedges at each source, and close them against the oriented edge
-    set. Orientation bounds every node's out-degree by O(sqrt(m))
-    regardless of its real degree, so a celebrity node with 10^7
-    neighbors contributes wedges from its LOW-degree side only — the
-    classic skew cap for the otherwise-quadratic wedge step (the same
-    reason dedup caps hot LSH buckets). Two self-joins on the oriented
-    edge list; counts are exact, so any engine's naive 3-way join
-    (the DuckDB oracle) must agree."""
+def _closed_triangles(edges: DataFrame, src: str,
+                      dst: str) -> DataFrame:
+    """Shared degree-ordered triangle enumeration: one row per
+    triangle with its three member nodes (wu, v1, v2)."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src),
                                                        F.col(dst))
     und = (edges.where(F.col(src) != F.col(dst))
@@ -119,10 +110,60 @@ def triangle_count(edges: DataFrame, src: str = "src",
     wedges = w1.join(w2, on="wu").where(
         (F.col("dv1") < F.col("dv2"))
         | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))))
-    closed = wedges.join(
+    return wedges.join(
         oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
-        on=["v1", "v2"])
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        on=["v1", "v2"]).select("wu", "v1", "v2")
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact triangle count of the undirected graph (single row,
+    `n_triangles`), via degree-ordered orientation: direct every edge
+    from its lower-(degree, id) endpoint to the higher one, list
+    wedges at each source, and close them against the oriented edge
+    set. Orientation bounds every node's out-degree by O(sqrt(m))
+    regardless of its real degree, so a celebrity node with 10^7
+    neighbors contributes wedges from its LOW-degree side only — the
+    classic skew cap for the otherwise-quadratic wedge step (the same
+    reason dedup caps hot LSH buckets). Two self-joins on the oriented
+    edge list; counts are exact, so any engine's naive 3-way join
+    (the DuckDB oracle) must agree."""
+    return _closed_triangles(edges, src, dst) \
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst",
+                           ndigits: int = 6) -> DataFrame:
+    """Local clustering coefficient per node:
+    c(v) = 2·T(v) / (d(v)·(d(v)−1)) with T(v) the triangles through v
+    — the per-entity cohesion signal (1 = the neighborhood is a
+    clique). Nodes of degree < 2 are excluded (coefficient
+    undefined). Returns (node, degree, n_tri, coeff).
+
+    Reuses the degree-ordered triangle enumeration (same sqrt(m)
+    out-degree skew cap as triangle_count); each triangle explodes to
+    its three members, a map-side-combined count per node, then one
+    exact-integer float expression. Exact, so the oracle's naive
+    3-way-join enumeration must agree.
+    """
+    tris = _closed_triangles(edges, src, dst)
+    per_node = (tris.select(F.explode(F.array("wu", "v1", "v2"))
+                            .alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (e.union(e.select(F.col("b"), F.col("a")))
+           .where(F.col("a") != F.col("b")).distinct())
+    deg = sym.groupBy(F.col("a").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.where(F.col("degree") >= 2)
+            .join(per_node, on="node", how="left")
+            .na.fill(0, ["n_tri"])
+            .select("node", "degree", "n_tri",
+                    F.round((2 * F.col("n_tri"))
+                            / (F.col("degree")
+                               * (F.col("degree") - 1)), ndigits)
+                    .alias("coeff")))
 
 
 def random_walks(edges: DataFrame, walk_len: int = 3,

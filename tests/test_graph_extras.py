@@ -142,3 +142,24 @@ def test_weighted_sssp_round_bound_limits_hops(spark):
     got = {r["node"]: r["dist"]
            for r in weighted_sssp(e, srcs, rounds=1).collect()}
     assert got["b"] == 10  # the 2-hop detour needs a second round
+
+
+def test_clustering_coefficient_values(spark):
+    from mms_rdf_spark.operators.pagerank import clustering_coefficient
+    # triangle a-b-c plus pendant d on a: a has neighbors {b,c,d},
+    # 1 triangle of 3 possible pairs -> 1/3; b,c are 1/1; d excluded
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
+    got = {r["node"]: (r["degree"], r["n_tri"], r["coeff"])
+           for r in clustering_coefficient(e).collect()}
+    assert got["a"] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert got["b"] == (2, 1, 1.0)
+    assert got["c"] == (2, 1, 1.0)
+    assert "d" not in got
+
+
+def test_clustering_triangle_free_is_zero(spark):
+    from mms_rdf_spark.operators.pagerank import clustering_coefficient
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["node"]: r["coeff"]
+           for r in clustering_coefficient(e).collect()}
+    assert got == {"b": 0.0, "c": 0.0}
