@@ -881,6 +881,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return adamic_adar(e, max_deg=50)
 
+    def events_ewma(spark, sf):
+        from mms_rdf_spark.operators.analytics import ewma_smooth
+        return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
+                           window=8)
+
     def kg_clustering(spark, sf):
         # triangle-bearing graph: c->n, n->r, plus closing c->r edges
         from mms_rdf_spark.operators.pagerank import (
@@ -1185,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_ewma": events_ewma,
         "kg_clustering": kg_clustering,
         "text_keywords": text_keywords,
         "events_median": events_median,
@@ -2354,6 +2360,31 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # dyadic EWMA as an exact FIR filter (power-of-two long weights)
+    q["events_ewma"] = """
+    WITH base AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), probes AS (
+        SELECT user_id, rn + j AS orn, u,
+               CAST(1 << (7 - j) AS BIGINT) AS w
+        FROM base, (SELECT unnest(generate_series(0, 7)) AS j)
+    ), c AS (
+        SELECT user_id, orn AS rn,
+               CAST(sum(u * w) AS BIGINT) AS num,
+               CAST(sum(w) AS BIGINT) AS den
+        FROM probes GROUP BY 1, 2
+    )
+    SELECT b.user_id, CAST(b.rn AS INT) AS rank, b.ts_s,
+           round(b.u / 100.0, 2) AS value,
+           round((c.num / c.den) / 100.0, 4) AS ewma
+    FROM base b JOIN c ON b.user_id = c.user_id AND b.rn = c.rn
     """
 
     # clustering coefficient: naive canonical-triple oracle vs the

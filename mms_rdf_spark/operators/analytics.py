@@ -769,3 +769,55 @@ def psi_drift(
         "bin", F.round(p, ndigits).alias("p"),
         F.round(q, ndigits).alias("q"),
         F.round(term, ndigits).alias("term"))
+
+
+def ewma_smooth(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    window: int = 8,
+    unit: int = 100,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) as an exact
+    FIR filter: each event's smoothed value is the weight-2^j
+    combination of the trailing `window` events (newest weight
+    2^(window−1), oldest 1), normalized by the weights actually
+    present (early rows use shorter windows — no warm-up bias).
+    Returns (key, rank, ts_s, value, ewma).
+
+    Exactness: weights are powers of two as longs, values integer
+    `unit`s, so numerator and denominator are exact and the division
+    happens once — the recursive EWMA's float accumulation (engine-
+    order-dependent) is replaced by a bounded-support filter with
+    identical weights. Plan: one rank window, an explode bounded by
+    `window`, one (key, rank) aggregate — all on the same key
+    partitioning.
+    """
+    if not 1 <= window <= 62:
+        raise ValueError("ewma_smooth: 1 <= window <= 62")
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    base = (events
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_ts_s", _epoch_s(ts_col))
+            .withColumn("_u", F.round(F.col(value_col) * unit)
+                        .cast("long")))
+    probes = (base.select(
+        key, "_rn", "_u",
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("_j"))
+        .withColumn("_orn", F.col("_rn") + F.col("_j"))
+        .withColumn("_w", F.expr(
+            f"shiftleft(1L, cast({window - 1} - _j as int))")))
+    contrib = (probes.groupBy(key, F.col("_orn").alias("_rn"))
+               .agg(F.sum(F.col("_u") * F.col("_w")).alias("_num"),
+                    F.sum("_w").alias("_den")))
+    return (base.join(contrib, on=[key, "_rn"])
+            .select(key, F.col("_rn").alias("rank"),
+                    F.col("_ts_s").alias("ts_s"),
+                    F.round(F.col("_u") / F.lit(float(unit)), 2)
+                    .alias("value"),
+                    F.round((F.col("_num") / F.col("_den"))
+                            / F.lit(float(unit)), ndigits)
+                    .alias("ewma")))

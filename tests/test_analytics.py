@@ -166,3 +166,26 @@ def test_change_point_deterministic_tiebreak(spark):
     got = change_point(ev, "event_type", "value").collect()[0]
     # zero deviations everywhere -> earliest row wins the tie
     assert got["change_ts_s"] == 1704067200 and got["cusum_max"] == 0.0
+
+
+def test_ewma_weights_recent_heavier(spark):
+    from mms_rdf_spark.operators.analytics import ewma_smooth
+    ev = _events(spark, [
+        (1, 1, "x", _ts(1, 0, 0), 0.0),
+        (2, 1, "x", _ts(1, 0, 1), 0.0),
+        (3, 1, "x", _ts(1, 0, 2), 12.0),
+    ])
+    got = {r["rank"]: r["ewma"]
+           for r in ewma_smooth(ev, window=3).collect()}
+    # rank3: weights 4,2,1 over (12, 0, 0) newest-first -> 48/7
+    assert got[3] == round((12 * 4) / 7 / 1, 4)
+    assert got[1] == 0.0
+    # rank2: weights 2,1 over (0, 0)
+    assert got[2] == 0.0
+
+
+def test_ewma_partial_window_normalizes(spark):
+    from mms_rdf_spark.operators.analytics import ewma_smooth
+    ev = _events(spark, [(1, 1, "x", _ts(1, 0, 0), 10.0)])
+    got = ewma_smooth(ev, window=4).collect()[0]
+    assert got["ewma"] == 10.0  # single sample: its own value exactly
