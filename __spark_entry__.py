@@ -881,6 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return adamic_adar(e, max_deg=50)
 
+    def events_rfm(spark, sf):
+        from mms_rdf_spark.operators.analytics import rfm_segments
+        return rfm_segments(spark.read.parquet(f"{sf}/events.parquet"))
+
     def events_ewma(spark, sf):
         from mms_rdf_spark.operators.analytics import ewma_smooth
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
@@ -1190,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_rfm": events_rfm,
         "events_ewma": events_ewma,
         "kg_clustering": kg_clustering,
         "text_keywords": text_keywords,
@@ -2360,6 +2365,32 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    q["events_rfm"] = """
+    WITH g AS (
+        SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS gm FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
+               count(*) AS n_tx,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS mc
+        FROM events GROUP BY user_id
+    ), sc AS (
+        SELECT user_id, gm - last_s AS recency_s, n_tx, mc,
+               CAST(ntile(5) OVER (ORDER BY gm - last_s DESC, user_id)
+                    AS INT) AS r,
+               CAST(ntile(5) OVER (ORDER BY n_tx ASC, user_id)
+                    AS INT) AS f,
+               CAST(ntile(5) OVER (ORDER BY mc ASC, user_id)
+                    AS INT) AS m
+        FROM per CROSS JOIN g
+    )
+    SELECT user_id, recency_s, n_tx,
+           round(mc / 100.0, 2) AS monetary, r, f, m,
+           CAST(r * 100 + f * 10 + m AS INT) AS segment
+    FROM sc
     """
 
     # dyadic EWMA as an exact FIR filter (power-of-two long weights)

@@ -821,3 +821,49 @@ def ewma_smooth(
                     F.round((F.col("_num") / F.col("_den"))
                             / F.lit(float(unit)), ndigits)
                     .alias("ewma")))
+
+
+def rfm_segments(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+    unit: int = 100,
+) -> DataFrame:
+    """RFM customer segmentation: per key, recency (seconds since its
+    last event, measured from the corpus max), frequency (event
+    count), monetary (exact integer-unit sum), each scored 1..n_tiles
+    by ntile with best = n_tiles, plus the composite segment code
+    (r·100 + f·10 + m). Returns
+    (key, recency_s, n_tx, monetary, r, f, m, segment).
+
+    Ordering ties break on `key`, so tiles are engine-deterministic.
+    The ntiles run over the per-key aggregate (|keys| rows, one
+    partition) — at 10^9 keys swap in link.global_rank and derive
+    tiles from rank*n/cnt; the aggregate itself is one map-side
+    combined pass.
+    """
+    g = events.agg(F.max(_epoch_s(ts_col)).alias("_gm"))
+    per = (events
+           .groupBy(key)
+           .agg(F.max(_epoch_s(ts_col)).alias("_last"),
+                F.count(F.lit(1)).alias("n_tx"),
+                F.sum(F.round(F.col(value_col) * unit).cast("long"))
+                .alias("_mc"))
+           .crossJoin(F.broadcast(g))
+           .withColumn("recency_s", F.col("_gm") - F.col("_last")))
+    # best-last ordering: the highest tile is the best score
+    r_w = Window.orderBy(F.col("recency_s").desc(), key)
+    f_w = Window.orderBy(F.col("n_tx").asc(), key)
+    m_w = Window.orderBy(F.col("_mc").asc(), key)
+    out = (per
+           .withColumn("r", F.ntile(n_tiles).over(r_w))
+           .withColumn("f", F.ntile(n_tiles).over(f_w))
+           .withColumn("m", F.ntile(n_tiles).over(m_w)))
+    return out.select(
+        key, "recency_s", "n_tx",
+        F.round(F.col("_mc") / F.lit(float(unit)), 2).alias("monetary"),
+        "r", "f", "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int").alias("segment"))

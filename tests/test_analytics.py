@@ -189,3 +189,22 @@ def test_ewma_partial_window_normalizes(spark):
     ev = _events(spark, [(1, 1, "x", _ts(1, 0, 0), 10.0)])
     got = ewma_smooth(ev, window=4).collect()[0]
     assert got["ewma"] == 10.0  # single sample: its own value exactly
+
+
+def test_rfm_scores_best_customer_highest(spark):
+    from mms_rdf_spark.operators.analytics import rfm_segments
+    rows = (
+        # user 1: recent, frequent, big spender
+        [(i, 1, "x", _ts(10, 0, i), 100.0) for i in range(5)]
+        # user 2: old, single, small
+        + [(50, 2, "x", _ts(1), 1.0)]
+        # user 3: middling
+        + [(60, 3, "x", _ts(5), 10.0), (61, 3, "x", _ts(6), 10.0)]
+    )
+    ev = _events(spark, rows)
+    got = {r["user_id"]: r for r in rfm_segments(ev, n_tiles=3).collect()}
+    assert got[1]["segment"] == 333
+    assert got[2]["segment"] == 111
+    assert got[3]["segment"] == 222
+    assert got[1]["monetary"] == 500.0
+    assert got[2]["recency_s"] > got[3]["recency_s"] > got[1]["recency_s"]
