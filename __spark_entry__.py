@@ -890,6 +890,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def kg_modularity(spark, sf):
+        # quality score of the LPA partition over the same graph
+        from mms_rdf_spark.operators.pagerank import (
+            label_propagation,
+            modularity,
+        )
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
+        return modularity(e, label_propagation(e, iters=3))
+
     def kg_clustering(spark, sf):
         # triangle-bearing graph: c->n, n->r, plus closing c->r edges
         from mms_rdf_spark.operators.pagerank import (
@@ -1194,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "kg_modularity": kg_modularity,
         "events_rfm": events_rfm,
         "events_ewma": events_ewma,
         "kg_clustering": kg_clustering,
@@ -1663,6 +1682,35 @@ def oracle_sql() -> dict[str, str]:
         FROM nodes n LEFT JOIN b{i} b ON n.node = b.node
     )"""
     q["kg_labelprop"] = lp + "\n    SELECT node, label FROM l3"
+
+    # modularity of the same LPA partition: exact m/m_c/d_c longs,
+    # per-community nano-unit terms, one fold
+    q["kg_modularity"] = lp + """, und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM sym
+    ), mm AS (SELECT count(*) AS m FROM und
+    ), intra AS (
+        SELECT la.label AS lbl, count(*) AS mc
+        FROM und
+        JOIN l3 la ON und.a = la.node
+        JOIN l3 lb ON und.b = lb.node
+        WHERE la.label = lb.label GROUP BY la.label
+    ), degs AS (
+        SELECT src AS node, count(*) AS d FROM sym GROUP BY src
+    ), degc AS (
+        SELECT l.label AS lbl, CAST(sum(d.d) AS BIGINT) AS dc
+        FROM degs d JOIN l3 l ON d.node = l.node GROUP BY l.label
+    ), terms AS (
+        SELECT CAST(round((coalesce(mc, 0) / m
+                           - (dc / (2.0 * m)) * (dc / (2.0 * m)))
+                          * 1000000000) AS BIGINT) AS mu
+        FROM degc LEFT JOIN intra ON degc.lbl = intra.lbl
+        CROSS JOIN mm
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           round(CAST(sum(mu) AS BIGINT) / 1000000000.0, 6)
+               AS modularity
+    FROM terms"""
 
     # bounded k-core peel, 3 unrolled rounds over the part-supplier
     # bipartite graph (k = 30)

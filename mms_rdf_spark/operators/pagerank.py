@@ -556,3 +556,54 @@ def weighted_sssp(
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint())
     return dist
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Newman modularity of a node partition over the undirected
+    graph: Q = Σ_c [m_c/m − (d_c/2m)²] — the standard quality score
+    for label_propagation's output (compare partitions, stop
+    iterating when Q plateaus). Returns one row
+    (n_communities, modularity).
+
+    m, m_c (intra-community edges) and d_c (community degree sums)
+    are exact longs; each community's term is one float expression
+    rounded to integer nano-units before the final sum (micro-unit
+    rule — a float Σ over communities would be order-dependent).
+    Plan: canonical edge set + two label joins + a per-label
+    aggregate; the final fold is over |communities| rows.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (e.union(e.select(F.col("b"), F.col("a")))
+           .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    und = sym.where(F.col("a") < F.col("b"))
+    mm = und.agg(F.count(F.lit(1)).alias("m"))
+    lab = labels.select(F.col(node_col).alias("_n"),
+                        F.col(label_col).alias("_l"))
+    intra = (und
+             .join(lab.withColumnRenamed("_n", "a")
+                   .withColumnRenamed("_l", "_la"), on="a")
+             .join(lab.withColumnRenamed("_n", "b")
+                   .withColumnRenamed("_l", "_lb"), on="b")
+             .where(F.col("_la") == F.col("_lb"))
+             .groupBy(F.col("_la").alias("_l"))
+             .agg(F.count(F.lit(1)).alias("mc")))
+    degc = (sym.groupBy(F.col("a").alias("_n"))
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .join(lab, on="_n")
+            .groupBy("_l").agg(F.sum("_d").alias("dc")))
+    half = F.col("dc") / (F.lit(2.0) * F.col("m"))
+    term = F.coalesce(F.col("mc"), F.lit(0)) / F.col("m") - half * half
+    terms = (degc.join(intra, on="_l", how="left")
+             .crossJoin(F.broadcast(mm))
+             .select(F.round(term * 1e9).cast("long").alias("_mu")))
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.round(F.sum("_mu") / 1e9, ndigits).alias("modularity"))

@@ -163,3 +163,22 @@ def test_clustering_triangle_free_is_zero(spark):
     got = {r["node"]: r["coeff"]
            for r in clustering_coefficient(e).collect()}
     assert got == {"b": 0.0, "c": 0.0}
+
+
+def test_modularity_two_cliques_vs_random(spark):
+    from mms_rdf_spark.operators.pagerank import modularity
+    # two triangles joined by one bridge: the natural 2-community
+    # partition scores high; the everything-in-one partition scores 0
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("x", "y"), ("y", "z"), ("x", "z"),
+                       ("c", "x")])
+    good = spark.createDataFrame(
+        [(n, "L" if n in "abc" else "R") for n in "abcxyz"],
+        "node string, label string")
+    one = spark.createDataFrame(
+        [(n, "ALL") for n in "abcxyz"], "node string, label string")
+    q_good = modularity(e, good).collect()[0]
+    q_one = modularity(e, one).collect()[0]
+    assert q_good["n_communities"] == 2
+    assert q_good["modularity"] > 0.3
+    assert q_one["modularity"] == 0.0  # m_c/m = 1, (d_c/2m)^2 = 1
