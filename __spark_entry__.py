@@ -890,6 +890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def events_attribution(spark, sf):
+        from mms_rdf_spark.operators.analytics import touch_attribution
+        return touch_attribution(
+            spark.read.parquet(f"{sf}/events.parquet"))
+
     def kg_modularity(spark, sf):
         # quality score of the LPA partition over the same graph
         from mms_rdf_spark.operators.pagerank import (
@@ -1212,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_attribution": events_attribution,
         "kg_modularity": kg_modularity,
         "events_rfm": events_rfm,
         "events_ewma": events_ewma,
@@ -2413,6 +2419,34 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    q["events_attribution"] = """
+    WITH d AS (
+        SELECT user_id, event_type,
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS ft,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS lt
+        FROM events
+    ), l AS (
+        SELECT 'first' AS model, coalesce(ft, '(none)') AS channel
+        FROM d WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'last', coalesce(lt, '(none)')
+        FROM d WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT model, channel, count(*) AS n FROM l GROUP BY 1, 2
+    )
+    SELECT model, channel, n,
+           round(n / sum(n) OVER (PARTITION BY model), 6) AS share
+    FROM c
     """
 
     q["events_rfm"] = """

@@ -867,3 +867,48 @@ def rfm_segments(
         "r", "f", "m",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
         .cast("int").alias("segment"))
+
+
+def touch_attribution(
+    events: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    conversion: str = "purchase",
+    ndigits: int = 6,
+) -> DataFrame:
+    """First/last-touch conversion attribution: every `conversion`
+    event is credited to (a) the earliest non-conversion event in the
+    key's history ("first" model) and (b) the most recent
+    non-conversion event before it ("last" model). Returns
+    (model, channel, n, share); conversions with no preceding touch
+    fall into channel '(none)'.
+
+    One exchange on `key` serves both window passes (ignore-nulls
+    first/last over the ordered frame); the aggregate is over
+    |models|x|channels| rows, with the share normalized per model via
+    a window over that tiny frame.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    touch = F.when(F.col(type_col) != conversion, F.col(type_col))
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    d = (events
+         .select(key, type_col, ts_col, tiebreak_col)
+         .withColumn("_first", F.first(touch, ignorenulls=True)
+                     .over(prev))
+         .withColumn("_last", F.last(touch, ignorenulls=True)
+                     .over(prev))
+         .where(F.col(type_col) == conversion))
+    long = (d.select(F.lit("first").alias("model"),
+                     F.coalesce(F.col("_first"), F.lit("(none)"))
+                     .alias("channel"))
+            .unionByName(
+                d.select(F.lit("last").alias("model"),
+                         F.coalesce(F.col("_last"), F.lit("(none)"))
+                         .alias("channel"))))
+    counts = long.groupBy("model", "channel") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("model")
+    return counts.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(wm), ndigits))

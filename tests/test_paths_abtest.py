@@ -76,3 +76,31 @@ def test_period_over_period_change(spark):
                  for r in period_over_period(ev, "event_type").collect())
     assert got[0][1:] == (4, None, None)
     assert got[1][1:] == (6, 4, 0.5)
+
+
+def test_touch_attribution_models(spark):
+    from mms_rdf_spark.operators.analytics import touch_attribution
+    ev = _ev(spark, [
+        (1, 1, "view", _ts(1, 0), 0.0),
+        (2, 1, "click", _ts(1, 1), 0.0),
+        (3, 1, "purchase", _ts(1, 2), 0.0),   # first=view, last=click
+        (4, 1, "purchase", _ts(1, 3), 0.0),   # first=view, last=click
+        (5, 2, "purchase", _ts(1, 0), 0.0),   # no touch -> (none)
+    ])
+    got = {(r["model"], r["channel"]): (r["n"], r["share"])
+           for r in touch_attribution(ev).collect()}
+    assert got[("first", "view")] == (2, round(2 / 3, 6))
+    assert got[("last", "click")] == (2, round(2 / 3, 6))
+    assert got[("first", "(none)")] == (1, round(1 / 3, 6))
+    assert got[("last", "(none)")][0] == 1
+
+
+def test_touch_attribution_touch_after_conversion_ignored(spark):
+    from mms_rdf_spark.operators.analytics import touch_attribution
+    ev = _ev(spark, [
+        (1, 1, "purchase", _ts(1, 0), 0.0),
+        (2, 1, "click", _ts(1, 1), 0.0),
+    ])
+    got = {(r["model"], r["channel"])
+           for r in touch_attribution(ev).collect()}
+    assert got == {("first", "(none)"), ("last", "(none)")}
