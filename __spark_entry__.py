@@ -890,6 +890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def events_growth(spark, sf):
+        from mms_rdf_spark.operators.analytics import cumulative_uniques
+        return cumulative_uniques(
+            spark.read.parquet(f"{sf}/events.parquet"))
+
     def events_attribution(spark, sf):
         from mms_rdf_spark.operators.analytics import touch_attribution
         return touch_attribution(
@@ -1217,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_growth": events_growth,
         "events_attribution": events_attribution,
         "kg_modularity": kg_modularity,
         "events_rfm": events_rfm,
@@ -2419,6 +2425,30 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    q["events_growth"] = """
+    WITH dk AS (
+        SELECT DISTINCT
+               CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)
+                   AS day_s,
+               user_id
+        FROM events
+    ), dau AS (
+        SELECT day_s, count(*) AS dau FROM dk GROUP BY day_s
+    ), fst AS (
+        SELECT day_s, count(*) AS new_keys FROM (
+            SELECT user_id, min(day_s) AS day_s FROM dk
+            GROUP BY user_id)
+        GROUP BY day_s
+    )
+    SELECT d.day_s, d.dau,
+           CAST(coalesce(f.new_keys, 0) AS BIGINT) AS new_keys,
+           CAST(sum(coalesce(f.new_keys, 0))
+                OVER (ORDER BY d.day_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_keys
+    FROM dau d LEFT JOIN fst f ON d.day_s = f.day_s
     """
 
     q["events_attribution"] = """

@@ -912,3 +912,34 @@ def touch_attribution(
     wm = Window.partitionBy("model")
     return counts.withColumn(
         "share", F.round(F.col("n") / F.sum("n").over(wm), ndigits))
+
+
+def cumulative_uniques(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Growth accounting per UTC day: daily active keys (dau), keys
+    seen for the first time (new_keys), and the cumulative distinct
+    count (cum_keys — computed as the running sum of new_keys, which
+    turns the classic "cumulative COUNT DISTINCT" — unwindowable
+    without holding every id — into one tiny cumsum over days).
+    Returns (day_s, dau, new_keys, cum_keys).
+
+    Two map-side-combined aggregates: distinct (day, key) for dau and
+    min-day per key for new_keys; the cumsum runs over |days| rows.
+    Days with activity but no new keys report new_keys = 0; cum_keys
+    carries forward.
+    """
+    day = (F.floor(_epoch_s(ts_col) / 86400) * 86400).cast("long")
+    dk = events.select(day.alias("day_s"), F.col(key).alias("_k")) \
+        .distinct()
+    dau = dk.groupBy("day_s").agg(F.count(F.lit(1)).alias("dau"))
+    first = (dk.groupBy("_k").agg(F.min("day_s").alias("day_s"))
+             .groupBy("day_s").agg(F.count(F.lit(1)).alias("new_keys")))
+    w = (Window.orderBy("day_s")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (dau.join(first, on="day_s", how="left")
+            .na.fill(0, ["new_keys"])
+            .withColumn("cum_keys", F.sum("new_keys").over(w))
+            .select("day_s", "dau", "new_keys", "cum_keys"))

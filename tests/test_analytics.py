@@ -208,3 +208,18 @@ def test_rfm_scores_best_customer_highest(spark):
     assert got[3]["segment"] == 222
     assert got[1]["monetary"] == 500.0
     assert got[2]["recency_s"] > got[3]["recency_s"] > got[1]["recency_s"]
+
+
+def test_cumulative_uniques_growth_accounting(spark):
+    from mms_rdf_spark.operators.analytics import cumulative_uniques
+    ev = _events(spark, [
+        (1, 1, "x", _ts(1), 0.0), (2, 2, "x", _ts(1), 0.0),
+        (3, 1, "x", _ts(2), 0.0),                      # day2: no new
+        (4, 3, "x", _ts(3), 0.0), (5, 1, "x", _ts(3), 0.0),
+    ])
+    got = {r["day_s"]: (r["dau"], r["new_keys"], r["cum_keys"])
+           for r in cumulative_uniques(ev).collect()}
+    d1 = 1704067200
+    assert got[d1] == (2, 2, 2)
+    assert got[d1 + 86400] == (1, 0, 2)
+    assert got[d1 + 2 * 86400] == (2, 1, 3)
