@@ -890,6 +890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def sim_pool_mean(spark, sf):
+        from mms_rdf_spark.operators.similarity import mean_pool
+        return mean_pool(
+            spark.read.parquet(f"{sf}/embeddings.parquet"))
+
     def events_growth(spark, sf):
         from mms_rdf_spark.operators.analytics import cumulative_uniques
         return cumulative_uniques(
@@ -1222,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "sim_pool_mean": sim_pool_mean,
         "events_growth": events_growth,
         "events_attribution": events_attribution,
         "kg_modularity": kg_modularity,
@@ -2425,6 +2431,21 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    q["sim_pool_mean"] = """
+    WITH d AS (
+        SELECT label,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+                   AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim, count(*) AS n,
+           round(CAST(sum(CAST(round(v * 1000000.0) AS BIGINT))
+                      AS BIGINT)
+                 / (count(*) * 1000000.0), 6) AS mean
+    FROM d GROUP BY label, dim
     """
 
     q["events_growth"] = """

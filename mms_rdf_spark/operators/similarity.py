@@ -781,3 +781,35 @@ def standardize_embeddings(embeddings: DataFrame) -> DataFrame:
                      .otherwise(F.round((F.col("v") - F.col("mu"))
                                         / F.col("sigma"), 4))
                      + F.lit(0.0)).alias("z")))
+
+
+def mean_pool(
+    embs: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    unit: float = 1e6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group mean pooling of embedding vectors (class centroids,
+    conversation-level embeddings from turn vectors) as per-dimension
+    ROWS (group, dim, n, mean) — the assembly back into arrays is a
+    sort_array fold the caller applies when needed; rows keep the
+    contract nested-type-free.
+
+    Exactness: components quantize to integer micro-units before the
+    sum (float32 inputs convert to double identically everywhere, and
+    the quantized sum has no accumulation order), one division at the
+    end — the same trick ivf_train uses for its k-means means. Plan:
+    posexplode -> (group, dim) map-side-combined aggregate; dims
+    multiply the row count, not the shuffle key space skew.
+    """
+    ex = embs.select(F.col(group_col).alias("grp"),
+                     F.posexplode(F.col(vec_col)))
+    q = F.round(F.col("col").cast("double") * F.lit(unit)).cast("long")
+    return (ex.select("grp", F.col("pos").alias("dim"), q.alias("_q"))
+            .groupBy("grp", "dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_q").alias("_s"))
+            .select(F.col("grp").alias(group_col), "dim", "n",
+                    F.round(F.col("_s") / (F.col("n") * F.lit(unit)),
+                            ndigits).alias("mean")))

@@ -266,3 +266,17 @@ def test_standardize_zero_mean_unit_std_per_dim(spark):
     for r in stats:
         assert abs(r["m"]) < 1e-3          # centered
         assert abs(r["s"] - 1.0) < 1e-2    # unit variance (round-4 z)
+
+
+def test_mean_pool_exact_centroids(spark):
+    from mms_rdf_spark.operators.similarity import mean_pool
+    embs = spark.createDataFrame(
+        [(1, [1.0, 2.0], "a"), (2, [3.0, 4.0], "a"),
+         (3, [10.0, 20.0], "b")],
+        "vec_id long, embedding array<float>, label string")
+    got = {(r["label"], r["dim"]): (r["n"], r["mean"])
+           for r in mean_pool(embs).collect()}
+    assert got[("a", 0)] == (2, 2.0)
+    assert got[("a", 1)] == (2, 3.0)
+    assert got[("b", 0)] == (1, 10.0)
+    assert got[("b", 1)] == (1, 20.0)
