@@ -890,6 +890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def kg_turn_latency(spark, sf):
+        from mms_rdf_spark.kgdemo import transcripts_from_events
+        from mms_rdf_spark.operators.sessionize import turn_latency
+        return turn_latency(transcripts_from_events(spark, sf))
+
     def sim_pool_mean(spark, sf):
         from mms_rdf_spark.operators.similarity import mean_pool
         return mean_pool(
@@ -1227,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "kg_turn_latency": kg_turn_latency,
         "sim_pool_mean": sim_pool_mean,
         "events_growth": events_growth,
         "events_attribution": events_attribution,
@@ -2431,6 +2437,23 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    q["kg_turn_latency"] = _T + """
+    , p AS (
+        SELECT conv_id, role,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               lead(role) OVER w AS nrole,
+               lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS ns
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT conv_id, count(*) AS n_pairs,
+           round(CAST(sum(ns - s) AS BIGINT) / count(*), 4)
+               AS avg_latency_s,
+           CAST(max(ns - s) AS BIGINT) AS max_latency_s
+    FROM p WHERE role = 'user' AND nrole = 'assistant'
+    GROUP BY conv_id
     """
 
     q["sim_pool_mean"] = """

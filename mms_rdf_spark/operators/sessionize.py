@@ -46,3 +46,41 @@ def sessionize(turns: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return out.withColumn(
         "session_id",
         F.concat_ws("#", F.col("conv_id"), F.col("session_idx").cast("string")))
+
+
+def turn_latency(
+    transcripts: DataFrame,
+    from_role: str = "user",
+    to_role: str = "assistant",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Dialogue responsiveness per conversation: for every
+    `from_role` turn immediately followed by a `to_role` turn, the
+    response gap in whole seconds; aggregated to
+    (conv_id, n_pairs, avg_latency_s, max_latency_s).
+
+    Gaps are exact integer seconds so the average is one division
+    (the moment-sum rule); one exchange on conv_id shared by the lead
+    window and the aggregate. This is the transcript-native SLA signal
+    operators like sessionize feed on — same input contract as the
+    extractor (conv_id, turn_idx, role, ts).
+    """
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.temporal import _epoch_s
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (transcripts
+             .select("conv_id", "turn_idx", "role",
+                     _epoch_s("ts").alias("_s"))
+             .withColumn("_nrole", F.lead("role").over(w))
+             .withColumn("_ns", F.lead("_s").over(w))
+             .where((F.col("role") == from_role)
+                    & (F.col("_nrole") == to_role))
+             .select("conv_id", (F.col("_ns") - F.col("_s"))
+                     .alias("_gap")))
+    return (pairs.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.sum("_gap") / F.count(F.lit(1)), ndigits)
+                 .alias("avg_latency_s"),
+                 F.max("_gap").alias("max_latency_s")))

@@ -223,3 +223,24 @@ def test_cumulative_uniques_growth_accounting(spark):
     assert got[d1] == (2, 2, 2)
     assert got[d1 + 86400] == (1, 0, 2)
     assert got[d1 + 2 * 86400] == (2, 1, 3)
+
+
+def test_turn_latency_pairs_and_exact_avg(spark):
+    import datetime as dtm
+
+    from mms_rdf_spark.operators.sessionize import turn_latency
+    rows = [
+        ("c1", 0, "user", dtm.datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", dtm.datetime(2024, 1, 1, 0, 0, 10)),
+        ("c1", 2, "user", dtm.datetime(2024, 1, 1, 0, 0, 20)),
+        ("c1", 3, "user", dtm.datetime(2024, 1, 1, 0, 0, 30)),  # no pair
+        ("c1", 4, "assistant", dtm.datetime(2024, 1, 1, 0, 1, 0)),
+        ("c2", 0, "assistant", dtm.datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    got = {r["conv_id"]: (r["n_pairs"], r["avg_latency_s"],
+                          r["max_latency_s"])
+           for r in turn_latency(df).collect()}
+    # pairs: (0->1)=10s, (3->4)=30s; turn 2 followed by user: excluded
+    assert got == {"c1": (2, 20.0, 30)}
