@@ -890,6 +890,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def sim_mmr(spark, sf):
+        from mms_rdf_spark.operators.similarity import mmr_select
+        return mmr_select(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            query_id=0, n_candidates=20, k=5, lam=0.7)
+
     def kg_turn_latency(spark, sf):
         from mms_rdf_spark.kgdemo import transcripts_from_events
         from mms_rdf_spark.operators.sessionize import turn_latency
@@ -1232,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "sim_mmr": sim_mmr,
         "kg_turn_latency": kg_turn_latency,
         "sim_pool_mean": sim_pool_mean,
         "events_growth": events_growth,
@@ -2438,6 +2445,41 @@ def oracle_sql() -> dict[str, str]:
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
     """
+
+    # MMR rerank, 5 unrolled greedy rounds; (1.0 - 0.7) stays an
+    # engine-side expression (constant-folding discipline)
+    mmr = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    qv AS (SELECT emb AS q FROM e WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id, emb,
+               round(list_cosine_similarity(emb, q), 6) AS rel
+        FROM e, qv WHERE vec_id <> 0
+        ORDER BY rel DESC, vec_id LIMIT 20
+    ), s1 AS (
+        SELECT vec_id, rel, round(0.7 * rel, 6) AS score,
+               CAST(1 AS INT) AS rank
+        FROM cand ORDER BY score DESC, vec_id LIMIT 1
+    ), sel1 AS (SELECT * FROM s1)"""
+    for i in range(2, 6):
+        mmr += f""", p{i} AS (
+        SELECT c.vec_id, c.rel,
+               max(round(list_cosine_similarity(c.emb, s.emb), 6))
+                   AS pen
+        FROM cand c JOIN cand s
+            ON s.vec_id IN (SELECT vec_id FROM sel{i - 1})
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        GROUP BY c.vec_id, c.rel
+    ), s{i} AS (
+        SELECT vec_id, rel,
+               round(0.7 * rel - (1.0 - 0.7) * pen, 6) AS score,
+               CAST({i} AS INT) AS rank
+        FROM p{i} ORDER BY score DESC, vec_id LIMIT 1
+    ), sel{i} AS (
+        SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i}
+    )"""
+    q["sim_mmr"] = mmr + "\n    SELECT rank, vec_id, rel, score FROM sel5"
 
     q["kg_turn_latency"] = _T + """
     , p AS (

@@ -813,3 +813,68 @@ def mean_pool(
             .select(F.col("grp").alias(group_col), "dim", "n",
                     F.round(F.col("_s") / (F.col("n") * F.lit(unit)),
                             ndigits).alias("mean")))
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick the
+    candidate maximizing λ·rel − (1−λ)·max_sim_to_selected — the
+    standard retrieval reranker that stops near-duplicate results from
+    crowding the top-k. Returns (rank, vec_id, rel, score).
+
+    Architecture: DISTRIBUTED first-stage retrieval (broadcast query
+    crossJoin, same shape as cosine_topk) narrows to `n_candidates`;
+    the k greedy rounds then run as tiny DataFrame jobs (argmax =
+    TakeOrdered(1); penalty = candidates x selected crossJoin, at most
+    n_candidates·k rows) — never a driver loop over DATA, only over
+    the k picks. Determinism: rel and pairwise sims round to 6dp
+    before any comparison and the argmax tiebreaks on id, so an
+    unrolled SQL oracle agrees rank-for-rank.
+    """
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb"))
+    qv = e.where(F.col("vec_id") == query_id) \
+        .select(F.col("emb").alias("q_emb"))
+    cand = (e.crossJoin(F.broadcast(qv))
+            .where(F.col("vec_id") != query_id)
+            .select("vec_id", "emb",
+                    F.round(_dot(F.col("emb"), F.col("q_emb"))
+                            / (_norm(F.col("emb"))
+                               * _norm(F.col("q_emb"))), 6)
+                    .alias("rel"))
+            .orderBy(F.col("rel").desc(), "vec_id")
+            .limit(n_candidates)).localCheckpoint()
+    lam_c, inv_c = F.lit(lam), F.lit(1.0) - F.lit(lam)
+    first = (cand.select("vec_id", "rel",
+                         F.round(lam_c * F.col("rel"), 6)
+                         .alias("score"),
+                         F.lit(1).alias("rank"))
+             .orderBy(F.col("score").desc(), "vec_id").limit(1))
+    selected = first.localCheckpoint()
+    for step in range(2, k + 1):
+        sel_vecs = (cand.join(selected.select("vec_id"), on="vec_id")
+                    .select(F.col("vec_id").alias("_sid"),
+                            F.col("emb").alias("_semb")))
+        remaining = cand.join(selected.select("vec_id"), on="vec_id",
+                              how="left_anti")
+        pen = (remaining.crossJoin(F.broadcast(sel_vecs))
+               .select("vec_id",
+                       F.round(_dot(F.col("emb"), F.col("_semb"))
+                               / (_norm(F.col("emb"))
+                                  * _norm(F.col("_semb"))), 6)
+                       .alias("_sim"))
+               .groupBy("vec_id").agg(F.max("_sim").alias("_pen")))
+        pick = (remaining.join(pen, on="vec_id")
+                .select("vec_id", "rel",
+                        F.round(lam_c * F.col("rel")
+                                - inv_c * F.col("_pen"), 6)
+                        .alias("score"),
+                        F.lit(step).alias("rank"))
+                .orderBy(F.col("score").desc(), "vec_id").limit(1))
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select("rank", "vec_id", "rel", "score")

@@ -280,3 +280,33 @@ def test_mean_pool_exact_centroids(spark):
     assert got[("a", 1)] == (2, 3.0)
     assert got[("b", 0)] == (1, 10.0)
     assert got[("b", 1)] == (1, 20.0)
+
+
+def test_mmr_diversifies_near_duplicates(spark):
+    from mms_rdf_spark.operators.similarity import mmr_select
+    # query [1,0]; two near-identical highly relevant vectors and one
+    # diverse vector. With a diversity-heavy lambda the near-dup twin
+    # (sim ~0.9996 to the first pick) must lose to the diverse one:
+    # score2 = .3*.985 - .7*.9996 = -.404 < score3 = .3*.498 - .7*.615
+    rows = [(0, [1.0, 0.0]),
+            (1, [0.99, 0.14]),   # rel ~0.99
+            (2, [0.98, 0.17]),   # near-dup of 1
+            (3, [0.5, 0.87])]    # diverse, rel ~0.5
+    embs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    got = [r["vec_id"] for r in
+           mmr_select(embs, query_id=0, n_candidates=3, k=2,
+                      lam=0.3).orderBy("rank").collect()]
+    assert got == [1, 3]
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from mms_rdf_spark.operators.similarity import mmr_select
+    rows = [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.98, 0.17]),
+            (3, [0.5, 0.87])]
+    embs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    got = [r["vec_id"] for r in
+           mmr_select(embs, query_id=0, n_candidates=3, k=3,
+                      lam=1.0).orderBy("rank").collect()]
+    assert got == [1, 2, 3]  # relevance order, no diversity penalty
