@@ -890,6 +890,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def events_xcorr(spark, sf):
+        # does click volume lead purchase volume, and by how long?
+        from mms_rdf_spark.operators.analytics import lagged_crosscorr
+        return lagged_crosscorr(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            "click", "purchase", max_lag=6)
+
     def sim_mmr(spark, sf):
         from mms_rdf_spark.operators.similarity import mmr_select
         return mmr_select(
@@ -1238,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_xcorr": events_xcorr,
         "sim_mmr": sim_mmr,
         "kg_turn_latency": kg_turn_latency,
         "sim_pool_mean": sim_pool_mean,
@@ -2444,6 +2452,50 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # lagged cross-correlation on densified hourly count series
+    q["events_xcorr"] = """
+    WITH d AS (
+        SELECT event_type AS ty,
+               CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t
+        FROM events
+    ), b AS (SELECT min(t) AS lo, max(t) AS hi FROM d
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi, 3600)) AS t FROM b
+    ), sa AS (
+        SELECT t, count(*) AS c FROM d WHERE ty = 'click' GROUP BY t
+    ), sb AS (
+        SELECT t, count(*) AS c FROM d WHERE ty = 'purchase'
+        GROUP BY t
+    ), lags AS (SELECT unnest(generate_series(0, 6)) AS lag
+    ), j AS (
+        SELECT l.lag,
+               CAST(coalesce(sa.c, 0) AS BIGINT) AS x,
+               CAST(coalesce(sb.c, 0) AS BIGINT) AS y
+        FROM grid g
+        CROSS JOIN lags l
+        LEFT JOIN sa ON g.t = sa.t
+        LEFT JOIN sb ON sb.t = g.t + l.lag * 3600
+        CROSS JOIN b
+        WHERE g.t + l.lag * 3600 <= b.hi
+    ), s AS (
+        SELECT lag, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM j GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0
+                        * (n * syy - sy * sy)), 6) AS r
+    FROM s
+    WHERE sqrt((n * sxx - sx * sx) * 1.0
+               * (n * syy - sy * sy)) > 0
     """
 
     # MMR rerank, 5 unrolled greedy rounds; (1.0 - 0.7) stays an

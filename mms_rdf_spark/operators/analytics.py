@@ -943,3 +943,72 @@ def cumulative_uniques(
             .na.fill(0, ["new_keys"])
             .withColumn("cum_keys", F.sum("new_keys").over(w))
             .select("day_s", "dau", "new_keys", "cum_keys"))
+
+
+def lagged_crosscorr(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    max_lag: int = 6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Lagged cross-correlation between two event-type time series:
+    Pearson r between count(type_a at t) and count(type_b at t+lag)
+    for lag 0..max_lag buckets — "do clicks lead purchases, and by how
+    long?". Returns (lag, n, r); degenerate lags (constant series)
+    are dropped.
+
+    The bucket grid densifies from a broadcast 1-row min/max (missing
+    buckets count 0 — skipping them would bias r), lag alignment is an
+    equi-join on (bucket + lag·step), and each lag's five moment sums
+    are exact longs folded in one aggregate — no per-lag rescan of the
+    fact table, only of the tiny per-bucket series. Variance-product
+    promoted to double between exact factors (assortativity guard).
+    """
+    step = F.lit(bucket_seconds)
+    bucket = (F.floor(_epoch_s(ts_col) / bucket_seconds)
+              * bucket_seconds).cast("long")
+    d = events.select(F.col(type_col).alias("_ty"),
+                      bucket.alias("_t"))
+    bounds = d.agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+    grid = (bounds.select(F.explode(
+        F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("_t")))
+
+    def _series(ty):
+        return (d.where(F.col("_ty") == ty)
+                .groupBy("_t").agg(F.count(F.lit(1)).alias("_c")))
+    a = _series(type_a)
+    b = _series(type_b)
+    lags = grid.crossJoin(
+        F.broadcast(events.sparkSession.range(max_lag + 1)
+                    .select(F.col("id").alias("lag"))))
+    joined = (lags
+              .join(a, on="_t", how="left")
+              .withColumnRenamed("_c", "_x")
+              .withColumn("_tb",
+                          F.col("_t") + F.col("lag") * step)
+              .join(b.withColumnRenamed("_t", "_tb"), on="_tb",
+                    how="left")
+              .withColumnRenamed("_c", "_y")
+              .join(F.broadcast(bounds), how="cross")
+              .where(F.col("_tb") <= F.col("_hi"))
+              .select("lag",
+                      F.coalesce(F.col("_x"), F.lit(0)).alias("x"),
+                      F.coalesce(F.col("_y"), F.lit(0)).alias("y")))
+    s = (joined.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    den = F.sqrt((F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")) * F.lit(1.0)
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (s.where(den > 0)
+            .select(F.col("lag").cast("int").alias("lag"), "n",
+                    F.round(num / den, ndigits).alias("r")))

@@ -244,3 +244,20 @@ def test_turn_latency_pairs_and_exact_avg(spark):
            for r in turn_latency(df).collect()}
     # pairs: (0->1)=10s, (3->4)=30s; turn 2 followed by user: excluded
     assert got == {"c1": (2, 20.0, 30)}
+
+
+def test_lagged_crosscorr_finds_shift(spark):
+    from mms_rdf_spark.operators.analytics import lagged_crosscorr
+    # b is exactly a shifted one hour later: r peaks at lag 1
+    rows = []
+    eid = 0
+    for h, cnt in enumerate([5, 1, 4, 2, 6, 1, 3, 2]):
+        for _ in range(cnt):
+            rows.append((eid, 1, "a", _ts(1, h), 0.0)); eid += 1
+            rows.append((eid, 1, "b", _ts(1, h + 1), 0.0)); eid += 1
+    ev = _events(spark, rows)
+    got = {r["lag"]: r["r"]
+           for r in lagged_crosscorr(ev, "a", "b",
+                                     max_lag=3).collect()}
+    assert got[1] == 1.0
+    assert all(got[lag] < 1.0 for lag in got if lag != 1)
