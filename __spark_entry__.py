@@ -890,6 +890,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def events_burst(spark, sf):
+        from mms_rdf_spark.operators.analytics import burst_detection
+        return burst_detection(
+            spark.read.parquet(f"{sf}/events.parquet"), factor=2)
+
+    def kg_reciprocity(spark, sf):
+        # reciprocity of the event-type transition graph (edges =
+        # observed lead() bigrams)
+        from mms_rdf_spark.operators.analytics import transition_probs
+        from mms_rdf_spark.operators.pagerank import reciprocity
+        tr = transition_probs(
+            spark.read.parquet(f"{sf}/events.parquet"))
+        return reciprocity(tr.select("src", "dst"))
+
     def events_xcorr(spark, sf):
         # does click volume lead purchase volume, and by how long?
         from mms_rdf_spark.operators.analytics import lagged_crosscorr
@@ -1245,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_burst": events_burst,
+        "kg_reciprocity": kg_reciprocity,
         "events_xcorr": events_xcorr,
         "sim_mmr": sim_mmr,
         "kg_turn_latency": kg_turn_latency,
@@ -2452,6 +2468,46 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # burst detection: all-integer n*window > factor*baseline test
+    q["events_burst"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS bucket_s,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT event_type, bucket_s, n,
+               CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT)
+                   AS baseline_n,
+               CAST(count(*) OVER tw AS BIGINT) AS window_n
+        FROM c
+        WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_s
+                      RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_s, n, baseline_n, window_n
+    FROM w WHERE window_n > 0 AND n * window_n > 2 * baseline_n
+    """
+
+    q["kg_reciprocity"] = """
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), e AS (
+        SELECT DISTINCT src AS a, dst AS b FROM seq
+        WHERE dst IS NOT NULL AND src <> dst
+    ), m AS (
+        SELECT count(*) AS n_mutual FROM e
+        WHERE EXISTS (SELECT 1 FROM e r
+                      WHERE r.a = e.b AND r.b = e.a)
+    ), n AS (SELECT count(*) AS n_edges FROM e)
+    SELECT n_edges, n_mutual,
+           round(n_mutual / n_edges, 6) AS reciprocity
+    FROM n, m
     """
 
     # lagged cross-correlation on densified hourly count series

@@ -1012,3 +1012,40 @@ def lagged_crosscorr(
     return (s.where(den > 0)
             .select(F.col("lag").cast("int").alias("lag"), "n",
                     F.round(num / den, ndigits).alias("r")))
+
+
+def burst_detection(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    baseline_buckets: int = 24,
+    factor: int = 3,
+) -> DataFrame:
+    """Spike detection per group: buckets whose event count exceeds
+    `factor`x the trailing `baseline_buckets` average. Returns
+    (group, bucket_s, n, baseline_n, window_n) for flagged buckets.
+
+    ALL-INTEGER test: n·window > factor·baseline_sum (no float mean,
+    no rounding rule needed — the comparison is exact by
+    construction). The trailing window runs over the per-bucket count
+    series (RANGE frame on bucket seconds so silent gaps shorten the
+    baseline window correctly instead of stretching it). One
+    fact-table aggregate + one tiny window.
+    """
+    bucket = (F.floor(_epoch_s(ts_col) / bucket_seconds)
+              * bucket_seconds).cast("long")
+    counts = (events.groupBy(F.col(group_col).alias("grp"),
+                             bucket.alias("bucket_s"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("grp").orderBy("bucket_s")
+         .rangeBetween(-baseline_buckets * bucket_seconds, -1))
+    return (counts
+            .withColumn("baseline_n",
+                        F.coalesce(F.sum("n").over(w), F.lit(0)))
+            .withColumn("window_n", F.count(F.lit(1)).over(w))
+            .where((F.col("window_n") > 0)
+                   & (F.col("n") * F.col("window_n")
+                      > F.lit(factor) * F.col("baseline_n")))
+            .select(F.col("grp").alias(group_col), "bucket_s", "n",
+                    "baseline_n", "window_n"))

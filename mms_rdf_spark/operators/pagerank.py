@@ -607,3 +607,29 @@ def modularity(
     return terms.agg(
         F.count(F.lit(1)).alias("n_communities"),
         F.round(F.sum("_mu") / 1e9, ndigits).alias("modularity"))
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of (distinct,
+    non-loop) directed edges whose reverse edge also exists — the
+    mutual-reference signal in a KG (citations vs conversations).
+    One row (n_edges, n_mutual, reciprocity); exact counts, one
+    division. A self-semi-join on the swapped key pair — broadcast
+    when one side collapses small, plain shuffle otherwise (AQE
+    decides)."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    mutual = e.join(e.select(F.col("b").alias("a"),
+                             F.col("a").alias("b")),
+                    on=["a", "b"], how="left_semi")
+    n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    m = mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    return (n.crossJoin(m)
+            .select("n_edges", "n_mutual",
+                    F.round(F.col("n_mutual") / F.col("n_edges"),
+                            ndigits).alias("reciprocity")))

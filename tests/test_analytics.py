@@ -261,3 +261,24 @@ def test_lagged_crosscorr_finds_shift(spark):
                                      max_lag=3).collect()}
     assert got[1] == 1.0
     assert all(got[lag] < 1.0 for lag in got if lag != 1)
+
+
+def test_burst_detection_flags_spike_only(spark):
+    from mms_rdf_spark.operators.analytics import burst_detection
+    rows = []
+    eid = 0
+    for h, cnt in enumerate([2, 2, 2, 10, 2]):  # spike at hour 3
+        for _ in range(cnt):
+            rows.append((eid, 1, "a", _ts(1, h), 0.0)); eid += 1
+    ev = _events(spark, rows)
+    got = burst_detection(ev, factor=3, baseline_buckets=24).collect()
+    assert len(got) == 1
+    r = got[0]
+    # 10 * 3 windows > 3 * 6 baseline
+    assert (r["n"], r["baseline_n"], r["window_n"]) == (10, 6, 3)
+
+
+def test_burst_first_bucket_never_flagged(spark):
+    from mms_rdf_spark.operators.analytics import burst_detection
+    ev = _events(spark, [(i, 1, "a", _ts(1, 0), 0.0) for i in range(50)])
+    assert burst_detection(ev).count() == 0  # no baseline window yet

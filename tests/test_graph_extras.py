@@ -182,3 +182,13 @@ def test_modularity_two_cliques_vs_random(spark):
     assert q_good["n_communities"] == 2
     assert q_good["modularity"] > 0.3
     assert q_one["modularity"] == 0.0  # m_c/m = 1, (d_c/2m)^2 = 1
+
+
+def test_reciprocity_counts_mutual_pairs(spark):
+    from mms_rdf_spark.operators.pagerank import reciprocity
+    e = _edges(spark, [("a", "b"), ("b", "a"),   # mutual pair
+                       ("a", "c"),               # one-way
+                       ("c", "c")])              # loop: dropped
+    r = reciprocity(e).collect()[0]
+    assert (r["n_edges"], r["n_mutual"]) == (3, 2)
+    assert r["reciprocity"] == round(2 / 3, 6)
