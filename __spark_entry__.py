@@ -890,6 +890,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def events_robust_anomaly(spark, sf):
+        from mms_rdf_spark.operators.analytics import (
+            robust_zscore_outliers,
+        )
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        out = robust_zscore_outliers(ev, "event_type", "value",
+                                     "event_id", z_thresh=1.5)
+        return out.select("event_id", "event_type",
+                          F.round("value", 2).alias("value"), "rz")
+
+    def kg_katz(spark, sf):
+        from mms_rdf_spark.operators.pagerank import katz_centrality
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
+        return katz_centrality(e, alpha=0.1, iters=3)
+
     def events_burst(spark, sf):
         from mms_rdf_spark.operators.analytics import burst_detection
         return burst_detection(
@@ -1259,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_robust_anomaly": events_robust_anomaly,
+        "kg_katz": kg_katz,
         "events_burst": events_burst,
         "kg_reciprocity": kg_reciprocity,
         "events_xcorr": events_xcorr,
@@ -2469,6 +2495,48 @@ def oracle_sql() -> dict[str, str]:
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
     """
+
+    # median/MAD robust z (quantile_cont parity, 0.6745 engine-side)
+    q["events_robust_anomaly"] = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), d AS (
+        SELECT e.event_id, e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type,
+               quantile_cont(abs(value - med), 0.5) AS mad
+        FROM d GROUP BY event_type
+    )
+    SELECT event_id, d.event_type, round(value, 2) AS value,
+           round(0.6745 * (value - med) / mad, 4) AS rz
+    FROM d JOIN mad USING (event_type)
+    WHERE mad > 0
+      AND abs(round(0.6745 * (value - med) / mad, 4)) >= 1.5
+    """
+
+    # Katz centrality: 3 unrolled rounds, pagerank rounding contract
+    kz = """
+    WITH edges AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+               'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), x0 AS (SELECT node, 1.0 AS x FROM nodes)"""
+    for i in range(1, 4):
+        kz += f""", a{i} AS (
+        SELECT e.dst AS node, sum(x.x) AS s
+        FROM edges e JOIN x{i - 1} x ON e.src = x.node
+        GROUP BY e.dst
+    ), x{i} AS (
+        SELECT n.node, round(1.0 + 0.1 * coalesce(a.s, 0.0), 8) AS x
+        FROM nodes n LEFT JOIN a{i} a ON n.node = a.node
+    )"""
+    q["kg_katz"] = kz + "\n    SELECT node, x AS katz FROM x3"
 
     # burst detection: all-integer n*window > factor*baseline test
     q["events_burst"] = """

@@ -1049,3 +1049,38 @@ def burst_detection(
                       > F.lit(factor) * F.col("baseline_n")))
             .select(F.col("grp").alias(group_col), "bucket_s", "n",
                     "baseline_n", "window_n"))
+
+
+def robust_zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    z_thresh: float = 3.5,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Median/MAD outlier detection (the robust sibling of
+    grouped_zscore_outliers — a single 10^9 outlier cannot drag the
+    center the way it drags a mean): modified z
+    0.6745·(x − median)/MAD, rows with |z| >= z_thresh. Returns
+    (id, group, value, rz). Zero-MAD groups are silent.
+
+    Two tiny grouped percentile aggregates (the exact interpolated
+    percentile whose cross-engine parity grouped_quantiles pins),
+    each broadcast back over the scan — the fact table never
+    shuffles. The 0.6745 consistency constant is applied engine-side.
+    """
+    _reserve(df, ("_med", "_mad"), "robust_zscore_outliers")
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med"))
+    d = df.join(F.broadcast(med), on=group_col)
+    mad = d.groupBy(group_col).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("_med")),
+                     F.lit(0.5)).alias("_mad"))
+    rz = F.round(F.lit(0.6745) * (F.col(value_col) - F.col("_med"))
+                 / F.col("_mad"), ndigits)
+    return (d.join(F.broadcast(mad), on=group_col)
+            .where(F.col("_mad") > 0)
+            .withColumn("rz", rz)
+            .where(F.abs(F.col("rz")) >= z_thresh)
+            .select(id_col, group_col, value_col, "rz"))

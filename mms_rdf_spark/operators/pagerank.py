@@ -633,3 +633,40 @@ def reciprocity(
             .select("n_edges", "n_mutual",
                     F.round(F.col("n_mutual") / F.col("n_edges"),
                             ndigits).alias("reciprocity")))
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    alpha: float = 0.1,
+    iters: int = 3,
+    precision: int = 8,
+) -> DataFrame:
+    """Katz centrality, bounded iterations:
+    x(v) <- 1 + α·Σ_{u->v} x(u), x_0 = 1 — counts attenuated walks of
+    every length into v, the centrality that (unlike PageRank) does
+    not dilute a hub's contribution by its out-degree. Returns
+    (node, katz).
+
+    Same determinism contract as pagerank: per-round rounding to
+    `precision`, α applied as an engine-side literal, per round one
+    src-keyed join + one dst-keyed map-side-combined aggregate,
+    localCheckpoint lineage truncation. Pick α < 1/λ_max for the
+    convergent regime; bounded rounds are well-defined either way.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct().localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()).localCheckpoint()
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    for _ in range(iters):
+        agg = (x.join(e, x["node"] == e["src"])
+               .groupBy("dst").agg(F.sum("x").alias("_s")))
+        x = (nodes.join(agg, nodes["node"] == agg["dst"], "left")
+             .select("node",
+                     F.round(F.lit(1.0) + F.lit(alpha)
+                             * F.coalesce(F.col("_s"), F.lit(0.0)),
+                             precision).alias("x"))).localCheckpoint()
+    return x.select("node", F.col("x").alias("katz"))

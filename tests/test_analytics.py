@@ -282,3 +282,22 @@ def test_burst_first_bucket_never_flagged(spark):
     from mms_rdf_spark.operators.analytics import burst_detection
     ev = _events(spark, [(i, 1, "a", _ts(1, 0), 0.0) for i in range(50)])
     assert burst_detection(ev).count() == 0  # no baseline window yet
+
+
+def test_robust_zscore_immune_to_the_outlier_itself(spark):
+    from mms_rdf_spark.operators.analytics import robust_zscore_outliers
+    # 20 values at 10 +- 1 and one at 1000: classic mean/std would be
+    # dragged; median/MAD flags exactly the outlier
+    rows = [(i, "g", 10.0 + (i % 3) - 1) for i in range(20)]
+    rows.append((99, "g", 1000.0))
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = robust_zscore_outliers(df, "grp", "v", "id").collect()
+    assert [r["id"] for r in got] == [99]
+    assert got[0]["rz"] > 100
+
+
+def test_robust_zscore_zero_mad_silent(spark):
+    from mms_rdf_spark.operators.analytics import robust_zscore_outliers
+    df = spark.createDataFrame([(1, "g", 5.0)] * 4,
+                               "id long, grp string, v double")
+    assert robust_zscore_outliers(df, "grp", "v", "id").count() == 0

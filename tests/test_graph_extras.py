@@ -192,3 +192,23 @@ def test_reciprocity_counts_mutual_pairs(spark):
     r = reciprocity(e).collect()[0]
     assert (r["n_edges"], r["n_mutual"]) == (3, 2)
     assert r["reciprocity"] == round(2 / 3, 6)
+
+
+def test_katz_attenuated_walk_counts(spark):
+    from mms_rdf_spark.operators.pagerank import katz_centrality
+    # chain a -> b -> c: katz(c) counts walks of length 1 and 2
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    got = {r["node"]: r["katz"]
+           for r in katz_centrality(e, alpha=0.1, iters=3).collect()}
+    assert got["a"] == 1.0
+    assert got["b"] == 1.1                      # one in-walk from a
+    assert got["c"] == round(1 + 0.1 * 1.1, 8)  # walk b + walk a-b
+
+
+def test_katz_hub_not_diluted_by_outdegree(spark):
+    from mms_rdf_spark.operators.pagerank import katz_centrality
+    # hub points at two targets: both receive the FULL attenuated
+    # contribution (PageRank would split it)
+    e = _edges(spark, [("h", "x"), ("h", "y")])
+    got = {r["node"]: r["katz"] for r in katz_centrality(e).collect()}
+    assert got["x"] == got["y"] == 1.1

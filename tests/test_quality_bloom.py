@@ -73,3 +73,16 @@ def test_bloom_prejoin_preserves_columns(spark):
     small = spark.createDataFrame([(5,)], "key long")
     out = bloom_prejoin(big, small, "key")
     assert set(out.columns) == {"id", "key", "p"}
+
+
+def test_bloom_prejoin_plan_is_one_broadcast_join(spark):
+    """The prefilter must not add a shuffle: the bitmap probes via a
+    single broadcast hash join on the big side's scan."""
+    big = spark.createDataFrame([(i, i % 10) for i in range(100)],
+                                "id long, key long")
+    small = spark.createDataFrame([(3,)], "key long")
+    plan = bloom_prejoin(big, small, "key") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no exchange on the big side (only the bitmap build aggregates)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
