@@ -890,6 +890,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def reco_rules(spark, sf):
+        from mms_rdf_spark.operators.basket import association_rules
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return association_rules(li, "l_orderkey", "l_partkey",
+                                 min_pairs=3)
+
     def events_robust_anomaly(spark, sf):
         from mms_rdf_spark.operators.analytics import (
             robust_zscore_outliers,
@@ -1283,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "reco_rules": reco_rules,
         "events_robust_anomaly": events_robust_anomaly,
         "kg_katz": kg_katz,
         "events_burst": events_burst,
@@ -2494,6 +2501,29 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    q["reco_rules"] = """
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+    ), nb AS (SELECT count(DISTINCT bk) AS n FROM bi
+    ), p AS (
+        SELECT a.it AS x, b.it AS y, count(*) AS n_ab
+        FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ), bd AS (
+        SELECT x, y, n_ab FROM p
+        UNION ALL SELECT y, x, n_ab FROM p
+    ), t AS (SELECT it, count(*) AS nx FROM bi GROUP BY it)
+    SELECT bd.x AS antecedent, bd.y AS consequent, n_ab,
+           round(n_ab / n, 6) AS support,
+           round(n_ab / ta.nx, 6) AS confidence,
+           round((n * n_ab) / (ta.nx * tb.nx), 6) AS lift
+    FROM bd
+    JOIN t ta ON bd.x = ta.it
+    JOIN t tb ON bd.y = tb.it
+    CROSS JOIN nb
     """
 
     # median/MAD robust z (quantile_cont parity, 0.6745 engine-side)

@@ -64,3 +64,63 @@ def cooccurrence_similarity(
                     F.round(F.col("n_ab")
                             / F.sqrt(F.col("_na") * F.col("_nb")),
                             ndigits).alias("cosine")))
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pairs: int = 2,
+    max_basket: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pairwise association rules (Apriori's 2-itemset stage, the part
+    that survives at scale): for each directed rule a -> b,
+    support = n_ab/N, confidence = n_ab/n_a, and
+    lift = N·n_ab/(n_a·n_b) (>1 = genuinely associated, not just
+    popular). Returns (antecedent, consequent, n_ab, support,
+    confidence, lift) — both directions of every co-occurring pair.
+
+    Reuses cooccurrence_similarity's capped pair generation; all
+    counts exact longs, each metric one float expression. The basket
+    total N is a broadcast 1-row frame.
+    """
+    bi = (df.select(F.col(basket_col).alias("_bk"),
+                    F.col(item_col).alias("_it"))
+          .distinct())
+    if max_basket is not None:
+        sizes = bi.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bn"))
+        bi = (bi.join(F.broadcast(sizes.where(
+            F.col("_bn") <= max_basket)), on="_bk").drop("_bn"))
+    bi = bi.localCheckpoint()
+    nb = bi.select("_bk").distinct().agg(
+        F.count(F.lit(1)).alias("_nb"))
+    a = bi.select("_bk", F.col("_it").alias("x"))
+    b = bi.select("_bk", F.col("_it").alias("y"))
+    pairs = (a.join(b, on="_bk")
+             .where(F.col("x") < F.col("y"))
+             .groupBy("x", "y")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_pairs))
+    both = pairs.unionByName(
+        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"),
+                     "n_ab"))
+    totals = bi.groupBy(F.col("_it")).agg(
+        F.count(F.lit(1)).alias("_nx"))
+    return (both
+            .join(F.broadcast(totals.select(
+                F.col("_it").alias("x"), F.col("_nx").alias("_na"))),
+                on="x")
+            .join(F.broadcast(totals.select(
+                F.col("_it").alias("y"), F.col("_nx").alias("_nc"))),
+                on="y")
+            .crossJoin(F.broadcast(nb))
+            .select(F.col("x").alias("antecedent"),
+                    F.col("y").alias("consequent"), "n_ab",
+                    F.round(F.col("n_ab") / F.col("_nb"), ndigits)
+                    .alias("support"),
+                    F.round(F.col("n_ab") / F.col("_na"), ndigits)
+                    .alias("confidence"),
+                    F.round((F.col("_nb") * F.col("n_ab"))
+                            / (F.col("_na") * F.col("_nc")), ndigits)
+                    .alias("lift")))

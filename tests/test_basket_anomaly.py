@@ -67,3 +67,20 @@ def test_cooccurrence_max_basket_drops(spark):
     assert {(r["item_a"], r["item_b"]) for r in got} == {("a", "b")}
     # and totals are computed AFTER the drop: cosine is 1.0, not diluted
     assert got[0]["cosine"] == 1.0
+
+
+def test_association_rules_metrics(spark):
+    # 4 baskets: {x,y} x2, {x} x1, {z} x1
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z")]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = {(r["antecedent"], r["consequent"]):
+           (r["n_ab"], r["support"], r["confidence"], r["lift"])
+           for r in cooccurrence_rules(df)}
+    assert got[("x", "y")] == (2, 0.5, round(2 / 3, 6),
+                               round(4 * 2 / (3 * 2), 6))
+    assert got[("y", "x")] == (2, 0.5, 1.0, round(8 / 6, 6))
+
+
+def cooccurrence_rules(df):
+    from mms_rdf_spark.operators.basket import association_rules
+    return association_rules(df, "bk", "item", min_pairs=1).collect()
