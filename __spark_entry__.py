@@ -890,6 +890,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def events_interval_overlap(spark, sf):
+        from mms_rdf_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        left = (ev.where(F.col("event_type") == "error")
+                .select(F.col("event_id").alias("l_id"), "user_id",
+                        F.col("ts").alias("start_ts"),
+                        (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                        .alias("end_ts")))
+        right = (ev.where(F.col("event_type") == "signup")
+                 .select(F.col("event_id").alias("r_id"), "user_id",
+                         F.col("ts").alias("start_ts"),
+                         (F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                         .alias("end_ts")))
+        return interval_overlap_join(left, right, on="user_id")
+
     def reco_rules(spark, sf):
         from mms_rdf_spark.operators.basket import association_rules
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -1289,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "events_interval_overlap": events_interval_overlap,
         "reco_rules": reco_rules,
         "events_robust_anomaly": events_robust_anomaly,
         "kg_katz": kg_katz,
@@ -2501,6 +2519,25 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # interval-interval overlap (bucketed equi-join engine-side; the
+    # oracle states the raw overlap predicate)
+    q["events_interval_overlap"] = """
+    WITH l AS (
+        SELECT event_id AS l_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ls,
+               CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS le
+        FROM events WHERE event_type = 'error'
+    ), r AS (
+        SELECT event_id AS r_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS rs,
+               CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS re
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT l.user_id, l_id, r_id
+    FROM l JOIN r ON l.user_id = r.user_id
+       AND l.ls < r.re AND r.rs < l.le
     """
 
     q["reco_rules"] = """

@@ -310,3 +310,42 @@ def ohlc_bars(
                  F.round(F.max_by(value_col, "_ord"), ndigits)
                  .alias("close"),
                  F.count(F.lit(1)).alias("n")))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval x interval overlap join per key: pairs whose time
+    ranges intersect (half-open [start, end) semantics; touching
+    endpoints do NOT overlap). The interval-interval sibling of
+    range_join_bucketed's point-interval case.
+
+    Both sides explode into the epoch buckets they cover and meet on
+    (key, bucket) — an overlapping pair shares at least one bucket —
+    then the exact overlap predicate filters and DISTINCT collapses
+    multi-bucket double-matches (the point case needed no dedup; the
+    interval case does, and that dedup is the price of making an
+    inequality join an equi-join). Expansion factor is span/bucket per
+    side — pick `bucket_seconds` near the median span.
+    """
+    def _prep(df, id_col, tag):
+        s, e = _epoch_s(start_col), _epoch_s(end_col)
+        return (df.select(
+            F.col(on), F.col(id_col),
+            s.alias(f"_{tag}s"), e.alias(f"_{tag}e"),
+            F.explode(F.sequence(
+                F.floor(s / bucket_seconds),
+                F.floor((e - 1) / bucket_seconds))).alias("_bk")))
+    lt = _prep(left, left_id, "l")
+    rt = _prep(right, right_id, "r")
+    return (lt.join(rt, on=[on, "_bk"])
+            .where((F.col("_ls") < F.col("_re"))
+                   & (F.col("_rs") < F.col("_le")))
+            .select(on, left_id, right_id).distinct())

@@ -242,3 +242,33 @@ def test_reserved_column_collisions_fail_fast(spark):
         [(2, 10, _ts(3))], "point_id long, user_id long, ts timestamp")
     with pytest.raises(ValueError, match="range_join"):
         range_join_bucketed(iv, pt, on="user_id")
+
+
+def test_interval_overlap_join_semantics(spark):
+    from mms_rdf_spark.operators.temporal import interval_overlap_join
+    mk = lambda m0, m1: (dt.datetime(2024, 1, 1, 0, m0),
+                         dt.datetime(2024, 1, 1, 0, m1))
+    left = spark.createDataFrame(
+        [(1, 10, *mk(0, 30)), (2, 10, *mk(50, 55)), (3, 20, *mk(0, 30))],
+        "l_id long, user_id long, start_ts timestamp, end_ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, *mk(20, 40)),   # overlaps 1
+         (101, 10, *mk(30, 45)),   # touches 1 at minute 30: NO overlap
+         (102, 20, *mk(29, 31))],  # overlaps 3 (other key)
+        "r_id long, user_id long, start_ts timestamp, end_ts timestamp")
+    got = {(r["l_id"], r["r_id"]) for r in interval_overlap_join(
+        left, right, on="user_id", bucket_seconds=600).collect()}
+    assert got == {(1, 100), (3, 102)}
+
+
+def test_interval_overlap_multibucket_dedup(spark):
+    from mms_rdf_spark.operators.temporal import interval_overlap_join
+    # long intervals share MANY buckets; the pair must appear once
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 10))],
+        "l_id long, user_id long, start_ts timestamp, end_ts timestamp")
+    right = spark.createDataFrame(
+        [(2, 1, dt.datetime(2024, 1, 1, 1), dt.datetime(2024, 1, 1, 9))],
+        "r_id long, user_id long, start_ts timestamp, end_ts timestamp")
+    rows = interval_overlap_join(left, right, on="user_id").collect()
+    assert len(rows) == 1
