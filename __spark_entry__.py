@@ -890,6 +890,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(spark.read.parquet(f"{sf}/events.parquet"),
                            window=8)
 
+    def dq_split_leakage(spark, sf):
+        from mms_rdf_spark.operators.quality import split_leakage
+        return split_leakage(_docs(spark, sf))
+
+    def kg_harmonic2(spark, sf):
+        from mms_rdf_spark.operators.pagerank import (
+            harmonic_centrality_2hop,
+        )
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
+        return harmonic_centrality_2hop(e)
+
     def events_interval_overlap(spark, sf):
         from mms_rdf_spark.operators.temporal import (
             interval_overlap_join,
@@ -1306,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": kg_bfs,
         "events_winsorize": events_winsorize,
         "text_inverted_index": text_inverted_index,
+        "dq_split_leakage": dq_split_leakage,
+        "kg_harmonic2": kg_harmonic2,
         "events_interval_overlap": events_interval_overlap,
         "reco_rules": reco_rules,
         "events_robust_anomaly": events_robust_anomaly,
@@ -2519,6 +2541,48 @@ def oracle_sql() -> dict[str, str]:
            string_agg(CAST(d AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
                       ',' ORDER BY d) AS postings
     FROM r WHERE rn <= 32 GROUP BY token, df
+    """
+
+    # split-leakage audit on the shared split CTE + prefix fingerprint
+    q["dq_split_leakage"] = f"""
+    WITH sp AS ({_SPLITS_CTE}),
+    fp AS (
+        SELECT d.doc_id, sp.split,
+               md5(array_to_string({_TOKS_SQL}[1:3], ' ')) AS f
+        FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+    )
+    SELECT f AS fingerprint, count(*) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+    FROM fp GROUP BY f HAVING count(DISTINCT split) >= 2
+    """
+
+    # 2-hop harmonic centrality: exact-half values, no rounding
+    q["kg_harmonic2"] = """
+    WITH e0 AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS a,
+               'n' || CAST(c_nationkey AS VARCHAR) AS b FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), sym AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+        WHERE a <> b
+    ), deg AS (
+        SELECT a AS node, count(*) AS degree FROM sym GROUP BY a
+    ), two AS (
+        SELECT a AS node, count(*) AS n_2hop FROM (
+            SELECT DISTINCT s1.a, s2.b AS w
+            FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+            WHERE s1.a <> s2.b
+              AND NOT EXISTS (SELECT 1 FROM sym d
+                              WHERE d.a = s1.a AND d.b = s2.b))
+        GROUP BY a
+    )
+    SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(coalesce(two.n_2hop, 0) AS BIGINT) AS n_2hop,
+           deg.degree + coalesce(two.n_2hop, 0) / 2 AS harmonic
+    FROM deg LEFT JOIN two ON deg.node = two.node
     """
 
     # interval-interval overlap (bucketed equi-join engine-side; the

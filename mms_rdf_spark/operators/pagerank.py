@@ -670,3 +670,40 @@ def katz_centrality(
                              * F.coalesce(F.col("_s"), F.lit(0.0)),
                              precision).alias("x"))).localCheckpoint()
     return x.select("node", F.col("x").alias("katz"))
+
+
+def harmonic_centrality_2hop(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-radius harmonic centrality: H₂(v) = |N₁(v)| +
+    ½·|N₂(v)| (direct neighbors weight 1, distance-exactly-2 nodes
+    weight ½) — the distance-based centrality truncated at radius 2,
+    which is the radius that stays computable as two self-joins at
+    graph scale (full harmonic needs all-pairs distances). Returns
+    (node, degree, n_2hop, harmonic); values are exact halves.
+
+    The 2-hop set is mediator-join -> distinct -> anti-join against
+    direct edges; cost Σ deg(mid)² — hub mediators dominate, same
+    cap-or-pay trade documented for adamic_adar.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (e.union(e.select(F.col("b"), F.col("a")))
+           .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    deg = sym.groupBy(F.col("a").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("degree"))
+    two = (sym.select(F.col("a"), F.col("b").alias("_m"))
+           .join(sym.select(F.col("a").alias("_m"),
+                            F.col("b").alias("w")), on="_m")
+           .where(F.col("a") != F.col("w"))
+           .select("a", "w").distinct()
+           .join(sym.select("a", F.col("b").alias("w")),
+                 on=["a", "w"], how="left_anti")
+           .groupBy(F.col("a").alias("node"))
+           .agg(F.count(F.lit(1)).alias("n_2hop")))
+    return (deg.join(two, on="node", how="left")
+            .na.fill(0, ["n_2hop"])
+            .select("node", "degree", "n_2hop",
+                    (F.col("degree") + F.col("n_2hop") / 2)
+                    .alias("harmonic")))

@@ -101,3 +101,34 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(F.expr(
         f"stack({len(cols)}, {stack}) AS "
         "(column, n_null, n_distinct, min_s, max_s)"))
+
+
+def split_leakage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int = 3,
+) -> DataFrame:
+    """Train/valid/test leakage detector: documents whose content
+    fingerprint (md5 of the first `prefix_tokens` tokens — the cheap
+    prefix-collision net; swap in minhash for fuzzier nets) appears in
+    MORE THAN ONE split. Returns (fingerprint, n_docs, n_splits) for
+    leaked fingerprints — the check every eval pipeline should run
+    before reporting numbers, as a first-class audit next to
+    dedup.decontaminate (which compares against an external benchmark;
+    this one audits the split assignment itself).
+
+    One scan + one fingerprint aggregate; split assignment reuses
+    packing.split_expr (hash-pure, no RNG) stamped in the same
+    projection as the fingerprint.
+    """
+    from mms_rdf_spark.operators.packing import split_expr
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)))
+    d = docs.select(F.col(id_col), split_expr().alias("split"),
+                    fp.alias("_fp"))
+    return (d.groupBy(F.col("_fp").alias("fingerprint"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("split").alias("n_splits"))
+            .where(F.col("n_splits") >= 2))

@@ -212,3 +212,23 @@ def test_katz_hub_not_diluted_by_outdegree(spark):
     e = _edges(spark, [("h", "x"), ("h", "y")])
     got = {r["node"]: r["katz"] for r in katz_centrality(e).collect()}
     assert got["x"] == got["y"] == 1.1
+
+
+def test_harmonic_2hop_path_graph(spark):
+    from mms_rdf_spark.operators.pagerank import harmonic_centrality_2hop
+    # path a-b-c-d: a has N1={b}, N2={c}; b has N1={a,c}, N2={d}
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["node"]: (r["degree"], r["n_2hop"], r["harmonic"])
+           for r in harmonic_centrality_2hop(e).collect()}
+    assert got["a"] == (1, 1, 1.5)
+    assert got["b"] == (2, 1, 2.5)
+    assert got["d"] == (1, 1, 1.5)
+
+
+def test_harmonic_2hop_excludes_direct_and_self(spark):
+    from mms_rdf_spark.operators.pagerank import harmonic_centrality_2hop
+    # triangle: everyone's 2-hop set is empty (all nodes adjacent)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    got = {r["node"]: r["harmonic"]
+           for r in harmonic_centrality_2hop(e).collect()}
+    assert got == {"a": 2.0, "b": 2.0, "c": 2.0}

@@ -86,3 +86,21 @@ def test_bloom_prejoin_plan_is_one_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan
     # no exchange on the big side (only the bitmap build aggregates)
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_split_leakage_detects_cross_split_twins(spark):
+    from mms_rdf_spark.operators.quality import split_leakage
+    # many docs sharing a 3-token prefix: with ~98/1/1 hash splits at
+    # n=400, at least one prefix family is guaranteed to straddle
+    rows = [(i, f"shared prefix tokens tail{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    leaks = split_leakage(df).collect()
+    assert len(leaks) == 1
+    assert leaks[0]["n_docs"] == 400 and leaks[0]["n_splits"] >= 2
+
+
+def test_split_leakage_clean_when_unique(spark):
+    from mms_rdf_spark.operators.quality import split_leakage
+    rows = [(i, f"u{i} v{i} w{i} x") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert split_leakage(df).count() == 0
