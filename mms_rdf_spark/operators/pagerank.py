@@ -631,8 +631,10 @@ def reciprocity(
     m = mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
     return (n.crossJoin(m)
             .select("n_edges", "n_mutual",
-                    F.round(F.col("n_mutual") / F.col("n_edges"),
-                            ndigits).alias("reciprocity")))
+                    F.when(F.col("n_edges") > 0,
+                           F.round(F.col("n_mutual")
+                                   / F.col("n_edges"), ndigits))
+                    .alias("reciprocity")))
 
 
 def katz_centrality(

@@ -83,3 +83,167 @@ def test_text_and_layout_ops_on_empty(spark):
     base = _empty(spark, "k long, v string, version int, deleted boolean")
     assert merge_upsert(base, base, "k", "version",
                         deleted_col="deleted").count() == 0
+
+
+def test_analytics_ops_on_empty(spark):
+    from mms_rdf_spark.operators.analytics import (
+        ab_test_zstats,
+        activity_entropy,
+        burst_detection,
+        change_point,
+        chi_square_cells,
+        cohort_retention,
+        cumulative_uniques,
+        ewma_smooth,
+        funnel_steps,
+        gini_concentration,
+        grouped_ntiles,
+        grouped_ols_trend,
+        grouped_zscore_outliers,
+        pareto_frontier_2d,
+        period_over_period,
+        psi_drift,
+        rfm_segments,
+        robust_zscore_outliers,
+        time_moving_avg,
+        top_paths,
+        touch_attribution,
+        transition_probs,
+        value_histogram,
+        winsorize,
+    )
+
+    ev = _empty(spark, "event_id long, user_id long, event_type string, "
+                       "ts timestamp, value double")
+    assert funnel_steps(ev, ["a", "b"]).count() == 0
+    assert time_moving_avg(ev).count() == 0
+    assert transition_probs(ev).count() == 0
+    assert cohort_retention(ev).count() == 0
+    assert value_histogram(ev).count() == 0
+    assert grouped_zscore_outliers(ev, "event_type", "value",
+                                   "event_id").count() == 0
+    assert grouped_ntiles(ev, "event_type", "value",
+                          "event_id").count() == 0
+    assert winsorize(ev, "event_type", "value", "event_id").count() == 0
+    assert pareto_frontier_2d(ev, "user_id", "value").count() == 0
+    assert grouped_ols_trend(ev, "event_type", F.col("user_id"),
+                             "value").count() == 0
+    assert change_point(ev, "event_type", "value").count() == 0
+    assert top_paths(ev).count() == 0
+    assert ab_test_zstats(ev, "event_type",
+                          F.col("user_id") % 2).count() == 0
+    assert period_over_period(ev, "event_type").count() == 0
+    assert activity_entropy(ev).count() == 0
+    # single-row aggregate over empty input: n_keys 0, gini NULL-safe
+    g = gini_concentration(ev).collect()
+    assert len(g) == 1 and g[0]["n_keys"] == 0
+    assert chi_square_cells(ev, "event_type",
+                            (F.col("value") > 0).cast("int")).count() == 0
+    assert psi_drift(ev, ev, "value", 0.0, 1.0, n_bins=3).count() == 3
+    assert ewma_smooth(ev).count() == 0
+    assert rfm_segments(ev).count() == 0
+    assert touch_attribution(ev).count() == 0
+    assert cumulative_uniques(ev).count() == 0
+    assert burst_detection(ev).count() == 0
+    assert robust_zscore_outliers(ev, "event_type", "value",
+                                  "event_id").count() == 0
+
+
+def test_new_graph_ops_on_empty(spark):
+    from mms_rdf_spark.operators.pagerank import (
+        adamic_adar,
+        bfs_levels,
+        clustering_coefficient,
+        degree_assortativity,
+        harmonic_centrality_2hop,
+        hits,
+        k_core,
+        katz_centrality,
+        label_propagation,
+        modularity,
+        reciprocity,
+        weighted_sssp,
+    )
+
+    e = _empty(spark, "src string, dst string")
+    lab = _empty(spark, "node string, label string")
+    srcs = _empty(spark, "node string")
+    assert label_propagation(e, iters=2).count() == 0
+    assert k_core(e, k=2, iters=2).count() == 0
+    assert hits(e, iters=2).count() == 0
+    assert bfs_levels(e, srcs, max_hops=2).count() == 0
+    assert degree_assortativity(e).count() == 0
+    assert adamic_adar(e).count() == 0
+    ew = _empty(spark, "src string, dst string, w long")
+    assert weighted_sssp(ew, srcs, rounds=2).count() == 0
+    assert clustering_coefficient(e).count() == 0
+    assert katz_centrality(e, iters=2).count() == 0
+    r = reciprocity(e).collect()
+    assert len(r) == 1 and r[0]["n_edges"] == 0
+    m = modularity(e, lab).collect()
+    assert len(m) == 1 and m[0]["n_communities"] == 0
+    assert harmonic_centrality_2hop(e).count() == 0
+
+
+def test_new_misc_ops_on_empty(spark):
+    from mms_rdf_spark.operators.basket import (
+        association_rules,
+        cooccurrence_similarity,
+    )
+    from mms_rdf_spark.operators.bpe import bpe_merges
+    from mms_rdf_spark.operators.cdc import scd2_history
+    from mms_rdf_spark.operators.link import fuzzy_edit_pairs
+    from mms_rdf_spark.operators.quality import (
+        audit,
+        check_unique,
+        profile,
+        split_leakage,
+    )
+    from mms_rdf_spark.operators.sessionize import turn_latency
+    from mms_rdf_spark.operators.similarity import mean_pool
+    from mms_rdf_spark.operators.skew import bloom_prejoin
+    from mms_rdf_spark.operators.temporal import (
+        interval_overlap_join,
+        ohlc_bars,
+        time_weighted_avg,
+    )
+    from mms_rdf_spark.operators.textstats import (
+        inverted_index,
+        keywords_tfidf,
+        readability,
+    )
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert inverted_index(docs).count() == 0
+    assert keywords_tfidf(docs).count() == 0
+    assert readability(docs).count() == 0
+    assert split_leakage(docs).count() == 0
+    assert bpe_merges(docs, rounds=2).count() == 0
+    bk = _empty(spark, "bk long, item string")
+    assert cooccurrence_similarity(bk, "bk", "item").count() == 0
+    assert association_rules(bk, "bk", "item").count() == 0
+    ch = _empty(spark, "k long, s string, ts timestamp, oid long")
+    assert scd2_history(ch, "k", "s", tiebreak_col="oid").count() == 0
+    fz = _empty(spark, "id long, name string, blk string")
+    assert fuzzy_edit_pairs(fz, "id", "name", "blk").count() == 0
+    tr = _empty(spark, "conv_id string, turn_idx int, role string, "
+                       "ts timestamp")
+    assert turn_latency(tr).count() == 0
+    em = _empty(spark, "vec_id long, embedding array<float>, "
+                       "label string")
+    assert mean_pool(em).count() == 0
+    ev = _empty(spark, "event_id long, user_id long, ts timestamp, "
+                       "value double")
+    assert time_weighted_avg(ev).count() == 0
+    assert ohlc_bars(ev).count() == 0
+    iv = _empty(spark, "l_id long, user_id long, start_ts timestamp, "
+                       "end_ts timestamp")
+    rv = _empty(spark, "r_id long, user_id long, start_ts timestamp, "
+                       "end_ts timestamp")
+    assert interval_overlap_join(iv, rv, on="user_id").count() == 0
+    big = _empty(spark, "id long, key long")
+    small = _empty(spark, "key long")
+    assert bloom_prejoin(big, small, "key").count() == 0
+    rep = audit([check_unique(big, ["id"])]).collect()
+    assert rep[0]["violations"] == 0
+    assert profile(big, ["id"]).count() == 1
