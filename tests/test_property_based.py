@@ -160,3 +160,25 @@ def test_unroll_raises_on_cycle(spark):
     t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
     with _pytest.raises(ValueError, match="cycle"):
         unroll_collections(t, max_rounds=6)
+
+
+# ---- distributed selection vs Python sorted (kth_smallest) ----------
+# hypothesis drives the INPUTS; each case runs one small Spark job, so
+# keep examples few and deadline off (JVM warmup dominates).
+from hypothesis import HealthCheck  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(-1000, 1000).map(float),
+                min_size=1, max_size=60),
+       st.floats(0.01, 1.0))
+def test_kth_smallest_matches_sorted(spark, vals, q):
+    from mms_rdf_spark.operators.sketch import kth_smallest
+    import math
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = kth_smallest(df, "v", q=q, n_bins=7).collect()[0]
+    k = max(1, math.ceil(q * len(vals)))
+    assert got["k"] == k
+    assert got["kth"] == sorted(vals)[k - 1]
