@@ -268,6 +268,43 @@ def main() -> None:
         skeleton(triangle_count(tri_edges)),
     ))
 
+    from mms_rdf_spark.operators.analytics import (
+        funnel_steps,
+        grouped_zscore_outliers,
+    )
+    from mms_rdf_spark.operators.skew import bloom_prejoin
+
+    sections.append((
+        "Ordered funnel: stacked windows + aggregate, ONE exchange",
+        "All conditional-min windows and the final per-key aggregate "
+        "share the same hash partitioning; the fact table shuffles "
+        "exactly once (asserted in test_analytics.py).",
+        skeleton(funnel_steps(
+            ev.select("user_id", "event_type", "ts"),
+            ["click", "view", "purchase"])),
+    ))
+
+    sections.append((
+        "Z-score anomalies: broadcast stats, no fact shuffle",
+        "The per-group moment sums aggregate to |groups| rows and "
+        "broadcast back over the scan; the only exchange is the tiny "
+        "stats build.",
+        skeleton(grouped_zscore_outliers(
+            ev.select("event_id", "event_type", "value"),
+            "event_type", "value", "event_id")),
+    ))
+
+    sections.append((
+        "Bloom prejoin: bitmap probe as one broadcast hash join",
+        "The (word, mask) bitmap builds map-side and broadcasts; the "
+        "big side probes without any shuffle of its own (asserted in "
+        "test_quality_bloom.py).",
+        skeleton(bloom_prejoin(
+            ev.select("event_id", F.col("user_id").alias("key")),
+            ev.select(F.col("event_id").alias("key")).limit(5),
+            "key")),
+    ))
+
     out = ["# PLANS — captured physical plans (evidence for SCALE.md "
            "claims)", "",
            "Regenerated by `python tools/dump_plans.py` from live "
