@@ -355,6 +355,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("o_totalprice", 2).alias("o_totalprice"),
                         "total_qty"))
 
+    def tpch_q4(spark, sf):
+        # priority accounting of orders with a LATE shipment (adapted:
+        # this lineitem has no commit/receipt dates, so late =
+        # shipped > 90 days after the order date)
+        o = (spark.read.parquet(f"{sf}/orders.parquet")
+             .where((F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1997-01-01")))
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        late = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .where(F.col("l_shipdate")
+                       > F.col("o_orderdate")
+                       + F.expr("INTERVAL 90 DAYS"))
+                .select("o_orderkey").distinct())
+        return (o.join(late, on="o_orderkey")
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count")))
+
+    def tpch_q10(spark, sf):
+        # returned-item reporting: top 20 customers by returned revenue
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = (spark.read.parquet(f"{sf}/orders.parquet")
+             .where((F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1996-07-01")))
+        li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+              .where(F.col("l_returnflag") == "R"))
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 10000)
+                     .cast("long"))
+        return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(c, F.col("o_custkey") == F.col("c_custkey"))
+                .groupBy("c_custkey", "c_name")
+                .agg(F.round(F.sum(rev_units) / 10000.0, 2)
+                     .alias("revenue"))
+                .orderBy(F.col("revenue").desc(), "c_custkey")
+                .limit(20))
+
+    def tpch_q14(spark, sf):
+        # promo revenue share over one ship month
+        li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+              .where((F.col("l_shipdate") >= "1996-03-01")
+                     & (F.col("l_shipdate") < "1996-04-01")))
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 10000)
+                     .cast("long"))
+        return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+                .agg(F.round(
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO",
+                                   rev_units).otherwise(F.lit(0)))
+                    / F.sum(rev_units), 4).alias("promo_share")))
+
     def events_window(spark, sf):
         from pyspark.sql.window import Window
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1310,6 +1362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": kg_kcore,
         "events_pivot": events_pivot,
         "events_cube": events_cube,
+        "tpch_q4": tpch_q4,
+        "tpch_q10": tpch_q10,
+        "tpch_q14": tpch_q14,
         "tpch_q5": tpch_q5,
         "tpch_q6": tpch_q6,
         "tpch_q18": tpch_q18,
@@ -2334,6 +2389,50 @@ def oracle_sql() -> dict[str, str]:
     # classic OLAP: TPC-H q5 (6-way join), q6 (scan-agg), q18 (having
     # semi-join); revenue summed in exact 1e-4 integer units so the
     # float-sum order can't flip a rounded digit cross-engine
+    q["tpch_q4"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ), late AS (
+        SELECT DISTINCT o.o_orderkey
+        FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM o JOIN late USING (o_orderkey)
+    GROUP BY o_orderpriority
+    """
+
+    q["tpch_q10"] = """
+    SELECT c_custkey, c_name,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 2)
+               AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """
+
+    q["tpch_q14"] = """
+    SELECT round(100.0
+                 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 10000)
+                                 AS BIGINT) ELSE 0 END)
+                 / sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)), 4)
+               AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """
+
     q["tpch_q5"] = """
     SELECT n_name,
            round(sum(CAST(round(l_extendedprice * (1 - l_discount)
