@@ -355,6 +355,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("o_totalprice", 2).alias("o_totalprice"),
                         "total_qty"))
 
+    def parts_preferred_supplier(spark, sf):
+        # q2-flavored: per part, the supplier with the cheapest
+        # average price (exact integer-cent avg; min_by on a
+        # zero-padded sort string — the ohlc_bars cross-engine idiom)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        per = (li.groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                          .cast("long")).alias("_sc"),
+                    F.count(F.lit(1)).alias("_n")))
+        # average in exact micro-cents so the ranking key is integral
+        # (explicit floor: a bare cast truncates in Spark but ROUNDS
+        # in DuckDB)
+        avg_mu = F.floor(F.col("_sc") * 10000 / F.col("_n"))
+        avg_mu = avg_mu.cast("long")
+        key = F.concat(F.lpad(avg_mu.cast("string"), 20, "0"),
+                       F.lit(":"),
+                       F.lpad(F.col("l_suppkey").cast("string"), 10,
+                              "0"))
+        return (per.withColumn("_k", key)
+                .groupBy("l_partkey")
+                .agg(F.min_by("l_suppkey", "_k").alias("supplier"),
+                     F.round(F.min_by(
+                         F.col("_sc") / (F.col("_n") * F.lit(100.0)),
+                         "_k"), 4).alias("avg_price")))
+
+    def events_anomaly_seasonal(spark, sf):
+        # z-scores against the SAME-HOUR-OF-DAY baseline: seasonality-
+        # adjusted anomalies (a 9am spike compares to 9am history)
+        from mms_rdf_spark.operators.analytics import (
+            grouped_zscore_outliers,
+        )
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cell = F.concat(F.col("event_type"), F.lit("|"),
+                        F.pmod(F.floor(_epoch_s("ts") / 3600),
+                               F.lit(24)).cast("string"))
+        d = ev.withColumn("cell", cell)
+        out = grouped_zscore_outliers(d, "cell", "value", "event_id",
+                                      z_thresh=1.5)
+        return out.select("event_id", "cell",
+                          F.round("value", 2).alias("value"), "z")
+
     def tpch_q4(spark, sf):
         # priority accounting of orders with a LATE shipment (adapted:
         # this lineitem has no commit/receipt dates, so late =
@@ -1362,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": kg_kcore,
         "events_pivot": events_pivot,
         "events_cube": events_cube,
+        "parts_preferred_supplier": parts_preferred_supplier,
+        "events_anomaly_seasonal": events_anomaly_seasonal,
         "tpch_q4": tpch_q4,
         "tpch_q10": tpch_q10,
         "tpch_q14": tpch_q14,
@@ -2389,6 +2433,49 @@ def oracle_sql() -> dict[str, str]:
     # classic OLAP: TPC-H q5 (6-way join), q6 (scan-agg), q18 (having
     # semi-join); revenue summed in exact 1e-4 integer units so the
     # float-sum order can't flip a rounded digit cross-engine
+    q["parts_preferred_supplier"] = """
+    WITH per AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sc,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), k AS (
+        SELECT l_partkey, l_suppkey, sc, n,
+               lpad(CAST(CAST(floor(sc * 10000 / n) AS BIGINT)
+                         AS VARCHAR), 20, '0')
+                   || ':' || lpad(CAST(l_suppkey AS VARCHAR), 10, '0')
+                   AS key
+        FROM per
+    )
+    SELECT l_partkey, arg_min(l_suppkey, key) AS supplier,
+           round(arg_min(sc / (n * 100.0), key), 4) AS avg_price
+    FROM k GROUP BY l_partkey
+    """
+
+    q["events_anomaly_seasonal"] = """
+    WITH d AS (
+        SELECT event_id,
+               event_type || '|'
+                   || CAST(CAST(floor(floor(epoch(ts)) / 3600)
+                                AS BIGINT) % 24 AS VARCHAR) AS cell,
+               value,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), s AS (
+        SELECT cell, count(*) AS n, sum(u) AS s1, sum(u * u) AS s2
+        FROM d GROUP BY cell
+    ), z AS (
+        SELECT event_id, cell, value,
+               round((u - s1 / n)
+                     / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+        FROM d JOIN s USING (cell)
+        WHERE sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+    )
+    SELECT event_id, cell, round(value, 2) AS value, z
+    FROM z WHERE abs(z) >= 1.5
+    """
+
     q["tpch_q4"] = """
     WITH o AS (
         SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
