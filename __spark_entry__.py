@@ -1037,6 +1037,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("event_id", "event_type",
                           F.round("value", 2).alias("value"), "rz")
 
+    def kg_ppr(spark, sf):
+        # seed-centric relevance from 3 seed customers
+        from mms_rdf_spark.operators.pagerank import (
+            personalized_pagerank,
+        )
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
+        seeds = (cust.where(F.col("c_custkey") % 500 == 0)
+                 .select(F.concat(F.lit("c"),
+                                  F.col("c_custkey").cast("string"))
+                         .alias("node")))
+        return personalized_pagerank(e, seeds, iters=3)
+
     def kg_katz(spark, sf):
         from mms_rdf_spark.operators.pagerank import katz_centrality
         cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -1430,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_overlap": events_interval_overlap,
         "reco_rules": reco_rules,
         "events_robust_anomaly": events_robust_anomaly,
+        "kg_ppr": kg_ppr,
         "kg_katz": kg_katz,
         "events_burst": events_burst,
         "kg_reciprocity": kg_reciprocity,
@@ -2832,6 +2854,49 @@ def oracle_sql() -> dict[str, str]:
     WHERE mad > 0
       AND abs(round(0.6745 * (value - med) / mad, 4)) >= 1.5
     """
+
+    # personalized PageRank: teleport to seeds only; pagerank
+    # constants discipline ((1.0 - 0.85) engine-side)
+    ppr = """
+    WITH edges AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+               'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), seeds AS (
+        SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        FROM customer WHERE c_custkey % 500 = 0
+    ), ns AS (SELECT count(*) AS ns FROM seeds
+    ), base AS (
+        SELECT n.node,
+               CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS isd
+        FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    ), deg AS (
+        SELECT src AS node, count(*) AS d FROM edges GROUP BY src
+    ), p0 AS (
+        SELECT node, isd, round(isd / ns, 8) AS r FROM base, ns
+    )"""
+    for i in range(1, 4):
+        ppr += f""", c{i} AS (
+        SELECT e.dst AS node, sum(p.r / deg.d) AS c
+        FROM edges e JOIN p{i - 1} p ON e.src = p.node
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+    ), d{i} AS (
+        SELECT coalesce(sum(p.r), 0.0) AS dm
+        FROM p{i - 1} p LEFT JOIN deg ON p.node = deg.node
+        WHERE deg.node IS NULL
+    ), p{i} AS (
+        SELECT b.node, b.isd,
+               round(((1.0 - 0.85) + 0.85 * d{i}.dm) * b.isd / ns
+                     + 0.85 * coalesce(c{i}.c, 0.0), 8) AS r
+        FROM base b CROSS JOIN ns CROSS JOIN d{i}
+        LEFT JOIN c{i} ON b.node = c{i}.node
+    )"""
+    q["kg_ppr"] = ppr + "\n    SELECT node, r AS rank FROM p3"
 
     # Katz centrality: 3 unrolled rounds, pagerank rounding contract
     kz = """

@@ -709,3 +709,64 @@ def harmonic_centrality_2hop(
             .select("node", "degree", "n_2hop",
                     (F.col("degree") + F.col("n_2hop") / 2)
                     .alias("harmonic")))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    damping: float = 0.85,
+    iters: int = 3,
+    precision: int = 8,
+) -> DataFrame:
+    """Personalized PageRank: teleportation returns to the SEED set
+    (uniformly) instead of all nodes — "what matters from here", the
+    seed-centric relevance score KG recommendation queries need.
+    Returns (node, rank); mass injects only through seeds, so
+    unreachable nodes score 0.
+
+    Same determinism and plan contract as pagerank (per-round
+    rounding, engine-side constants, one join + one map-side
+    aggregate per round, localCheckpoint); dangling mass returns to
+    the seeds as well, keeping total mass ~1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()).localCheckpoint()
+    s = seeds.select(F.col(node_col).alias("node")).distinct() \
+        .join(nodes, on="node", how="left_semi").localCheckpoint()
+    ns = s.agg(F.count(F.lit(1)).alias("ns"))
+    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+           .withColumnRenamed("src", "node")).localCheckpoint()
+    one_minus_d = F.lit(1.0) - F.lit(damping)
+    seed_flag = s.withColumn("_is_seed", F.lit(1))
+    base = (nodes.join(seed_flag, on="node", how="left")
+            .na.fill(0, ["_is_seed"])
+            .crossJoin(F.broadcast(ns))).localCheckpoint()
+    ranks = base.select(
+        "node", F.round(F.col("_is_seed") / F.col("ns"), precision)
+        .alias("r"))
+    for _ in range(iters):
+        contrib = (ranks.join(deg, on="node")
+                   .join(e, ranks["node"] == e["src"])
+                   .select("dst", (F.col("r") / F.col("d")).alias("_c"))
+                   .groupBy("dst").agg(F.sum("_c").alias("c")))
+        dangling = (ranks.join(deg, on="node", how="left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0))
+                         .alias("dm")))
+        ranks = (base
+                 .crossJoin(F.broadcast(dangling))
+                 .join(contrib, base["node"] == contrib["dst"], "left")
+                 .select(
+                     "node",
+                     F.round(
+                         (one_minus_d + F.lit(damping) * F.col("dm"))
+                         * F.col("_is_seed") / F.col("ns")
+                         + F.lit(damping)
+                         * F.coalesce(F.col("c"), F.lit(0.0)),
+                         precision).alias("r"))).localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -232,3 +232,23 @@ def test_harmonic_2hop_excludes_direct_and_self(spark):
     got = {r["node"]: r["harmonic"]
            for r in harmonic_centrality_2hop(e).collect()}
     assert got == {"a": 2.0, "b": 2.0, "c": 2.0}
+
+
+def test_ppr_mass_concentrates_near_seed(spark):
+    from mms_rdf_spark.operators.pagerank import personalized_pagerank
+    # two disjoint chains; seeding in one leaves the other at 0
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(e, seeds, iters=3).collect()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > got["b"] > got["c"] > 0
+
+
+def test_ppr_seed_outside_graph_ignored(spark):
+    from mms_rdf_spark.operators.pagerank import personalized_pagerank
+    e = _edges(spark, [("a", "b")])
+    seeds = spark.createDataFrame([("a",), ("zz",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(e, seeds, iters=2).collect()}
+    assert set(got) == {"a", "b"}  # zz never appears
