@@ -1099,6 +1099,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/embeddings.parquet"),
             query_id=0, n_candidates=20, k=5, lam=0.7)
 
+    def kg_tool_usage(spark, sf):
+        # per-conversation tool profile over the transcript shape
+        from mms_rdf_spark.kgdemo import transcripts_from_events
+        t = transcripts_from_events(spark, sf)
+        return (t.groupBy("conv_id")
+                .agg(F.count(F.lit(1)).alias("n_turns"),
+                     F.sum(F.when(F.col("tool").isNotNull(), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_tool_turns"),
+                     F.countDistinct("tool").alias("n_tools"),
+                     F.round(F.sum(F.when(F.col("tool").isNotNull(), 1)
+                                   .otherwise(0))
+                             / F.count(F.lit(1)), 6)
+                     .alias("tool_rate")))
+
     def kg_turn_latency(spark, sf):
         from mms_rdf_spark.kgdemo import transcripts_from_events
         from mms_rdf_spark.operators.sessionize import turn_latency
@@ -1457,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reciprocity": kg_reciprocity,
         "events_xcorr": events_xcorr,
         "sim_mmr": sim_mmr,
+        "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
         "sim_pool_mean": sim_pool_mean,
         "events_growth": events_growth,
@@ -3038,6 +3054,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i}
     )"""
     q["sim_mmr"] = mmr + "\n    SELECT rank, vec_id, rel, score FROM sel5"
+
+    q["kg_tool_usage"] = _T + """
+    SELECT conv_id, count(*) AS n_turns,
+           CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tool_turns,
+           CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+           round(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS tool_rate
+    FROM t GROUP BY conv_id
+    """
 
     q["kg_turn_latency"] = _T + """
     , p AS (
