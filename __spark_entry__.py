@@ -1119,6 +1119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def sim_pca_top(spark, sf):
+        from mms_rdf_spark.operators.similarity import top_component
+        return top_component(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), iters=3)
+
     def sim_pool_mean(spark, sf):
         from mms_rdf_spark.operators.similarity import mean_pool
         return mean_pool(
@@ -1474,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "sim_pca_top": sim_pca_top,
         "sim_pool_mean": sim_pool_mean,
         "events_growth": events_growth,
         "events_attribution": events_attribution,
@@ -3081,6 +3087,37 @@ def oracle_sql() -> dict[str, str]:
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
     """
+
+    # power-iteration PCA: exact integer Gram, nano-unit mat-vec sums
+    pca = """
+    WITH ex AS (
+        SELECT vec_id AS id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+                   AS i,
+               CAST(round(unnest(CAST(embedding AS DOUBLE[]))
+                          * 1000000.0) AS BIGINT) AS q
+        FROM embeddings
+    ), gram AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(a.q * b.q) AS BIGINT) / 1000000000000.0 AS c
+        FROM ex a JOIN ex b ON a.id = b.id
+        GROUP BY a.i, b.i
+    ), v0 AS (SELECT DISTINCT i AS d, 1.0 AS v FROM gram)"""
+    for i in range(1, 4):
+        pca += f""", w{i} AS (
+        SELECT g.i,
+               CAST(sum(CAST(round(g.c * v.v * 1000000000.0)
+                             AS BIGINT)) AS BIGINT) AS w
+        FROM gram g JOIN v{i - 1} v ON g.j = v.d GROUP BY g.i
+    ), m{i} AS (SELECT max(abs(w)) AS mx FROM w{i}
+    ), v{i} AS (
+        SELECT i AS d,
+               CASE WHEN mx > 0 THEN round(w / mx, 8)
+                    ELSE 0.0 END AS v
+        FROM w{i}, m{i}
+    )"""
+    q["sim_pca_top"] = pca + """
+    SELECT CAST(d AS INT) AS dim, v AS weight FROM v3"""
 
     q["sim_pool_mean"] = """
     WITH d AS (

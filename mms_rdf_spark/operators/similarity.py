@@ -878,3 +878,60 @@ def mmr_select(
                 .orderBy(F.col("score").desc(), "vec_id").limit(1))
         selected = selected.unionByName(pick).localCheckpoint()
     return selected.select("rank", "vec_id", "rel", "score")
+
+
+def top_component(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    precision: int = 8,
+) -> DataFrame:
+    """Leading principal direction of the embedding cloud (uncentered
+    Gram/covariance top eigenvector) by power iteration — the
+    distributed-PCA building block (top-k = deflate and repeat).
+    Returns (dim, weight), max-abs-normalized to [-1, 1].
+
+    Determinism at every step: Gram entries are EXACT long sums of
+    micro-unit component products (one division to double per entry);
+    each iteration's matrix-vector products round to integer
+    nano-units BEFORE the per-dim sum (a float Σ over d terms would be
+    order-dependent), and normalization divides exact longs by their
+    exact max-abs. Start vector all-ones, so the eigen-sign is pinned.
+    Plan: the d² Gram build is ONE pair self-join on the row id +
+    map-side-combined (i, j) aggregate — the corpus is read once and
+    never shuffled except by row id; iterations run on the tiny d²
+    frame. Overflow headroom: Σ(q_i·q_j) caps at (max|x|·1e6)²·rows;
+    switch the Gram sums to decimal(38,0) beyond ~10^9 rows.
+    """
+    ex = (embs.select(F.col(id_col).alias("_id"),
+                      F.posexplode(_as_double(F.col(vec_col))))
+          .select("_id", F.col("pos").alias("_i"),
+                  F.round(F.col("col") * 1e6).cast("long").alias("_q"))
+          ).localCheckpoint()
+    gram = (ex.select("_id", F.col("_i"), F.col("_q"))
+            .join(ex.select("_id", F.col("_i").alias("_j"),
+                            F.col("_q").alias("_p")), on="_id")
+            .groupBy("_i", "_j")
+            .agg(F.sum(F.col("_q") * F.col("_p")).alias("_s"))
+            .select("_i", "_j",
+                    (F.col("_s") / F.lit(1e12)).alias("_c"))
+            ).localCheckpoint()
+    v = gram.select(F.col("_i").alias("_d")).distinct() \
+        .select("_d", F.lit(1.0).alias("_v"))
+    for _ in range(iters):
+        w = (gram.join(v.select(F.col("_d").alias("_j"), "_v"),
+                       on="_j")
+             .select("_i", F.round(F.col("_c") * F.col("_v") * 1e9)
+                     .cast("long").alias("_t"))
+             .groupBy("_i").agg(F.sum("_t").alias("_w")))
+        mx = w.agg(F.max(F.abs(F.col("_w"))).alias("_mx"))
+        v = (w.crossJoin(F.broadcast(mx))
+             .select(F.col("_i").alias("_d"),
+                     F.when(F.col("_mx") > 0,
+                            F.round(F.col("_w") / F.col("_mx"),
+                                    precision))
+                     .otherwise(F.lit(0.0)).alias("_v"))
+             ).localCheckpoint()
+    return v.select(F.col("_d").cast("int").alias("dim"),
+                    F.col("_v").alias("weight"))

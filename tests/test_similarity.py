@@ -310,3 +310,26 @@ def test_mmr_lambda_one_is_pure_relevance(spark):
            mmr_select(embs, query_id=0, n_candidates=3, k=3,
                       lam=1.0).orderBy("rank").collect()]
     assert got == [1, 2, 3]  # relevance order, no diversity penalty
+
+
+def test_top_component_recovers_dominant_axis(spark):
+    from mms_rdf_spark.operators.similarity import top_component
+    # variance concentrated on dim 0 (values +-1), noise on dim 1
+    rows = [(i, [1.0 if i % 2 == 0 else -1.0, 0.01 * (i % 3 - 1)])
+            for i in range(40)]
+    embs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    got = {r["dim"]: r["weight"] for r in top_component(embs).collect()}
+    assert abs(got[0]) == 1.0        # dominant axis, max-normalized
+    assert abs(got[1]) < 0.05        # noise axis nearly orthogonal
+
+
+def test_top_component_deterministic(spark):
+    from mms_rdf_spark.operators.similarity import top_component
+    rows = [(i, [float(i % 5), float((i * 3) % 7), 1.0])
+            for i in range(30)]
+    embs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, top_component(embs).collect()))
+    b = sorted(map(tuple, top_component(embs).collect()))
+    assert a == b
