@@ -1119,6 +1119,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def text_zipf(spark, sf):
+        # Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the
+        # token frequency table (slope near -1 = natural text). All
+        # sums are exact integers (x in milli-nats, y in micro-nats,
+        # both ln's rounded before scaling); the vocab-sized rank
+        # window is tiny by construction. Moment products fit int64 up
+        # to ~10^5 vocab; switch to decimal sums beyond.
+        from pyspark.sql.window import Window
+        docs = _docs(spark, sf)
+        toks = F.filter(F.split(F.col("text"), " "),
+                        lambda t: t != "")
+        freq = (docs.select(F.explode(toks).alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+        w = Window.orderBy(F.col("n").desc(), "tok")
+        d = (freq.withColumn("rank", F.row_number().over(w))
+             .select(
+                 F.round(F.round(F.log(F.col("rank")), 6) * 1000)
+                 .cast("long").alias("x"),
+                 F.round(F.round(F.log(F.col("n")), 6) * 1000000)
+                 .cast("long").alias("y")))
+        s = d.agg(F.count(F.lit(1)).alias("nt"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"))
+        den = F.col("nt") * F.col("sxx") - F.col("sx") * F.col("sx")
+        slope_raw = (F.col("nt") * F.col("sxy")
+                     - F.col("sx") * F.col("sy")) / den
+        return (s.where(den != 0)
+                .select(F.col("nt").alias("n_tokens"),
+                        F.round(slope_raw / 1000.0, 4).alias("slope")))
+
     def sim_pca_top(spark, sf):
         from mms_rdf_spark.operators.similarity import top_component
         return top_component(
@@ -1479,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "text_zipf": text_zipf,
         "sim_pca_top": sim_pca_top,
         "sim_pool_mean": sim_pool_mean,
         "events_growth": events_growth,
@@ -3086,6 +3118,31 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    q["text_zipf"] = f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS n FROM (
+            SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY tok
+    ), d AS (
+        SELECT CAST(round(round(ln(row_number()
+                   OVER (ORDER BY n DESC, tok)), 6) * 1000)
+                   AS BIGINT) AS x,
+               CAST(round(round(ln(n), 6) * 1000000) AS BIGINT) AS y
+        FROM freq
+    ), s AS (
+        SELECT count(*) AS nt,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM d
+    )
+    SELECT nt AS n_tokens,
+           round((nt * sxy - sx * sy)
+                 / (nt * sxx - sx * sx) / 1000.0, 4) AS slope
+    FROM s WHERE nt * sxx - sx * sx <> 0
     """
 
     # power-iteration PCA: exact integer Gram, nano-unit mat-vec sums
