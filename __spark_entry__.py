@@ -1119,6 +1119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def dedup_containment(spark, sf):
+        from mms_rdf_spark.operators.dedup import containment_pairs
+        return containment_pairs(_docs(spark, sf), threshold=0.2,
+                                 max_df=100)
+
     def text_zipf(spark, sf):
         # Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the
         # token frequency table (slope near -1 = natural text). All
@@ -1510,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "dedup_containment": dedup_containment,
         "text_zipf": text_zipf,
         "sim_pca_top": sim_pca_top,
         "sim_pool_mean": sim_pool_mean,
@@ -3118,6 +3124,27 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    # directional gram containment (stop-grams df-capped first)
+    q["dedup_containment"] = f"""
+    WITH g AS ({_G5_CTE}),
+    dfw AS (SELECT gram, count(*) AS w FROM g GROUP BY gram),
+    kept AS (
+        SELECT g.doc_id, g.gram FROM g JOIN dfw USING (gram)
+        WHERE w <= 100
+    ), sizes AS (
+        SELECT doc_id, count(*) AS a_grams FROM g GROUP BY doc_id
+    ), sh AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        FROM kept a JOIN kept b
+            ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, shared, s.a_grams,
+           round(shared / s.a_grams, 6) AS containment
+    FROM sh JOIN sizes s ON sh.a_id = s.doc_id
+    WHERE round(shared / s.a_grams, 6) >= 0.2
     """
 
     q["text_zipf"] = f"""

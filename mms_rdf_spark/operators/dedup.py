@@ -310,3 +310,50 @@ def conversation_fingerprints(turns: DataFrame) -> DataFrame:
     return (turns.groupBy("conv_id")
             .agg(F.count(F.lit(1)).alias("n_turns"),
                  F.md5(F.concat_ws("", ordered)).alias("fp")))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional partial-duplicate detection: pairs (a, b) where at
+    least `threshold` of a's distinct word-n-gram digests also appear
+    in b — the containment measure that catches quote-heavy and
+    boilerplate-wrapped copies Jaccard dilutes (|A∩B|/|A| vs
+    |A∩B|/|A∪B|). Returns (a_id, b_id, shared, a_grams, containment),
+    both directions, a != b.
+
+    Scale shape: pair generation joins on the gram DIGEST, and grams
+    with document frequency > `max_df` are DROPPED first (boilerplate
+    stop-grams are exactly the quadratic hot keys, and their ubiquity
+    makes them containment noise — same observable-cap philosophy as
+    the LSH buckets; count them via the df aggregate before raising).
+    Shares token/gram/digest definitions with cross_doc_gram_stats and
+    decontaminate, so the measures can never drift.
+    """
+    g = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.array_distinct(
+            F.transform(word_ngrams(_tokens(F.col(text_col)), n),
+                        F.md5))).alias("gram"))
+    df_w = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_w"))
+    kept = g.join(F.broadcast(df_w.where(F.col("_w") <= max_df)),
+                  on="gram").drop("_w")
+    sizes = g.groupBy("_d").agg(F.count(F.lit(1)).alias("a_grams"))
+    shared = (kept.select("gram", F.col("_d").alias("a_id"))
+              .join(kept.select("gram", F.col("_d").alias("b_id")),
+                    on="gram")
+              .where(F.col("a_id") != F.col("b_id"))
+              .groupBy("a_id", "b_id")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    return (shared
+            .join(sizes.withColumnRenamed("_d", "a_id"), on="a_id")
+            .withColumn("containment",
+                        F.round(F.col("shared") / F.col("a_grams"), 6))
+            .where(F.col("containment") >= threshold)
+            .select("a_id", "b_id", "shared", "a_grams",
+                    "containment"))

@@ -84,3 +84,29 @@ def test_association_rules_metrics(spark):
 def cooccurrence_rules(df):
     from mms_rdf_spark.operators.basket import association_rules
     return association_rules(df, "bk", "item", min_pairs=1).collect()
+
+
+def test_containment_directional(spark):
+    from mms_rdf_spark.operators.dedup import containment_pairs
+    # doc 2 is doc 1 plus extra text: 1 is CONTAINED in 2 (high
+    # containment 1->2), but 2 is not contained in 1
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " iota kappa lambda mu nu xi"),
+         (3, "completely different words here with no overlap at all")],
+        "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.5).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (2, 1) not in got      # reverse direction diluted below 0.5
+    assert not any(3 in p for p in got)
+
+
+def test_containment_stopgram_cap_drops_hot_grams(spark):
+    from mms_rdf_spark.operators.dedup import containment_pairs
+    # the same boilerplate in every doc: with max_df below the corpus
+    # size the boilerplate grams vanish and no pairs remain
+    rows = [(i, "common boiler plate text across all docs " + str(i))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_pairs(df, threshold=0.3, max_df=5).count() == 0
