@@ -1160,6 +1160,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top_component(
             spark.read.parquet(f"{sf}/embeddings.parquet"), iters=3)
 
+    def sim_pca_project(spark, sf):
+        from mms_rdf_spark.operators.similarity import (
+            project_component,
+            top_component,
+        )
+        embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return project_component(embs, top_component(embs, iters=3))
+
     def sim_pool_mean(spark, sf):
         from mms_rdf_spark.operators.similarity import mean_pool
         return mean_pool(
@@ -1518,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": dedup_containment,
         "text_zipf": text_zipf,
         "sim_pca_top": sim_pca_top,
+        "sim_pca_project": sim_pca_project,
         "sim_pool_mean": sim_pool_mean,
         "events_growth": events_growth,
         "events_attribution": events_attribution,
@@ -3202,6 +3211,17 @@ def oracle_sql() -> dict[str, str]:
     )"""
     q["sim_pca_top"] = pca + """
     SELECT CAST(d AS INT) AS dim, v AS weight FROM v3"""
+
+    # projection onto the learned component (same nano-unit sums)
+    q["sim_pca_project"] = pca + """, px AS (
+        SELECT e.id,
+               CAST(round(e.q / 1000000.0 * v.v * 1000000000.0)
+                    AS BIGINT) AS t
+        FROM ex e JOIN v3 v ON e.i = v.d
+    )
+    SELECT id AS vec_id,
+           round(CAST(sum(t) AS BIGINT) / 1000000000.0, 6) AS score
+    FROM px GROUP BY id"""
 
     q["sim_pool_mean"] = """
     WITH d AS (

@@ -935,3 +935,34 @@ def top_component(
              ).localCheckpoint()
     return v.select(F.col("_d").cast("int").alias("dim"),
                     F.col("_v").alias("weight"))
+
+
+def project_component(
+    embs: DataFrame,
+    component: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Project every vector onto a (dim, weight) direction — the
+    1-D reduced feature for the top_component output (ordering docs
+    along the dominant semantic axis). Returns (id, score).
+
+    The per-vector dot product sums nano-unit-rounded component
+    products (exact longs — the top_component iteration discipline),
+    one division at the end. Plan: posexplode + broadcast of the
+    d-row direction + one id-keyed map-side-combined aggregate.
+    """
+    # components are micro-unit-quantized exactly like the Gram build,
+    # so the projection and the direction share one numeric universe
+    ex = (embs.select(F.col(id_col).alias("_id"),
+                      F.posexplode(_as_double(F.col(vec_col))))
+          .select("_id", F.col("pos").alias("dim"),
+                  (F.round(F.col("col") * 1e6) / F.lit(1e6))
+                  .alias("_x")))
+    return (ex.join(F.broadcast(component), on="dim")
+            .select("_id", F.round(F.col("_x") * F.col("weight") * 1e9)
+                    .cast("long").alias("_t"))
+            .groupBy("_id")
+            .agg(F.round(F.sum("_t") / 1e9, ndigits).alias("score"))
+            .select(F.col("_id").alias(id_col), "score"))

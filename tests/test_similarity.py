@@ -333,3 +333,19 @@ def test_top_component_deterministic(spark):
     a = sorted(map(tuple, top_component(embs).collect()))
     b = sorted(map(tuple, top_component(embs).collect()))
     assert a == b
+
+
+def test_project_component_orders_along_axis(spark):
+    from mms_rdf_spark.operators.similarity import (
+        project_component,
+        top_component,
+    )
+    rows = [(i, [float(i) - 2.0, 0.0]) for i in range(5)]
+    embs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    comp = top_component(embs)
+    got = {r["vec_id"]: r["score"]
+           for r in project_component(embs, comp).collect()}
+    # scores are monotone in the dominant coordinate
+    order = [k for k, _ in sorted(got.items(), key=lambda kv: kv[1])]
+    assert order == [0, 1, 2, 3, 4] or order == [4, 3, 2, 1, 0]
