@@ -1119,6 +1119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def events_ks(spark, sf):
+        # exact KS between click and view value distributions
+        from mms_rdf_spark.operators.analytics import ks_statistic
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ks_statistic(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "view"), "value")
+
     def dedup_containment(spark, sf):
         from mms_rdf_spark.operators.dedup import containment_pairs
         return containment_pairs(_docs(spark, sf), threshold=0.2,
@@ -1523,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "events_ks": events_ks,
         "dedup_containment": dedup_containment,
         "text_zipf": text_zipf,
         "sim_pca_top": sim_pca_top,
@@ -3133,6 +3142,36 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    # exact two-sample KS: integer cross-multiplied CDF gaps
+    q["events_ks"] = """
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+    na AS (SELECT count(*) AS na FROM a),
+    nb AS (SELECT count(*) AS nb FROM b),
+    m AS (
+        SELECT v, 1 AS sa, 0 AS sb FROM a
+        UNION ALL SELECT v, 0, 1 FROM b
+    ), per_v AS (
+        SELECT v, CAST(sum(sa) AS BIGINT) AS da,
+               CAST(sum(sb) AS BIGINT) AS db
+        FROM m GROUP BY v
+    ), c AS (
+        SELECT v,
+               CAST(sum(da) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS ca,
+               CAST(sum(db) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cb
+        FROM per_v
+    )
+    SELECT CAST(na AS INT) AS n_a, CAST(nb AS INT) AS n_b,
+           round(max(abs(ca * nb - cb * na))
+                 / (CAST(na AS DOUBLE) * nb), 6) AS ks
+    FROM c, na, nb GROUP BY na, nb
     """
 
     # directional gram containment (stop-grams df-capped first)

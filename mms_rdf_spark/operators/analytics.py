@@ -1084,3 +1084,46 @@ def robust_zscore_outliers(
             .withColumn("rz", rz)
             .where(F.abs(F.col("rz")) >= z_thresh)
             .select(id_col, group_col, value_col, "rz"))
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, computed EXACTLY:
+    D = max over values of |F_a − F_b| evaluated as the integer
+    |ca·nb − cb·na| (cumulative counts cross-multiplied by the sample
+    sizes), with ONE division at the very end — no float CDF ever
+    exists, so there is nothing to round-drift. The nonparametric
+    sibling of psi_drift (no bins to pin). Returns (n_a, n_b, ks).
+
+    Ties collapse per distinct value before the cumulative pass (the
+    sup is evaluated after consuming all equal values — the correct KS
+    convention). The cumulative window runs over the distinct-value
+    axis; at 10^9+ distinct values swap the global window for
+    link.global_rank's range-partitioned rank. Overflow: ca·nb caps at
+    n_a·n_b — fine through ~3·10^9 rows per side.
+    """
+    na = a.count()
+    nb = b.count()
+    if na == 0 or nb == 0:
+        raise ValueError("ks_statistic: both samples must be non-empty")
+    merged = (a.select(F.col(value_col).alias("_v"),
+                       F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+              .unionByName(
+                  b.select(F.col(value_col).alias("_v"),
+                           F.lit(0).alias("_a"), F.lit(1).alias("_b"))))
+    per_v = merged.groupBy("_v").agg(F.sum("_a").alias("_da"),
+                                     F.sum("_b").alias("_db"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    gaps = (per_v
+            .withColumn("_ca", F.sum("_da").over(w))
+            .withColumn("_cb", F.sum("_db").over(w))
+            .select(F.abs(F.col("_ca") * F.lit(nb)
+                          - F.col("_cb") * F.lit(na)).alias("_g")))
+    return (gaps.agg(F.max("_g").alias("_mx"))
+            .select(F.lit(na).alias("n_a"), F.lit(nb).alias("n_b"),
+                    F.round(F.col("_mx") / F.lit(float(na) * nb),
+                            ndigits).alias("ks")))

@@ -58,3 +58,27 @@ def test_psi_clamps_out_of_range(spark):
            psi_drift(a, a, "v", lo=0.0, hi=10.0, n_bins=5).collect()}
     # both rows land in edge bins, none dropped
     assert out[0] > 0.1 and out[4] > 0.1
+
+
+def test_ks_identical_samples_zero(spark):
+    from mms_rdf_spark.operators.analytics import ks_statistic
+    a = spark.createDataFrame([(float(i % 7),) for i in range(70)],
+                              "v double")
+    r = ks_statistic(a, a, "v").collect()[0]
+    assert r["ks"] == 0.0 and r["n_a"] == r["n_b"] == 70
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from mms_rdf_spark.operators.analytics import ks_statistic
+    a = spark.createDataFrame([(float(i),) for i in range(5)], "v double")
+    b = spark.createDataFrame([(100.0 + i,) for i in range(5)], "v double")
+    assert ks_statistic(a, b, "v").collect()[0]["ks"] == 1.0
+
+
+def test_ks_hand_computed_with_ties(spark):
+    from mms_rdf_spark.operators.analytics import ks_statistic
+    # a = {1,1,2}, b = {1,3,3}: after v=1 F_a=2/3, F_b=1/3 (gap 1/3);
+    # after v=2 F_a=1, F_b=1/3 (gap 2/3); after v=3 gap 0
+    a = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(1.0,), (3.0,), (3.0,)], "v double")
+    assert ks_statistic(a, b, "v").collect()[0]["ks"] == round(2 / 3, 6)
