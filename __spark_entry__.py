@@ -1119,6 +1119,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def events_kendall(spark, sf):
+        # rank agreement between hourly click and view volumes
+        from mms_rdf_spark.operators.analytics import kendall_tau
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        bucket = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.where(F.col("event_type").isin("click", "view"))
+                  .groupBy(bucket.alias("t"))
+                  .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                             .otherwise(0)).cast("long").alias("x"),
+                       F.sum(F.when(F.col("event_type") == "view", 1)
+                             .otherwise(0)).cast("long").alias("y")))
+        return kendall_tau(hourly, "x", "y", "t")
+
     def events_ks(spark, sf):
         # exact KS between click and view value distributions
         from mms_rdf_spark.operators.analytics import ks_statistic
@@ -1531,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "events_kendall": events_kendall,
         "events_ks": events_ks,
         "dedup_containment": dedup_containment,
         "text_zipf": text_zipf,
@@ -3142,6 +3157,26 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    # exact Kendall tau-a over hourly series (integer sign sums)
+    q["events_kendall"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(sum(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'view'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    ), p AS (
+        SELECT CAST(sign((a.x - b.x) * (a.y - b.y)) AS BIGINT) AS s
+        FROM h a JOIN h b ON a.t < b.t
+    ), n AS (SELECT count(*) AS n FROM h)
+    SELECT CAST(n.n AS INT) AS n, count(*) AS n_pairs,
+           round(CAST(sum(p.s) AS BIGINT) / count(*), 6) AS tau
+    FROM p, n GROUP BY n.n
     """
 
     # exact two-sample KS: integer cross-multiplied CDF gaps

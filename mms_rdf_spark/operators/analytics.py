@@ -1127,3 +1127,43 @@ def ks_statistic(
             .select(F.lit(na).alias("n_a"), F.lit(nb).alias("n_b"),
                     F.round(F.col("_mx") / F.lit(float(na) * nb),
                             ndigits).alias("ks")))
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact Kendall tau-a rank correlation between two columns: the
+    signed concordant-minus-discordant pair count over all n(n-1)/2
+    pairs (ties contribute 0) — rank agreement with NO ranks, means,
+    or float CDFs anywhere; every term is sign((x_i-x_j)(y_i-y_j)) in
+    {-1,0,1} and the statistic is one division at the end. The
+    outlier-immune complement to the Pearson moment-sum operators.
+    Returns (n, n_pairs, tau).
+
+    Pair generation is a self-join on `order_col` inequality —
+    O(n^2), intended for SERIES-sized inputs (hourly aggregates,
+    percentile grids), not raw corpora; aggregate first (the
+    lagged_crosscorr pattern). A merge-sort inversion count would be
+    O(n log n) but needs a sequential pass — the honest trade is
+    documented rather than hidden.
+    """
+    s = df.select(F.col(order_col).alias("_t"),
+                  F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    a = s.select(F.col("_t").alias("_t1"), F.col("_x").alias("_x1"),
+                 F.col("_y").alias("_y1"))
+    b = s.select(F.col("_t").alias("_t2"), F.col("_x").alias("_x2"),
+                 F.col("_y").alias("_y2"))
+    pairs = a.join(b, F.col("_t1") < F.col("_t2"))
+    sgn = (F.signum((F.col("_x1") - F.col("_x2"))
+                    * (F.col("_y1") - F.col("_y2")))
+           .cast("long"))
+    agg = pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
+                    F.sum(sgn).alias("_s"))
+    n = s.count()
+    return (agg.select(F.lit(n).alias("n"), "n_pairs",
+                       F.round(F.col("_s") / F.col("n_pairs"),
+                               ndigits).alias("tau")))

@@ -301,3 +301,23 @@ def test_robust_zscore_zero_mad_silent(spark):
     df = spark.createDataFrame([(1, "g", 5.0)] * 4,
                                "id long, grp string, v double")
     assert robust_zscore_outliers(df, "grp", "v", "id").count() == 0
+
+
+def test_kendall_perfect_and_inverse(spark):
+    from mms_rdf_spark.operators.analytics import kendall_tau
+    rows = [(t, float(t), float(10 - t)) for t in range(6)]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    up = kendall_tau(df.select("t", "x",
+                               df.x.alias("y")), "x", "y", "t") \
+        .collect()[0]
+    assert up["tau"] == 1.0 and up["n_pairs"] == 15
+    inv = kendall_tau(df, "x", "y", "t").collect()[0]
+    assert inv["tau"] == -1.0
+
+
+def test_kendall_ties_dilute_toward_zero(spark):
+    from mms_rdf_spark.operators.analytics import kendall_tau
+    # y constant: every pair ties on y -> tau exactly 0
+    rows = [(t, float(t), 5.0) for t in range(5)]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    assert kendall_tau(df, "x", "y", "t").collect()[0]["tau"] == 0.0
