@@ -1119,6 +1119,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def events_cramers_v(spark, sf):
+        # effect size over the chi-square cells: contributions fold as
+        # exact micro-units (a float sum over cells would be
+        # order-dependent), then one sqrt
+        from mms_rdf_spark.operators.analytics import chi_square_cells
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        dow = F.pmod(F.floor(_epoch_s("ts") / 86400), F.lit(7)) \
+            .cast("int")
+        cells = chi_square_cells(ev, "event_type", dow)
+        agg = cells.agg(
+            F.sum("o").alias("n"),
+            F.countDistinct("a").alias("_r"),
+            F.countDistinct("b").alias("_c"),
+            F.sum(F.round(F.col("contrib") * 1e6).cast("long"))
+            .alias("_mu"))
+        chi2 = F.col("_mu") / 1e6
+        denom = F.col("n") * F.least(F.col("_r") - 1, F.col("_c") - 1)
+        return agg.select(
+            "n", F.round(chi2, 4).alias("chi2"),
+            F.round(F.sqrt(chi2 / denom), 6).alias("cramers_v"))
+
     def events_kendall(spark, sf):
         # rank agreement between hourly click and view volumes
         from mms_rdf_spark.operators.analytics import kendall_tau
@@ -1545,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "events_cramers_v": events_cramers_v,
         "events_kendall": events_kendall,
         "events_ks": events_ks,
         "dedup_containment": dedup_containment,
@@ -3157,6 +3180,40 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    # Cramér's V: micro-unit fold of the chi-square contributions
+    q["events_cramers_v"] = """
+    WITH cells AS (
+        SELECT event_type AS a,
+               CAST(floor(floor(epoch(ts)) / 86400) % 7 AS INT) AS b,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT a, b, o,
+               CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+               CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM cells
+    ), t AS (
+        SELECT o, n,
+               CAST(round(round((o - (ra * cb) / n)
+                                * (o - (ra * cb) / n)
+                                / ((ra * cb) / n), 6) * 1000000)
+                    AS BIGINT) AS mu,
+               a, b
+        FROM m
+    ), s AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT a) AS BIGINT) AS r,
+               CAST(count(DISTINCT b) AS BIGINT) AS c,
+               CAST(sum(mu) AS BIGINT) AS mu
+        FROM t
+    )
+    SELECT n, round(mu / 1000000.0, 4) AS chi2,
+           round(sqrt((mu / 1000000.0)
+                      / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM s
     """
 
     # exact Kendall tau-a over hourly series (integer sign sums)
