@@ -1119,6 +1119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def events_auc(spark, sf):
+        # do purchase values stochastically dominate click values?
+        from mms_rdf_spark.operators.analytics import mann_whitney_auc
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return mann_whitney_auc(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "click"), "value")
+
     def events_cramers_v(spark, sf):
         # effect size over the chi-square cells: contributions fold as
         # exact micro-units (a float sum over cells would be
@@ -1567,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "events_auc": events_auc,
         "events_cramers_v": events_cramers_v,
         "events_kendall": events_kendall,
         "events_ks": events_ks,
@@ -3180,6 +3189,33 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    # Mann-Whitney / ROC-AUC: exact integer rank-sum construction
+    q["events_auc"] = """
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'purchase'),
+    b AS (SELECT value AS v FROM events WHERE event_type = 'click'),
+    na AS (SELECT count(*) AS na FROM a),
+    nb AS (SELECT count(*) AS nb FROM b),
+    m AS (
+        SELECT v, 1 AS sa, 0 AS sb FROM a
+        UNION ALL SELECT v, 0, 1 FROM b
+    ), per_v AS (
+        SELECT v, CAST(sum(sa) AS BIGINT) AS da,
+               CAST(sum(sb) AS BIGINT) AS db
+        FROM m GROUP BY v
+    ), c AS (
+        SELECT v, da, db,
+               CAST(sum(db) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cb
+        FROM per_v
+    )
+    SELECT CAST(na AS INT) AS n_a, CAST(nb AS INT) AS n_b,
+           round(CAST(sum(da * (2 * (cb - db) + db)) AS BIGINT)
+                 / (2.0 * na * nb), 6) AS auc
+    FROM c, na, nb GROUP BY na, nb
     """
 
     # Cramér's V: micro-unit fold of the chi-square contributions

@@ -1167,3 +1167,42 @@ def kendall_tau(
     return (agg.select(F.lit(n).alias("n"), "n_pairs",
                        F.round(F.col("_s") / F.col("n_pairs"),
                                ndigits).alias("tau")))
+
+
+def mann_whitney_auc(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U as the ROC-AUC P(A > B) + ½P(A = B), computed
+    EXACTLY: per distinct value, sample-a counts multiply twice the
+    strictly-smaller b-count plus the tied b-count — all longs, halved
+    by a single final division by 2·n_a·n_b. The rank-sum complement
+    to ks_statistic (stochastic dominance vs sup-gap), with the same
+    distinct-value cumulative pass and the same global_rank swap-in
+    note at extreme distinct-value cardinality.
+    Returns (n_a, n_b, auc); 0.5 = no separation.
+    """
+    na = a.count()
+    nb = b.count()
+    if na == 0 or nb == 0:
+        raise ValueError("mann_whitney_auc: both samples non-empty")
+    merged = (a.select(F.col(value_col).alias("_v"),
+                       F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+              .unionByName(
+                  b.select(F.col(value_col).alias("_v"),
+                           F.lit(0).alias("_a"), F.lit(1).alias("_b"))))
+    per_v = merged.groupBy("_v").agg(F.sum("_a").alias("_da"),
+                                     F.sum("_b").alias("_db"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wins2 = (per_v
+             .withColumn("_cb", F.sum("_db").over(w))
+             .select((F.col("_da")
+                      * (2 * (F.col("_cb") - F.col("_db"))
+                         + F.col("_db"))).alias("_w2")))
+    return (wins2.agg(F.sum("_w2").alias("_s"))
+            .select(F.lit(na).alias("n_a"), F.lit(nb).alias("n_b"),
+                    F.round(F.col("_s")
+                            / F.lit(2.0 * na * nb), ndigits)
+                    .alias("auc")))

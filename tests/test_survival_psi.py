@@ -82,3 +82,22 @@ def test_ks_hand_computed_with_ties(spark):
     a = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v double")
     b = spark.createDataFrame([(1.0,), (3.0,), (3.0,)], "v double")
     assert ks_statistic(a, b, "v").collect()[0]["ks"] == round(2 / 3, 6)
+
+
+def test_mann_whitney_separated_and_overlapping(spark):
+    from mms_rdf_spark.operators.analytics import mann_whitney_auc
+    lo = spark.createDataFrame([(float(i),) for i in range(5)], "v double")
+    hi = spark.createDataFrame([(10.0 + i,) for i in range(5)], "v double")
+    assert mann_whitney_auc(hi, lo, "v").collect()[0]["auc"] == 1.0
+    assert mann_whitney_auc(lo, hi, "v").collect()[0]["auc"] == 0.0
+    same = mann_whitney_auc(lo, lo, "v").collect()[0]
+    assert same["auc"] == 0.5  # ties split evenly
+
+
+def test_mann_whitney_hand_computed(spark):
+    from mms_rdf_spark.operators.analytics import mann_whitney_auc
+    # a={1,3}, b={2,3}: pairs (1>2)no (1>3)no (3>2)yes (3=3)tie
+    # U = 1 + 0.5 = 1.5 of 4 -> auc 0.375
+    a = spark.createDataFrame([(1.0,), (3.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    assert mann_whitney_auc(a, b, "v").collect()[0]["auc"] == 0.375
