@@ -1119,6 +1119,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def events_theil_sen(spark, sf):
+        # robust daily-volume trend of purchases (pairwise-median
+        # slope over the per-day count series)
+        from mms_rdf_spark.operators.analytics import theil_sen_slope
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        daily = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy(F.floor(_epoch_s("ts") / 86400)
+                          .cast("long").alias("day"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("n")))
+        return theil_sen_slope(daily, "day", "n")
+
+    def orders_benford(spark, sf):
+        # Benford's-law forensics: first-digit distribution of
+        # o_totalprice vs round(log10(1 + 1/d), 6) expectation
+        # (explicit floor: Spark's double->long cast truncates while
+        # DuckDB's rounds)
+        from pyspark.sql.window import Window
+
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        d1 = F.substring(F.floor(F.col("o_totalprice")).cast("long")
+                         .cast("string"), 1, 1).cast("int")
+        counts = (o.where(F.col("o_totalprice") >= 1)
+                  .groupBy(d1.alias("digit"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        tot = Window.partitionBy()
+        expected = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+        return (counts
+                .withColumn("p", F.round(F.col("n")
+                                         / F.sum("n").over(tot), 6))
+                .withColumn("p_benford", expected)
+                .withColumn("dev", F.round(F.col("p")
+                                           - F.col("p_benford"), 6))
+                .select("digit", "n", "p", "p_benford", "dev"))
+
     def events_auc(spark, sf):
         # do purchase values stochastically dominate click values?
         from mms_rdf_spark.operators.analytics import mann_whitney_auc
@@ -1575,6 +1610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "events_theil_sen": events_theil_sen,
+        "orders_benford": orders_benford,
         "events_auc": events_auc,
         "events_cramers_v": events_cramers_v,
         "events_kendall": events_kendall,
@@ -3189,6 +3226,41 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    q["events_theil_sen"] = """
+    WITH daily AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), sl AS (
+        SELECT round((b.n - a.n) / (b.day - a.day), 6) AS s,
+               a.day AS xi, b.day AS xj
+        FROM daily a JOIN daily b ON a.day < b.day
+    ), r AS (
+        SELECT s, row_number() OVER (ORDER BY s, xi, xj) AS rn,
+               count(*) OVER () AS np
+        FROM sl
+    )
+    SELECT CAST(np AS INT) AS n_pairs, s AS slope
+    FROM r WHERE rn = greatest(1, (np + 1) // 2)
+    """
+
+    q["orders_benford"] = """
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS n
+        FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ), s AS (
+        SELECT digit, n,
+               round(n / sum(n) OVER (), 6) AS p,
+               round(log10(1.0 + 1.0 / digit), 6) AS p_benford
+        FROM c
+    )
+    SELECT digit, n, p, p_benford,
+           round(p - p_benford, 6) AS dev
+    FROM s
     """
 
     # Mann-Whitney / ROC-AUC: exact integer rank-sum construction

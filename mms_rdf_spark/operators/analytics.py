@@ -1206,3 +1206,38 @@ def mann_whitney_auc(
                     F.round(F.col("_s")
                             / F.lit(2.0 * na * nb), ndigits)
                     .alias("auc")))
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i) over x_i < x_j — up to ~29% outliers cannot
+    move it, the robust complement to grouped_ols_trend. Returns one
+    row (n_pairs, slope).
+
+    Each slope is ONE float division rounded to `ndigits` BEFORE the
+    median (so the order statistic compares identical values on every
+    engine); the median is the lower order statistic by
+    (slope, xi, xj) total order — no interpolation, no float
+    averaging. O(n²) pair join: series-sized inputs (aggregate
+    first), same honest bound as kendall_tau.
+    """
+    s = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    a = s.select(F.col("_x").alias("_xi"), F.col("_y").alias("_yi"))
+    b = s.select(F.col("_x").alias("_xj"), F.col("_y").alias("_yj"))
+    slopes = (a.join(b, F.col("_xi") < F.col("_xj"))
+              .select(F.round((F.col("_yj") - F.col("_yi"))
+                              / (F.col("_xj") - F.col("_xi")),
+                              ndigits).alias("_s"),
+                      "_xi", "_xj"))
+    w = Window.orderBy("_s", "_xi", "_xj")
+    ranked = slopes.withColumn("_rn", F.row_number().over(w))
+    n_pairs = slopes.count()
+    k = max(1, (n_pairs + 1) // 2)
+    return (ranked.where(F.col("_rn") == k)
+            .select(F.lit(n_pairs).alias("n_pairs"),
+                    F.col("_s").alias("slope")))

@@ -321,3 +321,21 @@ def test_kendall_ties_dilute_toward_zero(spark):
     rows = [(t, float(t), 5.0) for t in range(5)]
     df = spark.createDataFrame(rows, "t long, x double, y double")
     assert kendall_tau(df, "x", "y", "t").collect()[0]["tau"] == 0.0
+
+
+def test_theil_sen_ignores_outlier(spark):
+    from mms_rdf_spark.operators.analytics import theil_sen_slope
+    # perfect slope 2 with one wild outlier: OLS would bend, TS holds
+    rows = [(float(x), 2.0 * x) for x in range(8)] + [(8.0, 500.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = theil_sen_slope(df, "x", "y").collect()[0]
+    assert r["slope"] == 2.0
+    assert r["n_pairs"] == 9 * 8 // 2
+
+
+def test_theil_sen_exact_median_small(spark):
+    from mms_rdf_spark.operators.analytics import theil_sen_slope
+    # slopes of {(0,0),(1,1),(2,4)}: 1, 2, 3 -> median 2
+    df = spark.createDataFrame([(0.0, 0.0), (1.0, 1.0), (2.0, 4.0)],
+                               "x double, y double")
+    assert theil_sen_slope(df, "x", "y").collect()[0]["slope"] == 2.0
