@@ -1119,6 +1119,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def orders_dup_payments(spark, sf):
+        # repeat-payment heuristic: same customer, same $1000 amount
+        # band, within a year, different orders — equi-join on
+        # (customer, band) with the date window as residual; integer
+        # band and whole-second math only
+        o = (spark.read.parquet(f"{sf}/orders.parquet")
+             .select("o_orderkey", "o_custkey",
+                     F.floor(F.col("o_totalprice") / 1000)
+                     .cast("long").alias("band"),
+                     F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ "
+                            "'1970-01-01 00:00:00', cast(o_orderdate "
+                            "as timestamp_ntz))").alias("s")))
+        a = o.select(F.col("o_orderkey").alias("a_key"), "o_custkey",
+                     "band", F.col("s").alias("a_s"))
+        b = o.select(F.col("o_orderkey").alias("b_key"),
+                     F.col("o_custkey").alias("o_custkey"),
+                     F.col("band").alias("band"),
+                     F.col("s").alias("b_s"))
+        return (a.join(b, on=["o_custkey", "band"])
+                .where((F.col("a_key") < F.col("b_key"))
+                       & (F.abs(F.col("a_s") - F.col("b_s"))
+                          <= 365 * 86400))
+                .select("o_custkey", "a_key", "b_key", "band",
+                        (F.abs(F.col("a_s") - F.col("b_s")) / 86400)
+                        .cast("long").alias("days_apart")))
+
+    def events_burstiness(spark, sf):
+        # point-process burstiness B = (sigma - mu)/(sigma + mu) of
+        # inter-arrival gaps per user, from exact integer moment sums
+        from pyspark.sql.window import Window
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("s", "event_id")
+        gaps = (ev.select("user_id", "event_id",
+                          _epoch_s("ts").alias("s"))
+                .withColumn("_g", F.lead("s").over(w) - F.col("s"))
+                .where(F.col("_g").isNotNull()))
+        st = (gaps.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("_g").alias("s1"),
+                   F.sum(F.col("_g") * F.col("_g")).alias("s2")))
+        mu = F.col("s1") / F.col("n")
+        sd = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+        return (st.where(F.col("n") >= 2).where(sd + mu > 0)
+                .select("user_id", "n",
+                        F.round(mu, 4).alias("mean_gap_s"),
+                        F.round((sd - mu) / (sd + mu), 6)
+                        .alias("burstiness")))
+
     def events_theil_sen(spark, sf):
         # robust daily-volume trend of purchases (pairwise-median
         # slope over the per-day count series)
@@ -1610,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "orders_dup_payments": orders_dup_payments,
+        "events_burstiness": events_burstiness,
         "events_theil_sen": events_theil_sen,
         "orders_benford": orders_benford,
         "events_auc": events_auc,
@@ -3226,6 +3277,47 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    q["orders_dup_payments"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS band,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s
+        FROM orders
+    )
+    SELECT a.o_custkey, a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+           a.band,
+           CAST(abs(a.s - b.s) // 86400 AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey AND a.band = b.band
+       AND a.o_orderkey < b.o_orderkey
+       AND abs(a.s - b.s) <= 365 * 86400
+    """
+
+    q["events_burstiness"] = """
+    WITH g AS (
+        SELECT user_id,
+               lead(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                  event_id)
+                   - CAST(floor(epoch(ts)) AS BIGINT) AS gp
+        FROM events
+    ), s AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(gp) AS BIGINT) AS s1,
+               CAST(sum(gp * gp) AS BIGINT) AS s2
+        FROM g WHERE gp IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(s1 / n, 4) AS mean_gap_s,
+           round((sqrt(s2 / n - (s1 / n) * (s1 / n)) - s1 / n)
+                 / (sqrt(s2 / n - (s1 / n) * (s1 / n)) + s1 / n), 6)
+               AS burstiness
+    FROM s
+    WHERE n >= 2
+      AND sqrt(s2 / n - (s1 / n) * (s1 / n)) + s1 / n > 0
     """
 
     q["events_theil_sen"] = """
