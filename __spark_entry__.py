@@ -1119,6 +1119,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def events_acf(spark, sf):
+        # autocorrelation of hourly click volume = the cross-corr
+        # operator applied to the series against itself
+        from mms_rdf_spark.operators.analytics import lagged_crosscorr
+        return lagged_crosscorr(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            "click", "click", max_lag=6)
+
+    def text_hapax(spark, sf):
+        # hapax-legomenon ratio: vocabulary share seen exactly once
+        # (corpus-diversity signal pairing with text_zipf)
+        docs = _docs(spark, sf)
+        toks = F.filter(F.split(F.col("text"), " "),
+                        lambda t: t != "")
+        freq = (docs.select(F.explode(toks).alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+        return freq.agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long").alias("hapax"),
+            F.round(F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+                    / F.count(F.lit(1)), 6).alias("hapax_ratio"))
+
+    def kg_role_alternation(spark, sf):
+        # dialogue structure: share of consecutive turn pairs that
+        # switch speaker roles, per conversation
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.kgdemo import transcripts_from_events
+        t = transcripts_from_events(spark, sf)
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        pairs = (t.select("conv_id", "turn_idx", "role")
+                 .withColumn("_next", F.lead("role").over(w))
+                 .where(F.col("_next").isNotNull()))
+        return (pairs.groupBy("conv_id")
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.sum(F.when(F.col("role") != F.col("_next"), 1)
+                           .otherwise(0)).cast("long").alias("n_switch"),
+                     F.round(F.sum(F.when(F.col("role")
+                                          != F.col("_next"), 1)
+                                   .otherwise(0))
+                             / F.count(F.lit(1)), 6)
+                     .alias("alternation")))
+
     def orders_dup_payments(spark, sf):
         # repeat-payment heuristic: same customer, same $1000 amount
         # band, within a year, different orders — equi-join on
@@ -1659,6 +1703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "events_acf": events_acf,
+        "text_hapax": text_hapax,
+        "kg_role_alternation": kg_role_alternation,
         "orders_dup_payments": orders_dup_payments,
         "events_burstiness": events_burstiness,
         "events_theil_sen": events_theil_sen,
@@ -3277,6 +3324,39 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    # ACF = the cross-correlation oracle with b := a
+    q["events_acf"] = q["events_xcorr"].replace(
+        "WHERE ty = 'purchase'", "WHERE ty = 'click'")
+
+    q["text_hapax"] = f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS n FROM (
+            SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY tok
+    )
+    SELECT count(*) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / count(*), 6)
+               AS hapax_ratio
+    FROM freq
+    """
+
+    q["kg_role_alternation"] = _T + """
+    , p AS (
+        SELECT conv_id, role,
+               lead(role) OVER (PARTITION BY conv_id
+                                ORDER BY turn_idx) AS nxt
+        FROM t
+    )
+    SELECT conv_id, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN role <> nxt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_switch,
+           round(sum(CASE WHEN role <> nxt THEN 1 ELSE 0 END)
+                 / count(*), 6) AS alternation
+    FROM p WHERE nxt IS NOT NULL GROUP BY conv_id
     """
 
     q["orders_dup_payments"] = """
