@@ -1119,6 +1119,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def kg_conv_length_dist(spark, sf):
+        # conversation-length histogram (5-turn buckets)
+        from mms_rdf_spark.kgdemo import transcripts_from_events
+        t = transcripts_from_events(spark, sf)
+        lens = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+        return (lens.groupBy((F.floor(F.col("_n") / 5) * 5)
+                             .cast("long").alias("len_bucket"))
+                .agg(F.count(F.lit(1)).alias("n_convs")))
+
+    def events_peak_hours(spark, sf):
+        # per-type busiest hour of day (zero-padded argmax key)
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hod = F.pmod(F.floor(_epoch_s("ts") / 3600), F.lit(24)) \
+            .cast("int")
+        counts = (ev.groupBy("event_type", hod.alias("hod"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        key = F.concat(F.lpad(F.col("n").cast("string"), 12, "0"),
+                       F.lit(":"),
+                       F.lpad((23 - F.col("hod")).cast("string"), 2,
+                              "0"))
+        return (counts.withColumn("_k", key)
+                .groupBy("event_type")
+                .agg(F.max_by("hod", "_k").alias("peak_hour"),
+                     F.max_by("n", "_k").alias("peak_n")))
+
     def events_acf(spark, sf):
         # autocorrelation of hourly click volume = the cross-corr
         # operator applied to the series against itself
@@ -1703,6 +1729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "kg_conv_length_dist": kg_conv_length_dist,
+        "events_peak_hours": events_peak_hours,
         "events_acf": events_acf,
         "text_hapax": text_hapax,
         "kg_role_alternation": kg_role_alternation,
@@ -3324,6 +3352,35 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    q["kg_conv_length_dist"] = _T + """
+    , lens AS (SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id)
+    SELECT CAST(floor(n / 5) * 5 AS BIGINT) AS len_bucket,
+           count(*) AS n_convs
+    FROM lens GROUP BY 1
+    """
+
+    # argmax by (count, earlier-hour tiebreak) via the zero-padded
+    # arg_max key (ohlc idiom; 23-hod inverts so ties pick the
+    # EARLIEST hour under max)
+    q["events_peak_hours"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)
+                    % 24 AS INT) AS hod,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), k AS (
+        SELECT event_type, hod, n,
+               lpad(CAST(n AS VARCHAR), 12, '0') || ':'
+                   || lpad(CAST(23 - hod AS VARCHAR), 2, '0') AS key
+        FROM c
+    )
+    SELECT event_type,
+           arg_max(hod, key) AS peak_hour,
+           arg_max(n, key) AS peak_n
+    FROM k GROUP BY event_type
     """
 
     # ACF = the cross-correlation oracle with b := a
