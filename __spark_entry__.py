@@ -1119,6 +1119,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def kg_rich_club(spark, sf):
+        # rich-club coefficient at k in {10, 20, 40}: edge density
+        # among nodes of degree > k on the part-supplier graph —
+        # exact integer edge/node counts, one division per k
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = (li.select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+                .alias("a"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                .alias("b")).distinct())
+        sym = (e.union(e.select(F.col("b"), F.col("a"))))
+        deg = sym.groupBy(F.col("a").alias("node")) \
+            .agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+        out = None
+        for k in (10, 20, 40):
+            rich = deg.where(F.col("d") > k).select("node")
+            n_k = rich.count()
+            e_k = (e.join(rich.withColumnRenamed("node", "a"), on="a",
+                          how="left_semi")
+                   .join(rich.withColumnRenamed("node", "b"), on="b",
+                         how="left_semi").count())
+            row = spark.createDataFrame(
+                [(k, n_k, e_k)], "k int, n_nodes long, n_edges long")
+            out = row if out is None else out.unionByName(row)
+        # phi = 2E / (N(N-1)); N<2 -> NULL
+        return out.select(
+            "k", "n_nodes", "n_edges",
+            F.when(F.col("n_nodes") > 1,
+                   F.round((2 * F.col("n_edges"))
+                           / (F.col("n_nodes")
+                              * (F.col("n_nodes") - 1)), 6))
+            .alias("phi"))
+
+    def orders_hhi(spark, sf):
+        # Herfindahl concentration of order volume across customers:
+        # HHI = sum(n_i^2) / N^2 — both exact integers, one division
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        return (per.agg(F.count(F.lit(1)).alias("n_customers"),
+                        F.sum("n").alias("_t"),
+                        F.sum(F.col("n") * F.col("n")).alias("_sq"))
+                .select("n_customers",
+                        F.round(F.col("_sq")
+                                / (F.col("_t") * F.col("_t")), 6)
+                        .alias("hhi")))
+
     def kg_conv_length_dist(spark, sf):
         # conversation-length histogram (5-turn buckets)
         from mms_rdf_spark.kgdemo import transcripts_from_events
@@ -1729,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "kg_rich_club": kg_rich_club,
+        "orders_hhi": orders_hhi,
         "kg_conv_length_dist": kg_conv_length_dist,
         "events_peak_hours": events_peak_hours,
         "events_acf": events_acf,
@@ -3352,6 +3400,47 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    # rich-club: unrolled k levels, exact counts, phi = 2E/(N(N-1))
+    rc = """
+    WITH e AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+               's' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem
+    ), sym AS (
+        SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (
+        SELECT a AS node, count(*) AS d FROM sym GROUP BY a
+    )"""
+    rc_parts = []
+    for k in (10, 20, 40):
+        rc += f""", r{k} AS (SELECT node FROM deg WHERE d > {k}
+    ), s{k} AS (
+        SELECT CAST({k} AS INT) AS k,
+               (SELECT count(*) FROM r{k}) AS n_nodes,
+               count(*) AS n_edges
+        FROM e
+        WHERE e.a IN (SELECT node FROM r{k})
+          AND e.b IN (SELECT node FROM r{k})
+    )"""
+        rc_parts.append(f"SELECT * FROM s{k}")
+    q["kg_rich_club"] = rc + """
+    SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CASE WHEN n_nodes > 1
+                THEN round((2 * n_edges)
+                           / (n_nodes * (n_nodes - 1)), 6) END AS phi
+    FROM (""" + " UNION ALL ".join(rc_parts) + ")"
+
+    q["orders_hhi"] = """
+    WITH per AS (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT count(*) AS n_customers,
+           round(CAST(sum(n * n) AS BIGINT)
+                 / (CAST(sum(n) AS BIGINT)
+                    * CAST(sum(n) AS BIGINT)), 6) AS hhi
+    FROM per
     """
 
     q["kg_conv_length_dist"] = _T + """
