@@ -1119,6 +1119,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.sessionize import turn_latency
         return turn_latency(transcripts_from_events(spark, sf))
 
+    def orders_pareto80(spark, sf):
+        # ABC analysis: how many top customers cover 80% of revenue —
+        # the 0.8 threshold tested as 5*cum >= 4*total in exact cents
+        # (no float share ever computed)
+        from pyspark.sql.window import Window
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        per = (o.groupBy("o_custkey")
+               .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast("long")).alias("_c")))
+        w = (Window.orderBy(F.col("_c").desc(), "o_custkey")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        tot = Window.partitionBy()
+        ranked = (per.withColumn("_cum", F.sum("_c").over(w))
+                  .withColumn("_t", F.sum("_c").over(tot)))
+        return (ranked.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(5 * (F.col("_cum") - F.col("_c"))
+                         < 4 * F.col("_t"), 1).otherwise(0))
+            .cast("long").alias("n_top80")))
+
     def kg_rich_club(spark, sf):
         # rich-club coefficient at k in {10, 20, 40}: edge density
         # among nodes of degree > k on the part-supplier graph —
@@ -1775,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": sim_mmr,
         "kg_tool_usage": kg_tool_usage,
         "kg_turn_latency": kg_turn_latency,
+        "orders_pareto80": orders_pareto80,
         "kg_rich_club": kg_rich_club,
         "orders_hhi": orders_hhi,
         "kg_conv_length_dist": kg_conv_length_dist,
@@ -3400,6 +3421,27 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(ns - s) AS BIGINT) AS max_latency_s
     FROM p WHERE role = 'user' AND nrole = 'assistant'
     GROUP BY conv_id
+    """
+
+    # Pareto/ABC: 80% threshold as exact 5*cum < 4*total in cents
+    q["orders_pareto80"] = """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM orders GROUP BY o_custkey
+    ), r AS (
+        SELECT c,
+               CAST(sum(c) OVER (ORDER BY c DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER () AS BIGINT) AS t
+        FROM per
+    )
+    SELECT count(*) AS n_customers,
+           CAST(sum(CASE WHEN 5 * (cum - c) < 4 * t
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_top80
+    FROM r
     """
 
     # rich-club: unrolled k levels, exact counts, phi = 2E/(N(N-1))
