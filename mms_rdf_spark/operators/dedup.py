@@ -341,8 +341,13 @@ def containment_pairs(
             F.transform(word_ngrams(_tokens(F.col(text_col)), n),
                         F.md5))).alias("gram"))
     df_w = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_w"))
-    kept = g.join(F.broadcast(df_w.where(F.col("_w") <= max_df)),
-                  on="gram").drop("_w")
+    # Broadcast the HOT grams (df > max_df) and anti-join them away.
+    # The hot set is small by construction (same argument as the LSH
+    # oversized-bucket cap above); broadcasting the KEPT grams would
+    # ship the whole gram vocabulary minus a handful of stop-grams —
+    # billions of rows at the 100-TB contract.
+    hot = df_w.where(F.col("_w") > max_df).select("gram")
+    kept = g.join(F.broadcast(hot), on="gram", how="left_anti")
     sizes = g.groupBy("_d").agg(F.count(F.lit(1)).alias("a_grams"))
     shared = (kept.select("gram", F.col("_d").alias("a_id"))
               .join(kept.select("gram", F.col("_d").alias("b_id")),

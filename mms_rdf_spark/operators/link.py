@@ -269,8 +269,12 @@ def fuzzy_edit_pairs(
                      F.length(text_col).alias("_flen"))
     if max_block is not None:
         sizes = cols.groupBy("_fblk").agg(F.count(F.lit(1)).alias("_fbn"))
-        cols = (cols.join(F.broadcast(sizes.where(
-            F.col("_fbn") <= max_block)), on="_fblk").drop("_fbn"))
+        # Broadcast the few OVERSIZED blocks and anti-join them away —
+        # the kept-block table is nearly every block at scale, so
+        # broadcasting it inverts the size argument (same fix as
+        # dedup.containment_pairs).
+        big = sizes.where(F.col("_fbn") > max_block).select("_fblk")
+        cols = cols.join(F.broadcast(big), on="_fblk", how="left_anti")
     a = cols.select(F.col("_fblk"), F.col("_fid").alias("id_a"),
                     F.col("_ftext").alias("_ta"),
                     F.col("_flen").alias("_la"))

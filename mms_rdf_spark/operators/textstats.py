@@ -331,15 +331,19 @@ def token_vocab(docs: DataFrame, k: int = 50) -> DataFrame:
     (token, n, rank), ties by token. The induction pass a tokenizer
     build starts from (count -> merge-rank); one explode + one
     map-side-combined count + a top-k. At 100 TB the count output is
-    |vocab| rows, not corpus rows — the explode never materializes."""
+    |vocab| rows, not corpus rows — the explode never materializes.
+
+    Top-k plans as TakeOrderedAndProject (per-task bounded heaps, the
+    sketch.py bottom-k pattern) — never a single-partition sort of the
+    full |vocab| table; rank is a window over the k survivors only."""
     from pyspark.sql.window import Window
 
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     counts = (docs.select(F.explode(toks).alias("token"))
               .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    topk = counts.orderBy(F.col("n").desc(), "token").limit(k)
     w = Window.orderBy(F.col("n").desc(), "token")
-    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def cooccurrence_pmi(docs: DataFrame, min_df: int = 5,
@@ -386,10 +390,12 @@ def cooccurrence_pmi(docs: DataFrame, min_df: int = 5,
                       F.round(F.log((F.col("n_ab") * F.col("n_docs"))
                                     / (F.col("n_a") * F.col("n_b"))), 6)
                       .alias("pmi")))
+    # Top-k as TakeOrderedAndProject (per-task bounded heaps), then
+    # rank via a window over the k survivors only — never a
+    # single-partition sort of the full pruned-pair table.
+    topk = scored.orderBy(F.col("pmi").desc(), "tok_a", "tok_b").limit(k)
     w = Window.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
-    return (scored.withColumn("rank",
-                              F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def bigram_lm_scores(docs: DataFrame, alpha: float = 0.1) -> DataFrame:

@@ -239,3 +239,51 @@ def test_bucketed_input_makes_full_extraction_shuffle_free(spark,
     b = extract_triples(spark, transcripts_df)
     assert a.count() == b.count()
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_containment_broadcasts_hot_grams_only(spark):
+    """containment_pairs must anti-join against a BROADCAST of the few
+    hot grams (df > max_df), never broadcast the kept-gram table — the
+    kept set is the whole gram vocabulary minus a handful of stop-grams
+    (billions of rows at 100 TB; round-3 verdict #1)."""
+    from mms_rdf_spark.operators.dedup import containment_pairs
+
+    docs = _curate_docs(spark)
+    plan = _plan(containment_pairs(docs, n=3, max_df=4))
+    # the stop-gram removal is a broadcast LEFT ANTI join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the broadcast branch carries the HOT filter (_w > max_df) ...
+    assert "> 4)" in plan, plan
+    # ... and the kept filter (_w <= max_df) exists nowhere
+    assert "<= 4)" not in plan, plan
+
+
+def test_fuzzy_edit_drops_oversized_blocks_via_anti_join(spark):
+    """fuzzy_edit_pairs with max_block set must broadcast the few
+    OVERSIZED blocks and anti-join them away — not broadcast the kept
+    (nearly-all) block table (same inversion as containment_pairs)."""
+    from mms_rdf_spark.operators.link import fuzzy_edit_pairs
+
+    df = _curate_docs(spark).select(
+        F.col("doc_id").alias("id"), F.col("text"),
+        (F.col("doc_id") % 3).alias("blk"))
+    plan = _plan(fuzzy_edit_pairs(df, "id", "text", "blk", max_block=10))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "> 10)" in plan, plan
+    assert "<= 10)" not in plan, plan
+
+
+def test_vocab_and_pmi_topk_plan_as_take_ordered(spark):
+    """token_vocab / cooccurrence_pmi top-k must compile to
+    TakeOrderedAndProject (per-task bounded heaps) — round 3 ran an
+    UNPARTITIONED row_number window, i.e. a one-partition sort of the
+    full |vocab| (resp. pruned-pair) table (round-3 verdict #2). The
+    surviving rank window runs over the k limit survivors only."""
+    from mms_rdf_spark.operators.textstats import (token_vocab,
+                                                   cooccurrence_pmi)
+
+    docs = _curate_docs(spark)
+    for df in (token_vocab(docs, k=10),
+               cooccurrence_pmi(docs, min_df=2, min_pairs=2, k=10)):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
