@@ -1712,6 +1712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return MM.sample_frames(MM.synth_media(_docs(spark, sf)))
 
     return {
+        # Driver-window rotation (round 4): the driver grades the
+        # FIRST 50 dict entries. kg_* conversion queries (the P/R
+        # contract) stay first; positions 18-50 rotate in queries
+        # never covered by CORRECTNESS_r01-r03. See NOTES.md.
         "kg_type_triples": kg_type_triples,
         "kg_role_enum": kg_role_enum,
         "kg_elementid": kg_elementid,
@@ -1729,39 +1733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closure": kg_closure,
         "kg_cc": kg_cc,
         "kg_sessionize": kg_sessionize,
-        "tpch_q1": tpch_q1,
-        "tpch_q3": tpch_q3,
-        "events_window": events_window,
-        "events_asof": events_asof,
-        "events_range_join": events_range_join,
-        "events_rollup": events_rollup,
-        "kg_pagerank": kg_pagerank,
-        "link_sorted_neighborhood": link_sorted_neighborhood,
-        "kg_triangles": kg_triangles,
-        "kg_random_walks": kg_random_walks,
-        "kg_khop_mean": kg_khop_mean,
-        "kg_graph_diff": kg_graph_diff,
-        "kg_conv_fingerprint": kg_conv_fingerprint,
-        "text_bm25": text_bm25,
-        "text_dup_grams": text_dup_grams,
-        "text_sample_stratified": text_sample_stratified,
-        "text_sample_weighted": text_sample_weighted,
-        "text_quality_relative": text_quality_relative,
-        "text_lm_score": text_lm_score,
-        "text_vocab_topk": text_vocab_topk,
-        "text_cooccur_pmi": text_cooccur_pmi,
-        "sketch_distinct": sketch_distinct,
-        "sketch_jaccard": sketch_jaccard,
-        "events_quantiles": events_quantiles,
-        "events_zorder": events_zorder,
-        "events_heavy_hitters": events_heavy_hitters,
-        "events_gap_fill": events_gap_fill,
-        "orders_merge_upsert": orders_merge_upsert,
-        "kg_labelprop": kg_labelprop,
-        "kg_kcore": kg_kcore,
-        "events_pivot": events_pivot,
-        "events_cube": events_cube,
-        "parts_preferred_supplier": parts_preferred_supplier,
         "events_anomaly_seasonal": events_anomaly_seasonal,
         "tpch_q4": tpch_q4,
         "tpch_q10": tpch_q10,
@@ -1847,6 +1818,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": events_anomaly,
         "events_ntile": events_ntile,
         "reco_also_bought": reco_also_bought,
+        "sim_ivf_assign_trained": sim_ivf_assign_trained,
+        "dedup_embedding_neardup_mb": dedup_embedding_neardup_mb,
+        "sim_neardup_clusters": sim_neardup_clusters,
+        "sim_ivf_topk_trained": sim_ivf_topk_trained,
+        "sim_pq_encode": sim_pq_encode,
+        "sim_standardize": sim_standardize,
+        "text_curate_semantic": text_curate_semantic,
+        "text_pretrain_corpus": text_pretrain_corpus,
+        "tpch_q1": tpch_q1,
+        "tpch_q3": tpch_q3,
+        "events_window": events_window,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "events_rollup": events_rollup,
+        "kg_pagerank": kg_pagerank,
+        "link_sorted_neighborhood": link_sorted_neighborhood,
+        "kg_triangles": kg_triangles,
+        "kg_random_walks": kg_random_walks,
+        "kg_khop_mean": kg_khop_mean,
+        "kg_graph_diff": kg_graph_diff,
+        "kg_conv_fingerprint": kg_conv_fingerprint,
+        "text_bm25": text_bm25,
+        "text_dup_grams": text_dup_grams,
+        "text_sample_stratified": text_sample_stratified,
+        "text_sample_weighted": text_sample_weighted,
+        "text_quality_relative": text_quality_relative,
+        "text_lm_score": text_lm_score,
+        "text_vocab_topk": text_vocab_topk,
+        "text_cooccur_pmi": text_cooccur_pmi,
+        "sketch_distinct": sketch_distinct,
+        "sketch_jaccard": sketch_jaccard,
+        "events_quantiles": events_quantiles,
+        "events_zorder": events_zorder,
+        "events_heavy_hitters": events_heavy_hitters,
+        "events_gap_fill": events_gap_fill,
+        "orders_merge_upsert": orders_merge_upsert,
+        "kg_labelprop": kg_labelprop,
+        "kg_kcore": kg_kcore,
+        "events_pivot": events_pivot,
+        "events_cube": events_cube,
+        "parts_preferred_supplier": parts_preferred_supplier,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1856,16 +1868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_arrow": sim_cosine_topk_arrow,
         "sim_lsh_buckets": sim_lsh_buckets,
         "sim_ivf_assign": sim_ivf_assign,
-        "sim_ivf_assign_trained": sim_ivf_assign_trained,
         "dedup_embedding_neardup": dedup_embedding_neardup,
-        "dedup_embedding_neardup_mb": dedup_embedding_neardup_mb,
-        "sim_neardup_clusters": sim_neardup_clusters,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_ivf_topk": sim_ivf_topk,
-        "sim_ivf_topk_trained": sim_ivf_topk_trained,
         "sim_quantize": sim_quantize,
-        "sim_pq_encode": sim_pq_encode,
-        "sim_standardize": sim_standardize,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -1874,8 +1880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_curate": text_curate,
         "text_curate_full": text_curate_full,
-        "text_curate_semantic": text_curate_semantic,
-        "text_pretrain_corpus": text_pretrain_corpus,
         "text_repetition": text_repetition,
         "text_splits": text_splits,
         "text_pack": text_pack,
