@@ -1099,6 +1099,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/embeddings.parquet"),
             query_id=0, n_candidates=20, k=5, lam=0.7)
 
+    def sim_mmr_batched(spark, sf):
+        from mms_rdf_spark.operators.similarity import mmr_select_batched
+        return mmr_select_batched(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            query_id=0, n_candidates=20, k=5, lam=0.7)
+
     def kg_tool_usage(spark, sf):
         # per-conversation tool profile over the transcript shape
         from mms_rdf_spark.kgdemo import transcripts_from_events
@@ -1886,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": text_decontaminate,
         "mm_features": mm_features,
         "mm_frame_sample": mm_frame_sample,
+        "sim_mmr_batched": sim_mmr_batched,
     }
 
 
@@ -3399,6 +3406,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i}
     )"""
     q["sim_mmr"] = mmr + "\n    SELECT rank, vec_id, rel, score FROM sel5"
+    # batched MMR is output-identical to the sequential greedy by
+    # construction (certified lazy accept) — same unrolled oracle
+    q["sim_mmr_batched"] = q["sim_mmr"]
 
     q["kg_tool_usage"] = _T + """
     SELECT conv_id, count(*) AS n_turns,

@@ -880,6 +880,138 @@ def mmr_select(
     return selected.select("rank", "vec_id", "rel", "score")
 
 
+def mmr_select_batched(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    m: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batched MMR: identical output to `mmr_select` (pick-for-pick,
+    score-for-score) in ~k/m distributed rounds instead of k.
+
+    Per round, ONE distributed job scores every remaining candidate
+    against the current selection and collects the top-`m` pool
+    (TakeOrdered, pool rows carry their embeddings). The driver then
+    runs a certified lazy greedy (the CELF trick) inside the pool:
+    cached pool scores are UPPER bounds (the penalty only grows as
+    selections accumulate, so MMR scores only decrease), so a popped
+    candidate whose freshly recomputed score still tops every other
+    upper bound — including the round-start m-th pool score, which
+    bounds every non-pool candidate — is provably the global greedy
+    pick. Accepting stops the moment that certificate fails; the next
+    distributed round refreshes. Driver recomputation replicates the
+    JVM bit-for-bit: same left-fold dot/norm order, same HALF_UP
+    6-dp rounding (`F.round` on doubles goes through shortest-repr
+    BigDecimal — `Decimal(repr(v))` is the Python twin).
+
+    `stats`, when given, receives {"rounds": r, "jobs": r} — the
+    round-trip count the batching exists to shrink (NOTES round-3
+    item #9: mmr_select pays k driver round-trips)."""
+    import heapq
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    def _pydot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _pynorm(a) -> float:
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    if m is None:
+        m = min(max(2 * k, 8), n_candidates)
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb"))
+    vid_type = dict(e.dtypes)["vec_id"]
+    qv = e.where(F.col("vec_id") == query_id) \
+        .select(F.col("emb").alias("q_emb"))
+    cand = (e.crossJoin(F.broadcast(qv))
+            .where(F.col("vec_id") != query_id)
+            .select("vec_id", "emb",
+                    F.round(_dot(F.col("emb"), F.col("q_emb"))
+                            / (_norm(F.col("emb"))
+                               * _norm(F.col("q_emb"))), 6)
+                    .alias("rel"))
+            .orderBy(F.col("rel").desc(), "vec_id")
+            .limit(n_candidates)).localCheckpoint()
+    lam_c, inv_c = F.lit(lam), F.lit(1.0) - F.lit(lam)
+    inv = 1.0 - lam
+    selected: list[dict] = []
+    rounds = 0
+    while len(selected) < k:
+        rounds += 1
+        sel_ids = [s["vec_id"] for s in selected]
+        remaining = (cand.where(~F.col("vec_id").isin(sel_ids))
+                     if sel_ids else cand)
+        if selected:
+            sel_vecs = spark.createDataFrame(
+                [(s["emb"],) for s in selected], "_semb array<double>")
+            pen = (remaining.crossJoin(F.broadcast(sel_vecs))
+                   .select("vec_id",
+                           F.round(_dot(F.col("emb"), F.col("_semb"))
+                                   / (_norm(F.col("emb"))
+                                      * _norm(F.col("_semb"))), 6)
+                           .alias("_sim"))
+                   .groupBy("vec_id").agg(F.max("_sim").alias("_pen")))
+            scored = (remaining.join(pen, on="vec_id")
+                      .select("vec_id", "emb", "rel",
+                              F.round(lam_c * F.col("rel")
+                                      - inv_c * F.col("_pen"), 6)
+                              .alias("score")))
+        else:
+            scored = remaining.select(
+                "vec_id", "emb", "rel",
+                F.round(lam_c * F.col("rel"), 6).alias("score"))
+        pool = (scored.orderBy(F.col("score").desc(), "vec_id")
+                .limit(m).collect())
+        if not pool:
+            break
+        # every non-pool candidate's score is <= the m-th pool score
+        # now, and can only shrink as this round accepts picks
+        bound = pool[-1]["score"] if len(pool) == m else None
+        heap = [(-r["score"], r["vec_id"], r["rel"], list(r["emb"]),
+                 True) for r in pool]
+        heapq.heapify(heap)
+        accepted = 0
+        while heap and len(selected) < k:
+            negs, vid, rel, emb, fresh = heapq.heappop(heap)
+            if not fresh:
+                p = max(_r6(_pydot(emb, s["emb"])
+                            / (_pynorm(emb) * _pynorm(s["emb"])))
+                        for s in selected)
+                sc = _r6(lam * rel - inv * p)
+                heapq.heappush(heap, (-sc, vid, rel, emb, True))
+                continue
+            sc = -negs
+            if bound is not None and accepted and sc <= bound:
+                break  # a non-pool candidate could now tie or win
+            selected.append({"vec_id": vid, "rel": rel, "score": sc,
+                             "rank": len(selected) + 1, "emb": emb})
+            accepted += 1
+            heap = [(ns, nv, nr, ne, False)
+                    for (ns, nv, nr, ne, _) in heap]
+            heapq.heapify(heap)
+    if stats is not None:
+        stats["rounds"] = stats["jobs"] = rounds
+    return spark.createDataFrame(
+        [(s["rank"], s["vec_id"], s["rel"], s["score"])
+         for s in selected],
+        f"rank int, vec_id {vid_type}, rel double, score double")
+
+
 def top_component(
     embs: DataFrame,
     id_col: str = "vec_id",

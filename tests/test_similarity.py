@@ -349,3 +349,48 @@ def test_project_component_orders_along_axis(spark):
     # scores are monotone in the dominant coordinate
     order = [k for k, _ in sorted(got.items(), key=lambda kv: kv[1])]
     assert order == [0, 1, 2, 3, 4] or order == [4, 3, 2, 1, 0]
+
+
+def test_mmr_batched_matches_sequential(spark):
+    """mmr_select_batched must agree with mmr_select pick-for-pick and
+    score-for-score (it is the same greedy, batched with a certified
+    lazy accept) — on a generic corpus, on a near-duplicate-heavy
+    corpus, and at k=20 — while using FEWER distributed rounds than
+    the k the sequential version pays (round-3 verdict #5)."""
+    from mms_rdf_spark.operators.similarity import (mmr_select,
+                                                    mmr_select_batched)
+
+    cases = [
+        dict(embs=_emb_df(spark), n_candidates=20, k=5, lam=0.7),
+        dict(embs=_emb_df(spark), n_candidates=40, k=20, lam=0.5),
+        # adversarial: many identical vectors -> massive score ties
+        dict(embs=_emb_df(spark, n=30, with_dupes=True), n_candidates=20,
+             k=8, lam=0.3),
+    ]
+    for c in cases:
+        embs = c.pop("embs")
+        want = [tuple(r) for r in
+                mmr_select(embs, query_id=0, **c)
+                .orderBy("rank").collect()]
+        stats = {}
+        got = [tuple(r) for r in
+               mmr_select_batched(embs, query_id=0, stats=stats, **c)
+               .orderBy("rank").collect()]
+        assert got == want, (c, got, want)
+        assert stats["rounds"] < c["k"], (c, stats)
+
+
+def test_mmr_batched_identical_vectors_ties(spark):
+    """All-identical corpus: every score ties, so the certified accept
+    must fall back to vec_id order exactly like the sequential greedy."""
+    from mms_rdf_spark.operators.similarity import (mmr_select,
+                                                    mmr_select_batched)
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(25)]
+    embs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    kw = dict(query_id=0, n_candidates=15, k=6, lam=0.7)
+    want = [tuple(r) for r in mmr_select(embs, **kw).orderBy("rank").collect()]
+    got = [tuple(r) for r in
+           mmr_select_batched(embs, **kw).orderBy("rank").collect()]
+    assert got == want
