@@ -122,6 +122,29 @@ def asof_join(
     )
 
 
+def _auto_bucket_seconds(*sides, fallback: int) -> int:
+    """p50-span-derived bucket width (round-3 verdict #6 / NOTES #10:
+    the one knob a naive caller gets wrong). Median interval span in
+    seconds across the given (df, start, end) sides, clamped to
+    [60 s, 7 d]; empty input falls back to the op's legacy default.
+
+    The width NEVER changes results — a qualifying pair meets in some
+    shared bucket at any width — only the plan: at b = p50 span the
+    median interval explodes into <= 2 buckets (expansion ~2x) while
+    buckets stay narrow enough that the residual filter prunes most
+    non-matches. One tiny aggregate per call; approx percentile is fine
+    precisely because the choice is performance-only."""
+    spans = None
+    for df, start, end in sides:
+        s = df.select((_epoch_s(end) - _epoch_s(start)).alias("_span"))
+        spans = s if spans is None else spans.unionByName(s)
+    med = spans.agg(F.expr(
+        "approx_percentile(_span, 0.5, 1000)").alias("m")).first()["m"]
+    if med is None:
+        return fallback
+    return int(max(60, min(7 * 86400, med)))
+
+
 def range_join_bucketed(
     intervals: DataFrame,
     points: DataFrame,
@@ -129,7 +152,7 @@ def range_join_bucketed(
     start: str = "start_ts",
     end: str = "end_ts",
     point_ts: str = "ts",
-    bucket_seconds: int = 1800,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Join each point to every interval containing it (same key,
     start <= point_ts <= end) without an inequality join.
@@ -144,7 +167,9 @@ def range_join_bucketed(
     Returns intervals' columns + points' columns (caller aliases any
     clashes beforehand; `on` appears once).
     """
-    b = int(bucket_seconds)
+    b = (int(bucket_seconds) if bucket_seconds is not None
+         else _auto_bucket_seconds((intervals, start, end),
+                                   fallback=1800))
     _reserve(intervals, ("_bkt", "_p_key"), "range_join_bucketed")
     _reserve(points, ("_bkt", "_p_key"), "range_join_bucketed")
     icols = [c for c in intervals.columns]
@@ -320,7 +345,7 @@ def interval_overlap_join(
     right_id: str = "r_id",
     start_col: str = "start_ts",
     end_col: str = "end_ts",
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Interval x interval overlap join per key: pairs whose time
     ranges intersect (half-open [start, end) semantics; touching
@@ -333,8 +358,15 @@ def interval_overlap_join(
     multi-bucket double-matches (the point case needed no dedup; the
     interval case does, and that dedup is the price of making an
     inequality join an equi-join). Expansion factor is span/bucket per
-    side — pick `bucket_seconds` near the median span.
+    side — `bucket_seconds=None` (default) auto-tunes to the p50 span
+    across BOTH sides (`_auto_bucket_seconds`); pass a width explicitly
+    to override.
     """
+    if bucket_seconds is None:
+        bucket_seconds = _auto_bucket_seconds(
+            (left, start_col, end_col), (right, start_col, end_col),
+            fallback=3600)
+
     def _prep(df, id_col, tag):
         s, e = _epoch_s(start_col), _epoch_s(end_col)
         return (df.select(

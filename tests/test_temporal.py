@@ -272,3 +272,39 @@ def test_interval_overlap_multibucket_dedup(spark):
         "r_id long, user_id long, start_ts timestamp, end_ts timestamp")
     rows = interval_overlap_join(left, right, on="user_id").collect()
     assert len(rows) == 1
+
+
+def test_auto_bucket_width_tracks_p50_on_bimodal_spans(spark):
+    """The auto-tuner (bucket_seconds=None, now the default) derives
+    the width from the p50 interval span: on a bimodal fixture of many
+    5-minute intervals and a few week-long stragglers it must choose
+    ~300 s (the majority mode), NOT anything influenced by the heavy
+    tail — and auto-width results must equal explicit-width results
+    (width is performance-only by construction)."""
+    from mms_rdf_spark.operators.temporal import (_auto_bucket_seconds,
+                                                  interval_overlap_join)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, t0, t0 + dt.timedelta(seconds=300))
+            for i in range(90)]
+    rows += [(100 + i, 1, t0, t0 + dt.timedelta(days=7))
+             for i in range(10)]
+    iv = spark.createDataFrame(
+        rows, "l_id int, user_id int, start_ts timestamp, "
+              "end_ts timestamp")
+    w = _auto_bucket_seconds((iv, "start_ts", "end_ts"), fallback=3600)
+    assert w == 300, w
+    # clamps: all-instant spans floor at 60 s; empty input -> fallback
+    inst = iv.withColumn("end_ts", F.col("start_ts"))
+    assert _auto_bucket_seconds(
+        (inst, "start_ts", "end_ts"), fallback=3600) == 60
+    assert _auto_bucket_seconds(
+        (iv.where(F.lit(False)), "start_ts", "end_ts"),
+        fallback=1234) == 1234
+    # results identical under auto and explicit widths
+    rv = iv.select(F.col("l_id").alias("r_id"), "user_id",
+                   "start_ts", "end_ts")
+    auto = interval_overlap_join(iv, rv, on="user_id").collect()
+    manual = interval_overlap_join(iv, rv, on="user_id",
+                                   bucket_seconds=7200).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, manual))
