@@ -35,7 +35,7 @@ corpus. No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -823,6 +823,44 @@ def ewma_smooth(
                     .alias("ewma")))
 
 
+def _ntile_from_rank(rank: Column, cnt: int, n: int) -> Column:
+    """Exact ntile(n) tile for a 1-based global `rank` over `cnt`
+    rows: the first cnt % n tiles hold cnt//n + 1 rows, the rest
+    cnt//n — the same arithmetic Spark's NTile window expression uses,
+    so tiles derived from link.global_rank are row-identical to the
+    window form. `greatest(base, 1)` keeps the (never-taken) second
+    branch division safe under ANSI when cnt < n."""
+    base, rem = cnt // n, cnt % n
+    cut = rem * (base + 1)
+    return F.when(
+        rank <= cut, F.ceil(rank / F.lit(base + 1))
+    ).otherwise(
+        rem + F.ceil((rank - cut) / F.greatest(F.lit(base), F.lit(1)))
+    ).cast("int")
+
+
+def _rfm_distributed_tiles(per: DataFrame, key: str,
+                           n_tiles: int) -> DataFrame:
+    """Scale path for rfm_segments: one link.global_rank per dimension
+    (range-repartitioned, no single-partition window), tiles from the
+    exact ntile arithmetic, joined back on the key."""
+    from mms_rdf_spark.operators.link import global_rank
+
+    cnt = per.count()
+    # global_rank orders ascending on a column; encode desc by negation
+    ordered = per.withColumn("_rneg", -F.col("recency_s"))
+    order_cols = {"r": "_rneg", "f": "n_tx", "m": "_mc"}
+    out = per
+    for tile_name, order_col in order_cols.items():
+        ranked = global_rank(
+            ordered.select(key, order_col), order_col, key)
+        tiles = ranked.select(
+            key, _ntile_from_rank(F.col("rank"), cnt,
+                                  n_tiles).alias(tile_name))
+        out = out.join(tiles, on=key)
+    return out
+
+
 def rfm_segments(
     events: DataFrame,
     key: str = "user_id",
@@ -830,6 +868,7 @@ def rfm_segments(
     value_col: str = "value",
     n_tiles: int = 5,
     unit: int = 100,
+    scale_threshold: int = 10_000_000,
 ) -> DataFrame:
     """RFM customer segmentation: per key, recency (seconds since its
     last event, measured from the corpus max), frequency (event
@@ -839,10 +878,13 @@ def rfm_segments(
     (key, recency_s, n_tx, monetary, r, f, m, segment).
 
     Ordering ties break on `key`, so tiles are engine-deterministic.
-    The ntiles run over the per-key aggregate (|keys| rows, one
-    partition) — at 10^9 keys swap in link.global_rank and derive
-    tiles from rank*n/cnt; the aggregate itself is one map-side
-    combined pass.
+    Up to `scale_threshold` keys the ntiles run as a single-partition
+    window over the per-key aggregate; above it (the 10^9-key case)
+    each dimension's tile derives from link.global_rank
+    (range-repartition + per-partition offsets — never one partition)
+    via the exact ntile arithmetic, so both paths are row-identical
+    (pinned in tests; the cc.py driver/distributed threshold pattern).
+    The aggregate itself is one map-side combined pass either way.
     """
     g = events.agg(F.max(_epoch_s(ts_col)).alias("_gm"))
     per = (events
@@ -853,14 +895,17 @@ def rfm_segments(
                 .alias("_mc"))
            .crossJoin(F.broadcast(g))
            .withColumn("recency_s", F.col("_gm") - F.col("_last")))
-    # best-last ordering: the highest tile is the best score
-    r_w = Window.orderBy(F.col("recency_s").desc(), key)
-    f_w = Window.orderBy(F.col("n_tx").asc(), key)
-    m_w = Window.orderBy(F.col("_mc").asc(), key)
-    out = (per
-           .withColumn("r", F.ntile(n_tiles).over(r_w))
-           .withColumn("f", F.ntile(n_tiles).over(f_w))
-           .withColumn("m", F.ntile(n_tiles).over(m_w)))
+    if per.count() <= scale_threshold:
+        # best-last ordering: the highest tile is the best score
+        r_w = Window.orderBy(F.col("recency_s").desc(), key)
+        f_w = Window.orderBy(F.col("n_tx").asc(), key)
+        m_w = Window.orderBy(F.col("_mc").asc(), key)
+        out = (per
+               .withColumn("r", F.ntile(n_tiles).over(r_w))
+               .withColumn("f", F.ntile(n_tiles).over(f_w))
+               .withColumn("m", F.ntile(n_tiles).over(m_w)))
+    else:
+        out = _rfm_distributed_tiles(per, key, n_tiles)
     return out.select(
         key, "recency_s", "n_tx",
         F.round(F.col("_mc") / F.lit(float(unit)), 2).alias("monetary"),

@@ -339,3 +339,31 @@ def test_theil_sen_exact_median_small(spark):
     df = spark.createDataFrame([(0.0, 0.0), (1.0, 1.0), (2.0, 4.0)],
                                "x double, y double")
     assert theil_sen_slope(df, "x", "y").collect()[0]["slope"] == 2.0
+
+
+def test_rfm_distributed_tiles_match_window_path(spark):
+    """Forcing the global_rank scale path (scale_threshold=0) must
+    reproduce the single-partition-window path row-for-row — on the
+    real events table (ties included) and across n_tiles that divide
+    and don't divide the key count (the ntile remainder arithmetic)."""
+    from mms_rdf_spark.operators.analytics import rfm_segments
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for n_tiles in (3, 5, 7):
+        want = sorted(map(tuple, rfm_segments(
+            ev, n_tiles=n_tiles).collect()))
+        got = sorted(map(tuple, rfm_segments(
+            ev, n_tiles=n_tiles, scale_threshold=0).collect()))
+        assert got == want, n_tiles
+
+
+def test_rfm_distributed_path_has_no_single_partition_window(spark):
+    """The scale path must not contain an unpartitioned window over
+    the key table: no ntile, ranks come from range repartitioning."""
+    from mms_rdf_spark.operators.analytics import rfm_segments
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = rfm_segments(ev, scale_threshold=0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
