@@ -800,6 +800,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return kmv_distinct(ev, "event_id", k=64)
 
+    def sketch_quantile_cert(spark, sf):
+        # ok=true certifies the approx_percentile sketch within its
+        # rank bound vs the DATA; the oracle emits exact n + TRUE, so
+        # a bound violation fails the driver hash-match
+        from mms_rdf_spark.operators.sketch import \
+            quantile_rank_certificate
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return quantile_rank_certificate(ev, "event_type", "value")
+
+    def sketch_hll_cert(spark, sf):
+        from mms_rdf_spark.operators.sketch import hll_certificate
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return hll_certificate(ev, "event_type", "user_id")
+
+    def sketch_quantiles_approx(spark, sf):
+        # engine-specific sketch output: rows-only check by design
+        from mms_rdf_spark.operators.sketch import \
+            approx_grouped_quantiles
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return approx_grouped_quantiles(ev, "event_type", "value")
+
+    def sketch_hll_distinct(spark, sf):
+        # engine-specific sketch output: rows-only check by design
+        from mms_rdf_spark.operators.sketch import hll_distinct
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return hll_distinct(ev, "event_type", "user_id")
+
     def events_zorder(spark, sf):
         from mms_rdf_spark.operators.layout import zorder_key
         from mms_rdf_spark.operators.temporal import _epoch_s
@@ -1893,6 +1920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": mm_features,
         "mm_frame_sample": mm_frame_sample,
         "sim_mmr_batched": sim_mmr_batched,
+        "sketch_quantile_cert": sketch_quantile_cert,
+        "sketch_hll_cert": sketch_hll_cert,
+        "sketch_quantiles_approx": sketch_quantiles_approx,
+        "sketch_hll_distinct": sketch_hll_distinct,
     }
 
 
@@ -2744,6 +2775,23 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT) / power(2, 48))
                  END, 4) AS est_distinct
     FROM s
+    """
+
+    # Approximate-sketch certificates: the oracle computes the EXACT
+    # side (count / distinct count) plus a literal TRUE — Spark's ok
+    # flag certifies its sketch against the data, so a rank-bound or
+    # 4-sigma violation breaks the hash-match. The raw approx outputs
+    # (sketch_quantiles_approx / sketch_hll_distinct) are
+    # engine-specific and deliberately have NO oracle (rows-only).
+    q["sketch_quantile_cert"] = """
+    SELECT event_type, CAST(count(value) AS BIGINT) AS n, TRUE AS ok
+    FROM events GROUP BY event_type
+    """
+
+    q["sketch_hll_cert"] = """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS n_exact, TRUE AS ok
+    FROM events GROUP BY event_type
     """
 
     # Morton interleave mirrored operation-for-operation (the product

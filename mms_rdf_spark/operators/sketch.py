@@ -182,3 +182,93 @@ def kth_smallest(
         F.max("_v").alias("kth"))
     return kth.select(F.lit(int(row["_n"])).alias("n"),
                       F.lit(int(row["_k"])).alias("k"), "kth")
+
+
+def approx_grouped_quantiles(
+    df: DataFrame, key: str, value: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate companion to `grouped_quantiles` (same output
+    schema, so the rollout its docstring names is a drop-in swap):
+    per-group approx_percentile (Greenwald-Khanna style sketch, rank
+    error <= 1/accuracy) instead of the exact per-group sort. The
+    sketch is mergeable across partitions — map-side partials of
+    bounded size — so unbounded group cardinality and 100-TB groups
+    both hold, where the exact form's per-group sort would not.
+
+    Approximate outputs are engine-specific, so this form is NOT
+    oracle-hash-checkable; `quantile_rank_certificate` is the
+    contract-gate companion that is."""
+    pcts = F.approx_percentile(
+        F.col(value), F.array(*[F.lit(p) for p in ps]), F.lit(accuracy))
+    return (df.groupBy(key)
+            .agg(*[F.round(pcts[i], 6).alias(f"q{round(p * 100)}")
+                   for i, p in enumerate(ps)]))
+
+
+def quantile_rank_certificate(
+    df: DataFrame, key: str, value: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+    slack: float = 2.0,
+) -> DataFrame:
+    """Cross-engine-checkable error bound for approx_grouped_quantiles:
+    (key, n, ok) where `ok` certifies that EVERY requested percentile's
+    approximate value sits within `slack`/accuracy rank error of its
+    target rank — checked against the data itself (count of values
+    strictly below / at-or-below the sketch output), never against
+    another engine's sketch. The DuckDB oracle emits the exact n and a
+    literal TRUE, so the driver's hash-match gate fails exactly when a
+    sketch violates its bound: the exact operator is the oracle for its
+    approximate companion (the rollout pairing grouped_quantiles'
+    docstring calls for). `slack` doubles the nominal bound to absorb
+    rank-vs-interpolation granularity at small n."""
+    eps = slack / accuracy
+    a = df.groupBy(key).agg(F.approx_percentile(
+        F.col(value), F.array(*[F.lit(p) for p in ps]),
+        F.lit(accuracy)).alias("_ap"))
+    j = df.select(key, value).join(F.broadcast(a), on=key)
+    aggs = [F.count(value).alias("_n")]
+    for i in range(len(ps)):
+        v, ap = F.col(value), F.col("_ap")[i]
+        aggs.append(F.sum((v < ap).cast("long")).alias(f"_lt{i}"))
+        aggs.append(F.sum((v <= ap).cast("long")).alias(f"_le{i}"))
+    g = j.groupBy(key).agg(*aggs)
+    ok = F.lit(True)
+    for i, p in enumerate(ps):
+        n = F.col("_n")
+        ok = ok & (F.col(f"_lt{i}") <= (p + eps) * n) \
+               & (F.col(f"_le{i}") >= (p - eps) * n)
+    return g.select(key, F.col("_n").alias("n"), ok.alias("ok"))
+
+
+def hll_distinct(df: DataFrame, key: str, col: str,
+                 rsd: float = 0.05) -> DataFrame:
+    """Approximate companion to the KMV sketch: per-group HyperLogLog++
+    distinct count (`approx_count_distinct`) — constant 2^p-register
+    state per group, map-side mergeable, the production path at 100 TB
+    where even KMV's k-row sketches multiply by group count. Output
+    (key, n_approx). Engine-specific register layout means no oracle
+    hash-match; `hll_certificate` is the contract-gate companion."""
+    return (df.groupBy(key)
+            .agg(F.approx_count_distinct(col, rsd).alias("n_approx")))
+
+
+def hll_certificate(df: DataFrame, key: str, col: str,
+                    rsd: float = 0.05, sigmas: float = 4.0) -> DataFrame:
+    """Cross-engine-checkable error bound for hll_distinct: (key,
+    n_exact, ok) with ok = |approx - exact| <= sigmas·rsd·exact — the
+    HLL++ relative-standard-deviation guarantee at a `sigmas`-sigma
+    cushion (4σ default: violation probability ~6e-5 per group, and a
+    violation is exactly what the gate SHOULD flag). The exact
+    countDistinct is the oracle-side value, computed here in the same
+    aggregate; small groups certify trivially (the absolute error
+    cushion floors at 1)."""
+    g = df.groupBy(key).agg(
+        F.countDistinct(col).alias("n_exact"),
+        F.approx_count_distinct(col, rsd).alias("_na"))
+    bound = F.greatest(F.lit(1.0),
+                       F.lit(sigmas * rsd) * F.col("n_exact"))
+    ok = F.abs(F.col("_na") - F.col("n_exact")) <= bound
+    return g.select(key, "n_exact", ok.alias("ok"))

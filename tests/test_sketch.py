@@ -96,3 +96,50 @@ def test_kth_smallest_degenerate_all_equal(spark):
     from mms_rdf_spark.operators.sketch import kth_smallest
     df = spark.createDataFrame([(7.0,)] * 5, "v double")
     assert kth_smallest(df, "v").collect()[0]["kth"] == 7.0
+
+
+def test_approx_quantiles_certified_within_rank_bound(spark):
+    """Every approximate percentile must certify within its rank-error
+    bound against the exact data (the exact operator is the oracle for
+    its approximate companion), and the approx output schema must be a
+    drop-in for grouped_quantiles."""
+    from mms_rdf_spark.operators.sketch import (approx_grouped_quantiles,
+                                                grouped_quantiles,
+                                                quantile_rank_certificate)
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    cert = quantile_rank_certificate(ev, "event_type", "value").collect()
+    assert cert and all(r["ok"] for r in cert), cert
+    a = approx_grouped_quantiles(ev, "event_type", "value")
+    e = grouped_quantiles(ev, "event_type", "value")
+    assert a.columns == e.columns
+    # at accuracy=10000 and sf0.01 group sizes, rank error < 1 row:
+    # approximate values are within the adjacent-value gap of exact
+    ae = {r["event_type"]: r for r in a.collect()}
+    for r in e.collect():
+        for c in ("q50", "q90", "q99"):
+            assert abs(ae[r["event_type"]][c] - r[c]) <= 2.0, (r, c)
+
+
+def test_hll_certificate_bounds_and_flags(spark):
+    """HLL estimate must sit within 4 sigma of exact (cert ok), and a
+    zero-sigma cushion must flag any genuinely-approximate group —
+    proving the certificate can actually fail."""
+    from mms_rdf_spark.operators.sketch import (hll_certificate,
+                                                hll_distinct)
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    assert all(r["ok"] for r in
+               hll_certificate(ev, "event_type", "user_id").collect())
+    # large single group: HLL leaves exact sparse mode and truly errs
+    import pyspark.sql.functions as F
+    big = spark.range(200_000).select(
+        F.lit("g").alias("k"), F.col("id"))
+    [c] = hll_certificate(big, "k", "id", rsd=0.05).collect()
+    assert c["ok"] and c["n_exact"] == 200_000
+    [a] = hll_distinct(big, "k", "id", rsd=0.05).collect()
+    err = abs(a["n_approx"] - 200_000)
+    assert 0 < err <= 4 * 0.05 * 200_000, err
+    [tight] = hll_certificate(big, "k", "id", rsd=0.05,
+                              sigmas=0.0).collect()
+    assert not tight["ok"]  # nonzero error vs the floor-only cushion
