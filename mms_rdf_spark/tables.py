@@ -1,9 +1,20 @@
 """Table-format adapter seam: ONE module owns every table write.
 
 SURVEY §1.3/§7 (and the north rule) promise Iceberg tables; this
-sandbox has no Iceberg jars, so parquet directories / Spark bucketed
-catalog tables stand in. Isolating the format decision here makes the
-promise checkable instead of aspirational:
+sandbox has no Iceberg jars AND no network to fetch them (verified:
+repo1.maven.org unreachable), so parquet directories / Spark bucketed
+catalog tables stand in. Exact runtime coordinates for this
+environment (Spark 4.1.x, Scala 2.13):
+
+    org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:<latest>
+    (or iceberg-spark-runtime-4.0_2.13:1.10.0 until the 4.1 line
+     ships for your Iceberg release)
+
+`tools/run_iceberg_check.py` is the env-gated opt-in live check
+(SPARK_GRAFT_ICEBERG_JAR=<jar>); the same variable un-skips
+tests/test_tables.py::test_iceberg_bucket_transform_and_snapshot.
+Isolating the format decision here makes the promise checkable
+instead of aspirational:
 
   - `iceberg_available(spark)` — True iff the Iceberg Spark runtime is
     on the classpath AND an Iceberg catalog is configured. On a real
