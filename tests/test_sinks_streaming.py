@@ -114,3 +114,54 @@ def test_streaming_dedup_incremental(spark, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 3  # only 'gamma' is new
     assert got2.where("doc_id = 4").count() == 0
+
+
+def test_streaming_curate_matches_batch_and_is_exactly_once(spark,
+                                                            tmp_path):
+    """Streaming curate = batch curate_full on an arrival-ordered
+    corpus (survivor semantics coincide when the min doc_id arrives
+    first), duplicates suppressed within and across drains, and a
+    re-drain with no new files emits nothing (exactly-once)."""
+    import pandas as pd
+
+    from mms_rdf_spark.operators.curate import curate_full
+    from mms_rdf_spark.streaming.curate import streaming_curate
+
+    ind = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    texts = ["the cat sat on the mat and it is a story to read",
+             "ZZZZ!!! $$$ ???",                       # fails quality
+             "the cat sat on the mat and it is a story to read",  # dup
+             "word word the of to in a good doc here to read now"]
+    batch1 = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4], "text": texts,
+        "ts": [t0 + pd.Timedelta(minutes=i) for i in range(4)]})
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(ind)
+    streaming_curate(spark, ind, out, ckpt).awaitTermination()
+    got1 = spark.read.parquet(out)
+    want = curate_full(
+        spark.createDataFrame(batch1[["doc_id", "text"]]))
+    assert sorted(map(tuple, got1.drop("ts").collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # re-drain with no new input: nothing re-emitted
+    streaming_curate(spark, ind, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == got1.count()
+
+    # new file: cross-batch duplicate suppressed, new doc curated
+    batch2 = pd.DataFrame({
+        "doc_id": [5, 6],
+        "text": [texts[0],                            # cross-batch dup
+                 "a fresh document with plain words to keep and read"],
+        "ts": [t0 + pd.Timedelta(minutes=5),
+               t0 + pd.Timedelta(minutes=6)]})
+    spark.createDataFrame(batch2).coalesce(1).write.mode("append") \
+        .parquet(ind)
+    streaming_curate(spark, ind, out, ckpt).awaitTermination()
+    got2 = spark.read.parquet(out)
+    assert got2.where("doc_id = 5").count() == 0
+    assert got2.where("doc_id = 6").count() == 1
+    assert got2.count() == got1.count() + 1
