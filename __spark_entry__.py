@@ -590,6 +590,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.where(F.col("doc_id") % 97 == 0)
         return D.decontaminate(docs, bench)
 
+    def text_dsir(spark, sf):
+        # DSIR importance weights: target = deterministic subset
+        from mms_rdf_spark.operators.dsir import dsir_weights
+        docs = _docs(spark, sf)
+        return dsir_weights(docs, docs.where(F.col("doc_id") % 97 == 0))
+
+    def text_dsir_top(spark, sf):
+        from mms_rdf_spark.operators.dsir import dsir_top
+        docs = _docs(spark, sf)
+        return dsir_top(docs, docs.where(F.col("doc_id") % 97 == 0),
+                        k=50)
+
     # ---- temporal operators (as-of / range join / hypertable rollup)
     def events_asof(spark, sf):
         from mms_rdf_spark.operators.temporal import _epoch_s, asof_join
@@ -1924,6 +1936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_cert": sketch_hll_cert,
         "sketch_quantiles_approx": sketch_quantiles_approx,
         "sketch_hll_distinct": sketch_hll_distinct,
+        "text_dsir": text_dsir,
+        "text_dsir_top": text_dsir_top,
     }
 
 
@@ -5434,6 +5448,54 @@ def oracle_sql() -> dict[str, str]:
     SELECT g.doc_id, count(*) AS n_hits
     FROM g JOIN b USING (gram)
     GROUP BY g.doc_id
+    """
+
+    # DSIR hashed-ngram importance weights: unigram+bigram occurrences
+    # (shared truncated-short-doc semantics with word_ngrams), 24-bit
+    # md5 bucket, per-bucket log ratio rounded ONCE to micro-units,
+    # per-doc EXACT integer sum (the grid-aligned-sum rule)
+    _DSIR_CTE = f"""
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(g), 1, 6)) AS BIGINT)
+                   % 8192 AS b
+        FROM (
+            SELECT doc_id, unnest(list_concat(
+                list_transform(
+                    generate_series(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> array_to_string(list_slice(toks, i, i), ' ')),
+                list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 1),
+                                         ' ')))) AS g
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        )
+    """
+    q["text_dsir"] = f"""
+    WITH rg AS ({_DSIR_CTE}),
+    tg AS (SELECT b FROM rg WHERE doc_id % 97 = 0),
+    qc AS (SELECT b, count(*) AS nq FROM rg GROUP BY b),
+    pc AS (SELECT b, count(*) AS np FROM tg GROUP BY b),
+    tot AS (SELECT (SELECT sum(nq) FROM qc) AS qt,
+                   (SELECT sum(np) FROM pc) AS pt),
+    ratio AS (
+        SELECT qc.b,
+               CAST(round((ln((coalesce(np, 0) + 1.0) / (pt + 8192.0))
+                           - ln((nq + 1.0) / (qt + 8192.0))) * 1e6)
+                    AS BIGINT) AS u
+        FROM qc LEFT JOIN pc USING (b), tot
+    )
+    SELECT rg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(u) / 1e6, 6) AS logw
+    FROM rg JOIN ratio USING (b)
+    GROUP BY rg.doc_id
+    """
+
+    q["text_dsir_top"] = f"""
+    WITH w AS ({q["text_dsir"]})
+    SELECT CAST(row_number() OVER (ORDER BY logw DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, n_grams, logw
+    FROM w ORDER BY logw DESC, doc_id LIMIT 50
     """
 
     q["mm_features"] = """
