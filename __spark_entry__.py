@@ -584,6 +584,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.packing import pack_documents
         return pack_documents(_docs(spark, sf))
 
+    def text_length_batches(spark, sf):
+        from mms_rdf_spark.operators.packing import \
+            length_bucketed_batches
+        return length_bucketed_batches(_docs(spark, sf), batch_size=16)
+
+    def text_padding_waste(spark, sf):
+        from mms_rdf_spark.operators.packing import (
+            length_bucketed_batches, padding_waste)
+        return padding_waste(
+            length_bucketed_batches(_docs(spark, sf), batch_size=16))
+
     def text_decontaminate(spark, sf):
         # benchmark set = deterministic subset of the corpus
         docs = _docs(spark, sf)
@@ -1938,6 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": sketch_hll_distinct,
         "text_dsir": text_dsir,
         "text_dsir_top": text_dsir_top,
+        "text_length_batches": text_length_batches,
+        "text_padding_waste": text_padding_waste,
     }
 
 
@@ -5448,6 +5461,32 @@ def oracle_sql() -> dict[str, str]:
     SELECT g.doc_id, count(*) AS n_hits
     FROM g JOIN b USING (gram)
     GROUP BY g.doc_id
+    """
+
+    # length-bucketed batching: a total (n_tokens, doc_id) order cut
+    # into fixed-size groups; the oracle's one row_number window is
+    # what link.global_rank distributes on the Spark side
+    _LENB_CTE = f"""
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS r0
+        FROM (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens
+              FROM documents)
+    """
+    q["text_length_batches"] = f"""
+    WITH r AS ({_LENB_CTE})
+    SELECT doc_id, n_tokens,
+           CAST(floor(r0 / 16.0) AS BIGINT) AS batch_id,
+           CAST(r0 % 16 + 1 AS INT) AS pos_in_batch
+    FROM r
+    """
+    q["text_padding_waste"] = f"""
+    WITH r AS ({_LENB_CTE})
+    SELECT CAST(floor(r0 / 16.0) AS BIGINT) AS batch_id,
+           count(*) AS n_docs,
+           max(n_tokens) AS max_tokens,
+           CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+               AS pad_tokens
+    FROM r GROUP BY 1
     """
 
     # DSIR hashed-ngram importance weights: unigram+bigram occurrences

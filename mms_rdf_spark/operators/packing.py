@@ -141,3 +141,48 @@ def weighted_sample(
             .withColumn("sample_key", key)
             .orderBy(F.col("sample_key").desc(), F.col(id_col))
             .limit(n))
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed training batches: documents sorted by token
+    count (ties by id) and cut into consecutive groups of
+    `batch_size`, so each batch pads to its own max length instead of
+    the corpus max — the standard dynamic-batching trick that cuts
+    padding FLOPs for non-packed (padded) training. Returns
+    (doc_id, n_tokens, batch_id, pos_in_batch).
+
+    Scale shape: the global length order comes from link.global_rank
+    (repartitionByRange + per-partition offsets) — never a
+    single-partition window — and batch/pos are pure arithmetic on the
+    rank. Deterministic: the order is total, so assignments are
+    bit-stable across engines and repartitionings. Token definition is
+    shared with curate/textstats (dedup._tokens)."""
+    from mms_rdf_spark.operators.link import global_rank
+
+    d = docs.select(F.col(id_col),
+                    F.size(_tokens(F.col(text_col))).alias("n_tokens"))
+    ranked = global_rank(d, "n_tokens", id_col)
+    r0 = F.col("rank") - 1
+    return ranked.select(
+        id_col, "n_tokens",
+        F.floor(r0 / batch_size).cast("long").alias("batch_id"),
+        (F.pmod(r0, F.lit(batch_size)) + 1).cast("int")
+        .alias("pos_in_batch"))
+
+
+def padding_waste(batches: DataFrame) -> DataFrame:
+    """Padding overhead audit for a (n_tokens, batch_id) assignment:
+    one row per batch with the tokens a pad-to-batch-max trainer
+    burns. Σ(max - n_tokens) over members; the metric
+    length_bucketed_batches exists to minimize. Map-side combinable
+    aggregate on batch_id."""
+    return (batches.groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 (F.max("n_tokens") * F.count(F.lit(1))
+                  - F.sum("n_tokens")).cast("long").alias("pad_tokens")))

@@ -166,3 +166,33 @@ def test_weighted_sample_prefers_heavy_rows_deterministically(spark):
                               "doc_id long, w long")
     assert [r["doc_id"] for r in
             weighted_sample(z, "w", n=5).collect()] == [3]
+
+
+def test_length_bucketed_batches_cut_padding(spark):
+    """Length-sorted batches must waste strictly fewer padding tokens
+    than id-ordered batches on a mixed-length corpus, partition
+    batches exactly (size = batch_size except the tail), and assign
+    deterministically under repartitioning."""
+    import pyspark.sql.functions as F
+
+    from mms_rdf_spark.operators.packing import (length_bucketed_batches,
+                                                 padding_waste)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b = length_bucketed_batches(docs, batch_size=16)
+    n = docs.count()
+    sizes = {r["n"] for r in
+             b.groupBy("batch_id").agg(F.count("*").alias("n"))
+             .collect()}
+    assert sizes <= {16, n % 16 or 16}
+    smart = padding_waste(b).agg(F.sum("pad_tokens")).first()[0]
+    naive = padding_waste(
+        docs.select("doc_id",
+                    F.size(F.filter(F.split("text", r"\s+"),
+                                    lambda t: t != "")).alias("n_tokens"),
+                    F.floor((F.col("doc_id") % 1000000) / 16)
+                    .alias("batch_id"))).agg(F.sum("pad_tokens")).first()[0]
+    assert smart < naive, (smart, naive)
+    again = length_bucketed_batches(docs.repartition(13), batch_size=16)
+    assert sorted(map(tuple, b.collect())) == \
+        sorted(map(tuple, again.collect()))
