@@ -64,8 +64,10 @@ def dsir_weights(
     tb = _gram_buckets(target, id_col, text_col, n_buckets)
     q = rb.groupBy("_b").agg(F.count(F.lit(1)).alias("_q"))
     p = tb.groupBy("_b").agg(F.count(F.lit(1)).alias("_p"))
-    qt = q.agg(F.sum("_q").alias("_qtot"))
-    pt = p.agg(F.sum("_p").alias("_ptot"))
+    # coalesce: an EMPTY corpus sums to null — degrade to pure
+    # add-alpha smoothing (defined, null-free) instead of null weights
+    qt = q.agg(F.coalesce(F.sum("_q"), F.lit(0)).alias("_qtot"))
+    pt = p.agg(F.coalesce(F.sum("_p"), F.lit(0)).alias("_ptot"))
     ab = F.lit(alpha * n_buckets)
     ratio = (
         q.join(p, on="_b", how="left")

@@ -247,3 +247,37 @@ def test_new_misc_ops_on_empty(spark):
     rep = audit([check_unique(big, ["id"])]).collect()
     assert rep[0]["violations"] == 0
     assert profile(big, ["id"]).count() == 1
+
+
+def test_round4_ops_on_empty(spark):
+    """Round-4 operators: empty corpora must yield empty (or
+    well-defined) results, never raise — including DSIR with an empty
+    TARGET (weights degrade to the uniform-smoothing ratio, one row
+    per raw doc, no nulls)."""
+    from mms_rdf_spark.operators.dsir import dsir_top, dsir_weights
+    from mms_rdf_spark.operators.packing import (length_bucketed_batches,
+                                                 padding_waste)
+    from mms_rdf_spark.operators.similarity import mmr_select_batched
+    from mms_rdf_spark.operators.sketch import (approx_grouped_quantiles,
+                                                hll_certificate,
+                                                hll_distinct,
+                                                quantile_rank_certificate)
+
+    docs = _empty(spark, "doc_id long, text string")
+    target = _empty(spark, "doc_id long, text string")
+    assert dsir_weights(docs, target).count() == 0
+    assert dsir_top(docs, target).count() == 0
+    some = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    # empty TARGET against a real corpus: defined, null-free
+    rows = dsir_weights(some, target, n_buckets=64).collect()
+    assert len(rows) == 2 and all(r["logw"] is not None for r in rows)
+    assert length_bucketed_batches(docs).count() == 0
+    assert padding_waste(length_bucketed_batches(docs)).count() == 0
+    ev = _empty(spark, "event_type string, user_id long, value double")
+    assert approx_grouped_quantiles(ev, "event_type", "value").count() == 0
+    assert quantile_rank_certificate(ev, "event_type", "value").count() == 0
+    assert hll_distinct(ev, "event_type", "user_id").count() == 0
+    assert hll_certificate(ev, "event_type", "user_id").count() == 0
+    emb = _empty(spark, "vec_id long, embedding array<float>")
+    assert mmr_select_batched(emb, query_id=0, k=3).count() == 0
