@@ -789,6 +789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.bm25_topk(_docs(spark, sf),
                             ["spark", "join", "vector"], k=10)
 
+    def text_hard_negatives(spark, sf):
+        return TX.hard_negatives(
+            _docs(spark, sf),
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            ["spark", "join", "vector"], query_id=0, k_lex=20, k_pos=5)
+
     def text_dup_grams(spark, sf):
         return TX.cross_doc_gram_stats(_docs(spark, sf))
 
@@ -1951,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_top": text_dsir_top,
         "text_length_batches": text_length_batches,
         "text_padding_waste": text_padding_waste,
+        "text_hard_negatives": text_hard_negatives,
     }
 
 
@@ -2447,7 +2454,10 @@ def oracle_sql() -> dict[str, str]:
 
     # BM25 with the idf rounded to 6 on both sides (Python math.log vs
     # DuckDB ln) and every other operation mirrored in order
-    q["text_bm25"] = f"""
+    def _bm25_sql(limit: int) -> str:
+        # shared by text_bm25 and text_hard_negatives so the lexical
+        # scorer can never drift between the two oracles
+        return f"""
     WITH t AS (
         SELECT doc_id, len(toks) AS dl,
                len(list_filter(toks, x -> x = 'spark')) AS tf0,
@@ -2479,7 +2489,27 @@ def oracle_sql() -> dict[str, str]:
              4) AS score
     FROM t, s
     WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
-    ORDER BY score DESC, doc_id LIMIT 10
+    ORDER BY score DESC, doc_id LIMIT {limit}
+    """
+
+    q["text_bm25"] = _bm25_sql(10)
+
+    q["text_hard_negatives"] = f"""
+    WITH lex AS ({_bm25_sql(20)}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+    qv AS (SELECT emb AS q FROM e WHERE vec_id = 0),
+    cs AS (SELECT vec_id,
+                  round(list_cosine_similarity(emb, q), 6) AS cos
+           FROM e, qv WHERE vec_id <> 0),
+    pos AS (SELECT vec_id FROM cs ORDER BY cos DESC, vec_id LIMIT 5)
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, score AS bm25, cos
+    FROM lex JOIN cs ON cs.vec_id = lex.doc_id
+    WHERE doc_id <> 0
+      AND doc_id NOT IN (SELECT vec_id FROM pos)
+    ORDER BY score DESC, doc_id
     """
 
     q["text_dup_grams"] = f"""

@@ -294,6 +294,60 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
             .orderBy(F.col("score").desc(), "doc_id").limit(k))
 
 
+def hard_negatives(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_id: int = 0,
+    k_lex: int = 20,
+    k_pos: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: documents
+    that score HIGH on the lexical query (BM25 top-`k_lex`) but are NOT
+    among the query document's `k_pos` semantic nearest neighbors —
+    lexically-plausible, semantically-far candidates, the negatives
+    contrastive training actually needs (BM25-negatives recipe, e.g.
+    DPR/RocketQA lineage). Returns (rank, doc_id, bm25, cos), ranked by
+    BM25 desc with id tiebreaks; the query doc itself is excluded.
+
+    Scale shape: BM25 is the existing two-scan zero-join fold; the
+    semantic side is ONE broadcast-query scan of the embedding table
+    (cos per vector, TakeOrdered for the positives); the lexical
+    candidate set (k rows) broadcasts into that scored scan and the
+    positive set anti-joins as another broadcast. No corpus-x-corpus
+    joins anywhere. doc_id == vec_id by corpus convention."""
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.similarity import (_as_double, _dot,
+                                                    _norm)
+
+    lex = bm25_topk(docs, terms, k=k_lex, k1=k1, b=b)
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb"))
+    qv = e.where(F.col("vec_id") == query_id) \
+        .select(F.col("emb").alias("q_emb"))
+    scored = (e.crossJoin(F.broadcast(qv))
+              .where(F.col("vec_id") != query_id)
+              .select("vec_id",
+                      F.round(_dot(F.col("emb"), F.col("q_emb"))
+                              / (_norm(F.col("emb"))
+                                 * _norm(F.col("q_emb"))), 6)
+                      .alias("cos")))
+    pos = scored.orderBy(F.col("cos").desc(), "vec_id").limit(k_pos)
+    cand = (scored
+            .join(F.broadcast(lex.where(F.col("doc_id") != query_id)),
+                  on=scored["vec_id"] == lex["doc_id"])
+            .join(F.broadcast(pos.select("vec_id")), on="vec_id",
+                  how="left_anti")
+            .select("doc_id", F.col("score").alias("bm25"), "cos"))
+    win = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (cand.orderBy(F.col("bm25").desc(), "doc_id")
+            .withColumn("rank", F.row_number().over(win).cast("int"))
+            .select("rank", "doc_id", "bm25", "cos"))
+
+
 def cross_doc_gram_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     """Cross-document duplicated-n-gram statistics: for each doc, how
     much of it is text that also appears verbatim elsewhere in the

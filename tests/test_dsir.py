@@ -59,3 +59,30 @@ def test_dsir_top_selection_plan_and_order(spark):
     w = {r["doc_id"]: r["logw"]
          for r in dsir_weights(raw, target, n_buckets=512).collect()}
     assert all(r["logw"] == w[r["doc_id"]] for r in rows)
+
+
+def test_hard_negatives_excludes_semantic_positives(spark):
+    """Candidates high on BM25 AND in the query's semantic top-k_pos
+    must be dropped (they are positives, not negatives); the survivors
+    keep BM25 order. Doc 1 matches lexically and points the same way
+    as the query embedding -> excluded; docs 2,3 match lexically but
+    point away -> the hard negatives."""
+    from mms_rdf_spark.operators.textstats import hard_negatives
+
+    docs = spark.createDataFrame(
+        [(0, "spark join vector"), (1, "spark join vector fast"),
+         (2, "spark join vector slow why"), (3, "spark join vector ok"),
+         (4, "nothing relevant here at all")],
+        "doc_id long, text string")
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.1]),   # 1 = semantic positive
+         (2, [0.0, 1.0]), (3, [-1.0, 0.1]), (4, [0.9, 0.3])],
+        "vec_id long, embedding array<float>")
+    got = hard_negatives(docs, embs, ["spark", "join", "vector"],
+                         query_id=0, k_lex=4, k_pos=2).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 0 not in ids and 1 not in ids and 4 not in ids, ids
+    assert set(ids) == {2, 3}
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] \
+        == [1, 2]
+    assert all(r["cos"] < 0.5 for r in got)
