@@ -843,6 +843,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return hll_certificate(ev, "event_type", "user_id")
 
+    def sketch_cms_counts(spark, sf):
+        # deterministic count-min: md5 row-hashes make the SAME sketch
+        # rebuildable by any engine, so even point ESTIMATES hash-match
+        from mms_rdf_spark.operators.sketch import (cms_build,
+                                                    cms_estimate)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cms = cms_build(ev, "event_type")
+        return cms_estimate(cms, ev.select("event_type").distinct(),
+                            "event_type")
+
     def sketch_quantiles_approx(spark, sf):
         # engine-specific sketch output: rows-only check by design
         from mms_rdf_spark.operators.sketch import \
@@ -1958,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_batches": text_length_batches,
         "text_padding_waste": text_padding_waste,
         "text_hard_negatives": text_hard_negatives,
+        "sketch_cms_counts": sketch_cms_counts,
     }
 
 
@@ -2843,6 +2854,28 @@ def oracle_sql() -> dict[str, str]:
     q["sketch_quantile_cert"] = """
     SELECT event_type, CAST(count(value) AS BIGINT) AS n, TRUE AS ok
     FROM events GROUP BY event_type
+    """
+
+    # deterministic count-min (md5 row hashes): the oracle rebuilds
+    # the identical sketch, so point estimates hash-match exactly —
+    # the KMV cross-engine argument applied to frequency sketching
+    q["sketch_cms_counts"] = """
+    WITH cells AS (
+        SELECT d, CAST(concat('0x', substr(md5(concat(
+                   CAST(d AS VARCHAR), '|', event_type)), 1, 6))
+                 AS BIGINT) % 1024 AS w
+        FROM events, unnest(generate_series(0, 3)) AS t(d)
+    ), cms AS (SELECT d, w, count(*) AS c FROM cells GROUP BY d, w),
+    probes AS (SELECT DISTINCT event_type AS value FROM events),
+    pc AS (
+        SELECT value, d, CAST(concat('0x', substr(md5(concat(
+                   CAST(d AS VARCHAR), '|', value)), 1, 6))
+                 AS BIGINT) % 1024 AS w
+        FROM probes, unnest(generate_series(0, 3)) AS t(d)
+    )
+    SELECT value, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN cms USING (d, w)
+    GROUP BY value
     """
 
     q["sketch_hll_cert"] = """

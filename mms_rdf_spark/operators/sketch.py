@@ -272,3 +272,66 @@ def hll_certificate(df: DataFrame, key: str, col: str,
                        F.lit(sigmas * rsd) * F.col("n_exact"))
     ok = F.abs(F.col("_na") - F.col("n_exact")) <= bound
     return g.select(key, "n_exact", ok.alias("ok"))
+
+
+def _cms_rows(df: DataFrame, col: str, depth: int,
+              width: int) -> DataFrame:
+    """(d, w) per input OCCURRENCE: row d's bucket for the value is
+    the first 24 bits of md5('<d>|<value>') mod width — a pure
+    function of (d, value), so any engine rebuilds the identical
+    sketch (the KMV design argument applied to count-min)."""
+    v = F.col(col).cast("string")
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            (F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(d)), v)), 1, 6),
+                16, 10).cast("long") % width).alias("w"))
+        for d in range(depth)])
+    return df.select(F.explode(cells).alias("_c")) \
+        .select(F.col("_c.d").alias("d"), F.col("_c.w").alias("w"))
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Deterministic count-min sketch of a column's value frequencies:
+    (d, w, c) with at most depth*width rows — a broadcastable constant
+    regardless of corpus size. Mergeable by cell-wise sum (cms_merge),
+    so per-partition / per-day sketches roll up without re-reading raw
+    data. Point estimates (cms_estimate) overestimate only: for any
+    value, est >= true count, and est <= true + 2N/width with
+    probability 1 - 2^-depth (Cormode & Muthukrishnan 2005). One
+    explode (xdepth) + one map-side-combined aggregate."""
+    return (_cms_rows(df, col, depth, width)
+            .groupBy("d", "w").agg(F.count(F.lit(1)).alias("c")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the same (depth,
+    width) — associative/commutative roll-up."""
+    return (a.unionByName(b).groupBy("d", "w")
+            .agg(F.sum("c").alias("c")))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query the sketch for every probe value: (value, est) with
+    est = min over rows d of the value's cell count (absent cell = 0).
+    The sketch broadcasts (<= depth*width rows); probes never shuffle
+    against raw data."""
+    pb = probes.select(F.col(col).cast("string").alias("value")) \
+        .distinct()
+    pcells = pb.select(
+        "value",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                (F.conv(F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(d)), F.col("value"))),
+                    1, 6), 16, 10).cast("long") % width).alias("w"))
+            for d in range(depth)])).alias("_c")) \
+        .select("value", F.col("_c.d").alias("d"),
+                F.col("_c.w").alias("w"))
+    return (pcells.join(F.broadcast(cms), on=["d", "w"], how="left")
+            .select("value", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+            .groupBy("value").agg(F.min("c").alias("est")))

@@ -143,3 +143,36 @@ def test_hll_certificate_bounds_and_flags(spark):
     [tight] = hll_certificate(big, "k", "id", rsd=0.05,
                               sigmas=0.0).collect()
     assert not tight["ok"]  # nonzero error vs the floor-only cushion
+
+
+def test_cms_overestimates_only_and_merges(spark):
+    """Count-min guarantees: est >= true for EVERY value; the error is
+    bounded by collisions (tight here: few values vs width); merging
+    per-half sketches equals the whole-corpus sketch cell-for-cell."""
+    import pyspark.sql.functions as F
+
+    from mms_rdf_spark.operators.sketch import (cms_build, cms_estimate,
+                                                cms_merge)
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    cms = cms_build(ev, "event_type")
+    probes = ev.select("event_type").distinct()
+    est = {r["value"]: r["est"] for r in
+           cms_estimate(cms, probes, "event_type").collect()}
+    true = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count("*").alias("n"))
+            .collect()}
+    assert set(est) == set(true)
+    for v, t in true.items():
+        assert est[v] >= t, (v, est[v], t)
+        assert est[v] - t <= 2 * sum(true.values()) / 1024, (v, est[v], t)
+    # absent value estimates only collision mass (0 here)
+    ghost = spark.createDataFrame([("nope",)], "event_type string")
+    [g] = cms_estimate(cms, ghost, "event_type").collect()
+    assert g["est"] == 0
+    # mergeability: sketch(half1) + sketch(half2) == sketch(all)
+    h1 = cms_build(ev.where(F.col("event_id") % 2 == 0), "event_type")
+    h2 = cms_build(ev.where(F.col("event_id") % 2 == 1), "event_type")
+    merged = sorted(map(tuple, cms_merge(h1, h2).collect()))
+    whole = sorted(map(tuple, cms.collect()))
+    assert merged == whole
