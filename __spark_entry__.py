@@ -628,6 +628,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("asof_value", 4)
                         .alias("last_purchase_value")))
 
+    def events_asof_tol(spark, sf):
+        # merge_asof-style tolerance: matches older than 1h null out
+        from mms_rdf_spark.operators.temporal import _epoch_s, asof_join
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        right = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("value")))
+        left = (ev.where(F.col("event_type") != "purchase")
+                .select("event_id", "user_id", "ts"))
+        return (asof_join(left, right, on="user_id",
+                          tolerance_seconds=3600)
+                .select("event_id", "user_id",
+                        _epoch_s("ts").alias("ts_s"),
+                        F.round("asof_value", 4)
+                        .alias("last_purchase_value")))
+
     def events_range_join(spark, sf):
         from mms_rdf_spark.operators.temporal import range_join_bucketed
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1969,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_padding_waste": text_padding_waste,
         "text_hard_negatives": text_hard_negatives,
         "sketch_cms_counts": sketch_cms_counts,
+        "events_asof_tol": events_asof_tol,
     }
 
 
@@ -2279,6 +2296,22 @@ def oracle_sql() -> dict[str, str]:
     SELECT l.event_id, l.user_id,
            CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
            round(r.value, 4) AS last_purchase_value
+    FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    q["events_asof_tol"] = """
+    WITH r AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), l AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
+           CASE WHEN floor(epoch(l.ts)) - floor(epoch(r.ts)) <= 3600
+                THEN round(r.value, 4) END AS last_purchase_value
     FROM l ASOF LEFT JOIN r
         ON l.user_id = r.user_id AND l.ts >= r.ts
     """

@@ -68,12 +68,16 @@ def asof_join(
     right_ts: str = "ts",
     value_col: str = "value",
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach `value_col` from the most recent right
     row with right.ts <= left.ts (direction="backward"; "forward" takes
     the earliest right row with right.ts >= left.ts), matching on `on`.
     Left rows with no qualifying right row keep NULL (left-outer
-    semantics, same as DuckDB `ASOF LEFT JOIN`).
+    semantics, same as DuckDB `ASOF LEFT JOIN`). `tolerance_seconds`
+    (pandas merge_asof parity) nulls out matches farther than the bound
+    — the matched right timestamp rides the same window, so the bound
+    costs zero extra exchanges.
 
     Contract: `right` must be unique per (on, right_ts) — pre-aggregate
     ties (the demo query takes max(value) per instant) or the picked row
@@ -91,13 +95,15 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     _reserve(left, ("_asof_ts", "_asof_value", "_asof_side",
-                    "asof_value"), "asof_join")
+                    "_asof_rts", "_asof_matched", "asof_value"),
+             "asof_join")
 
     lcols = [c for c in left.columns]
     r = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_asof_ts"),
         F.col(value_col).alias("_asof_value"),
+        F.col(right_ts).alias("_asof_rts"),
         F.lit(0).alias("_asof_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c != on],
@@ -107,19 +113,31 @@ def asof_join(
         F.col(left_ts).alias("_asof_ts"),
         F.lit(None).cast(right.schema[value_col].dataType)
         .alias("_asof_value"),
+        F.lit(None).cast(right.schema[right_ts].dataType)
+        .alias("_asof_rts"),
         F.lit(1).alias("_asof_side"),
     )
     ts_key = F.col("_asof_ts") if asc else F.col("_asof_ts").desc()
     w = (Window.partitionBy(on)
          .orderBy(ts_key, "_asof_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
+    out = (
         l.unionByName(r.select(*l.columns))
         .withColumn("asof_value",
                     F.last("_asof_value", ignorenulls=True).over(w))
-        .where(F.col("_asof_side") == 1)
-        .select(*lcols, "asof_value")
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(_epoch_s("_asof_ts")
+                    - _epoch_s("_asof_matched"))
+        out = out.withColumn(
+            "_asof_matched",
+            F.last("_asof_rts", ignorenulls=True).over(w))
+        out = out.withColumn(
+            "asof_value",
+            F.when(gap <= int(tolerance_seconds),
+                   F.col("asof_value")))
+    return (out.where(F.col("_asof_side") == 1)
+            .select(*lcols, "asof_value"))
 
 
 def _auto_bucket_seconds(*sides, fallback: int) -> int:

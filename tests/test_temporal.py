@@ -308,3 +308,26 @@ def test_auto_bucket_width_tracks_p50_on_bimodal_spans(spark):
     manual = interval_overlap_join(iv, rv, on="user_id",
                                    bucket_seconds=7200).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, manual))
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """merge_asof-parity tolerance: matches farther than the bound null
+    out, in-bound matches are untouched, and the plan stays one
+    exchange with zero Join nodes (the tolerance rides the window)."""
+    left, right = _fixture(spark)
+    base = {r["event_id"]: r["asof_value"]
+            for r in asof_join(left, right, on="user_id").collect()}
+    wide = {r["event_id"]: r["asof_value"]
+            for r in asof_join(left, right, on="user_id",
+                               tolerance_seconds=10**9).collect()}
+    assert wide == base  # huge bound changes nothing
+    tight = {r["event_id"]: r["asof_value"]
+             for r in asof_join(left, right, on="user_id",
+                                tolerance_seconds=0).collect()}
+    # only exact-timestamp matches survive a zero bound
+    assert all(v is None or base[k] == v for k, v in tight.items())
+    assert any(v is None and base[k] is not None
+               for k, v in tight.items())
+    plan = asof_join(left, right, on="user_id", tolerance_seconds=60) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Join" not in plan, plan
