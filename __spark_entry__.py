@@ -449,6 +449,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    rev_units).otherwise(F.lit(0)))
                     / F.sum(rev_units), 4).alias("promo_share")))
 
+    def tpch_q7(spark, sf):
+        # volume shipping between two nations, both directions, by ship
+        # year. Scale shape: the 25-row nation dim broadcasts onto
+        # supplier/customer FIRST (2/25 selectivity pushed below the
+        # fact joins), the fact table joins the pre-filtered sides; AQE
+        # is free to broadcast the shrunken supplier side at runtime.
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        two = ["NATION_1", "NATION_2"]
+        sn = (s.join(F.broadcast(n.where(F.col("n_name").isin(two))),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+        cn = (c.join(F.broadcast(n.where(F.col("n_name").isin(two))),
+                     F.col("c_nationkey") == F.col("n_nationkey"))
+              .select("c_custkey", F.col("n_name").alias("cust_nation")))
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 10000)
+                     .cast("long"))
+        return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                         & (F.col("l_shipdate") < "1998-01-01"))
+                .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+                .where(F.col("supp_nation") != F.col("cust_nation"))
+                .groupBy("supp_nation", "cust_nation",
+                         F.year("l_shipdate").alias("l_year"))
+                .agg(F.round(F.sum(rev_units) / 10000.0, 2)
+                     .alias("revenue")))
+
+    def tpch_q8(spark, sf):
+        # national market share: NATION_2 suppliers' share of ECONOMY-
+        # part revenue sold to AMERICA-region customers, by order year.
+        # Share computed from exact 1e-4 integer units so the division
+        # happens once per group on both engines.
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        cn = (c.join(F.broadcast(
+                  n.join(F.broadcast(
+                      r.where(F.col("r_name") == "AMERICA")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+              .select("c_custkey"))
+        sn = (s.join(F.broadcast(n.select(
+                  F.col("n_nationkey").alias("_snk"),
+                  F.col("n_name").alias("supp_nation"))),
+                  F.col("s_nationkey") == F.col("_snk"))
+              .select("s_suppkey", "supp_nation"))
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 10000)
+                     .cast("long"))
+        return (li.join(p.where(F.col("p_type") == "ECONOMY"),
+                        F.col("l_partkey") == F.col("p_partkey"))
+                .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+                .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+                .groupBy(F.year("o_orderdate").alias("o_year"))
+                .agg(F.round(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_2",
+                                 rev_units).otherwise(F.lit(0)))
+                    / F.sum(rev_units), 4).alias("mkt_share")))
+
+    def tpch_q13(spark, sf):
+        # customer order-count distribution: LEFT join keeps the zero-
+        # order customers (adapted: priority filter replaces the
+        # comment NOT LIKE — this schema carries no o_comment)
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = (spark.read.parquet(f"{sf}/orders.parquet")
+             .where(F.col("o_orderpriority") != "1-URGENT"))
+        per = (c.join(o, F.col("c_custkey") == F.col("o_custkey"),
+                      "left")
+               .groupBy("c_custkey")
+               .agg(F.count("o_orderkey").alias("c_count")))
+        return (per.groupBy("c_count")
+                .agg(F.count(F.lit(1)).alias("custdist")))
+
+    def tpch_q15(spark, sf):
+        # top supplier by quarterly revenue: the MAX stays in-plan as a
+        # broadcast 1-row frame (no driver collect), ties all returned
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 10000)
+                     .cast("long"))
+        rev = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                        & (F.col("l_shipdate") < "1996-04-01"))
+               .groupBy("l_suppkey")
+               .agg(F.sum(rev_units).alias("_ru")))
+        mx = rev.agg(F.max("_ru").alias("_mx"))
+        return (rev.join(F.broadcast(mx), F.col("_ru") == F.col("_mx"))
+                .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_suppkey", "s_name",
+                        F.round(F.col("_ru") / 10000.0, 2)
+                        .alias("total_revenue")))
+
+    def tpch_q17(spark, sf):
+        # small-quantity-order revenue for one brand: the per-part avg
+        # quantity threshold is applied as an exact cross-multiplied
+        # integer predicate (5*qty*n < sum_qty ⟺ qty < 0.2*avg) so the
+        # boundary is engine-independent; per-part stats join back as a
+        # broadcast (2000 parts; at scale AQE resizes or shuffles)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        qty_units = F.round(F.col("l_quantity")).cast("long")
+        brand = (li.join(p.where(F.col("p_brand") == "Brand#13"),
+                         F.col("l_partkey") == F.col("p_partkey")))
+        stats = (brand.groupBy(F.col("l_partkey").alias("_pk"))
+                 .agg(F.sum(qty_units).alias("_sq"),
+                      F.count(F.lit(1)).alias("_n")))
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        return (brand.join(F.broadcast(stats),
+                           F.col("l_partkey") == F.col("_pk"))
+                .where(qty_units * 5 * F.col("_n") < F.col("_sq"))
+                .agg(F.round(F.sum(cents) / (100.0 * 7.0), 2)
+                     .alias("avg_yearly")))
+
+    def tpch_q22(spark, sf):
+        # global-sales-opportunity: customers from an odd-nation cohort
+        # with above-average positive balance and NO urgent orders
+        # (anti-join; adapted from "no orders" — this synthetic corpus
+        # gives every customer at least one order, which would make the
+        # contract row vacuously empty). The average is an exact integer
+        # cross-multiplication (cents*n_pos > sum_cents_pos), the scalar
+        # stats frame stays in-plan as a broadcast
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = (spark.read.parquet(f"{sf}/orders.parquet")
+             .where(F.col("o_orderpriority") == "1-URGENT"))
+        cents = F.round(F.col("c_acctbal") * 100).cast("long")
+        cohort = (c.where(F.col("c_nationkey")
+                          .isin(1, 3, 5, 7, 9, 11, 13))
+                  .withColumn("_cents", cents))
+        stats = (cohort.where(F.col("_cents") > 0)
+                 .agg(F.sum("_cents").alias("_sum"),
+                      F.count(F.lit(1)).alias("_n")))
+        return (cohort.crossJoin(F.broadcast(stats))
+                .where(F.col("_cents") * F.col("_n") > F.col("_sum"))
+                .join(o, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+                .groupBy(F.col("c_nationkey").alias("cntrycode"))
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     F.round(F.sum("_cents") / 100.0, 2)
+                     .alias("totacctbal")))
+
     def events_window(spark, sf):
         from pyspark.sql.window import Window
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1986,6 +2136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hard_negatives": text_hard_negatives,
         "sketch_cms_counts": sketch_cms_counts,
         "events_asof_tol": events_asof_tol,
+        "tpch_q7": tpch_q7,
+        "tpch_q8": tpch_q8,
+        "tpch_q13": tpch_q13,
+        "tpch_q15": tpch_q15,
+        "tpch_q17": tpch_q17,
+        "tpch_q22": tpch_q22,
     }
 
 
@@ -5648,6 +5804,120 @@ def oracle_sql() -> dict[str, str]:
                 AS INT) AS frame_idx
     FROM documents
     WHERE doc_id % 3 = 2
+    """
+
+    q["tpch_q7"] = """
+    WITH sn AS (
+        SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')
+    ), cn AS (
+        SELECT c_custkey, n_name AS cust_nation
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')
+    )
+    SELECT supp_nation, cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 2)
+               AS revenue
+    FROM lineitem
+    JOIN sn ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN cn ON o_custkey = c_custkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND supp_nation <> cust_nation
+    GROUP BY supp_nation, cust_nation, l_year
+    """
+
+    q["tpch_q8"] = """
+    WITH cn AS (
+        SELECT c_custkey
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+    ), sn AS (
+        SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)
+                     ELSE 0 END)
+                 / sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)), 4) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN cn ON o_custkey = c_custkey
+    JOIN sn ON l_suppkey = s_suppkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY o_year
+    """
+
+    q["tpch_q13"] = """
+    WITH per AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per GROUP BY c_count
+    """
+
+    q["tpch_q15"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * 10000) AS BIGINT)) AS ru
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(ru / 10000.0, 2) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE ru = (SELECT max(ru) FROM rev)
+    """
+
+    q["tpch_q17"] = """
+    WITH brand AS (
+        SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#13'
+    ), stats AS (
+        SELECT l_partkey AS pk, sum(qty) AS sq, count(*) AS n
+        FROM brand GROUP BY l_partkey
+    )
+    SELECT round(sum(cents) / (100.0 * 7.0), 2) AS avg_yearly
+    FROM brand JOIN stats ON l_partkey = pk
+    WHERE qty * 5 * n < sq
+    """
+
+    q["tpch_q22"] = """
+    WITH cohort AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ), stats AS (
+        SELECT sum(cents) AS s, count(*) AS n
+        FROM cohort WHERE cents > 0
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           round(sum(cents) / 100.0, 2) AS totacctbal
+    FROM cohort, stats
+    WHERE cents * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
     """
 
     return q
