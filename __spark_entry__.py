@@ -1949,6 +1949,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mm_frame_sample(spark, sf):
         return MM.sample_frames(MM.synth_media(_docs(spark, sf)))
 
+    # ---- agent-trajectory ops over the transcript table
+    from mms_rdf_spark.kgdemo import transcripts_from_events
+
+    def kg_tool_loops(spark, sf):
+        from mms_rdf_spark.operators.trajectory import tool_call_loops
+        return tool_call_loops(transcripts_from_events(spark, sf),
+                               min_run=1)
+
+    def kg_context_budget(spark, sf):
+        from mms_rdf_spark.operators.trajectory import context_budget
+        return context_budget(transcripts_from_events(spark, sf),
+                              budget=64)
+
+    def kg_ctx_overflow(spark, sf):
+        from mms_rdf_spark.operators.trajectory import context_overflow
+        return context_overflow(transcripts_from_events(spark, sf),
+                                budget=64)
+
+    def kg_sft_windows(spark, sf):
+        from mms_rdf_spark.operators.trajectory import sft_context_windows
+        return sft_context_windows(transcripts_from_events(spark, sf),
+                                   k=3)
+
+    def kg_conv_dedup(spark, sf):
+        from mms_rdf_spark.operators.trajectory import conversation_dedup
+        return conversation_dedup(transcripts_from_events(spark, sf))
+
+    def text_pref_pairs(spark, sf):
+        from mms_rdf_spark.operators.trajectory import preference_pairs
+        return preference_pairs(_docs(spark, sf))
+
+    def text_mixture(spark, sf):
+        from mms_rdf_spark.operators.trajectory import mixture_rebalance
+        return mixture_rebalance(
+            _docs(spark, sf),
+            {"src0": 0.25, "src1": 0.5, "src2": 1.0, "src3": 2.25})
+
     return {
         # Driver-window rotation (round 4): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -2142,6 +2179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": tpch_q15,
         "tpch_q17": tpch_q17,
         "tpch_q22": tpch_q22,
+        "kg_tool_loops": kg_tool_loops,
+        "kg_context_budget": kg_context_budget,
+        "kg_ctx_overflow": kg_ctx_overflow,
+        "kg_sft_windows": kg_sft_windows,
+        "kg_conv_dedup": kg_conv_dedup,
+        "text_pref_pairs": text_pref_pairs,
+        "text_mixture": text_mixture,
     }
 
 
@@ -5918,6 +5962,122 @@ def oracle_sql() -> dict[str, str]:
                       WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
+    """
+
+    # ---- agent-trajectory ops (operators/trajectory.py)
+    q["kg_tool_loops"] = f"""
+    {_T}
+    SELECT conv_id, tool, min(turn_idx) AS run_start,
+           count(*) AS run_len
+    FROM (SELECT conv_id, tool, turn_idx,
+                 turn_idx - row_number() OVER (
+                     PARTITION BY conv_id, tool ORDER BY turn_idx)
+                     AS island
+          FROM t WHERE tool IS NOT NULL)
+    GROUP BY conv_id, tool, island
+    HAVING count(*) >= 1
+    """
+
+    q["kg_context_budget"] = f"""
+    {_T}
+    SELECT conv_id, turn_idx, turn_tokens, cum_tokens,
+           CASE WHEN cum_tokens > 64 THEN 1 ELSE 0 END AS over_budget
+    FROM (SELECT conv_id, turn_idx,
+                 CAST(len({_TOKS_SQL}) AS BIGINT) AS turn_tokens,
+                 CAST(sum(len({_TOKS_SQL})) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t)
+    """
+
+    q["kg_ctx_overflow"] = f"""
+    {_T},
+    cb AS (SELECT conv_id, turn_idx,
+                  CAST(sum(len({_TOKS_SQL})) OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM t)
+    SELECT conv_id,
+           min(CASE WHEN cum > 64 THEN turn_idx END) AS overflow_turn,
+           max(cum) AS total_tokens,
+           count(*) AS n_turns
+    FROM cb GROUP BY conv_id
+    """
+
+    q["kg_sft_windows"] = f"""
+    {_T}
+    SELECT conv_id, turn_idx, context, target FROM (
+        SELECT conv_id, turn_idx, role,
+               coalesce(string_agg(
+                   coalesce(role, '') || ': ' || coalesce(text, ''),
+                   chr(10)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '')
+                   AS context,
+               text AS target
+        FROM t)
+    WHERE role = 'assistant'
+    """
+
+    q["kg_conv_dedup"] = f"""
+    {_T}
+    SELECT digest, min(conv_id) AS keep_conv, count(*) AS n_convs,
+           min(n_turns) AS n_turns
+    FROM (SELECT conv_id,
+                 md5(string_agg(
+                     coalesce(role, '') || '|' || coalesce(text, ''),
+                     chr(30) ORDER BY turn_idx)) AS digest,
+                 count(*) AS n_turns
+          FROM t GROUP BY conv_id)
+    GROUP BY digest
+    """
+
+    q["text_pref_pairs"] = f"""
+    WITH d AS (SELECT doc_id, text, lang, source,
+                      {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, lang, source,
+               CAST(round(round(
+                   CAST(len(list_filter(toks,
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / greatest(len(toks), 1)
+                   - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                          AS DOUBLE) / greatest(strlen(text), 1)
+                   - CAST(len(regexp_extract_all(text, '[A-Z]'))
+                          AS DOUBLE) / greatest(strlen(text), 1),
+                   6) * 1e6) AS BIGINT) AS units
+        FROM d),
+    k AS (SELECT *,
+                 lpad(CAST(units + 1000000000 AS VARCHAR), 12, '0')
+                     || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key
+          FROM m)
+    SELECT source, lang,
+           arg_max(doc_id, key) AS chosen_doc,
+           arg_min(doc_id, key) AS rejected_doc,
+           round((max(units) - min(units)) / 1e6, 6) AS margin,
+           count(*) AS n_docs
+    FROM k GROUP BY source, lang HAVING count(*) >= 2
+    """
+
+    q["text_mixture"] = """
+    WITH c AS (SELECT source, count(*) AS n FROM documents
+               GROUP BY source),
+    tt AS (SELECT sum(n) AS tot FROM c),
+    f AS (SELECT source,
+                 least(CAST(1.0 AS DOUBLE),
+                       tot * (CASE source
+                              WHEN 'src0' THEN CAST(0.25 AS DOUBLE)
+                              WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+                              WHEN 'src2' THEN CAST(1.0 AS DOUBLE)
+                              WHEN 'src3' THEN CAST(2.25 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END)
+                       / CAST(4.0 AS DOUBLE) / n) AS frac
+          FROM c, tt)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f ON d.source = f.source
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                   1, 6)) AS BIGINT)
+          / power(16, 6) < f.frac
     """
 
     return q
