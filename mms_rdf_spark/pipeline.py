@@ -38,6 +38,31 @@ from mms_rdf_spark.operators.link import (
 from mms_rdf_spark.runlog import read_manifest, run_stage
 
 
+def _vocab_triples_df(spark: SparkSession) -> DataFrame:
+    """Vocabulary triples with an EXPLICIT schema: the all-null `lang`
+    column makes plain type inference fail on sessions without the
+    Arrow conf (e.g. a bare spark-submit session), so correctness must
+    not depend on session configuration."""
+    import pandas as pd
+
+    from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA
+    from pyspark.sql.types import StructType
+
+    from mms_rdf_spark.vocab import vocab_triples_pdf
+
+    pdf = vocab_triples_pdf()
+    schema = StructType(
+        [f for f in TRIPLE_SCHEMA.fields if f.name in pdf.columns])
+    names = [f.name for f in schema.fields]
+    # pandas spells missing as float NaN (DataFrame.where(cond, None)
+    # can't fix it — None IS pandas' missing sentinel); convert per cell
+    rows = [
+        tuple(None if pd.isna(v) else (int(v) if n == "idx" else v)
+              for n, v in zip(names, r))
+        for r in pdf[names].itertuples(index=False, name=None)]
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -50,11 +75,9 @@ def run_pipeline(
 
     # TBox named graph: the vocabulary as its own triples table
     # (mms-graph:vocabulary analog — kept separate from the data graph)
-    from mms_rdf_spark.vocab import vocab_triples_pdf
-
     vocab_triples = run_stage(
         spark, out_dir, "vocab_triples", [], params,
-        lambda: spark.createDataFrame(vocab_triples_pdf()),
+        lambda: _vocab_triples_df(spark),
         resume=resume,
     )
 
