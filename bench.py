@@ -41,8 +41,8 @@ def main() -> None:
     from mms_rdf_spark.operators.cc import connected_components
     from mms_rdf_spark.operators.link import (
         candidate_edges,
-        distinct_surfaces,
         entity_table,
+        link_mentions,
     )
     from mms_rdf_spark.operators import materialize as M
     from mms_rdf_spark.session import get_spark
@@ -104,17 +104,14 @@ def main() -> None:
         timed("kg_lpg", lambda: M.lpg_edges(triples).count()
               + M.lpg_nodes(triples).count())
 
-        # 3b. mention-scale entity linking
+        # 3b. mention-scale entity linking (the library composition:
+        # surfaces collapse + localCheckpoint happen INSIDE the timed
+        # region — one extraction pass feeds all four consumers)
         link_triples = extract_triples(spark, link_turns,
                                        include_conversations=False)
-        mention_surfaces = distinct_surfaces(
-            link_triples.where(F.col("predicate") == "mms-property:mentions"))
-
-        def link_mentions():
-            comps = connected_components(
-                candidate_edges(mention_surfaces), "src", "dst")
-            return entity_table(mention_surfaces, comps).count()
-        timed("kg_link_mentions", link_mentions)
+        timed("kg_link_mentions", lambda: link_mentions(
+            link_triples.where(F.col("predicate") == "mms-property:mentions")
+        ).count())
 
         # 4-9. operator-suite headliners via the contract queries
         # (events_asof / kg_pagerank / text_bm25 / sketch_distinct are

@@ -287,3 +287,26 @@ def fuzzy_edit_pairs(
             .withColumn("dist", F.levenshtein("_ta", "_tb"))
             .where(F.col("dist") <= max_dist)
             .select("id_a", "id_b", "dist"))
+
+
+def link_mentions(
+    mention_triples: DataFrame,
+    jaccard_threshold: float = DEFAULT_JACCARD,
+) -> DataFrame:
+    """mention triples -> entities(surface, entity_id, canonical_iri):
+    the full linking composition (surfaces -> blocking/candidate edges
+    -> connected components -> canonical entity table).
+
+    The surface table is localCheckpoint-ed ONCE here: it is consumed
+    by both candidate tiers, the CC seed, and entity_table, and without
+    the checkpoint each consumer would re-run the upstream extraction
+    scan (at 10^12 turns, four full corpus passes instead of one).
+    Collapse-then-checkpoint is the canonical shape for every caller —
+    pipeline.py stage `link` and the bench both route through here.
+    """
+    from mms_rdf_spark.operators.cc import connected_components
+
+    surfaces = distinct_surfaces(mention_triples).localCheckpoint()
+    comps = connected_components(
+        candidate_edges(surfaces, jaccard_threshold), "src", "dst")
+    return entity_table(surfaces, comps)

@@ -28,13 +28,8 @@ from pyspark.sql import functions as F
 
 from mms_rdf_spark.operators import materialize as M
 from mms_rdf_spark.operators.amend import amend
-from mms_rdf_spark.operators.cc import connected_components
 from mms_rdf_spark.operators.extract import extract_triples
-from mms_rdf_spark.operators.link import (
-    candidate_edges,
-    distinct_surfaces,
-    entity_table,
-)
+from mms_rdf_spark.operators.link import link_mentions
 from mms_rdf_spark.runlog import read_manifest, run_stage
 
 
@@ -87,19 +82,12 @@ def run_pipeline(
         resume=resume,
     )
 
-    def _link():
-        # one pass over the triples for the (small) surface table;
-        # localCheckpoint so candidate generation + CC + labeling reuse
-        # it instead of re-scanning the triples table
-        surfaces = distinct_surfaces(
-            triples.where(F.col("predicate") == "mms-property:mentions")
-        ).localCheckpoint()
-        comps = connected_components(
-            candidate_edges(surfaces, jaccard_threshold), "src", "dst")
-        return entity_table(surfaces, comps)
-
     entities = run_stage(
-        spark, out_dir, "link", [input_path], params, _link, resume=resume,
+        spark, out_dir, "link", [input_path], params,
+        lambda: link_mentions(
+            triples.where(F.col("predicate") == "mms-property:mentions"),
+            jaccard_threshold),
+        resume=resume,
     )
 
     graph = run_stage(

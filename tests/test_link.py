@@ -81,3 +81,14 @@ def test_sorted_neighborhood_pairs_adjacency(spark):
     assert len(pairs) == 4
     # the gpt4 family (ties broken by surface) is chained together
     assert ("GPT-4", "gpt 4!") in pairs and ("gpt 4!", "gpt_4") in pairs
+
+
+def test_link_mentions_composition_matches_manual(spark, triples_df):
+    """link_mentions (the checkpointed library composition used by the
+    pipeline stage and bench) row-matches the hand-wired stages."""
+    from mms_rdf_spark.operators.link import link_mentions
+
+    mentions = triples_df.where(F.col("predicate") == "mms-property:mentions")
+    got = link_mentions(mentions).orderBy("surface").toPandas()
+    ref = _entities(spark, triples_df).orderBy("surface").toPandas()
+    assert got.equals(ref)
