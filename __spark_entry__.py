@@ -1986,6 +1986,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf),
             {"src0": 0.25, "src1": 0.5, "src2": 1.0, "src3": 2.25})
 
+    # ---- pairwise-preference ranking (operators/ranking.py)
+    def text_bt_games(spark, sf):
+        from mms_rdf_spark.operators.ranking import pairwise_games
+        return pairwise_games(_docs(spark, sf))
+
+    def text_bt_scores(spark, sf):
+        from mms_rdf_spark.operators.ranking import (
+            bradley_terry, pairwise_games)
+        return bradley_terry(pairwise_games(_docs(spark, sf)), iterations=8)
+
+    # ---- generation eval + RAG chunking
+    def text_rouge2(spark, sf):
+        from mms_rdf_spark.operators.evalmetrics import doc_pairs, rouge_n
+        return rouge_n(doc_pairs(_docs(spark, sf)), n=2)
+
+    def text_chunks(spark, sf):
+        from mms_rdf_spark.operators.packing import chunk_documents
+        return chunk_documents(_docs(spark, sf), size=32, stride=24)
+
     return {
         # Driver-window rotation (round 4): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -2186,6 +2205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_dedup": kg_conv_dedup,
         "text_pref_pairs": text_pref_pairs,
         "text_mixture": text_mixture,
+        "text_bt_games": text_bt_games,
+        "text_bt_scores": text_bt_scores,
+        "text_rouge2": text_rouge2,
+        "text_chunks": text_chunks,
     }
 
 
@@ -6078,6 +6101,135 @@ def oracle_sql() -> dict[str, str]:
     WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
                                    1, 6)) AS BIGINT)
           / power(16, 6) < f.frac
+    """
+
+    # ---- pairwise-preference ranking (operators/ranking.py)
+    _BT_GAMES = """
+    WITH ranked AS (
+        SELECT lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents),
+    games AS (
+        SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source
+                    ELSE b.source END AS winner,
+               CASE WHEN a.n_chars > b.n_chars THEN b.source
+                    ELSE a.source END AS loser,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ranked a
+        JOIN ranked b ON a.lang = b.lang AND a.rk = b.rk
+                     AND a.source < b.source
+        WHERE a.n_chars <> b.n_chars
+        GROUP BY 1, 2)"""
+
+    q["text_bt_games"] = _BT_GAMES + """
+    SELECT winner, loser, n FROM games
+    """
+
+    # Bradley-Terry: the SAME 8 MM rounds the Spark operator runs,
+    # unrolled as CTEs (pagerank iteration-parity recipe). Every
+    # cross-round value is re-gridded on exact longs (1e12 per-term /
+    # 1e9 per-player micro-units) so summation order cannot drift.
+    bt = _BT_GAMES + """,
+    nn AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+               SELECT winner AS i, loser AS j, n FROM games
+               UNION ALL SELECT loser, winner, n FROM games)
+           GROUP BY i, j),
+    players AS (SELECT DISTINCT i AS player FROM nn),
+    wtot AS (SELECT p.player,
+                    CAST(coalesce(sum(g.n), 0) AS BIGINT) AS w
+             FROM players p LEFT JOIN games g ON g.winner = p.player
+             GROUP BY p.player),
+    ngames AS (SELECT i AS player, CAST(sum(n) AS BIGINT) AS games
+               FROM nn GROUP BY i),
+    it0 AS MATERIALIZED (SELECT player, CAST(1.0 AS DOUBLE) AS p
+            FROM players)"""
+    for i in range(1, 9):
+        bt += f""",
+    r{i} AS MATERIALIZED (SELECT w.player,
+                    CAST(round(w.w / (sum(CAST(round(nn.n /
+                        greatest(pi.p + pj.p, CAST(1e-12 AS DOUBLE))
+                        * 1e12) AS BIGINT)) / 1e12) * 1e9) AS BIGINT)
+                        AS pu
+             FROM nn
+             JOIN it{i - 1} pi ON nn.i = pi.player
+             JOIN it{i - 1} pj ON nn.j = pj.player
+             JOIN wtot w ON w.player = nn.i
+             GROUP BY w.player, w.w),
+    it{i} AS MATERIALIZED (SELECT player,
+                     round(CAST(pu * (SELECT count(*) FROM r{i})
+                                AS DOUBLE)
+                           / CAST((SELECT sum(pu) FROM r{i}) AS DOUBLE),
+                           9) AS p
+              FROM r{i})"""
+    q["text_bt_scores"] = bt + """
+    SELECT p.player, p.p AS score, w.w AS wins, g.games
+    FROM it8 p JOIN wtot w USING (player) JOIN ngames g USING (player)
+    """
+
+    # ---- ROUGE-2 over deterministic doc pairs (operators/evalmetrics)
+    q["text_rouge2"] = f"""
+    WITH p AS (SELECT a.doc_id // 2 AS pair_id,
+                      a.text AS candidate, b.text AS reference
+               FROM documents a
+               JOIN documents b ON b.doc_id = a.doc_id + 1
+               WHERE a.doc_id % 2 = 0),
+    tk AS (SELECT pair_id,
+                  list_filter(string_split(coalesce(candidate, ''), ' '),
+                              x -> x <> '') AS ct,
+                  list_filter(string_split(coalesce(reference, ''), ' '),
+                              x -> x <> '') AS rt
+           FROM p),
+    g AS (SELECT pair_id,
+                 list_transform(
+                     generate_series(1, greatest(len(ct) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(ct, i, i + 1), ' '))
+                     AS cg,
+                 list_transform(
+                     generate_series(1, greatest(len(rt) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(rt, i, i + 1), ' '))
+                     AS rg
+          FROM tk),
+    cc AS (SELECT pair_id, gram, count(*) AS c
+           FROM (SELECT pair_id, unnest(cg) AS gram FROM g)
+           GROUP BY 1, 2),
+    rc AS (SELECT pair_id, gram, count(*) AS c
+           FROM (SELECT pair_id, unnest(rg) AS gram FROM g)
+           GROUP BY 1, 2),
+    m AS (SELECT cc.pair_id,
+                 CAST(sum(least(cc.c, rc.c)) AS BIGINT) AS matches
+          FROM cc JOIN rc ON cc.pair_id = rc.pair_id
+                         AND cc.gram = rc.gram
+          GROUP BY 1),
+    t AS (SELECT pair_id, CAST(len(cg) AS BIGINT) AS n_cand,
+                 CAST(len(rg) AS BIGINT) AS n_ref
+          FROM g)
+    SELECT t.pair_id,
+           CAST(coalesce(m.matches, 0) AS BIGINT) AS matches,
+           n_cand, n_ref,
+           round(CAST(coalesce(m.matches, 0) AS DOUBLE) / n_cand, 6)
+               AS precision,
+           round(CAST(coalesce(m.matches, 0) AS DOUBLE) / n_ref, 6)
+               AS recall,
+           round(CAST(2 * coalesce(m.matches, 0) AS DOUBLE)
+                 / (n_cand + n_ref), 6) AS f1
+    FROM t LEFT JOIN m USING (pair_id)
+    """
+
+    # ---- RAG sliding-window chunking (operators/packing.py)
+    q["text_chunks"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    nc AS (SELECT doc_id, toks,
+                  (greatest(len(toks) - 32, 0) + 23) // 24 + 1
+                      AS n_chunks
+           FROM d)
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+           CAST(c * 24 AS BIGINT) AS start_tok,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           array_to_string(w, ' ') AS chunk_text
+    FROM (SELECT doc_id, c,
+                 list_slice(toks, c * 24 + 1, c * 24 + 32) AS w
+          FROM nc, unnest(generate_series(0, n_chunks - 1)) AS t(c))
     """
 
     return q

@@ -186,3 +186,40 @@ def padding_waste(batches: DataFrame) -> DataFrame:
                  F.max("n_tokens").alias("max_tokens"),
                  (F.max("n_tokens") * F.count(F.lit(1))
                   - F.sum("n_tokens")).cast("long").alias("pad_tokens")))
+
+
+def chunk_documents(docs: DataFrame, size: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    token windows of `size` tokens advancing by `stride` (overlap =
+    size - stride), emitting (doc_id, chunk_idx, start_tok, n_tokens,
+    chunk_text). The chunk count is exact integer math —
+    ceil(max(n - size, 0) / stride) + 1 — so every token lands in at
+    least one chunk and an empty document still yields one empty chunk
+    (retrievers index the doc either way).
+
+    Scale shape: a pure narrow transformation — tokens + posexplode +
+    slice are all per-row, ZERO shuffles at any corpus size; chunk
+    blow-up is bounded by size/stride per token.
+    """
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    n_chunks = (
+        (F.greatest(F.size(toks) - size, F.lit(0)) + (stride - 1))
+        .cast("long") / stride).cast("long") + 1
+    with_toks = docs.select(
+        "doc_id", toks.alias("_t"), n_chunks.alias("_nc"))
+    return (
+        with_toks.select(
+            "doc_id", "_t",
+            F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1))
+            .alias("chunk_idx", "_c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+            F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1,
+                    F.lit(size)).alias("_w"))
+        .select("doc_id", "chunk_idx", "start_tok",
+                F.size("_w").cast("long").alias("n_tokens"),
+                F.concat_ws(" ", "_w").alias("chunk_text"))
+    )

@@ -281,3 +281,17 @@ def test_round4_ops_on_empty(spark):
     assert hll_certificate(ev, "event_type", "user_id").count() == 0
     emb = _empty(spark, "vec_id long, embedding array<float>")
     assert mmr_select_batched(emb, query_id=0, k=3).count() == 0
+
+
+def test_ranking_eval_chunking_on_empty(spark):
+    from mms_rdf_spark.operators.evalmetrics import doc_pairs, rouge_n
+    from mms_rdf_spark.operators.packing import chunk_documents
+    from mms_rdf_spark.operators.ranking import bradley_terry, pairwise_games
+
+    docs = _empty(spark, "doc_id long, text string, lang string, "
+                         "source string, n_chars long")
+    games = pairwise_games(docs)
+    assert games.count() == 0
+    assert bradley_terry(games, iterations=2).count() == 0
+    assert rouge_n(doc_pairs(docs), n=2).count() == 0
+    assert chunk_documents(docs).count() == 0

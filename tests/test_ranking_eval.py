@@ -1,0 +1,103 @@
+"""Bradley-Terry ranking, ROUGE-N eval, and RAG chunking fixtures."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_bradley_terry_orders_by_strength(spark):
+    from mms_rdf_spark.operators.ranking import bradley_terry
+
+    # A dominates B, B dominates C; transitive strengths expected
+    games = spark.createDataFrame(
+        [("A", "B", 8), ("B", "A", 2),
+         ("B", "C", 8), ("C", "B", 2),
+         ("A", "C", 9), ("C", "A", 1)],
+        "winner string, loser string, n long")
+    out = {r.player: r for r in bradley_terry(games, iterations=8).collect()}
+    assert out["A"].score > out["B"].score > out["C"].score > 0
+    assert out["A"].wins == 17 and out["A"].games == 20
+    # normalized to mean 1 (9dp grid)
+    mean = sum(r.score for r in out.values()) / 3
+    assert abs(mean - 1.0) < 1e-6
+
+
+def test_bradley_terry_zero_win_player(spark):
+    from mms_rdf_spark.operators.ranking import bradley_terry
+
+    games = spark.createDataFrame(
+        [("A", "B", 3), ("A", "C", 3), ("B", "C", 2), ("C", "B", 1)],
+        "winner string, loser string, n long")
+    out = {r.player: r for r in bradley_terry(games, iterations=4).collect()}
+    # A never lost -> top; nobody here has zero games
+    assert out["A"].score == max(r.score for r in out.values())
+    assert out["A"].wins == 6 and out["B"].wins == 2 and out["C"].wins == 1
+
+
+def test_bradley_terry_deterministic(spark):
+    from mms_rdf_spark.operators.ranking import bradley_terry, pairwise_games
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", f"src{i % 3}", (i * 37) % 101 + 1)
+         for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    g = pairwise_games(docs)
+    a = bradley_terry(g, iterations=8).orderBy("player").toPandas()
+    b = bradley_terry(g, iterations=8).orderBy("player").toPandas()
+    assert a.equals(b)
+
+
+def test_rouge_n_known_values(spark):
+    from mms_rdf_spark.operators.evalmetrics import rouge_n
+
+    pairs = spark.createDataFrame(
+        [(0, "a b c d", "b c d e"),   # bigrams: 2 of 3 match
+         (1, "a a a a", "a a"),       # clipping: min(3,1)=1
+         (2, "x y", "p q")],          # no overlap
+        "pair_id long, candidate string, reference string")
+    out = {r.pair_id: r for r in rouge_n(pairs, n=2).collect()}
+    assert out[0].matches == 2 and out[0].n_cand == 3 and out[0].n_ref == 3
+    assert abs(out[0].precision - round(2 / 3, 6)) < 1e-9
+    assert abs(out[0].f1 - round(4 / 6, 6)) < 1e-9
+    assert out[1].matches == 1 and out[1].n_cand == 3 and out[1].n_ref == 1
+    assert abs(out[1].recall - 1.0) < 1e-9
+    assert abs(out[1].f1 - 0.5) < 1e-9
+    assert out[2].matches == 0 and out[2].precision == 0.0 \
+        and out[2].f1 == 0.0
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    from mms_rdf_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+         (1, "one two"),                              # < size
+         (2, "")],                                    # empty
+        "doc_id long, text string")
+    out = chunk_documents(docs, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # ceil(max(10-4,0)/3)+1 = 3 chunks at starts 0,3,6
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert [r.start_tok for r in c0] == [0, 3, 6]
+    assert [r.n_tokens for r in c0] == [4, 4, 4]
+    assert c0[2].chunk_text == "w6 w7 w8 w9"
+    # every token appears in at least one chunk
+    covered = set()
+    for r in c0:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(10)}
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "one two"
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 0 \
+        and by_doc[2][0].chunk_text == ""
+
+
+def test_chunking_is_shuffle_free(spark):
+    from mms_rdf_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
