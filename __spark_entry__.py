@@ -599,6 +599,211 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("_cents") / 100.0, 2)
                      .alias("totacctbal")))
 
+    # ---- TPC-H completion (q2/q9/q11/q12/q16/q19/q20/q21, adapted to
+    # this schema: no partsupp / shipmode / commit-receipt dates, so
+    # supply costs derive from lineitem unit prices, lateness from
+    # l_shipdate vs o_orderdate, and the complaint filter from acctbal
+    # — each keeps the ORIGINAL query's plan shape: correlated min,
+    # scalar-subquery threshold, disjunctive brackets, semi/anti
+    # double-correlation)
+    def tpch_q2(spark, sf):
+        # min-cost supplier per part (correlated min -> per-part min
+        # frame joined back on equality; region dims broadcast)
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        sn = (s.join(F.broadcast(
+                  n.join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+                         F.col("n_regionkey") == F.col("r_regionkey"))),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+        # a supplier's offer for a part = its best (min) unit price in
+        # exact cents: ONE float division then the 1e2 grid
+        unit_cents = F.round(F.col("l_extendedprice")
+                             / F.col("l_quantity") * 100).cast("long")
+        supply = (li.groupBy("l_partkey", "l_suppkey")
+                  .agg(F.min(unit_cents).alias("cost_cents")))
+        pf = p.where((F.col("p_size") == 15)
+                     & (F.col("p_type") == "STANDARD")) \
+            .select("p_partkey")
+        offers = (supply.join(F.broadcast(pf),
+                              F.col("l_partkey") == F.col("p_partkey"))
+                  .join(sn, F.col("l_suppkey") == F.col("s_suppkey")))
+        best = offers.groupBy(F.col("p_partkey").alias("_pk")) \
+            .agg(F.min("cost_cents").alias("_min_cents"))
+        return (offers.join(best, (F.col("p_partkey") == F.col("_pk"))
+                            & (F.col("cost_cents") == F.col("_min_cents")))
+                .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                        F.round(F.col("cost_cents") / 100.0, 2)
+                        .alias("supplycost")))
+
+    def tpch_q9(spark, sf):
+        # product-type profit by nation and order year; cost proxy =
+        # 80% of retail price, all amounts on the exact 1e-4 grid
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 10000)
+                     .cast("long"))
+        cost_units = (F.round(F.col("l_quantity")
+                              * F.col("p_retailprice") * 8000)
+                      .cast("long"))
+        sn = (s.join(F.broadcast(n),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", F.col("n_name").alias("nation")))
+        return (li.join(F.broadcast(
+                    p.where(F.col("p_name").like("%bolt%"))
+                    .select("p_partkey", "p_retailprice")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+                .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(o.select("o_orderkey", "o_orderdate"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+                .agg(F.round(F.sum(rev_units - cost_units) / 10000.0, 2)
+                     .alias("sum_profit")))
+
+    def tpch_q11(spark, sf):
+        # important stock: per-part shipped value from NATION_1
+        # suppliers above a 1e-4 fraction of the total — the scalar
+        # subquery rides a broadcast 1-row frame and the threshold is
+        # an exact integer cross-multiplication (no float fraction)
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        sn = (s.join(F.broadcast(n.where(F.col("n_name") == "NATION_1")),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey"))
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        per_part = (li.join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+                    .groupBy("l_partkey")
+                    .agg(F.sum(cents).alias("_cents")))
+        tot = per_part.agg(F.sum("_cents").alias("_tot"))
+        return (per_part.crossJoin(F.broadcast(tot))
+                .where(F.col("_cents") * 10000 > F.col("_tot"))
+                .select(F.col("l_partkey").alias("ps_partkey"),
+                        F.round(F.col("_cents") / 100.0, 2)
+                        .alias("value")))
+
+    def tpch_q12(spark, sf):
+        # late-shipment priority audit by returnflag (shipmode stand-
+        # in): lines shipped 60+ days after the order date, split into
+        # critical vs other order priorities
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")) \
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (late.groupBy("l_returnflag")
+                .agg(F.sum(F.when(crit, 1).otherwise(0)).cast("long")
+                     .alias("high_line_count"),
+                     F.sum(F.when(crit, 0).otherwise(1)).cast("long")
+                     .alias("low_line_count")))
+
+    def tpch_q16(spark, sf):
+        # supplier diversity per part attribute triple; "complaint"
+        # suppliers (negative balance) leave via a broadcast anti-join
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+        pf = p.where((F.col("p_brand") != "Brand#1")
+                     & (F.col("p_type") != "PROMO")
+                     & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        return (li.select("l_partkey", "l_suppkey").distinct()
+                .join(bad, F.col("l_suppkey") == F.col("s_suppkey"),
+                      "left_anti")
+                .join(F.broadcast(pf),
+                      F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+    def tpch_q19(spark, sf):
+        # disjunctive bracket predicates (brand x size x quantity) —
+        # one scan, the whole predicate folds into the scan filter
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        j = li.join(F.broadcast(p),
+                    F.col("l_partkey") == F.col("p_partkey"))
+        qty = F.col("l_quantity")
+        br = (((F.col("p_brand") == "Brand#12")
+               & F.col("p_size").between(1, 5)
+               & qty.between(1, 11))
+              | ((F.col("p_brand") == "Brand#23")
+                 & F.col("p_size").between(1, 10)
+                 & qty.between(10, 20))
+              | ((F.col("p_brand") == "Brand#15")
+                 & F.col("p_size").between(1, 15)
+                 & qty.between(20, 30)))
+        rev_units = (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 10000)
+                     .cast("long"))
+        return j.where(br).agg(
+            F.round(F.sum(rev_units) / 10000.0, 2).alias("revenue"))
+
+    def tpch_q20(spark, sf):
+        # excess-shipment suppliers: NATION_1 suppliers who moved >100
+        # units of red parts in 1996 — the nested-semi-join chain of
+        # the original (part -> lineitem agg -> supplier -> nation)
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        red = p.where(F.col("p_name").like("red%")).select("p_partkey")
+        shipped = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                            & (F.col("l_shipdate") < "1997-01-01"))
+                   .join(F.broadcast(red),
+                         F.col("l_partkey") == F.col("p_partkey"))
+                   .groupBy("l_suppkey")
+                   .agg(F.round(F.sum("l_quantity")).cast("long")
+                        .alias("total_qty"))
+                   .where(F.col("total_qty") > 100))
+        sn = (s.join(F.broadcast(n.where(F.col("n_name") == "NATION_1")),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", "s_name"))
+        return (sn.join(shipped, F.col("s_suppkey") == F.col("l_suppkey"))
+                .select("s_name", "total_qty"))
+
+    def tpch_q21(spark, sf):
+        # waiting-orders: suppliers who were the ONLY late supplier on
+        # a finished multi-supplier order. The exists / not-exists
+        # double correlation becomes two per-order aggregates computed
+        # from ONE distinct pass (n suppliers, n late suppliers), then
+        # the late lines' suppliers qualify when (>=2, ==1)
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        fo = o.where(F.col("o_orderstatus") == "F") \
+            .select("o_orderkey", "o_orderdate")
+        lf = li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        late = F.col("l_shipdate") > (F.col("o_orderdate")
+                                      + F.expr("INTERVAL 90 DAYS"))
+        per_order = (lf.select("l_orderkey", "l_suppkey",
+                               late.cast("int").alias("_late"))
+                     .groupBy("l_orderkey", "l_suppkey")
+                     .agg(F.max("_late").alias("_supp_late"))
+                     .groupBy("l_orderkey")
+                     .agg(F.count(F.lit(1)).alias("_n_supp"),
+                          F.sum("_supp_late").alias("_n_late")))
+        lone_late = (lf.where(late)
+                     .select("l_orderkey", "l_suppkey").distinct()
+                     .join(per_order.where((F.col("_n_supp") >= 2)
+                                           & (F.col("_n_late") == 1)),
+                           "l_orderkey"))
+        sn = (s.join(F.broadcast(n.where(F.col("n_name") == "NATION_3")),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", "s_name"))
+        return (lone_late.join(sn,
+                               F.col("l_suppkey") == F.col("s_suppkey"))
+                .groupBy("s_name")
+                .agg(F.count(F.lit(1)).alias("numwait")))
+
     def events_window(spark, sf):
         from pyspark.sql.window import Window
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -2209,6 +2414,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bt_scores": text_bt_scores,
         "text_rouge2": text_rouge2,
         "text_chunks": text_chunks,
+        "tpch_q2": tpch_q2,
+        "tpch_q9": tpch_q9,
+        "tpch_q11": tpch_q11,
+        "tpch_q12": tpch_q12,
+        "tpch_q16": tpch_q16,
+        "tpch_q19": tpch_q19,
+        "tpch_q20": tpch_q20,
+        "tpch_q21": tpch_q21,
     }
 
 
@@ -6214,6 +6427,144 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(2 * coalesce(m.matches, 0) AS DOUBLE)
                  / (n_cand + n_ref), 6) AS f1
     FROM t LEFT JOIN m USING (pair_id)
+    """
+
+    # ---- TPC-H completion (adapted; see the query docstrings)
+    q["tpch_q2"] = """
+    WITH sn AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+    supply AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(CAST(round(l_extendedprice / l_quantity * 100)
+                             AS BIGINT)) AS BIGINT) AS cost_cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    offers AS (
+        SELECT p.p_partkey, sn.s_acctbal, sn.s_name, sn.n_name,
+               supply.cost_cents
+        FROM supply
+        JOIN part p ON supply.l_partkey = p.p_partkey
+        JOIN sn ON supply.l_suppkey = sn.s_suppkey
+        WHERE p.p_size = 15 AND p.p_type = 'STANDARD')
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           round(cost_cents / 100.0, 2) AS supplycost
+    FROM offers o
+    WHERE cost_cents = (SELECT min(cost_cents) FROM offers i
+                        WHERE i.p_partkey = o.p_partkey)
+    """
+
+    q["tpch_q9"] = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)
+                     - CAST(round(l_quantity * p_retailprice * 8000)
+                            AS BIGINT)) / 10000.0, 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, year(o_orderdate)
+    """
+
+    q["tpch_q11"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+        GROUP BY l_partkey)
+    SELECT l_partkey AS ps_partkey, round(cents / 100.0, 2) AS value
+    FROM per_part
+    WHERE cents * 10000 > (SELECT sum(cents) FROM per_part)
+    """
+
+    q["tpch_q12"] = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT)
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """
+
+    q["tpch_q16"] = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+    JOIN part ON sp.l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND sp.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """
+
+    q["tpch_q19"] = """
+    SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 2)
+               AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    q["tpch_q20"] = """
+    WITH shipped AS (
+        SELECT l_suppkey,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 100)
+    SELECT s_name, total_qty
+    FROM shipped
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    """
+
+    q["tpch_q21"] = """
+    WITH lf AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+    per_supp AS (
+        SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+        FROM lf GROUP BY l_orderkey, l_suppkey),
+    per_order AS (
+        SELECT l_orderkey, count(*) AS n_supp,
+               sum(supp_late) AS n_late
+        FROM per_supp GROUP BY l_orderkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE supp_late = 1 AND n_supp >= 2 AND n_late = 1
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
     """
 
     # ---- RAG sliding-window chunking (operators/packing.py)
