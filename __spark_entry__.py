@@ -2191,6 +2191,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf),
             {"src0": 0.25, "src1": 0.5, "src2": 1.0, "src3": 2.25})
 
+    # ---- in-engine training + temperature mixture
+    def text_logreg_weights(spark, sf):
+        from mms_rdf_spark.operators.mlops import doc_features, logreg_train
+        return logreg_train(doc_features(_docs(spark, sf)), iterations=6)
+
+    def text_mixture_temp(spark, sf):
+        from mms_rdf_spark.operators.trajectory import temperature_mixture
+        return temperature_mixture(_docs(spark, sf), alpha=0.5, budget=200)
+
     # ---- pairwise-preference ranking (operators/ranking.py)
     def text_bt_games(spark, sf):
         from mms_rdf_spark.operators.ranking import pairwise_games
@@ -2422,6 +2431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": tpch_q19,
         "tpch_q20": tpch_q20,
         "tpch_q21": tpch_q21,
+        "text_logreg_weights": text_logreg_weights,
+        "text_mixture_temp": text_mixture_temp,
     }
 
 
@@ -6427,6 +6438,79 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(2 * coalesce(m.matches, 0) AS DOUBLE)
                  / (n_cand + n_ref), 6) AS f1
     FROM t LEFT JOIN m USING (pair_id)
+    """
+
+    # ---- in-engine logistic regression (operators/mlops.py): the
+    # SAME 6 full-batch GD rounds unrolled as MATERIALIZED CTEs
+    # (each round references the previous weights twice)
+    lg = f"""
+    WITH feats AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(1.0 AS DOUBLE) AS x0,
+               round(CAST(len(list_filter(toks,
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                     / greatest(len(toks), 1), 6) AS x1,
+               round(CAST(len(regexp_extract_all(text,
+                       '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                     / greatest(strlen(text), 1), 6) AS x2,
+               round(CAST(len(regexp_extract_all(text, '[A-Z]'))
+                          AS DOUBLE)
+                     / greatest(strlen(text), 1), 6) AS x3,
+               round(ln(1.0 + len(toks)), 6) AS x4,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM (SELECT doc_id, lang, coalesce(text, '') AS text,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents)),
+    w0 AS MATERIALIZED (
+        SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+               CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+               CAST(0.0 AS DOUBLE) AS w4)"""
+    _Z = ("w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3"
+          " + w.w4*f.x4")
+    for i in range(1, 7):
+        terms = ", ".join(
+            f"""sum(CAST(round(round((p9 - y) * x{j}, 9) * 1e9)
+                 AS BIGINT)) AS s{j}""" for j in range(5))
+        ups = ", ".join(
+            f"round(w.w{j} - round((g.s{j} / 1e9) / g.n, 9), 9) AS w{j}"
+            for j in range(5))
+        lg += f""",
+    g{i} AS MATERIALIZED (
+        SELECT {terms}, count(*) AS n
+        FROM (SELECT f.x0, f.x1, f.x2, f.x3, f.x4, f.y,
+                     round(1.0 / (1.0 + exp(-({_Z}))), 9) AS p9
+              FROM feats f, w{i - 1} w)),
+    w{i} AS MATERIALIZED (
+        SELECT {ups} FROM w{i - 1} w, g{i} g)"""
+    q["text_logreg_weights"] = lg + """
+    SELECT 'bias' AS feature, w0 AS weight FROM w6
+    UNION ALL SELECT 'stop_ratio', w1 FROM w6
+    UNION ALL SELECT 'punct_ratio', w2 FROM w6
+    UNION ALL SELECT 'upper_ratio', w3 FROM w6
+    UNION ALL SELECT 'log_tokens', w4 FROM w6
+    """
+
+    # ---- temperature-smoothed mixture (trajectory.temperature_mixture)
+    q["text_mixture_temp"] = """
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY source),
+    p AS (SELECT source, n,
+                 CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1e6)
+                      AS BIGINT) AS pu
+          FROM c),
+    t AS (SELECT CAST(sum(pu) AS BIGINT) AS tu FROM p),
+    f AS (SELECT source,
+                 least(CAST(1.0 AS DOUBLE),
+                       round(round(CAST(pu AS DOUBLE)
+                                   / CAST(tu AS DOUBLE), 9)
+                             * 200 / n, 9)) AS frac
+          FROM p, t)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f ON d.source = f.source
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                   1, 6)) AS BIGINT)
+          / power(16, 6) < f.frac
     """
 
     # ---- TPC-H completion (adapted; see the query docstrings)

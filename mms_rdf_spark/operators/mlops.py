@@ -1,0 +1,113 @@
+"""In-engine distributed model training: full-batch logistic regression.
+
+A quality-classifier trainer that runs INSIDE the engine as DataFrame
+ops — the pattern for fitting small models (quality filters, language
+scorers, reweighters) over a 100-TB corpus without exporting data:
+full-batch gradient descent where each iteration is one map-side-
+combinable aggregate over the feature frame, and the weight vector
+lives in a broadcast 1-row frame (the cc.py no-collect rule).
+
+Determinism / cross-engine parity (the pagerank iteration recipe):
+features are 6dp-gridded at construction; each doc's sigmoid is
+rounded to 9dp, each per-doc gradient term re-gridded at 9dp and
+summed as EXACT 1e9 micro-unit longs (order-independent), and the
+weight update is one division of exact-long-derived doubles rounded to
+9dp — so a DuckDB oracle unrolling the same iterations as CTEs
+hash-matches the trained weights.
+
+Scale shape: the corpus is scanned once to build the checkpointed
+feature frame; each of the (few) iterations is a single aggregate
+producing 2k+1 longs — no shuffle wider than the partial-agg combine,
+nothing corpus-sized ever moves. The transcendentals (exp) run
+JVM-side in whole-stage codegen.
+
+The reference has no training ops; beyond-reference LLM-pipeline suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mms_rdf_spark.operators.textstats import (
+    punct_count_expr,
+    stop_ratio_expr,
+    upper_count_expr,
+)
+
+FEATURES = ["bias", "stop_ratio", "punct_ratio", "upper_ratio",
+            "log_tokens"]
+
+
+def doc_features(docs: DataFrame, label_lang: str = "en") -> DataFrame:
+    """documents -> (doc_id, x0..x4, y): 6dp-gridded quality signals
+    with an is-`label_lang` label. One corpus scan, all column math."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    chars = F.greatest(F.length(text), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        stop_ratio_expr(text).alias("x1"),
+        F.round(punct_count_expr(text) / chars, 6).alias("x2"),
+        F.round(upper_count_expr(text) / chars, 6).alias("x3"),
+        F.round(F.log(F.lit(1.0) + F.size(toks)), 6).alias("x4"),
+        (F.col("lang") == label_lang).cast("int").alias("y"),
+    )
+
+
+def logreg_train(feats: DataFrame, iterations: int = 6,
+                 lr: float = 1.0) -> DataFrame:
+    """(doc_id, x0..x4, y) -> (feature, weight): full-batch GD from
+    w = 0, `iterations` rounds, mean-gradient step of size `lr`."""
+    k = len(FEATURES)
+    feats = feats.localCheckpoint()
+    w = feats.sparkSession.createDataFrame(
+        [tuple([0.0] * k)], ", ".join(f"w{i} double" for i in range(k)))
+
+    for _ in range(iterations):
+        j = feats.crossJoin(F.broadcast(w))
+        z = sum((F.col(f"w{i}") * F.col(f"x{i}") for i in range(1, k)),
+                start=F.col("w0") * F.col("x0"))
+        p9 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        aggs = [
+            F.sum(F.round(F.round((p9 - F.col("y")) * F.col(f"x{i}"), 9)
+                          * 1e9).cast("long")).alias(f"s{i}")
+            for i in range(k)
+        ] + [F.count(F.lit(1)).alias("n")]
+        g = j.agg(*aggs)
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(*[
+                F.round(F.col(f"w{i}")
+                        - lr * F.round((F.col(f"s{i}") / F.lit(1e9))
+                                       / F.col("n"), 9), 9)
+                .alias(f"w{i}")
+                for i in range(k)])
+            .localCheckpoint()
+        )
+
+    # tall output: one row per feature (stable, hash-checkable)
+    cols = [
+        F.struct(F.lit(name).alias("feature"),
+                 F.col(f"w{i}").alias("weight"))
+        for i, name in enumerate(FEATURES)
+    ]
+    return (w.select(F.explode(F.array(*cols)).alias("_f"))
+            .select("_f.feature", "_f.weight"))
+
+
+def logreg_score(feats: DataFrame, weights: DataFrame) -> DataFrame:
+    """Apply trained weights: (doc_id, prob, pred). The weight table
+    (k rows) is folded into a broadcast 1-row frame; scoring is a pure
+    projection over one corpus scan."""
+    k = len(FEATURES)
+    wide = weights.groupBy().pivot("feature", FEATURES).sum("weight") \
+        .select(*[F.col(name).alias(f"w{i}")
+                  for i, name in enumerate(FEATURES)])
+    j = feats.crossJoin(F.broadcast(wide))
+    z = sum((F.col(f"w{i}") * F.col(f"x{i}") for i in range(1, k)),
+            start=F.col("w0") * F.col("x0"))
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return j.select("doc_id", prob.alias("prob"),
+                    (prob >= 0.5).cast("int").alias("pred"), "y")

@@ -269,3 +269,40 @@ def mixture_rebalance(docs: DataFrame, weights: dict[str, float],
     return (docs.join(F.broadcast(frac), on=key_col)
             .where(_u01(F.col("doc_id")) < F.col("_frac"))
             .select("doc_id", key_col))
+
+
+def temperature_mixture(docs: DataFrame, alpha: float = 0.5,
+                        budget: int = 1000,
+                        key_col: str = "source") -> DataFrame:
+    """Temperature-smoothed mixture sampling (multilingual-training
+    style): domain sampling mass q_d ∝ n_d^alpha — alpha < 1 flattens
+    the head, upweighting rare domains relative to their raw share —
+    and each domain keeps min(1, q_d * budget / n_d) of its docs via
+    the same deterministic md5 threshold as mixture_rebalance.
+
+    Determinism: pow() outputs are re-gridded as exact 1e6 micro-unit
+    longs BEFORE the normalizing sum (order-independent across
+    engines); q_d and the keep fraction are single divisions of
+    exact-long-derived doubles, rounded 9dp.
+
+    Scale shape: identical to mixture_rebalance — one tiny per-domain
+    aggregate, fraction table broadcast back, corpus scanned once
+    unshuffled.
+    """
+    counts = (docs.groupBy(key_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    pw_u = F.round(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+                   * 1e6).cast("long")
+    powed = counts.select(key_col, "_n", pw_u.alias("_pu"))
+    tot = powed.agg(F.sum("_pu").alias("_tu"))
+    frac = (powed.crossJoin(F.broadcast(tot))
+            .select(key_col,
+                    F.least(
+                        F.lit(1.0),
+                        F.round(
+                            F.round(F.col("_pu").cast("double")
+                                    / F.col("_tu").cast("double"), 9)
+                            * budget / F.col("_n"), 9)).alias("_frac")))
+    return (docs.join(F.broadcast(frac), on=key_col)
+            .where(_u01(F.col("doc_id")) < F.col("_frac"))
+            .select("doc_id", key_col))

@@ -1,0 +1,106 @@
+"""In-engine logistic regression + temperature mixture sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+
+def _separable_docs(spark, n=40):
+    """Label-1 docs drown in stopwords; label-0 docs have none — a
+    corpus where the stop-ratio feature linearly separates 'en'."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            text = "the a of to in is the and or it " * 3 + f"w{i}"
+            lang = "en"
+        else:
+            text = f"xyz qrs tuv wxy z{i} frob grault " * 3
+            lang = "xx"
+        rows.append((i, text, lang, "s0", len(text)))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def test_logreg_learns_separable_signal(spark):
+    from mms_rdf_spark.operators.mlops import (
+        doc_features, logreg_score, logreg_train)
+
+    feats = doc_features(_separable_docs(spark))
+    w = logreg_train(feats, iterations=30, lr=2.0)
+    scored = logreg_score(feats, w)
+    acc = scored.agg(F.avg((F.col("pred") == F.col("y")).cast("int"))) \
+        .collect()[0][0]
+    assert acc >= 0.95
+    weights = {r.feature: r.weight for r in w.collect()}
+    assert weights["stop_ratio"] > 0  # the positive 'en' signal
+
+
+def test_logreg_loss_decreases(spark):
+    from mms_rdf_spark.operators.mlops import (
+        doc_features, logreg_score, logreg_train)
+
+    feats = doc_features(_separable_docs(spark))
+
+    def loss(iters):
+        w = logreg_train(feats, iterations=iters, lr=2.0)
+        s = logreg_score(feats, w)
+        eps = 1e-9
+        return s.agg(F.avg(
+            -(F.col("y") * F.log(F.col("prob") + eps)
+              + (1 - F.col("y")) * F.log(1 - F.col("prob") + eps)))) \
+            .collect()[0][0]
+
+    # lr=2.0 overshoots on the very first step (loss briefly exceeds
+    # the ln 2 start), so compare settled checkpoints
+    l5, l30 = loss(5), loss(30)
+    assert l30 < l5
+    assert l30 < math.log(2)  # better than the w=0 start
+
+
+def test_logreg_zero_weights_score_half(spark):
+    from mms_rdf_spark.operators.mlops import (
+        FEATURES, doc_features, logreg_score)
+
+    feats = doc_features(_separable_docs(spark, n=6))
+    zeros = spark.createDataFrame([(f, 0.0) for f in FEATURES],
+                                  "feature string, weight double")
+    probs = [r.prob for r in logreg_score(feats, zeros).collect()]
+    assert all(p == 0.5 for p in probs)
+
+
+def test_logreg_deterministic(spark):
+    from mms_rdf_spark.operators.mlops import doc_features, logreg_train
+
+    feats = doc_features(_separable_docs(spark))
+    a = logreg_train(feats, iterations=6).orderBy("feature").toPandas()
+    b = logreg_train(feats, iterations=6).orderBy("feature").toPandas()
+    assert a.equals(b)
+
+
+def test_temperature_mixture_flattens_head(spark):
+    from mms_rdf_spark.operators.trajectory import temperature_mixture
+
+    # 900 docs in the hot domain, 100 in the rare one
+    rows = [(i, f"t{i}", "en", "hot" if i < 900 else "rare", 10)
+            for i in range(1000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    def shares(alpha):
+        out = temperature_mixture(docs, alpha=alpha, budget=400) \
+            .groupBy("source").count().collect()
+        d = {r.source: r["count"] for r in out}
+        return d.get("hot", 0), d.get("rare", 0)
+
+    hot1, rare1 = shares(1.0)    # proportional: rare gets ~40
+    hot5, rare5 = shares(0.5)    # flattened: rare share rises
+    assert rare5 / max(hot5, 1) > rare1 / max(hot1, 1)
+    # alpha=0: equal mass per domain; generous budget keeps ALL rare
+    _, rare0 = shares(0.0)
+    assert rare0 == 100
+    # deterministic
+    assert shares(0.5) == shares(0.5)
