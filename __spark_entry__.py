@@ -2200,6 +2200,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.trajectory import temperature_mixture
         return temperature_mixture(_docs(spark, sf), alpha=0.5, budget=200)
 
+    def text_rrf_fusion(spark, sf):
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.evalmetrics import rrf_fuse
+        from mms_rdf_spark.operators.textstats import quality_score_expr
+        docs = _docs(spark, sf)
+        # lexical list: BM25 top-20; rank window runs over the 20
+        # survivors only (post-TakeOrdered, the sketch.py rule)
+        lex = TX.bm25_topk(docs, ["spark", "join", "vector"], k=20)
+        a = lex.select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), "doc_id")).alias("rank"))
+        qs = (docs.select("doc_id", quality_score_expr().alias("_q"))
+              .orderBy(F.desc("_q"), "doc_id").limit(20))
+        b = qs.select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("_q"), "doc_id")).alias("rank"))
+        return rrf_fuse(a, b, k=60)
+
     # ---- pairwise-preference ranking (operators/ranking.py)
     def text_bt_games(spark, sf):
         from mms_rdf_spark.operators.ranking import pairwise_games
@@ -2433,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": tpch_q21,
         "text_logreg_weights": text_logreg_weights,
         "text_mixture_temp": text_mixture_temp,
+        "text_rrf_fusion": text_rrf_fusion,
     }
 
 
@@ -6511,6 +6533,35 @@ def oracle_sql() -> dict[str, str]:
     WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
                                    1, 6)) AS BIGINT)
           / power(16, 6) < f.frac
+    """
+
+    q["text_rrf_fusion"] = f"""
+    WITH lex AS MATERIALIZED ({_bm25_sql(20)}),
+    lr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           FROM lex),
+    qtop AS MATERIALIZED (
+        SELECT doc_id, qs FROM (
+            SELECT doc_id,
+                   round(CAST(len(list_filter(toks,
+                           x -> list_contains({_STOP_SQL}, x)))
+                           AS DOUBLE) / greatest(len(toks), 1)
+                       - CAST(len(regexp_extract_all(text,
+                           '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                           / greatest(strlen(text), 1)
+                       - CAST(len(regexp_extract_all(text, '[A-Z]'))
+                              AS DOUBLE) / greatest(strlen(text), 1),
+                       6) AS qs
+            FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks
+                  FROM documents))
+        ORDER BY qs DESC, doc_id LIMIT 20),
+    qr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY qs DESC, doc_id) AS r
+           FROM qtop)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + a.r), 0)
+                 + coalesce(1.0 / (60 + b.r), 0), 9) AS rrf_score
+    FROM lr a FULL OUTER JOIN qr b ON a.doc_id = b.doc_id
     """
 
     # ---- TPC-H completion (adapted; see the query docstrings)

@@ -79,3 +79,29 @@ def doc_pairs(docs: DataFrame) -> DataFrame:
         ((F.col("doc_id") - 1) / 2).cast("long").alias("pair_id"),
         F.col("text").alias("reference"))
     return cand.join(ref, "pair_id")
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists: (doc_id, rank)
+    frames -> (doc_id, rrf_score) with score = sum of 1/(k + rank)
+    over the lists the doc appears in (absent list contributes 0 — the
+    standard RRF treatment). The canonical way to merge heterogeneous
+    retrieval signals (lexical BM25 x semantic / quality rankings)
+    without score calibration.
+
+    Scale shape: the inputs are top-k lists (k rows each, already
+    reduced by TakeOrdered upstream) — the fusion join is trivially
+    broadcastable and never sees the corpus.
+    """
+    sa = a.select("doc_id", F.col("rank").alias("_ra"))
+    sb = b.select("doc_id", F.col("rank").alias("_rb"))
+
+    def term(c: str) -> F.Column:
+        return F.when(F.col(c).isNotNull(),
+                      F.lit(1.0) / (F.lit(k) + F.col(c))) \
+            .otherwise(F.lit(0.0))
+
+    return (sa.join(sb, "doc_id", "full_outer")
+            .select("doc_id",
+                    F.round(term("_ra") + term("_rb"), 9)
+                    .alias("rrf_score")))

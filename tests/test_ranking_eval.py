@@ -101,3 +101,18 @@ def test_chunking_is_shuffle_free(spark):
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_rrf_fusion_known_values(spark):
+    from mms_rdf_spark.operators.evalmetrics import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (4, 2)],
+                              "doc_id long, rank long")
+    out = {r.doc_id: r.rrf_score for r in rrf_fuse(a, b, k=60).collect()}
+    assert out[1] == round(1 / 61, 9)          # only in a
+    assert out[4] == round(1 / 62, 9)          # only in b
+    assert out[3] == round(1 / 63 + 1 / 61, 9)  # both lists
+    # doc in both lists outranks a top-1 single-list doc
+    assert out[3] > out[1]
