@@ -2191,6 +2191,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf),
             {"src0": 0.25, "src1": 0.5, "src2": 1.0, "src3": 2.25})
 
+    def kg_protocol_violations(spark, sf):
+        from mms_rdf_spark.operators.trajectory import protocol_violations
+        return protocol_violations(transcripts_from_events(spark, sf))
+
+    def text_pref_length_bias(spark, sf):
+        from mms_rdf_spark.operators.trajectory import (
+            preference_length_bias)
+        return preference_length_bias(_docs(spark, sf))
+
     # ---- in-engine training + temperature mixture
     def text_logreg_weights(spark, sf):
         from mms_rdf_spark.operators.mlops import doc_features, logreg_train
@@ -2455,6 +2464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_logreg_weights": text_logreg_weights,
         "text_mixture_temp": text_mixture_temp,
         "text_rrf_fusion": text_rrf_fusion,
+        "kg_protocol_violations": kg_protocol_violations,
+        "text_pref_length_bias": text_pref_length_bias,
     }
 
 
@@ -6460,6 +6471,78 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(2 * coalesce(m.matches, 0) AS DOUBLE)
                  / (n_cand + n_ref), 6) AS f1
     FROM t LEFT JOIN m USING (pair_id)
+    """
+
+    q["kg_protocol_violations"] = f"""
+    {_T},
+    lagd AS (SELECT conv_id, turn_idx, role,
+                    lag(role) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS prev_role,
+                    lag(turn_idx) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS prev_ti
+             FROM t)
+    SELECT conv_id, turn_idx, role, prev_role,
+           'repeat' AS violation
+    FROM lagd
+    WHERE prev_ti IS NOT NULL AND role IS NOT DISTINCT FROM prev_role
+    UNION ALL
+    SELECT conv_id, turn_idx, role, prev_role, 'orphan_assistant'
+    FROM lagd
+    WHERE role = 'assistant'
+      AND NOT coalesce(prev_role IN ('user', 'tool'), FALSE)
+    UNION ALL
+    SELECT conv_id, turn_idx, role, prev_role, 'orphan_tool'
+    FROM lagd
+    WHERE role = 'tool'
+      AND NOT coalesce(prev_role = 'assistant', FALSE)
+    """
+
+    # length-bias audit over the SAME pair construction as
+    # text_pref_pairs (shared fragment semantics), exact moment sums
+    q["text_pref_length_bias"] = f"""
+    WITH d AS (SELECT doc_id, text, lang, source, n_chars,
+                      {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(round(round(
+                   CAST(len(list_filter(toks,
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / greatest(len(toks), 1)
+                   - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                          AS DOUBLE) / greatest(strlen(text), 1)
+                   - CAST(len(regexp_extract_all(text, '[A-Z]'))
+                          AS DOUBLE) / greatest(strlen(text), 1),
+                   6) * 1e6) AS BIGINT) AS units
+        FROM d),
+    k AS (SELECT *,
+                 lpad(CAST(units + 1000000000 AS VARCHAR), 12, '0')
+                     || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key
+          FROM m),
+    pairs AS (
+        SELECT arg_max(doc_id, key) AS chosen_doc,
+               arg_min(doc_id, key) AS rejected_doc,
+               round((max(units) - min(units)) / 1e6, 6) AS margin
+        FROM k GROUP BY source, lang HAVING count(*) >= 2),
+    xy AS (
+        SELECT CAST(round(p.margin * 1e6) AS BIGINT) AS x,
+               CAST(lc.n_chars - lr.n_chars AS BIGINT) AS y
+        FROM pairs p
+        JOIN documents lc ON lc.doc_id = p.chosen_doc
+        JOIN documents lr ON lr.doc_id = p.rejected_doc),
+    mm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM xy)
+    SELECT n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r
+    FROM mm
     """
 
     # ---- in-engine logistic regression (operators/mlops.py): the

@@ -306,3 +306,71 @@ def temperature_mixture(docs: DataFrame, alpha: float = 0.5,
     return (docs.join(F.broadcast(frac), on=key_col)
             .where(_u01(F.col("doc_id")) < F.col("_frac"))
             .select("doc_id", key_col))
+
+
+# --------------------------------------------------- protocol audit
+def protocol_violations(turns: DataFrame) -> DataFrame:
+    """Turn-taking protocol audit: flags turns that break the
+    conversation grammar — 'repeat' (same role as the previous turn,
+    null-safe), 'orphan_assistant' (assistant turn not preceded by a
+    user or tool turn), 'orphan_tool' (tool turn not preceded by an
+    assistant turn). A turn can carry several violations (one output
+    row each). First turns have no predecessor: a leading assistant /
+    tool turn is an orphan by definition.
+
+    One window exchange on conv_id; the violation array is built as
+    pure column logic and exploded (narrow)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    # lag(role) is NULL both for "no previous turn" and "previous turn
+    # had a NULL role" — existence comes from lag(turn_idx) instead
+    has_prev = F.lag("turn_idx").over(w).isNotNull()
+    vio = F.array_compact(F.array(
+        F.when(has_prev & F.col("role").eqNullSafe(prev),
+               F.lit("repeat")),
+        F.when((F.col("role") == "assistant")
+               & ~F.coalesce(prev.isin("user", "tool"), F.lit(False)),
+               F.lit("orphan_assistant")),
+        F.when((F.col("role") == "tool")
+               & ~F.coalesce(prev == "assistant", F.lit(False)),
+               F.lit("orphan_tool")),
+    ))
+    return (turns.select("conv_id", "turn_idx", "role",
+                         prev.alias("prev_role"), vio.alias("_v"))
+            .where(F.size("_v") > 0)
+            .select("conv_id", "turn_idx", "role", "prev_role",
+                    F.explode("_v").alias("violation")))
+
+
+def preference_length_bias(
+        docs: DataFrame,
+        group_cols: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+    """Length-bias audit for DPO pairs: Pearson correlation between the
+    preference margin and the chosen-minus-rejected length delta — the
+    reward-hacking smell test (a strongly positive r means the
+    'preferred' signal is just length). Computed from exact integer
+    moment sums (margin is 6dp-gridded -> exact 1e6 micro-unit longs;
+    lengths are exact), so the single-row result is order-independent
+    and hash-checkable: (n_pairs, r) with r rounded 6dp, NULL when
+    either variance is zero."""
+    pairs = preference_pairs(docs, group_cols=group_cols)
+    lens = docs.select("doc_id", F.col("n_chars").cast("long").alias("_len"))
+    j = (pairs
+         .join(lens.withColumnRenamed("doc_id", "chosen_doc")
+               .withColumnRenamed("_len", "_lc"), "chosen_doc")
+         .join(lens.withColumnRenamed("doc_id", "rejected_doc")
+               .withColumnRenamed("_len", "_lr"), "rejected_doc")
+         .select(F.round(F.col("margin") * 1e6).cast("long").alias("_x"),
+                 (F.col("_lc") - F.col("_lr")).alias("_y")))
+    m = j.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+              F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+              F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+              F.sum(F.col("_x") * F.col("_y")).alias("sxy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round(cov / F.sqrt(vx.cast("double"))
+                       / F.sqrt(vy.cast("double")), 6))
+    return m.select(F.col("n").alias("n_pairs"), r.alias("r"))

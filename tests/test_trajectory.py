@@ -174,3 +174,68 @@ def test_mixture_rebalance_broadcasts_fraction_table(spark):
     plan = (mixture_rebalance(docs, {"s": 0.5})
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_protocol_violations_rules(spark):
+    from mms_rdf_spark.operators.trajectory import protocol_violations
+
+    rows = [
+        ("c1", 0, "user", "hi", None),
+        ("c1", 1, "assistant", "yo", None),      # clean
+        ("c1", 2, "assistant", "again", None),   # repeat + clean-prev
+        ("c1", 3, "tool", "x", "t"),             # tool after assistant: ok
+        ("c2", 0, "assistant", "cold open", None),  # orphan_assistant
+        ("c2", 1, "user", "q", None),
+        ("c2", 2, "tool", "x", "t"),             # orphan_tool (after user)
+        ("c3", 0, None, "a", None),
+        ("c3", 1, None, "b", None),              # repeat (null-safe)
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    out = {(r.conv_id, r.turn_idx, r.violation)
+           for r in protocol_violations(turns).collect()}
+    assert ("c1", 2, "repeat") in out
+    assert ("c2", 0, "orphan_assistant") in out
+    assert ("c2", 2, "orphan_tool") in out
+    assert ("c3", 1, "repeat") in out
+    # first turns are never 'repeat', clean turns absent
+    assert not any(v == "repeat" and t == 0 for _, t, v in out)
+    assert ("c1", 1, "orphan_assistant") not in out
+    assert ("c1", 3, "orphan_tool") not in out
+
+
+def test_preference_length_bias_detects_length_signal(spark):
+    from mms_rdf_spark.operators.trajectory import preference_length_bias
+
+    # quality tracks stopword density; make longer docs ALSO denser ->
+    # margin correlates positively with length delta
+    rows = []
+    for g in range(8):
+        short = "xx yy zz"
+        # stopword density AND length both grow with g -> margins vary
+        long = "the " * (g + 2) + "xq"
+        rows.append((2 * g, short, "en", f"s{g}", len(short)))
+        rows.append((2 * g + 1, long, "en", f"s{g}", len(long)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = preference_length_bias(docs).collect()[0]
+    assert out.n_pairs == 8
+    assert out.r is not None and out.r > 0.5
+
+
+def test_preference_length_bias_zero_variance_is_null(spark):
+    from mms_rdf_spark.operators.trajectory import preference_length_bias
+
+    # identical margins and length deltas in every group -> zero
+    # variance in x -> r must be NULL, never a division blowup
+    rows = []
+    for g in range(3):
+        rows.append((2 * g, "xx yy", "en", f"s{g}", 5))
+        rows.append((2 * g + 1, "the the", "en", f"s{g}", 7))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = preference_length_bias(docs).collect()[0]
+    assert out.n_pairs == 3 and out.r is None
