@@ -1,0 +1,83 @@
+"""End-to-end streaming KG chain: transcript files land in two waves,
+incremental extract -> link -> LPG edges run after each wave, and the
+final tables match the batch pipeline over the full corpus (no bridge
+entities in the fixture, so incremental adoption equals batch CC)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+
+def test_streaming_chain_matches_batch(spark, tmp_path):
+    from mms_rdf_spark.operators.extract import extract_triples
+    from mms_rdf_spark.operators.link import link_mentions
+    from mms_rdf_spark.operators.materialize import lpg_edges
+    from mms_rdf_spark.streaming.incremental import incremental_extract
+    from mms_rdf_spark.streaming.link import incremental_link
+    from mms_rdf_spark.streaming.materialize import incremental_lpg_edges
+    from mms_rdf_spark.synth import make_transcripts
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir = str(tmp_path / "transcripts")
+    trip = str(tmp_path / "triples")
+    ents = str(tmp_path / "ents")
+    edges = str(tmp_path / "edges")
+    ck = {n: str(tmp_path / f"ck_{n}") for n in ("x", "l", "m")}
+    os.makedirs(tdir, exist_ok=True)
+
+    pdf = make_transcripts(n_convs=24, seed=11, hot_conv_turns=40)
+    convs = sorted(pdf.conv_id.unique())
+    waves = [pdf[pdf.conv_id.isin(convs[:12])],
+             pdf[pdf.conv_id.isin(convs[12:])]]
+
+    for i, wave in enumerate(waves):
+        pq.write_table(pa.Table.from_pandas(wave.reset_index(drop=True)),
+                       os.path.join(tdir, f"wave{i}.parquet"))
+        incremental_extract(spark, tdir, trip, ck["x"]) \
+            .awaitTermination(180)
+        incremental_link(spark, trip, ents, ck["l"]).awaitTermination(180)
+        incremental_lpg_edges(spark, trip, edges, ck["m"]) \
+            .awaitTermination(180)
+
+    # batch reference over the full corpus
+    full = spark.createDataFrame(pdf)
+    triples_ref = extract_triples(spark, full)
+    got_trip = spark.read.parquet(trip)
+
+    # incremental extraction emits the turn-level subset (conversation-
+    # level list triples are batch-owned — incremental.py docstring);
+    # every streamed triple must appear in the batch set
+    key = F.concat_ws("\x1f", "subject", "predicate", "object")
+    missing = got_trip.select(key.alias("k")) \
+        .join(triples_ref.select(key.alias("k")), "k", "left_anti")
+    assert missing.count() == 0
+
+    # entity table: same surfaces, same grouping as the batch linker
+    ref_ents = link_mentions(
+        triples_ref.where(F.col("predicate") == "mms-property:mentions")) \
+        .toPandas().set_index("surface")
+    got_ents = spark.read.parquet(os.path.join(ents, "data")) \
+        .toPandas().set_index("surface")
+    assert set(got_ents.index) == set(ref_ents.index)
+    # grouping parity: same partition of surfaces into entities
+    ref_groups = {s: ref_ents.entity_id[s] for s in ref_ents.index}
+    got_groups = {s: got_ents.entity_id[s] for s in got_ents.index}
+    ref_part = {}
+    got_part = {}
+    for s in ref_groups:
+        ref_part.setdefault(ref_groups[s], set()).add(s)
+        got_part.setdefault(got_groups[s], set()).add(s)
+    assert sorted(map(sorted, ref_part.values())) \
+        == sorted(map(sorted, got_part.values()))
+    # frequencies accrued across waves match the batch counts
+    assert got_ents.freq.sort_index().equals(ref_ents.freq.sort_index())
+
+    # edge table: streamed edge ids == batch edge ids over streamed rows
+    ref_edges = lpg_edges(got_trip)
+    got_edges = spark.read.parquet(os.path.join(edges, "data"))
+    assert sorted(r["~id"] for r in got_edges.collect()) \
+        == sorted(r["~id"] for r in ref_edges.collect())
