@@ -2154,6 +2154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mm_frame_sample(spark, sf):
         return MM.sample_frames(MM.synth_media(_docs(spark, sf)))
 
+    def mm_image_stats(spark, sf):
+        # REAL in-engine decode: encode P6 payloads, decode them back,
+        # emit exact channel means — the oracle computes the same
+        # statistics analytically from the pixel generator formula
+        return MM.image_stats(MM.synth_ppm_media(_docs(spark, sf)))
+
     # ---- agent-trajectory ops over the transcript table
     from mms_rdf_spark.kgdemo import transcripts_from_events
 
@@ -2424,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": text_decontaminate,
         "mm_features": mm_features,
         "mm_frame_sample": mm_frame_sample,
+        "mm_image_stats": mm_image_stats,
         "sim_mmr_batched": sim_mmr_batched,
         "sketch_quantile_cert": sketch_quantile_cert,
         "sketch_hll_cert": sketch_hll_cert,
@@ -6120,6 +6127,24 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'video' END AS kind,
            16 AS n_bytes
     FROM documents
+    """
+
+    # decoded-pixel statistics, computed analytically from the synth
+    # generator pixel(r,c,ch) = (media_id*31 + r*7 + c*3 + ch*11) % 256
+    # (h*w = 64 = 2^6, so every mean is an exact double)
+    q["mm_image_stats"] = """
+    WITH px AS (
+        SELECT d.doc_id AS media_id, r.r, c.c
+        FROM documents d,
+             unnest(generate_series(0, 7)) AS r(r),
+             unnest(generate_series(0, 7)) AS c(c))
+    SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           sum((media_id * 31 + r * 7 + c * 3) % 256) / 64.0 AS mean_r,
+           sum((media_id * 31 + r * 7 + c * 3 + 11) % 256) / 64.0
+               AS mean_g,
+           sum((media_id * 31 + r * 7 + c * 3 + 22) % 256) / 64.0
+               AS mean_b
+    FROM px GROUP BY media_id
     """
 
     q["mm_frame_sample"] = """

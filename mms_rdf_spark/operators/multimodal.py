@@ -121,3 +121,107 @@ def sample_frames(media: DataFrame, every: int = 5) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# ------------------------------------------------- real PPM decode path
+# P6 (binary PPM) is self-describing and uncompressed, so a REAL
+# decoder needs only numpy — this closes the decode stub for one
+# honest-to-goodness image format. Compressed formats (JPEG/PNG) stay
+# behind the NotImplementedError above until a codec library exists in
+# the runtime; the batch plumbing is identical either way.
+
+def ppm_pixels(media_id: int, h: int, w: int) -> np.ndarray:
+    """The deterministic synthetic image: pixel(r, c, ch) =
+    (media_id*31 + r*7 + c*3 + ch*11) % 256. Closed-form, so a SQL
+    oracle can compute DECODED statistics analytically — the
+    cross-engine check of the real decode path."""
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((media_id * 31 + r * 7 + c * 3 + ch * 11) % 256) \
+        .astype(np.uint8)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Pure numpy, no codec libs."""
+    if bytes(data[:2]) != b"P6":
+        raise NotImplementedError(
+            "only P6/PPM has an in-engine decoder; compressed formats "
+            "need a codec library (see decode_image_batch)")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, then a single whitespace byte before the raster
+    fields: list[bytes] = []
+    i = 2
+    b = bytes(data)
+    while len(fields) < 3:
+        while b[i:i + 1].isspace():
+            i += 1
+        j = i
+        while not b[j:j + 1].isspace():
+            j += 1
+        fields.append(b[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+    assert maxval == 255, "8-bit PPM only"
+    return np.frombuffer(b, dtype=np.uint8, count=h * w * 3,
+                         offset=i).reshape(h, w, 3)
+
+
+def synth_ppm_media(docs: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
+    """Real encoded P6 payloads, deterministically generated per doc —
+    an Arrow-batched encode stage (mapInPandas, one Python call per
+    batch)."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": "image",
+                "payload": [encode_ppm(ppm_pixels(int(m), h, w))
+                            for m in pdf["media_id"]],
+                "width": np.int32(w),
+                "height": np.int32(h),
+                "n_frames": np.int32(1),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL decode + per-image channel means over binary payloads:
+    Arrow-batched mapInPandas, exact integer pixel sums divided once
+    (h*w is a power of two in the synth fixture, so the mean is an
+    exact double and cross-engine hash-stable). Binary never shuffles —
+    the stats projection happens in the scan stage."""
+    cols = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_ppm(payload)
+                hh, ww, _ = arr.shape
+                sums = arr.astype(np.int64).sum(axis=(0, 1))
+                n = hh * ww
+                rows.append((int(mid), ww, hh,
+                             float(sums[0]) / n, float(sums[1]) / n,
+                             float(sums[2]) / n))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height",
+                "mean_r", "mean_g", "mean_b"])
+
+    return cols.mapInPandas(run, schema=(
+        "media_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"))
