@@ -2154,6 +2154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mm_frame_sample(spark, sf):
         return MM.sample_frames(MM.synth_media(_docs(spark, sf)))
 
+    def mm_audio_stats(spark, sf):
+        # REAL WAV decode: RIFF/PCM16 payloads decoded in-engine; the
+        # oracle computes peak / mean-square analytically
+        return MM.audio_stats(MM.synth_wav_media(_docs(spark, sf)))
+
     def mm_image_stats(spark, sf):
         # REAL in-engine decode: encode P6 payloads, decode them back,
         # emit exact channel means — the oracle computes the same
@@ -2431,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": mm_features,
         "mm_frame_sample": mm_frame_sample,
         "mm_image_stats": mm_image_stats,
+        "mm_audio_stats": mm_audio_stats,
         "sim_mmr_batched": sim_mmr_batched,
         "sketch_quantile_cert": sketch_quantile_cert,
         "sketch_hll_cert": sketch_hll_cert,
@@ -6145,6 +6151,21 @@ def oracle_sql() -> dict[str, str]:
            sum((media_id * 31 + r * 7 + c * 3 + 22) % 256) / 64.0
                AS mean_b
     FROM px GROUP BY media_id
+    """
+
+    # decoded-audio statistics from the generator sample(i) =
+    # ((media_id*17 + i*13) % 65536) - 32768 over 64 samples (2^6 ->
+    # exact mean_square double)
+    q["mm_audio_stats"] = """
+    WITH s AS (
+        SELECT d.doc_id AS media_id,
+               ((d.doc_id * 17 + i.i * 13) % 65536) - 32768 AS v
+        FROM documents d, unnest(generate_series(0, 63)) AS i(i))
+    SELECT media_id, CAST(64 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           sum(v * v) / 64.0 AS mean_square
+    FROM s GROUP BY media_id
     """
 
     q["mm_frame_sample"] = """

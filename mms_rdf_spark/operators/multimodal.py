@@ -2,11 +2,13 @@
 
 Images/audio/video ride through the engine as `binary` columns with a
 metadata struct; decode / feature-extraction are Arrow-batched
-mapInPandas stages. The decode itself is STUBBED (codec libraries are
-not in this environment — `decode_image_batch` raises
-NotImplementedError unless the deterministic fake decoder is chosen),
-but everything Spark-side is real and tested: schema, batch shape,
-partition behavior, UDF signature.
+mapInPandas stages. Uncompressed self-describing formats have REAL
+in-engine decoders (P6/PPM images — decode_ppm; RIFF/WAVE PCM16 audio
+— decode_wav), each cross-engine-checked against an ANALYTIC oracle of
+the decoded statistics. Compressed/lossy codecs (JPEG/PNG/mp3) remain
+STUBBED behind NotImplementedError until a codec library exists in the
+runtime; the batch plumbing (schema, batch shape, partition behavior,
+UDF signature) is shared and tested either way.
 
 At scale the rules are: binary columns are never shuffled unless the
 operator needs them (project them out before joins), batches are
@@ -225,3 +227,100 @@ def image_stats(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=(
         "media_id long, width int, height int, "
         "mean_r double, mean_g double, mean_b double"))
+
+
+# ------------------------------------------------- real WAV decode path
+# RIFF/WAVE PCM16 is self-describing and uncompressed — the audio twin
+# of the PPM path. Lossy codecs (mp3/opus) stay stubbed.
+
+def wav_samples(media_id: int, n: int = 64) -> np.ndarray:
+    """Deterministic synthetic PCM16 track: sample(i) =
+    ((media_id*17 + i*13) % 65536) - 32768 — closed-form, so the SQL
+    oracle can compute DECODED statistics analytically."""
+    i = np.arange(n, dtype=np.int64)
+    return (((media_id * 17 + i * 13) % 65536) - 32768) \
+        .astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono PCM -> RIFF/WAVE bytes (16-bit, 1 channel)."""
+    data = samples.astype("<i2").tobytes()
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (samples int16, sample_rate). Walks the chunk
+    list (fmt may be followed by LIST/INFO etc. in the wild)."""
+    import struct
+    b = bytes(data)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM has an in-engine decoder; lossy codecs "
+            "need a library (see decode_image_batch)")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(b):
+        cid, sz = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate = struct.unpack("<HHI", body[:8])
+            assert audio_fmt == 1, "PCM only"
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    assert rate is not None and samples is not None
+    return samples, rate
+
+
+def synth_wav_media(docs: DataFrame, n: int = 64,
+                    rate: int = 8000) -> DataFrame:
+    """Real encoded WAV payloads per doc (Arrow-batched encode)."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": "audio",
+                "payload": [encode_wav(wav_samples(int(m), n), rate)
+                            for m in pdf["media_id"]],
+                "width": np.int32(0),
+                "height": np.int32(0),
+                "n_frames": np.int32(n),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL decode + per-track stats: n_samples, sample_rate, peak
+    (max |sample|, exact int) and mean_square (exact-int sum of
+    squares over a power-of-two track length -> exact double). No
+    sqrt, so nothing transcendental crosses the engine boundary."""
+    cols = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav(payload)
+                s64 = s.astype(np.int64)
+                rows.append((int(mid), len(s), rate,
+                             int(np.abs(s64).max()),
+                             float((s64 * s64).sum()) / len(s)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "sample_rate", "peak",
+                "mean_square"])
+
+    return cols.mapInPandas(run, schema=(
+        "media_id long, n_samples int, sample_rate int, peak long, "
+        "mean_square double"))

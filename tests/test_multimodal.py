@@ -38,3 +38,46 @@ def test_image_stats_real_decode(spark):
         assert (got.mean_r, got.mean_g, got.mean_b) \
             == (exp[0], exp[1], exp[2])
         assert got.width == 8 and got.height == 8
+
+
+def test_wav_roundtrip_and_chunk_walk(spark):
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mms_rdf_spark.operators.multimodal import (
+        decode_wav, encode_wav, wav_samples)
+
+    s = wav_samples(99, n=37)
+    got, rate = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000 and (got == s).all()
+    # decoder walks chunk lists: inject a LIST chunk between fmt and data
+    raw = encode_wav(s, rate=8000)
+    fmt_end = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    got2, rate2 = decode_wav(patched)
+    assert rate2 == 8000 and (got2 == s).all()
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x03mp3 payload...")
+
+
+def test_audio_stats_real_decode(spark):
+    import numpy as np
+
+    from mms_rdf_spark.operators.multimodal import (
+        audio_stats, synth_wav_media, wav_samples)
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s0", 10) for i in (0, 5, 42)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.media_id: r for r in
+           audio_stats(synth_wav_media(docs, n=64)).collect()}
+    for mid in (0, 5, 42):
+        s = wav_samples(mid, 64).astype(np.int64)
+        got = out[mid]
+        assert got.n_samples == 64 and got.sample_rate == 8000
+        assert got.peak == int(np.abs(s).max())
+        assert got.mean_square == float((s * s).sum()) / 64
