@@ -2159,6 +2159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle computes peak / mean-square analytically
         return MM.audio_stats(MM.synth_wav_media(_docs(spark, sf)))
 
+    def mm_video_stats(spark, sf):
+        # REAL Y4M decode: frame-sampled luma means, analytic oracle
+        return MM.video_frame_stats(
+            MM.synth_y4m_media(_docs(spark, sf)), every=2)
+
     def mm_image_stats(spark, sf):
         # REAL in-engine decode: encode P6 payloads, decode them back,
         # emit exact channel means — the oracle computes the same
@@ -2437,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": mm_frame_sample,
         "mm_image_stats": mm_image_stats,
         "mm_audio_stats": mm_audio_stats,
+        "mm_video_stats": mm_video_stats,
         "sim_mmr_batched": sim_mmr_batched,
         "sketch_quantile_cert": sketch_quantile_cert,
         "sketch_hll_cert": sketch_hll_cert,
@@ -6166,6 +6172,21 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(abs(v)) AS BIGINT) AS peak,
            sum(v * v) / 64.0 AS mean_square
     FROM s GROUP BY media_id
+    """
+
+    # decoded-video statistics: frames 0 and 2 of 4, luma(f,r,c) =
+    # (media_id*7 + f*19 + r*5 + c) % 256 over an 8x8 plane (2^6)
+    q["mm_video_stats"] = """
+    WITH y AS (
+        SELECT d.doc_id AS media_id, f.f, r.r, c.c
+        FROM documents d,
+             unnest([0, 2]) AS f(f),
+             unnest(generate_series(0, 7)) AS r(r),
+             unnest(generate_series(0, 7)) AS c(c))
+    SELECT media_id, CAST(f AS INT) AS frame_idx,
+           sum((media_id * 7 + f * 19 + r * 5 + c) % 256) / 64.0
+               AS mean_y
+    FROM y GROUP BY media_id, f
     """
 
     q["mm_frame_sample"] = """

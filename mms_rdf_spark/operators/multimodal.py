@@ -4,8 +4,9 @@ Images/audio/video ride through the engine as `binary` columns with a
 metadata struct; decode / feature-extraction are Arrow-batched
 mapInPandas stages. Uncompressed self-describing formats have REAL
 in-engine decoders (P6/PPM images — decode_ppm; RIFF/WAVE PCM16 audio
-— decode_wav), each cross-engine-checked against an ANALYTIC oracle of
-the decoded statistics. Compressed/lossy codecs (JPEG/PNG/mp3) remain
+— decode_wav; YUV4MPEG2 video — decode_y4m), each cross-engine-checked
+against an ANALYTIC oracle of the decoded statistics.
+Compressed/lossy codecs (JPEG/PNG/mp3/h264) remain
 STUBBED behind NotImplementedError until a codec library exists in the
 runtime; the batch plumbing (schema, batch shape, partition behavior,
 UDF signature) is shared and tested either way.
@@ -324,3 +325,105 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=(
         "media_id long, n_samples int, sample_rate int, peak long, "
         "mean_square double"))
+
+
+# ------------------------------------------------- real Y4M decode path
+# YUV4MPEG2 is the uncompressed self-describing video container — the
+# video twin of PPM/WAV. Real containers with codecs (mp4/h264) stay
+# stubbed.
+
+def y4m_luma(media_id: int, f: int, h: int, w: int) -> np.ndarray:
+    """Deterministic synthetic luma plane: y(f, r, c) =
+    (media_id*7 + f*19 + r*5 + c) % 256 — closed-form for the analytic
+    oracle of decoded frame statistics."""
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return ((media_id * 7 + f * 19 + r * 5 + c) % 256).astype(np.uint8)
+
+
+def encode_y4m(media_id: int, n_frames: int, h: int = 8,
+               w: int = 8) -> bytes:
+    """n_frames of the synthetic luma + flat chroma as YUV4MPEG2
+    (C420, chroma planes h/2 x w/2 filled with 128)."""
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    chroma = np.full((h // 2, w // 2), 128, dtype=np.uint8).tobytes()
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(y4m_luma(media_id, f, h, w).tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> np.ndarray:
+    """YUV4MPEG2 (C420) -> (n_frames, h, w) uint8 luma stack."""
+    b = bytes(data)
+    if not b.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "only YUV4MPEG2 has an in-engine decoder; codec containers "
+            "(mp4/h264) need a library (see decode_image_batch)")
+    nl = b.index(b"\n")
+    w = h = None
+    for tok in b[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    assert w is not None and h is not None
+    frame_bytes = h * w + 2 * (h // 2) * (w // 2)
+    pos, frames = nl + 1, []
+    while pos < len(b):
+        fe = b.index(b"\n", pos)  # FRAME line (may carry params)
+        assert b[pos:pos + 5] == b"FRAME"
+        luma = np.frombuffer(b, dtype=np.uint8, count=h * w,
+                             offset=fe + 1).reshape(h, w)
+        frames.append(luma)
+        pos = fe + 1 + frame_bytes
+    return np.stack(frames)
+
+
+def synth_y4m_media(docs: DataFrame, n_frames: int = 4, h: int = 8,
+                    w: int = 8) -> DataFrame:
+    """Real encoded Y4M payloads per doc (Arrow-batched encode)."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": "video",
+                "payload": [encode_y4m(int(m), n_frames, h, w)
+                            for m in pdf["media_id"]],
+                "width": np.int32(w),
+                "height": np.int32(h),
+                "n_frames": np.int32(n_frames),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def video_frame_stats(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL decode + frame sampling + per-sampled-frame luma mean
+    (exact integer sums over a power-of-two plane -> exact double).
+    One mapInPandas stage: decode and sampling happen in the scan
+    stage, only (media_id, frame_idx, mean_y) rows ever leave it."""
+    cols = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                stack = decode_y4m(payload)
+                n, hh, ww = stack.shape
+                for f in range(0, n, every):
+                    s = int(stack[f].astype(np.int64).sum())
+                    rows.append((int(mid), f, float(s) / (hh * ww)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "mean_y"])
+
+    return cols.mapInPandas(run, schema=(
+        "media_id long, frame_idx int, mean_y double"))

@@ -81,3 +81,30 @@ def test_audio_stats_real_decode(spark):
         assert got.n_samples == 64 and got.sample_rate == 8000
         assert got.peak == int(np.abs(s).max())
         assert got.mean_square == float((s * s).sum()) / 64
+
+
+def test_y4m_roundtrip_and_frame_stats(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from mms_rdf_spark.operators.multimodal import (
+        decode_y4m, encode_y4m, synth_y4m_media, video_frame_stats,
+        y4m_luma)
+
+    stack = decode_y4m(encode_y4m(77, n_frames=3, h=6, w=10))
+    assert stack.shape == (3, 6, 10)
+    for f in range(3):
+        assert (stack[f] == y4m_luma(77, f, 6, 10)).all()
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"\x00\x00\x00 ftypisom mp4 payload")
+
+    docs = spark.createDataFrame(
+        [(3, "t", "en", "s0", 10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = sorted(video_frame_stats(synth_y4m_media(docs), every=2)
+                 .collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2]
+    for r in out:
+        exp = y4m_luma(3, r.frame_idx, 8, 8).astype(np.int64).mean()
+        assert r.mean_y == exp
