@@ -2164,6 +2164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return MM.video_frame_stats(
             MM.synth_y4m_media(_docs(spark, sf)), every=2)
 
+    def mm_image_ahash(spark, sf):
+        # perceptual hash over REAL decoded pixels, analytic oracle
+        return MM.image_ahash(MM.synth_ppm_media(_docs(spark, sf)))
+
     def mm_image_stats(spark, sf):
         # REAL in-engine decode: encode P6 payloads, decode them back,
         # emit exact channel means — the oracle computes the same
@@ -2443,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": mm_image_stats,
         "mm_audio_stats": mm_audio_stats,
         "mm_video_stats": mm_video_stats,
+        "mm_image_ahash": mm_image_ahash,
         "sim_mmr_batched": sim_mmr_batched,
         "sketch_quantile_cert": sketch_quantile_cert,
         "sketch_hll_cert": sketch_hll_cert,
@@ -6187,6 +6192,35 @@ def oracle_sql() -> dict[str, str]:
            sum((media_id * 7 + f * 19 + r * 5 + c) % 256) / 64.0
                AS mean_y
     FROM y GROUP BY media_id, f
+    """
+
+    # perceptual average-hash from the pixel generator: gray =
+    # (p0+p1+p2)//3, bit = [64*gray > sum(gray)], packed into two
+    # 32-bit halves (row-major bit position r*8+c)
+    q["mm_image_ahash"] = """
+    WITH px AS (
+        SELECT d.doc_id AS media_id, r.r, c.c,
+               (((d.doc_id * 31 + r.r * 7 + c.c * 3) % 256)
+                + ((d.doc_id * 31 + r.r * 7 + c.c * 3 + 11) % 256)
+                + ((d.doc_id * 31 + r.r * 7 + c.c * 3 + 22) % 256))
+               // 3 AS gray
+        FROM documents d,
+             unnest(generate_series(0, 7)) AS r(r),
+             unnest(generate_series(0, 7)) AS c(c)),
+    s AS (SELECT media_id, CAST(sum(gray) AS BIGINT) AS sg
+          FROM px GROUP BY media_id),
+    b AS (SELECT px.media_id, px.r * 8 + px.c AS pos,
+                 CASE WHEN 64 * px.gray > s.sg THEN 1 ELSE 0 END
+                     AS bit
+          FROM px JOIN s USING (media_id))
+    SELECT media_id,
+           CAST(sum(CASE WHEN pos >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (pos - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN pos < 32
+                         THEN bit * (CAST(1 AS BIGINT) << pos)
+                         ELSE 0 END) AS BIGINT) AS hash_lo
+    FROM b GROUP BY media_id
     """
 
     q["mm_frame_sample"] = """

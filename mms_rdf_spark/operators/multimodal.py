@@ -427,3 +427,76 @@ def video_frame_stats(media: DataFrame, every: int = 2) -> DataFrame:
 
     return cols.mapInPandas(run, schema=(
         "media_id long, frame_idx int, mean_y double"))
+
+
+# ------------------------------------- perceptual hash -> image dedup
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: gray =
+    (r+g+b)//3, bit(p) = [64*gray(p) > sum(gray)] (exact integer
+    cross-multiplication — no float mean), packed into two 32-bit
+    halves (hash_hi, hash_lo) so the 64th bit can never overflow a
+    signed BIGINT on either engine. Deterministic, analytic-oracle-able
+    (the gray values are closed-form for the synth generator).
+
+    Scale: decode + hash happen in the Arrow scan stage; only
+    (media_id, hash_hi, hash_lo) ever leaves it."""
+    cols = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_ppm(payload).astype(np.int64)
+                gray = arr.sum(axis=2) // 3          # (8, 8)
+                bits = (64 * gray > gray.sum()).astype(np.int64) \
+                    .reshape(-1)                      # row-major, 64 bits
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:] << np.arange(32)).sum())
+                rows.append((int(mid), hi, lo))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "hash_hi", "hash_lo"])
+
+    return cols.mapInPandas(
+        run, schema="media_id long, hash_hi long, hash_lo long")
+
+
+def image_neardup_pairs(hashes: DataFrame,
+                        max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by banded perceptual-hash LSH: the 64
+    hash bits split into 4 x 16-bit bands; a pair is a candidate iff it
+    collides in AT LEAST one band (guaranteed for hamming <= 6 by
+    pigeonhole over 4 bands... for <= 3; wider radii trade recall — the
+    dedup.py banding math), then exact hamming (bit_count of xor)
+    filters. Never all-pairs: candidates come from per-(band, key)
+    buckets, the text-LSH shape applied to pixels."""
+    b16 = F.lit(0xFFFF)
+    bands = hashes.select(
+        "media_id", "hash_hi", "hash_lo",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     F.col("hash_lo").bitwiseAND(b16).alias("key")),
+            F.struct(F.lit(1).alias("band"),
+                     F.shiftright("hash_lo", 16).bitwiseAND(b16)
+                     .alias("key")),
+            F.struct(F.lit(2).alias("band"),
+                     F.col("hash_hi").bitwiseAND(b16).alias("key")),
+            F.struct(F.lit(3).alias("band"),
+                     F.shiftright("hash_hi", 16).bitwiseAND(b16)
+                     .alias("key")),
+        )).alias("_b")
+    ).select("media_id", "hash_hi", "hash_lo", "_b.band", "_b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"),
+                    (F.bit_count(F.col("a.hash_hi")
+                                 .bitwiseXOR(F.col("b.hash_hi")))
+                     + F.bit_count(F.col("a.hash_lo")
+                                   .bitwiseXOR(F.col("b.hash_lo"))))
+                    .alias("hamming"))
+            .distinct())
+    return cand.where(F.col("hamming") <= max_hamming)

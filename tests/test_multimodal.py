@@ -108,3 +108,44 @@ def test_y4m_roundtrip_and_frame_stats(spark):
     for r in out:
         exp = y4m_luma(3, r.frame_idx, 8, 8).astype(np.int64).mean()
         assert r.mean_y == exp
+
+
+def test_image_ahash_and_neardup_pairs(spark):
+    import numpy as np
+
+    from mms_rdf_spark.operators.multimodal import (
+        encode_ppm, image_ahash, image_neardup_pairs, ppm_pixels)
+
+    base = ppm_pixels(42, 8, 8)
+    near = base.copy()
+    near[0, 0, :] = 255 - near[0, 0, :].astype(np.int64)  # 1-px change
+    far = ppm_pixels(999983, 8, 8)  # unrelated gradient
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(encode_ppm(base)), 8, 8, 1),
+         (1, "image", bytearray(encode_ppm(near)), 8, 8, 1),
+         (2, "image", bytearray(encode_ppm(far)), 8, 8, 1)],
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_frames int")
+    hashes = image_ahash(media)
+    rows = {r.media_id: (r.hash_hi, r.hash_lo) for r in hashes.collect()}
+    assert len(rows) == 3
+    # near-identical images differ in few bits; hamming pairs find them
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_neardup_pairs(hashes, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    # pair output is deduplicated across band collisions
+    assert len([k for k in pairs if k == (0, 1)]) == 1
+
+
+def test_image_ahash_identical_images_collide(spark):
+    from mms_rdf_spark.operators.multimodal import (
+        encode_ppm, image_ahash, image_neardup_pairs, ppm_pixels)
+
+    img = ppm_pixels(7, 8, 8)
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(encode_ppm(img)), 8, 8, 1)
+         for i in range(4)],
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_frames int")
+    pairs = image_neardup_pairs(image_ahash(media), max_hamming=0)
+    assert pairs.count() == 6  # all C(4,2) exact-duplicate pairs
