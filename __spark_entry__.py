@@ -2168,6 +2168,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual hash over REAL decoded pixels, analytic oracle
         return MM.image_ahash(MM.synth_ppm_media(_docs(spark, sf)))
 
+    def mm_audio_silence(spark, sf):
+        # decoded-PCM gaps-and-islands, analytic oracle mirrors the
+        # island arithmetic over the sample generator
+        return MM.audio_silence_runs(
+            MM.synth_wav_media(_docs(spark, sf)), threshold=3000)
+
     def mm_image_stats(spark, sf):
         # REAL in-engine decode: encode P6 payloads, decode them back,
         # emit exact channel means — the oracle computes the same
@@ -2448,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": mm_audio_stats,
         "mm_video_stats": mm_video_stats,
         "mm_image_ahash": mm_image_ahash,
+        "mm_audio_silence": mm_audio_silence,
         "sim_mmr_batched": sim_mmr_batched,
         "sketch_quantile_cert": sketch_quantile_cert,
         "sketch_hll_cert": sketch_hll_cert,
@@ -6221,6 +6228,32 @@ def oracle_sql() -> dict[str, str]:
                          THEN bit * (CAST(1 AS BIGINT) << pos)
                          ELSE 0 END) AS BIGINT) AS hash_lo
     FROM b GROUP BY media_id
+    """
+
+    # silence runs over the decoded samples: quiet = |v| < 3000,
+    # longest consecutive run via gaps-and-islands on sample index
+    q["mm_audio_silence"] = """
+    WITH s AS (
+        SELECT d.doc_id AS media_id, i.i,
+               CASE WHEN abs(((d.doc_id * 17 + i.i * 13) % 65536)
+                            - 32768) < 3000
+                    THEN 1 ELSE 0 END AS q
+        FROM documents d, unnest(generate_series(0, 63)) AS i(i)),
+    runs AS (
+        SELECT media_id,
+               count(*) AS run_len
+        FROM (SELECT media_id, i,
+                     i - row_number() OVER (PARTITION BY media_id
+                                            ORDER BY i) AS island
+              FROM s WHERE q = 1)
+        GROUP BY media_id, island),
+    agg AS (
+        SELECT media_id, CAST(sum(q) AS BIGINT) AS n_quiet
+        FROM s GROUP BY media_id)
+    SELECT a.media_id, a.n_quiet,
+           CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS longest_run
+    FROM agg a LEFT JOIN runs r ON a.media_id = r.media_id
+    GROUP BY a.media_id, a.n_quiet
     """
 
     q["mm_frame_sample"] = """

@@ -500,3 +500,40 @@ def image_neardup_pairs(hashes: DataFrame,
                     .alias("hamming"))
             .distinct())
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+def audio_silence_runs(media: DataFrame,
+                       threshold: int = 3000) -> DataFrame:
+    """Silence detection over REAL decoded PCM: per track, the count of
+    quiet samples (|s| < threshold) and the LONGEST consecutive quiet
+    run — the trim/segmentation signal a speech pipeline computes
+    before cutting clips. The run scan is gaps-and-islands executed in
+    numpy INSIDE the Arrow batch (samples never become rows), so the
+    operator emits exactly one row per track regardless of track
+    length."""
+    cols = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, _ = decode_wav(payload)
+                quiet = (np.abs(s.astype(np.int64)) < threshold) \
+                    .astype(np.int8)
+                n_quiet = int(quiet.sum())
+                if n_quiet == 0:
+                    longest = 0
+                else:
+                    padded = np.concatenate(([0], quiet, [0]))
+                    d = np.diff(padded)
+                    starts = np.flatnonzero(d == 1)
+                    ends = np.flatnonzero(d == -1)
+                    longest = int((ends - starts).max())
+                rows.append((int(mid), n_quiet, longest))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_quiet", "longest_run"])
+
+    return cols.mapInPandas(
+        run, schema="media_id long, n_quiet long, longest_run long")

@@ -149,3 +149,28 @@ def test_image_ahash_identical_images_collide(spark):
         "height int, n_frames int")
     pairs = image_neardup_pairs(image_ahash(media), max_hamming=0)
     assert pairs.count() == 6  # all C(4,2) exact-duplicate pairs
+
+
+def test_audio_silence_runs_known_pattern(spark):
+    import numpy as np
+
+    from mms_rdf_spark.operators.multimodal import (
+        audio_silence_runs, encode_wav)
+
+    # crafted track: loud, [quiet x3], loud, [quiet x2]
+    s = np.array([20000, 10, -20, 5, -30000, 100, -100],
+                 dtype=np.int16)
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(encode_wav(s)), 0, 0, 7)],
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_frames int")
+    out = audio_silence_runs(media, threshold=3000).collect()[0]
+    assert out.n_quiet == 5 and out.longest_run == 3
+    # all-loud track: zero quiet, zero run
+    loud = np.full(8, 30000, dtype=np.int16)
+    media2 = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(loud)), 0, 0, 8)],
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_frames int")
+    out2 = audio_silence_runs(media2, threshold=3000).collect()[0]
+    assert out2.n_quiet == 0 and out2.longest_run == 0
