@@ -83,3 +83,27 @@ def element_iri_col(id_col: Column) -> Column:
 
 def artifact_iri_col(type_name: str, id_col: Column) -> Column:
     return F.concat(F.lit(f"mms-artifact:{type_name}.ID:"), sanitize_suffix_col(id_col))
+
+
+def mention_surfaces_split(text) -> Column:
+    """@entity: mention surfaces as the SPLIT formulation — value-
+    identical to regexp_extract_all(text, MENTION_RE, 1)
+    (property-tested in test_functions.py): split on the literal
+    marker, take each tail's class-prefix via a limit-2 split (the
+    Matcher stops at the first non-class char of a SHORT string), drop
+    empties (regex's +). Built to attack the extractor's regexp
+    thread-scaling bottleneck (JFR: UTF8String->String copies +
+    Matcher state, BASELINE.md) — MEASURED OUTCOME
+    (tools/bench_mention_forms.py): ~2x SLOWER than
+    regexp_extract_all at 1 AND 8 cores (two regex passes + array
+    churn outweigh the allocation savings), scaling only marginally
+    better (2.43x vs 2.24x at 1->8). regexp_extract_all stays the
+    production form; this one remains as the pinned-equivalent
+    control."""
+    t = F.coalesce(text, F.lit(""))
+    parts = F.split(t, r"@entity:")
+    tails = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.filter(
+        F.transform(tails,
+                    lambda p: F.split(p, r"[^A-Za-z0-9_<>-]", 2)[0]),
+        lambda m: m != "")

@@ -71,3 +71,49 @@ def test_sniffed_datatype_lexical_shapes(spark):
     got = {r["v"]: r["dt"] for r in
            df.select("v", sniffed_datatype(df.v).alias("dt")).collect()}
     assert got == cases
+
+
+def test_mention_split_form_equals_regex(spark):
+    """The split formulation of @entity: extraction is value-identical
+    to regexp_extract_all (the candidate fast path for the extractor's
+    thread-scaling bottleneck, tools/bench_mention_forms.py)."""
+    import pyspark.sql.functions as F
+
+    from mms_rdf_spark.functions.iri import MENTION_RE, mention_surfaces_split
+
+    cases = ["hello @entity:Apache_Spark world", "@entity:a@entity:b",
+             "@entity:!bad", "no mentions", "", "@entity:",
+             "x@entity:A-b_c<d>e!tail", "@entity:abc@entity:def @entity:x",
+             "@entity:@entity:abc", "trailing @entity:xyz",
+             "@entity:A" * 50, "@@entity::x", "@entity:_-<>_",
+             "é @entity:café accent stops the class", None]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    out = df.select(
+        F.regexp_extract_all(F.coalesce("text", F.lit("")),
+                             F.lit(MENTION_RE), F.lit(1)).alias("re"),
+        mention_surfaces_split(F.col("text")).alias("sp")).collect()
+    for r in out:
+        assert r.re == r.sp, (r.re, r.sp)
+
+
+def test_mention_split_form_property(spark):
+    """Randomized equivalence sweep over marker-dense strings."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from mms_rdf_spark.functions.iri import MENTION_RE, mention_surfaces_split
+
+    rng = random.Random(7)
+    alphabet = list("ab1_<>-@entity: .!é")
+    cases = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randrange(0, 80)))
+             for _ in range(300)]
+    cases += [c + "@entity:" + c for c in cases[:50]]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    out = df.select(
+        F.regexp_extract_all(F.coalesce("text", F.lit("")),
+                             F.lit(MENTION_RE), F.lit(1)).alias("re"),
+        mention_surfaces_split(F.col("text")).alias("sp")).collect()
+    for r in out:
+        assert r.re == r.sp, (r.re, r.sp)
