@@ -68,10 +68,29 @@ def pairwise_games(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
-def bradley_terry(games: DataFrame, iterations: int = 8) -> DataFrame:
+def _round_half_up(x: float, unit: float) -> int:
+    """Positive-domain HALF_UP grid (mirror of Spark F.round / DuckDB
+    round for the values this module produces)."""
+    import math
+
+    return int(math.floor(x * unit + 0.5))
+
+
+def bradley_terry(games: DataFrame, iterations: int = 8,
+                  fold: str = "driver") -> DataFrame:
     """(winner, loser, n) win counts -> (player, score, wins, games)
     Bradley-Terry strengths after `iterations` MM rounds, scores
     normalized to mean 1.0 and rounded to 9dp per round.
+
+    fold="driver" (default): the corpus collapses to the players^2
+    pair table in ONE distributed pass, then the MM rounds run
+    driver-side on those kilobytes with the SAME micro-unit grid
+    arithmetic — the bm25 idf / ivf static-fold precedent (players are
+    domains/models: a bounded small set by construction; the ONE
+    collect is of the pair table, never in a loop). fold="frames"
+    keeps every round distributed (localCheckpoint per round) for
+    player sets too large to fold; both paths are row-identical
+    (pinned) and hash-match the unrolled SQL oracle.
 
     Zero-win players converge to score 0 in one round (documented MM
     behavior); the pair table keeps them joined so their opponents'
@@ -92,6 +111,28 @@ def bradley_terry(games: DataFrame, iterations: int = 8) -> DataFrame:
         .localCheckpoint()
     n_games = nn.groupBy(F.col("i").alias("player")) \
         .agg((F.sum("n")).cast("long").alias("games"))
+
+    if fold == "driver":
+        pair_rows = [(r["i"], r["j"], int(r["n"])) for r in nn.collect()]
+        w_by = {r["player"]: int(r["w"]) for r in wtot.collect()}
+        g_by: dict[str, int] = {}
+        for i, _j, n in pair_rows:
+            g_by[i] = g_by.get(i, 0) + n
+        p_by = {pl: 1.0 for pl in w_by}
+        for _ in range(iterations):
+            denom_u = {pl: 0 for pl in p_by}
+            for i, j, n in pair_rows:
+                denom_u[i] += _round_half_up(
+                    n / max(p_by[i] + p_by[j], 1e-12), 1e12)
+            pu = {pl: _round_half_up(
+                w_by[pl] / (denom_u[pl] / 1e12), 1e9) if denom_u[pl]
+                else 0 for pl in p_by}
+            su, k = sum(pu.values()), len(pu)
+            p_by = {pl: _round_half_up(pu[pl] * k / su, 1e9) / 1e9
+                    for pl in p_by}
+        rows = [(pl, p_by[pl], w_by[pl], g_by[pl]) for pl in sorted(p_by)]
+        return games.sparkSession.createDataFrame(
+            rows, "player string, score double, wins long, games long")
 
     p = players.select("player", F.lit(1.0).alias("p"))
     for _ in range(iterations):

@@ -116,3 +116,19 @@ def test_rrf_fusion_known_values(spark):
     assert out[3] == round(1 / 63 + 1 / 61, 9)  # both lists
     # doc in both lists outranks a top-1 single-list doc
     assert out[3] > out[1]
+
+
+def test_bradley_terry_driver_and_frames_fold_identical(spark):
+    from mms_rdf_spark.operators.ranking import bradley_terry, pairwise_games
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de"][i % 2], f"src{i % 5}",
+          (i * 53) % 211 + 1) for i in range(120)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    g = pairwise_games(docs).localCheckpoint()
+    a = bradley_terry(g, iterations=8, fold="driver") \
+        .orderBy("player").toPandas()
+    b = bradley_terry(g, iterations=8, fold="frames") \
+        .orderBy("player").toPandas()
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
