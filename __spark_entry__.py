@@ -2180,6 +2180,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistics analytically from the pixel generator formula
         return MM.image_stats(MM.synth_ppm_media(_docs(spark, sf)))
 
+    def kg_sparql_select(spark, sf):
+        # the SPARQL string front-end compiled onto Catalyst: BGP join
+        # + OPTIONAL (left join) + FILTER over the extracted triples
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?r ?tool WHERE {
+              ?s mms-property:role ?r .
+              OPTIONAL { ?s mms-property:invokedTool ?tool . }
+              FILTER (?r != mms-class:Role.System)
+            }""")
+
     # ---- agent-trajectory ops over the transcript table
     from mms_rdf_spark.kgdemo import transcripts_from_events
 
@@ -2496,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture_temp": text_mixture_temp,
         "text_rrf_fusion": text_rrf_fusion,
         "kg_protocol_violations": kg_protocol_violations,
+        "kg_sparql_select": kg_sparql_select,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6605,6 +6617,24 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(2 * coalesce(m.matches, 0) AS DOUBLE)
                  / (n_cand + n_ref), 6) AS f1
     FROM t LEFT JOIN m USING (pair_id)
+    """
+
+    q["kg_sparql_select"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s,
+           CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                WHEN 'system' THEN 'mms-class:Role.System'
+                WHEN 'tool' THEN 'mms-class:Role.Tool'
+                ELSE 'rdf:nil' END AS r,
+           CASE WHEN role = 'tool' AND tool IS NOT NULL AND tool <> ''
+                THEN 'mms-artifact:Tool.ID:' || tool END AS tool
+    FROM t
+    WHERE CASE role WHEN 'user' THEN 'mms-class:Role.User'
+               WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+               WHEN 'system' THEN 'mms-class:Role.System'
+               WHEN 'tool' THEN 'mms-class:Role.Tool'
+               ELSE 'rdf:nil' END <> 'mms-class:Role.System'
     """
 
     q["kg_protocol_violations"] = f"""

@@ -180,3 +180,116 @@ class Traversal:
 
     def to_df(self) -> DataFrame:
         return self.frontier
+
+
+# ---------------------------------------------------------------------
+# sparql_select: a SPARQL SELECT string front-end over the same
+# relational compilation the Graph helpers use. Lets a reference user
+# paste the notebook/endpoint queries (src/action/query.js delegates
+# these to Fuseki/Neptune) and run them on Catalyst directly.
+#
+# Supported grammar (documented subset):
+#   SELECT [DISTINCT] ?a ?b | *
+#   WHERE { <triple patterns '.'-terminated>
+#           OPTIONAL { <one-or-more patterns> }
+#           FILTER (?v <op> term)   op in = != < > <= >=
+#           FILTER regex(?v, "re") }
+#   ORDER BY ?v [DESC] [, ...]    LIMIT n
+# Terms: ?var, "quoted literal", bare IRIs (prefixed form), numbers.
+# Each pattern compiles to a filtered scan; patterns join naturally on
+# shared variables (Catalyst reorders/broadcasts); OPTIONAL becomes a
+# left outer join on the shared variables; FILTERs apply post-join.
+# Patterns with no shared vars cross-join (as SPARQL semantics demand)
+# — at scale that is the query author's responsibility, same as on any
+# endpoint.
+
+import re as _re
+
+
+def _compile_patterns(triples: DataFrame, chunk: str) -> DataFrame | None:
+    out = None
+    for stmt in [s.strip() for s in chunk.split(" .") if s.strip()]:
+        terms = stmt.split()
+        if len(terms) != 3:
+            raise ValueError(f"bad triple pattern: {stmt!r}")
+        df, cols = triples, {}
+        for colname, term in zip(("subject", "predicate", "object"),
+                                 terms):
+            if term.startswith("?"):
+                cols[colname] = term[1:]
+            else:
+                lit = term[1:-1] if term.startswith('"') else term
+                df = df.where(F.col(colname) == lit)
+        hop = df.select(*[F.col(c).alias(v) for c, v in cols.items()])
+        if out is None:
+            out = hop
+        else:
+            shared = sorted(set(out.columns) & set(hop.columns))
+            out = out.join(hop, on=shared) if shared \
+                else out.crossJoin(hop)
+    return out
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL SELECT (subset above) over a triples DataFrame."""
+    q = _re.sub(r"\s+", " ", query).strip()
+    m = _re.match(
+        r"SELECT (DISTINCT )?(.+?) WHERE \{(.*)\}"
+        r"(?: ORDER BY (.+?))?(?: LIMIT (\d+))? ?$", q, _re.I)
+    if not m:
+        raise ValueError("unparseable SPARQL SELECT")
+    distinct, proj, body, order, limit = m.groups()
+
+    optionals = [g.strip() for g in
+                 _re.findall(r"OPTIONAL \{([^}]*)\}", body, _re.I)]
+    body = _re.sub(r"OPTIONAL \{[^}]*\}", " ", body, flags=_re.I)
+    regex_filters = _re.findall(
+        r"FILTER regex\( ?\?(\w+) ?, ?\"([^\"]*)\" ?\)", body, _re.I)
+    body = _re.sub(r"FILTER regex\([^)]*\)", " ", body, flags=_re.I)
+    cmp_filters = _re.findall(
+        r"FILTER \( ?\?(\w+) ?(!=|<=|>=|=|<|>) ?([^)]+?) ?\)", body,
+        _re.I)
+    body = _re.sub(r"FILTER \([^)]*\)", " ", body, flags=_re.I)
+
+    out = _compile_patterns(triples, body)
+    if out is None:
+        raise ValueError("WHERE has no required patterns")
+    for opt in optionals:
+        hop = _compile_patterns(triples, opt)
+        shared = sorted(set(out.columns) & set(hop.columns))
+        if not shared:
+            raise ValueError("OPTIONAL shares no variable")
+        out = out.join(hop, on=shared, how="left")
+
+    ops = {"=": "==", "!=": "!=", "<": "<", ">": ">",
+           "<=": "<=", ">=": ">="}
+    for var, op, term in cmp_filters:
+        term = term.strip()
+        if term.startswith('"'):
+            rhs, col = F.lit(term[1:-1]), F.col(var)
+        elif _re.fullmatch(r"-?\d+(\.\d+)?", term):
+            rhs, col = F.lit(float(term)), F.col(var).cast("double")
+        else:
+            rhs, col = F.lit(term), F.col(var)
+        cond = {"==": col == rhs, "!=": col != rhs, "<": col < rhs,
+                ">": col > rhs, "<=": col <= rhs,
+                ">=": col >= rhs}[ops[op]]
+        out = out.where(cond)
+    for var, pat in regex_filters:
+        out = out.where(F.col(var).rlike(pat))
+
+    if proj.strip() != "*":
+        out = out.select(*[v[1:] for v in proj.split()])
+    if distinct:
+        out = out.distinct()
+    if order:
+        keys = []
+        for part in order.split(","):
+            toks = part.split()
+            c = F.col(toks[0][1:])
+            keys.append(c.desc() if len(toks) > 1
+                        and toks[1].upper() == "DESC" else c.asc())
+        out = out.orderBy(*keys)
+    if limit:
+        out = out.limit(int(limit))
+    return out

@@ -1,0 +1,98 @@
+"""sparql_select: the SPARQL SELECT string front-end compiled onto
+DataFrame joins."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def g(spark):
+    rows = [
+        ("e:a", "rdf:type", "c:Person"),
+        ("e:b", "rdf:type", "c:Person"),
+        ("e:c", "rdf:type", "c:Robot"),
+        ("e:a", "p:name", "alice"),
+        ("e:b", "p:name", "bob"),
+        ("e:c", "p:name", "c3po"),
+        ("e:a", "p:age", "31"),
+        ("e:b", "p:age", "9"),
+        ("e:a", "p:knows", "e:b"),
+    ]
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string")
+
+
+def _run(t, q):
+    from mms_rdf_spark.sparql import sparql_select
+
+    return sparql_select(t, q)
+
+
+def test_bgp_join_and_projection(g):
+    out = _run(g, """
+        SELECT ?s ?n WHERE {
+          ?s rdf:type c:Person .
+          ?s p:name ?n .
+        } ORDER BY ?s""").collect()
+    assert [(r.s, r.n) for r in out] == [("e:a", "alice"), ("e:b", "bob")]
+
+
+def test_optional_binds_null(g):
+    out = {r.s: r.a for r in _run(g, """
+        SELECT ?s ?a WHERE {
+          ?s rdf:type c:Person .
+          OPTIONAL { ?s p:age ?a . }
+        }""").collect()}
+    assert out == {"e:a": "31", "e:b": "9"}
+    out2 = {r.s: r.a for r in _run(g, """
+        SELECT ?s ?a WHERE {
+          ?s p:name ?n .
+          OPTIONAL { ?s p:age ?a . }
+        }""").collect()}
+    assert out2["e:c"] is None  # OPTIONAL miss -> NULL binding
+
+
+def test_filters_compare_and_regex(g):
+    out = _run(g, """
+        SELECT ?s WHERE {
+          ?s p:age ?a .
+          FILTER (?a > 10)
+        }""").collect()
+    assert [r.s for r in out] == ["e:a"]  # numeric, not lexicographic
+    out2 = _run(g, """
+        SELECT ?n WHERE {
+          ?s p:name ?n .
+          FILTER regex(?n, "^[ab]")
+        } ORDER BY ?n""").collect()
+    assert [r.n for r in out2] == ["alice", "bob"]
+    out3 = _run(g, """
+        SELECT ?s WHERE {
+          ?s rdf:type ?t .
+          FILTER (?t != c:Robot)
+        } ORDER BY ?s""").collect()
+    assert [r.s for r in out3] == ["e:a", "e:b"]
+
+
+def test_var_to_var_join_across_entities(g):
+    out = _run(g, """
+        SELECT ?n2 WHERE {
+          e:a p:knows ?o .
+          ?o p:name ?n2 .
+        }""").collect()
+    assert [r.n2 for r in out] == ["bob"]
+
+
+def test_distinct_order_limit(g):
+    out = _run(g, """
+        SELECT DISTINCT ?t WHERE {
+          ?s rdf:type ?t .
+        } ORDER BY ?t DESC LIMIT 1""").collect()
+    assert [r.t for r in out] == ["c:Robot"]
+
+
+def test_parse_errors(g):
+    with pytest.raises(ValueError):
+        _run(g, "SELECT ?s WHERE { ?s p:name . }")  # 2-term pattern
+    with pytest.raises(ValueError):
+        _run(g, "nonsense query")
