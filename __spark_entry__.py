@@ -2191,6 +2191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               FILTER (?r != mms-class:Role.System)
             }""")
 
+    def kg_sparql_agg(spark, sf):
+        # SPARQL aggregate path: role distribution via GROUP BY/COUNT
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?r (COUNT(?s) AS ?n) WHERE {
+              ?s mms-property:role ?r .
+            } GROUP BY ?r""")
+
     # ---- agent-trajectory ops over the transcript table
     from mms_rdf_spark.kgdemo import transcripts_from_events
 
@@ -2508,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rrf_fusion": text_rrf_fusion,
         "kg_protocol_violations": kg_protocol_violations,
         "kg_sparql_select": kg_sparql_select,
+        "kg_sparql_agg": kg_sparql_agg,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6635,6 +6644,17 @@ def oracle_sql() -> dict[str, str]:
                WHEN 'system' THEN 'mms-class:Role.System'
                WHEN 'tool' THEN 'mms-class:Role.Tool'
                ELSE 'rdf:nil' END <> 'mms-class:Role.System'
+    """
+
+    q["kg_sparql_agg"] = f"""
+    {_T}
+    SELECT CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                WHEN 'system' THEN 'mms-class:Role.System'
+                WHEN 'tool' THEN 'mms-class:Role.Tool'
+                ELSE 'rdf:nil' END AS r,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1
     """
 
     q["kg_protocol_violations"] = f"""

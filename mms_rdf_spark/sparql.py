@@ -231,14 +231,31 @@ def _compile_patterns(triples: DataFrame, chunk: str) -> DataFrame | None:
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Run a SPARQL SELECT (subset above) over a triples DataFrame."""
+    """Run a SPARQL SELECT (subset above, plus aggregates and UNION)
+    over a triples DataFrame.
+
+    Aggregates: `SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g` with
+    COUNT / COUNT(DISTINCT ?x) / MIN / MAX (SPARQL string semantics:
+    min/max are lexicographic, like an endpoint's). UNION: `{ A }
+    UNION { B }` unions the branch bindings by name (missing vars on a
+    branch bind NULL, per SPARQL)."""
     q = _re.sub(r"\s+", " ", query).strip()
     m = _re.match(
         r"SELECT (DISTINCT )?(.+?) WHERE \{(.*)\}"
-        r"(?: ORDER BY (.+?))?(?: LIMIT (\d+))? ?$", q, _re.I)
+        r"(?: GROUP BY (.+?))?(?: ORDER BY (.+?))?(?: LIMIT (\d+))? ?$",
+        q, _re.I)
     if not m:
         raise ValueError("unparseable SPARQL SELECT")
-    distinct, proj, body, order, limit = m.groups()
+    distinct, proj, body, group, order, limit = m.groups()
+
+    union_m = _re.match(r" ?\{(.*)\} UNION \{(.*)\} ?$", body, _re.I)
+    if union_m:
+        left = sparql_select(
+            triples, f"SELECT * WHERE {{{union_m.group(1)}}}")
+        right = sparql_select(
+            triples, f"SELECT * WHERE {{{union_m.group(2)}}}")
+        out = left.unionByName(right, allowMissingColumns=True)
+        return _finish_select(out, distinct, proj, group, order, limit)
 
     optionals = [g.strip() for g in
                  _re.findall(r"OPTIONAL \{([^}]*)\}", body, _re.I)]
@@ -278,7 +295,41 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     for var, pat in regex_filters:
         out = out.where(F.col(var).rlike(pat))
 
-    if proj.strip() != "*":
+    return _finish_select(out, distinct, proj, group, order, limit)
+
+
+_AGG_RE = _re.compile(
+    r"\( ?(COUNT|MIN|MAX)\( ?(DISTINCT )?\?(\w+) ?\) AS \?(\w+) ?\)"
+    r"|\?(\w+)", _re.I)
+
+
+def _finish_select(out: DataFrame, distinct, proj, group, order,
+                   limit) -> DataFrame:
+    proj = proj.strip()
+    if group:
+        keys = [v[1:] for v in group.split()]
+        aggs, ordered = [], []
+        for m in _AGG_RE.finditer(proj):
+            fn, dis, var, alias, bare = m.groups()
+            if bare:
+                if bare not in keys:
+                    raise ValueError("non-grouped bare variable in SELECT")
+                ordered.append(bare)
+                continue
+            fn = fn.upper()
+            if fn == "COUNT":
+                e = (F.countDistinct(var) if dis
+                     else F.count(var)).cast("long")
+            elif fn == "MIN":
+                e = F.min(var)   # SPARQL string semantics
+            else:
+                e = F.max(var)
+            aggs.append(e.alias(alias))
+            ordered.append(alias)
+        out = out.groupBy(*keys).agg(*aggs).select(*ordered)
+    elif proj != "*":
+        if "(" in proj:
+            raise ValueError("aggregates require GROUP BY")
         out = out.select(*[v[1:] for v in proj.split()])
     if distinct:
         out = out.distinct()

@@ -96,3 +96,39 @@ def test_parse_errors(g):
         _run(g, "SELECT ?s WHERE { ?s p:name . }")  # 2-term pattern
     with pytest.raises(ValueError):
         _run(g, "nonsense query")
+
+
+def test_group_by_aggregates(g):
+    out = _run(g, """
+        SELECT ?t (COUNT(?s) AS ?n) WHERE {
+          ?s rdf:type ?t .
+        } GROUP BY ?t ORDER BY ?t""").collect()
+    assert [(r.t, r.n) for r in out] == [("c:Person", 2), ("c:Robot", 1)]
+    out2 = _run(g, """
+        SELECT ?t (MIN(?n) AS ?first) (COUNT(DISTINCT ?s) AS ?c)
+        WHERE {
+          ?s rdf:type ?t .
+          ?s p:name ?n .
+        } GROUP BY ?t ORDER BY ?t""").collect()
+    assert [(r.t, r.first, r.c) for r in out2] \
+        == [("c:Person", "alice", 2), ("c:Robot", "c3po", 1)]
+
+
+def test_union_branches(g):
+    out = _run(g, """
+        SELECT ?s WHERE {
+          { ?s rdf:type c:Robot . } UNION { ?s p:age ?a . }
+        } ORDER BY ?s""").collect()
+    assert [r.s for r in out] == ["e:a", "e:b", "e:c"]
+    # missing vars on one branch bind NULL (SPARQL union semantics)
+    out2 = _run(g, """
+        SELECT ?s ?a WHERE {
+          { ?s rdf:type c:Robot . } UNION { ?s p:age ?a . }
+        } ORDER BY ?s""").collect()
+    assert [(r.s, r.a) for r in out2] \
+        == [("e:a", "31"), ("e:b", "9"), ("e:c", None)]
+
+
+def test_aggregate_without_group_by_rejected(g):
+    with pytest.raises(ValueError):
+        _run(g, "SELECT (COUNT(?s) AS ?n) WHERE { ?s p:name ?x . }")
