@@ -2199,6 +2199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               ?s mms-property:role ?r .
             } GROUP BY ?r""")
 
+    def events_json_stats(spark, sf):
+        from mms_rdf_spark.operators.analytics import json_field_stats
+        return json_field_stats(
+            spark.read.parquet(f"{sf}/events.parquet"), field="k")
+
     # ---- agent-trajectory ops over the transcript table
     from mms_rdf_spark.kgdemo import transcripts_from_events
 
@@ -2517,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_protocol_violations": kg_protocol_violations,
         "kg_sparql_select": kg_sparql_select,
         "kg_sparql_agg": kg_sparql_agg,
+        "events_json_stats": events_json_stats,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6655,6 +6661,18 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'rdf:nil' END AS r,
            CAST(count(*) AS BIGINT) AS n
     FROM t GROUP BY 1
+    """
+
+    q["events_json_stats"] = """
+    SELECT CAST(CASE WHEN v IS NULL THEN NULL ELSE v % 8 END AS INT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS v
+          FROM events)
+    GROUP BY 1
     """
 
     q["kg_protocol_violations"] = f"""

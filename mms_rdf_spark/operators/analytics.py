@@ -1286,3 +1286,23 @@ def theil_sen_slope(
     return (ranked.where(F.col("_rn") == k)
             .select(F.lit(n_pairs).alias("n_pairs"),
                     F.col("_s").alias("slope")))
+
+
+def json_field_stats(events: DataFrame, field: str = "k",
+                     buckets: int = 8) -> DataFrame:
+    """JSON payload audit over the semi-structured `props` column:
+    extract `$.field`, bucket it, and report per-bucket counts + range
+    — the schema-on-read sanity pass a pipeline runs before promoting
+    a JSON field to a real column. get_json_object stays JVM-side
+    (Jackson), no UDF; missing/malformed extractions land in the NULL
+    bucket instead of erroring (audit semantics).
+    """
+    v = F.get_json_object(F.col("props"), f"$.{field}").cast("long")
+    return (events
+            .select(v.alias("_v"))
+            .groupBy(F.when(F.col("_v").isNull(), F.lit(None))
+                     .otherwise(F.pmod("_v", F.lit(buckets)))
+                     .cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("_v").alias("min_v"),
+                 F.max("_v").alias("max_v")))

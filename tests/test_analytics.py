@@ -367,3 +367,16 @@ def test_rfm_distributed_path_has_no_single_partition_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_json_field_stats(spark):
+    from mms_rdf_spark.operators.analytics import json_field_stats
+
+    ev = spark.createDataFrame(
+        [(0, '{"k": 5}'), (1, '{"k": 13}'), (2, '{"other": 1}'),
+         (3, None), (4, 'not json'), (5, '{"k": 5}')],
+        "event_id long, props string")
+    out = {r.bucket: r for r in json_field_stats(ev, "k").collect()}
+    assert out[5].n == 3 and out[5].min_v == 5 and out[5].max_v == 13
+    # missing key, NULL, and malformed all land in the NULL bucket
+    assert out[None].n == 3 and out[None].min_v is None
