@@ -344,3 +344,40 @@ def _finish_select(out: DataFrame, distinct, proj, group, order,
     if limit:
         out = out.limit(int(limit))
     return out
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """SPARQL CONSTRUCT over the same WHERE subset: every template
+    pattern instantiates once per binding row, constants stay literal,
+    and the union of instantiated templates is returned as a
+    (subject, predicate, object) triples frame (distinct, per SPARQL's
+    set semantics). The derived-graph verb — rewrite rules, inference
+    snippets, projection graphs — running on Catalyst."""
+    q = _re.sub(r"\s+", " ", query).strip()
+    m = _re.match(r"CONSTRUCT \{(.*?)\} WHERE \{(.*)\} ?$", q, _re.I)
+    if not m:
+        raise ValueError("unparseable SPARQL CONSTRUCT")
+    template, where = m.groups()
+    bindings = sparql_select(triples, f"SELECT * WHERE {{{where}}}")
+
+    outs = []
+    for stmt in [s.strip() for s in template.split(" .") if s.strip()]:
+        terms = stmt.split()
+        if len(terms) != 3:
+            raise ValueError(f"bad template pattern: {stmt!r}")
+        cols = []
+        for name, term in zip(("subject", "predicate", "object"), terms):
+            if term.startswith("?"):
+                cols.append(F.col(term[1:]).alias(name))
+            else:
+                lit = term[1:-1] if term.startswith('"') else term
+                cols.append(F.lit(lit).alias(name))
+        outs.append(bindings.select(*cols))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    # a template var unbound on a row (OPTIONAL miss) produces no
+    # triple for that row, per SPARQL
+    return out.where(F.col("subject").isNotNull()
+                     & F.col("predicate").isNotNull()
+                     & F.col("object").isNotNull()).distinct()

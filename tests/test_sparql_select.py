@@ -132,3 +132,30 @@ def test_union_branches(g):
 def test_aggregate_without_group_by_rejected(g):
     with pytest.raises(ValueError):
         _run(g, "SELECT (COUNT(?s) AS ?n) WHERE { ?s p:name ?x . }")
+
+
+def test_construct_builds_derived_graph(g):
+    from mms_rdf_spark.sparql import sparql_construct
+
+    out = sparql_construct(g, """
+        CONSTRUCT { ?s p:isA ?t . ?s p:flag "seen" . } WHERE {
+          ?s rdf:type ?t .
+          FILTER (?t = c:Person)
+        }""").collect()
+    got = {(r.subject, r.predicate, r.object) for r in out}
+    assert got == {("e:a", "p:isA", "c:Person"),
+                   ("e:b", "p:isA", "c:Person"),
+                   ("e:a", "p:flag", "seen"),
+                   ("e:b", "p:flag", "seen")}
+
+
+def test_construct_optional_miss_emits_no_triple(g):
+    from mms_rdf_spark.sparql import sparql_construct
+
+    out = sparql_construct(g, """
+        CONSTRUCT { ?s p:hasAge ?a . } WHERE {
+          ?s p:name ?n .
+          OPTIONAL { ?s p:age ?a . }
+        }""").collect()
+    assert {(r.subject, r.object) for r in out} \
+        == {("e:a", "31"), ("e:b", "9")}  # e:c has no age -> no triple
