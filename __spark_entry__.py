@@ -2250,6 +2250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             preference_length_bias)
         return preference_length_bias(_docs(spark, sf))
 
+    def kg_ctx_truncate(spark, sf):
+        from mms_rdf_spark.operators.trajectory import truncate_to_budget
+        return truncate_to_budget(transcripts_from_events(spark, sf),
+                                  budget=64, head=32, tail=24)
+
     # ---- in-engine training + temperature mixture
     def text_logreg_weights(spark, sf):
         from mms_rdf_spark.operators.mlops import doc_features, logreg_train
@@ -2523,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_select": kg_sparql_select,
         "kg_sparql_agg": kg_sparql_agg,
         "events_json_stats": events_json_stats,
+        "kg_ctx_truncate": kg_ctx_truncate,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6673,6 +6679,30 @@ def oracle_sql() -> dict[str, str]:
                      AS v
           FROM events)
     GROUP BY 1
+    """
+
+    q["kg_ctx_truncate"] = f"""
+    {_T},
+    c AS (SELECT conv_id, turn_idx,
+                 CAST(len({_TOKS_SQL}) AS BIGINT) AS tk
+          FROM (SELECT conv_id, turn_idx, coalesce(text, '') AS text
+                FROM t)),
+    w AS (SELECT conv_id, turn_idx, tk,
+                 sum(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS cf,
+                 sum(tk) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx DESC
+                               ROWS UNBOUNDED PRECEDING) AS cr,
+                 sum(tk) OVER (PARTITION BY conv_id) AS tot
+          FROM c)
+    SELECT conv_id, turn_idx, tk AS turn_tokens,
+           CASE WHEN tot <= 64 THEN 'all'
+                WHEN cf <= 32 THEN 'head'
+                WHEN cr <= 24 THEN 'tail' END AS kept_by
+    FROM w
+    WHERE CASE WHEN tot <= 64 THEN 'all'
+               WHEN cf <= 32 THEN 'head'
+               WHEN cr <= 24 THEN 'tail' END IS NOT NULL
     """
 
     q["kg_protocol_violations"] = f"""

@@ -374,3 +374,36 @@ def preference_length_bias(
                F.round(cov / F.sqrt(vx.cast("double"))
                        / F.sqrt(vy.cast("double")), 6))
     return m.select(F.col("n").alias("n_pairs"), r.alias("r"))
+
+
+def truncate_to_budget(turns: DataFrame, budget: int = 64,
+                       head: int = 32, tail: int = 24) -> DataFrame:
+    """Head-tail truncation plan for over-budget conversations (the
+    standard long-context recipe: keep the opening system/user framing
+    and the latest turns, drop the middle): conversations whose total
+    tokens fit `budget` keep every turn (kept_by='all'); otherwise a
+    turn survives if its forward running total fits `head`
+    (kept_by='head') or its REVERSE running total fits `tail`
+    (kept_by='tail', head wins ties so no duplicates). Token semantics
+    shared with dedup._tokens.
+
+    One exchange: both running sums ride the same conv_id hash
+    partitioning (forward and reverse orderings are two sorts over one
+    exchange); output is the kept-turn plan (conv_id, turn_idx,
+    turn_tokens, kept_by).
+    """
+    fwd = (Window.partitionBy("conv_id").orderBy("turn_idx")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    rev = (Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    toks = F.size(_tokens(F.coalesce(F.col("text"), F.lit("")))) \
+        .cast("long")
+    cum_f = F.sum(toks).over(fwd)
+    cum_r = F.sum(toks).over(rev)
+    total = F.sum(toks).over(Window.partitionBy("conv_id"))
+    kept = (F.when(total <= budget, F.lit("all"))
+            .when(cum_f <= head, F.lit("head"))
+            .when(cum_r <= tail, F.lit("tail")))
+    return (turns.select("conv_id", "turn_idx",
+                         toks.alias("turn_tokens"), kept.alias("kept_by"))
+            .where(F.col("kept_by").isNotNull()))

@@ -239,3 +239,43 @@ def test_preference_length_bias_zero_variance_is_null(spark):
               "n_chars long")
     out = preference_length_bias(docs).collect()[0]
     assert out.n_pairs == 3 and out.r is None
+
+
+def test_truncate_to_budget_head_tail(spark):
+    from mms_rdf_spark.operators.trajectory import truncate_to_budget
+
+    # conv "big": 6 turns x 10 tokens = 60 total, budget 30 ->
+    # head keeps turns 0-1 (cum 10,20 <= 20), tail keeps 4-5
+    # (reverse cum 10,20 <= 20), middle 2-3 dropped
+    word10 = " ".join(["w"] * 10)
+    rows = [("big", i, "user", word10, None) for i in range(6)]
+    # conv "small": fits entirely
+    rows += [("small", 0, "user", "a b", None),
+             ("small", 1, "assistant", "c", None)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    out = {(r.conv_id, r.turn_idx): r.kept_by
+           for r in truncate_to_budget(turns, budget=30, head=20,
+                                       tail=20).collect()}
+    assert out[("big", 0)] == "head" and out[("big", 1)] == "head"
+    assert out[("big", 4)] == "tail" and out[("big", 5)] == "tail"
+    assert ("big", 2) not in out and ("big", 3) not in out
+    assert out[("small", 0)] == "all" and out[("small", 1)] == "all"
+
+
+def test_truncate_head_wins_overlap(spark):
+    from mms_rdf_spark.operators.trajectory import truncate_to_budget
+
+    # 3 x 10 tokens = 30 > budget 20; head 20 covers turns 0-1,
+    # tail 20 covers 1-2: turn 1 qualifies for both -> 'head', no dup
+    word10 = " ".join(["w"] * 10)
+    turns = spark.createDataFrame(
+        [("c", i, "user", word10, None) for i in range(3)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string")
+    rows = truncate_to_budget(turns, budget=20, head=20,
+                              tail=20).collect()
+    assert len(rows) == 3  # each turn exactly once
+    by = {r.turn_idx: r.kept_by for r in rows}
+    assert by == {0: "head", 1: "head", 2: "tail"}
