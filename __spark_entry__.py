@@ -2204,6 +2204,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return json_field_stats(
             spark.read.parquet(f"{sf}/events.parquet"), field="k")
 
+    def kg_embed_negatives(spark, sf):
+        # KG-embedding training prep: deterministic tail-corruption
+        # negatives over the conversation->turn edge set
+        from mms_rdf_spark.operators.pagerank import negative_edges
+        tr = triples_from_events(spark, sf)
+        edges = tr.where(F.col("predicate") == "mms-property:turns") \
+            .select(F.col("subject").alias("src"),
+                    F.col("object").alias("dst"))
+        return negative_edges(edges, k=2)
+
     # ---- agent-trajectory ops over the transcript table
     from mms_rdf_spark.kgdemo import transcripts_from_events
 
@@ -2529,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": kg_sparql_agg,
         "events_json_stats": events_json_stats,
         "kg_ctx_truncate": kg_ctx_truncate,
+        "kg_embed_negatives": kg_embed_negatives,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6703,6 +6714,34 @@ def oracle_sql() -> dict[str, str]:
     WHERE CASE WHEN tot <= 64 THEN 'all'
                WHEN cf <= 32 THEN 'head'
                WHEN cr <= 24 THEN 'tail' END IS NOT NULL
+    """
+
+    q["kg_embed_negatives"] = f"""
+    {_T},
+    e AS (SELECT DISTINCT 'mms-element:' || conv_id AS src,
+                 {_SUBJ_SQL} AS dst
+          FROM t),
+    nodes AS (SELECT src AS node FROM e
+              UNION SELECT dst FROM e),
+    pos AS (SELECT node,
+                   CAST(row_number() OVER (ORDER BY node) - 1
+                        AS BIGINT) AS pos
+            FROM nodes),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos),
+    x AS (SELECT e.src, e.dst, p.pos AS dpos, j.j
+          FROM e JOIN pos p ON e.dst = p.node,
+               unnest(generate_series(0, 1)) AS j(j)),
+    c AS (SELECT src, dst, j,
+                 (dpos + (CAST(concat('0x', substr(md5(
+                      src || chr(31) || dst || chr(31)
+                      || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT)
+                      * 2 + 1)) % (SELECT n FROM nn) AS pos
+          FROM x)
+    SELECT c.src, c.dst, p.node AS neg_dst, CAST(c.j AS INT) AS j
+    FROM c JOIN pos p ON c.pos = p.pos
+    WHERE p.node <> c.dst
+      AND NOT EXISTS (SELECT 1 FROM e e2
+                      WHERE e2.src = c.src AND e2.dst = p.node)
     """
 
     q["kg_protocol_violations"] = f"""

@@ -770,3 +770,57 @@ def personalized_pagerank(
                          * F.coalesce(F.col("c"), F.lit(0.0)),
                          precision).alias("r"))).localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def negative_edges(edges: DataFrame, k: int = 2,
+                   src: str = "src", dst: str = "dst") -> DataFrame:
+    """KG-embedding training prep: k deterministic corrupted negatives
+    per positive edge (the TransE tail-corruption recipe). Every node
+    gets a dense position via a distributed global rank (link.py's
+    range-partitioned rank — never a single-partition window); the
+    j-th negative for edge (s, d) replaces d with the node at position
+    (pos(d) + j * step(s, d, j)) mod n, where step is an md5-derived
+    odd offset — deterministic, uniform-ish, never 0 mod n for n > 1.
+    Accidental TRUE edges are removed by an anti-join against the
+    positive set (false-negative filtering — the step most naive
+    pipelines skip).
+
+    Output: (src, dst, neg_dst, j). Scale shape: rank join + modular
+    join + anti-join, all equi-joins on node/position keys; the only
+    broadcast is the 1-row node-count frame.
+    """
+    from mms_rdf_spark.operators.link import global_rank
+
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    # dense 0-based position (global_rank is 1-based dense over
+    # (order_col, id_col))
+    pos = global_rank(nodes.withColumn("_o", F.col("node")), "_o",
+                      "node") \
+        .select("node", (F.col("rank") - 1).cast("long").alias("pos"))
+    n_nodes = pos.agg(F.count(F.lit(1)).alias("_n"))
+
+    e = (edges.select(src, dst)
+         .join(pos.withColumnRenamed("node", dst), on=dst)
+         .withColumnRenamed("pos", "_dpos")
+         .crossJoin(F.broadcast(n_nodes)))
+    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    exploded = e.select(src, dst, "_dpos", "_n", js)
+    step = (F.conv(F.substring(F.md5(F.concat_ws(
+        chr(31), src, dst, F.col("j").cast("string"))), 1, 12), 16, 10)
+        .cast("long") * 2 + 1)  # odd offset; self-hits filtered below
+    neg_pos = F.pmod(F.col("_dpos") + step, F.col("_n"))
+    cand = exploded.select(
+        src, dst, "j", neg_pos.alias("pos")) \
+        .join(pos.withColumnRenamed("node", "neg_dst"), on="pos") \
+        .drop("pos")
+    # false-negative filter: drop corruptions that are real edges
+    positives = edges.select(F.col(src).alias("_ps"),
+                             F.col(dst).alias("_pd")).distinct()
+    return (cand.join(positives,
+                      (cand[src] == F.col("_ps"))
+                      & (cand["neg_dst"] == F.col("_pd")),
+                      "left_anti")
+            .where(F.col("neg_dst") != F.col(dst))
+            .select(src, dst, "neg_dst", "j"))

@@ -109,3 +109,22 @@ def test_neighborhood_mean_two_hops(spark):
     h2 = {r["node"]: r["f"] for r in
           neighborhood_mean(e, feats, hops=2).collect()}
     assert h2 == {"t": 20.0}   # hub's value propagates one hop further
+
+
+def test_negative_edges_properties(spark):
+    from mms_rdf_spark.operators.pagerank import negative_edges
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("c", "z")],
+        "src string, dst string")
+    out = negative_edges(edges, k=3).collect()
+    pos = {("a", "x"), ("a", "y"), ("b", "x"), ("c", "z")}
+    for r in out:
+        assert (r.src, r.neg_dst) not in pos   # no false negatives
+        assert r.neg_dst != r.dst              # never the true tail
+        assert 0 <= r.j < 3
+    # at most k negatives per (positive edge, j) and deterministic
+    keys = [(r.src, r.dst, r.j) for r in out]
+    assert len(keys) == len(set(keys))
+    again = negative_edges(edges, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
