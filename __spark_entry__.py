@@ -2296,6 +2296,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rrf_fuse(a, b, k=60)
 
     # ---- pairwise-preference ranking (operators/ranking.py)
+    def text_calibration(spark, sf):
+        from mms_rdf_spark.operators.mlops import (
+            calibration_error, doc_features, logreg_score, logreg_train)
+        feats = doc_features(_docs(spark, sf))
+        return calibration_error(
+            logreg_score(feats, logreg_train(feats, iterations=6)))
+
     def text_bt_games(spark, sf):
         from mms_rdf_spark.operators.ranking import pairwise_games
         return pairwise_games(_docs(spark, sf))
@@ -2540,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": events_json_stats,
         "kg_ctx_truncate": kg_ctx_truncate,
         "kg_embed_negatives": kg_embed_negatives,
+        "text_calibration": text_calibration,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6859,6 +6867,27 @@ def oracle_sql() -> dict[str, str]:
               FROM feats f, w{i - 1} w)),
     w{i} AS MATERIALIZED (
         SELECT {ups} FROM w{i - 1} w, g{i} g)"""
+    q["text_calibration"] = lg + """,
+    sc AS (
+        SELECT round(1.0 / (1.0 + exp(-(w.w0*f.x0 + w.w1*f.x1
+                   + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4))), 6) AS prob,
+               f.y
+        FROM feats f, w6 w),
+    pb AS (
+        SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(prob * 1e6) AS BIGINT)) AS BIGINT)
+                   AS spu,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM sc GROUP BY 1)
+    SELECT bin, n,
+           round((spu / 1e6) / n, 6) AS mean_prob,
+           round(CAST(sy AS DOUBLE) / n, 6) AS frac_pos,
+           round(abs(round((spu / 1e6) / n, 6)
+                     - round(CAST(sy AS DOUBLE) / n, 6)), 9) AS gap
+    FROM pb
+    """
+
     q["text_logreg_weights"] = lg + """
     SELECT 'bias' AS feature, w0 AS weight FROM w6
     UNION ALL SELECT 'stop_ratio', w1 FROM w6

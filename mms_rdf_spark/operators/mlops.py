@@ -111,3 +111,34 @@ def logreg_score(feats: DataFrame, weights: DataFrame) -> DataFrame:
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     return j.select("doc_id", prob.alias("prob"),
                     (prob >= 0.5).cast("int").alias("pred"), "y")
+
+
+def calibration_error(scored: DataFrame, bins: int = 10) -> DataFrame:
+    """Expected calibration error over (prob, y) scored rows: fixed
+    equal-width probability bins, per-bin |mean(prob) - mean(y)|
+    weighted by bin mass, plus the per-bin table — the reliability
+    audit run before trusting a quality filter's threshold.
+
+    Exact arithmetic: probs are 6dp-gridded at scoring, so per-bin
+    sums ride exact 1e6 micro-unit longs; each mean is one division
+    and ECE = sum(n_b * |gap_b|) / n with the absolute gaps re-gridded
+    at 9dp (order-independent, hash-checkable). prob = 1.0 lands in
+    the top bin (least(bins-1)).
+    """
+    b = F.least(F.floor(F.col("prob") * bins).cast("int"),
+                F.lit(bins - 1)).alias("bin")
+    per = (scored.select(
+        b,
+        F.round(F.col("prob") * 1e6).cast("long").alias("_pu"),
+        F.col("y").cast("long").alias("_y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("_pu").alias("_spu"), F.sum("_y").alias("_sy")))
+    conf = (F.col("_spu") / 1e6) / F.col("n")
+    acc = F.col("_sy").cast("double") / F.col("n")
+    return per.select(
+        "bin", "n",
+        F.round(conf, 6).alias("mean_prob"),
+        F.round(acc, 6).alias("frac_pos"),
+        F.round(F.abs(F.round(conf, 6) - F.round(acc, 6)), 9)
+        .alias("gap"))

@@ -104,3 +104,20 @@ def test_temperature_mixture_flattens_head(spark):
     assert rare0 == 100
     # deterministic
     assert shares(0.5) == shares(0.5)
+
+
+def test_calibration_error_bins(spark):
+    from mms_rdf_spark.operators.mlops import calibration_error
+
+    scored = spark.createDataFrame(
+        [(0.05, 0), (0.08, 0),       # bin 0: mean .065, frac 0
+         (0.55, 1), (0.55, 0),       # bin 5: mean .55, frac .5
+         (1.0, 1)],                  # prob 1.0 -> top bin 9
+        "prob double, y int")
+    out = {r.bin: r for r in calibration_error(scored, bins=10).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0].n == 2 and out[0].mean_prob == 0.065 \
+        and out[0].frac_pos == 0.0 and out[0].gap == 0.065
+    assert out[5].mean_prob == 0.55 and out[5].frac_pos == 0.5 \
+        and abs(out[5].gap - 0.05) < 1e-9
+    assert out[9].n == 1 and out[9].gap == 0.0
