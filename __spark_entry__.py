@@ -2303,6 +2303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return calibration_error(
             logreg_score(feats, logreg_train(feats, iterations=6)))
 
+    def text_nucleus_vocab(spark, sf):
+        from mms_rdf_spark.operators.prefix import nucleus_vocab
+        return nucleus_vocab(_docs(spark, sf), p=0.9)
+
     def text_bt_games(spark, sf):
         from mms_rdf_spark.operators.ranking import pairwise_games
         return pairwise_games(_docs(spark, sf))
@@ -2548,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ctx_truncate": kg_ctx_truncate,
         "kg_embed_negatives": kg_embed_negatives,
         "text_calibration": text_calibration,
+        "text_nucleus_vocab": text_nucleus_vocab,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6886,6 +6891,23 @@ def oracle_sql() -> dict[str, str]:
            round(abs(round((spu / 1e6) / n, 6)
                      - round(CAST(sy AS DOUBLE) / n, 6)), 9) AS gap
     FROM pb
+    """
+
+    q["text_nucleus_vocab"] = f"""
+    WITH counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOKS_SQL}) AS token
+              FROM (SELECT coalesce(text, '') AS text FROM documents))
+        GROUP BY token),
+    c AS (SELECT token, n,
+                 CAST(sum(n) OVER (ORDER BY -n, token
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts)
+    SELECT token, n, cum
+    FROM c, t
+    WHERE (cum - n) * 1000000 < 900000 * tot
     """
 
     q["text_logreg_weights"] = lg + """
