@@ -279,3 +279,16 @@ def test_truncate_head_wins_overlap(spark):
     assert len(rows) == 3  # each turn exactly once
     by = {r.turn_idx: r.kept_by for r in rows}
     assert by == {0: "head", 1: "head", 2: "tail"}
+
+
+def test_truncate_single_exchange(spark):
+    from mms_rdf_spark.operators.trajectory import truncate_to_budget
+
+    turns = spark.createDataFrame(
+        [("c", i, "user", "w w w", None) for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string")
+    plan = truncate_to_budget(turns)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # forward, reverse, and total windows all ride ONE conv_id exchange
+    assert plan.count("Exchange") == 1, plan
