@@ -381,3 +381,18 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     return out.where(F.col("subject").isNotNull()
                      & F.col("predicate").isNotNull()
                      & F.col("object").isNotNull()).distinct()
+
+
+def sparql_ask(triples: DataFrame, query: str) -> DataFrame:
+    """SPARQL ASK: does any binding exist for the WHERE pattern?
+    Returns a 1-row (result: boolean) frame; the plan is a LIMIT 1
+    existence probe, so the scan stops at the first match."""
+    q = _re.sub(r"\s+", " ", query).strip()
+    m = _re.match(r"ASK \{(.*)\} ?$", q, _re.I)
+    if not m:
+        raise ValueError("unparseable SPARQL ASK")
+    bindings = sparql_select(triples,
+                             f"SELECT * WHERE {{{m.group(1)}}} LIMIT 1")
+    exists = bindings.count() > 0
+    return triples.sparkSession.createDataFrame(
+        [(exists,)], "result boolean")

@@ -159,3 +159,13 @@ def test_construct_optional_miss_emits_no_triple(g):
         }""").collect()
     assert {(r.subject, r.object) for r in out} \
         == {("e:a", "31"), ("e:b", "9")}  # e:c has no age -> no triple
+
+
+def test_ask_existence(g):
+    from mms_rdf_spark.sparql import sparql_ask
+
+    assert sparql_ask(g, """
+        ASK { ?s rdf:type c:Robot . ?s p:name ?n . }""") \
+        .collect()[0].result is True
+    assert sparql_ask(g, """
+        ASK { ?s rdf:type c:Dragon . }""").collect()[0].result is False
