@@ -2307,6 +2307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.prefix import nucleus_vocab
         return nucleus_vocab(_docs(spark, sf), p=0.9)
 
+    def kg_conv_neardup(spark, sf):
+        # conversation-granular NEAR dedup: the document MinHash/LSH
+        # machinery applied through the conversations_as_docs adapter
+        from mms_rdf_spark.operators.trajectory import (
+            conversations_as_docs)
+        return D.lsh_candidate_pairs(
+            conversations_as_docs(transcripts_from_events(spark, sf)))
+
     def text_bt_games(spark, sf):
         from mms_rdf_spark.operators.ranking import pairwise_games
         return pairwise_games(_docs(spark, sf))
@@ -2553,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_embed_negatives": kg_embed_negatives,
         "text_calibration": text_calibration,
         "text_nucleus_vocab": text_nucleus_vocab,
+        "kg_conv_neardup": kg_conv_neardup,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6908,6 +6917,25 @@ def oracle_sql() -> dict[str, str]:
     SELECT token, n, cum
     FROM c, t
     WHERE (cum - n) * 1000000 < 900000 * tot
+    """
+
+    q["kg_conv_neardup"] = f"""
+    {_T},
+    cdocs AS (
+        SELECT conv_id AS doc_id,
+               string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx)
+                   AS text
+        FROM t GROUP BY conv_id),
+    ctoks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM cdocs) u),
+    sig AS (
+        SELECT doc_id, min(md5('0|' || tok)) AS h0, min(md5('1|' || tok)) AS h1, min(md5('2|' || tok)) AS h2, min(md5('3|' || tok)) AS h3, min(md5('4|' || tok)) AS h4, min(md5('5|' || tok)) AS h5, min(md5('6|' || tok)) AS h6, min(md5('7|' || tok)) AS h7
+        FROM ctoks GROUP BY doc_id),
+    banded AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS key FROM sig UNION ALL SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS key FROM sig)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """
 
     q["text_logreg_weights"] = lg + """

@@ -407,3 +407,23 @@ def truncate_to_budget(turns: DataFrame, budget: int = 64,
     return (turns.select("conv_id", "turn_idx",
                          toks.alias("turn_tokens"), kept.alias("kept_by"))
             .where(F.col("kept_by").isNotNull()))
+
+
+def conversations_as_docs(turns: DataFrame) -> DataFrame:
+    """Adapter: collapse each conversation to ONE document row
+    (doc_id = conv_id, text = turn texts in stable order joined by a
+    space) so every document-granular operator — MinHash/LSH near-dup,
+    quality scoring, decontamination — applies at conversation
+    granularity unchanged. sort_array over (turn_idx, text) structs
+    makes the rendering repartition-stable (the conversation_digests
+    rule); one conv_id exchange."""
+    return (turns
+            .groupBy(F.col("conv_id").alias("doc_id"))
+            .agg(F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col("turn_idx"),
+                        F.coalesce(F.col("text"), F.lit(""))
+                        .alias("text")))),
+                    lambda s: s["text"])).alias("text")))

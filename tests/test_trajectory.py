@@ -292,3 +292,30 @@ def test_truncate_single_exchange(spark):
         .executedPlan().toString()
     # forward, reverse, and total windows all ride ONE conv_id exchange
     assert plan.count("Exchange") == 1, plan
+
+
+def test_conversations_as_docs_neardup(spark):
+    from mms_rdf_spark.operators.dedup import lsh_candidate_pairs
+    from mms_rdf_spark.operators.trajectory import conversations_as_docs
+
+    base = [(i, "user", f"alpha beta gamma delta t{i}", None)
+            for i in range(5)]
+    rows = ([("N1", i, r, t, tool) for (i, r, t, tool) in base]
+            # N2: same conversation, one token changed -> near-dup
+            + [("N2", i, r, t if i != 4 else t + " extra", tool)
+               for (i, r, t, tool) in base]
+            # N3: unrelated content
+            + [("N3", i, "user", f"zz qq ww ee rr uu vv x{i}", None)
+               for i in range(5)])
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    docs = conversations_as_docs(t)
+    # adapter renders deterministically under repartitioning
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text
+         for r in conversations_as_docs(t.repartition(7)).collect()}
+    assert a == b and a["N1"].startswith("alpha beta gamma delta t0")
+    pairs = {(r.a_id, r.b_id) for r in lsh_candidate_pairs(docs).collect()}
+    assert ("N1", "N2") in pairs
+    assert not any("N3" in p for p in pairs)
