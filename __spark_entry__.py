@@ -2307,6 +2307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.prefix import nucleus_vocab
         return nucleus_vocab(_docs(spark, sf), p=0.9)
 
+    def kg_sparql_path(spark, sf):
+        # sequence property path: conversation -> turns -> role, with
+        # a GROUP BY aggregate over the path bindings
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?c (COUNT(?r) AS ?n) WHERE {
+              ?c mms-property:turns/mms-property:role ?r .
+            } GROUP BY ?c""")
+
     def kg_conv_neardup(spark, sf):
         # conversation-granular NEAR dedup: the document MinHash/LSH
         # machinery applied through the conversations_as_docs adapter
@@ -2562,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_calibration": text_calibration,
         "text_nucleus_vocab": text_nucleus_vocab,
         "kg_conv_neardup": kg_conv_neardup,
+        "kg_sparql_path": kg_sparql_path,
         "text_pref_length_bias": text_pref_length_bias,
     }
 
@@ -6937,6 +6947,13 @@ def oracle_sql() -> dict[str, str]:
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """
+
+    q["kg_sparql_path"] = f"""
+    {{_T}}
+    SELECT 'mms-element:' || conv_id AS c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY conv_id
+    """.format(_T=_T)
 
     q["text_logreg_weights"] = lg + """
     SELECT 'bias' AS feature, w0 AS weight FROM w6

@@ -206,12 +206,36 @@ class Traversal:
 import re as _re
 
 
+def _expand_paths(stmts: list[list[str]]) -> list[list[str]]:
+    """Sequence property paths: `?s p1/p2 ?o` rewrites to
+    `?s p1 ?_ppK . ?_ppK p2 ?o` with fresh intermediate variables —
+    each hop then compiles like any other pattern (one equi-join per
+    path step, exactly what an endpoint's BGP optimizer does)."""
+    out, k = [], 0
+    for s, p, o in stmts:
+        if not p.startswith("?") and "/" in p:
+            steps = p.split("/")
+            cur = s
+            for step in steps[:-1]:
+                mid = f"?_pp{k}"
+                k += 1
+                out.append([cur, step, mid])
+                cur = mid
+            out.append([cur, steps[-1], o])
+        else:
+            out.append([s, p, o])
+    return out
+
+
 def _compile_patterns(triples: DataFrame, chunk: str) -> DataFrame | None:
     out = None
+    stmts = []
     for stmt in [s.strip() for s in chunk.split(" .") if s.strip()]:
         terms = stmt.split()
         if len(terms) != 3:
             raise ValueError(f"bad triple pattern: {stmt!r}")
+        stmts.append(terms)
+    for terms in _expand_paths(stmts):
         df, cols = triples, {}
         for colname, term in zip(("subject", "predicate", "object"),
                                  terms):
@@ -331,6 +355,9 @@ def _finish_select(out: DataFrame, distinct, proj, group, order,
         if "(" in proj:
             raise ValueError("aggregates require GROUP BY")
         out = out.select(*[v[1:] for v in proj.split()])
+    else:
+        # `*` never exposes path-expansion intermediates
+        out = out.drop(*[c for c in out.columns if c.startswith("_pp")])
     if distinct:
         out = out.distinct()
     if order:

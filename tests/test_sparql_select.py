@@ -169,3 +169,22 @@ def test_ask_existence(g):
         .collect()[0].result is True
     assert sparql_ask(g, """
         ASK { ?s rdf:type c:Dragon . }""").collect()[0].result is False
+
+
+def test_sequence_property_paths(g):
+    out = _run(g, """
+        SELECT ?n2 WHERE {
+          e:a p:knows/p:name ?n2 .
+        }""").collect()
+    assert [r.n2 for r in out] == ["bob"]
+    # path + ordinary pattern joined on the shared subject var
+    out2 = _run(g, """
+        SELECT ?s ?n2 WHERE {
+          ?s p:knows/p:name ?n2 .
+          ?s rdf:type c:Person .
+        }""").collect()
+    assert [(r.s, r.n2) for r in out2] == [("e:a", "bob")]
+    # star projection hides the expansion intermediates
+    star = _run(g, """
+        SELECT * WHERE { ?s p:knows/p:name ?n2 . }""")
+    assert all(not c.startswith("_pp") for c in star.columns)
