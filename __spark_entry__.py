@@ -2324,6 +2324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.lsh_candidate_pairs(
             conversations_as_docs(transcripts_from_events(spark, sf)))
 
+    def text_oov_rate(spark, sf):
+        from mms_rdf_spark.operators.prefix import oov_rate
+        return oov_rate(_docs(spark, sf), p=0.9)
+
     def text_bt_games(spark, sf):
         from mms_rdf_spark.operators.ranking import pairwise_games
         return pairwise_games(_docs(spark, sf))
@@ -2570,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_embed_negatives": kg_embed_negatives,
         "text_calibration": text_calibration,
         "text_nucleus_vocab": text_nucleus_vocab,
+        "text_oov_rate": text_oov_rate,
         "kg_conv_neardup": kg_conv_neardup,
         "kg_sparql_path": kg_sparql_path,
         "text_pref_length_bias": text_pref_length_bias,
@@ -6954,6 +6959,34 @@ def oracle_sql() -> dict[str, str]:
            CAST(count(*) AS BIGINT) AS n
     FROM t GROUP BY conv_id
     """.format(_T=_T)
+
+    q["text_oov_rate"] = f"""
+    WITH counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOKS_SQL}) AS token
+              FROM (SELECT coalesce(text, '') AS text FROM documents))
+        GROUP BY token),
+    c AS (SELECT token, n,
+                 CAST(sum(n) OVER (ORDER BY -n, token
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts),
+    nucleus AS (SELECT token FROM c, t
+                WHERE (cum - n) * 1000000 < 900000 * tot),
+    dt AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+           FROM (SELECT doc_id, coalesce(text, '') AS text
+                 FROM documents))
+    SELECT d.doc_id,
+           CAST(count(dt.token) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN dt.token IS NOT NULL
+                          AND nu.token IS NULL THEN 1 ELSE 0 END)
+                 / greatest(count(dt.token), 1), 6) AS oov_rate
+    FROM documents d
+    LEFT JOIN dt ON d.doc_id = dt.doc_id
+    LEFT JOIN nucleus nu ON dt.token = nu.token
+    GROUP BY d.doc_id
+    """
 
     q["text_logreg_weights"] = lg + """
     SELECT 'bias' AS feature, w0 AS weight FROM w6

@@ -79,3 +79,34 @@ def nucleus_vocab(docs: DataFrame, p: float = 0.9,
             .where((F.col("cum") - F.col("n")) * grid
                    < F.lit(p_units) * F.col("_tot"))
             .select("token", "n", "cum"))
+
+
+def oov_rate(docs: DataFrame, p: float = 0.9) -> DataFrame:
+    """Tokenizer-coverage audit: per document, the fraction of tokens
+    OUTSIDE the corpus' top-p nucleus vocabulary — the metric that
+    decides whether a vocab/tokenizer budget fits a corpus before
+    training. (doc_id, n_tokens, oov_rate 6dp); empty docs report
+    rate 0 over n_tokens 0.
+
+    Scale shape: the nucleus table rides a broadcast into the exploded
+    token stream (its size is bounded by the p mass cut, and it is the
+    SMALL side by construction); one doc_id exchange aggregates back.
+    """
+    from mms_rdf_spark.operators.dedup import _tokens
+
+    nucleus = nucleus_vocab(docs, p).select(
+        "token", F.lit(1).alias("_in"))
+    toks = (docs.select(
+        "doc_id",
+        F.explode_outer(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .alias("token")))
+    return (toks.join(F.broadcast(nucleus), on="token", how="left")
+            .groupBy("doc_id")
+            .agg(F.count("token").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("token").isNotNull()
+                              & F.col("_in").isNull(), 1)
+                       .otherwise(0)).cast("long").alias("_oov"))
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("_oov")
+                            / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                    .alias("oov_rate")))

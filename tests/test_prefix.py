@@ -49,3 +49,23 @@ def test_nucleus_vocab_smallest_covering_prefix(spark):
     # p=0.81 pulls in c
     got2 = set(r.token for r in nucleus_vocab(docs, p=0.81).collect())
     assert got2 == {"a", "b", "c"}
+
+
+def test_oov_rate_against_nucleus(spark):
+    from mms_rdf_spark.operators.prefix import oov_rate
+
+    # corpus totals: a=81, b=16, c=5 (102). p=0.8 -> threshold 81.6:
+    # mass before a (0) and before b (81) both < 81.6 -> nucleus {a,b};
+    # mass before c (97) excluded
+    docs = spark.createDataFrame(
+        [(0, " ".join(["a"] * 80)),
+         (1, " ".join(["b"] * 15 + ["c"] * 5)),
+         (2, "a b"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.oov_rate)
+           for r in oov_rate(docs, p=0.8).collect()}
+    assert out[0] == (80, 0.0)
+    assert out[1] == (20, 0.25)  # only the c tokens are OOV
+    assert out[2] == (2, 0.0)
+    assert out[3] == (0, 0.0)    # empty doc present, rate 0
