@@ -189,28 +189,67 @@ class Traversal:
 # these to Fuseki/Neptune) and run them on Catalyst directly.
 #
 # Supported grammar (documented subset):
-#   SELECT [DISTINCT] ?a ?b | *
-#   WHERE { <triple patterns '.'-terminated>
-#           OPTIONAL { <one-or-more patterns> }
-#           FILTER (?v <op> term)   op in = != < > <= >=
-#           FILTER regex(?v, "re") }
-#   ORDER BY ?v [DESC] [, ...]    LIMIT n
+#   SELECT [DISTINCT] ?a ?b | * [WHERE]
+#   { <triple patterns '.'-terminated; `;` predicate-object lists;
+#      `a` keyword for rdf:type; sequence paths p1/p2; closure
+#      paths p* / p+, also as path steps (a/rdfs:subClassOf*)>
+#     OPTIONAL { <one-or-more patterns> }
+#     FILTER NOT EXISTS { <patterns> }
+#     VALUES ?v { term term ... }
+#     FILTER (?v <op> term)   op in = != < > <= >=
+#     FILTER regex(?v, "re") }
+#   GROUP BY ?g   ORDER BY ?v [DESC] [, ...]   LIMIT n
 # Terms: ?var, "quoted literal", bare IRIs (prefixed form), numbers.
 # Each pattern compiles to a filtered scan; patterns join naturally on
 # shared variables (Catalyst reorders/broadcasts); OPTIONAL becomes a
-# left outer join on the shared variables; FILTERs apply post-join.
-# Patterns with no shared vars cross-join (as SPARQL semantics demand)
-# — at scale that is the query author's responsibility, same as on any
-# endpoint.
+# left outer join on the shared variables; FILTER NOT EXISTS is a
+# left-anti join on the shared variables (the reference's own amend
+# query, src/action/ammend.js:35-38); VALUES is an isin filter
+# (tmt-demo.ipynb cells 5/19); closure paths compile through
+# plans.closure.transitive_closure (triplifier.js:453-455
+# `rdfs:subClassOf*`) — `+` is the transitive pairs, `*` adds the
+# zero-hop identity over every graph term, per SPARQL. FILTERs apply
+# post-join. Patterns with no shared vars cross-join (as SPARQL
+# semantics demand) — at scale that is the query author's
+# responsibility, same as on any endpoint.
+#
+# Scale note on closure paths: the closure is computed over the
+# FULL p-edge set and then filtered by any bound endpoint. For huge
+# graphs with a bound source, seed a frontier walk instead
+# (operators.pagerank.bfs_layers / plans.closure) — the embedded
+# reference shapes all close over vocabulary-sized hierarchies.
 
 import re as _re
+
+
+def _split_statements(chunk: str) -> list[list[str]]:
+    """'.'-separated statements, each optionally a `;` predicate-object
+    list (Turtle/SPARQL shorthand, used throughout the reference's
+    notebook queries): `?s a X ; p ?o ; .` -> [[?s a X], [?s p ?o]]."""
+    stmts = []
+    for stmt in [s.strip() for s in chunk.split(" .") if s.strip()]:
+        parts = [p.strip() for p in stmt.split(";")]
+        head = parts[0].split()
+        if len(head) != 3:
+            raise ValueError(f"bad triple pattern: {parts[0]!r}")
+        stmts.append(head)
+        for cont in parts[1:]:
+            if not cont:
+                continue  # trailing `;` before the closing `.`
+            po = cont.split()
+            if len(po) != 2:
+                raise ValueError(f"bad predicate-object pair: {cont!r}")
+            stmts.append([head[0], po[0], po[1]])
+    return stmts
 
 
 def _expand_paths(stmts: list[list[str]]) -> list[list[str]]:
     """Sequence property paths: `?s p1/p2 ?o` rewrites to
     `?s p1 ?_ppK . ?_ppK p2 ?o` with fresh intermediate variables —
     each hop then compiles like any other pattern (one equi-join per
-    path step, exactly what an endpoint's BGP optimizer does)."""
+    path step, exactly what an endpoint's BGP optimizer does).
+    Closure markers (`*`/`+`) survive on the individual step and are
+    compiled by `_compile_one`."""
     out, k = [], 0
     for s, p, o in stmts:
         if not p.startswith("?") and "/" in p:
@@ -227,24 +266,59 @@ def _expand_paths(stmts: list[list[str]]) -> list[list[str]]:
     return out
 
 
-def _compile_patterns(triples: DataFrame, chunk: str) -> DataFrame | None:
-    out = None
-    stmts = []
-    for stmt in [s.strip() for s in chunk.split(" .") if s.strip()]:
-        terms = stmt.split()
-        if len(terms) != 3:
-            raise ValueError(f"bad triple pattern: {stmt!r}")
-        stmts.append(terms)
-    for terms in _expand_paths(stmts):
-        df, cols = triples, {}
-        for colname, term in zip(("subject", "predicate", "object"),
-                                 terms):
+def _closure_frame(triples: DataFrame, pred: str,
+                   star: bool) -> DataFrame:
+    """(subject, object) pairs of the `pred+` transitive closure;
+    `star` adds the zero-length path — identity over every graph term,
+    per SPARQL's zero-or-more semantics (the identity branch prunes to
+    a semi-join once the caller binds either endpoint)."""
+    from mms_rdf_spark.plans.closure import transitive_closure
+
+    edges = (triples.where(F.col("predicate") == pred)
+             .select("subject", "object"))
+    pairs = transitive_closure(edges, "subject", "object",
+                               reflexive=False)
+    if star:
+        nodes = (triples.select("subject")
+                 .union(triples.select(F.col("object").alias("subject")))
+                 .distinct())
+        pairs = pairs.union(
+            nodes.select("subject", F.col("subject").alias("object"))
+        ).distinct()
+    return pairs
+
+
+def _compile_one(triples: DataFrame, terms: list[str]) -> DataFrame:
+    """One (possibly closure) triple pattern -> a bindings frame with
+    one column per free variable."""
+    s, p, o = terms
+    if p == "a":
+        p = "rdf:type"
+    if not p.startswith("?") and p[-1] in "*+":
+        df = _closure_frame(triples, p[:-1], star=p.endswith("*"))
+        cols = {}
+        for colname, term in (("subject", s), ("object", o)):
             if term.startswith("?"):
                 cols[colname] = term[1:]
             else:
                 lit = term[1:-1] if term.startswith('"') else term
                 df = df.where(F.col(colname) == lit)
-        hop = df.select(*[F.col(c).alias(v) for c, v in cols.items()])
+        return df.select(*[F.col(c).alias(v) for c, v in cols.items()])
+    df, cols = triples, {}
+    for colname, term in zip(("subject", "predicate", "object"),
+                             (s, p, o)):
+        if term.startswith("?"):
+            cols[colname] = term[1:]
+        else:
+            lit = term[1:-1] if term.startswith('"') else term
+            df = df.where(F.col(colname) == lit)
+    return df.select(*[F.col(c).alias(v) for c, v in cols.items()])
+
+
+def _compile_patterns(triples: DataFrame, chunk: str) -> DataFrame | None:
+    out = None
+    for terms in _expand_paths(_split_statements(chunk)):
+        hop = _compile_one(triples, terms)
         if out is None:
             out = hop
         else:
@@ -260,12 +334,21 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
     Aggregates: `SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g` with
     COUNT / COUNT(DISTINCT ?x) / MIN / MAX (SPARQL string semantics:
-    min/max are lexicographic, like an endpoint's). UNION: `{ A }
-    UNION { B }` unions the branch bindings by name (missing vars on a
-    branch bind NULL, per SPARQL)."""
+    min/max are lexicographic, like an endpoint's) / SUM / AVG (xsd
+    numeric promotion) / SAMPLE (deterministic: min) / GROUP_CONCAT
+    (deterministic: sorted; `; SEPARATOR="x"` honored, default a
+    space). Aggregates without GROUP BY use SPARQL's implicit single
+    group. UNION: `{ A } UNION { B }` unions the branch bindings by
+    name (missing vars on a branch bind NULL, per SPARQL).
+
+    The reference's own embedded query shapes all parse verbatim:
+    the amend dangling-element query (ammend.js:35-38 — property-path
+    `a/rdfs:subClassOf*`, `filter(...)`, `filter not exists {...}`),
+    and the tmt-demo notebook cells (`a` keyword, `;` predicate-object
+    lists, `values ?v {...}`, bare `select ... { }` with no WHERE)."""
     q = _re.sub(r"\s+", " ", query).strip()
     m = _re.match(
-        r"SELECT (DISTINCT )?(.+?) WHERE \{(.*)\}"
+        r"SELECT (DISTINCT )?(.+?) (?:WHERE )?\{(.*)\}"
         r"(?: GROUP BY (.+?))?(?: ORDER BY (.+?))?(?: LIMIT (\d+))? ?$",
         q, _re.I)
     if not m:
@@ -281,16 +364,23 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = left.unionByName(right, allowMissingColumns=True)
         return _finish_select(out, distinct, proj, group, order, limit)
 
+    not_exists = [g.strip() for g in _re.findall(
+        r"FILTER NOT EXISTS \{([^}]*)\}", body, _re.I)]
+    body = _re.sub(r"FILTER NOT EXISTS \{[^}]*\}", " ", body,
+                   flags=_re.I)
     optionals = [g.strip() for g in
                  _re.findall(r"OPTIONAL \{([^}]*)\}", body, _re.I)]
     body = _re.sub(r"OPTIONAL \{[^}]*\}", " ", body, flags=_re.I)
+    values_blocks = _re.findall(
+        r"VALUES \?(\w+) \{([^}]*)\}", body, _re.I)
+    body = _re.sub(r"VALUES \?\w+ \{[^}]*\}", " ", body, flags=_re.I)
     regex_filters = _re.findall(
-        r"FILTER regex\( ?\?(\w+) ?, ?\"([^\"]*)\" ?\)", body, _re.I)
-    body = _re.sub(r"FILTER regex\([^)]*\)", " ", body, flags=_re.I)
+        r"FILTER ?regex\( ?\?(\w+) ?, ?\"([^\"]*)\" ?\)", body, _re.I)
+    body = _re.sub(r"FILTER ?regex\([^)]*\)", " ", body, flags=_re.I)
     cmp_filters = _re.findall(
-        r"FILTER \( ?\?(\w+) ?(!=|<=|>=|=|<|>) ?([^)]+?) ?\)", body,
+        r"FILTER ?\( ?\?(\w+) ?(!=|<=|>=|=|<|>) ?([^)]+?) ?\)", body,
         _re.I)
-    body = _re.sub(r"FILTER \([^)]*\)", " ", body, flags=_re.I)
+    body = _re.sub(r"FILTER ?\([^)]*\)", " ", body, flags=_re.I)
 
     out = _compile_patterns(triples, body)
     if out is None:
@@ -301,6 +391,16 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         if not shared:
             raise ValueError("OPTIONAL shares no variable")
         out = out.join(hop, on=shared, how="left")
+    for ne in not_exists:
+        inner = _compile_patterns(triples, ne)
+        shared = sorted(set(out.columns) & set(inner.columns))
+        if not shared:
+            raise ValueError("FILTER NOT EXISTS shares no variable")
+        out = out.join(inner.select(*shared), on=shared, how="left_anti")
+    for var, inline in values_blocks:
+        vals = [t[1:-1] if t.startswith('"') else t
+                for t in inline.split()]
+        out = out.where(F.col(var).isin(vals))
 
     ops = {"=": "==", "!=": "!=", "<": "<", ">": ">",
            "<=": "<=", ">=": ">="}
@@ -323,37 +423,64 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
 
 _AGG_RE = _re.compile(
-    r"\( ?(COUNT|MIN|MAX)\( ?(DISTINCT )?\?(\w+) ?\) AS \?(\w+) ?\)"
+    r"\( ?(COUNT|MIN|MAX|SUM|AVG|SAMPLE|GROUP_CONCAT)"
+    r"\( ?(DISTINCT )?\?(\w+) ?"
+    r"(?:; ?SEPARATOR ?= ?\"([^\"]*)\" ?)?\) AS \?(\w+) ?\)"
     r"|\?(\w+)", _re.I)
+
+
+def _agg_expr(fn: str, dis, var: str, sep) -> Column:
+    """One SPARQL aggregate -> a Catalyst aggregate expression.
+    COUNT/MIN/MAX keep SPARQL string semantics; SUM/AVG apply xsd
+    numeric promotion (cast to double); SAMPLE picks the minimum
+    (any value is spec-legal — min is the deterministic choice, so
+    results hash-match across engines); GROUP_CONCAT sorts the
+    collected values before joining for the same reason (SPARQL leaves
+    the order undefined; default separator is a single space per
+    spec)."""
+    fn = fn.upper()
+    if fn == "COUNT":
+        return (F.countDistinct(var) if dis
+                else F.count(var)).cast("long")
+    if fn == "MIN":
+        return F.min(var)   # SPARQL string semantics
+    if fn == "MAX":
+        return F.max(var)
+    if fn == "SUM":
+        col = F.col(var).cast("double")
+        return F.sum_distinct(col) if dis else F.sum(col)
+    if fn == "AVG":
+        col = F.col(var).cast("double")
+        return F.avg(col)
+    if fn == "SAMPLE":
+        return F.min(var)
+    # GROUP_CONCAT
+    collected = F.collect_set(var) if dis else F.collect_list(var)
+    return F.array_join(F.array_sort(collected),
+                        sep if sep is not None else " ")
 
 
 def _finish_select(out: DataFrame, distinct, proj, group, order,
                    limit) -> DataFrame:
     proj = proj.strip()
-    if group:
-        keys = [v[1:] for v in group.split()]
+    if group or ("(" in proj and proj != "*"):
+        # explicit GROUP BY, or aggregates with the implicit single
+        # group (SPARQL: `SELECT (COUNT(?x) AS ?n) WHERE ...`)
+        keys = [v[1:] for v in group.split()] if group else []
         aggs, ordered = [], []
         for m in _AGG_RE.finditer(proj):
-            fn, dis, var, alias, bare = m.groups()
+            fn, dis, var, sep, alias, bare = m.groups()
             if bare:
                 if bare not in keys:
                     raise ValueError("non-grouped bare variable in SELECT")
                 ordered.append(bare)
                 continue
-            fn = fn.upper()
-            if fn == "COUNT":
-                e = (F.countDistinct(var) if dis
-                     else F.count(var)).cast("long")
-            elif fn == "MIN":
-                e = F.min(var)   # SPARQL string semantics
-            else:
-                e = F.max(var)
-            aggs.append(e.alias(alias))
+            aggs.append(_agg_expr(fn, dis, var, sep).alias(alias))
             ordered.append(alias)
+        if not aggs:
+            raise ValueError("GROUP BY without aggregates in SELECT")
         out = out.groupBy(*keys).agg(*aggs).select(*ordered)
     elif proj != "*":
-        if "(" in proj:
-            raise ValueError("aggregates require GROUP BY")
         out = out.select(*[v[1:] for v in proj.split()])
     else:
         # `*` never exposes path-expansion intermediates
@@ -381,19 +508,19 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     set semantics). The derived-graph verb — rewrite rules, inference
     snippets, projection graphs — running on Catalyst."""
     q = _re.sub(r"\s+", " ", query).strip()
-    m = _re.match(r"CONSTRUCT \{(.*?)\} WHERE \{(.*)\} ?$", q, _re.I)
+    m = _re.match(r"CONSTRUCT \{(.*?)\}(?: FROM \S+)? (?:WHERE )?"
+                  r"\{(.*)\} ?$", q, _re.I)
     if not m:
         raise ValueError("unparseable SPARQL CONSTRUCT")
     template, where = m.groups()
     bindings = sparql_select(triples, f"SELECT * WHERE {{{where}}}")
 
     outs = []
-    for stmt in [s.strip() for s in template.split(" .") if s.strip()]:
-        terms = stmt.split()
-        if len(terms) != 3:
-            raise ValueError(f"bad template pattern: {stmt!r}")
+    for terms in _split_statements(template):
         cols = []
         for name, term in zip(("subject", "predicate", "object"), terms):
+            if name == "predicate" and term == "a":
+                term = "rdf:type"
             if term.startswith("?"):
                 cols.append(F.col(term[1:]).alias(name))
             else:
@@ -423,3 +550,31 @@ def sparql_ask(triples: DataFrame, query: str) -> DataFrame:
     exists = bindings.count() > 0
     return triples.sparkSession.createDataFrame(
         [(exists,)], "result boolean")
+
+
+def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+    """SPARQL DESCRIBE: every triple whose subject is a described
+    resource (the simple subject-outbound description — DESCRIBE's
+    result form is implementation-defined by spec; endpoints commonly
+    return a concise bounded description, of which this is the
+    blank-node-free core; our IRI minting never emits blank nodes, so
+    the two coincide here).
+
+    Forms: `DESCRIBE <iri>` and `DESCRIBE ?v [WHERE] { patterns }`.
+    Compiles to a left-semi join of the triples scan against the
+    described-subject set — broadcastable whenever the set is small,
+    which Catalyst/AQE decides from runtime stats."""
+    q = _re.sub(r"\s+", " ", query).strip()
+    m = _re.match(r"DESCRIBE (\S+)(?: (?:WHERE )?\{(.*)\})? ?$",
+                  q, _re.I)
+    if not m:
+        raise ValueError("unparseable SPARQL DESCRIBE")
+    term, where = m.groups()
+    if term.startswith("?"):
+        if not where:
+            raise ValueError("DESCRIBE ?var requires a WHERE pattern")
+        subjects = sparql_select(
+            triples, f"SELECT ?{term[1:]} WHERE {{{where}}}"
+        ).select(F.col(term[1:]).alias("subject")).distinct()
+        return triples.join(subjects, on="subject", how="left_semi")
+    return triples.where(F.col("subject") == term)

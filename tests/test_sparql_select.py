@@ -129,9 +129,86 @@ def test_union_branches(g):
         == [("e:a", "31"), ("e:b", "9"), ("e:c", None)]
 
 
-def test_aggregate_without_group_by_rejected(g):
-    with pytest.raises(ValueError):
-        _run(g, "SELECT (COUNT(?s) AS ?n) WHERE { ?s p:name ?x . }")
+def test_aggregate_without_group_by_implicit_single_group(g):
+    # SPARQL semantics: aggregates with no GROUP BY form one group
+    out = _run(g, "SELECT (COUNT(?s) AS ?n) WHERE { ?s p:name ?x . }")
+    assert [r.n for r in out.collect()] == [3]
+
+
+def test_sum_avg_sample_group_concat(g):
+    out = _run(g, """
+        SELECT ?t (SUM(?a) AS ?s) (AVG(?a) AS ?m) WHERE {
+          ?s rdf:type ?t .
+          ?s p:age ?a .
+        } GROUP BY ?t""").collect()
+    assert [(r.t, r.s, r.m) for r in out] == [("c:Person", 40.0, 20.0)]
+    out2 = _run(g, """
+        SELECT ?t (GROUP_CONCAT(?n) AS ?names) (SAMPLE(?n) AS ?one)
+        WHERE {
+          ?s rdf:type ?t .
+          ?s p:name ?n .
+        } GROUP BY ?t ORDER BY ?t""").collect()
+    # GROUP_CONCAT is deterministic (sorted), SAMPLE picks the min
+    assert [(r.t, r.names, r.one) for r in out2] \
+        == [("c:Person", "alice bob", "alice"),
+            ("c:Robot", "c3po", "c3po")]
+    out3 = _run(g, """
+        SELECT ?t (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) WHERE {
+          ?s rdf:type ?t .
+          ?s p:name ?n .
+        } GROUP BY ?t ORDER BY ?t""").collect()
+    assert [r.names for r in out3] == ["alice,bob", "c3po"]
+
+
+def test_filter_not_exists_anti_join(g):
+    # persons with no p:knows edge (the amend-query shape)
+    out = _run(g, """
+        SELECT ?s WHERE {
+          ?s rdf:type c:Person .
+          FILTER NOT EXISTS { ?s p:knows ?o . }
+        }""").collect()
+    assert [r.s for r in out] == ["e:b"]
+    # inner pattern introducing fresh vars anti-joins on shared only
+    out2 = _run(g, """
+        SELECT ?s WHERE {
+          ?s p:name ?n .
+          FILTER NOT EXISTS { ?s p:age ?a . }
+        }""").collect()
+    assert [r.s for r in out2] == ["e:c"]
+
+
+def test_values_inline_table(g):
+    out = _run(g, """
+        SELECT ?s ?n WHERE {
+          ?s p:name ?n .
+          VALUES ?s { e:a e:c }
+        } ORDER BY ?s""").collect()
+    assert [(r.s, r.n) for r in out] == [("e:a", "alice"),
+                                         ("e:c", "c3po")]
+
+
+def test_semicolon_lists_and_a_keyword(g):
+    # notebook shorthand: `;` predicate-object lists, `a` = rdf:type,
+    # no WHERE keyword, trailing `; .`
+    out = _run(g, """
+        select ?s ?n {
+          ?s a c:Person ;
+             p:name ?n ;
+             .
+        } ORDER BY ?s""").collect()
+    assert [(r.s, r.n) for r in out] == [("e:a", "alice"),
+                                         ("e:b", "bob")]
+
+
+def test_filter_no_space_and_iri_rhs(g):
+    # `filter(...)` with no space and an IRI right-hand side, as in
+    # the reference's amend query (ammend.js:35-38)
+    out = _run(g, """
+        select ?s {
+          ?s rdf:type ?t .
+          filter(?t != c:Robot)
+        } ORDER BY ?s""").collect()
+    assert [r.s for r in out] == ["e:a", "e:b"]
 
 
 def test_construct_builds_derived_graph(g):
@@ -169,6 +246,63 @@ def test_ask_existence(g):
         .collect()[0].result is True
     assert sparql_ask(g, """
         ASK { ?s rdf:type c:Dragon . }""").collect()[0].result is False
+
+
+@pytest.fixture()
+def hier(spark):
+    # a small class hierarchy + typed instances, the triplifier.js
+    # `rdfs:subClassOf*` shape (453-455)
+    rows = [
+        ("c:Dog", "rdfs:subClassOf", "c:Mammal"),
+        ("c:Mammal", "rdfs:subClassOf", "c:Animal"),
+        ("c:Robot", "rdfs:subClassOf", "c:Machine"),
+        ("e:rex", "rdf:type", "c:Dog"),
+        ("e:tom", "rdf:type", "c:Mammal"),
+        ("e:r2", "rdf:type", "c:Robot"),
+    ]
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string")
+
+
+def test_closure_path_plus(hier):
+    out = _run(hier, """
+        SELECT ?s ?o WHERE {
+          ?s rdfs:subClassOf+ ?o .
+        } ORDER BY ?s, ?o""").collect()
+    assert [(r.s, r.o) for r in out] == [
+        ("c:Dog", "c:Animal"), ("c:Dog", "c:Mammal"),
+        ("c:Mammal", "c:Animal"), ("c:Robot", "c:Machine")]
+
+
+def test_closure_path_star_includes_zero_hop(hier):
+    # bound object: every class reaching c:Animal, including itself
+    out = _run(hier, """
+        SELECT ?s WHERE {
+          ?s rdfs:subClassOf* c:Animal .
+        } ORDER BY ?s""").collect()
+    assert [r.s for r in out] == ["c:Animal", "c:Dog", "c:Mammal"]
+
+
+def test_sequence_path_ending_in_closure(hier):
+    # the amend-query shape: `?x a/rdfs:subClassOf* <cls>`
+    out = _run(hier, """
+        SELECT ?s WHERE {
+          ?s a/rdfs:subClassOf* c:Animal .
+        } ORDER BY ?s""").collect()
+    assert [r.s for r in out] == ["e:rex", "e:tom"]
+
+
+def test_describe(g):
+    from mms_rdf_spark.sparql import sparql_describe
+
+    out = sparql_describe(g, "DESCRIBE e:a").collect()
+    assert {(r.predicate, r.object) for r in out} \
+        == {("rdf:type", "c:Person"), ("p:name", "alice"),
+            ("p:age", "31"), ("p:knows", "e:b")}
+    out2 = sparql_describe(g, """
+        DESCRIBE ?s WHERE { ?s rdf:type c:Robot . }""").collect()
+    assert {r.subject for r in out2} == {"e:c"}
+    assert len(out2) == 2
 
 
 def test_sequence_property_paths(g):
