@@ -2316,6 +2316,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               ?c mms-property:turns/mms-property:role ?r .
             } GROUP BY ?c""")
 
+    def kg_sparql_notexists(spark, sf):
+        # FILTER NOT EXISTS -> left-anti join (the reference amend
+        # query's shape, ammend.js:35-38): turns that never invoked a
+        # tool, through the string front-end verbatim
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            select ?s ?r {
+              ?s mms-property:role ?r .
+              filter not exists { ?s mms-property:invokedTool ?x . }
+            }""")
+
+    def kg_sparql_values(spark, sf):
+        # VALUES inline table -> isin (tmt-demo.ipynb cells 5/19)
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?r WHERE {
+              ?s mms-property:role ?r .
+              VALUES ?r { mms-class:Role.User mms-class:Role.Tool }
+            }""")
+
+    def _next_turn_triples(spark, sf):
+        # derived chain predicate for closure paths: turn i ->
+        # mms-property:nextTurn -> turn i+1 within each conversation
+        from pyspark.sql.window import Window
+        tr = transcripts_from_events(spark, sf)
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        subj = F.concat(F.lit("mms-element:"), F.col("conv_id"),
+                        F.lit(".Turn."), F.col("turn_idx").cast("string"))
+        return (tr.select(
+            subj.alias("subject"),
+            F.lit("mms-property:nextTurn").alias("predicate"),
+            F.lead(subj).over(w).alias("object"))
+            .where(F.col("object").isNotNull()))
+
+    def kg_sparql_closure(spark, sf):
+        # closure property path p+ (the triplifier.js:453-455
+        # rdfs:subClassOf* shape) compiled through
+        # plans.closure.transitive_closure: every later-turn pair
+        # reachable along the nextTurn chain
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(_next_turn_triples(spark, sf), """
+            SELECT ?s ?o WHERE { ?s mms-property:nextTurn+ ?o . }""")
+
+    def kg_sparql_agg2(spark, sf):
+        # aggregate completeness: SUM/AVG (xsd numeric promotion),
+        # GROUP_CONCAT (deterministic sorted + SEPARATOR), SAMPLE
+        # (deterministic min) over the turn-index literals
+        from pyspark.sql.window import Window
+        from mms_rdf_spark.sparql import sparql_select
+        tr = transcripts_from_events(spark, sf)
+        subj = F.concat(F.lit("mms-element:"), F.col("conv_id"),
+                        F.lit(".Turn."), F.col("turn_idx").cast("string"))
+        idx_triples = tr.select(
+            subj.alias("subject"),
+            F.lit("mms-property:turnIndex").alias("predicate"),
+            F.col("turn_idx").cast("string").alias("object"))
+        g = (triples_from_events(spark, sf)
+             .select("subject", "predicate", "object")
+             .unionByName(idx_triples))
+        return sparql_select(g, """
+            SELECT ?c (SUM(?i) AS ?sum_idx) (AVG(?i) AS ?avg_idx)
+                   (GROUP_CONCAT(?r; SEPARATOR=",") AS ?roles)
+                   (SAMPLE(?r) AS ?first_role) WHERE {
+              ?c mms-property:turns ?t .
+              ?t mms-property:turnIndex ?i .
+              ?t mms-property:role ?r .
+            } GROUP BY ?c""")
+
     def kg_conv_neardup(spark, sf):
         # conversation-granular NEAR dedup: the document MinHash/LSH
         # machinery applied through the conversations_as_docs adapter
@@ -2347,10 +2415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_documents(_docs(spark, sf), size=32, stride=24)
 
     return {
-        # Driver-window rotation (round 4): the driver grades the
+        # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
-        # contract) stay first; positions 18-50 rotate in queries
-        # never covered by CORRECTNESS_r01-r03. See NOTES.md.
+        # contract) stay first; positions 18-50 rotate in 33 queries
+        # never covered by CORRECTNESS_r01-r04 (orders_pareto80 ...
+        # text_readability). See NOTES.md.
         "kg_type_triples": kg_type_triples,
         "kg_role_enum": kg_role_enum,
         "kg_elementid": kg_elementid,
@@ -2368,39 +2437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closure": kg_closure,
         "kg_cc": kg_cc,
         "kg_sessionize": kg_sessionize,
-        "events_anomaly_seasonal": events_anomaly_seasonal,
-        "tpch_q4": tpch_q4,
-        "tpch_q10": tpch_q10,
-        "tpch_q14": tpch_q14,
-        "tpch_q5": tpch_q5,
-        "tpch_q6": tpch_q6,
-        "tpch_q18": tpch_q18,
-        "orders_scd2": orders_scd2,
-        "link_fuzzy_parts": link_fuzzy_parts,
-        "events_funnel": events_funnel,
-        "events_moving_avg": events_moving_avg,
-        "events_transitions": events_transitions,
-        "events_retention": events_retention,
-        "events_histogram": events_histogram,
-        "kg_hits": kg_hits,
-        "parts_skyline": parts_skyline,
-        "events_trend": events_trend,
-        "kg_bfs": kg_bfs,
-        "events_winsorize": events_winsorize,
-        "text_inverted_index": text_inverted_index,
-        "dq_split_leakage": dq_split_leakage,
-        "kg_harmonic2": kg_harmonic2,
-        "events_interval_overlap": events_interval_overlap,
-        "reco_rules": reco_rules,
-        "events_robust_anomaly": events_robust_anomaly,
-        "kg_ppr": kg_ppr,
-        "kg_katz": kg_katz,
-        "events_burst": events_burst,
-        "kg_reciprocity": kg_reciprocity,
-        "events_xcorr": events_xcorr,
-        "sim_mmr": sim_mmr,
-        "kg_tool_usage": kg_tool_usage,
-        "kg_turn_latency": kg_turn_latency,
         "orders_pareto80": orders_pareto80,
         "kg_rich_club": kg_rich_club,
         "orders_hhi": orders_hhi,
@@ -2434,6 +2470,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adamic": kg_adamic,
         "kg_assortativity": kg_assortativity,
         "text_readability": text_readability,
+        "events_anomaly_seasonal": events_anomaly_seasonal,
+        "tpch_q4": tpch_q4,
+        "tpch_q10": tpch_q10,
+        "tpch_q14": tpch_q14,
+        "tpch_q5": tpch_q5,
+        "tpch_q6": tpch_q6,
+        "tpch_q18": tpch_q18,
+        "orders_scd2": orders_scd2,
+        "link_fuzzy_parts": link_fuzzy_parts,
+        "events_funnel": events_funnel,
+        "events_moving_avg": events_moving_avg,
+        "events_transitions": events_transitions,
+        "events_retention": events_retention,
+        "events_histogram": events_histogram,
+        "kg_hits": kg_hits,
+        "parts_skyline": parts_skyline,
+        "events_trend": events_trend,
+        "kg_bfs": kg_bfs,
+        "events_winsorize": events_winsorize,
+        "text_inverted_index": text_inverted_index,
+        "dq_split_leakage": dq_split_leakage,
+        "kg_harmonic2": kg_harmonic2,
+        "events_interval_overlap": events_interval_overlap,
+        "reco_rules": reco_rules,
+        "events_robust_anomaly": events_robust_anomaly,
+        "kg_ppr": kg_ppr,
+        "kg_katz": kg_katz,
+        "events_burst": events_burst,
+        "kg_reciprocity": kg_reciprocity,
+        "events_xcorr": events_xcorr,
+        "sim_mmr": sim_mmr,
+        "kg_tool_usage": kg_tool_usage,
+        "kg_turn_latency": kg_turn_latency,
         "events_survival": events_survival,
         "events_psi": events_psi,
         "events_entropy": events_entropy,
@@ -2578,6 +2647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_neardup": kg_conv_neardup,
         "kg_sparql_path": kg_sparql_path,
         "text_pref_length_bias": text_pref_length_bias,
+        "kg_sparql_notexists": kg_sparql_notexists,
+        "kg_sparql_values": kg_sparql_values,
+        "kg_sparql_closure": kg_sparql_closure,
+        "kg_sparql_agg2": kg_sparql_agg2,
     }
 
 
@@ -6959,6 +7032,58 @@ def oracle_sql() -> dict[str, str]:
            CAST(count(*) AS BIGINT) AS n
     FROM t GROUP BY conv_id
     """.format(_T=_T)
+
+    _ROLE_IRI_SQL = """CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                WHEN 'system' THEN 'mms-class:Role.System'
+                WHEN 'tool' THEN 'mms-class:Role.Tool'
+                ELSE 'rdf:nil' END"""
+
+    # FILTER NOT EXISTS anti-join: invokedTool triples exist exactly
+    # when role='tool' and tool is non-empty (extract.py semantics,
+    # same predicate as the kg_sparql_select oracle)
+    q["kg_sparql_notexists"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s, {_ROLE_IRI_SQL} AS r
+    FROM t
+    WHERE NOT (role = 'tool' AND tool IS NOT NULL AND tool <> '')
+    """
+
+    q["kg_sparql_values"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s, {_ROLE_IRI_SQL} AS r
+    FROM t
+    WHERE {_ROLE_IRI_SQL} IN ('mms-class:Role.User',
+                              'mms-class:Role.Tool')
+    """
+
+    # nextTurn+ closure == all ordered turn pairs within a
+    # conversation: the transitive closure of the i -> i+1 chain is
+    # exactly i < j, so the oracle needs no recursion
+    q["kg_sparql_closure"] = f"""
+    {_T}
+    SELECT 'mms-element:' || a.conv_id || '.Turn.'
+               || CAST(a.turn_idx AS VARCHAR) AS s,
+           'mms-element:' || b.conv_id || '.Turn.'
+               || CAST(b.turn_idx AS VARCHAR) AS o
+    FROM t a JOIN t b
+      ON a.conv_id = b.conv_id AND a.turn_idx < b.turn_idx
+    """
+
+    # SUM/AVG over xsd-numeric promotion (integers exact in double,
+    # so sum order cannot change the result); GROUP_CONCAT sorted;
+    # SAMPLE = min (both deterministic by construction)
+    q["kg_sparql_agg2"] = f"""
+    {_T},
+    r AS (SELECT conv_id, turn_idx, {_ROLE_IRI_SQL} AS role_iri
+          FROM t)
+    SELECT 'mms-element:' || conv_id AS c,
+           CAST(sum(turn_idx) AS DOUBLE) AS sum_idx,
+           avg(CAST(turn_idx AS DOUBLE)) AS avg_idx,
+           string_agg(role_iri, ',' ORDER BY role_iri) AS roles,
+           min(role_iri) AS first_role
+    FROM r GROUP BY conv_id
+    """
 
     q["text_oov_rate"] = f"""
     WITH counts AS (
