@@ -71,6 +71,23 @@ def _ngrams(col, n: int = 3) -> F.Column:
     )
 
 
+def blocking_keys() -> list:
+    """The multi-pass blocking-key expressions over a `norm` column
+    (prefix bigram / suffix bigram, each with a length bucket).
+
+    Single source of truth: `candidate_edges` blocks on these, and the
+    incremental linker's anchor pruning (streaming/link.py) explodes
+    the SAME expressions — keeping them in one place makes drift
+    (silently missed entity adoption) impossible."""
+    len_bucket = (F.length("norm") / 4).cast("int").cast("string")
+    return [
+        F.concat(F.lit("p#"), F.substring("norm", 1, 2), F.lit("#"),
+                 len_bucket),
+        F.concat(F.lit("s#"), F.substring(F.col("norm"), -2, 2),
+                 F.lit("#"), len_bucket),
+    ]
+
+
 def candidate_edges(
     surfaces: DataFrame,
     jaccard_threshold: float = DEFAULT_JACCARD,
@@ -103,12 +120,7 @@ def candidate_edges(
     # blocking keeps recall while each pass stays O(sum b_i^2).
     reps = norm_rep.select(F.col("norm"), F.col("rep")) \
         .withColumn("grams", _ngrams(F.col("norm")))
-    len_bucket = (F.length("norm") / 4).cast("int").cast("string")
-    block_keys = [
-        F.concat(F.lit("p#"), F.substring("norm", 1, 2), F.lit("#"), len_bucket),
-        F.concat(F.lit("s#"), F.substring(F.col("norm"), -2, 2),
-                 F.lit("#"), len_bucket),
-    ]
+    block_keys = blocking_keys()
     salt_chars = [F.substring("norm", 3, 1),
                   F.substring(F.col("norm"), -3, 1)]
 

@@ -295,30 +295,66 @@ def _cms_rows(df: DataFrame, col: str, depth: int,
 def cms_build(df: DataFrame, col: str, depth: int = 4,
               width: int = 1024) -> DataFrame:
     """Deterministic count-min sketch of a column's value frequencies:
-    (d, w, c) with at most depth*width rows — a broadcastable constant
-    regardless of corpus size. Mergeable by cell-wise sum (cms_merge),
+    (d, w, c, width) with at most depth*width rows — a broadcastable
+    constant regardless of corpus size (width is stamped on every row
+    so estimate/merge recover the build parameters from the sketch). Mergeable by cell-wise sum (cms_merge),
     so per-partition / per-day sketches roll up without re-reading raw
     data. Point estimates (cms_estimate) overestimate only: for any
     value, est >= true count, and est <= true + 2N/width with
     probability 1 - 2^-depth (Cormode & Muthukrishnan 2005). One
     explode (xdepth) + one map-side-combined aggregate."""
     return (_cms_rows(df, col, depth, width)
-            .groupBy("d", "w").agg(F.count(F.lit(1)).alias("c")))
+            .groupBy("d", "w").agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("width", F.lit(width)))
+
+
+def _cms_params(cms: DataFrame) -> tuple[int, int]:
+    """(depth, width) recovered from the sketch itself: width is
+    stamped on every row at build time, depth = max(d)+1 (every depth
+    row exists for any non-empty input). One bounded action over a
+    broadcast-sized frame."""
+    row = cms.agg(F.max("d").alias("d"), F.min("width").alias("w0"),
+                  F.max("width").alias("w1")).first()
+    if row.d is None:
+        raise ValueError("cannot infer (depth, width) from an empty "
+                         "sketch — pass depth=/width= explicitly")
+    if row.w0 != row.w1:
+        raise ValueError(f"sketch mixes widths {row.w0} != {row.w1}")
+    return int(row.d) + 1, int(row.w0)
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Cell-wise sum of two sketches built with the same (depth,
-    width) — associative/commutative roll-up."""
+    """Cell-wise sum of two sketches — associative/commutative
+    roll-up. Fails loudly when the two sketches were built with
+    different widths (their cells are incomparable); the check is one
+    action over two broadcast-sized frames."""
+    _, wa = _cms_params(a)
+    _, wb = _cms_params(b)
+    if wa != wb:
+        raise ValueError(f"cannot merge sketches of widths {wa} != {wb}")
     return (a.unionByName(b).groupBy("d", "w")
-            .agg(F.sum("c").alias("c")))
+            .agg(F.sum("c").alias("c"))
+            .withColumn("width", F.lit(wa)))
 
 
 def cms_estimate(cms: DataFrame, probes: DataFrame, col: str,
-                 depth: int = 4, width: int = 1024) -> DataFrame:
+                 depth: int | None = None,
+                 width: int | None = None) -> DataFrame:
     """Point-query the sketch for every probe value: (value, est) with
     est = min over rows d of the value's cell count (absent cell = 0).
     The sketch broadcasts (<= depth*width rows); probes never shuffle
-    against raw data."""
+    against raw data.
+
+    (depth, width) are DERIVED from the sketch (round-4 advice: an
+    independent default here could silently probe the wrong cells and
+    under-estimate, breaking the overestimate-only guarantee); passing
+    them explicitly is allowed but validated against the sketch."""
+    d_sk, w_sk = _cms_params(cms)
+    if depth is not None and depth != d_sk:
+        raise ValueError(f"depth={depth} != sketch depth {d_sk}")
+    if width is not None and width != w_sk:
+        raise ValueError(f"width={width} != sketch width {w_sk}")
+    depth, width = d_sk, w_sk
     pb = probes.select(F.col(col).cast("string").alias("value")) \
         .distinct()
     pcells = pb.select(

@@ -94,27 +94,32 @@ def asof_join(
     asc = direction == "backward"
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
-    _reserve(left, ("_asof_ts", "_asof_value", "_asof_side",
-                    "_asof_rts", "_asof_matched", "asof_value"),
+    _reserve(left, ("_asof_ts", "_asof_pair", "_asof_side",
+                    "_asof_last", "asof_value"),
              "asof_join")
 
+    # (rts, value) travel in ONE struct so a single
+    # last(ignorenulls) picks both from the SAME right row — two
+    # independent last() windows could pair a stale value with a
+    # fresher timestamp whenever the right side carries NULL values,
+    # mis-measuring the tolerance gap (round-4 advice). A right row
+    # whose value is NULL still matches (its struct is non-null) and
+    # yields asof_value NULL, the pandas merge_asof convention.
     lcols = [c for c in left.columns]
     r = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_asof_ts"),
-        F.col(value_col).alias("_asof_value"),
-        F.col(right_ts).alias("_asof_rts"),
+        F.struct(F.col(right_ts).alias("rts"),
+                 F.col(value_col).alias("val")).alias("_asof_pair"),
         F.lit(0).alias("_asof_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c != on],
     )
+    pair_type = r.schema["_asof_pair"].dataType
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_asof_ts"),
-        F.lit(None).cast(right.schema[value_col].dataType)
-        .alias("_asof_value"),
-        F.lit(None).cast(right.schema[right_ts].dataType)
-        .alias("_asof_rts"),
+        F.lit(None).cast(pair_type).alias("_asof_pair"),
         F.lit(1).alias("_asof_side"),
     )
     ts_key = F.col("_asof_ts") if asc else F.col("_asof_ts").desc()
@@ -123,15 +128,13 @@ def asof_join(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = (
         l.unionByName(r.select(*l.columns))
-        .withColumn("asof_value",
-                    F.last("_asof_value", ignorenulls=True).over(w))
+        .withColumn("_asof_last",
+                    F.last("_asof_pair", ignorenulls=True).over(w))
+        .withColumn("asof_value", F.col("_asof_last.val"))
     )
     if tolerance_seconds is not None:
         gap = F.abs(_epoch_s("_asof_ts")
-                    - _epoch_s("_asof_matched"))
-        out = out.withColumn(
-            "_asof_matched",
-            F.last("_asof_rts", ignorenulls=True).over(w))
+                    - _epoch_s("_asof_last.rts"))
         out = out.withColumn(
             "asof_value",
             F.when(gap <= int(tolerance_seconds),

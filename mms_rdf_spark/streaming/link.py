@@ -15,9 +15,45 @@ Resolution per batch:
      an anchor ADOPTS the anchor's entity_id (min across anchors,
      deterministic), components with no anchor mint a new entity
      (min norm — the batch rule);
-  3. the merged table is committed atomically (tmp + rename, runlog
-     discipline) and the applied batch id is recorded, so foreachBatch
-     replays after a crash are no-ops (idempotent exactly-once).
+  3. the merged table is committed as a NEW VERSION directory with a
+     single atomic pointer swap (see "Commit protocol" below); only
+     buckets touched by the batch are rewritten.
+
+Storage layout (a poor man's Iceberg snapshot, same seam as
+tables.py — swap in MERGE INTO when an Iceberg runtime is present):
+
+    entities_dir/
+      CURRENT              <- text file naming the live version dir;
+                              os.replace() of this file is the ONE
+                              atomic commit operation
+      v_0000000007/
+        _manifest.json     <- {"applied": [batch ids], "n_buckets": N}
+                              written INSIDE the version dir, so the
+                              applied-batch record is transactional
+                              with the data it describes
+        data/bucket=K/...  <- entity rows hash-partitioned by
+                              crc32(surface) % n_buckets
+
+Commit protocol (crash-safe at every point):
+  - build the new version dir: write ONLY the touched buckets
+    (the batch's surface hash buckets), hardlink every untouched
+    bucket's files from the current version (parquet files are
+    immutable; a later rewrite of that bucket lands in a newer
+    version dir, never mutates), write the manifest, then atomically
+    repoint CURRENT.
+  - crash BEFORE the pointer swap: CURRENT still names the old,
+    complete version whose manifest lacks this batch id -> the replay
+    re-merges against the OLD table (which never saw the batch), so
+    nothing is lost and freq cannot double-accrue. The half-built
+    version dir is removed and rebuilt.
+  - crash AFTER the pointer swap: the manifest inside the new CURRENT
+    already records the batch id -> the replay is a no-op.
+
+Scale: per-batch WRITE cost is O(touched buckets) = O(batch size),
+not O(entity table). The anchor scan still reads the full table's
+(surface, norm, entity_id) columns once per batch (pruned by a
+broadcast semi-join on blocking keys); at 10^9 entities the next step
+is a persisted block-key -> bucket index, same seam.
 
 Drift contract (documented, tested): a fresh surface that BRIDGES two
 existing entities adopts the min entity_id but does not rewrite the
@@ -44,23 +80,27 @@ from pyspark.sql.streaming import StreamingQuery
 from mms_rdf_spark.functions.iri import sanitize_suffix_col
 from mms_rdf_spark.operators.link import (
     DEFAULT_JACCARD,
+    blocking_keys,
     candidate_edges,
     distinct_surfaces,
     entity_table,
 )
 
+N_BUCKETS = 16
+
 
 def _block_keys() -> F.Column:
-    """The two blocking keys of link.candidate_edges (prefix / suffix
-    bigram + length bucket), as an array — MUST stay in lockstep with
-    the batch linker so anchor pruning can never miss a candidate."""
-    len_bucket = (F.length("norm") / 4).cast("int").cast("string")
-    return F.array(
-        F.concat(F.lit("p#"), F.substring("norm", 1, 2), F.lit("#"),
-                 len_bucket),
-        F.concat(F.lit("s#"), F.substring(F.col("norm"), -2, 2),
-                 F.lit("#"), len_bucket),
-    )
+    """The batch linker's blocking keys as an array column — imported
+    from operators.link.blocking_keys (single source of truth), so
+    anchor pruning can never drift from candidate_edges' blocking."""
+    return F.array(*blocking_keys())
+
+
+def _bucket_col(n_buckets: int) -> F.Column:
+    # crc32 is deterministic across Spark versions / engines (unlike
+    # hash(), whose seed is an implementation detail)
+    return F.pmod(F.crc32(F.col("surface")), F.lit(n_buckets)) \
+        .cast("int")
 
 
 def _canonical_iri(entity_id) -> F.Column:
@@ -68,29 +108,74 @@ def _canonical_iri(entity_id) -> F.Column:
                     sanitize_suffix_col(entity_id))
 
 
-def link_batch(
+# --------------------------------------------------------- versioning
+def _current_pointer(entities_dir: str) -> str:
+    return os.path.join(entities_dir, "CURRENT")
+
+
+def _current_version(entities_dir: str) -> str | None:
+    try:
+        with open(_current_pointer(entities_dir)) as fh:
+            return fh.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def _manifest(entities_dir: str, version: str | None) -> dict:
+    if version is None:
+        return {"applied": [], "n_buckets": N_BUCKETS}
+    with open(os.path.join(entities_dir, version,
+                           "_manifest.json")) as fh:
+        return json.load(fh)
+
+
+def applied_batches(entities_dir: str) -> list[int]:
+    """Batch ids recorded in the CURRENT version's manifest."""
+    return _manifest(entities_dir,
+                     _current_version(entities_dir))["applied"]
+
+
+def read_entities(spark: SparkSession,
+                  entities_dir: str) -> DataFrame | None:
+    """The live entity table (CURRENT version), or None if no commit
+    has happened yet."""
+    version = _current_version(entities_dir)
+    if version is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(entities_dir, version, "data"))
+
+
+# ----------------------------------------------------------- linking
+def _merge_touched(
     spark: SparkSession,
-    mention_triples: DataFrame,
-    entities_dir: str,
-    jaccard_threshold: float = DEFAULT_JACCARD,
+    surfaces: DataFrame,
+    existing: DataFrame | None,
+    jaccard_threshold: float,
+    n_buckets: int,
 ) -> DataFrame:
-    """One incremental linking step: returns the MERGED entity table
-    (existing + this batch). Pure transformation — the caller commits.
-    """
+    """Entity rows for the batch's TOUCHED buckets only: existing rows
+    in those buckets (freq accrued where the surface recurs) plus the
+    linked/adopted/minted fresh surfaces. Rows in untouched buckets
+    cannot change (a recurring surface hashes to its own bucket), so
+    the caller reuses their files verbatim."""
     from mms_rdf_spark.operators.cc import connected_components
 
-    surfaces = distinct_surfaces(mention_triples).localCheckpoint()
-    data_dir = os.path.join(entities_dir, "data")
-    if not os.path.isdir(data_dir):
+    if existing is None:
         comps = connected_components(
             candidate_edges(surfaces, jaccard_threshold), "src", "dst")
-        return entity_table(surfaces, comps)
+        return entity_table(surfaces, comps) \
+            .withColumn("bucket", _bucket_col(n_buckets))
 
-    existing = spark.read.parquet(data_dir)
+    touched = [r.bucket for r in
+               surfaces.select(_bucket_col(n_buckets).alias("bucket"))
+               .distinct().collect()]
+    ex_touched = existing.where(F.col("bucket").isin(touched))
 
-    # recurring surfaces: entity kept, frequency accrues
+    # recurring surfaces: entity kept, frequency accrues (a recurring
+    # surface shares its bucket, so ex_touched suffices)
     add = surfaces.select("surface", F.col("freq").alias("_add"))
-    kept = (existing.join(add, "surface", "left")
+    kept = (ex_touched.join(add, "surface", "left")
             .withColumn("freq", (F.col("freq")
                                  + F.coalesce("_add", F.lit(0)))
                         .cast("long"))
@@ -99,12 +184,13 @@ def link_batch(
     fresh = surfaces.join(existing.select("surface"), "surface",
                           "left_anti").localCheckpoint()
     # anchors: existing surfaces sharing a blocking key with the batch
-    # (the only rows the batch linker could ever pair with)
-    touched = fresh.select(F.explode(_block_keys()).alias("_bk")) \
+    # (the only rows the batch linker could ever pair with); scans the
+    # FULL table's three columns, pruned by the broadcast key join
+    touched_keys = fresh.select(F.explode(_block_keys()).alias("_bk")) \
         .distinct()
     anchors = (existing.select("surface", "norm", "entity_id")
                .withColumn("_bk", F.explode(_block_keys()))
-               .join(F.broadcast(touched), "_bk")
+               .join(F.broadcast(touched_keys), "_bk")
                .select("surface", "norm", "entity_id").distinct()
                .localCheckpoint())
 
@@ -130,29 +216,81 @@ def link_batch(
         .withColumn("entity_id", F.coalesce("_adopt", "_mint"))
         .select("surface", "norm", "freq", "entity_id",
                 _canonical_iri(F.col("entity_id")).alias("canonical_iri"))
+        .withColumn("bucket", _bucket_col(n_buckets))
     )
     return kept.unionByName(fresh_ents)
 
 
-def _applied_path(entities_dir: str) -> str:
-    return os.path.join(entities_dir, "_applied.json")
+def link_batch(
+    spark: SparkSession,
+    mention_triples: DataFrame,
+    entities_dir: str,
+    jaccard_threshold: float = DEFAULT_JACCARD,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """One incremental linking step: returns the FULL merged entity
+    table (existing + this batch). Pure transformation — the caller
+    commits (`_commit_batch`). The untouched-bucket rows pass through
+    unchanged; the commit path reuses their files without rewriting."""
+    surfaces = distinct_surfaces(mention_triples) \
+        .withColumn("bucket", _bucket_col(n_buckets)).localCheckpoint()
+    existing = read_entities(spark, entities_dir)
+    merged_touched = _merge_touched(spark, surfaces, existing,
+                                    jaccard_threshold, n_buckets)
+    if existing is None:
+        return merged_touched
+    touched = [r.bucket for r in surfaces.select("bucket")
+               .distinct().collect()]
+    untouched = existing.where(~F.col("bucket").isin(touched))
+    return untouched.unionByName(merged_touched)
 
 
 def _commit_batch(spark: SparkSession, merged: DataFrame,
-                  entities_dir: str, batch_id: int) -> None:
-    data_dir = os.path.join(entities_dir, "data")
-    tmp = data_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    # writing tmp executes the read of the CURRENT table; only then swap
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(data_dir, ignore_errors=True)
-    os.replace(tmp, data_dir)
-    applied = []
-    if os.path.exists(_applied_path(entities_dir)):
-        with open(_applied_path(entities_dir)) as fh:
-            applied = json.load(fh)
-    with open(_applied_path(entities_dir), "w") as fh:
-        json.dump(applied + [batch_id], fh)
+                  entities_dir: str, batch_id: int,
+                  n_buckets: int = N_BUCKETS,
+                  touched: set[int] | None = None) -> None:
+    """Commit a merged entity table as a new version (see module
+    docstring "Commit protocol"). `merged` is the FULL table
+    (link_batch output). When `touched` (the batch's surface-hash
+    buckets) is given, only those buckets are written — every other
+    bucket's files are hardlinked from the current version, so they
+    stay byte-identical (same inodes). Without `touched`, the full
+    table is rewritten (still crash-safe, just not incremental)."""
+    cur = _current_version(entities_dir)
+    manifest = _manifest(entities_dir, cur)
+    if batch_id in manifest["applied"]:
+        return  # crash replay of a committed batch
+    new_version = f"v_{len(manifest['applied']):010d}_b{batch_id}"
+    new_dir = os.path.join(entities_dir, new_version)
+    shutil.rmtree(new_dir, ignore_errors=True)  # crashed half-build
+    new_data = os.path.join(new_dir, "data")
+
+    if cur is None or touched is None:
+        merged.write.partitionBy("bucket").parquet(new_data)
+    else:
+        cur_data = os.path.join(entities_dir, cur, "data")
+        old_buckets = {d for d in os.listdir(cur_data)
+                       if d.startswith("bucket=")}
+        (merged.where(F.col("bucket").isin(sorted(touched)))
+         .write.partitionBy("bucket").parquet(new_data))
+        for b in old_buckets - {f"bucket={t}" for t in touched}:
+            src = os.path.join(cur_data, b)
+            dst = os.path.join(new_data, b)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                try:
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                except OSError:  # cross-device: fall back to copy
+                    shutil.copy2(os.path.join(src, f),
+                                 os.path.join(dst, f))
+
+    with open(os.path.join(new_dir, "_manifest.json"), "w") as fh:
+        json.dump({"applied": manifest["applied"] + [batch_id],
+                   "n_buckets": n_buckets}, fh)
+    tmp_ptr = _current_pointer(entities_dir) + ".tmp"
+    with open(tmp_ptr, "w") as fh:
+        fh.write(new_version)
+    os.replace(tmp_ptr, _current_pointer(entities_dir))  # THE commit
 
 
 def incremental_link(
@@ -161,12 +299,14 @@ def incremental_link(
     entities_dir: str,
     checkpoint_dir: str,
     jaccard_threshold: float = DEFAULT_JACCARD,
+    n_buckets: int = N_BUCKETS,
 ) -> StreamingQuery:
     """AvailableNow incremental linking over a growing triples table:
     drains unseen triple files, links their mention surfaces against
-    the live entity table, commits atomically. Re-running after new
-    files arrive processes only the delta; crash replays of an applied
-    batch are skipped via the applied-batch manifest."""
+    the live entity table, commits a new version with an atomic
+    pointer swap. Re-running after new files arrive processes only the
+    delta; crash replays of an applied batch are no-ops (the applied
+    list lives inside the committed version's manifest)."""
     from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA
 
     os.makedirs(entities_dir, exist_ok=True)
@@ -175,13 +315,16 @@ def incremental_link(
               .where(F.col("predicate") == "mms-property:mentions"))
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        if os.path.exists(_applied_path(entities_dir)):
-            with open(_applied_path(entities_dir)) as fh:
-                if batch_id in json.load(fh):
-                    return  # crash replay of a committed batch
+        if batch_id in applied_batches(entities_dir):
+            return  # crash replay of a committed batch
         merged = link_batch(spark, batch, entities_dir,
-                            jaccard_threshold)
-        _commit_batch(spark, merged, entities_dir, batch_id)
+                            jaccard_threshold, n_buckets)
+        touched = {r.bucket for r in
+                   distinct_surfaces(batch)
+                   .select(_bucket_col(n_buckets).alias("bucket"))
+                   .distinct().collect()}
+        _commit_batch(spark, merged, entities_dir, batch_id, n_buckets,
+                      touched=touched)
 
     return (stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)

@@ -176,3 +176,30 @@ def test_cms_overestimates_only_and_merges(spark):
     merged = sorted(map(tuple, cms_merge(h1, h2).collect()))
     whole = sorted(map(tuple, cms.collect()))
     assert merged == whole
+
+
+def test_cms_params_recovered_and_mismatch_fails_loudly(spark):
+    """Round-4 advice: estimate/merge derive (depth, width) from the
+    sketch itself — a caller can no longer probe the wrong cells and
+    silently under-estimate."""
+    import pytest
+
+    from mms_rdf_spark.operators.sketch import (cms_build, cms_estimate,
+                                                cms_merge)
+    ev = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(30)], "event_id long, t string")
+    small = cms_build(ev, "t", depth=3, width=64)
+    probes = ev.select("t").distinct()
+    # estimates use the sketch's own (3, 64) — overestimate-only holds
+    est = {r.value: r.est for r in
+           cms_estimate(small, probes, "t").collect()}
+    assert all(est[f"t{k}"] >= 10 for k in range(3))
+    # explicit params validated against the sketch
+    with pytest.raises(ValueError, match="depth"):
+        cms_estimate(small, probes, "t", depth=4)
+    with pytest.raises(ValueError, match="width"):
+        cms_estimate(small, probes, "t", width=1024)
+    # merging different widths is incomparable -> loud failure
+    other = cms_build(ev, "t", depth=3, width=128)
+    with pytest.raises(ValueError, match="widths"):
+        cms_merge(small, other)

@@ -60,8 +60,8 @@ def test_streaming_chain_matches_batch(spark, tmp_path):
     ref_ents = link_mentions(
         triples_ref.where(F.col("predicate") == "mms-property:mentions")) \
         .toPandas().set_index("surface")
-    got_ents = spark.read.parquet(os.path.join(ents, "data")) \
-        .toPandas().set_index("surface")
+    from mms_rdf_spark.streaming.link import read_entities
+    got_ents = read_entities(spark, ents).toPandas().set_index("surface")
     assert set(got_ents.index) == set(ref_ents.index)
     # grouping parity: same partition of surfaces into entities
     ref_groups = {s: ref_ents.entity_id[s] for s in ref_ents.index}

@@ -331,3 +331,24 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     plan = asof_join(left, right, on="user_id", tolerance_seconds=60) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "Join" not in plan, plan
+
+
+def test_asof_null_right_value_pairs_with_own_timestamp(spark):
+    """Round-4 advice: (value, matched-ts) must come from the SAME
+    right row. A right row with a NULL value still matches (pandas
+    merge_asof convention) and the tolerance gap is measured against
+    THAT row's timestamp — not a fresher/staler neighbor's."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(20))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(1), 7.0), (10, _ts(19), None)],
+        "user_id long, ts timestamp, value double")
+    # no tolerance: the t=19 NULL row is the latest at-or-before match
+    got = asof_join(left, right, on="user_id").collect()
+    assert [r.asof_value for r in got] == [None]
+    # tolerance 120 s: gap to the MATCHED row (t=19) is 60 s -> in
+    # bound -> NULL value (not the stale 7.0 from t=1, whose gap of
+    # 19 min would also have failed the bound)
+    got = asof_join(left, right, on="user_id",
+                    tolerance_seconds=120).collect()
+    assert [r.asof_value for r in got] == [None]
