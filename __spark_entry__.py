@@ -2180,6 +2180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistics analytically from the pixel generator formula
         return MM.image_stats(MM.synth_ppm_media(_docs(spark, sf)))
 
+    def mm_png_stats(spark, sf):
+        # REAL PNG decode with the stdlib: payloads are genuine PNGs
+        # (zlib-deflated scanlines, filter types cycling 0..4 per
+        # row); decode = inflate + unfilter; channel means hash-match
+        # the SAME analytic oracle as the PPM path (same pixel formula)
+        return MM.image_stats(MM.synth_png_media(_docs(spark, sf)))
+
     def kg_sparql_select(spark, sf):
         # the SPARQL string front-end compiled onto Catalyst: BGP join
         # + OPTIONAL (left join) + FILTER over the extracted triples
@@ -2647,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_neardup": kg_conv_neardup,
         "kg_sparql_path": kg_sparql_path,
         "text_pref_length_bias": text_pref_length_bias,
+        "mm_png_stats": mm_png_stats,
         "kg_sparql_notexists": kg_sparql_notexists,
         "kg_sparql_values": kg_sparql_values,
         "kg_sparql_closure": kg_sparql_closure,
@@ -6324,6 +6332,11 @@ def oracle_sql() -> dict[str, str]:
                AS mean_b
     FROM px GROUP BY media_id
     """
+
+    # the PNG path decodes to the SAME pixels as the PPM path (shared
+    # generator formula), so the analytic oracle is identical — what
+    # differs is the engine side: inflate + all five unfilter branches
+    q["mm_png_stats"] = q["mm_image_stats"]
 
     # decoded-audio statistics from the generator sample(i) =
     # ((media_id*17 + i*13) % 65536) - 32768 over 64 samples (2^6 ->

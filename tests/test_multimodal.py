@@ -174,3 +174,40 @@ def test_audio_silence_runs_known_pattern(spark):
         "height int, n_frames int")
     out2 = audio_silence_runs(media2, threshold=3000).collect()[0]
     assert out2.n_quiet == 0 and out2.longest_run == 0
+
+
+def test_png_roundtrip_all_filter_types():
+    import numpy as np
+    import pytest
+
+    from mms_rdf_spark.operators.multimodal import (
+        decode_image, decode_png, encode_png, ppm_pixels)
+
+    for mid, (h, w) in [(0, (8, 8)), (7, (5, 11)), (123, (9, 3))]:
+        a = ppm_pixels(mid, h, w)
+        # varied filters: rows cycle None/Sub/Up/Average/Paeth
+        assert (decode_png(encode_png(a)) == a).all()
+        assert (decode_png(encode_png(a, varied_filters=False))
+                == a).all()
+        # the dispatcher picks the PNG decoder from the magic bytes
+        assert (decode_image(encode_png(a)) == a).all()
+    # honest stubs: unsupported variants raise, not garbage
+    with pytest.raises(NotImplementedError):
+        decode_png(b"\xff\xd8\xffJFIF not a png")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xffJFIF jpeg payload")
+
+
+def test_png_stats_matches_ppm_stats(spark):
+    """The decoded channel means must be identical between the PPM and
+    PNG encodings of the same generator image — one scan, Arrow lane,
+    binary never shuffled (same plan discipline as image_stats)."""
+    from mms_rdf_spark.operators.multimodal import (
+        image_stats, synth_png_media, synth_ppm_media)
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", 10 + i) for i in range(12)],
+        "doc_id long, text string, n_chars int")
+    a = image_stats(synth_ppm_media(docs)).orderBy("media_id").collect()
+    b = image_stats(synth_png_media(docs)).orderBy("media_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
