@@ -19,35 +19,13 @@ Resolution per batch:
      single atomic pointer swap (see "Commit protocol" below); only
      buckets touched by the batch are rewritten.
 
-Storage layout (a poor man's Iceberg snapshot, same seam as
-tables.py — swap in MERGE INTO when an Iceberg runtime is present):
-
-    entities_dir/
-      CURRENT              <- text file naming the live version dir;
-                              os.replace() of this file is the ONE
-                              atomic commit operation
-      v_0000000007/
-        _manifest.json     <- {"applied": [batch ids], "n_buckets": N}
-                              written INSIDE the version dir, so the
-                              applied-batch record is transactional
-                              with the data it describes
-        data/bucket=K/...  <- entity rows hash-partitioned by
-                              crc32(surface) % n_buckets
-
-Commit protocol (crash-safe at every point):
-  - build the new version dir: write ONLY the touched buckets
-    (the batch's surface hash buckets), hardlink every untouched
-    bucket's files from the current version (parquet files are
-    immutable; a later rewrite of that bucket lands in a newer
-    version dir, never mutates), write the manifest, then atomically
-    repoint CURRENT.
-  - crash BEFORE the pointer swap: CURRENT still names the old,
-    complete version whose manifest lacks this batch id -> the replay
-    re-merges against the OLD table (which never saw the batch), so
-    nothing is lost and freq cannot double-accrue. The half-built
-    version dir is removed and rebuilt.
-  - crash AFTER the pointer swap: the manifest inside the new CURRENT
-    already records the batch id -> the replay is a no-op.
+Storage: the versioned snapshot store (streaming/snapshot.py — a
+CURRENT pointer file whose os.replace() is the one atomic commit op,
+version dirs carrying their own applied-batch manifest, entity rows
+hash-partitioned by crc32(surface) % n_buckets). Crash before the
+pointer swap replays against the OLD table (nothing lost, freq cannot
+double-accrue); crash after, the replay is a no-op — see the snapshot
+module's commit-protocol docstring.
 
 Scale: per-batch WRITE cost is O(touched buckets) = O(batch size),
 not O(entity table). The anchor scan still reads the full table's
@@ -69,9 +47,7 @@ resolution is part of the beyond-reference streaming suite.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,8 +61,11 @@ from mms_rdf_spark.operators.link import (
     distinct_surfaces,
     entity_table,
 )
+from mms_rdf_spark.streaming import snapshot
+from mms_rdf_spark.streaming.snapshot import N_BUCKETS, applied_batches
 
-N_BUCKETS = 16
+__all__ = ["link_batch", "incremental_link", "read_entities",
+           "applied_batches"]
 
 
 def _block_keys() -> F.Column:
@@ -97,10 +76,7 @@ def _block_keys() -> F.Column:
 
 
 def _bucket_col(n_buckets: int) -> F.Column:
-    # crc32 is deterministic across Spark versions / engines (unlike
-    # hash(), whose seed is an implementation detail)
-    return F.pmod(F.crc32(F.col("surface")), F.lit(n_buckets)) \
-        .cast("int")
+    return snapshot.bucket_col("surface", n_buckets)
 
 
 def _canonical_iri(entity_id) -> F.Column:
@@ -108,42 +84,16 @@ def _canonical_iri(entity_id) -> F.Column:
                     sanitize_suffix_col(entity_id))
 
 
-# --------------------------------------------------------- versioning
-def _current_pointer(entities_dir: str) -> str:
-    return os.path.join(entities_dir, "CURRENT")
-
-
-def _current_version(entities_dir: str) -> str | None:
-    try:
-        with open(_current_pointer(entities_dir)) as fh:
-            return fh.read().strip() or None
-    except FileNotFoundError:
-        return None
-
-
-def _manifest(entities_dir: str, version: str | None) -> dict:
-    if version is None:
-        return {"applied": [], "n_buckets": N_BUCKETS}
-    with open(os.path.join(entities_dir, version,
-                           "_manifest.json")) as fh:
-        return json.load(fh)
-
-
-def applied_batches(entities_dir: str) -> list[int]:
-    """Batch ids recorded in the CURRENT version's manifest."""
-    return _manifest(entities_dir,
-                     _current_version(entities_dir))["applied"]
+# versioning: delegated to streaming.snapshot (shared with the node
+# materializer); kept as thin aliases for the public API and tests
+_current_version = snapshot.current_version
 
 
 def read_entities(spark: SparkSession,
                   entities_dir: str) -> DataFrame | None:
     """The live entity table (CURRENT version), or None if no commit
     has happened yet."""
-    version = _current_version(entities_dir)
-    if version is None:
-        return None
-    return spark.read.parquet(
-        os.path.join(entities_dir, version, "data"))
+    return snapshot.read_table(spark, entities_dir, "data")
 
 
 # ----------------------------------------------------------- linking
@@ -249,48 +199,15 @@ def _commit_batch(spark: SparkSession, merged: DataFrame,
                   entities_dir: str, batch_id: int,
                   n_buckets: int = N_BUCKETS,
                   touched: set[int] | None = None) -> None:
-    """Commit a merged entity table as a new version (see module
-    docstring "Commit protocol"). `merged` is the FULL table
+    """Commit a merged entity table as a new version (see the
+    snapshot-module commit protocol). `merged` is the FULL table
     (link_batch output). When `touched` (the batch's surface-hash
     buckets) is given, only those buckets are written — every other
     bucket's files are hardlinked from the current version, so they
     stay byte-identical (same inodes). Without `touched`, the full
     table is rewritten (still crash-safe, just not incremental)."""
-    cur = _current_version(entities_dir)
-    manifest = _manifest(entities_dir, cur)
-    if batch_id in manifest["applied"]:
-        return  # crash replay of a committed batch
-    new_version = f"v_{len(manifest['applied']):010d}_b{batch_id}"
-    new_dir = os.path.join(entities_dir, new_version)
-    shutil.rmtree(new_dir, ignore_errors=True)  # crashed half-build
-    new_data = os.path.join(new_dir, "data")
-
-    if cur is None or touched is None:
-        merged.write.partitionBy("bucket").parquet(new_data)
-    else:
-        cur_data = os.path.join(entities_dir, cur, "data")
-        old_buckets = {d for d in os.listdir(cur_data)
-                       if d.startswith("bucket=")}
-        (merged.where(F.col("bucket").isin(sorted(touched)))
-         .write.partitionBy("bucket").parquet(new_data))
-        for b in old_buckets - {f"bucket={t}" for t in touched}:
-            src = os.path.join(cur_data, b)
-            dst = os.path.join(new_data, b)
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                try:
-                    os.link(os.path.join(src, f), os.path.join(dst, f))
-                except OSError:  # cross-device: fall back to copy
-                    shutil.copy2(os.path.join(src, f),
-                                 os.path.join(dst, f))
-
-    with open(os.path.join(new_dir, "_manifest.json"), "w") as fh:
-        json.dump({"applied": manifest["applied"] + [batch_id],
-                   "n_buckets": n_buckets}, fh)
-    tmp_ptr = _current_pointer(entities_dir) + ".tmp"
-    with open(tmp_ptr, "w") as fh:
-        fh.write(new_version)
-    os.replace(tmp_ptr, _current_pointer(entities_dir))  # THE commit
+    snapshot.commit(spark, entities_dir, batch_id,
+                    {"data": (merged, touched)}, n_buckets)
 
 
 def incremental_link(

@@ -10,11 +10,18 @@ re-derived in a later batch (recurring artifact, replayed file) maps
 to the same ~id and is dropped, so the edge table is append-only AND
 duplicate-free without any wide merge.
 
-Node rows are NOT streamed: lpg_nodes pivots all literal predicates of
-a subject into one row, and a subject's triples can span batches — an
-incremental pivot would need per-column merge semantics. The batch
-materialize stage owns nodes (the same lambda split incremental.py
-documents for conversation-level list triples).
+Node rows stream too (round-4 verdict item 7, closing the last
+missing streaming twin): a subject's triples can span batches, so an
+incremental pivot cannot merge columns row-locally. Instead the node
+store keeps TWO tables in one transactional snapshot (snapshot.py):
+`acc` — the node-relevant raw triples accumulated so far, and `nodes`
+— the pivoted rows. Each batch rewrites only the buckets its subjects
+hash into: the touched slice of `acc` grows by the batch's triples,
+and the touched subjects' node rows are re-pivoted FROM the
+accumulated slice (full recompute per touched subject — the only
+semantics that is exactly batch-equal when a subject's literal set
+spans waves). Untouched buckets are hardlinked; both tables move under
+one pointer swap, so a crash can never desynchronize them.
 
 Scale note: the anti-join's build side is the existing edge-ID column
 only (not the edge payload); on a real deployment that read prunes to
@@ -81,6 +88,103 @@ def incremental_lpg_edges(
                 applied = json.load(fh)
         with open(_applied_path(out_dir), "w") as fh:
             json.dump(applied + [batch_id], fh)
+
+    return (stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+# ------------------------------------------------- incremental nodes
+from mms_rdf_spark.operators.materialize import lpg_nodes  # noqa: E402
+from mms_rdf_spark.streaming import snapshot  # noqa: E402
+from mms_rdf_spark.streaming.snapshot import N_BUCKETS  # noqa: E402
+
+
+def read_nodes(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The live incremental node table (CURRENT version), or None."""
+    df = snapshot.read_table(spark, out_dir, "nodes")
+    return None if df is None else df.drop("bucket")
+
+
+def _node_relevant(triples: DataFrame) -> DataFrame:
+    """The projection lpg_nodes actually consumes: rdf:type rows (for
+    ~label) + literal-object rows (for the property pivot). IRI-object
+    edges never reach the node pivot, so they are dropped before the
+    accumulator — the store stays a small fraction of the triple
+    stream."""
+    return triples.where(
+        (F.col("predicate") == "rdf:type") | (~F.col("object_is_iri")))
+
+
+def nodes_batch(
+    spark: SparkSession,
+    triples: DataFrame,
+    out_dir: str,
+    n_buckets: int = N_BUCKETS,
+) -> tuple[DataFrame, DataFrame, set[int]]:
+    """One incremental step: returns (acc', nodes', touched buckets)
+    where acc' is the accumulated node-relevant triples including this
+    batch and nodes' the re-pivoted node table. Pure transformation —
+    the caller commits both under one snapshot version."""
+    bat = _node_relevant(triples) \
+        .withColumn("bucket", snapshot.bucket_col("subject", n_buckets)) \
+        .localCheckpoint()
+    acc = snapshot.read_table(spark, out_dir, "acc")
+    nodes = snapshot.read_table(spark, out_dir, "nodes")
+    touched = {r.bucket for r in bat.select("bucket").distinct().collect()}
+
+    if acc is None:
+        acc2 = bat
+    else:
+        acc2 = acc.unionByName(bat)
+    # re-pivot ONLY the touched subjects, from their FULL accumulated
+    # triple slice (partition-pruned read: touched buckets only)
+    touched_subjects = bat.select("subject").distinct()
+    slice_t = (acc2.where(F.col("bucket").isin(sorted(touched)))
+               .join(touched_subjects, "subject", "left_semi"))
+    repivot = lpg_nodes(slice_t.drop("bucket")) \
+        .withColumn("bucket", snapshot.bucket_col("~id", n_buckets))
+
+    if nodes is None:
+        nodes2 = repivot
+    else:
+        survivors = (nodes.where(F.col("bucket").isin(sorted(touched)))
+                     .join(touched_subjects
+                           .withColumnRenamed("subject", "~id"),
+                           "~id", "left_anti"))
+        untouched = nodes.where(~F.col("bucket").isin(sorted(touched)))
+        nodes2 = (untouched
+                  .unionByName(survivors, allowMissingColumns=True)
+                  .unionByName(repivot, allowMissingColumns=True))
+    return acc2, nodes2, touched
+
+
+def incremental_lpg_nodes(
+    spark: SparkSession,
+    triples_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = N_BUCKETS,
+) -> StreamingQuery:
+    """AvailableNow incremental node materialization: drains unseen
+    triple files, re-pivots the touched subjects against the
+    accumulated slice, commits acc+nodes as ONE snapshot version
+    (atomic pointer swap; untouched buckets hardlinked; crash replays
+    of applied batches are no-ops)."""
+    from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA
+
+    os.makedirs(out_dir, exist_ok=True)
+    stream = spark.readStream.schema(TRIPLE_SCHEMA).parquet(triples_dir)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in snapshot.applied_batches(out_dir):
+            return  # crash replay of a committed batch
+        acc2, nodes2, touched = nodes_batch(spark, batch, out_dir,
+                                            n_buckets)
+        snapshot.commit(spark, out_dir, batch_id,
+                        {"acc": (acc2, touched),
+                         "nodes": (nodes2, touched)}, n_buckets)
 
     return (stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)

@@ -73,3 +73,105 @@ def test_edges_batch_dedup_reads_id_column_only(spark, tmp_path):
     import re
     scans = [m for m in re.findall(r"ReadSchema: struct<[^>]*>", plan)]
     assert any("~id" in s and "~from" not in s for s in scans), scans
+
+
+def _lit_triples(spark, rows):
+    """(subject, predicate, object, is_iri) mixed rows."""
+    return spark.createDataFrame(
+        [(s, p, o, iri, None if iri else "xsd:string", None, None,
+          "c0", 0) for s, p, o, iri in rows],
+        "subject string, predicate string, object string, "
+        "object_is_iri boolean, datatype string, lang string, "
+        "idx int, conv_id string, turn_idx int")
+
+
+def test_streaming_nodes_two_waves_match_batch(spark, tmp_path):
+    """The last missing streaming twin (round-4 verdict item 7): node
+    pivots across TWO waves equal the batch pivot over the full corpus
+    — including a subject whose literals SPAN the waves and whose
+    rdf:type only arrives in wave 2."""
+    from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA
+    from mms_rdf_spark.operators.materialize import lpg_nodes
+    from mms_rdf_spark.streaming.materialize import (
+        incremental_lpg_nodes, read_nodes)
+
+    tdir = str(tmp_path / "triples")
+    out = str(tmp_path / "nodes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(tdir, exist_ok=True)
+
+    w1 = [("mms-element:A", "rdf:type", "mms-class:Turn", True),
+          ("mms-element:A", "mms-property:text", "hello", False),
+          ("mms-element:B", "mms-property:text", "spans waves", False),
+          ("mms-element:C", "rdf:type", "mms-class:Conversation", True),
+          ("mms-element:C", "mms-property:turns", "mms-element:A", True)]
+    w2 = [("mms-element:B", "rdf:type", "mms-class:Turn", True),
+          ("mms-element:B", "mms-property:role", "user", False),
+          ("mms-element:A", "mms-property:text", "again", False),
+          ("mms-element:D", "rdf:type", "mms-class:Turn", True)]
+
+    for wave in (w1, w2):
+        t = _lit_triples(spark, wave)
+        spark.createDataFrame(t.collect(), TRIPLE_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(tdir)
+        q = incremental_lpg_nodes(spark, tdir, out, ckpt)
+        q.awaitTermination(120)
+
+    all_t = _lit_triples(spark, w1 + w2)
+    ref = lpg_nodes(all_t).toPandas().set_index("~id").sort_index()
+    got = read_nodes(spark, out).toPandas().set_index("~id").sort_index()
+    assert sorted(got.columns) == sorted(ref.columns)
+    assert got[sorted(got.columns)].equals(ref[sorted(ref.columns)])
+    # the wave-spanning subject merged literals from BOTH waves
+    assert got.loc["mms-element:A", "mms-property:text"] == "again;hello"
+
+    # exactly-once: a replayed drain with no new files changes nothing
+    q = incremental_lpg_nodes(spark, tdir, out, ckpt)
+    q.awaitTermination(120)
+    got2 = read_nodes(spark, out).toPandas().set_index("~id").sort_index()
+    assert got2[sorted(got2.columns)].equals(got[sorted(got.columns)])
+
+
+def test_streaming_nodes_untouched_buckets_hardlinked(spark, tmp_path):
+    """Bucket-upsert discipline for the node store: a wave that
+    touches one subject leaves every other bucket's files as the SAME
+    inodes across the commit."""
+    from mms_rdf_spark.operators.extract import TRIPLE_SCHEMA
+    from mms_rdf_spark.streaming import snapshot
+    from mms_rdf_spark.streaming.materialize import incremental_lpg_nodes
+
+    tdir = str(tmp_path / "triples")
+    out = str(tmp_path / "nodes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(tdir, exist_ok=True)
+
+    w1 = [(f"mms-element:N{i}", "rdf:type", "mms-class:Turn", True)
+          for i in range(12)]
+    t = _lit_triples(spark, w1)
+    spark.createDataFrame(t.collect(), TRIPLE_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(tdir)
+    incremental_lpg_nodes(spark, tdir, out, ckpt).awaitTermination(120)
+    v0 = snapshot.current_version(out)
+
+    def inodes(version):
+        root = os.path.join(out, version, "nodes")
+        return {b: {f: os.stat(os.path.join(root, b, f)).st_ino
+                    for f in os.listdir(os.path.join(root, b))}
+                for b in os.listdir(root) if b.startswith("bucket=")}
+
+    before = inodes(v0)
+    w2 = [("mms-element:N0", "mms-property:text", "touched", False)]
+    spark.createDataFrame(_lit_triples(spark, w2).collect(),
+                          TRIPLE_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(tdir)
+    incremental_lpg_nodes(spark, tdir, out, ckpt).awaitTermination(120)
+    v1 = snapshot.current_version(out)
+    assert v1 != v0
+    after = inodes(v1)
+    import zlib
+    # same formula as snapshot.bucket_col: crc32(subject) % n_buckets
+    touched_bucket = f"bucket={zlib.crc32(b'mms-element:N0') % 16}"
+    untouched = set(before) - {touched_bucket}
+    assert untouched
+    for b in untouched:
+        assert after[b] == before[b]  # same inodes
