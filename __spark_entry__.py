@@ -2180,6 +2180,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistics analytically from the pixel generator formula
         return MM.image_stats(MM.synth_ppm_media(_docs(spark, sf)))
 
+    def events_kendall_scale(spark, sf):
+        # the SAME statistic through the distributed inversion path
+        # (threshold 0 forces it); shares events_kendall's oracle
+        from mms_rdf_spark.operators.analytics import kendall_tau
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        bucket = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.where(F.col("event_type").isin("click", "view"))
+                  .groupBy(bucket.alias("t"))
+                  .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                             .otherwise(0)).cast("long").alias("x"),
+                       F.sum(F.when(F.col("event_type") == "view", 1)
+                             .otherwise(0)).cast("long").alias("y")))
+        return kendall_tau(hourly, "x", "y", "t", scale_threshold=0)
+
     def mm_png_stats(spark, sf):
         # REAL PNG decode with the stdlib: payloads are genuine PNGs
         # (zlib-deflated scanlines, filter types cycling 0..4 per
@@ -2654,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_neardup": kg_conv_neardup,
         "kg_sparql_path": kg_sparql_path,
         "text_pref_length_bias": text_pref_length_bias,
+        "events_kendall_scale": events_kendall_scale,
         "mm_png_stats": mm_png_stats,
         "kg_sparql_notexists": kg_sparql_notexists,
         "kg_sparql_values": kg_sparql_values,
@@ -4561,6 +4577,9 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(sum(p.s) AS BIGINT) / count(*), 6) AS tau
     FROM p, n GROUP BY n.n
     """
+
+    # the distributed inversion path computes the SAME statistic
+    q["events_kendall_scale"] = q["events_kendall"]
 
     # exact two-sample KS: integer cross-multiplied CDF gaps
     q["events_ks"] = """

@@ -1180,24 +1180,31 @@ def kendall_tau(
     y_col: str,
     order_col: str,
     ndigits: int = 6,
+    scale_threshold: int = 100_000,
 ) -> DataFrame:
     """Exact Kendall tau-a rank correlation between two columns: the
     signed concordant-minus-discordant pair count over all n(n-1)/2
     pairs (ties contribute 0) — rank agreement with NO ranks, means,
-    or float CDFs anywhere; every term is sign((x_i-x_j)(y_i-y_j)) in
-    {-1,0,1} and the statistic is one division at the end. The
-    outlier-immune complement to the Pearson moment-sum operators.
-    Returns (n, n_pairs, tau).
+    or float CDFs anywhere. The outlier-immune complement to the
+    Pearson moment-sum operators. Returns (n, n_pairs, tau).
 
-    Pair generation is a self-join on `order_col` inequality —
-    O(n^2), intended for SERIES-sized inputs (hourly aggregates,
-    percentile grids), not raw corpora; aggregate first (the
-    lagged_crosscorr pattern). A merge-sort inversion count would be
-    O(n log n) but needs a sequential pass — the honest trade is
-    documented rather than hidden.
+    Two row-identical paths (the rfm_segments pattern):
+      - below `scale_threshold` rows: pair self-join on `order_col`
+        inequality — O(n^2), fine for series-sized inputs (hourly
+        aggregates, percentile grids); every term is
+        sign((x_i-x_j)(y_i-y_j)) in {-1,0,1}.
+      - at/above: distributed inversion counting (Knight 1966
+        decomposition, round-4 verdict #8) — tau from
+        S = n0 - n1 - n2 + n3 - 2D where n0..n3 are pair/tie counts
+        (one aggregate each) and D, the discordant-pair count, is the
+        number of y-inversions under the (x, y) total order, counted
+        in O(n log n) work: see _kendall_inversions.
     """
     s = df.select(F.col(order_col).alias("_t"),
                   F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    n = s.count()
+    if n >= scale_threshold:
+        return _kendall_inversions(s, n, ndigits)
     a = s.select(F.col("_t").alias("_t1"), F.col("_x").alias("_x1"),
                  F.col("_y").alias("_y1"))
     b = s.select(F.col("_t").alias("_t2"), F.col("_x").alias("_x2"),
@@ -1208,10 +1215,136 @@ def kendall_tau(
            .cast("long"))
     agg = pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
                     F.sum(sgn).alias("_s"))
-    n = s.count()
     return (agg.select(F.lit(n).alias("n"), "n_pairs",
                        F.round(F.col("_s") / F.col("n_pairs"),
                                ndigits).alias("tau")))
+
+
+def _np_inversions(y) -> int:
+    """#pairs i<j with y[i] > y[j] — vectorized divide-and-conquer
+    (np.searchsorted cross-counts + sorted merges): O(m log^2 m) numpy
+    work, O(log m) Python frames. Exact (Python-int accumulation)."""
+    import numpy as np
+
+    def rec(x):
+        m = len(x)
+        if m <= 1:
+            return x, 0
+        left, il = rec(x[:m // 2])
+        right, ir = rec(x[m // 2:])
+        # every right element sits after every left element in the
+        # original order; strictly-greater left elements invert it
+        cross = int((len(left)
+                     - np.searchsorted(left, right, side="right")).sum())
+        return np.sort(np.concatenate([left, right])), il + ir + cross
+
+    return rec(np.asarray(y))[1]
+
+
+def _kendall_inversions(s: DataFrame, n: int, ndigits: int,
+                        n_chunks: int = 64,
+                        n_buckets: int = 64) -> DataFrame:
+    """Distributed exact discordant-pair count.
+
+    Sort rows by (x, y): D = #pairs where the later row has a strictly
+    smaller y (x-tied pairs are ordered y-ascending, so they never
+    count — correct, they are ties). Counting those inversions
+    distributes by double bucketing:
+
+      chunk c = range bucket of the (x, y) position     (global_rank)
+      ybkt  b = range bucket of the dense y-rank        (ties in y
+                share a dense rank, so a tie never spans buckets and
+                cross-bucket order == strict y order)
+
+      D = cross-cell pairs (c1<c2, b1>b2): exact from the BOUNDED
+          (n_chunks x n_buckets) count matrix — a driver fold of at
+          most 4096 longs, the players^2 pattern;
+        + within-chunk inversions (exact y values, one applyInPandas
+          merge-count per chunk, parallel);
+        + within-bucket inversions ACROSS chunks (same applyInPandas
+          per bucket, minus the per-(chunk,bucket) cell counts that
+          the chunk pass already covered).
+
+    Every Python lane is an Arrow-batched grouped map over ~n/64
+    rows; no data-proportional collect. Output arithmetic (S/n0,
+    rounding) happens ENGINE-side so both kendall paths hash-match
+    the same oracle."""
+    from mms_rdf_spark.operators.link import global_rank
+
+    spark = s.sparkSession
+    n0 = n * (n - 1) // 2
+    if n0 == 0:
+        return spark.createDataFrame(
+            [(n, 0, None)], "n int, n_pairs long, tau double")
+
+    def tie_pairs(*cols) -> int:
+        g = s.groupBy(*cols).agg(F.count(F.lit(1)).alias("_c"))
+        row = g.agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2)
+                    .cast("long").alias("t")).first()
+        return int(row.t or 0)
+
+    n1, n2, n3 = tie_pairs("_x"), tie_pairs("_y"), tie_pairs("_x", "_y")
+
+    # dense y-rank -> y bucket (a tie class never spans buckets)
+    dy = s.select("_y").distinct()
+    d_y = dy.count()
+    dyr = global_rank(dy, "_y", "_y").withColumn(
+        "_b", ((F.col("rank") - 1) * n_buckets / d_y)
+        .cast("long").cast("int")).drop("rank")
+    # (x, y) position -> chunk
+    ranked = global_rank(s.withColumn("_ord", F.struct("_x", "_y")),
+                         "_ord", "_t")
+    rows = (ranked.withColumn(
+        "_c", ((F.col("rank") - 1) * n_chunks / n).cast("long")
+        .cast("int"))
+        .withColumnRenamed("rank", "_px")
+        .join(dyr, on="_y")
+        .select("_px", "_c", "_b", "_y")).localCheckpoint()
+
+    def inv_group(pdf):
+        import pandas as pd
+        o = pdf.sort_values("_px")["_y"].to_numpy()
+        return pd.DataFrame({"inv": [_np_inversions(o)]})
+
+    def inv_sum(grouped) -> int:
+        out = grouped.applyInPandas(inv_group, "inv long") \
+            .agg(F.sum("inv").alias("t")).first()
+        return int(out.t or 0)
+
+    inv_chunk = inv_sum(rows.groupBy("_c"))
+    inv_bucket = inv_sum(rows.groupBy("_b"))
+    inv_cell = inv_sum(rows.groupBy("_c", "_b"))
+
+    # bounded (chunk, bucket) count matrix -> exact cross-cell count:
+    # one chunk-ordered sweep maintaining ge[b] = rows in EARLIER
+    # chunks with bucket >= b (pure Python ints, exact)
+    by_chunk: dict[int, list[tuple[int, int]]] = {}
+    for r in rows.groupBy("_c", "_b").agg(
+            F.count(F.lit(1)).alias("m")).collect():
+        by_chunk.setdefault(r._c, []).append((r._b, r.m))
+    cross = 0
+    ge = [0] * (n_buckets + 2)
+    for c in sorted(by_chunk):
+        for b, m in by_chunk[c]:
+            cross += m * ge[b + 1]  # earlier chunk, strictly larger y
+        add = [0] * (n_buckets + 2)
+        for b, m in by_chunk[c]:
+            add[b] += m
+        run = 0
+        for b in range(n_buckets, -1, -1):
+            run += add[b]
+            ge[b] += run
+
+    D = cross + inv_chunk + (inv_bucket - inv_cell)
+    S = n0 - n1 - n2 + n3 - 2 * D
+    # final arithmetic engine-side (rounding parity with the oracle)
+    # n int / n_pairs long: the exact schema of the pair-join path
+    # (F.lit(n) is IntegerType), so the two paths are frame-identical
+    one = spark.createDataFrame([(n, n0, S)],
+                                "n int, n_pairs long, _s long")
+    return one.select("n", "n_pairs",
+                      F.round(F.col("_s") / F.col("n_pairs"),
+                              ndigits).alias("tau"))
 
 
 def mann_whitney_auc(
