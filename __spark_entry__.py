@@ -2406,6 +2406,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               ?t mms-property:role ?r .
             } GROUP BY ?c""")
 
+    def kg_sparql_minus(spark, sf):
+        # MINUS (left-anti on shared vars, no-op on disjoint domains
+        # per spec) + LIMIT/OFFSET pagination over a total order
+        # (subjects are unique per role triple, so the page is
+        # deterministic)
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?r WHERE {
+              ?s mms-property:role ?r .
+              MINUS { ?s mms-property:role mms-class:Role.System . }
+            } ORDER BY ?s LIMIT 100 OFFSET 5""")
+
+    def kg_sparql_bind(spark, sf):
+        # BIND expression subset: STRLEN (spec integer type), UCASE,
+        # CONCAT, chained BINDs (a BIND var feeding a later BIND),
+        # and arithmetic with xsd numeric promotion
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?len ?loud ?tag ?dbl WHERE {
+              ?s mms-property:role ?r .
+              BIND(STRLEN(?r) AS ?len) .
+              BIND(UCASE(?r) AS ?loud) .
+              BIND(CONCAT(?r, "#", ?s) AS ?tag) .
+              BIND(?len * 2 AS ?dbl) .
+            }""")
+
+    def kg_sparql_altpath(spark, sf):
+        # property-path alternation (bag union) with an inverse
+        # element: a turn's role literal OR its parent conversation
+        # reached against the turns edge (^mms-property:turns)
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?x WHERE {
+              ?s mms-property:role|^mms-property:turns ?x .
+            }""")
+
     def kg_conv_neardup(spark, sf):
         # conversation-granular NEAR dedup: the document MinHash/LSH
         # machinery applied through the conversations_as_docs adapter
@@ -2671,6 +2707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pref_length_bias": text_pref_length_bias,
         "events_kendall_scale": events_kendall_scale,
         "mm_png_stats": mm_png_stats,
+        "kg_sparql_minus": kg_sparql_minus,
+        "kg_sparql_bind": kg_sparql_bind,
+        "kg_sparql_altpath": kg_sparql_altpath,
         "kg_sparql_notexists": kg_sparql_notexists,
         "kg_sparql_values": kg_sparql_values,
         "kg_sparql_closure": kg_sparql_closure,
@@ -7115,6 +7154,39 @@ def oracle_sql() -> dict[str, str]:
            string_agg(role_iri, ',' ORDER BY role_iri) AS roles,
            min(role_iri) AS first_role
     FROM r GROUP BY conv_id
+    """
+
+    # MINUS == drop system turns (left-anti on the shared ?s); the
+    # ORDER BY s page is deterministic because role-triple subjects
+    # are unique
+    q["kg_sparql_minus"] = f"""
+    {_T}
+    SELECT s, r FROM (
+      SELECT {_SUBJ_SQL} AS s, {_ROLE_IRI_SQL} AS r
+      FROM t
+      WHERE {_ROLE_IRI_SQL} <> 'mms-class:Role.System'
+      ORDER BY s LIMIT 100 OFFSET 5)
+    """
+
+    # BIND subset: STRLEN -> BIGINT (spec integer), UCASE, CONCAT,
+    # chained arithmetic with xsd numeric promotion (DOUBLE)
+    q["kg_sparql_bind"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s,
+           CAST(length({_ROLE_IRI_SQL}) AS BIGINT) AS len,
+           upper({_ROLE_IRI_SQL}) AS loud,
+           {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag,
+           CAST(length({_ROLE_IRI_SQL}) * 2 AS DOUBLE) AS dbl
+    FROM t
+    """
+
+    # alternation = bag union (UNION ALL) of the role literal and the
+    # inverse turns edge (^turns binds the turn's parent conversation)
+    q["kg_sparql_altpath"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s, {_ROLE_IRI_SQL} AS x FROM t
+    UNION ALL
+    SELECT {_SUBJ_SQL} AS s, 'mms-element:' || conv_id AS x FROM t
     """
 
     q["text_oov_rate"] = f"""

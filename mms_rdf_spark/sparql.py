@@ -192,24 +192,41 @@ class Traversal:
 #   SELECT [DISTINCT] ?a ?b | * [WHERE]
 #   { <triple patterns '.'-terminated; `;` predicate-object lists;
 #      `a` keyword for rdf:type; sequence paths p1/p2; closure
-#      paths p* / p+, also as path steps (a/rdfs:subClassOf*)>
+#      paths p* / p+, also as path steps (a/rdfs:subClassOf*);
+#      inverse paths ^p (also ^p/q sequences, ^p+ closures);
+#      alternation p1|p2 (elements may carry ^/*/+; not mixed with
+#      `/` inside one alternation)>
 #     OPTIONAL { <one-or-more patterns> }
 #     FILTER NOT EXISTS { <patterns> }
+#     MINUS { <patterns> }
 #     VALUES ?v { term term ... }
-#     FILTER (?v <op> term)   op in = != < > <= >=
+#     BIND(expr AS ?v)   expr in: ?x | literal | ?x <+-*/> term |
+#       CONCAT(t, ...) | STRLEN(?x) | UCASE(?x) | LCASE(?x) | STR(?x)
+#     FILTER (?v <op> term-or-?var)   op in = != < > <= >=
 #     FILTER regex(?v, "re") }
-#   GROUP BY ?g   ORDER BY ?v [DESC] [, ...]   LIMIT n
+#   GROUP BY ?g   ORDER BY ?v [DESC] [, ...]   LIMIT n   OFFSET m
 # Terms: ?var, "quoted literal", bare IRIs (prefixed form), numbers.
 # Each pattern compiles to a filtered scan; patterns join naturally on
 # shared variables (Catalyst reorders/broadcasts); OPTIONAL becomes a
 # left outer join on the shared variables; FILTER NOT EXISTS is a
 # left-anti join on the shared variables (the reference's own amend
-# query, src/action/ammend.js:35-38); VALUES is an isin filter
+# query, src/action/ammend.js:35-38); MINUS is the same left-anti but
+# is a NO-OP when the inner pattern shares no variable (per SPARQL's
+# incompatible-domains rule — the one observable place MINUS and
+# NOT EXISTS diverge in this subset); VALUES is an isin filter
 # (tmt-demo.ipynb cells 5/19); closure paths compile through
 # plans.closure.transitive_closure (triplifier.js:453-455
 # `rdfs:subClassOf*`) — `+` is the transitive pairs, `*` adds the
-# zero-hop identity over every graph term, per SPARQL. FILTERs apply
-# post-join. Patterns with no shared vars cross-join (as SPARQL
+# zero-hop identity over every graph term, per SPARQL. Inverse `^p`
+# swaps the pattern's endpoints before compilation (so `^a/b` splits
+# into (^a)/b hops, SPARQL's precedence); alternation unions the
+# per-element bindings frames WITHOUT dedup (SPARQL path alternation
+# is a bag union). BINDs apply in textual order AFTER the BGP join
+# (a BIND var may feed later BINDs, filters, projection, ORDER BY —
+# not later triple patterns; arithmetic applies xsd numeric promotion
+# i.e. cast to double). FILTERs apply post-join; a ?var right-hand
+# side compares the two bindings as strings (the store is untyped
+# lexical forms). Patterns with no shared vars cross-join (as SPARQL
 # semantics demand) — at scale that is the query author's
 # responsibility, same as on any endpoint.
 #
@@ -289,11 +306,28 @@ def _closure_frame(triples: DataFrame, pred: str,
 
 
 def _compile_one(triples: DataFrame, terms: list[str]) -> DataFrame:
-    """One (possibly closure) triple pattern -> a bindings frame with
-    one column per free variable."""
+    """One (possibly closure/inverse/alternation) triple pattern -> a
+    bindings frame with one column per free variable."""
     s, p, o = terms
     if p == "a":
         p = "rdf:type"
+    if not p.startswith("?"):
+        if p.startswith("^"):
+            # inverse path: swap the endpoints, compile the rest
+            # (handles ^p, ^p+, ^(a|b) via recursion)
+            return _compile_one(triples, [o, p[1:], s])
+        core = p[1:-1] if (p.startswith("(") and p.endswith(")")
+                           and "(" not in p[1:-1]) else p
+        if "|" in core:
+            # path alternation: bag union of the per-element frames
+            # (same endpoint terms -> same columns); each element may
+            # itself be inverse/closure
+            outs = [_compile_one(triples, [s, alt.strip(), o])
+                    for alt in core.split("|")]
+            out = outs[0]
+            for x in outs[1:]:
+                out = out.unionByName(x)
+            return out
     if not p.startswith("?") and p[-1] in "*+":
         df = _closure_frame(triples, p[:-1], star=p.endswith("*"))
         cols = {}
@@ -328,6 +362,102 @@ def _compile_patterns(triples: DataFrame, chunk: str) -> DataFrame | None:
     return out
 
 
+def _extract_binds(body: str) -> tuple[str, list[tuple[str, str]]]:
+    """Pull `BIND(expr AS ?v)` clauses out of a group body (balanced-
+    paren scan — CONCAT(...) nests), returning the stripped body and
+    the (expr, var) list in textual order."""
+    binds: list[tuple[str, str]] = []
+    while True:
+        m = _re.search(r"BIND ?\(", body, _re.I)
+        if not m:
+            return body, binds
+        depth, j = 1, m.end()
+        while depth and j < len(body):
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced parens in BIND")
+        inner = body[m.end():j - 1].strip()
+        em = _re.match(r"(.*) AS \?(\w+)$", inner, _re.I)
+        if not em:
+            raise ValueError(f"unparseable BIND: {inner!r}")
+        binds.append((em.group(1).strip(), em.group(2)))
+        rest = body[j:]
+        if rest.startswith(" ."):
+            rest = rest[2:]  # BIND may be '.'-terminated like a pattern
+        body = body[:m.start()] + " " + rest
+
+
+def _split_args(s: str) -> list[str]:
+    """Top-level comma split, honoring quotes and nested parens."""
+    args, cur, depth, inq = [], [], 0, False
+    for ch in s:
+        if ch == '"':
+            inq = not inq
+            cur.append(ch)
+        elif inq:
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur))
+    return [a.strip() for a in args if a.strip()]
+
+
+def _bind_term(t: str) -> Column:
+    t = t.strip()
+    if t.startswith("?"):
+        return F.col(t[1:])
+    if t.startswith('"'):
+        return F.lit(t[1:-1])
+    if _re.fullmatch(r"-?\d+", t):
+        return F.lit(int(t)).cast("long")
+    if _re.fullmatch(r"-?\d+\.\d+", t):
+        return F.lit(float(t))
+    return F.lit(t)  # bare IRI
+
+
+def _bind_expr(expr: str) -> Column:
+    """Compile the documented BIND expression subset to a Column.
+    Arithmetic applies SPARQL's xsd numeric promotion (double);
+    string builtins keep their spec types (STRLEN -> integer)."""
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")") and "(" not in e[1:-1]:
+        e = e[1:-1].strip()
+    fm = _re.match(r"(CONCAT|STRLEN|UCASE|LCASE|STR) ?\((.*)\)$", e,
+                   _re.I)
+    if fm:
+        fn, args = fm.group(1).upper(), [
+            _bind_term(a) for a in _split_args(fm.group(2))]
+        if fn == "CONCAT":
+            return F.concat(*args)
+        if fn == "STRLEN":
+            return F.length(args[0]).cast("long")
+        if fn == "UCASE":
+            return F.upper(args[0])
+        if fn == "LCASE":
+            return F.lower(args[0])
+        return args[0].cast("string")  # STR
+    am = _re.match(r"(\S+) ?([+*/-]) ?(\S+)$", e)
+    if am:
+        left = _bind_term(am.group(1)).cast("double")
+        right = _bind_term(am.group(3)).cast("double")
+        return {"+": left + right, "-": left - right,
+                "*": left * right, "/": left / right}[am.group(2)]
+    return _bind_term(e)
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Run a SPARQL SELECT (subset above, plus aggregates and UNION)
     over a triples DataFrame.
@@ -347,6 +477,13 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     and the tmt-demo notebook cells (`a` keyword, `;` predicate-object
     lists, `values ?v {...}`, bare `select ... { }` with no WHERE)."""
     q = _re.sub(r"\s+", " ", query).strip()
+    # LIMIT/OFFSET may appear in either order (SPARQL LimitOffsetClauses);
+    # pre-extract OFFSET so the main grammar regex stays linear
+    offset = None
+    off_m = _re.search(r" OFFSET (\d+)", q, _re.I)
+    if off_m:
+        offset = int(off_m.group(1))
+        q = q[:off_m.start()] + q[off_m.end():]
     m = _re.match(
         r"SELECT (DISTINCT )?(.+?) (?:WHERE )?\{(.*)\}"
         r"(?: GROUP BY (.+?))?(?: ORDER BY (.+?))?(?: LIMIT (\d+))? ?$",
@@ -362,15 +499,20 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         right = sparql_select(
             triples, f"SELECT * WHERE {{{union_m.group(2)}}}")
         out = left.unionByName(right, allowMissingColumns=True)
-        return _finish_select(out, distinct, proj, group, order, limit)
+        return _finish_select(out, distinct, proj, group, order, limit,
+                              offset)
 
     not_exists = [g.strip() for g in _re.findall(
         r"FILTER NOT EXISTS \{([^}]*)\}", body, _re.I)]
     body = _re.sub(r"FILTER NOT EXISTS \{[^}]*\}", " ", body,
                    flags=_re.I)
+    minus_blocks = [g.strip() for g in _re.findall(
+        r"MINUS \{([^}]*)\}", body, _re.I)]
+    body = _re.sub(r"MINUS \{[^}]*\}", " ", body, flags=_re.I)
     optionals = [g.strip() for g in
                  _re.findall(r"OPTIONAL \{([^}]*)\}", body, _re.I)]
     body = _re.sub(r"OPTIONAL \{[^}]*\}", " ", body, flags=_re.I)
+    body, binds = _extract_binds(body)
     values_blocks = _re.findall(
         r"VALUES \?(\w+) \{([^}]*)\}", body, _re.I)
     body = _re.sub(r"VALUES \?\w+ \{[^}]*\}", " ", body, flags=_re.I)
@@ -397,6 +539,14 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         if not shared:
             raise ValueError("FILTER NOT EXISTS shares no variable")
         out = out.join(inner.select(*shared), on=shared, how="left_anti")
+    for mb in minus_blocks:
+        inner = _compile_patterns(triples, mb)
+        shared = sorted(set(out.columns) & set(inner.columns))
+        if not shared:
+            continue  # disjoint domains: MINUS removes nothing (spec)
+        out = out.join(inner.select(*shared), on=shared, how="left_anti")
+    for expr, var in binds:
+        out = out.withColumn(var, _bind_expr(expr))
     for var, inline in values_blocks:
         vals = [t[1:-1] if t.startswith('"') else t
                 for t in inline.split()]
@@ -406,7 +556,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
            "<=": "<=", ">=": ">="}
     for var, op, term in cmp_filters:
         term = term.strip()
-        if term.startswith('"'):
+        if term.startswith("?"):
+            rhs, col = F.col(term[1:]), F.col(var)
+        elif term.startswith('"'):
             rhs, col = F.lit(term[1:-1]), F.col(var)
         elif _re.fullmatch(r"-?\d+(\.\d+)?", term):
             rhs, col = F.lit(float(term)), F.col(var).cast("double")
@@ -419,7 +571,8 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     for var, pat in regex_filters:
         out = out.where(F.col(var).rlike(pat))
 
-    return _finish_select(out, distinct, proj, group, order, limit)
+    return _finish_select(out, distinct, proj, group, order, limit,
+                          offset)
 
 
 _AGG_RE = _re.compile(
@@ -461,7 +614,7 @@ def _agg_expr(fn: str, dis, var: str, sep) -> Column:
 
 
 def _finish_select(out: DataFrame, distinct, proj, group, order,
-                   limit) -> DataFrame:
+                   limit, offset=None) -> DataFrame:
     proj = proj.strip()
     if group or ("(" in proj and proj != "*"):
         # explicit GROUP BY, or aggregates with the implicit single
@@ -488,13 +641,22 @@ def _finish_select(out: DataFrame, distinct, proj, group, order,
     if distinct:
         out = out.distinct()
     if order:
+        # SPARQL spellings: `?a ?b`, `DESC(?a) ?b`, plus the
+        # comma/suffix dialect (`?a DESC, ?b`) this front-end has
+        # always taken
         keys = []
-        for part in order.split(","):
-            toks = part.split()
-            c = F.col(toks[0][1:])
-            keys.append(c.desc() if len(toks) > 1
-                        and toks[1].upper() == "DESC" else c.asc())
+        for km in _re.finditer(
+                r"(DESC|ASC) ?\( ?\?(\w+) ?\)|\?(\w+)( DESC| ASC)?",
+                order, _re.I):
+            fn, fv, var, suffix = km.groups()
+            c = F.col(fv or var)
+            desc = (fn or (suffix or "")).strip().upper() == "DESC"
+            keys.append(c.desc() if desc else c.asc())
         out = out.orderBy(*keys)
+    if offset:
+        # SPARQL applies OFFSET before LIMIT (solution-sequence
+        # modifiers); Spark's Offset node composes the same way
+        out = out.offset(int(offset))
     if limit:
         out = out.limit(int(limit))
     return out

@@ -322,3 +322,104 @@ def test_sequence_property_paths(g):
     star = _run(g, """
         SELECT * WHERE { ?s p:knows/p:name ?n2 . }""")
     assert all(not c.startswith("_pp") for c in star.columns)
+
+
+# ---- round-5 additions: MINUS / BIND / OFFSET / path alternation /
+# inverse paths / var-to-var FILTER
+
+
+def test_minus_removes_compatible_bindings(g):
+    out = _run(g, """
+        SELECT ?s WHERE {
+          ?s p:name ?n .
+          MINUS { ?s rdf:type c:Robot . }
+        } ORDER BY ?s""").collect()
+    assert [r.s for r in out] == ["e:a", "e:b"]
+
+
+def test_minus_disjoint_domains_is_noop(g):
+    # SPARQL: MINUS with no shared variable removes NOTHING —
+    # the one observable divergence from FILTER NOT EXISTS, which
+    # this front-end surfaces as an error for the same shape
+    out = _run(g, """
+        SELECT ?s WHERE {
+          ?s p:name ?n .
+          MINUS { ?x rdf:type c:Robot . }
+        }""").collect()
+    assert len(out) == 3
+
+
+def test_bind_string_builtins_and_chaining(g):
+    rows = {r.s: r for r in _run(g, """
+        SELECT ?s ?len ?loud ?tag WHERE {
+          ?s p:name ?n .
+          BIND(STRLEN(?n) AS ?len) .
+          BIND(UCASE(?n) AS ?loud) .
+          BIND(CONCAT(?loud, "#", ?s) AS ?tag) .
+        }""").collect()}
+    assert rows["e:a"].len == 5 and rows["e:a"].loud == "ALICE"
+    assert rows["e:b"].tag == "BOB#e:b"  # BIND var feeds later BIND
+
+
+def test_bind_arithmetic_promotes_numeric(g):
+    rows = {r.s: r.half for r in _run(g, """
+        SELECT ?s ?half WHERE {
+          ?s p:age ?a .
+          BIND(?a / 2 AS ?half) .
+        }""").collect()}
+    assert rows["e:a"] == 15.5  # "31" promoted to xsd double
+    # BIND output usable in FILTER and ORDER BY
+    out = _run(g, """
+        SELECT ?s WHERE {
+          ?s p:age ?a .
+          BIND(?a * 2 AS ?dbl) .
+          FILTER (?dbl > 20)
+        }""").collect()
+    assert [r.s for r in out] == ["e:a"]
+
+
+def test_limit_offset_pagination(g):
+    base = """
+        SELECT ?n WHERE { ?s p:name ?n . } ORDER BY ?n"""
+    assert [r.n for r in _run(g, base + " LIMIT 2 OFFSET 1").collect()] \
+        == ["bob", "c3po"]
+    # OFFSET-before-LIMIT spelling parses too
+    assert [r.n for r in _run(g, base + " OFFSET 2 LIMIT 5").collect()] \
+        == ["c3po"]
+
+
+def test_path_alternation_is_bag_union(g):
+    out = _run(g, """
+        SELECT ?s ?x WHERE {
+          ?s p:name|p:age ?x .
+        } ORDER BY ?s ?x""").collect()
+    assert [(r.s, r.x) for r in out] == [
+        ("e:a", "31"), ("e:a", "alice"), ("e:b", "9"),
+        ("e:b", "bob"), ("e:c", "c3po")]
+
+
+def test_inverse_path_swaps_endpoints(g):
+    out = _run(g, """
+        SELECT ?o WHERE { ?o ^p:knows e:a . }""").collect()
+    assert [r.o for r in out] == ["e:b"]
+    # inverse inside an alternation element
+    out2 = _run(g, """
+        SELECT ?s ?x WHERE {
+          ?s p:knows|^p:knows ?x .
+        } ORDER BY ?s""").collect()
+    assert [(r.s, r.x) for r in out2] == [("e:a", "e:b"), ("e:b", "e:a")]
+    # inverse sequence: ^knows/name == name of whoever knows you
+    out3 = _run(g, """
+        SELECT ?n WHERE { e:b ^p:knows/p:name ?n . }""").collect()
+    assert [r.n for r in out3] == ["alice"]
+
+
+def test_filter_var_to_var(g):
+    out = _run(g, """
+        SELECT ?a ?b WHERE {
+          ?a p:knows ?b .
+          ?a p:name ?na .
+          ?b p:name ?nb .
+          FILTER (?na < ?nb)
+        }""").collect()
+    assert [(r.a, r.b) for r in out] == [("e:a", "e:b")]
