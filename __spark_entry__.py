@@ -2432,6 +2432,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               BIND(?len * 2 AS ?dbl) .
             }""")
 
+    def kg_sparql_exists(spark, sf):
+        # FILTER EXISTS -> left-semi join (the positive twin of the
+        # amend query's NOT EXISTS): turns that DID invoke a tool
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?r WHERE {
+              ?s mms-property:role ?r .
+              FILTER EXISTS { ?s mms-property:invokedTool ?x . }
+            }""")
+
     def kg_sparql_altpath(spark, sf):
         # property-path alternation (bag union) with an inverse
         # element: a turn's role literal OR its parent conversation
@@ -2710,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus": kg_sparql_minus,
         "kg_sparql_bind": kg_sparql_bind,
         "kg_sparql_altpath": kg_sparql_altpath,
+        "kg_sparql_exists": kg_sparql_exists,
         "kg_sparql_notexists": kg_sparql_notexists,
         "kg_sparql_values": kg_sparql_values,
         "kg_sparql_closure": kg_sparql_closure,
@@ -7178,6 +7189,14 @@ def oracle_sql() -> dict[str, str]:
            {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag,
            CAST(length({_ROLE_IRI_SQL}) * 2 AS DOUBLE) AS dbl
     FROM t
+    """
+
+    # FILTER EXISTS semi-join: the complement of kg_sparql_notexists
+    q["kg_sparql_exists"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s, {_ROLE_IRI_SQL} AS r
+    FROM t
+    WHERE role = 'tool' AND tool IS NOT NULL AND tool <> ''
     """
 
     # alternation = bag union (UNION ALL) of the role literal and the

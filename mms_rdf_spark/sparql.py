@@ -197,7 +197,7 @@ class Traversal:
 #      alternation p1|p2 (elements may carry ^/*/+; not mixed with
 #      `/` inside one alternation)>
 #     OPTIONAL { <one-or-more patterns> }
-#     FILTER NOT EXISTS { <patterns> }
+#     FILTER NOT EXISTS { <patterns> }   FILTER EXISTS { <patterns> }
 #     MINUS { <patterns> }
 #     VALUES ?v { term term ... }
 #     BIND(expr AS ?v)   expr in: ?x | literal | ?x <+-*/> term |
@@ -506,6 +506,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         r"FILTER NOT EXISTS \{([^}]*)\}", body, _re.I)]
     body = _re.sub(r"FILTER NOT EXISTS \{[^}]*\}", " ", body,
                    flags=_re.I)
+    exists_blocks = [g.strip() for g in _re.findall(
+        r"FILTER EXISTS \{([^}]*)\}", body, _re.I)]
+    body = _re.sub(r"FILTER EXISTS \{[^}]*\}", " ", body, flags=_re.I)
     minus_blocks = [g.strip() for g in _re.findall(
         r"MINUS \{([^}]*)\}", body, _re.I)]
     body = _re.sub(r"MINUS \{[^}]*\}", " ", body, flags=_re.I)
@@ -539,6 +542,12 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         if not shared:
             raise ValueError("FILTER NOT EXISTS shares no variable")
         out = out.join(inner.select(*shared), on=shared, how="left_anti")
+    for ex in exists_blocks:
+        inner = _compile_patterns(triples, ex)
+        shared = sorted(set(out.columns) & set(inner.columns))
+        if not shared:
+            raise ValueError("FILTER EXISTS shares no variable")
+        out = out.join(inner.select(*shared), on=shared, how="left_semi")
     for mb in minus_blocks:
         inner = _compile_patterns(triples, mb)
         shared = sorted(set(out.columns) & set(inner.columns))

@@ -423,3 +423,18 @@ def test_filter_var_to_var(g):
           FILTER (?na < ?nb)
         }""").collect()
     assert [(r.a, r.b) for r in out] == [("e:a", "e:b")]
+
+
+def test_filter_exists_semi_join(g):
+    out = _run(g, """
+        SELECT ?s WHERE {
+          ?s p:name ?n .
+          FILTER EXISTS { ?s p:age ?a . }
+        } ORDER BY ?s""").collect()
+    assert [r.s for r in out] == ["e:a", "e:b"]
+    with pytest.raises(ValueError):
+        _run(g, """
+            SELECT ?s WHERE {
+              ?s p:name ?n .
+              FILTER EXISTS { ?x p:age ?a . }
+            }""")
