@@ -45,8 +45,10 @@ def cooccurrence_similarity(
         bi = (bi.join(F.broadcast(sizes.where(F.col("_bn") <= max_basket)),
                       on="_bk").drop("_bn"))
     bi = bi.localCheckpoint()  # reused by pairs AND totals
-    a = bi.select("_bk", F.col("_it").alias("item_a"))
-    b = bi.select("_bk", F.col("_it").alias("item_b"))
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    bp = pin_fanout_partitions(bi, "_bk")  # AQE fan-out blindness
+    a = bp.select("_bk", F.col("_it").alias("item_a"))
+    b = bp.select("_bk", F.col("_it").alias("item_b"))
     pairs = (a.join(b, on="_bk")
              .where(F.col("item_a") < F.col("item_b"))
              .groupBy("item_a", "item_b")
@@ -95,8 +97,10 @@ def association_rules(
     bi = bi.localCheckpoint()
     nb = bi.select("_bk").distinct().agg(
         F.count(F.lit(1)).alias("_nb"))
-    a = bi.select("_bk", F.col("_it").alias("x"))
-    b = bi.select("_bk", F.col("_it").alias("y"))
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    bp = pin_fanout_partitions(bi, "_bk")  # AQE fan-out blindness
+    a = bp.select("_bk", F.col("_it").alias("x"))
+    b = bp.select("_bk", F.col("_it").alias("y"))
     pairs = (a.join(b, on="_bk")
              .where(F.col("x") < F.col("y"))
              .groupBy("x", "y")

@@ -155,23 +155,11 @@ def capped_bucket_pairs(
                 .otherwise(F.lit(0)))
     else:
         banded = banded.withColumn("_salt", F.lit(0))
-    # Pin the self-join's partitioning: the banded table is BYTES-tiny
-    # (one short row per (id, band)) but the in-bucket join fans out
-    # quadratically, and AQE's coalescing is byte-based — it cannot
-    # see output fan-out, so on a dup-heavy corpus it folds the whole
-    # pair expansion into ONE post-shuffle partition (measured at the
-    # 10x scale point: 111M pairs in a single task). An EXPLICIT
-    # numPartitions is exempt from AQE coalescing, and hash-
-    # partitioning on the join keys means the self-join reuses this
-    # exchange on both sides (no extra shuffle). Per-task width stays
-    # bounded by the max_bucket cap; at real scale the shuffle is
-    # byte-heavy anyway and this matches what AQE would pick.
-    try:
-        n_pair_parts = int(
-            banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):  # "auto" under some AQE configs
-        n_pair_parts = banded.sparkSession.sparkContext.defaultParallelism
-    banded = banded.repartition(n_pair_parts, "band", "key", "_salt")
+    # AQE's byte-based coalescing is fan-out-blind and would fold the
+    # quadratic in-bucket expansion into one task (measured: 111M
+    # pairs single-threaded at the 10x scale point) — pin the exchange
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    banded = pin_fanout_partitions(banded, "band", "key", "_salt")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -291,6 +279,9 @@ def ngram_jaccard_pairs(
         {"doc_id": "a_id", "sz": "a_sz"}), F.col("a.doc_id") == F.col("a_id"))
     b = grams.alias("b").join(sizes.withColumnsRenamed(
         {"doc_id": "b_id", "sz": "b_sz"}), F.col("b.doc_id") == F.col("b_id"))
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    a = pin_fanout_partitions(a, "gram").alias("a")  # AQE fan-out
+    b = pin_fanout_partitions(b, "gram").alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram"))
                & (F.col("a_id") < F.col("b_id")))

@@ -137,6 +137,10 @@ def candidate_edges(
                 "salt",
                 F.when(F.col("_bn") > MAX_BLOCK,
                        F.crc32(salt_char) % 16).otherwise(F.lit(0)))
+        # pin the pair exchange — AQE byte-based coalescing is blind
+        # to the quadratic in-block fan-out (skew.pin_fanout_partitions)
+        from mms_rdf_spark.operators.skew import pin_fanout_partitions
+        blocked = pin_fanout_partitions(blocked, "block", "salt")
         a, b = blocked.alias("a"), blocked.alias("b")
         fuzzy_parts.append(
             a.join(b, (F.col("a.block") == F.col("b.block"))
@@ -287,6 +291,8 @@ def fuzzy_edit_pairs(
         # dedup.containment_pairs).
         big = sizes.where(F.col("_fbn") > max_block).select("_fblk")
         cols = cols.join(F.broadcast(big), on="_fblk", how="left_anti")
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    cols = pin_fanout_partitions(cols, "_fblk")  # AQE fan-out blindness
     a = cols.select(F.col("_fblk"), F.col("_fid").alias("id_a"),
                     F.col("_ftext").alias("_ta"),
                     F.col("_flen").alias("_la"))

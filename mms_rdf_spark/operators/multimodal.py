@@ -651,6 +651,8 @@ def image_neardup_pairs(hashes: DataFrame,
                      .alias("key")),
         )).alias("_b")
     ).select("media_id", "hash_hi", "hash_lo", "_b.band", "_b.key")
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    bands = pin_fanout_partitions(bands, "band", "key")  # AQE fan-out
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))

@@ -261,6 +261,10 @@ def embedding_near_duplicates(
         b = b.withColumn("_salt", F.lit(0))
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb")) \
         .join(b, on="vec_id")
+    # pin the pair exchange — AQE's byte-based coalescing is blind to
+    # the quadratic in-bucket fan-out (see skew.pin_fanout_partitions)
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    e = pin_fanout_partitions(e, "bucket", "_salt")
     L, R = e.alias("l"), e.alias("r")
     pairs = L.join(R, (F.col("l.bucket") == F.col("r.bucket"))
                    & (F.col("l._salt") == F.col("r._salt"))

@@ -14,6 +14,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def pin_fanout_partitions(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition on `keys` with an EXPLICIT partition count, for use
+    immediately before a pair-generating (self-)join whose output fans
+    out far beyond its input bytes.
+
+    Why: AQE's post-shuffle coalescing is BYTE-based and fan-out-blind
+    — a banded/blocked table is bytes-tiny (one short row per (id,
+    bucket)) while the in-bucket pair join is quadratic per bucket, so
+    AQE folds the whole expansion into one partition (measured at the
+    round-5 10x scale point: 111M LSH pairs in a single task, 177 s ->
+    46.9 s after pinning). An explicit numPartitions is exempt from
+    AQE coalescing, and hash-partitioning on the join keys is reused
+    by both sides of the self-join (no extra shuffle). At real scale
+    the bucket shuffle is byte-heavy and this matches what AQE would
+    have chosen anyway; the worst single task stays bounded by the
+    caller's bucket/block cap."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" under some AQE configs
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def with_salt(df: DataFrame, buckets: int = 16,
               col_name: str = "_salt") -> DataFrame:
     """Uniform random-ish salt derived from a stable row hash (NOT
