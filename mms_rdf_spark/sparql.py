@@ -195,7 +195,8 @@ class Traversal:
 #      paths p* / p+, also as path steps (a/rdfs:subClassOf*);
 #      inverse paths ^p (also ^p/q sequences, ^p+ closures);
 #      alternation p1|p2 (elements may carry ^/*/+; not mixed with
-#      `/` inside one alternation)>
+#      `/` inside one alternation); negated property sets !p and
+#      !(p1|p2) (forward-only elements)>
 #     OPTIONAL { <one-or-more patterns> }
 #     FILTER NOT EXISTS { <patterns> }   FILTER EXISTS { <patterns> }
 #     MINUS { <patterns> }
@@ -312,6 +313,24 @@ def _compile_one(triples: DataFrame, terms: list[str]) -> DataFrame:
     if p == "a":
         p = "rdf:type"
     if not p.startswith("?"):
+        if p.startswith("!"):
+            # negated property set !p / !(p1|p2): any predicate NOT in
+            # the set (forward-only subset — no ^-elements inside !)
+            inner = p[1:]
+            if inner.startswith("(") and inner.endswith(")"):
+                inner = inner[1:-1]
+            preds = ["rdf:type" if x.strip() == "a" else x.strip()
+                     for x in inner.split("|")]
+            df = triples.where(~F.col("predicate").isin(preds))
+            cols = {}
+            for colname, term in zip(("subject", "object"), (s, o)):
+                if term.startswith("?"):
+                    cols[colname] = term[1:]
+                else:
+                    lit = term[1:-1] if term.startswith('"') else term
+                    df = df.where(F.col(colname) == lit)
+            return df.select(
+                *[F.col(c).alias(v) for c, v in cols.items()])
         if p.startswith("^"):
             # inverse path: swap the endpoints, compile the rest
             # (handles ^p, ^p+, ^(a|b) via recursion)

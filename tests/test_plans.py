@@ -287,3 +287,21 @@ def test_vocab_and_pmi_topk_plan_as_take_ordered(spark):
                cooccurrence_pmi(docs, min_df=2, min_pairs=2, k=10)):
         plan = _plan(df)
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lsh_pair_join_partitioning_pinned_against_aqe(spark):
+    """The in-bucket pair self-join must sit on an EXPLICIT
+    hashpartitioning over (band, key, _salt): AQE's post-shuffle
+    coalescing is byte-based and fan-out-blind — without the pin it
+    folded the 10x-scale-point pair expansion (111M pairs) into one
+    task. An explicit numPartitions repartition is exempt from AQE
+    coalescing; both self-join sides must reuse it (no second
+    independent exchange shape for the pair stage)."""
+    from mms_rdf_spark.operators.dedup import lsh_candidate_pairs
+
+    plan = _plan(lsh_candidate_pairs(_curate_docs(spark)))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert f"hashpartitioning(band#" in plan or \
+        "REPARTITION_BY_COL" in plan, plan
+    # the explicit partition count appears on the band/key exchange
+    assert f", {n})" in plan, plan

@@ -438,3 +438,13 @@ def test_filter_exists_semi_join(g):
               ?s p:name ?n .
               FILTER EXISTS { ?x p:age ?a . }
             }""")
+
+
+def test_negated_property_set(g):
+    out = _run(g, """
+        SELECT ?x WHERE { e:a !(p:name|rdf:type) ?x . } ORDER BY ?x
+        """).collect()
+    assert [r.x for r in out] == ["31", "e:b"]  # age + knows survive
+    out2 = _run(g, """
+        SELECT ?s WHERE { ?s !a c:Person . }""").collect()
+    assert out2 == []  # only rdf:type reaches c:Person, and it's negated
