@@ -2432,6 +2432,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               BIND(?len * 2 AS ?dbl) .
             }""")
 
+    def kg_sparql_update(spark, sf):
+        # SPARQL UPDATE (functional): DELETE/INSERT WHERE rewrite of
+        # the System role, returning the post-update role-triple view
+        # (the reference's endpoint.update surface, endpoint.js:166,
+        # run on Catalyst; commit seam = S9 stage writes)
+        from mms_rdf_spark.sparql import sparql_update
+        updated = sparql_update(triples_from_events(spark, sf), """
+            DELETE { ?s mms-property:role mms-class:Role.System . }
+            INSERT { ?s mms-property:role mms-class:Role.Downgraded . }
+            WHERE { ?s mms-property:role mms-class:Role.System . }""")
+        return (updated.where(F.col("predicate") == "mms-property:role")
+                .select(F.col("subject").alias("s"),
+                        F.col("object").alias("r")))
+
     def kg_sparql_exists(spark, sf):
         # FILTER EXISTS -> left-semi join (the positive twin of the
         # amend query's NOT EXISTS): turns that DID invoke a tool
@@ -2721,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": kg_sparql_bind,
         "kg_sparql_altpath": kg_sparql_altpath,
         "kg_sparql_exists": kg_sparql_exists,
+        "kg_sparql_update": kg_sparql_update,
         "kg_sparql_notexists": kg_sparql_notexists,
         "kg_sparql_values": kg_sparql_values,
         "kg_sparql_closure": kg_sparql_closure,
@@ -7188,6 +7203,16 @@ def oracle_sql() -> dict[str, str]:
            upper({_ROLE_IRI_SQL}) AS loud,
            {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag,
            CAST(length({_ROLE_IRI_SQL}) * 2 AS DOUBLE) AS dbl
+    FROM t
+    """
+
+    # DELETE/INSERT WHERE == conditional rewrite of the role column
+    q["kg_sparql_update"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s,
+           CASE WHEN {_ROLE_IRI_SQL} = 'mms-class:Role.System'
+                THEN 'mms-class:Role.Downgraded'
+                ELSE {_ROLE_IRI_SQL} END AS r
     FROM t
     """
 

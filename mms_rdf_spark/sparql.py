@@ -704,7 +704,15 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
         raise ValueError("unparseable SPARQL CONSTRUCT")
     template, where = m.groups()
     bindings = sparql_select(triples, f"SELECT * WHERE {{{where}}}")
+    return _instantiate(bindings, template)
 
+
+def _instantiate(bindings: DataFrame, template: str) -> DataFrame:
+    """Instantiate a triple-template block once per binding row:
+    constants stay literal, vars substitute, rows with an unbound
+    template var produce no triple (OPTIONAL miss, per SPARQL).
+    Returns a distinct (subject, predicate, object) frame — shared by
+    CONSTRUCT and the update verbs' DELETE/INSERT templates."""
     outs = []
     for terms in _split_statements(template):
         cols = []
@@ -720,8 +728,6 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    # a template var unbound on a row (OPTIONAL miss) produces no
-    # triple for that row, per SPARQL
     return out.where(F.col("subject").isNotNull()
                      & F.col("predicate").isNotNull()
                      & F.col("object").isNotNull()).distinct()
@@ -768,3 +774,90 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
         ).select(F.col(term[1:]).alias("subject")).distinct()
         return triples.join(subjects, on="subject", how="left_semi")
     return triples.where(F.col("subject") == term)
+
+
+_SPO = ["subject", "predicate", "object"]
+
+
+def _ground_triples(spark, block: str) -> DataFrame:
+    """A `{ ground triples }` block -> (subject, predicate, object)."""
+    rows = []
+    for s, p, o in _split_statements(block):
+        if p == "a":
+            p = "rdf:type"
+        if any(t.startswith("?") for t in (s, p, o)):
+            raise ValueError("DATA blocks take ground triples only")
+        unq = [t[1:-1] if t.startswith('"') else t for t in (s, p, o)]
+        rows.append(tuple(unq))
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string")
+
+
+def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+    """SPARQL UPDATE, functionally: returns the POST-update triples
+    frame (the caller stage-writes it — `runlog.run_stage` /
+    `materialize.write_spo` are the S9 overwrite-commit seam, exactly
+    how the reference's clear.js + update.js pair drives its endpoint;
+    endpoint.js:166 `update()` is the generic verb surface).
+
+    Verbs (one operation per call; chain calls for sequences):
+      CLEAR [SILENT] [ALL | GRAPH <g>]    -> empty graph (this store
+                                             is single-graph; the
+                                             graph arg is accepted and
+                                             ignored, like `clear
+                                             silent all`, clear.js:11)
+      INSERT DATA { ground triples }      -> set union
+      DELETE DATA { ground triples }      -> set difference
+      DELETE WHERE { patterns }           -> patterns are both the
+                                             match and the delete
+                                             template (pattern-only
+                                             WHERE, per spec)
+      [DELETE {tpl}] [INSERT {tpl}] WHERE { patterns }
+        -> WHERE evaluates against the PRE-update graph (spec
+           semantics); deletes apply, then inserts.
+
+    RDF set semantics: an insert that duplicates an existing
+    (subject, predicate, object) is dropped via anti-join, so the
+    surviving row keeps its metadata columns; inserted rows carry
+    NULL for any extra columns (object_is_iri etc.) — run them
+    through the sanitizer/typing pass if they need them. Deletes
+    anti-join on (subject, predicate, object); Catalyst broadcasts
+    the delete set when it is small."""
+    q = _re.sub(r"\s+", " ", update).strip()
+
+    if _re.fullmatch(r"CLEAR( SILENT)?( ALL| GRAPH \S+)? ?", q, _re.I):
+        return triples.where(F.lit(False))
+
+    m = _re.match(r"(INSERT|DELETE) DATA \{(.*)\} ?$", q, _re.I)
+    if m:
+        const = _ground_triples(triples.sparkSession, m.group(2))
+        if m.group(1).upper() == "DELETE":
+            return triples.join(F.broadcast(const), on=_SPO,
+                                how="left_anti")
+        new = const.join(triples.select(*_SPO), on=_SPO,
+                         how="left_anti")
+        return triples.unionByName(new, allowMissingColumns=True)
+
+    m = _re.match(r"DELETE WHERE \{(.*)\} ?$", q, _re.I)
+    if m:
+        bindings = sparql_select(triples,
+                                 f"SELECT * WHERE {{{m.group(1)}}}")
+        dele = _instantiate(bindings, m.group(1))
+        return triples.join(dele, on=_SPO, how="left_anti")
+
+    m = _re.match(r"(?:DELETE \{(.*?)\} )?(?:INSERT \{(.*?)\} )?"
+                  r"(?:WHERE )?\{(.*)\} ?$", q, _re.I)
+    if m and (m.group(1) or m.group(2)):
+        del_tpl, ins_tpl, where = m.groups()
+        bindings = sparql_select(triples, f"SELECT * WHERE {{{where}}}")
+        out = triples
+        if del_tpl:
+            out = out.join(_instantiate(bindings, del_tpl), on=_SPO,
+                           how="left_anti")
+        if ins_tpl:
+            ins = _instantiate(bindings, ins_tpl)
+            new = ins.join(out.select(*_SPO), on=_SPO, how="left_anti")
+            out = out.unionByName(new, allowMissingColumns=True)
+        return out
+
+    raise ValueError("unparseable SPARQL UPDATE")
