@@ -2432,6 +2432,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               BIND(?len * 2 AS ?dbl) .
             }""")
 
+    def kg_scc(spark, sf):
+        # strongly connected components over the event-type transition
+        # digraph (directed sibling of kg_cc): src -> next event_type
+        # per user in ts order; oracle = recursive-CTE mutual
+        # reachability. Small node set -> driver Tarjan path; the
+        # distributed FW-BW path is equivalence-pinned in test_scc.py
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.cc import (
+            strongly_connected_components)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (ev.select("user_id", "ts", "event_id", "event_type")
+                 .withColumn("nxt", F.lead("event_type").over(w))
+                 .where(F.col("nxt").isNotNull())
+                 .select(F.col("event_type").alias("src"),
+                         F.col("nxt").alias("dst"))
+                 .distinct())
+        return strongly_connected_components(edges)
+
     def kg_sparql_update(spark, sf):
         # SPARQL UPDATE (functional): DELETE/INSERT WHERE rewrite of
         # the System role, returning the post-update role-triple view
@@ -2736,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_altpath": kg_sparql_altpath,
         "kg_sparql_exists": kg_sparql_exists,
         "kg_sparql_update": kg_sparql_update,
+        "kg_scc": kg_scc,
         "kg_sparql_notexists": kg_sparql_notexists,
         "kg_sparql_values": kg_sparql_values,
         "kg_sparql_closure": kg_sparql_closure,
@@ -7204,6 +7225,30 @@ def oracle_sql() -> dict[str, str]:
            {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag,
            CAST(length({_ROLE_IRI_SQL}) * 2 AS DOUBLE) AS dbl
     FROM t
+    """
+
+    # SCC == mutual reachability closure; component = min member
+    q["kg_scc"] = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+    mutual AS (
+      SELECT r1.a AS x, r1.b AS y
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+    SELECT node, min(cand) AS component FROM (
+      SELECT node, node AS cand FROM nodes
+      UNION ALL
+      SELECT x AS node, y AS cand FROM mutual
+    ) GROUP BY node
     """
 
     # DELETE/INSERT WHERE == conditional rewrite of the role column

@@ -122,3 +122,174 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# --- directed graphs: strongly connected components ------------------
+
+def _tarjan_scc(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Iterative Tarjan over a collected edge list (small-graph fast
+    path, the union-find analog for the directed case). Component id =
+    min node id in the SCC (deterministic, engine-portable)."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for row in e.collect():
+        a, b = row["a"], row["b"]
+        nodes.add(a)
+        nodes.add(b)
+        adj.setdefault(a, []).append(b)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    comp: dict[str, str] = {}
+    counter = 0
+    for start in sorted(nodes):
+        if start in index:
+            continue
+        # explicit DFS stack: (node, iterator position)
+        work = [(start, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            succs = adj.get(v, [])
+            advanced = False
+            while pi < len(succs):
+                w = succs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                root = min(members)
+                for w in members:
+                    comp[w] = root
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    rows = [(n, comp[n]) for n in sorted(nodes)]
+    if not rows:
+        return spark.createDataFrame([], "node string, component string")
+    return spark.createDataFrame(rows, ["node", "component"])
+
+
+def _min_reach_labels(nodes: DataFrame, e: DataFrame,
+                      max_iterations: int) -> DataFrame:
+    """(node, label): label = min node id that can REACH node along
+    the directed edges (including node itself). Hash-min fixpoint,
+    O(diameter) rounds, lineage truncated per round."""
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (e.join(labels.withColumnRenamed("node", "a"), on="a")
+               .groupBy(F.col("b").alias("node"))
+               .agg(F.min("label").alias("nbr")))
+        new = (labels.join(nbr, on="node", how="left")
+               .select("node",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nbr"), F.col("label")))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), on="node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    max_iterations: int = 50,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Directed (src, dst) edges -> (node, component) with component =
+    min node id (string order) in the node's STRONGLY connected
+    component — the directed sibling of `connected_components`
+    (mutual reachability, not mere contact).
+
+    Small-graph fast path: below `driver_threshold` distinct edges,
+    iterative Tarjan on the driver (the union-find analog). Above it,
+    FW-BW coloring: per round, (1) TRIM — nodes with no in- or no
+    out-edge among the remaining graph are singleton SCCs; (2) color
+    every remaining node with fwd = min id reaching it and bwd = min
+    id it reaches (two hash-min fixpoints, O(diameter) rounds each,
+    localCheckpoint lineage); a node with fwd == bwd == c is in
+    SCC(c) (c reaches it and it reaches c), and the SCC of the
+    globally minimal remaining id always finalizes, so every round
+    retires >=1 SCC plus the trimmed fringe. Pathological chains of
+    thousands of interleaved SCCs exhaust `max_rounds` and raise
+    (loud, never mislabels); both paths are tested equivalent."""
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+          .distinct().localCheckpoint())
+    if e0.count() <= driver_threshold:
+        return _tarjan_scc(edges.sparkSession, e0)
+
+    remaining = (e0.select(F.col("a").alias("node"))
+                 .union(e0.select(F.col("b").alias("node")))
+                 .distinct().localCheckpoint())
+    parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        e = (e0.join(remaining.withColumnRenamed("node", "a"), on="a",
+                     how="left_semi")
+             .join(remaining.withColumnRenamed("node", "b"), on="b",
+                   how="left_semi").localCheckpoint())
+        # trim: no in-edge or no out-edge => singleton SCC
+        has_in = e.select(F.col("b").alias("node")).distinct()
+        has_out = e.select(F.col("a").alias("node")).distinct()
+        core = (remaining.join(has_in, on="node", how="left_semi")
+                .join(has_out, on="node", how="left_semi")
+                .localCheckpoint())
+        trimmed = remaining.join(core, on="node", how="left_anti") \
+            .select("node", F.col("node").alias("component"))
+        parts.append(trimmed.localCheckpoint())
+        if core.isEmpty():
+            remaining = core
+            break
+        ec = (e.join(core.withColumnRenamed("node", "a"), on="a",
+                     how="left_semi")
+              .join(core.withColumnRenamed("node", "b"), on="b",
+                    how="left_semi").localCheckpoint())
+        fwd = _min_reach_labels(core, ec, max_iterations)
+        bwd = _min_reach_labels(
+            core, ec.select(F.col("b").alias("a"), F.col("a").alias("b")),
+            max_iterations)
+        comp = (fwd.withColumnRenamed("label", "f")
+                .join(bwd.withColumnRenamed("label", "bl"), on="node")
+                .where(F.col("f") == F.col("bl"))
+                .select("node", F.col("f").alias("component"))
+                .localCheckpoint())
+        parts.append(comp)
+        remaining = (core.join(comp, on="node", how="left_anti")
+                     .localCheckpoint())
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            "strongly_connected_components: max_rounds exhausted with "
+            "nodes unresolved — raise max_rounds (chain-of-SCCs "
+            "topology) or driver_threshold")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
