@@ -2452,6 +2452,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .distinct())
         return strongly_connected_components(edges)
 
+    def kg_scc_layers(spark, sf):
+        # SCC condensation (a DAG by construction) + longest-path
+        # topological layers over the event-type transition digraph —
+        # the parallel-schedule depth of the condensed graph
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.cc import (
+            scc_condensation, strongly_connected_components,
+            topological_layers)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (ev.select("user_id", "ts", "event_id", "event_type")
+                 .withColumn("nxt", F.lead("event_type").over(w))
+                 .where(F.col("nxt").isNotNull())
+                 .select(F.col("event_type").alias("src"),
+                         F.col("nxt").alias("dst"))
+                 .distinct())
+        cond = scc_condensation(edges)
+        comps = (strongly_connected_components(edges)
+                 .select(F.col("component").alias("node")).distinct())
+        return topological_layers(cond, "src_component",
+                                  "dst_component", nodes=comps)
+
+    def events_hour_layers(spark, sf):
+        # longest-path layers over the hour-ascending transition DAG:
+        # consecutive events per user where the hour strictly
+        # increases (DAG by construction; which hour->hour edges exist
+        # is decided by the data)
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.cc import topological_layers
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        h = F.hour("ts")
+        edges = (ev.select("user_id", "ts", "event_id",
+                           h.alias("h"))
+                 .withColumn("nh", F.lead("h").over(w))
+                 .where(F.col("nh").isNotNull()
+                        & (F.col("nh") > F.col("h")))
+                 .select(F.col("h").cast("string").alias("src"),
+                         F.col("nh").cast("string").alias("dst"))
+                 .distinct())
+        return topological_layers(edges)
+
     def kg_sparql_update(spark, sf):
         # SPARQL UPDATE (functional): DELETE/INSERT WHERE rewrite of
         # the System role, returning the post-update role-triple view
@@ -2757,6 +2801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_exists": kg_sparql_exists,
         "kg_sparql_update": kg_sparql_update,
         "kg_scc": kg_scc,
+        "kg_scc_layers": kg_scc_layers,
+        "events_hour_layers": events_hour_layers,
         "kg_sparql_notexists": kg_sparql_notexists,
         "kg_sparql_values": kg_sparql_values,
         "kg_sparql_closure": kg_sparql_closure,
@@ -7249,6 +7295,62 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT x AS node, y AS cand FROM mutual
     ) GROUP BY node
+    """
+
+    # condensation DAG + longest-path layers (recursive max-depth)
+    q["kg_scc_layers"] = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+    mutual AS (
+      SELECT r1.a AS x, r1.b AS y
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+    comp AS (
+      SELECT node, min(cand) AS component FROM (
+        SELECT node, node AS cand FROM nodes
+        UNION ALL
+        SELECT x AS node, y AS cand FROM mutual
+      ) GROUP BY node),
+    ce AS (
+      SELECT DISTINCT c1.component AS src, c2.component AS dst
+      FROM e JOIN comp c1 ON c1.node = e.src
+             JOIN comp c2 ON c2.node = e.dst
+      WHERE c1.component <> c2.component),
+    cn AS (SELECT DISTINCT component AS node FROM comp),
+    paths(node, depth) AS (
+      SELECT node, 0 FROM cn
+      UNION
+      SELECT ce.dst, p.depth + 1 FROM paths p JOIN ce ON ce.src = p.node)
+    SELECT node, CAST(max(depth) AS BIGINT) AS layer
+    FROM paths GROUP BY node
+    """
+
+    q["events_hour_layers"] = """
+    WITH RECURSIVE p AS (
+      SELECT CAST(hour(ts) AS INT) AS h,
+             lead(CAST(hour(ts) AS INT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nh
+      FROM events),
+    e AS (SELECT DISTINCT CAST(h AS VARCHAR) AS src,
+                 CAST(nh AS VARCHAR) AS dst
+          FROM p WHERE nh IS NOT NULL AND nh > h),
+    n AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+    paths(node, depth) AS (
+      SELECT node, 0 FROM n
+      UNION
+      SELECT e.dst, pp.depth + 1 FROM paths pp JOIN e ON e.src = pp.node)
+    SELECT node, CAST(max(depth) AS BIGINT) AS layer
+    FROM paths GROUP BY node
     """
 
     # DELETE/INSERT WHERE == conditional rewrite of the role column

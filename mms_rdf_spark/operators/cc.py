@@ -293,3 +293,75 @@ def strongly_connected_components(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def scc_condensation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **scc_kwargs,
+) -> DataFrame:
+    """Condense a digraph by its SCCs: (src_component, dst_component)
+    distinct edges between DIFFERENT components — by construction a
+    DAG (any cycle among components would merge them). Two broadcast-
+    friendly label joins over the edge list."""
+    comp = strongly_connected_components(edges, src, dst, **scc_kwargs)
+    return (edges
+            .join(comp.select(F.col("node").alias(src),
+                              F.col("component").alias("src_component")),
+                  on=src)
+            .join(comp.select(F.col("node").alias(dst),
+                              F.col("component").alias("dst_component")),
+                  on=dst)
+            .where(F.col("src_component") != F.col("dst_component"))
+            .select("src_component", "dst_component")
+            .distinct())
+
+
+def topological_layers(
+    dag_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(node, layer) over a DAG: layer = longest path length from any
+    source (layer 0 = no in-edges) — the parallel-schedule depth.
+    Bellman-Ford-style hash-MAX fixpoint, O(depth) rounds with
+    localCheckpoint lineage; raises if the fixpoint does not settle
+    within `max_iterations` (a cycle — condense SCCs first).
+    `nodes` (single `node` column) adds isolated nodes at layer 0 —
+    pass the component list when layering a condensation, else
+    edge-free components vanish."""
+    if nodes is None:
+        nodes = (dag_edges.select(F.col(src).alias("node"))
+                 .union(dag_edges.select(F.col(dst).alias("node")))
+                 .distinct())
+    else:
+        nodes = (nodes.select("node")
+                 .union(dag_edges.select(F.col(src).alias("node")))
+                 .union(dag_edges.select(F.col(dst).alias("node")))
+                 .distinct())
+    e = dag_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .distinct().localCheckpoint()
+    layers = nodes.withColumn("layer", F.lit(0).cast("long")) \
+        .localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (e.join(layers.withColumnRenamed("node", "a"), on="a")
+               .groupBy(F.col("b").alias("node"))
+               .agg((F.max("layer") + 1).alias("cand")))
+        new = (layers.join(nbr, on="node", how="left")
+               .select("node",
+                       F.greatest(F.col("layer"),
+                                  F.coalesce(F.col("cand"),
+                                             F.col("layer")))
+                       .alias("layer"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(layers.alias("o"), on="node")
+                   .where(F.col("n.layer") != F.col("o.layer")).count())
+        layers = new
+        if changed == 0:
+            return layers
+    raise RuntimeError(
+        "topological_layers: no fixpoint within max_iterations — the "
+        "input has a cycle (condense SCCs first) or exceeds the bound")

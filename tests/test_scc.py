@@ -81,3 +81,37 @@ def test_max_rounds_exhaustion_raises(spark):
             edges.append((f"p{i-1}a", f"p{i}a"))
     with pytest.raises(RuntimeError, match="max_rounds"):
         _scc(spark, edges, driver_threshold=0, max_rounds=1)
+
+
+def test_condensation_is_dag_and_layers(spark):
+    from mms_rdf_spark.operators.cc import (
+        scc_condensation, topological_layers)
+
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    cond = scc_condensation(e)
+    got = {(r.src_component, r.dst_component) for r in cond.collect()}
+    # {a,b,c} -> {x,y,z} -> t1 -> t2; the self-loop s is isolated
+    assert got == {("a", "x"), ("x", "t1"), ("t1", "t2")}
+    layers = {r.node: r.layer for r in topological_layers(
+        cond, "src_component", "dst_component").collect()}
+    assert layers == {"a": 0, "x": 1, "t1": 2, "t2": 3}
+
+
+def test_topological_layers_rejects_cycles(spark):
+    from mms_rdf_spark.operators.cc import topological_layers
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")],
+                              "src string, dst string")
+    with pytest.raises(RuntimeError, match="cycle"):
+        topological_layers(e, max_iterations=5)
+
+
+def test_layers_longest_path_semantics(spark):
+    from mms_rdf_spark.operators.cc import topological_layers
+
+    # diamond with a long arm: d's layer is the LONGEST path (3)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string")
+    layers = {r.node: r.layer for r in topological_layers(e).collect()}
+    assert layers == {"a": 0, "b": 1, "c": 2, "d": 3}
