@@ -521,6 +521,18 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         return _finish_select(out, distinct, proj, group, order, limit,
                               offset)
 
+    # UNION groups MIXED with other patterns: each `{A} UNION {B}`
+    # segment compiles via recursion (branches may carry plain
+    # FILTER()/regex/BIND/VALUES but not brace-nested clauses —
+    # OPTIONAL, NOT EXISTS, nested unions) and joins the rest of the
+    # group on shared variables, like any other pattern frame. Join
+    # keys must be bound in both branches (unbound-compatible join
+    # semantics are outside this subset). A whole-body union (above)
+    # keeps the unrestricted-branch path.
+    union_segs = _re.findall(
+        r"\{([^{}]*)\} UNION \{([^{}]*)\}", body, _re.I)
+    body = _re.sub(r"\{[^{}]*\} UNION \{[^{}]*\}", " ", body, flags=_re.I)
+
     not_exists = [g.strip() for g in _re.findall(
         r"FILTER NOT EXISTS \{([^}]*)\}", body, _re.I)]
     body = _re.sub(r"FILTER NOT EXISTS \{[^}]*\}", " ", body,
@@ -546,7 +558,18 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         _re.I)
     body = _re.sub(r"FILTER ?\([^)]*\)", " ", body, flags=_re.I)
 
-    out = _compile_patterns(triples, body)
+    out = _compile_patterns(triples, body) \
+        if body.strip().strip(".").strip() else None
+    for left_s, right_s in union_segs:
+        u = sparql_select(
+            triples, f"SELECT * WHERE {{{left_s}}}").unionByName(
+            sparql_select(triples, f"SELECT * WHERE {{{right_s}}}"),
+            allowMissingColumns=True)
+        if out is None:
+            out = u
+        else:
+            shared = sorted(set(out.columns) & set(u.columns))
+            out = out.join(u, on=shared) if shared else out.crossJoin(u)
     if out is None:
         raise ValueError("WHERE has no required patterns")
     for opt in optionals:

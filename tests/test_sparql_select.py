@@ -448,3 +448,21 @@ def test_negated_property_set(g):
     out2 = _run(g, """
         SELECT ?s WHERE { ?s !a c:Person . }""").collect()
     assert out2 == []  # only rdf:type reaches c:Person, and it's negated
+
+
+def test_union_group_joined_with_other_patterns(g):
+    out = _run(g, """
+        SELECT ?s ?n WHERE {
+          { ?s rdf:type c:Person . } UNION { ?s rdf:type c:Robot . }
+          ?s p:name ?n .
+        } ORDER BY ?s""").collect()
+    assert [(r.s, r.n) for r in out] == [
+        ("e:a", "alice"), ("e:b", "bob"), ("e:c", "c3po")]
+    # branch-local plain FILTER survives the recursion
+    out2 = _run(g, """
+        SELECT ?s ?n WHERE {
+          { ?s p:age ?a . FILTER (?a > 10) } UNION { ?s rdf:type c:Robot . }
+          ?s p:name ?n .
+        } ORDER BY ?s""").collect()
+    assert [(r.s, r.n) for r in out2] == [("e:a", "alice"),
+                                          ("e:c", "c3po")]
