@@ -553,6 +553,12 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     regex_filters = _re.findall(
         r"FILTER ?regex\( ?\?(\w+) ?, ?\"([^\"]*)\" ?\)", body, _re.I)
     body = _re.sub(r"FILTER ?regex\([^)]*\)", " ", body, flags=_re.I)
+    strfn_filters = _re.findall(
+        r"FILTER ?\( ?(STRSTARTS|STRENDS|CONTAINS)"
+        r"\( ?\?(\w+) ?, ?\"([^\"]*)\" ?\) ?\)", body, _re.I)
+    body = _re.sub(
+        r"FILTER ?\( ?(?:STRSTARTS|STRENDS|CONTAINS)\([^)]*\) ?\)",
+        " ", body, flags=_re.I)
     cmp_filters = _re.findall(
         r"FILTER ?\( ?\?(\w+) ?(!=|<=|>=|=|<|>) ?([^)]+?) ?\)", body,
         _re.I)
@@ -621,6 +627,11 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = out.where(cond)
     for var, pat in regex_filters:
         out = out.where(F.col(var).rlike(pat))
+    for fn, var, lit in strfn_filters:
+        c = F.col(var)
+        out = out.where({"STRSTARTS": c.startswith(lit),
+                         "STRENDS": c.endswith(lit),
+                         "CONTAINS": c.contains(lit)}[fn.upper()])
 
     return _finish_select(out, distinct, proj, group, order, limit,
                           offset)

@@ -305,3 +305,28 @@ def test_lsh_pair_join_partitioning_pinned_against_aqe(spark):
         "REPARTITION_BY_COL" in plan, plan
     # the explicit partition count appears on the band/key exchange
     assert f", {n})" in plan, plan
+
+
+def test_fanout_pins_cover_link_and_ahash_joins(spark):
+    """Every bytes-small/fan-out-huge pair join carries the explicit
+    hashpartitioning pin (skew.pin_fanout_partitions): fuzzy link
+    blocks and ahash bands checked here, LSH above — AQE's byte-based
+    coalescing must never fold a pair expansion into one task."""
+    from mms_rdf_spark.operators.link import candidate_edges
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    surfaces = spark.range(40).select(
+        F.concat(F.lit("Tool_"), F.col("id").cast("string"))
+        .alias("surface"),
+        F.concat(F.lit("tool_"), (F.col("id") % 7).cast("string"))
+        .alias("norm"))
+    plan = _plan(candidate_edges(surfaces))
+    assert "hashpartitioning(block#" in plan, plan
+    assert f", {n})" in plan, plan
+
+    import mms_rdf_spark.operators.multimodal as MM
+
+    media = MM.synth_ppm_media(spark.range(16).select(
+        F.col("id").alias("doc_id")))
+    plan2 = _plan(MM.image_neardup_pairs(MM.image_ahash(media)))
+    assert "hashpartitioning(band#" in plan2, plan2

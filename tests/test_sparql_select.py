@@ -466,3 +466,24 @@ def test_union_group_joined_with_other_patterns(g):
         } ORDER BY ?s""").collect()
     assert [(r.s, r.n) for r in out2] == [("e:a", "alice"),
                                           ("e:c", "c3po")]
+
+
+def test_filter_string_functions(g):
+    out = _run(g, """
+        SELECT ?n WHERE {
+          ?s p:name ?n .
+          FILTER (STRSTARTS(?n, "a"))
+        }""").collect()
+    assert [r.n for r in out] == ["alice"]
+    out2 = _run(g, """
+        SELECT ?n WHERE {
+          ?s p:name ?n .
+          FILTER (CONTAINS(?n, "o"))
+        } ORDER BY ?n""").collect()
+    assert [r.n for r in out2] == ["bob", "c3po"]
+    out3 = _run(g, """
+        SELECT ?n WHERE {
+          ?s p:name ?n .
+          FILTER (STRENDS(?n, "b"))
+        }""").collect()
+    assert [r.n for r in out3] == ["bob"]
