@@ -204,7 +204,10 @@ class Traversal:
 #     BIND(expr AS ?v)   expr in: ?x | literal | ?x <+-*/> term |
 #       CONCAT(t, ...) | STRLEN(?x) | UCASE(?x) | LCASE(?x) | STR(?x)
 #     FILTER (?v <op> term-or-?var)   op in = != < > <= >=
-#     FILTER regex(?v, "re") }
+#     FILTER regex(?v, "re")
+#     FILTER (STRSTARTS|STRENDS|CONTAINS(?v, "lit"))
+#     { A } UNION { B }  — whole-body (unrestricted branches) or
+#       mixed with other patterns (plain-FILTER branches) }
 #   GROUP BY ?g   ORDER BY ?v [DESC] [, ...]   LIMIT n   OFFSET m
 # Terms: ?var, "quoted literal", bare IRIs (prefixed form), numbers.
 # Each pattern compiles to a filtered scan; patterns join naturally on
