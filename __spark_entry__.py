@@ -2432,6 +2432,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               BIND(?len * 2 AS ?dbl) .
             }""")
 
+    def kg_sparql_having(spark, sf):
+        # GROUP BY + HAVING (SPARQL 1.1 §7): conversations with more
+        # than 6 turns; the HAVING aggregate is re-stated (not the
+        # alias) so the hidden-aggregate path is driver-verified
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?c (COUNT(?t) AS ?n) WHERE {
+              ?c mms-property:turns ?t .
+            } GROUP BY ?c HAVING (COUNT(?t) > 6)""")
+
+    def kg_sparql_subquery(spark, sf):
+        # `{ SELECT ... }` subquery (SPARQL 1.1 §12): per-turn role
+        # rows joined to the per-conversation turn count on the
+        # subquery's PROJECTED variable ?c only (inner ?t is scoped)
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?c ?r ?n WHERE {
+              ?c mms-property:turns ?s .
+              ?s mms-property:role ?r .
+              { SELECT ?c (COUNT(?t) AS ?n) WHERE {
+                  ?c mms-property:turns ?t . } GROUP BY ?c }
+            }""")
+
+    def kg_sparql_expr(spark, sf):
+        # expression completeness: FILTER(?v IN (...)), BIND COALESCE
+        # over an OPTIONAL miss, BIND IF with a quoted-term condition
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?r ?tool ?kind WHERE {
+              ?s mms-property:role ?r .
+              OPTIONAL { ?s mms-property:invokedTool ?x . }
+              BIND(COALESCE(?x, "none") AS ?tool) .
+              BIND(IF(?r = "mms-class:Role.User", "human", "machine")
+                   AS ?kind) .
+              FILTER(?r IN ("mms-class:Role.User",
+                            "mms-class:Role.Assistant",
+                            "mms-class:Role.Tool"))
+            }""")
+
     def kg_scc(spark, sf):
         # strongly connected components over the event-type transition
         # digraph (directed sibling of kg_cc): src -> next event_type
@@ -2807,6 +2846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values": kg_sparql_values,
         "kg_sparql_closure": kg_sparql_closure,
         "kg_sparql_agg2": kg_sparql_agg2,
+        "kg_sparql_having": kg_sparql_having,
+        "kg_sparql_subquery": kg_sparql_subquery,
+        "kg_sparql_expr": kg_sparql_expr,
     }
 
 
@@ -7247,6 +7289,42 @@ def oracle_sql() -> dict[str, str]:
            string_agg(role_iri, ',' ORDER BY role_iri) AS roles,
            min(role_iri) AS first_role
     FROM r GROUP BY conv_id
+    """
+
+    # HAVING over the per-conversation turn count; SQL HAVING is the
+    # exact relational twin
+    q["kg_sparql_having"] = f"""
+    {_T}
+    SELECT 'mms-element:' || conv_id AS c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY conv_id HAVING count(*) > 6
+    """
+
+    # subquery joins on its projected ?c only: per-turn role rows x
+    # the per-conversation turn count
+    q["kg_sparql_subquery"] = f"""
+    {_T}
+    SELECT 'mms-element:' || t.conv_id AS c, {_ROLE_IRI_SQL} AS r, g.n
+    FROM t JOIN (SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+                 FROM t GROUP BY conv_id) g
+      ON t.conv_id = g.conv_id
+    """
+
+    # IN -> lexical set membership; COALESCE over the OPTIONAL miss
+    # (invokedTool exists iff role='tool' and tool non-empty); IF with
+    # an always-bound condition == CASE
+    q["kg_sparql_expr"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s, {_ROLE_IRI_SQL} AS r,
+           CASE WHEN role = 'tool' AND tool IS NOT NULL AND tool <> ''
+                THEN 'mms-artifact:Tool.ID:' || tool
+                ELSE 'none' END AS tool,
+           CASE WHEN {_ROLE_IRI_SQL} = 'mms-class:Role.User'
+                THEN 'human' ELSE 'machine' END AS kind
+    FROM t
+    WHERE {_ROLE_IRI_SQL} IN ('mms-class:Role.User',
+                              'mms-class:Role.Assistant',
+                              'mms-class:Role.Tool')
     """
 
     # MINUS == drop system turns (left-anti on the shared ?s); the

@@ -206,9 +206,16 @@ class Traversal:
 #     FILTER (?v <op> term-or-?var)   op in = != < > <= >=
 #     FILTER regex(?v, "re")
 #     FILTER (STRSTARTS|STRENDS|CONTAINS(?v, "lit"))
+#     FILTER (?v [NOT] IN (term, term, ...))  — lexical comparison
+#     FILTER ([!]BOUND(?v))  — pairs with OPTIONAL
+#     { SELECT ... }  — subquery; joins the group on its PROJECTED
+#       variables only (SPARQL subquery scoping); any unsupported
+#       FILTER form raises (never silently dropped)
 #     { A } UNION { B }  — whole-body (unrestricted branches) or
 #       mixed with other patterns (plain-FILTER branches) }
-#   GROUP BY ?g   ORDER BY ?v [DESC] [, ...]   LIMIT n   OFFSET m
+#   GROUP BY ?g   HAVING (AGG(?v) <op> term [&& ...] | ?alias <op> term)
+#   ORDER BY ?v [DESC] [, ...]   LIMIT n   OFFSET m
+#   BIND additionally: COALESCE(t, ...) | IF(?v <op> term, t, t)
 # Terms: ?var, "quoted literal", bare IRIs (prefixed form), numbers.
 # Each pattern compiles to a filtered scan; patterns join naturally on
 # shared variables (Catalyst reorders/broadcasts); OPTIONAL becomes a
@@ -413,6 +420,29 @@ def _extract_binds(body: str) -> tuple[str, list[tuple[str, str]]]:
         body = body[:m.start()] + " " + rest
 
 
+def _extract_subselects(body: str) -> tuple[str, list[str]]:
+    """Lift `{ SELECT ... }` subqueries out of a group body (balanced-
+    brace scan — the subquery's own WHERE block nests), returning the
+    stripped body and the inner SELECT texts in textual order."""
+    subs: list[str] = []
+    while True:
+        m = _re.search(r"\{ ?SELECT\b", body, _re.I)
+        if not m:
+            return body, subs
+        i = m.start()
+        depth, j = 1, i + 1
+        while depth and j < len(body):
+            if body[j] == "{":
+                depth += 1
+            elif body[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced braces in subquery")
+        subs.append(body[i + 1:j - 1].strip())
+        body = body[:i] + " " + body[j:]
+
+
 def _split_args(s: str) -> list[str]:
     """Top-level comma split, honoring quotes and nested parens."""
     args, cur, depth, inq = [], [], 0, False
@@ -457,11 +487,28 @@ def _bind_expr(expr: str) -> Column:
     e = expr.strip()
     while e.startswith("(") and e.endswith(")") and "(" not in e[1:-1]:
         e = e[1:-1].strip()
-    fm = _re.match(r"(CONCAT|STRLEN|UCASE|LCASE|STR) ?\((.*)\)$", e,
-                   _re.I)
+    fm = _re.match(r"(CONCAT|STRLEN|UCASE|LCASE|STR|COALESCE|IF) ?"
+                   r"\((.*)\)$", e, _re.I)
     if fm:
-        fn, args = fm.group(1).upper(), [
-            _bind_term(a) for a in _split_args(fm.group(2))]
+        fn, raw = fm.group(1).upper(), _split_args(fm.group(2))
+        if fn == "IF":
+            # IF(cond, then, else): cond subset `?v <op> term` (the
+            # FILTER comparison grammar); branches are plain terms
+            cm = _re.match(r"\?(\w+) ?(!=|<=|>=|=|<|>) ?(.+)$", raw[0])
+            if not cm or len(raw) != 3:
+                raise ValueError(f"unparseable IF: {e!r}")
+            var, op, term = cm.groups()
+            lhs, rhs = F.col(var), _bind_term(term)
+            if _re.fullmatch(r"-?\d+(\.\d+)?", term.strip()):
+                lhs, rhs = lhs.cast("double"), rhs.cast("double")
+            cond = {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+                    ">": lhs > rhs, "<=": lhs <= rhs,
+                    ">=": lhs >= rhs}[op]
+            # NULL condition (unbound var) leaves the IF unbound per
+            # SPARQL's error propagation — hence two whens, no otherwise
+            return F.when(cond, _bind_term(raw[1])) \
+                .when(~cond, _bind_term(raw[2]))
+        args = [_bind_term(a) for a in raw]
         if fn == "CONCAT":
             return F.concat(*args)
         if fn == "STRLEN":
@@ -470,6 +517,8 @@ def _bind_expr(expr: str) -> Column:
             return F.upper(args[0])
         if fn == "LCASE":
             return F.lower(args[0])
+        if fn == "COALESCE":
+            return F.coalesce(*args)
         return args[0].cast("string")  # STR
     am = _re.match(r"(\S+) ?([+*/-]) ?(\S+)$", e)
     if am:
@@ -508,21 +557,29 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         q = q[:off_m.start()] + q[off_m.end():]
     m = _re.match(
         r"SELECT (DISTINCT )?(.+?) (?:WHERE )?\{(.*)\}"
-        r"(?: GROUP BY (.+?))?(?: ORDER BY (.+?))?(?: LIMIT (\d+))? ?$",
+        r"(?: GROUP BY (.+?))?(?: HAVING (.+?))?"
+        r"(?: ORDER BY (.+?))?(?: LIMIT (\d+))? ?$",
         q, _re.I)
     if not m:
         raise ValueError("unparseable SPARQL SELECT")
-    distinct, proj, body, group, order, limit = m.groups()
+    distinct, proj, body, group, having, order, limit = m.groups()
 
     union_m = _re.match(r" ?\{(.*)\} UNION \{(.*)\} ?$", body, _re.I)
-    if union_m:
+    if union_m and not _re.search(r"\{ ?SELECT\b", body, _re.I):
         left = sparql_select(
             triples, f"SELECT * WHERE {{{union_m.group(1)}}}")
         right = sparql_select(
             triples, f"SELECT * WHERE {{{union_m.group(2)}}}")
         out = left.unionByName(right, allowMissingColumns=True)
         return _finish_select(out, distinct, proj, group, order, limit,
-                              offset)
+                              offset, having)
+
+    # Subqueries `{ SELECT ... }` lift out FIRST (balanced-brace scan —
+    # their bodies contain `{...}` that would break the flat regexes
+    # below); each compiles via recursion and joins the rest of the
+    # group on its PROJECTED variables only, per SPARQL's subquery
+    # scoping (inner non-projected vars are invisible outside).
+    body, subselects = _extract_subselects(body)
 
     # UNION groups MIXED with other patterns: each `{A} UNION {B}`
     # segment compiles via recursion (branches may carry plain
@@ -562,10 +619,25 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     body = _re.sub(
         r"FILTER ?\( ?(?:STRSTARTS|STRENDS|CONTAINS)\([^)]*\) ?\)",
         " ", body, flags=_re.I)
+    in_filters = _re.findall(
+        r"FILTER ?\( ?\?(\w+) (NOT )?IN ?\(([^)]*)\) ?\)", body, _re.I)
+    body = _re.sub(r"FILTER ?\( ?\?\w+ (?:NOT )?IN ?\([^)]*\) ?\)",
+                   " ", body, flags=_re.I)
+    bound_filters = _re.findall(
+        r"FILTER ?\( ?(!)? ?BOUND ?\( ?\?(\w+) ?\) ?\)", body, _re.I)
+    body = _re.sub(r"FILTER ?\( ?!? ?BOUND ?\( ?\?\w+ ?\) ?\)",
+                   " ", body, flags=_re.I)
     cmp_filters = _re.findall(
         r"FILTER ?\( ?\?(\w+) ?(!=|<=|>=|=|<|>) ?([^)]+?) ?\)", body,
         _re.I)
-    body = _re.sub(r"FILTER ?\([^)]*\)", " ", body, flags=_re.I)
+    body = _re.sub(r"FILTER ?\( ?\?\w+ ?(?:!=|<=|>=|=|<|>) ?[^)]+? ?\)",
+                   " ", body, flags=_re.I)
+    # every supported FILTER form has been lifted by now — anything
+    # left would previously fall through SILENTLY (dropped constraint,
+    # superset result); fail loudly instead
+    if _re.search(r"\bFILTER\b", body, _re.I):
+        raise ValueError(
+            f"unsupported FILTER form in: {body.strip()!r}")
 
     out = _compile_patterns(triples, body) \
         if body.strip().strip(".").strip() else None
@@ -579,6 +651,14 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         else:
             shared = sorted(set(out.columns) & set(u.columns))
             out = out.join(u, on=shared) if shared else out.crossJoin(u)
+    for sub in subselects:
+        frame = sparql_select(triples, sub)
+        if out is None:
+            out = frame
+        else:
+            shared = sorted(set(out.columns) & set(frame.columns))
+            out = out.join(frame, on=shared) if shared \
+                else out.crossJoin(frame)
     if out is None:
         raise ValueError("WHERE has no required patterns")
     for opt in optionals:
@@ -635,9 +715,19 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = out.where({"STRSTARTS": c.startswith(lit),
                          "STRENDS": c.endswith(lit),
                          "CONTAINS": c.contains(lit)}[fn.upper()])
+    for var, neg, inline in in_filters:
+        vals = [t[1:-1] if t.startswith('"') else t
+                for t in _split_args(inline)]
+        cond = F.col(var).isin(vals)
+        # NOT IN on an unbound (NULL) var is a SPARQL type error ->
+        # row dropped; Spark's NULL-propagating ~isin matches that
+        out = out.where(~cond if neg else cond)
+    for neg, var in bound_filters:
+        out = out.where(F.col(var).isNull() if neg
+                        else F.col(var).isNotNull())
 
     return _finish_select(out, distinct, proj, group, order, limit,
-                          offset)
+                          offset, having)
 
 
 _AGG_RE = _re.compile(
@@ -678,8 +768,53 @@ def _agg_expr(fn: str, dis, var: str, sep) -> Column:
                         sep if sep is not None else " ")
 
 
+def _having_conds(having: str, aliases: set[str]):
+    """HAVING conditions (`&&`-joined) -> (extra hidden agg exprs,
+    post-agg predicate builders). Each condition is either an
+    aggregate comparison `AGG(?v) <op> term` (aggregate computed as a
+    hidden column, dropped after the filter) or a comparison against a
+    SELECT-projected aggregate alias `?alias <op> term`."""
+    def _strip_outer(s: str) -> str:
+        s = s.strip()
+        while s.startswith("(") and s.endswith(")"):
+            depth = 0
+            for j, ch in enumerate(s):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0 and j < len(s) - 1:
+                    return s  # the leading paren closes early
+            s = s[1:-1].strip()
+        return s
+
+    extra, preds = [], []
+    for i, cond in enumerate(
+            _strip_outer(c) for c in _strip_outer(having).split("&&")):
+        am = _re.match(
+            r"(COUNT|MIN|MAX|SUM|AVG)\( ?(DISTINCT )?\?(\w+) ?\)"
+            r" ?(!=|<=|>=|=|<|>) ?(.+)$", cond, _re.I)
+        if am:
+            fn, dis, var, op, term = am.groups()
+            col = f"_hv{i}"
+            extra.append(_agg_expr(fn, dis, var, None).alias(col))
+        else:
+            vm = _re.match(r"\?(\w+) ?(!=|<=|>=|=|<|>) ?(.+)$", cond)
+            if not vm or vm.group(1) not in aliases:
+                raise ValueError(f"unsupported HAVING: {cond!r}")
+            col, op, term = vm.groups()
+        term = term.strip()
+        if _re.fullmatch(r"-?\d+(\.\d+)?", term):
+            lhs, rhs = F.col(col).cast("double"), F.lit(float(term))
+        else:
+            lhs = F.col(col)
+            rhs = F.lit(term[1:-1] if term.startswith('"') else term)
+        preds.append({"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+                      ">": lhs > rhs, "<=": lhs <= rhs,
+                      ">=": lhs >= rhs}[op])
+    return extra, preds
+
+
 def _finish_select(out: DataFrame, distinct, proj, group, order,
-                   limit, offset=None) -> DataFrame:
+                   limit, offset=None, having=None) -> DataFrame:
     proj = proj.strip()
     if group or ("(" in proj and proj != "*"):
         # explicit GROUP BY, or aggregates with the implicit single
@@ -697,7 +832,14 @@ def _finish_select(out: DataFrame, distinct, proj, group, order,
             ordered.append(alias)
         if not aggs:
             raise ValueError("GROUP BY without aggregates in SELECT")
-        out = out.groupBy(*keys).agg(*aggs).select(*ordered)
+        extra, preds = _having_conds(having, set(ordered)) \
+            if having else ([], [])
+        out = out.groupBy(*keys).agg(*aggs, *extra)
+        for p in preds:
+            out = out.where(p)
+        out = out.select(*ordered)
+    elif having:
+        raise ValueError("HAVING requires aggregates")
     elif proj != "*":
         out = out.select(*[v[1:] for v in proj.split()])
     else:
