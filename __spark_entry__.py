@@ -2471,6 +2471,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             "mms-class:Role.Tool"))
             }""")
 
+    def kg_betweenness(spark, sf):
+        # exact directed betweenness over the top-8 event-type
+        # transition edges (count-desc, deterministic tiebreak — the
+        # full transition digraph is complete, so it is thresholded to
+        # make shortest paths non-trivial); oracle enumerates ALL
+        # shortest paths with a recursive CTE and sums the same
+        # 9dp-rounded DECIMAL contributions
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.pagerank import (
+            betweenness_centrality)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        trans = (ev.withColumn("nxt", F.lead("event_type").over(w))
+                 .where(F.col("nxt").isNotNull()
+                        & (F.col("nxt") != F.col("event_type")))
+                 .groupBy(F.col("event_type").alias("src"),
+                          F.col("nxt").alias("dst"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        top = trans.orderBy(F.col("cnt").desc(), "src", "dst").limit(8)
+        return betweenness_centrality(top.select("src", "dst"))
+
     def kg_scc(spark, sf):
         # strongly connected components over the event-type transition
         # digraph (directed sibling of kg_cc): src -> next event_type
@@ -2849,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_having": kg_sparql_having,
         "kg_sparql_subquery": kg_sparql_subquery,
         "kg_sparql_expr": kg_sparql_expr,
+        "kg_betweenness": kg_betweenness,
     }
 
 
@@ -7349,6 +7372,52 @@ def oracle_sql() -> dict[str, str]:
            {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag,
            CAST(length({_ROLE_IRI_SQL}) * 2 AS DOUBLE) AS dbl
     FROM t
+    """
+
+    # exact betweenness by brute force: the recursive CTE enumerates
+    # every simple walk (shortest paths are always simple, so min-len
+    # walks are exactly the shortest paths), sigma_st = count of
+    # min-len walks, sigma_st(v) = those passing through interior v;
+    # contributions rounded to 9dp and summed as DECIMAL so the total
+    # is order-independent (mirrors the operator's decimal sum)
+    q["kg_betweenness"] = """
+    WITH RECURSIVE
+    e0 AS (
+      SELECT src, dst, count(*) AS cnt FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL AND dst <> src
+      GROUP BY src, dst),
+    e AS (SELECT src, dst FROM e0 ORDER BY cnt DESC, src, dst LIMIT 8),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    walk(s, t, path, len) AS (
+      SELECT src, dst, [src, dst], 1 FROM e
+      UNION ALL
+      SELECT w.s, x.dst, list_append(w.path, x.dst), w.len + 1
+      FROM walk w JOIN e x ON x.src = w.t
+      WHERE NOT list_contains(w.path, x.dst)),
+    sp AS (SELECT s, t, min(len) AS d FROM walk GROUP BY s, t),
+    mp AS (SELECT w.s, w.t, w.path FROM walk w
+           JOIN sp ON w.s = sp.s AND w.t = sp.t AND w.len = sp.d),
+    sg AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n
+           FROM mp GROUP BY s, t),
+    thru AS (SELECT mp.s, mp.t, u.v
+             FROM mp,
+                  UNNEST(list_slice(mp.path, 2, len(mp.path) - 1))
+                      AS u(v)
+             WHERE len(mp.path) > 2),
+    pc AS (SELECT v, s, t, CAST(count(*) AS BIGINT) AS through
+           FROM thru GROUP BY v, s, t),
+    contrib AS (SELECT v,
+                       CAST(round(CAST(through AS DOUBLE) / n, 9)
+                            AS DECIMAL(28,9)) AS c
+                FROM pc JOIN sg USING (s, t))
+    SELECT node,
+           CAST(coalesce(b.bc, 0) AS DOUBLE) AS betweenness
+    FROM nodes LEFT JOIN (SELECT v AS node, sum(c) AS bc
+                          FROM contrib GROUP BY v) b USING (node)
     """
 
     # SCC == mutual reachability closure; component = min member

@@ -1,0 +1,129 @@
+"""betweenness_centrality: exact Brandes pair dependencies, both
+accumulation strategies (all-pairs `pairs` joins and layered `brandes`
+backward recursion), pinned against analytic values and a pure-Python
+exact Brandes."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _bc(edges, **kw):
+    from mms_rdf_spark.operators.pagerank import betweenness_centrality
+
+    return {r.node: r.betweenness
+            for r in betweenness_centrality(edges, **kw).collect()}
+
+
+def _python_brandes(pairs):
+    """Exact directed betweenness (textbook Brandes), driver-side."""
+    adj: dict[str, list[str]] = {}
+    nodes = set()
+    for s, d in set(pairs):
+        if s == d:
+            continue
+        adj.setdefault(s, []).append(d)
+        nodes.update((s, d))
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in nodes:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = dict.fromkeys(order, 0.0)
+        for w in reversed(order):
+            for x in adj.get(w, ()):
+                if dist.get(x) == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[x] * (1 + delta[x])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+CHAIN = [("a", "b"), ("b", "c"), ("c", "d")]
+DIAMOND = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+# diamond + tail + a skip edge: multiplicities AND competing paths
+MIXED = DIAMOND + [("d", "e"), ("a", "e"), ("b", "e"), ("e", "a")]
+
+
+def test_chain_analytic(spark):
+    # directed path a->b->c->d: through-pairs are i * (L-1-i)
+    got = _bc(_edges(spark, CHAIN))
+    assert got == {"a": 0.0, "b": 2.0, "c": 2.0, "d": 0.0}
+
+
+def test_diamond_splits_sigma(spark):
+    # sigma_ad = 2; each middle node carries half of the (a, d) pair
+    got = _bc(_edges(spark, DIAMOND))
+    assert got == {"a": 0.0, "b": 0.5, "c": 0.5, "d": 0.0}
+
+
+@pytest.mark.parametrize("method", ["pairs", "brandes"])
+def test_matches_python_brandes(spark, method):
+    got = _bc(_edges(spark, MIXED), method=method)
+    want = _python_brandes(MIXED)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-6, (n, got[n], want[n])
+
+
+def test_pairs_and_brandes_agree(spark):
+    e = _edges(spark, MIXED)
+    p = _bc(e, method="pairs")
+    b = _bc(e, method="brandes")
+    assert set(p) == set(b)
+    for n in p:
+        assert abs(p[n] - b[n]) < 1e-6
+
+
+def test_sampled_sources_partial_sums(spark):
+    e = _edges(spark, MIXED)
+    full = _bc(e, method="brandes")
+    sampled = _bc(
+        e, method="brandes",
+        sources=spark.createDataFrame([("a",)], "node string"))
+    # per-source dependencies are non-negative: sampling lower-bounds
+    for n, v in sampled.items():
+        assert v <= full[n] + 1e-9
+    # and the a-source dependencies alone are exact
+    want = 0.0
+    assert sampled["a"] == want
+
+
+def test_pairs_rejects_sampled_sources(spark):
+    with pytest.raises(ValueError, match="ALL sources"):
+        _bc(_edges(spark, CHAIN), method="pairs",
+            sources=_edges(spark, CHAIN).select(
+                _f_col("src").alias("node")))
+
+
+def _f_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
+
+
+def test_self_loops_and_parallel_edges_ignored(spark):
+    noisy = CHAIN + [("b", "b"), ("a", "b"), ("a", "b")]
+    assert _bc(_edges(spark, noisy)) == _bc(_edges(spark, CHAIN))
+
+
+def test_exhaustion_raises(spark):
+    with pytest.raises(RuntimeError, match="not converged"):
+        _bc(_edges(spark, CHAIN), max_depth=1)
