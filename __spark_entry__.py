@@ -2493,6 +2493,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = trans.orderBy(F.col("cnt").desc(), "src", "dst").limit(8)
         return betweenness_centrality(top.select("src", "dst"))
 
+    def kg_closeness(spark, sf):
+        # exact outbound closeness + full harmonic over the same
+        # thresholded transition digraph as kg_betweenness
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.pagerank import (
+            closeness_centrality)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        trans = (ev.withColumn("nxt", F.lead("event_type").over(w))
+                 .where(F.col("nxt").isNotNull()
+                        & (F.col("nxt") != F.col("event_type")))
+                 .groupBy(F.col("event_type").alias("src"),
+                          F.col("nxt").alias("dst"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        top = trans.orderBy(F.col("cnt").desc(), "src", "dst").limit(8)
+        return closeness_centrality(top.select("src", "dst"))
+
     def kg_scc(spark, sf):
         # strongly connected components over the event-type transition
         # digraph (directed sibling of kg_cc): src -> next event_type
@@ -2872,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": kg_sparql_subquery,
         "kg_sparql_expr": kg_sparql_expr,
         "kg_betweenness": kg_betweenness,
+        "kg_closeness": kg_closeness,
     }
 
 
@@ -7418,6 +7437,39 @@ def oracle_sql() -> dict[str, str]:
            CAST(coalesce(b.bc, 0) AS DOUBLE) AS betweenness
     FROM nodes LEFT JOIN (SELECT v AS node, sum(c) AS bc
                           FROM contrib GROUP BY v) b USING (node)
+    """
+
+    # closeness/harmonic: min-len walks give the distance table; the
+    # harmonic sum uses the same 9dp DECIMAL term rounding as the op
+    q["kg_closeness"] = """
+    WITH RECURSIVE
+    e0 AS (
+      SELECT src, dst, count(*) AS cnt FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL AND dst <> src
+      GROUP BY src, dst),
+    e AS (SELECT src, dst FROM e0 ORDER BY cnt DESC, src, dst LIMIT 8),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    walk(s, t, path, len) AS (
+      SELECT src, dst, [src, dst], 1 FROM e
+      UNION ALL
+      SELECT w.s, x.dst, list_append(w.path, x.dst), w.len + 1
+      FROM walk w JOIN e x ON x.src = w.t
+      WHERE NOT list_contains(w.path, x.dst)),
+    sp AS (SELECT s, t, min(len) AS d FROM walk GROUP BY s, t),
+    per AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS r,
+                   sum(d) AS sumd,
+                   sum(CAST(round(1.0 / d, 9) AS DECIMAL(28,9))) AS h
+            FROM sp GROUP BY s)
+    SELECT node,
+           CAST(coalesce(r, 0) AS BIGINT) AS n_reachable,
+           CAST(coalesce(round(CAST(r AS DOUBLE) / sumd, 9), 0)
+                AS DOUBLE) AS closeness,
+           CAST(coalesce(h, 0) AS DOUBLE) AS harmonic
+    FROM nodes LEFT JOIN per USING (node)
     """
 
     # SCC == mutual reachability closure; component = min member

@@ -993,3 +993,50 @@ def betweenness_centrality(
         "node",
         F.coalesce(F.col("bc").cast("double"), F.lit(0.0))
         .alias("betweenness"))
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 32,
+    precision: int = 9,
+) -> DataFrame:
+    """Exact directed (outbound) closeness + FULL harmonic centrality:
+    for each node s, over every reachable t != s at BFS distance d —
+    n_reachable = |{t}|, closeness = n_reachable / sum(d) (0.0 when
+    nothing is reachable), harmonic = sum(1/d). Complements
+    harmonic_centrality_2hop (the bounded-radius estimate for graphs
+    too large for all-pairs): this one is exact and meant for
+    vocabulary/entity-type-sized graphs or sampled subgraphs.
+
+    Determinism: harmonic sums 9dp-rounded DECIMAL(28,9) terms
+    (order-independent, hash-matches the DuckDB recursive-CTE oracle);
+    closeness is a single rounded division. Same all-pairs BFS state
+    as betweenness_centrality — one frontier join + anti-join per
+    round, localCheckpoint lineage discipline, nothing graph-sized
+    ever collected."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    state = _bfs_sigma(e, nodes, max_depth)
+    per = (state.where(F.col("dist") > 0)
+           .groupBy(F.col("s").alias("node"))
+           .agg(F.count(F.lit(1)).alias("n_reachable"),
+                F.sum("dist").alias("_sumd"),
+                F.sum(F.round(F.lit(1.0) / F.col("dist"), precision)
+                      .cast("decimal(28,9)")).alias("_h")))
+    return (nodes.join(per, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce(F.col("n_reachable"), F.lit(0))
+                .cast("long").alias("n_reachable"),
+                F.coalesce(
+                    F.round(F.col("n_reachable").cast("double")
+                            / F.col("_sumd"), precision),
+                    F.lit(0.0)).alias("closeness"),
+                F.coalesce(F.col("_h").cast("double"), F.lit(0.0))
+                .alias("harmonic")))

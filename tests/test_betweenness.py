@@ -127,3 +127,24 @@ def test_self_loops_and_parallel_edges_ignored(spark):
 def test_exhaustion_raises(spark):
     with pytest.raises(RuntimeError, match="not converged"):
         _bc(_edges(spark, CHAIN), max_depth=1)
+
+
+def test_closeness_chain_analytic(spark):
+    from mms_rdf_spark.operators.pagerank import closeness_centrality
+
+    got = {r.node: (r.n_reachable, r.closeness, r.harmonic)
+           for r in closeness_centrality(_edges(spark, CHAIN)).collect()}
+    # from a: dists 1,2,3 -> r=3, closeness 3/6, harmonic 1+1/2+1/3
+    assert got["a"] == (3, 0.5, 1.833333333)
+    assert got["b"] == (2, pytest.approx(0.666666667), 1.5)
+    assert got["c"] == (1, 1.0, 1.0)
+    assert got["d"] == (0, 0.0, 0.0)  # sink: nothing reachable
+
+
+def test_closeness_cycle_reaches_all(spark):
+    from mms_rdf_spark.operators.pagerank import closeness_centrality
+
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = {r.node: (r.n_reachable, r.closeness)
+           for r in closeness_centrality(_edges(spark, cyc)).collect()}
+    assert got == {n: (2, pytest.approx(2 / 3)) for n in "abc"}
