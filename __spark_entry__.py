@@ -2471,6 +2471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             "mms-class:Role.Tool"))
             }""")
 
+    def text_feature_hash(spark, sf):
+        # hashing-trick featurizer: vocabulary-free fixed-dim sparse
+        # features (md5 bucket + independent md5 sign bit, exact
+        # signed term counts, zero buckets dropped)
+        from mms_rdf_spark.operators.mlops import feature_hash
+        return feature_hash(_docs(spark, sf), n_features=64)
+
     def kg_betweenness(spark, sf):
         # exact directed betweenness over the top-8 event-type
         # transition edges (count-desc, deterministic tiebreak — the
@@ -2891,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_expr": kg_sparql_expr,
         "kg_betweenness": kg_betweenness,
         "kg_closeness": kg_closeness,
+        "text_feature_hash": text_feature_hash,
     }
 
 
@@ -7391,6 +7399,24 @@ def oracle_sql() -> dict[str, str]:
            {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag,
            CAST(length({_ROLE_IRI_SQL}) * 2 AS DOUBLE) AS dbl
     FROM t
+    """
+
+    # hashing trick is md5-deterministic: bucket and sign recompute
+    # bit-identically; integer signed sums, zero buckets dropped
+    q["text_feature_hash"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS token
+        FROM (SELECT doc_id, coalesce(text, '') AS text
+              FROM documents)),
+    f AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(token), 1, 6))
+                      AS BIGINT) % 64 AS feature,
+                 CASE WHEN substr(md5('s|' || token), 1, 1) IN
+                      ('0','1','2','3','4','5','6','7')
+                      THEN 1 ELSE -1 END AS sgn
+          FROM toks)
+    SELECT doc_id, feature, CAST(sum(sgn) AS BIGINT) AS value
+    FROM f GROUP BY doc_id, feature HAVING sum(sgn) <> 0
     """
 
     # exact betweenness by brute force: the recursive CTE enumerates

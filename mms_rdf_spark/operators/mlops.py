@@ -142,3 +142,42 @@ def calibration_error(scored: DataFrame, bins: int = 10) -> DataFrame:
         F.round(acc, 6).alias("frac_pos"),
         F.round(F.abs(F.round(conf, 6) - F.round(acc, 6)), 9)
         .alias("gap"))
+
+
+def feature_hash(docs: DataFrame, n_features: int = 64,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009): sparse
+    (doc_id, feature, value) triples where feature = md5(token) mod
+    n_features and value = the SIGNED term count (sign from an
+    independent md5 bit, the variance-reduction trick that makes
+    hash-collision noise zero-mean). Exactly-zero buckets (signed
+    cancellation) are dropped — the sparse contract.
+
+    This is the fixed-dimension featurizer for training quality /
+    language classifiers over an unbounded vocabulary at corpus scale:
+    no vocabulary table, no fit step, no driver state — so it
+    composes with train_logreg_features on 100 TB without a
+    vocabulary broadcast. Shape: one corpus scan + one
+    (doc_id, feature) aggregate (map-side combined, exact longs);
+    both hashes are JVM md5 inside whole-stage codegen.
+
+    Determinism: md5-derived bucket and sign, integer sums — the
+    DuckDB oracle (text_feature_hash) is bit-exact.
+    """
+    from mms_rdf_spark.operators.dedup import _tokens
+
+    toks = docs.select(
+        id_col,
+        F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))
+                  ).alias("token"))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 6), 16, 10)
+              .cast("long") % n_features)
+    sign = F.when(
+        F.substring(F.md5(F.concat(F.lit("s|"), F.col("token"))), 1, 1)
+        .isin(*"01234567"), F.lit(1)).otherwise(F.lit(-1))
+    return (toks.select(id_col, bucket.alias("feature"),
+                        sign.alias("sgn"))
+            .groupBy(id_col, "feature")
+            .agg(F.sum("sgn").cast("long").alias("value"))
+            .where(F.col("value") != 0))

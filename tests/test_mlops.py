@@ -121,3 +121,32 @@ def test_calibration_error_bins(spark):
     assert out[5].mean_prob == 0.55 and out[5].frac_pos == 0.5 \
         and abs(out[5].gap - 0.05) < 1e-9
     assert out[9].n == 1 and out[9].gap == 0.0
+
+
+def test_feature_hash_signed_counts_and_sparsity(spark):
+    from pyspark.sql import functions as F
+
+    from mms_rdf_spark.operators.mlops import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, ""), (3, None), (4, "alpha")],
+        "doc_id int, text string")
+    out = feature_hash(docs, n_features=8).collect()
+    rows = {(r.doc_id, r.feature): r.value for r in out}
+    # empty / NULL docs emit nothing (sparse contract)
+    assert not any(d in (2, 3) for d, _ in rows)
+    # same token -> same bucket and sign everywhere: doc 1's alpha
+    # bucket holds exactly 2x doc 4's single-alpha value
+    (a_feat, a_val), = [(f, v) for (d, f), v in rows.items()
+                        if d == 4]
+    # (beta may collide into the same bucket, shifting by +-1)
+    assert rows[(1, a_feat)] in (a_val * 2 - 1, a_val * 2,
+                                 a_val * 2 + 1)
+    # values are signed unit counts: |value| == term count
+    assert abs(a_val) == 1
+    # buckets within range
+    assert all(0 <= f < 8 for _, f in rows)
+    # deterministic across invocations
+    again = {(r.doc_id, r.feature): r.value
+             for r in feature_hash(docs, n_features=8).collect()}
+    assert again == rows
