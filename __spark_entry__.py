@@ -2478,6 +2478,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import feature_hash
         return feature_hash(_docs(spark, sf), n_features=64)
 
+    def kg_louvain_cert(spark, sf):
+        # self-certifying Louvain gate (the sketch-cert pattern): ok =
+        # Louvain's modularity beats LPA's AND is positive, q_lpa is
+        # the exact cross-engine-pinned LPA score. A Louvain
+        # regression flips ok and fails the hash-match; the partition
+        # itself is pinned bit-for-bit against the pure-Python twin in
+        # tests/test_louvain.py (exact-long gain scores).
+        from mms_rdf_spark.operators.pagerank import (
+            label_propagation,
+            louvain,
+            modularity,
+        )
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"),
+                         F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"),
+                         F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"),
+                         F.col("n_regionkey").cast("string")))))
+        q_louv = modularity(
+            e, louvain(e).withColumnRenamed("community", "label")) \
+            .select(F.col("modularity").alias("q_louvain"))
+        q_lpa = modularity(e, label_propagation(e, iters=3)) \
+            .select(F.col("modularity").alias("q_lpa"))
+        return (q_louv.crossJoin(q_lpa)
+                .select(((F.col("q_louvain") >= F.col("q_lpa"))
+                         & (F.col("q_louvain") > 0)).alias("ok"),
+                        "q_lpa"))
+
     def kg_betweenness(spark, sf):
         # exact directed betweenness over the top-8 event-type
         # transition edges (count-desc, deterministic tiebreak — the
@@ -2899,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": kg_betweenness,
         "kg_closeness": kg_closeness,
         "text_feature_hash": text_feature_hash,
+        "kg_louvain_cert": kg_louvain_cert,
     }
 
 
@@ -3350,6 +3386,12 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(sum(mu) AS BIGINT) / 1000000000.0, 6)
                AS modularity
     FROM terms"""
+
+    # Louvain self-cert: the oracle pins LPA's exact modularity (the
+    # kg_modularity unroll) plus literal TRUE — a Louvain partition
+    # that stops beating LPA (or goes non-positive) fails the hash
+    q["kg_louvain_cert"] = ("SELECT TRUE AS ok, modularity AS q_lpa "
+                            "FROM (" + q["kg_modularity"] + ")")
 
     # bounded k-core peel, 3 unrolled rounds over the part-supplier
     # bipartite graph (k = 30)

@@ -1040,3 +1040,138 @@ def closeness_centrality(
                     F.lit(0.0)).alias("closeness"),
                 F.coalesce(F.col("_h").cast("double"), F.lit(0.0))
                 .alias("harmonic")))
+
+
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    levels: int = 2,
+    move_rounds: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous Louvain community detection over the
+    undirected graph. Returns (node, community); community labels are
+    canonicalized to the MIN member node id.
+
+    The classic sequential Louvain visits nodes in arbitrary order —
+    non-deterministic and un-distributable. This is the synchronous
+    variant (Grappolo / distributed-Louvain literature) made fully
+    deterministic:
+
+    - gain comparison in EXACT LONG arithmetic: argmax_c of
+      2m * k_ic - k_i * tot'_c (the modularity gain times the positive
+      constant 2m, with i removed from its own community) — no float
+      rounding anywhere, so a pure-Python twin reproduces the
+      partition bit-for-bit (tests/test_louvain.py);
+    - ties break toward the smaller community id (total order);
+    - synchronous swap oscillation (two nodes trading places forever)
+      is broken by a PARITY GATE: in round r only nodes with
+      crc32(node) % 2 == r % 2 may move — deterministic, and every
+      node gets move_rounds/2 chances per level;
+    - after move_rounds the graph coarsens (communities -> super
+      nodes, intra weight -> self-loops) and the next level repeats;
+      modularity is invariant under the coarsening, standard Louvain.
+
+    Scale shape per round: one adjacency-to-labels join + one
+    (node, comm) weight aggregate + one comm-degree aggregate + one
+    per-node argmax window — all keyed equi-joins / map-side combines,
+    localCheckpoint truncating lineage; the only driver scalar is 2m.
+    Coarsening SHRINKS the graph each level, the property that makes
+    Louvain usable where flat LPA stalls.
+    """
+    from pyspark.sql.window import Window
+
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    adj = (e0.union(e0.select(F.col("v"), F.col("u")))
+           .where(F.col("u") != F.col("v")).distinct()
+           .withColumn("w", F.lit(1).cast("long")).localCheckpoint())
+    if adj.isEmpty():
+        return adj.select(F.col("u").alias("node"),
+                          F.col("v").alias("community"))
+    two_m = adj.agg(F.sum("w")).first()[0]  # every edge twice
+    nodes = adj.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint()
+    mapping = nodes.select("node", F.col("node").alias("comm"))
+    selfw = nodes.select(F.col("node").alias("u"),
+                         F.lit(0).cast("long").alias("sw"))
+
+    for _ in range(levels):
+        lvl_nodes = adj.select(F.col("u").alias("node")).distinct() \
+            .localCheckpoint()
+        k = (adj.groupBy("u").agg(F.sum("w").alias("_kw"))
+             .join(selfw, on="u", how="left")
+             .select(F.col("u").alias("node"),
+                     (F.col("_kw")
+                      + 2 * F.coalesce(F.col("sw"), F.lit(0)))
+                     .alias("k")).localCheckpoint())
+        comm = lvl_nodes.select("node", F.col("node").alias("comm"))
+        win = Window.partitionBy("node").orderBy(
+            F.col("score").desc(), F.col("c").asc())
+        for r in range(move_rounds):
+            tot = (comm.join(k, on="node")
+                   .groupBy("comm").agg(F.sum("k").alias("tot")))
+            nc = (adj.join(comm.select(F.col("node").alias("v"),
+                                       F.col("comm").alias("c")),
+                           on="v")
+                  .groupBy(F.col("u").alias("node"), "c")
+                  .agg(F.sum("w").alias("kic")))
+            cand = (nc.unionByName(
+                comm.select("node", F.col("comm").alias("c"),
+                            F.lit(0).cast("long").alias("kic")))
+                .groupBy("node", "c").agg(F.max("kic").alias("kic")))
+            j = (cand.join(comm, on="node").join(k, on="node")
+                 .join(tot.withColumnRenamed("comm", "c"), on="c"))
+            totp = F.col("tot") - F.when(
+                F.col("c") == F.col("comm"), F.col("k")).otherwise(0)
+            score = (F.lit(two_m) * F.col("kic")
+                     - F.col("k") * totp)
+            best = (j.select("node", "c", "comm",
+                             score.alias("score"))
+                    .withColumn("_rn", F.row_number().over(win))
+                    .where(F.col("_rn") == 1))
+            mover = F.crc32(F.col("node").cast("string")) % 2 \
+                == F.lit(r % 2)
+            comm = best.select(
+                "node",
+                F.when(mover, F.col("c")).otherwise(F.col("comm"))
+                .alias("comm")).localCheckpoint()
+        # left join: a community with no inter-community edges left is
+        # absent from this level's node set — its members keep their
+        # label instead of being dropped
+        mapping = (mapping.join(
+            comm.select(F.col("node").alias("comm"),
+                        F.col("comm").alias("_new")),
+            on="comm", how="left")
+            .select("node", F.coalesce(F.col("_new"), F.col("comm"))
+                    .alias("comm"))
+            .localCheckpoint())
+        # coarsen: communities become nodes; intra weight -> self-loops
+        ca = comm.select(F.col("node").alias("u"),
+                         F.col("comm").alias("cu"))
+        cb = comm.select(F.col("node").alias("v"),
+                         F.col("comm").alias("cv"))
+        lifted = adj.join(ca, on="u").join(cb, on="v")
+        inter = (lifted.where(F.col("cu") != F.col("cv"))
+                 .groupBy(F.col("cu").alias("u"),
+                          F.col("cv").alias("v"))
+                 .agg(F.sum("w").alias("w")))
+        intra = (lifted.where(F.col("cu") == F.col("cv"))
+                 .groupBy(F.col("cu").alias("u"))
+                 .agg((F.sum("w") / 2).cast("long").alias("_iw")))
+        selfw = (comm.join(selfw.withColumnRenamed("u", "node"),
+                           on="node", how="left")
+                 .groupBy(F.col("comm").alias("u"))
+                 .agg(F.sum(F.coalesce(F.col("sw"), F.lit(0)))
+                      .alias("sw"))
+                 .join(intra.withColumnRenamed("_iw", "_i"),
+                       on="u", how="left")
+                 .select("u", (F.col("sw")
+                               + F.coalesce(F.col("_i"), F.lit(0)))
+                         .alias("sw")).localCheckpoint())
+        adj = inter.localCheckpoint()
+        if adj.isEmpty():
+            break
+    # canonical labels: min ORIGINAL member node per community
+    canon = mapping.groupBy("comm").agg(F.min("node").alias("community"))
+    return (mapping.join(canon, on="comm")
+            .select("node", "community"))
