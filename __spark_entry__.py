@@ -2478,6 +2478,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import feature_hash
         return feature_hash(_docs(spark, sf), n_features=64)
 
+    def link_fs_scores(spark, sf):
+        # Fellegi-Sunter probabilistic linkage over the same blocked
+        # part corpus as link_fuzzy_parts: m/u estimated in-engine
+        # from the edit-distance label, log-likelihood weights, exact
+        # fixed-order score chain
+        from mms_rdf_spark.operators.link import fellegi_sunter_scores
+        p = (spark.read.parquet(f"{sf}/part.parquet")
+             .withColumn("blk",
+                         F.element_at(F.split("p_name", " "), -1)))
+        return fellegi_sunter_scores(
+            p, "p_partkey", "blk", ["p_brand", "p_type", "p_size"],
+            "p_name", label_max_dist=2)
+
     def kg_louvain_cert(spark, sf):
         # self-certifying Louvain gate (the sketch-cert pattern): ok =
         # Louvain's modularity beats LPA's AND is positive, q_lpa is
@@ -2935,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closeness": kg_closeness,
         "text_feature_hash": text_feature_hash,
         "kg_louvain_cert": kg_louvain_cert,
+        "link_fs_scores": link_fs_scores,
     }
 
 
@@ -4114,6 +4128,47 @@ def oracle_sql() -> dict[str, str]:
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     WHERE abs(a.ln - b.ln) <= 2
       AND levenshtein(a.p_name, b.p_name) <= 2
+    """
+
+    # Fellegi-Sunter: exact long counts -> Laplace-clamped m/u ->
+    # 9dp-rounded ln weights -> fixed-order score chain rounded 6dp
+    _fs_feats = [("p_brand", 0), ("p_type", 1), ("p_size", 2)]
+    _fs_ag = ",\n           ".join(
+        f"a.{c} = b.{c} AS ag{i}" for c, i in _fs_feats)
+    _fs_counts = ",\n           ".join(
+        f"CAST(sum(CASE WHEN ag{i} AND is_match THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS am{i},\n           "
+        f"CAST(sum(CASE WHEN ag{i} AND NOT is_match THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS au{i}" for _, i in _fs_feats)
+    _fs_terms = "\n         + ".join(
+        f"CASE WHEN ag{i} THEN round(ln(((am{i} + 0.5) / (nm + 1.0)) "
+        f"/ ((au{i} + 0.5) / (nu + 1.0))), 9) "
+        f"ELSE round(ln((1.0 - (am{i} + 0.5) / (nm + 1.0)) "
+        f"/ (1.0 - (au{i} + 0.5) / (nu + 1.0))), 9) END"
+        for _, i in _fs_feats)
+    q["link_fs_scores"] = f"""
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[-1] AS blk,
+               p_brand, p_type,
+               CAST(p_size AS VARCHAR) AS p_size
+        FROM part),
+    pr AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) <= 2 AS is_match,
+           {_fs_ag}
+        FROM p a JOIN p b
+          ON a.blk = b.blk AND a.p_partkey < b.p_partkey),
+    c AS (
+        SELECT CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nm,
+           CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END)
+                    AS BIGINT) AS nu,
+           {_fs_counts}
+        FROM pr)
+    SELECT id_a, id_b, is_match,
+           round({_fs_terms}, 6) AS score
+    FROM pr CROSS JOIN c
     """
 
     # HITS, 3 unrolled rounds; max-normalized per half-step with the

@@ -92,3 +92,46 @@ def test_link_mentions_composition_matches_manual(spark, triples_df):
     got = link_mentions(mentions).orderBy("surface").toPandas()
     ref = _entities(spark, triples_df).orderBy("surface").toPandas()
     assert got.equals(ref)
+
+
+def test_fellegi_sunter_scores(spark):
+    import math
+
+    from mms_rdf_spark.operators.link import fellegi_sunter_scores
+
+    # one block; ids 1/2 are a true near-match that AGREES on brand,
+    # 3/4/5 are distinct names disagreeing on brand with the others
+    rows = [
+        (1, "widget alpha", "B1", "blk"),
+        (2, "widget alphb", "B1", "blk"),   # dist 1 -> match
+        (3, "gizmo total", "B2", "blk"),
+        (4, "sprocket heavy", "B3", "blk"),
+        (5, "doohickey fine", "B4", "blk"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, name string, brand string, blk string")
+    out = fellegi_sunter_scores(
+        df, "id", "blk", ["brand"], "name", label_max_dist=2)
+    got = {(r.id_a, r.id_b): r for r in out.collect()}
+    assert len(got) == 10  # C(5,2) within the single block
+    assert got[(1, 2)].is_match and not got[(1, 3)].is_match
+    # m = (1+.5)/(1+1) = .75, u = (0+.5)/(9+1) = .05
+    w_agree = round(math.log(0.75 / 0.05), 9)
+    w_dis = round(math.log(0.25 / 0.95), 9)
+    assert abs(got[(1, 2)].score - round(w_agree, 6)) < 1e-9
+    assert abs(got[(1, 3)].score - round(w_dis, 6)) < 1e-9
+    # agreement outranks disagreement
+    assert got[(1, 2)].score > got[(1, 3)].score
+
+
+def test_fellegi_sunter_max_block_drops(spark):
+    from mms_rdf_spark.operators.link import fellegi_sunter_scores
+
+    rows = [(i, f"name {i}", "B", "hot") for i in range(6)] \
+        + [(10, "cold x", "B", "cold"), (11, "cold y", "B", "cold")]
+    df = spark.createDataFrame(
+        rows, "id int, name string, brand string, blk string")
+    out = fellegi_sunter_scores(
+        df, "id", "blk", ["brand"], "name", max_block=5)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(10, 11)}  # the 6-member hot block is dropped
