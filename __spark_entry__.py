@@ -2478,6 +2478,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import feature_hash
         return feature_hash(_docs(spark, sf), n_features=64)
 
+    def kg_node2vec_walks(spark, sf):
+        # second-order biased walks (node2vec p=4 return-averse,
+        # q=0.25 exploration-prone) over the same symmetric
+        # customer-nation-region graph as kg_random_walks
+        from mms_rdf_spark.operators.pagerank import (
+            biased_random_walks)
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        cn = cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+            .alias("dst"))
+        nr = nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))
+            .alias("dst"))
+        e = (cn.unionByName(cn.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .unionByName(nr)
+             .unionByName(nr.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"))))
+        return biased_random_walks(e, walk_len=3, p=4.0, q=0.25)
+
     def link_fs_scores(spark, sf):
         # Fellegi-Sunter probabilistic linkage over the same blocked
         # part corpus as link_fuzzy_parts: m/u estimated in-engine
@@ -2949,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_feature_hash": text_feature_hash,
         "kg_louvain_cert": kg_louvain_cert,
         "link_fs_scores": link_fs_scores,
+        "kg_node2vec_walks": kg_node2vec_walks,
     }
 
 
@@ -3627,6 +3653,55 @@ def oracle_sql() -> dict[str, str]:
     SELECT walk_id, CAST(step AS INT) AS step, node FROM (
         SELECT * FROM w0 UNION ALL SELECT * FROM w1
         UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+    """)
+
+    # node2vec biased walks: Efraimidis-Spirakis one-draw weighted
+    # sampling (key = u^exponent, argmax), md5 uniform + 9dp pow —
+    # the text_sample_weighted determinism recipe applied per step
+    n2v_steps = []
+    for i in range(1, 4):
+        n2v_steps.append(f"""
+    c{i} AS (
+        SELECT f.walk_id, f.node AS cur, e.d AS w, f.prev,
+               t.s IS NOT NULL AS tri
+        FROM n2v{i - 1} f
+        JOIN e ON f.node = e.s
+        LEFT JOIN (SELECT DISTINCT s, d FROM e) t
+          ON t.s = f.prev AND t.d = e.d),
+    n2v{i} AS (
+        SELECT walk_id, cur AS prev, w AS node FROM (
+            SELECT walk_id, cur, w,
+                   row_number() OVER (PARTITION BY walk_id ORDER BY
+                     round(pow((CAST(concat('0x',
+                              substr(md5(walk_id || '|{i}|' || w),
+                                     1, 12)) AS BIGINT) + 1.0)
+                              / power(2, 48),
+                           CASE WHEN prev IS NULL THEN 1.0
+                                WHEN w = prev THEN 4.0
+                                WHEN tri THEN 1.0
+                                ELSE 0.25 END), 9) DESC, w) AS rn
+            FROM c{i}) WHERE rn = 1)""")
+    q["kg_node2vec_walks"] = ("""
+    WITH e AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+               'n' || CAST(c_nationkey AS VARCHAR) AS d FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+               'c' || CAST(c_custkey AS VARCHAR) FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'r' || CAST(n_regionkey AS VARCHAR),
+               'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+    ), n2v0 AS (SELECT DISTINCT s AS walk_id,
+                       CAST(NULL AS VARCHAR) AS prev, s AS node
+                FROM e),""" + ",".join(n2v_steps) + """
+    SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+        SELECT walk_id, 0 AS step, node FROM n2v0
+        UNION ALL SELECT walk_id, 1, node FROM n2v1
+        UNION ALL SELECT walk_id, 2, node FROM n2v2
+        UNION ALL SELECT walk_id, 3, node FROM n2v3)
     """)
 
     # co-purchase triangle count: the oracle is the NAIVE canonical

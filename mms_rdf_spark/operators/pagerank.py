@@ -1175,3 +1175,73 @@ def louvain(
     canon = mapping.groupBy("comm").agg(F.min("node").alias("community"))
     return (mapping.join(canon, on="comm")
             .select("node", "community"))
+
+
+def biased_random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    p: float = 1.0,
+    q: float = 1.0,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """node2vec-style SECOND-ORDER biased walks (Grover & Leskovec
+    2016): one walk per distinct source node, walk_len steps; the next
+    hop is weighted by alpha = 1/p when it returns to the previous
+    node, 1 when it stays in the previous node's neighborhood
+    (triangle step), 1/q otherwise (exploration). p > 1 discourages
+    backtracking (DFS-ish), q < 1 encourages outward exploration.
+    Returns (walk_id, step, node); the first step is uniform (no
+    previous node yet); sink nodes end their walk.
+
+    Determinism without RNG state: the weighted choice is the
+    Efraimidis-Spirakis one-draw trick — key = u ^ (1/alpha) with
+    u = md5(walk|step|candidate) mapped to (0, 1]; argmax(key) picks
+    candidate with probability proportional to alpha. Both the md5
+    uniform and the 9dp-rounded pow are cross-engine reproducible
+    (the text_sample_weighted recipe), so the DuckDB unrolled-CTE
+    oracle hash-matches the whole corpus.
+
+    Per step: frontier-to-edges join on the current node + ONE
+    left join against the (prev, candidate) edge set for the
+    triangle flag + a per-walk argmax window — all keyed operations,
+    frontier localCheckpointed; same hot-hub story as random_walks
+    (AQE skew split on the join, per-walk aggregate after)."""
+    e = edges.select(F.col(src).alias("_es"),
+                     F.col(dst).alias("_ed")).localCheckpoint()
+    nbr = e.distinct().select(F.col("_es").alias("prev"),
+                              F.col("_ed").alias("w"),
+                              F.lit(True).alias("_tri"))
+    frontier = (e.select(F.col("_es").alias("walk_id")).distinct()
+                .select("walk_id",
+                        F.lit(None).cast("string").alias("prev"),
+                        F.col("walk_id").alias("node")))
+    walks = frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    from pyspark.sql.window import Window
+    win = Window.partitionBy("walk_id").orderBy(
+        F.col("key").desc(), F.col("w").asc())
+    for step in range(1, walk_len + 1):
+        cand = (frontier.join(e, frontier["node"] == e["_es"])
+                .select("walk_id", "prev",
+                        F.col("node").alias("cur"),
+                        F.col("_ed").alias("w")))
+        cand = cand.join(F.broadcast(nbr), on=["prev", "w"],
+                         how="left")
+        u = (F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.col("walk_id"),
+                              F.lit(str(step)), F.col("w"))),
+            1, 12), 16, 10).cast("double") + F.lit(1.0)) \
+            / F.pow(F.lit(2.0), F.lit(48.0))
+        expo = (F.when(F.col("prev").isNull(), F.lit(1.0))
+                .when(F.col("w") == F.col("prev"), F.lit(float(p)))
+                .when(F.col("_tri"), F.lit(1.0))
+                .otherwise(F.lit(float(q))))
+        nxt = (cand.withColumn("key", F.round(F.pow(u, expo), 9))
+               .withColumn("_rn", F.row_number().over(win))
+               .where(F.col("_rn") == 1)
+               .select("walk_id", F.col("cur").alias("prev"),
+                       F.col("w").alias("node"))).localCheckpoint()
+        walks = walks.unionByName(
+            nxt.select("walk_id", F.lit(step).alias("step"), "node"))
+        frontier = nxt
+    return walks

@@ -148,3 +148,39 @@ def test_closeness_cycle_reaches_all(spark):
     got = {r.node: (r.n_reachable, r.closeness)
            for r in closeness_centrality(_edges(spark, cyc)).collect()}
     assert got == {n: (2, pytest.approx(2 / 3)) for n in "abc"}
+
+
+def _walks(spark, pairs, **kw):
+    from mms_rdf_spark.operators.pagerank import biased_random_walks
+
+    sym = pairs + [(b, a) for a, b in pairs]
+    return {(r.walk_id, r.step): r.node
+            for r in biased_random_walks(
+                _edges(spark, sym), **kw).collect()}
+
+
+def test_biased_walk_return_penalty_prefers_exploration(spark):
+    # path a-b-c, huge return penalty: from a the walk must go
+    # a -> b -> c -> b (the only option back), never b -> a
+    got = _walks(spark, [("a", "b"), ("b", "c")],
+                 walk_len=3, p=1000.0, q=1.0)
+    assert got[("a", 0)] == "a" and got[("a", 1)] == "b"
+    assert got[("a", 2)] == "c"          # exploration beats return
+    assert got[("a", 3)] == "b"          # sole candidate: returns
+
+
+def test_biased_walk_triangle_beats_return(spark):
+    # triangle a-b-c: at step 2 the walk sits on b or c with prev a;
+    # the third vertex is a's neighbor (triangle step, weight 1) and
+    # must beat the heavily penalized return to a
+    got = _walks(spark, [("a", "b"), ("b", "c"), ("a", "c")],
+                 walk_len=2, p=1000.0, q=1.0)
+    first = got[("a", 1)]
+    assert first in ("b", "c")
+    assert got[("a", 2)] == ({"b", "c"} - {first}).pop()
+
+
+def test_biased_walk_deterministic(spark):
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    assert _walks(spark, pairs, walk_len=3, p=4.0, q=0.25) \
+        == _walks(spark, pairs, walk_len=3, p=4.0, q=0.25)
