@@ -2478,6 +2478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import feature_hash
         return feature_hash(_docs(spark, sf), n_features=64)
 
+    def text_sb_scores(spark, sf):
+        # Stupid-Backoff trigram LM with leave-one-out counts: hapax
+        # trigrams genuinely back off (bigram -> unigram -> floor)
+        from mms_rdf_spark.operators.textstats import (
+            stupid_backoff_scores)
+        return stupid_backoff_scores(_docs(spark, sf), lam=0.4)
+
     def kg_node2vec_walks(spark, sf):
         # second-order biased walks (node2vec p=4 return-averse,
         # q=0.25 exploration-prone) over the same symmetric
@@ -2975,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_louvain_cert": kg_louvain_cert,
         "link_fs_scores": link_fs_scores,
         "kg_node2vec_walks": kg_node2vec_walks,
+        "text_sb_scores": text_sb_scores,
     }
 
 
@@ -3654,6 +3662,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM w0 UNION ALL SELECT * FROM w1
         UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
     """)
+
+    # Stupid-Backoff with LOO counts: exact long counts; ln rounded
+    # 6dp -> micro-unit longs -> order-independent per-doc mean.
+    # LESSON (cost one 79 GB spill): N rides on c1 as a window-over-
+    # aggregate (`sum(count(*)) OVER ()`) — a 1-row aggregate CTE
+    # referenced from the probability CASE (CROSS JOIN or scalar
+    # subquery) makes DuckDB re-evaluate the whole unnest per probe
+    # row instead of hoisting it.
+    q["text_sb_scores"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks
+               FROM (SELECT doc_id, coalesce(text, '') AS text
+                     FROM documents)),
+    tri AS (SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       AS tg,
+                   toks[i] || ' ' || toks[i+1] AS b12,
+                   toks[i+1] || ' ' || toks[i+2] AS b23,
+                   toks[i+1] AS w2, toks[i+2] AS w3
+            FROM d, unnest(generate_series(1, len(toks) - 2)) AS g(i)),
+    bi AS (SELECT toks[i] || ' ' || toks[i+1] AS bg
+           FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+    c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS n3
+           FROM tri GROUP BY tg),
+    c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS n2
+           FROM bi GROUP BY bg),
+    c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS n1,
+                  CAST(sum(count(*)) OVER () AS BIGINT) AS nt
+           FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+    sc AS (
+      SELECT t.doc_id,
+             CAST(round(round(ln(CASE
+                WHEN c3.n3 - 1 > 0
+                  THEN (c3.n3 - 1) / (b12c.n2 - 1)
+                WHEN b23c.n2 - 1 > 0
+                  THEN 0.4 * (b23c.n2 - 1) / (w2c.n1 - 1)
+                WHEN w3c.n1 - 1 > 0
+                  THEN 0.4 * 0.4 * (w3c.n1 - 1) / (w3c.nt - 1)
+                ELSE 0.4 * 0.4 * 0.4 / (w3c.nt - 1) END), 6) * 1e6)
+                  AS BIGINT) AS lpu
+      FROM tri t JOIN c3 ON t.tg = c3.tg
+      JOIN c2 b12c ON t.b12 = b12c.bg
+      JOIN c2 b23c ON t.b23 = b23c.bg
+      JOIN c1 w2c ON t.w2 = w2c.tok
+      JOIN c1 w3c ON t.w3 = w3c.tok)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round((CAST(sum(lpu) AS BIGINT) / count(*)) / 1e6, 6)
+               AS avg_logscore
+    FROM sc GROUP BY doc_id
+    """
 
     # node2vec biased walks: Efraimidis-Spirakis one-draw weighted
     # sampling (key = u^exponent, argmax), md5 uniform + 9dp pow —

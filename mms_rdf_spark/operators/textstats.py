@@ -608,3 +608,78 @@ def keywords_tfidf(
             .select(F.col("_d").alias(id_col), "token",
                     F.col("rank").cast("int").alias("rank"),
                     F.round(F.col("_s") / 1e6, 6).alias("score")))
+
+
+def stupid_backoff_scores(docs: DataFrame,
+                          lam: float = 0.4) -> DataFrame:
+    """Stupid-Backoff trigram LM quality signal (Brants et al. 2007),
+    self-trained with LEAVE-ONE-OUT counts: every trigram occurrence
+    is scored against the corpus with its own occurrence removed
+    (c - 1), so hapax trigrams genuinely fall through the backoff
+    chain instead of scoring themselves — the held-out-perplexity
+    effect without a second corpus. Per occurrence:
+
+        S = (c3-1)/(c12-1)                  if the LOO trigram count
+          | lam   * (c23-1)/(c2-1)          survives, else the LOO
+          | lam^2 * (c1-1)/(N-1)            bigram, else the LOO
+          | lam^3 * 1/(N-1)                 unigram, else the floor
+
+    (denominators are safe: each level's denominator LOO count is >=
+    its numerator's). Returns (doc_id, n_trigrams, avg_logscore);
+    docs with < 3 tokens are excluded. SB scores are not normalized
+    probabilities — the POINT is the ranking signal at corpus scale
+    with zero smoothing hyperparameters beyond lam.
+
+    Scale shape (the bigram_lm_scores plan widened): trigram/bigram/
+    unigram counts are three map-side-combined aggregates; scoring is
+    five gram-keyed joins against count tables bounded by |observed
+    grams| + one broadcast scalar N; per-occurrence ln rounds to 6dp
+    and accumulates in EXACT micro-unit longs (order-independent,
+    hash-matches the DuckDB oracle).
+    """
+    from mms_rdf_spark.operators.dedup import _tokens, word_ngrams
+
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    tri = F.filter(word_ngrams(toks, 3),
+                   lambda g: F.size(F.split(g, " ")) == 3)
+    doc_tri = docs.select("doc_id", F.explode(tri).alias("tg"))
+    bi = F.filter(word_ngrams(toks, 2), lambda g: g.contains(" "))
+    c3 = doc_tri.groupBy("tg").agg(F.count(F.lit(1)).alias("n3"))
+    c2 = (docs.select(F.explode(bi).alias("bg"))
+          .groupBy("bg").agg(F.count(F.lit(1)).alias("n2")))
+    uni = docs.select(F.explode(toks).alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n1"))
+    nn = uni.agg(F.count(F.lit(1)).alias("nt"))
+
+    parts = F.split("tg", " ")
+    g = (doc_tri
+         .withColumn("_b12", F.concat_ws(" ", parts[0], parts[1]))
+         .withColumn("_b23", F.concat_ws(" ", parts[1], parts[2]))
+         .withColumn("_w2", parts[1])
+         .withColumn("_w3", parts[2])
+         .join(c3, on="tg")
+         .join(c2.withColumnRenamed("bg", "_b12")
+               .withColumnRenamed("n2", "n12"), on="_b12")
+         .join(c2.withColumnRenamed("bg", "_b23")
+               .withColumnRenamed("n2", "n23"), on="_b23")
+         .join(c1.withColumnRenamed("tok", "_w2")
+               .withColumnRenamed("n1", "nw2"), on="_w2")
+         .join(c1.withColumnRenamed("tok", "_w3")
+               .withColumnRenamed("n1", "nw3"), on="_w3")
+         .crossJoin(F.broadcast(nn)))
+    lm = F.lit(float(lam))
+    score = (
+        F.when(F.col("n3") - 1 > 0,
+               (F.col("n3") - 1) / (F.col("n12") - 1))
+        .when(F.col("n23") - 1 > 0,
+              lm * (F.col("n23") - 1) / (F.col("nw2") - 1))
+        .when(F.col("nw3") - 1 > 0,
+              lm * lm * (F.col("nw3") - 1) / (F.col("nt") - 1))
+        .otherwise(lm * lm * lm / (F.col("nt") - 1)))
+    lp_u = F.round(F.round(F.log(score), 6) * 1e6, 0).cast("long")
+    n = F.count(F.lit(1))
+    return (g.select("doc_id", lp_u.alias("_lpu"))
+            .groupBy("doc_id")
+            .agg(n.alias("n_trigrams"),
+                 F.round((F.sum("_lpu") / n) / 1e6, 6)
+                 .alias("avg_logscore")))
