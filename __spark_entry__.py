@@ -2478,6 +2478,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import feature_hash
         return feature_hash(_docs(spark, sf), n_features=64)
 
+    def kg_pagerank_weighted(spark, sf):
+        # weighted entity salience: rank flows proportionally to link
+        # frequency (part -> supplier edges weighted by lineitem
+        # count; suppliers are all dangling, exercising the
+        # redistribution path)
+        from mms_rdf_spark.operators.pagerank import weighted_pagerank
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = (li.groupBy(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                .alias("dst"))
+             .agg(F.count(F.lit(1)).alias("w")))
+        return weighted_pagerank(e)
+
     def text_sb_scores(spark, sf):
         # Stupid-Backoff trigram LM with leave-one-out counts: hapax
         # trigrams genuinely back off (bigram -> unigram -> floor)
@@ -2983,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fs_scores": link_fs_scores,
         "kg_node2vec_walks": kg_node2vec_walks,
         "text_sb_scores": text_sb_scores,
+        "kg_pagerank_weighted": kg_pagerank_weighted,
     }
 
 
@@ -3372,6 +3388,43 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN c{i} ON nd.node = c{i}.node
     )"""
     q["kg_pagerank"] = pr + "\n    SELECT node, r AS rank FROM r3"
+
+    # weighted pagerank: contribution r * w / W_out; same unrolled
+    # per-round rounding discipline
+    wpr = """
+    WITH edges AS (
+        SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), wd AS (
+        SELECT src AS node, CAST(sum(w) AS BIGINT) AS wt
+        FROM edges GROUP BY src
+    ), nn AS (SELECT count(*) AS n FROM nodes
+    ), r0 AS (
+        SELECT node, round(1.0 / n, 8) AS r FROM nodes CROSS JOIN nn
+    )"""
+    for i in range(1, 4):
+        wpr += f""", c{i} AS (
+        SELECT e.dst AS node, sum(r.r * e.w / wd.wt) AS c
+        FROM edges e JOIN r{i - 1} r ON e.src = r.node
+        JOIN wd ON wd.node = e.src
+        GROUP BY e.dst
+    ), d{i} AS (
+        SELECT coalesce(sum(r.r), 0.0) AS dm
+        FROM r{i - 1} r LEFT JOIN wd ON r.node = wd.node
+        WHERE wd.node IS NULL
+    ), r{i} AS (
+        SELECT nd.node,
+               round((1 - 0.85) / n
+                     + 0.85 * (coalesce(c{i}.c, 0.0) + dm / n), 8) AS r
+        FROM nodes nd CROSS JOIN nn CROSS JOIN d{i}
+        LEFT JOIN c{i} ON nd.node = c{i}.node
+    )"""
+    q["kg_pagerank_weighted"] = wpr \
+        + "\n    SELECT node, r AS rank FROM r3"
 
     # label propagation: same unrolled-round discipline as pagerank —
     # mode of neighbor labels, tie -> min, 3 synchronous rounds

@@ -184,3 +184,30 @@ def test_biased_walk_deterministic(spark):
     pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
     assert _walks(spark, pairs, walk_len=3, p=4.0, q=0.25) \
         == _walks(spark, pairs, walk_len=3, p=4.0, q=0.25)
+
+
+def test_weighted_pagerank_uniform_equals_plain(spark):
+    from mms_rdf_spark.operators.pagerank import (
+        pagerank,
+        weighted_pagerank,
+    )
+
+    e = _edges(spark, MIXED)
+    plain = {r.node: r.rank for r in pagerank(e).collect()}
+    from pyspark.sql import functions as F
+
+    uni = {r.node: r.rank for r in weighted_pagerank(
+        e.withColumn("w", F.lit(1))).collect()}
+    assert plain == uni  # identical rounding discipline -> identical
+
+
+def test_weighted_pagerank_weight_pulls_rank(spark):
+    from pyspark.sql import functions as F
+
+    from mms_rdf_spark.operators.pagerank import weighted_pagerank
+
+    # a -> b (weight 9), a -> c (weight 1): b must outrank c
+    e = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], "src string, dst string, w int")
+    got = {r.node: r.rank for r in weighted_pagerank(e).collect()}
+    assert got["b"] > got["c"]
