@@ -2478,6 +2478,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import feature_hash
         return feature_hash(_docs(spark, sf), n_features=64)
 
+    def kg_hopplot(spark, sf):
+        # hop plot / effective diameter over the same thresholded
+        # transition digraph as kg_betweenness
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.pagerank import hop_plot
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        trans = (ev.withColumn("nxt", F.lead("event_type").over(w))
+                 .where(F.col("nxt").isNotNull()
+                        & (F.col("nxt") != F.col("event_type")))
+                 .groupBy(F.col("event_type").alias("src"),
+                          F.col("nxt").alias("dst"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        top = trans.orderBy(F.col("cnt").desc(), "src", "dst").limit(8)
+        return hop_plot(top.select("src", "dst"))
+
     def kg_pagerank_weighted(spark, sf):
         # weighted entity salience: rank flows proportionally to link
         # frequency (part -> supplier edges weighted by lineitem
@@ -2999,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_walks": kg_node2vec_walks,
         "text_sb_scores": text_sb_scores,
         "kg_pagerank_weighted": kg_pagerank_weighted,
+        "kg_hopplot": kg_hopplot,
     }
 
 
@@ -7778,6 +7796,36 @@ def oracle_sql() -> dict[str, str]:
                 AS DOUBLE) AS closeness,
            CAST(coalesce(h, 0) AS DOUBLE) AS harmonic
     FROM nodes LEFT JOIN per USING (node)
+    """
+
+    # hop plot: min-len walks give pair distances; cumulative +
+    # fraction over <= diameter rows
+    q["kg_hopplot"] = """
+    WITH RECURSIVE
+    e0 AS (
+      SELECT src, dst, count(*) AS cnt FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL AND dst <> src
+      GROUP BY src, dst),
+    e AS (SELECT src, dst FROM e0 ORDER BY cnt DESC, src, dst LIMIT 8),
+    walk(s, t, path, len) AS (
+      SELECT src, dst, [src, dst], 1 FROM e
+      UNION ALL
+      SELECT w.s, x.dst, list_append(w.path, x.dst), w.len + 1
+      FROM walk w JOIN e x ON x.src = w.t
+      WHERE NOT list_contains(w.path, x.dst)),
+    sp AS (SELECT s, t, min(len) AS d FROM walk GROUP BY s, t),
+    per_d AS (SELECT d AS dist, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM sp GROUP BY d)
+    SELECT dist, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY dist
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs,
+           round(sum(n_pairs) OVER (ORDER BY dist
+                     ROWS UNBOUNDED PRECEDING)
+                 / (sum(n_pairs) OVER ()) * 1.0, 6) AS frac
+    FROM per_d
     """
 
     # SCC == mutual reachability closure; component = min member

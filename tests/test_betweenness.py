@@ -211,3 +211,13 @@ def test_weighted_pagerank_weight_pulls_rank(spark):
         [("a", "b", 9), ("a", "c", 1)], "src string, dst string, w int")
     got = {r.node: r.rank for r in weighted_pagerank(e).collect()}
     assert got["b"] > got["c"]
+
+
+def test_hop_plot_chain(spark):
+    from mms_rdf_spark.operators.pagerank import hop_plot
+
+    got = {r.dist: (r.n_pairs, r.cum_pairs, r.frac)
+           for r in hop_plot(_edges(spark, CHAIN)).collect()}
+    # chain a->b->c->d: 3 pairs at d=1, 2 at d=2, 1 at d=3
+    assert got == {1: (3, 3, 0.5), 2: (2, 5, round(5 / 6, 6)),
+                   3: (1, 6, 1.0)}
