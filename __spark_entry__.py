@@ -2478,6 +2478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import feature_hash
         return feature_hash(_docs(spark, sf), n_features=64)
 
+    def events_seasonal_decomp(spark, sf):
+        # classical additive decomposition of the hourly count series:
+        # trend (centered 2x24 MA in exact 48ths), hour-of-day
+        # seasonal (nano-unit long means), residual
+        from mms_rdf_spark.operators.analytics import seasonal_decompose
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return seasonal_decompose(ev)
+
     def kg_hopplot(spark, sf):
         # hop plot / effective diameter over the same thresholded
         # transition digraph as kg_betweenness
@@ -3017,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sb_scores": text_sb_scores,
         "kg_pagerank_weighted": kg_pagerank_weighted,
         "kg_hopplot": kg_hopplot,
+        "events_seasonal_decomp": events_seasonal_decomp,
     }
 
 
@@ -7796,6 +7805,45 @@ def oracle_sql() -> dict[str, str]:
                 AS DOUBLE) AS closeness,
            CAST(coalesce(h, 0) AS DOUBLE) AS harmonic
     FROM nodes LEFT JOIN per USING (node)
+    """
+
+    # classical decomposition: 2x24 MA in exact 48ths (longs),
+    # nano-unit long seasonal means, one-rounding-per-output-value
+    q["events_seasonal_decomp"] = """
+    WITH b AS (
+      SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                 AS t
+      FROM events),
+    bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+    grid AS (SELECT unnest(generate_series(lo, hi, 3600)) AS t
+             FROM bounds),
+    y AS (SELECT g.t, CAST(coalesce(c.n, 0) AS BIGINT) AS y
+          FROM grid g LEFT JOIN (SELECT t, count(*) AS n
+                                 FROM b GROUP BY t) c USING (t)),
+    m AS (SELECT t, y,
+            CAST(2 * sum(y) OVER (ORDER BY t ROWS BETWEEN 11
+                     PRECEDING AND 11 FOLLOWING)
+                 + lag(y, 12) OVER (ORDER BY t)
+                 + lead(y, 12) OVER (ORDER BY t) AS BIGINT) AS t48
+          FROM y),
+    i AS (SELECT t, y, t48,
+                 CAST(48 * y - t48 AS BIGINT) AS d48,
+                 CAST((t % 86400) / 3600 AS BIGINT) % 24 AS ph
+          FROM m WHERE t48 IS NOT NULL),
+    s AS (SELECT ph,
+                 CAST(round(CAST(sum(d48) AS BIGINT)
+                            / count(*) / 48 * 1e9) AS BIGINT) AS smu
+          FROM i GROUP BY ph),
+    g AS (SELECT CAST(round(CAST(sum(smu) AS BIGINT) / count(*))
+                      AS BIGINT) AS gmu FROM s),
+    seas AS (SELECT ph, round((smu - gmu) / 1e9, 6) AS seasonal
+             FROM s CROSS JOIN g)
+    SELECT i.t AS bucket_s, i.y,
+           round(i.t48 / 48, 6) AS trend,
+           seas.seasonal,
+           round(i.y - round(i.t48 / 48, 6) - seas.seasonal, 6)
+               AS resid
+    FROM i JOIN seas USING (ph)
     """
 
     # hop plot: min-len walks give pair distances; cumulative +

@@ -1439,3 +1439,72 @@ def json_field_stats(events: DataFrame, field: str = "k",
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.min("_v").alias("min_v"),
                  F.max("_v").alias("max_v")))
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    period: int = 24,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the bucketed
+    event-count series: y = trend + seasonal + residual, with trend a
+    centered 2x`period` moving average, seasonal the mean detrended
+    value per phase (hour-of-day for 3600/24) re-centered to sum to
+    ~zero, residual the leftover. Returns (bucket_s, y, trend,
+    seasonal, resid) for interior rows (the first/last period/2
+    buckets have no full trend window). The residual column is the
+    seasonality-adjusted anomaly signal grouped_zscore misses when
+    traffic has a strong daily shape.
+
+    Exact-arithmetic determinism: the grid densifies (missing buckets
+    count 0), the 2xP moving average is kept in 2P-ths as a LONG
+    (2*inner sum + the two half-weighted ends), detrended values are
+    exact longs in 2P-ths, per-phase means and the grand mean round
+    once to nano-units as longs — every cross-engine sum is integer.
+
+    Scale: one fact-table aggregate to the bucket series; everything
+    after runs on the series, whose length is bounded by TIME (years
+    x 8760 for hourly), not data volume — the single-partition window
+    is a series property, same as events_acf/xcorr."""
+    from pyspark.sql.window import Window
+
+    half = period // 2
+    step = F.lit(bucket_seconds)
+    bucket = (F.floor(_epoch_s(ts_col) / bucket_seconds)
+              * bucket_seconds).cast("long")
+    d = events.select(bucket.alias("_t"))
+    bounds = d.agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+    grid = bounds.select(F.explode(
+        F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("_t"))
+    y = (grid.join(d.groupBy("_t").agg(F.count(F.lit(1)).alias("_n")),
+                   on="_t", how="left")
+         .select("_t", F.coalesce(F.col("_n"), F.lit(0))
+                 .cast("long").alias("y")))
+    w = Window.orderBy("_t")
+    w_in = w.rowsBetween(-(half - 1), half - 1)
+    t2p = (2 * F.sum("y").over(w_in)
+           + F.lag("y", half).over(w) + F.lead("y", half).over(w))
+    m = (y.withColumn("_t2p", t2p.cast("long"))
+         .where(F.col("_t2p").isNotNull()))
+    denom = F.lit(2 * period)
+    i = (m.withColumn("_d2p", (denom * F.col("y") - F.col("_t2p"))
+                      .cast("long"))
+         .withColumn("_ph", ((F.col("_t") % 86400) / bucket_seconds)
+                     .cast("long") % period)).localCheckpoint()
+    s = (i.groupBy("_ph")
+         .agg(F.round(F.sum("_d2p") / F.count(F.lit(1)) / denom * 1e9)
+              .cast("long").alias("_smu")))
+    g = s.agg(F.round(F.sum("_smu") / F.count(F.lit(1)))
+              .cast("long").alias("_gmu"))
+    seas = (s.crossJoin(F.broadcast(g))
+            .select("_ph",
+                    F.round((F.col("_smu") - F.col("_gmu")) / 1e9,
+                            ndigits).alias("seasonal")))
+    trend = F.round(F.col("_t2p") / denom, ndigits)
+    return (i.join(F.broadcast(seas), on="_ph")
+            .select(F.col("_t").alias("bucket_s"), "y",
+                    trend.alias("trend"), "seasonal",
+                    F.round(F.col("y") - trend - F.col("seasonal"),
+                            ndigits).alias("resid")))

@@ -405,3 +405,34 @@ def test_kendall_scale_path_row_identical(spark):
     assert [(f.name, f.dataType) for f in small.schema] \
         == [(f.name, f.dataType) for f in scale.schema]
     assert small.collect() == scale.collect()
+
+
+def test_seasonal_decompose_periodic_series(spark):
+    import pandas as pd
+
+    from mms_rdf_spark.operators.analytics import seasonal_decompose
+
+    # 4 days, hour h carries exactly h events: trend is the constant
+    # daily mean 11.5, seasonal is exactly h - 11.5, residual 0
+    base = pd.Timestamp("2024-01-01")
+    rows = [(base + pd.Timedelta(days=d, hours=h),)
+            for d in range(4) for h in range(24) for _ in range(h)]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["ts"]))
+    out = seasonal_decompose(ev).collect()
+    assert out  # interior rows exist
+    for r in out:
+        h = (r.bucket_s % 86400) // 3600
+        assert r.y == h
+        assert r.trend == 11.5
+        assert r.seasonal == h - 11.5
+        assert r.resid == 0.0
+
+
+def test_seasonal_decompose_short_series_empty(spark):
+    import pandas as pd
+
+    from mms_rdf_spark.operators.analytics import seasonal_decompose
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 03:00")]}))
+    assert seasonal_decompose(ev).count() == 0
