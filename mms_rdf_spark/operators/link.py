@@ -339,6 +339,7 @@ def fellegi_sunter_scores(
     label_max_dist: int = 2,
     max_block: int | None = None,
     precision: int = 9,
+    eager: bool = True,
 ) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage over blocked
     candidate pairs: per-feature agreement probabilities m_k =
@@ -400,7 +401,11 @@ def fellegi_sunter_scores(
         pairs = pairs.withColumn(
             f"_ag{i}",
             F.col(f"_a{i}").eqNullSafe(F.col(f"_b{i}")))
-    pairs = pairs.localCheckpoint()
+    # the pair frame feeds TWO consumers (the m/u count aggregate and
+    # the scoring pass): checkpoint so the blocked join runs once.
+    # eager=False keeps the lineage visible for plan assertions.
+    if eager:
+        pairs = pairs.localCheckpoint()
 
     m_flag = F.col("is_match").cast("long")
     counts = pairs.agg(

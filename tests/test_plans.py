@@ -330,3 +330,43 @@ def test_fanout_pins_cover_link_and_ahash_joins(spark):
         F.col("id").alias("doc_id")))
     plan2 = _plan(MM.image_neardup_pairs(MM.image_ahash(media)))
     assert "hashpartitioning(band#" in plan2, plan2
+
+
+def test_fellegi_sunter_pair_join_pinned(spark):
+    """The FS blocked self-join is another bytes-small/fan-out-huge
+    pair stage: it must carry the explicit hashpartitioning pin
+    (skew.pin_fanout_partitions) so AQE cannot fold the pair
+    expansion into one task."""
+    from mms_rdf_spark.operators.link import fellegi_sunter_scores
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.range(30).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("name "), (F.col("id") % 5).cast("string"))
+        .alias("name"),
+        (F.col("id") % 3).cast("string").alias("brand"),
+        (F.col("id") % 4).cast("string").alias("blk"))
+    # eager=False keeps the pair-join lineage visible (the production
+    # localCheckpoint would truncate the plan at an ExistingRDD scan)
+    plan = _plan(fellegi_sunter_scores(df, "id", "blk", ["brand"],
+                                       "name", eager=False))
+    assert "hashpartitioning(_fblk#" in plan, plan
+    assert f", {n})" in plan, plan
+
+
+def test_feature_hash_single_exchange(spark, tmp_path):
+    """feature_hash must be ONE aggregation exchange over
+    (doc_id, feature) — token explode and both md5 hashes stay in the
+    map stage; no join, no second shuffle. (Parquet-backed input: a
+    Range source lets the planner elide the exchange entirely, which
+    would vacuously pass a <= assertion and hide a regression.)"""
+    from mms_rdf_spark.operators.mlops import feature_hash
+
+    p = str(tmp_path / "docs")
+    spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 3).cast("string"),
+                 F.lit(" common")).alias("text")).write.parquet(p)
+    plan = _plan(feature_hash(spark.read.parquet(p)))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
