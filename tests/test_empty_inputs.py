@@ -295,3 +295,35 @@ def test_ranking_eval_chunking_on_empty(spark):
     assert bradley_terry(games, iterations=2).count() == 0
     assert rouge_n(doc_pairs(docs), n=2).count() == 0
     assert chunk_documents(docs).count() == 0
+
+
+def test_round5_continuation_ops_on_empty(spark):
+    from mms_rdf_spark.operators.analytics import seasonal_decompose
+    from mms_rdf_spark.operators.link import fellegi_sunter_scores
+    from mms_rdf_spark.operators.mlops import feature_hash
+    from mms_rdf_spark.operators.pagerank import (
+        betweenness_centrality,
+        biased_random_walks,
+        closeness_centrality,
+        hop_plot,
+        louvain,
+        weighted_pagerank,
+    )
+    from mms_rdf_spark.operators.textstats import stupid_backoff_scores
+
+    e = _empty(spark, "src string, dst string")
+    assert betweenness_centrality(e).count() == 0
+    assert closeness_centrality(e).count() == 0
+    assert louvain(e).count() == 0
+    assert hop_plot(e).count() == 0
+    assert biased_random_walks(e).count() == 0
+    ew = _empty(spark, "src string, dst string, w long")
+    assert weighted_pagerank(ew).count() == 0
+    docs = _empty(spark, "doc_id long, text string")
+    assert feature_hash(docs).count() == 0
+    assert stupid_backoff_scores(docs).count() == 0
+    df = _empty(spark, "id long, name string, brand string, blk string")
+    assert fellegi_sunter_scores(df, "id", "blk", ["brand"],
+                                 "name").count() == 0
+    ev = _empty(spark, "ts timestamp")
+    assert seasonal_decompose(ev).count() == 0
