@@ -2503,6 +2503,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = trans.orderBy(F.col("cnt").desc(), "src", "dst").limit(8)
         return hop_plot(top.select("src", "dst"))
 
+    def kg_ktruss(spark, sf):
+        # 4-truss of the co-purchase graph (kg_triangles' edge set),
+        # 2 bounded peel rounds; oracle unrolls the same rounds
+        from mms_rdf_spark.operators.pagerank import k_truss
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        lp = li.select("l_orderkey", "l_partkey").distinct()
+        x, y = lp.alias("x"), lp.alias("y")
+        e = (x.join(y, on="l_orderkey")
+             .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .select(F.col("x.l_partkey").alias("a"),
+                     F.col("y.l_partkey").alias("b"))
+             .distinct())
+        return k_truss(e, k=4, rounds=2, src="a", dst="b")
+
     def kg_pagerank_weighted(spark, sf):
         # weighted entity salience: rank flows proportionally to link
         # frequency (part -> supplier edges weighted by lineitem
@@ -3026,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_weighted": kg_pagerank_weighted,
         "kg_hopplot": kg_hopplot,
         "events_seasonal_decomp": events_seasonal_decomp,
+        "kg_ktruss": kg_ktruss,
     }
 
 
@@ -7805,6 +7820,37 @@ def oracle_sql() -> dict[str, str]:
                 AS DOUBLE) AS closeness,
            CAST(coalesce(h, 0) AS DOUBLE) AS harmonic
     FROM nodes LEFT JOIN per USING (node)
+    """
+
+    # k-truss: 2 unrolled peel rounds (same bounded-round discipline
+    # as kg_kcore) + a final support recount on the survivors
+    kt = """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), s0 AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+    )"""
+    for i in range(1, 4):
+        src_tab = f"s{i - 1}" if i <= 2 else "s2"
+        kt += f""", t{i} AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM {src_tab} e1 JOIN {src_tab} e2 ON e2.a = e1.b
+        JOIN {src_tab} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), p{i} AS (
+        SELECT x AS a, y AS b FROM t{i}
+        UNION ALL SELECT y, z FROM t{i}
+        UNION ALL SELECT x, z FROM t{i}
+    ), u{i} AS (SELECT a, b, count(*) AS c FROM p{i} GROUP BY a, b)"""
+        if i <= 2:
+            kt += f""", s{i} AS (
+        SELECT s.a, s.b FROM s{i - 1} s
+        JOIN u{i} u ON s.a = u.a AND s.b = u.b WHERE u.c >= 2
+    )"""
+    q["kg_ktruss"] = kt + """
+    SELECT s.a, s.b, CAST(coalesce(u.c, 0) AS BIGINT) AS support
+    FROM s2 s LEFT JOIN u3 u ON s.a = u.a AND s.b = u.b
     """
 
     # classical decomposition: 2x24 MA in exact 48ths (longs),

@@ -1352,3 +1352,65 @@ def hop_plot(
                         F.round(F.col("cum_pairs")
                                 / F.sum("n_pairs").over(tot), 6))
             .select("dist", "n_pairs", "cum_pairs", "frac"))
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-truss peel of the undirected graph: repeatedly
+    drop edges supported by fewer than k-2 triangles among the
+    SURVIVORS. Returns the surviving canonical edges with their
+    support on the returned subgraph — (a, b, support). Edge-level
+    cohesion: a k-truss edge sits in a community fabric, a bridge
+    does not, which is a sharper community filter than k-core's
+    degree test (every k-truss is inside the (k-1)-core).
+
+    Same bounded-round contract as k_core: after `rounds` peels the
+    survivors are a SUPERSET of the true k-truss unless the loop hit
+    a fixpoint first (it exits early when no edge drops — then the
+    result is exact; the cascade test pins this). Per round: one
+    degree-ordered triangle enumeration over the survivors (the
+    sqrt(m) wedge cap from triangle_count — celebrity nodes cannot
+    blow up the wedge join), a 3-pairs explode + map-side-combined
+    support count, one edge semi-join; localCheckpoint truncates
+    lineage; the only driver action is the bounded per-round edge
+    count for the fixpoint check."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src),
+                                                       F.col(dst))
+    und = (edges.where(F.col(src) != F.col(dst))
+           .select(a.alias("a"), b.alias("b")).distinct()
+           .localCheckpoint())
+
+    def _support(e: DataFrame) -> DataFrame:
+        tris = _closed_triangles(e, "a", "b")
+        pair = F.explode(F.array(
+            F.struct(F.least("wu", "v1").alias("a"),
+                     F.greatest("wu", "v1").alias("b")),
+            F.struct(F.least("wu", "v2").alias("a"),
+                     F.greatest("wu", "v2").alias("b")),
+            F.struct(F.least("v1", "v2").alias("a"),
+                     F.greatest("v1", "v2").alias("b")))).alias("e")
+        return (tris.select(pair)
+                .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("support")))
+
+    n = und.count()
+    for _ in range(rounds):
+        sup = _support(und)
+        nxt = (und.join(sup, on=["a", "b"])
+               .where(F.col("support") >= k - 2)
+               .select("a", "b").localCheckpoint())
+        m = nxt.count()
+        und = nxt
+        if m == n:
+            break  # fixpoint: the result is the EXACT k-truss
+        n = m
+    return (und.join(_support(und), on=["a", "b"], how="left")
+            .select("a", "b",
+                    F.coalesce(F.col("support"), F.lit(0))
+                    .cast("long").alias("support")))

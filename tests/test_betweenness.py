@@ -221,3 +221,29 @@ def test_hop_plot_chain(spark):
     # chain a->b->c->d: 3 pairs at d=1, 2 at d=2, 1 at d=3
     assert got == {1: (3, 3, 0.5), 2: (2, 5, round(5 / 6, 6)),
                    3: (1, 6, 1.0)}
+
+
+def test_ktruss_k4_keeps_clique_drops_pendant(spark):
+    from mms_rdf_spark.operators.pagerank import k_truss
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    pendant = [("c", "x"), ("d", "x")]  # triangle (c,d,x), support 1
+    got = {(r.a, r.b): r.support
+           for r in k_truss(_edges(spark, k4 + pendant), k=4).collect()}
+    # the K4 survives (every edge in 2 triangles); the pendant falls
+    assert set(got) == {(a, b) for a, b in k4}
+    assert all(s == 2 for s in got.values())
+
+
+def test_ktruss_cascade_needs_rounds(spark):
+    from mms_rdf_spark.operators.pagerank import k_truss
+
+    # triangle strip a-b-c-d-e: outer edges have support 1, the
+    # shared edges 2; dropping the outers starves the shared ones —
+    # visible only with enough rounds (bounded-round superset
+    # contract, k_core's)
+    strip = [("a", "b"), ("a", "c"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("c", "e"), ("d", "e")]
+    e = _edges(spark, strip)
+    assert k_truss(e, k=4, rounds=1).count() > 0   # superset
+    assert k_truss(e, k=4, rounds=4).count() == 0  # exact (fixpoint)
