@@ -305,6 +305,34 @@ def main() -> None:
             "key")),
     ))
 
+    from mms_rdf_spark.operators.pagerank import (
+        betweenness_centrality,
+        louvain,
+    )
+
+    g = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+         ("a", "e"), ("b", "e"), ("e", "a")], "src string, dst string")
+    sections.append((
+        "Betweenness (pairs accumulation): keyed joins only",
+        "After the forward sigma BFS (state localCheckpointed per "
+        "round, so it appears as ExistingRDD scans), the Bellman "
+        "accumulation is two equi-joins on (v) and (s, t) plus one "
+        "DECIMAL-sum aggregate — no crossJoin, nothing collected "
+        "(tests/test_betweenness.py pins the values).",
+        skeleton(betweenness_centrality(g, method="pairs")),
+    ))
+
+    sections.append((
+        "Louvain (final relabel over checkpointed rounds)",
+        "Each local-move round is one labels-to-adjacency join + two "
+        "map-side-combined aggregates + a per-node argmax window, all "
+        "localCheckpointed (the plan shows the final min-member "
+        "relabel join over the checkpointed mapping; the per-round "
+        "shape is asserted by the bit-exact pure-Python twin).",
+        skeleton(louvain(g, levels=1, move_rounds=1)),
+    ))
+
     out = ["# PLANS — captured physical plans (evidence for SCALE.md "
            "claims)", "",
            "Regenerated by `python tools/dump_plans.py` from live "
