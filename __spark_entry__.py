@@ -2612,6 +2612,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          & (F.col("q_louvain") > 0)).alias("ok"),
                         "q_lpa"))
 
+    def kg_sparql_boolfilter(spark, sf):
+        # FILTER boolean expressions: ! / && / || with SPARQL
+        # precedence over mixed primitives
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?r WHERE {
+              ?s mms-property:role ?r .
+              FILTER(STRSTARTS(?r, "mms-class:Role.A")
+                     || CONTAINS(?r, "User") && !(?r = "rdf:nil"))
+            }""")
+
     def kg_betweenness(spark, sf):
         # exact directed betweenness over the top-8 event-type
         # transition edges (count-desc, deterministic tiebreak — the
@@ -3041,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hopplot": kg_hopplot,
         "events_seasonal_decomp": events_seasonal_decomp,
         "kg_ktruss": kg_ktruss,
+        "kg_sparql_boolfilter": kg_sparql_boolfilter,
     }
 
 
@@ -7663,6 +7675,17 @@ def oracle_sql() -> dict[str, str]:
            string_agg(role_iri, ',' ORDER BY role_iri) AS roles,
            min(role_iri) AS first_role
     FROM r GROUP BY conv_id
+    """
+
+    # boolean FILTER with SPARQL precedence: A || B && !C parses as
+    # A || (B AND (NOT C))
+    q["kg_sparql_boolfilter"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s, {_ROLE_IRI_SQL} AS r
+    FROM t
+    WHERE {_ROLE_IRI_SQL} LIKE 'mms-class:Role.A%'
+       OR ({_ROLE_IRI_SQL} LIKE '%User%'
+           AND NOT ({_ROLE_IRI_SQL} = 'rdf:nil'))
     """
 
     # HAVING over the per-conversation turn count; SQL HAVING is the

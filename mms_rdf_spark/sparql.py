@@ -203,11 +203,12 @@ class Traversal:
 #     VALUES ?v { term term ... }
 #     BIND(expr AS ?v)   expr in: ?x | literal | ?x <+-*/> term |
 #       CONCAT(t, ...) | STRLEN(?x) | UCASE(?x) | LCASE(?x) | STR(?x)
-#     FILTER (?v <op> term-or-?var)   op in = != < > <= >=
-#     FILTER regex(?v, "re")
-#     FILTER (STRSTARTS|STRENDS|CONTAINS(?v, "lit"))
-#     FILTER (?v [NOT] IN (term, term, ...))  — lexical comparison
-#     FILTER ([!]BOUND(?v))  — pairs with OPTIONAL
+#     FILTER (expr) — boolean expressions over the primitives below,
+#       composed with ! / && / || and parentheses (SPARQL precedence);
+#       primitives: ?v <op> term-or-?var (op in = != < > <= >=),
+#       regex(?v, "re"[, "i"]), STRSTARTS|STRENDS|CONTAINS(?v, "lit"),
+#       ?v [NOT] IN (term, ...) (lexical), BOUND(?v) (pairs with
+#       OPTIONAL). Unparseable FILTERs raise — never silently dropped
 #     { SELECT ... }  — subquery; joins the group on its PROJECTED
 #       variables only (SPARQL subquery scoping); any unsupported
 #       FILTER form raises (never silently dropped)
@@ -420,6 +421,147 @@ def _extract_binds(body: str) -> tuple[str, list[tuple[str, str]]]:
         body = body[:m.start()] + " " + rest
 
 
+def _extract_filters(body: str) -> tuple[str, list[str]]:
+    """Lift plain FILTER expressions out of a group body (balanced-
+    paren scan — FILTER NOT EXISTS / FILTER EXISTS were removed
+    earlier). Returns the stripped body and the expression texts,
+    e.g. '(?a > 3 && regex(?n, "x"))' or 'regex(?n, "x")'."""
+    out: list[str] = []
+    while True:
+        m = _re.search(r"\bFILTER\b ?", body, _re.I)
+        if not m:
+            return body, out
+        i = body.find("(", m.end())
+        if i < 0:
+            raise ValueError(
+                f"FILTER without parentheses near: "
+                f"{body[m.start():m.start() + 40]!r}")
+        depth, j = 1, i + 1
+        while depth and j < len(body):
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced parens in FILTER")
+        out.append(body[m.end():j].strip())
+        rest = body[j:]
+        if rest.startswith(" ."):
+            rest = rest[2:]
+        body = body[:m.start()] + " " + rest
+
+
+def _split_bool(s: str, op: str) -> list[str]:
+    """Top-level split on a two-char boolean operator (&& or ||),
+    honoring quotes and nested parens."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, inq, i = 0, False, 0
+    while i < len(s):
+        ch = s[i]
+        if ch == '"':
+            inq = not inq
+        if not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and s[i:i + 2] == op:
+                parts.append("".join(cur))
+                cur = []
+                i += 2
+                continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+def _strip_whole_parens(e: str) -> str:
+    while e.startswith("(") and e.endswith(")"):
+        depth = 0
+        for j, ch in enumerate(e):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0 and j < len(e) - 1:
+                return e  # the leading paren closes early
+        e = e[1:-1].strip()
+    return e
+
+
+def _filter_expr(e: str):
+    """Compile a FILTER boolean expression to a Column: primitives
+    (comparisons, regex, STRSTARTS/STRENDS/CONTAINS, [NOT] IN,
+    BOUND) composed with !, &&, || and parentheses — SPARQL's
+    operator precedence (! > && > ||)."""
+    e = _strip_whole_parens(e.strip())
+    ors = _split_bool(e, "||")
+    if len(ors) > 1:
+        col = _filter_expr(ors[0])
+        for part in ors[1:]:
+            col = col | _filter_expr(part)
+        return col
+    ands = _split_bool(e, "&&")
+    if len(ands) > 1:
+        col = _filter_expr(ands[0])
+        for part in ands[1:]:
+            col = col & _filter_expr(part)
+        return col
+    return _filter_prim(e)
+
+
+def _filter_prim(e: str):
+    e = e.strip()
+    if e.startswith("!") and not e.startswith("!="):
+        return ~_filter_expr(e[1:])
+    m = _re.fullmatch(r"BOUND ?\( ?\?(\w+) ?\)", e, _re.I)
+    if m:
+        return F.col(m.group(1)).isNotNull()
+    m = _re.fullmatch(
+        r"regex\( ?\?(\w+) ?, ?\"([^\"]*)\" ?(?:, ?\"([a-z]*)\" ?)?\)",
+        e, _re.I)
+    if m:
+        var, pat, flags = m.groups()
+        if flags and "i" in flags:
+            pat = "(?i)" + pat
+        return F.col(var).rlike(pat)
+    m = _re.fullmatch(
+        r"(STRSTARTS|STRENDS|CONTAINS)\( ?\?(\w+) ?, ?\"([^\"]*)\" ?\)",
+        e, _re.I)
+    if m:
+        fn, var, lit = m.groups()
+        c = F.col(var)
+        return {"STRSTARTS": c.startswith(lit),
+                "STRENDS": c.endswith(lit),
+                "CONTAINS": c.contains(lit)}[fn.upper()]
+    m = _re.fullmatch(r"\?(\w+) (NOT )?IN ?\((.*)\)", e, _re.I)
+    if m:
+        var, neg, inline = m.groups()
+        vals = [t[1:-1] if t.startswith('"') else t
+                for t in _split_args(inline)]
+        # NOT IN on an unbound (NULL) var is a SPARQL type error ->
+        # row dropped; Spark's NULL-propagating ~isin matches that
+        cond = F.col(var).isin(vals)
+        return ~cond if neg else cond
+    m = _re.fullmatch(r"\?(\w+) ?(!=|<=|>=|=|<|>) ?(.+)", e)
+    if m:
+        var, op, term = m.groups()
+        term = term.strip()
+        if term.startswith("?"):
+            rhs, col = F.col(term[1:]), F.col(var)
+        elif term.startswith('"'):
+            rhs, col = F.lit(term[1:-1]), F.col(var)
+        elif _re.fullmatch(r"-?\d+(\.\d+)?", term):
+            rhs, col = F.lit(float(term)), F.col(var).cast("double")
+        else:
+            rhs, col = F.lit(term), F.col(var)
+        return {"=": col == rhs, "!=": col != rhs, "<": col < rhs,
+                ">": col > rhs, "<=": col <= rhs,
+                ">=": col >= rhs}[op]
+    raise ValueError(f"unsupported FILTER form: {e!r}")
+
+
 def _extract_subselects(body: str) -> tuple[str, list[str]]:
     """Lift `{ SELECT ... }` subqueries out of a group body (balanced-
     brace scan — the subquery's own WHERE block nests), returning the
@@ -610,34 +752,10 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     values_blocks = _re.findall(
         r"VALUES \?(\w+) \{([^}]*)\}", body, _re.I)
     body = _re.sub(r"VALUES \?\w+ \{[^}]*\}", " ", body, flags=_re.I)
-    regex_filters = _re.findall(
-        r"FILTER ?regex\( ?\?(\w+) ?, ?\"([^\"]*)\" ?\)", body, _re.I)
-    body = _re.sub(r"FILTER ?regex\([^)]*\)", " ", body, flags=_re.I)
-    strfn_filters = _re.findall(
-        r"FILTER ?\( ?(STRSTARTS|STRENDS|CONTAINS)"
-        r"\( ?\?(\w+) ?, ?\"([^\"]*)\" ?\) ?\)", body, _re.I)
-    body = _re.sub(
-        r"FILTER ?\( ?(?:STRSTARTS|STRENDS|CONTAINS)\([^)]*\) ?\)",
-        " ", body, flags=_re.I)
-    in_filters = _re.findall(
-        r"FILTER ?\( ?\?(\w+) (NOT )?IN ?\(([^)]*)\) ?\)", body, _re.I)
-    body = _re.sub(r"FILTER ?\( ?\?\w+ (?:NOT )?IN ?\([^)]*\) ?\)",
-                   " ", body, flags=_re.I)
-    bound_filters = _re.findall(
-        r"FILTER ?\( ?(!)? ?BOUND ?\( ?\?(\w+) ?\) ?\)", body, _re.I)
-    body = _re.sub(r"FILTER ?\( ?!? ?BOUND ?\( ?\?\w+ ?\) ?\)",
-                   " ", body, flags=_re.I)
-    cmp_filters = _re.findall(
-        r"FILTER ?\( ?\?(\w+) ?(!=|<=|>=|=|<|>) ?([^)]+?) ?\)", body,
-        _re.I)
-    body = _re.sub(r"FILTER ?\( ?\?\w+ ?(?:!=|<=|>=|=|<|>) ?[^)]+? ?\)",
-                   " ", body, flags=_re.I)
-    # every supported FILTER form has been lifted by now — anything
-    # left would previously fall through SILENTLY (dropped constraint,
-    # superset result); fail loudly instead
-    if _re.search(r"\bFILTER\b", body, _re.I):
-        raise ValueError(
-            f"unsupported FILTER form in: {body.strip()!r}")
+    # every remaining FILTER lifts here (balanced scan); an
+    # unparseable expression raises in _filter_prim — a constraint is
+    # NEVER silently dropped (superset-result landmine)
+    body, filter_exprs = _extract_filters(body)
 
     out = _compile_patterns(triples, body) \
         if body.strip().strip(".").strip() else None
@@ -692,39 +810,8 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 for t in inline.split()]
         out = out.where(F.col(var).isin(vals))
 
-    ops = {"=": "==", "!=": "!=", "<": "<", ">": ">",
-           "<=": "<=", ">=": ">="}
-    for var, op, term in cmp_filters:
-        term = term.strip()
-        if term.startswith("?"):
-            rhs, col = F.col(term[1:]), F.col(var)
-        elif term.startswith('"'):
-            rhs, col = F.lit(term[1:-1]), F.col(var)
-        elif _re.fullmatch(r"-?\d+(\.\d+)?", term):
-            rhs, col = F.lit(float(term)), F.col(var).cast("double")
-        else:
-            rhs, col = F.lit(term), F.col(var)
-        cond = {"==": col == rhs, "!=": col != rhs, "<": col < rhs,
-                ">": col > rhs, "<=": col <= rhs,
-                ">=": col >= rhs}[ops[op]]
-        out = out.where(cond)
-    for var, pat in regex_filters:
-        out = out.where(F.col(var).rlike(pat))
-    for fn, var, lit in strfn_filters:
-        c = F.col(var)
-        out = out.where({"STRSTARTS": c.startswith(lit),
-                         "STRENDS": c.endswith(lit),
-                         "CONTAINS": c.contains(lit)}[fn.upper()])
-    for var, neg, inline in in_filters:
-        vals = [t[1:-1] if t.startswith('"') else t
-                for t in _split_args(inline)]
-        cond = F.col(var).isin(vals)
-        # NOT IN on an unbound (NULL) var is a SPARQL type error ->
-        # row dropped; Spark's NULL-propagating ~isin matches that
-        out = out.where(~cond if neg else cond)
-    for neg, var in bound_filters:
-        out = out.where(F.col(var).isNull() if neg
-                        else F.col(var).isNotNull())
+    for fe in filter_exprs:
+        out = out.where(_filter_expr(fe))
 
     return _finish_select(out, distinct, proj, group, order, limit,
                           offset, having)

@@ -134,3 +134,34 @@ def test_bind_coalesce_and_if(g):
 def test_unsupported_filter_raises_not_silently_drops(g):
     with pytest.raises(ValueError, match="unsupported FILTER"):
         _run(g, "SELECT ?s WHERE { ?s p:name ?n . FILTER(isIRI(?s)) }")
+
+
+def test_filter_boolean_combinations(g):
+    # && with a range
+    got = sorted(r.s for r in _run(g, """
+        SELECT ?s WHERE { ?s p:age ?a .
+          FILTER(?a > 5 && ?a < 20) }""").collect())
+    assert got == ["e:b"]
+    # || across different primitives
+    got = sorted(r.n for r in _run(g, """
+        SELECT ?n WHERE { ?s p:name ?n .
+          FILTER(STRSTARTS(?n, "al") || CONTAINS(?n, "3po")) }
+        """).collect())
+    assert got == ["alice", "c3po"]
+    # ! over a parenthesized disjunction, De Morgan
+    got = sorted(r.n for r in _run(g, """
+        SELECT ?n WHERE { ?s p:name ?n .
+          FILTER(!(?n = "alice" || ?n = "bob")) }""").collect())
+    assert got == ["c3po"]
+    # nested parens + mixed precedence: && binds tighter than ||
+    got = sorted(r.n for r in _run(g, """
+        SELECT ?n WHERE { ?s p:name ?n . OPTIONAL { ?s p:age ?a . }
+          FILTER(BOUND(?a) && ?a > 10 || ?n = "c3po") }""").collect())
+    assert got == ["alice", "c3po"]
+
+
+def test_filter_regex_case_insensitive_flag(g):
+    got = sorted(r.n for r in _run(g, """
+        SELECT ?n WHERE { ?s p:name ?n .
+          FILTER regex(?n, "ALI", "i") }""").collect())
+    assert got == ["alice"]
