@@ -2517,6 +2517,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .distinct())
         return k_truss(e, k=4, rounds=2, src="a", dst="b")
 
+    def kg_eccentricity(spark, sf):
+        # exact per-node eccentricity over the thresholded transition
+        # digraph (radius = min non-sink ecc, diameter = max)
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.pagerank import eccentricity
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        trans = (ev.withColumn("nxt", F.lead("event_type").over(w))
+                 .where(F.col("nxt").isNotNull()
+                        & (F.col("nxt") != F.col("event_type")))
+                 .groupBy(F.col("event_type").alias("src"),
+                          F.col("nxt").alias("dst"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        top = trans.orderBy(F.col("cnt").desc(), "src", "dst").limit(8)
+        return eccentricity(top.select("src", "dst"))
+
     def kg_pagerank_weighted(spark, sf):
         # weighted entity salience: rank flows proportionally to link
         # frequency (part -> supplier edges weighted by lineitem
@@ -3053,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_decomp": events_seasonal_decomp,
         "kg_ktruss": kg_ktruss,
         "kg_sparql_boolfilter": kg_sparql_boolfilter,
+        "kg_eccentricity": kg_eccentricity,
     }
 
 
@@ -7943,6 +7961,35 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING)
                  / (sum(n_pairs) OVER ()) * 1.0, 6) AS frac
     FROM per_d
+    """
+
+    # eccentricity: max min-len walk distance per source
+    q["kg_eccentricity"] = """
+    WITH RECURSIVE
+    e0 AS (
+      SELECT src, dst, count(*) AS cnt FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events) WHERE dst IS NOT NULL AND dst <> src
+      GROUP BY src, dst),
+    e AS (SELECT src, dst FROM e0 ORDER BY cnt DESC, src, dst LIMIT 8),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    walk(s, t, path, len) AS (
+      SELECT src, dst, [src, dst], 1 FROM e
+      UNION ALL
+      SELECT w.s, x.dst, list_append(w.path, x.dst), w.len + 1
+      FROM walk w JOIN e x ON x.src = w.t
+      WHERE NOT list_contains(w.path, x.dst)),
+    sp AS (SELECT s, t, min(len) AS d FROM walk GROUP BY s, t),
+    per AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS r,
+                   CAST(max(d) AS BIGINT) AS ecc
+            FROM sp GROUP BY s)
+    SELECT node,
+           CAST(coalesce(r, 0) AS BIGINT) AS n_reachable,
+           CAST(coalesce(ecc, 0) AS BIGINT) AS ecc
+    FROM nodes LEFT JOIN per USING (node)
     """
 
     # SCC == mutual reachability closure; component = min member

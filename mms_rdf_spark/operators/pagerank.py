@@ -1414,3 +1414,33 @@ def k_truss(
             .select("a", "b",
                     F.coalesce(F.col("support"), F.lit(0))
                     .cast("long").alias("support")))
+
+
+def eccentricity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 32,
+) -> DataFrame:
+    """Directed eccentricity per node: the max BFS distance to any
+    reachable node (0 for sinks). Returns (node, n_reachable, ecc);
+    min over non-sink rows is the graph RADIUS, max is the DIAMETER —
+    the exact companions to hop_plot's effective (90th-pct) diameter.
+    Same all-pairs BFS state as betweenness/closeness; one aggregate."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    state = _bfs_sigma(e, nodes, max_depth)
+    per = (state.where(F.col("dist") > 0)
+           .groupBy(F.col("s").alias("node"))
+           .agg(F.count(F.lit(1)).alias("n_reachable"),
+                F.max("dist").alias("ecc")))
+    return (nodes.join(per, on="node", how="left")
+            .select("node",
+                    F.coalesce("n_reachable", F.lit(0)).cast("long")
+                    .alias("n_reachable"),
+                    F.coalesce("ecc", F.lit(0)).cast("long")
+                    .alias("ecc")))

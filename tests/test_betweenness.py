@@ -247,3 +247,11 @@ def test_ktruss_cascade_needs_rounds(spark):
     e = _edges(spark, strip)
     assert k_truss(e, k=4, rounds=1).count() > 0   # superset
     assert k_truss(e, k=4, rounds=4).count() == 0  # exact (fixpoint)
+
+
+def test_eccentricity_chain(spark):
+    from mms_rdf_spark.operators.pagerank import eccentricity
+
+    got = {r.node: (r.n_reachable, r.ecc)
+           for r in eccentricity(_edges(spark, CHAIN)).collect()}
+    assert got == {"a": (3, 3), "b": (2, 2), "c": (1, 1), "d": (0, 0)}
