@@ -2629,6 +2629,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          & (F.col("q_louvain") > 0)).alias("ok"),
                         "q_lpa"))
 
+    def mm_image_resize(spark, sf):
+        # decode -> nearest-neighbor resize -> re-encode -> decode:
+        # channel means of the RESIZED pixels hash-match the analytic
+        # oracle over the (r*8)//4 index map
+        from mms_rdf_spark.operators.multimodal import (
+            image_stats,
+            resize_images,
+            synth_ppm_media,
+        )
+        media = synth_ppm_media(_docs(spark, sf).select("doc_id"))
+        return image_stats(resize_images(media, out_h=4, out_w=4))
+
     def kg_sparql_boolfilter(spark, sf):
         # FILTER boolean expressions: ! / && / || with SPARQL
         # precedence over mixed primitives
@@ -3071,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ktruss": kg_ktruss,
         "kg_sparql_boolfilter": kg_sparql_boolfilter,
         "kg_eccentricity": kg_eccentricity,
+        "mm_image_resize": mm_image_resize,
     }
 
 
@@ -6926,6 +6939,25 @@ def oracle_sql() -> dict[str, str]:
            sum((media_id * 31 + r * 7 + c * 3 + 11) % 256) / 64.0
                AS mean_g,
            sum((media_id * 31 + r * 7 + c * 3 + 22) % 256) / 64.0
+               AS mean_b
+    FROM px GROUP BY media_id
+    """
+
+    # nearest-neighbor resize: src index (r*8)//4 over the pixel
+    # generator formula; means of the 16 selected pixels exact
+    q["mm_image_resize"] = """
+    WITH px AS (
+        SELECT d.doc_id AS media_id,
+               (r.r * 8) // 4 AS sr, (c.c * 8) // 4 AS sc
+        FROM documents d,
+             unnest(generate_series(0, 3)) AS r(r),
+             unnest(generate_series(0, 3)) AS c(c))
+    SELECT media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           sum((media_id * 31 + sr * 7 + sc * 3) % 256) / 16.0
+               AS mean_r,
+           sum((media_id * 31 + sr * 7 + sc * 3 + 11) % 256) / 16.0
+               AS mean_g,
+           sum((media_id * 31 + sr * 7 + sc * 3 + 22) % 256) / 16.0
                AS mean_b
     FROM px GROUP BY media_id
     """

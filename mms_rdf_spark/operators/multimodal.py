@@ -231,6 +231,39 @@ def image_stats(media: DataFrame) -> DataFrame:
         "mean_r double, mean_g double, mean_b double"))
 
 
+def resize_images(media: DataFrame, out_h: int = 4,
+                  out_w: int = 4) -> DataFrame:
+    """REAL decode -> nearest-neighbor resize -> re-encode (PPM):
+    (media_id, width, height, payload). The index map is integer
+    arithmetic — src_r = (r * h_in) // out_h — so a SQL oracle can
+    compute statistics of the RESIZED pixels analytically; the
+    mm_image_resize contract row composes this with image_stats for a
+    decode -> resize -> encode -> decode double round-trip through
+    the codec path. Arrow-batched mapInPandas; binary payloads never
+    shuffle (the resize happens in the scan stage); bilinear/Lanczos
+    slots in behind the same signature when a codec library exists
+    (the honest-stub policy: NEAREST is real, not a fake)."""
+    cols = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(payload)
+                hh, ww, _ = arr.shape
+                ridx = (np.arange(out_h, dtype=np.int64) * hh) // out_h
+                cidx = (np.arange(out_w, dtype=np.int64) * ww) // out_w
+                out = arr[ridx][:, cidx]
+                rows.append((int(mid), out_w, out_h, encode_ppm(out)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "payload"])
+
+    return cols.mapInPandas(run, schema=(
+        "media_id long, width int, height int, payload binary"))
+
+
 # ------------------------------------------------- real PNG decode path
 # PNG (8-bit RGB, non-interlaced) is zlib-inflate + per-scanline
 # unfiltering — both implementable with the stdlib + numpy already in

@@ -211,3 +211,42 @@ def test_png_stats_matches_ppm_stats(spark):
     a = image_stats(synth_ppm_media(docs)).orderBy("media_id").collect()
     b = image_stats(synth_png_media(docs)).orderBy("media_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_resize_nearest_neighbor_exact(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mms_rdf_spark.operators.multimodal import (
+        decode_image,
+        ppm_pixels,
+        resize_images,
+        synth_ppm_media,
+    )
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    out = resize_images(synth_ppm_media(docs), out_h=4,
+                        out_w=4).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r.width, r.height) == (4, 4)
+        got = decode_image(bytes(r.payload))
+        src = ppm_pixels(r.media_id, 8, 8)
+        idx = (np.arange(4) * 8) // 4
+        want = src[idx][:, idx]
+        assert (got == want).all()
+
+
+def test_resize_non_divisible_dims(spark):
+    from pyspark.sql import functions as F
+
+    from mms_rdf_spark.operators.multimodal import (
+        resize_images,
+        synth_ppm_media,
+    )
+
+    docs = spark.range(2).select(F.col("id").alias("doc_id"))
+    out = resize_images(synth_ppm_media(docs, h=8, w=8),
+                        out_h=3, out_w=5).collect()
+    assert all((r.width, r.height) == (5, 3) for r in out)
