@@ -900,9 +900,54 @@ def _having_conds(having: str, aliases: set[str]):
     return extra, preds
 
 
+def _split_proj_items(proj: str) -> list[str]:
+    """SELECT-clause items split at top level: `?v` vars and
+    `(expr AS ?v)` expressions (parens/quotes honored)."""
+    items: list[str] = []
+    cur: list[str] = []
+    depth, inq = 0, False
+    for ch in proj:
+        if ch == '"':
+            inq = not inq
+        if not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == " " and depth == 0:
+                if cur:
+                    items.append("".join(cur))
+                    cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        items.append("".join(cur))
+    return items
+
+
 def _finish_select(out: DataFrame, distinct, proj, group, order,
                    limit, offset=None, having=None) -> DataFrame:
     proj = proj.strip()
+    has_agg = bool(_re.search(
+        r"\b(COUNT|MIN|MAX|SUM|AVG|SAMPLE|GROUP_CONCAT) ?\(", proj,
+        _re.I))
+    if (not group and not has_agg and "(" in proj and proj != "*"):
+        # projection expressions (SPARQL 1.1 SelectClause):
+        # `SELECT ?a (expr AS ?v) ...` — expr in the BIND subset;
+        # not mixable with aggregates (use BIND + GROUP BY for that)
+        cols = []
+        for it in _split_proj_items(proj):
+            if it.startswith("?"):
+                cols.append(F.col(it[1:]))
+                continue
+            m = _re.fullmatch(r"\((.*) AS \?(\w+)\)", it,
+                              _re.I | _re.S)
+            if not m:
+                raise ValueError(f"unparseable SELECT item: {it!r}")
+            cols.append(_bind_expr(m.group(1).strip())
+                        .alias(m.group(2)))
+        out = out.select(*cols)
+        proj, group = "*", None  # modifiers below run unchanged
     if group or ("(" in proj and proj != "*"):
         # explicit GROUP BY, or aggregates with the implicit single
         # group (SPARQL: `SELECT (COUNT(?x) AS ?n) WHERE ...`)

@@ -165,3 +165,21 @@ def test_filter_regex_case_insensitive_flag(g):
         SELECT ?n WHERE { ?s p:name ?n .
           FILTER regex(?n, "ALI", "i") }""").collect())
     assert got == ["alice"]
+
+
+def test_projection_expressions(g):
+    rows = {r.s: (r.len, r.bang) for r in _run(g, """
+        SELECT ?s (STRLEN(?n) AS ?len) (CONCAT(?n, "!") AS ?bang)
+        WHERE { ?s p:name ?n . }""").collect()}
+    assert rows["e:a"] == (5, "alice!")
+    assert rows["e:c"] == (4, "c3po!")
+    # arithmetic expr + ORDER BY over the projected alias
+    out = _run(g, """
+        SELECT ?s (?a * 2 AS ?dbl) WHERE { ?s p:age ?a . }
+        ORDER BY DESC(?dbl)""").collect()
+    assert [(r.s, r.dbl) for r in out] == [("e:a", 62.0), ("e:b", 18.0)]
+
+
+def test_projection_expression_unparseable_raises(g):
+    with pytest.raises(ValueError, match="SELECT item"):
+        _run(g, "SELECT (?n) WHERE { ?s p:name ?n . }")
