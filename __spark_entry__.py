@@ -2629,6 +2629,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          & (F.col("q_louvain") > 0)).alias("ok"),
                         "q_lpa"))
 
+    def kg_sparql_projexpr(spark, sf):
+        # SELECT projection expressions (SPARQL 1.1 SelectClause):
+        # computed columns without BIND
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s (STRLEN(?r) AS ?len)
+                   (CONCAT(?r, "#", ?s) AS ?tag) WHERE {
+              ?s mms-property:role ?r .
+            }""")
+
     def mm_image_resize(spark, sf):
         # decode -> nearest-neighbor resize -> re-encode -> decode:
         # channel means of the RESIZED pixels hash-match the analytic
@@ -3084,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_boolfilter": kg_sparql_boolfilter,
         "kg_eccentricity": kg_eccentricity,
         "mm_image_resize": mm_image_resize,
+        "kg_sparql_projexpr": kg_sparql_projexpr,
     }
 
 
@@ -7725,6 +7736,15 @@ def oracle_sql() -> dict[str, str]:
            string_agg(role_iri, ',' ORDER BY role_iri) AS roles,
            min(role_iri) AS first_role
     FROM r GROUP BY conv_id
+    """
+
+    # projection expressions: computed SELECT columns, BIND subset
+    q["kg_sparql_projexpr"] = f"""
+    {_T}
+    SELECT {_SUBJ_SQL} AS s,
+           CAST(length({_ROLE_IRI_SQL}) AS BIGINT) AS len,
+           {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag
+    FROM t
     """
 
     # boolean FILTER with SPARQL precedence: A || B && !C parses as
