@@ -7,8 +7,16 @@ the ammend.js gap-fill with real entity resolution (SURVEY.md §4).
 
 Scale design:
   - labels and edges are keyed DataFrames; each iteration is two
-    shuffle joins (edge + label) + one min-aggregate, all equi-joins
-    AQE can skew-split (hot entities = high-degree nodes).
+    equi-joins (edge + label) + one min-aggregate, all AQE-skew-
+    splittable (hot entities = high-degree nodes).
+  - the E-row edge table is repartitioned on its loop join key ONCE
+    and checkpointed with `pagerank.partitioned_checkpoint` (AQE-safe
+    partitioning capture); the V-row label frame is kept node-
+    partitioned across rounds, so the per-round edge join runs with
+    ZERO exchanges — edges are scanned and map-side partial-aggregated
+    every round but never reshuffled. Only V-row frames move per
+    iteration (plan-asserted in tests/test_pagerank_plan.py's sibling
+    assertions for cc).
   - lineage truncated per iteration via localCheckpoint (required —
     without it the plan doubles every round and the driver OOMs on
     plan serialization long before data is a problem).
@@ -66,26 +74,42 @@ def connected_components(
     vocab/entity-table sizes is pure overhead. Above the threshold the
     distributed hash-min + pointer-jumping loop runs. Both paths are
     tested equivalent; the threshold is a conf knob, not a semantic."""
+    from mms_rdf_spark.operators.pagerank import (
+        _shuffle_partitions,
+        partitioned_checkpoint,
+    )
+
+    p = _shuffle_partitions(edges)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
+    # loop join key is b: partition once, reuse every round
+    sym = partitioned_checkpoint(sym.repartition(p, "b"))
     n_edges = sym.count()
     if n_edges <= driver_threshold:
         return _driver_union_find(edges.sparkSession, sym)
-    labels = (
+    # checkpoint the BARE node frame and alias component on top
+    # lazily: with component==node inside the checkpointed plan the
+    # top repartition is elided as redundant and the physical
+    # partitioning becomes a PartitioningCollection, which the
+    # checkpoint capture drops (measured: the loop join re-exchanged)
+    nodes0 = partitioned_checkpoint(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .repartition(p, "node")
     )
+    labels = nodes0.withColumn("component", F.col("node"))
     for _ in range(max_iterations):
         # hash-min: candidate label = min over neighbors' labels + own
+        # explicit join condition, NOT a rename-then-USING join: the
+        # checkpointed hash partitioning does not propagate through a
+        # withColumnRenamed projection in this Spark version, and the
+        # rename form re-exchanged the E-row side every round
         neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -112,7 +136,9 @@ def connected_components(
                         ).alias("component"),
             )
         )
-        jumped = jumped.localCheckpoint()
+        # the pointer-jump join leaves the frame component-partitioned;
+        # re-key by node so next round's edge join stays exchange-free
+        jumped = partitioned_checkpoint(jumped.repartition(p, "node"))
         changed = (
             jumped.alias("n").join(labels.alias("o"), on="node")
             .where(F.col("n.component") != F.col("o.component"))
@@ -194,18 +220,30 @@ def _min_reach_labels(nodes: DataFrame, e: DataFrame,
                       max_iterations: int) -> DataFrame:
     """(node, label): label = min node id that can REACH node along
     the directed edges (including node itself). Hash-min fixpoint,
-    O(diameter) rounds, lineage truncated per round."""
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    O(diameter) rounds, lineage truncated per round; edges partitioned
+    on the loop key once so rounds never reshuffle them."""
+    from mms_rdf_spark.operators.pagerank import (
+        _shuffle_partitions,
+        partitioned_checkpoint,
+    )
+
+    p = _shuffle_partitions(e)
+    e = partitioned_checkpoint(e.repartition(p, "a"))
+    # bare nodes checkpointed, label aliased lazily on top (see
+    # connected_components: an in-plan alias collapses the partitioning
+    # to a PartitioningCollection the checkpoint cannot capture)
+    nodes0 = partitioned_checkpoint(nodes.repartition(p, "node"))
+    labels = nodes0.withColumn("label", F.col("node"))
     for _ in range(max_iterations):
-        nbr = (e.join(labels.withColumnRenamed("node", "a"), on="a")
+        nbr = (e.join(labels, e["a"] == labels["node"])
                .groupBy(F.col("b").alias("node"))
                .agg(F.min("label").alias("nbr")))
-        new = (labels.join(nbr, on="node", how="left")
-               .select("node",
-                       F.least(F.col("label"),
-                               F.coalesce(F.col("nbr"), F.col("label")))
-                       .alias("label"))
-               .localCheckpoint())
+        new = partitioned_checkpoint(
+            labels.join(nbr, on="node", how="left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nbr"), F.col("label")))
+                    .alias("label")))
         changed = (new.alias("n").join(labels.alias("o"), on="node")
                    .where(F.col("n.label") != F.col("o.label")).count())
         labels = new
@@ -342,21 +380,29 @@ def topological_layers(
                  .union(dag_edges.select(F.col(src).alias("node")))
                  .union(dag_edges.select(F.col(dst).alias("node")))
                  .distinct())
-    e = dag_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
-        .distinct().localCheckpoint()
-    layers = nodes.withColumn("layer", F.lit(0).cast("long")) \
-        .localCheckpoint()
+    from mms_rdf_spark.operators.pagerank import (
+        _shuffle_partitions,
+        partitioned_checkpoint,
+    )
+
+    p = _shuffle_partitions(dag_edges)
+    e = partitioned_checkpoint(
+        dag_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct().repartition(p, "a"))
+    layers = partitioned_checkpoint(
+        nodes.withColumn("layer", F.lit(0).cast("long"))
+        .repartition(p, "node"))
     for _ in range(max_iterations):
-        nbr = (e.join(layers.withColumnRenamed("node", "a"), on="a")
+        nbr = (e.join(layers, e["a"] == layers["node"])
                .groupBy(F.col("b").alias("node"))
                .agg((F.max("layer") + 1).alias("cand")))
-        new = (layers.join(nbr, on="node", how="left")
-               .select("node",
-                       F.greatest(F.col("layer"),
-                                  F.coalesce(F.col("cand"),
-                                             F.col("layer")))
-                       .alias("layer"))
-               .localCheckpoint())
+        new = partitioned_checkpoint(
+            layers.join(nbr, on="node", how="left")
+            .select("node",
+                    F.greatest(F.col("layer"),
+                               F.coalesce(F.col("cand"),
+                                          F.col("layer")))
+                    .alias("layer")))
         changed = (new.alias("n").join(layers.alias("o"), on="node")
                    .where(F.col("n.layer") != F.col("o.layer")).count())
         layers = new

@@ -13,19 +13,115 @@ scalar constants (1-d, d) are computed ENGINE-side from the same
 literals, never pre-folded in Python (1 - 0.85 differs from a 0.15
 literal in the last ulp).
 
-Plan shape at 100 TB: per iteration, one join of ranks to edges on the
-src key + one dst-keyed aggregate (both map-side combined), one
-broadcast of the two single-row scalars (node count, dangling mass) —
-no collect() anywhere, so the loop never funnels the graph through the
-driver; localCheckpoint per round truncates lineage exactly like
-cc.py's pointer jumping. Hot dst nodes (celebrity entities) are a
+Plan shape at 100 TB: the STATIC frames are built once — out-degree is
+pre-joined onto the edge table (`_with_degree`) and the dangling-node
+set is precomputed — so each iteration is exactly one join of ranks to
+the degree-carrying edges + one dst-keyed map-side-combined aggregate +
+one broadcast of the two single-row scalars (node count, dangling
+mass). Edges and nodes are repartitioned on their join keys BEFORE the
+localCheckpoint; the checkpointed LogicalRDD preserves that
+outputPartitioning, so the E-row edge side is never re-exchanged inside
+the loop — per iteration only the V-row rank/contrib frames move. No
+collect() anywhere; localCheckpoint per round truncates lineage exactly
+like cc.py's pointer jumping. Hot dst nodes (celebrity entities) are a
 skewed aggregate, not a skewed join — partial aggregation absorbs them.
+
+`encode=True` dictionary-encodes string node ids (KG IRIs, ~50-100
+bytes) to dense longs via the distributed global rank before iterating
+and decodes once at the end: shuffle bytes and hash cost inside the
+loop drop ~10x at IRI-width keys, which is the difference between a
+bandwidth-bound and a CPU-bound loop on a real cluster. Result is
+row-identical to the string path (pinned in tests).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _shuffle_partitions(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def partitioned_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint that PRESERVES the frame's hash partitioning.
+
+    Under AQE the checkpoint captures AdaptiveSparkPlanExec's
+    partitioning, which reports Unknown before the final plan exists —
+    so a `repartition(p, key).localCheckpoint()` loses its partitioning
+    and every downstream join re-exchanges both sides (measured: the
+    iteration join plans 2 exchanges with AQE on, 0 with it off). AQE
+    is toggled off just for the checkpoint materialization so the
+    LogicalRDD records HashPartitioning; iterative loops then join
+    against the checkpointed E-row frame with ZERO exchanges per round
+    — only the aggregate's shuffle remains."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _node_dict(nodes: DataFrame) -> DataFrame:
+    """(node, nid): dense 1-based long id per node, deterministic
+    (global rank under the node total order — range partition + local
+    window + P-long offset broadcast, never a single-partition
+    window)."""
+    from mms_rdf_spark.operators.link import global_rank
+
+    return (global_rank(nodes.withColumn("_o", F.col("node")), "_o",
+                        "node")
+            .select("node", F.col("rank").alias("nid"))
+            .localCheckpoint())
+
+
+def _encode_edges(e: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Rewrite (src, dst) string edges onto the dense long ids."""
+    return (e.join(dict_df.select(F.col("node").alias("src"),
+                                  F.col("nid").alias("_es")), on="src")
+            .join(dict_df.select(F.col("node").alias("dst"),
+                                 F.col("nid").alias("_ed")), on="dst")
+            .select(F.col("_es").alias("src"), F.col("_ed").alias("dst")))
+
+
+def _decode_ranks(ranks: DataFrame, dict_df: DataFrame) -> DataFrame:
+    return (ranks.join(dict_df, ranks["node"] == dict_df["nid"])
+            .select(dict_df["node"].alias("node"), F.col("rank")))
+
+
+def _with_degree(e: DataFrame, p: int) -> tuple[DataFrame, DataFrame]:
+    """(ed, deg_by_node): the edge table with its src's out-degree
+    pre-joined ONCE (the degree is static across iterations — joining
+    it inside the loop re-shuffles the full rank table every round for
+    no reason), repartitioned on the loop's join key so the
+    checkpointed partitioning is reused by every iteration."""
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = partitioned_checkpoint(e.join(deg, on="src")
+                                .repartition(p, "src"))
+    return ed, deg.withColumnRenamed("src", "node")
+
+
+def _finish_rank(nodes: DataFrame, nn, dangling: DataFrame,
+                 contrib: DataFrame, one_minus_d, damping: float,
+                 precision: int) -> DataFrame:
+    """nn is the node count as a LITERAL Column (driver-folded int —
+    exact); dangling stays a 1-row broadcast frame (data-dependent
+    per round)."""
+    return (nodes
+            .crossJoin(F.broadcast(dangling))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    one_minus_d / nn
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("dm") / nn),
+                    precision).alias("r")))
 
 
 def pagerank(
@@ -35,48 +131,56 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 3,
     precision: int = 8,
+    encode: bool = False,
 ) -> DataFrame:
     """(node, rank) for every node appearing in `edges`. Dangling-node
     mass (sinks) is redistributed uniformly each iteration, so total
-    rank stays ~1 (up to the per-iteration rounding)."""
+    rank stays ~1 (up to the per-iteration rounding). `encode=True`
+    runs the iterations on dense long ids (see module docstring);
+    row-identical output."""
     # the loop re-references these every iteration: materialize ONCE
     # (localCheckpoint) instead of recomputing the node/degree lineage
     # `iters` times from the raw edge scan
+    p = _shuffle_partitions(edges)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct()).localCheckpoint()
-    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-           .withColumnRenamed("src", "node")).localCheckpoint()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+             .distinct())
+    dict_df = None
+    if encode:
+        dict_df = _node_dict(nodes)
+        e = _encode_edges(e, dict_df).localCheckpoint()
+        nodes = dict_df.select(F.col("nid").alias("node"))
+    nodes = partitioned_checkpoint(nodes.repartition(p, "node"))
+    ed, deg = _with_degree(e, p)
+    danglers = partitioned_checkpoint(
+        nodes.join(deg, on="node", how="left_anti"))
+    # node count folded ONCE to an int literal: an integer survives the
+    # driver round-trip exactly (unlike float arithmetic, which must
+    # stay engine-side), and keeping it as a lazy agg frame would cost
+    # one count job + one broadcast PER ITERATION
+    n = nodes.count()
+    if n == 0:  # constant-folded 1.0/0 would raise under ANSI
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    nn = F.lit(n)
 
     one_minus_d = F.lit(1.0) - F.lit(damping)  # engine-side arithmetic
-    ranks = (nodes.crossJoin(F.broadcast(nn))
-             .select("node", F.round(F.lit(1.0) / F.col("n"), precision)
+    ranks = (nodes
+             .select("node", F.round(F.lit(1.0) / nn, precision)
                      .alias("r")))
     for _ in range(iters):
         contrib = (
-            ranks.join(deg, on="node")
-            .join(e, ranks["node"] == e["src"])
+            ranks.join(ed, ranks["node"] == ed["src"])
             .select("dst", (F.col("r") / F.col("d")).alias("_c"))
             .groupBy("dst").agg(F.sum("_c").alias("c")))
-        dangling = (ranks.join(deg, on="node", how="left_anti")
+        dangling = (ranks.join(danglers, on="node", how="left_semi")
                     .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")))
-        ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dangling))
-            .join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                F.round(
-                    one_minus_d / F.col("n")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0))
-                       + F.col("dm") / F.col("n")),
-                    precision).alias("r"))
-        ).localCheckpoint()
-    return ranks.select("node", F.col("r").alias("rank"))
+        ranks = partitioned_checkpoint(
+            _finish_rank(nodes, nn, dangling, contrib, one_minus_d,
+                         damping, precision))
+    out = ranks.select("node", F.col("r").alias("rank"))
+    return _decode_ranks(out, dict_df) if encode else out
 
 
 def _closed_triangles(edges: DataFrame, src: str,
@@ -228,8 +332,9 @@ def neighborhood_mean(edges: DataFrame, features: DataFrame,
     engine-dependent summation order then flips the rounded digit (the
     text_lm_score sf0.1 lesson) — long sums are associative, so both
     engines divide the identical integer at every hop."""
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
-        .localCheckpoint()
+    e = partitioned_checkpoint(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition(_shuffle_partitions(edges), "_s"))
     h = features.select(F.col(id_col).alias("node"),
                         F.col(feature_col).cast("double").alias("f"))
     for _ in range(hops):
@@ -271,28 +376,32 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
+    p = _shuffle_partitions(edges)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = (e.union(e.select(F.col("dst"), F.col("src")))
-           .where(F.col("src") != F.col("dst"))
-           .distinct().localCheckpoint())
-    nodes = (sym.select(F.col("src").alias("node")).distinct()
-             .localCheckpoint())
+    sym = partitioned_checkpoint(
+        (e.union(e.select(F.col("dst"), F.col("src")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()).repartition(p, "src"))
+    nodes = partitioned_checkpoint(
+        sym.select(F.col("src").alias("node")).distinct()
+        .repartition(p, "node"))
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("label"))
     for _ in range(iters):
-        nbr = (sym.join(labels.withColumnRenamed("node", "src"),
-                        on="src")
-               .select(F.col("dst").alias("node"), "label"))
+        nbr = (sym.join(labels, sym["src"] == labels["node"])
+               .select(F.col("dst").alias("_n"), "label")
+               .withColumnRenamed("_n", "node"))
         best = (nbr.groupBy("node", "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .select("node", "label"))
-        labels = (nodes.join(best, on="node", how="left")
-                  .select("node",
-                          F.coalesce(F.col("label"), F.col("node"))
-                          .alias("label"))).localCheckpoint()
+        labels = partitioned_checkpoint(
+            nodes.join(best, on="node", how="left")
+            .select("node",
+                    F.coalesce(F.col("label"), F.col("node"))
+                    .alias("label")))
     return labels
 
 
@@ -317,17 +426,22 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k_core: k >= 1")
+    p = _shuffle_partitions(edges)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = (e.union(e.select(F.col("dst"), F.col("src")))
-           .where(F.col("src") != F.col("dst"))
-           .distinct().localCheckpoint())
+    sym = partitioned_checkpoint(
+        (e.union(e.select(F.col("dst"), F.col("src")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()).repartition(p, "src"))
     for _ in range(iters):
+        # src-partitioning survives the semi-joins (left side keeps its
+        # partitioning), so the degree agg never reshuffles the edges
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= k).select("src")
-        sym = (sym.join(keep, on="src", how="left_semi")
-               .join(keep.withColumnRenamed("src", "dst"), on="dst",
-                     how="left_semi")
-               .select("src", "dst")).localCheckpoint()
+        sym = partitioned_checkpoint(
+            sym.join(keep, on="src", how="left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), on="dst",
+                  how="left_semi")
+            .select("src", "dst"))
     return (sym.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("degree")))
 
@@ -356,10 +470,11 @@ def bfs_levels(
     doubling, no distances, O(log diameter) rounds vs O(diameter) here
     — use closure for deep chains, BFS for hop-bounded neighborhoods).
     """
+    p = _shuffle_partitions(edges)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
         e = e.union(e.select(F.col("dst"), F.col("src")))
-    e = e.distinct().localCheckpoint()
+    e = partitioned_checkpoint(e.distinct().repartition(p, "src"))
     dist = sources.select(F.col(node_col).alias("node"),
                           F.lit(0).alias("dist")).distinct() \
         .localCheckpoint()
@@ -393,11 +508,17 @@ def hits(
     auth sum (mirrored), each followed by a broadcast 1-row max; no
     collect anywhere; localCheckpoint truncates lineage.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-        .distinct().localCheckpoint()
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .distinct()).localCheckpoint()
+    p = _shuffle_partitions(edges)
+    e0 = edges.select(F.col(src).alias("src"),
+                      F.col(dst).alias("dst")).distinct()
+    # the loop joins e on BOTH keys; keep one copy partitioned per key
+    # (2x edge memory, zero E-row exchanges per round)
+    e = partitioned_checkpoint(e0.repartition(p, "src"))
+    e_dst = partitioned_checkpoint(e.repartition(p, "dst"))
+    nodes = partitioned_checkpoint(
+        (e.select(F.col("src").alias("node"))
+         .union(e.select(F.col("dst").alias("node")))
+         .distinct()).repartition(p, "node"))
     hub = nodes.select("node", F.lit(1.0).alias("h"))
     auth = nodes.select("node", F.lit(1.0).alias("a"))
 
@@ -410,16 +531,16 @@ def hits(
     for _ in range(iters):
         a_raw = (hub.join(e, hub["node"] == e["src"])
                  .groupBy("dst").agg(F.sum("h").alias("a")))
-        auth = _norm(
+        auth = partitioned_checkpoint(_norm(
             nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
             .select("node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")),
-            "a").localCheckpoint()
-        h_raw = (auth.join(e, auth["node"] == e["dst"])
+            "a"))
+        h_raw = (auth.join(e_dst, auth["node"] == e_dst["dst"])
                  .groupBy("src").agg(F.sum("a").alias("h")))
-        hub = _norm(
+        hub = partitioned_checkpoint(_norm(
             nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
             .select("node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")),
-            "h").localCheckpoint()
+            "h"))
     return (hub.join(auth, on="node")
             .select("node", F.col("h").alias("hub"),
                     F.col("a").alias("auth")))
@@ -542,9 +663,11 @@ def weighted_sssp(
                      F.col(weight_col).cast("long").alias("w"))
     if not directed:
         e = e.union(e.select(F.col("d"), F.col("s"), F.col("w")))
-    e = (e.where(F.col("s") != F.col("d"))
-         .groupBy("s", "d").agg(F.min("w").alias("w"))
-         .localCheckpoint())
+    p = _shuffle_partitions(edges)
+    e = partitioned_checkpoint(
+        e.where(F.col("s") != F.col("d"))
+        .groupBy("s", "d").agg(F.min("w").alias("w"))
+        .repartition(p, "s"))
     dist = sources.select(F.col(node_col).alias("node"),
                           F.lit(0).cast("long").alias("dist")) \
         .distinct().localCheckpoint()
@@ -657,20 +780,24 @@ def katz_centrality(
     localCheckpoint lineage truncation. Pick α < 1/λ_max for the
     convergent regime; bounded rounds are well-defined either way.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-        .distinct().localCheckpoint()
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .distinct()).localCheckpoint()
+    p = _shuffle_partitions(edges)
+    e = partitioned_checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct().repartition(p, "src"))
+    nodes = partitioned_checkpoint(
+        (e.select(F.col("src").alias("node"))
+         .union(e.select(F.col("dst").alias("node")))
+         .distinct()).repartition(p, "node"))
     x = nodes.select("node", F.lit(1.0).alias("x"))
     for _ in range(iters):
         agg = (x.join(e, x["node"] == e["src"])
                .groupBy("dst").agg(F.sum("x").alias("_s")))
-        x = (nodes.join(agg, nodes["node"] == agg["dst"], "left")
-             .select("node",
-                     F.round(F.lit(1.0) + F.lit(alpha)
-                             * F.coalesce(F.col("_s"), F.lit(0.0)),
-                             precision).alias("x"))).localCheckpoint()
+        x = partitioned_checkpoint(
+            nodes.join(agg, nodes["node"] == agg["dst"], "left")
+            .select("node",
+                    F.round(F.lit(1.0) + F.lit(alpha)
+                            * F.coalesce(F.col("_s"), F.lit(0.0)),
+                            precision).alias("x")))
     return x.select("node", F.col("x").alias("katz"))
 
 
@@ -732,43 +859,47 @@ def personalized_pagerank(
     aggregate per round, localCheckpoint); dangling mass returns to
     the seeds as well, keeping total mass ~1.
     """
+    p = _shuffle_partitions(edges)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct()).localCheckpoint()
+             .distinct())
+    nodes = partitioned_checkpoint(nodes.repartition(p, "node"))
     s = seeds.select(F.col(node_col).alias("node")).distinct() \
         .join(nodes, on="node", how="left_semi").localCheckpoint()
     ns = s.agg(F.count(F.lit(1)).alias("ns"))
-    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-           .withColumnRenamed("src", "node")).localCheckpoint()
+    ed, deg = _with_degree(e, p)
+    danglers = partitioned_checkpoint(
+        nodes.join(deg, on="node", how="left_anti"))
     one_minus_d = F.lit(1.0) - F.lit(damping)
     seed_flag = s.withColumn("_is_seed", F.lit(1))
-    base = (nodes.join(seed_flag, on="node", how="left")
-            .na.fill(0, ["_is_seed"])
-            .crossJoin(F.broadcast(ns))).localCheckpoint()
+    base = partitioned_checkpoint(
+        nodes.join(seed_flag, on="node", how="left")
+        .na.fill(0, ["_is_seed"])
+        .crossJoin(F.broadcast(ns)))
     ranks = base.select(
         "node", F.round(F.col("_is_seed") / F.col("ns"), precision)
         .alias("r"))
     for _ in range(iters):
-        contrib = (ranks.join(deg, on="node")
-                   .join(e, ranks["node"] == e["src"])
+        contrib = (ranks.join(ed, ranks["node"] == ed["src"])
                    .select("dst", (F.col("r") / F.col("d")).alias("_c"))
                    .groupBy("dst").agg(F.sum("_c").alias("c")))
-        dangling = (ranks.join(deg, on="node", how="left_anti")
+        dangling = (ranks.join(danglers, on="node", how="left_semi")
                     .agg(F.coalesce(F.sum("r"), F.lit(0.0))
                          .alias("dm")))
-        ranks = (base
-                 .crossJoin(F.broadcast(dangling))
-                 .join(contrib, base["node"] == contrib["dst"], "left")
-                 .select(
-                     "node",
-                     F.round(
-                         (one_minus_d + F.lit(damping) * F.col("dm"))
-                         * F.col("_is_seed") / F.col("ns")
-                         + F.lit(damping)
-                         * F.coalesce(F.col("c"), F.lit(0.0)),
-                         precision).alias("r"))).localCheckpoint()
+        ranks = partitioned_checkpoint(
+            base
+            .crossJoin(F.broadcast(dangling))
+            .join(contrib, base["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    (one_minus_d + F.lit(damping) * F.col("dm"))
+                    * F.col("_is_seed") / F.col("ns")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("c"), F.lit(0.0)),
+                    precision).alias("r")))
     return ranks.select("node", F.col("r").alias("rank"))
 
 
@@ -1270,45 +1401,45 @@ def weighted_pagerank(
     broadcasts are 1-row scalars); weights are exact longs summed
     into the out-weight table once up front. The DuckDB unrolled-CTE
     oracle (kg_pagerank_weighted) hash-matches."""
+    p = _shuffle_partitions(edges)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      F.col(weight).cast("long").alias("w")) \
         .localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct()).localCheckpoint()
-    wd = (e.groupBy("src").agg(F.sum("w").alias("wt"))
-          .withColumnRenamed("src", "node")).localCheckpoint()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+             .distinct())
+    nodes = partitioned_checkpoint(nodes.repartition(p, "node"))
+    wd = e.groupBy("src").agg(F.sum("w").alias("wt"))
+    # static out-weight pre-joined onto the edges once; loop joins only
+    # the V-row rank frame against this checkpointed partitioning
+    ew = partitioned_checkpoint(e.join(wd, on="src")
+                                .repartition(p, "src"))
+    danglers = partitioned_checkpoint(
+        nodes.join(wd.withColumnRenamed("src", "node"),
+                   on="node", how="left_anti"))
+    n = nodes.count()  # exact int driver fold, see pagerank
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    nn = F.lit(n)
 
     one_minus_d = F.lit(1.0) - F.lit(damping)
-    ranks = (nodes.crossJoin(F.broadcast(nn))
+    ranks = (nodes
              .select("node",
-                     F.round(F.lit(1.0) / F.col("n"), precision)
+                     F.round(F.lit(1.0) / nn, precision)
                      .alias("r")))
     for _ in range(iters):
         contrib = (
-            ranks.join(wd, on="node")
-            .join(e, ranks["node"] == e["src"])
+            ranks.join(ew, ranks["node"] == ew["src"])
             .select("dst",
                     (F.col("r") * F.col("w") / F.col("wt"))
                     .alias("_c"))
             .groupBy("dst").agg(F.sum("_c").alias("c")))
-        dangling = (ranks.join(wd, on="node", how="left_anti")
+        dangling = (ranks.join(danglers, on="node", how="left_semi")
                     .agg(F.coalesce(F.sum("r"), F.lit(0.0))
                          .alias("dm")))
-        ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dangling))
-            .join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                F.round(
-                    one_minus_d / F.col("n")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0))
-                       + F.col("dm") / F.col("n")),
-                    precision).alias("r"))
-        ).localCheckpoint()
+        ranks = partitioned_checkpoint(
+            _finish_rank(nodes, nn, dangling, contrib, one_minus_d,
+                         damping, precision))
     return ranks.select("node", F.col("r").alias("rank"))
 
 

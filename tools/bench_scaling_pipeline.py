@@ -1,0 +1,128 @@
+"""END-TO-END pipeline scaling pair — the north rule's own shape: the
+FULL KG-construction pipeline (vocab + extract + link + canonicalize +
+materialize + amend + LPG + SPO + SHACL) launched via REAL spark-submit
+--py-files at local[1] vs local[4] on the same transcript corpus,
+throughput in turns/sec at both levels + scaling efficiency. This is
+the strongest evidence artifact for "run via spark-submit --py-files at
+two cluster sizes with scaling efficiency >= 0.8": not a single
+operator lane but the deployed job a user actually runs.
+
+Also asserts the amended-graph content hash is IDENTICAL at both
+parallelism levels (cross-parallelism determinism of the whole
+pipeline, not just per-stage tests).
+
+Protocol (matches the official codegen lane): shuffle partitions pinned
+identical at both levels; per-level one untimed warmup inside the JVM
+(codegen compile + session init excluded) then min over timed reps;
+quiet box required. Writes BENCH_scaling_pipeline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+INPUT = os.path.join(REPO, "build", "transcripts_pipebench")
+ZIP = os.path.join(REPO, "build", "mms_rdf_spark_bench.zip")
+PAIR = (1, 4)
+SHUFFLE = 16
+TIMED_REPS = 2
+
+
+def build_zip() -> None:
+    pkg = os.path.join(REPO, "mms_rdf_spark")
+    with zipfile.ZipFile(ZIP, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    zf.write(p, os.path.relpath(p, REPO))
+
+
+def synth_input() -> None:
+    if os.path.isdir(INPUT):
+        return
+    from mms_rdf_spark.session import get_spark
+    from mms_rdf_spark.synth import make_transcripts
+
+    spark = get_spark("pipebench-synth", cores=8, shuffle_partitions=32)
+    pdf = make_transcripts(n_convs=6000, seed=7, hot_conv_turns=600,
+                           n_hot_convs=4, n_entities=2000)
+    spark.createDataFrame(pdf).repartition(32) \
+        .write.mode("overwrite").parquet(INPUT)
+    spark.stop()
+
+
+def spark_submit_bin() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin",
+                        "spark-submit")
+
+
+def run_level(cores: int, scratch: str) -> dict:
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [spark_submit_bin(), "--master", f"local[{cores}]",
+         "--conf", f"spark.sql.shuffle.partitions={SHUFFLE}",
+         "--conf", "spark.driver.memory=24g",
+         "--conf", "spark.sql.adaptive.enabled=true",
+         "--conf", "spark.sql.session.timeZone=UTC",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", ZIP,
+         os.path.join(REPO, "tools", "submit_pipeline.py"),
+         "--input", INPUT, "--out", scratch,
+         "--timed-reps", str(TIMED_REPS)],
+        cwd="/tmp", env=env, capture_output=True, text=True,
+        timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-4000:])
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    synth_input()
+    build_zip()
+    results = {}
+    for cores in PAIR:
+        results[cores] = run_level(cores,
+                                   f"/tmp/pipebench-{cores}")
+        print(f"cores={cores}: {results[cores]['sec']} s, "
+              f"{results[cores]['turns_per_sec']:,.0f} turns/s",
+              flush=True)
+    lo, hi = results[PAIR[0]], results[PAIR[1]]
+    assert lo["amended_hash"] == hi["amended_hash"], \
+        "pipeline output differs across parallelism levels"
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) \
+        / (PAIR[1] / PAIR[0])
+    out = {"pair": {"N": PAIR[0], "4N": PAIR[1],
+                    "turns_per_sec_N": lo["turns_per_sec"],
+                    "turns_per_sec_4N": hi["turns_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                    "amended_hash_equal": True},
+           "protocol": {"shuffle_partitions": SHUFFLE,
+                        "timed_reps": TIMED_REPS,
+                        "stat": "min", "warmup": 1,
+                        "entry": "spark-submit --py-files"},
+           "raw": results}
+    with open(os.path.join(REPO, "BENCH_scaling_pipeline.json"),
+              "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out["pair"]))
+
+
+if __name__ == "__main__":
+    main()

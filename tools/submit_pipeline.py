@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import time
 
 from pyspark.sql import SparkSession
 
@@ -42,6 +43,12 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--timed-reps", type=int, default=0,
+        help="scaling-bench mode: run the FULL pipeline this many "
+             "timed times (plus one untimed warmup for JVM/codegen "
+             "compile), each into a fresh out dir with resume off; "
+             "adds sec (min over timed reps) and n_turns to the JSON")
     args = ap.parse_args()
 
     # session comes from spark-submit (--master/--conf), not get_spark
@@ -50,12 +57,31 @@ def main() -> None:
     try:
         from mms_rdf_spark.pipeline import run_pipeline  # from --py-files zip
 
-        out = run_pipeline(spark, args.input, args.out,
-                           resume=not args.no_resume)
-        print(json.dumps({
-            "stages": {k: v.count() for k, v in out.items()},
-            "amended_hash": content_hash(out["amended"]),
-        }))
+        if args.timed_reps:
+            n_turns = spark.read.parquet(args.input).count()
+            best = float("inf")
+            out = None
+            for i in range(args.timed_reps + 1):
+                t0 = time.time()
+                # run_stage materializes (writes + manifests) every
+                # stage, so run_pipeline returning == pipeline done
+                out = run_pipeline(spark, args.input,
+                                   f"{args.out}-r{i}", resume=False)
+                if i > 0:  # rep 0 is the warmup
+                    best = min(best, time.time() - t0)
+            print(json.dumps({
+                "stages": {k: v.count() for k, v in out.items()},
+                "amended_hash": content_hash(out["amended"]),
+                "sec": round(best, 3), "n_turns": n_turns,
+                "turns_per_sec": round(n_turns / best, 1),
+            }))
+        else:
+            out = run_pipeline(spark, args.input, args.out,
+                               resume=not args.no_resume)
+            print(json.dumps({
+                "stages": {k: v.count() for k, v in out.items()},
+                "amended_hash": content_hash(out["amended"]),
+            }))
     finally:
         spark.stop()
 
