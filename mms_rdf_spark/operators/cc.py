@@ -64,6 +64,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 50,
     driver_threshold: int = 200_000,
+    encode: bool = False,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (node, component) with component =
     min node id (string order) in the node's component.
@@ -73,8 +74,16 @@ def connected_components(
     iterative Spark fixpoint costs several jobs per round, which at
     vocab/entity-table sizes is pure overhead. Above the threshold the
     distributed hash-min + pointer-jumping loop runs. Both paths are
-    tested equivalent; the threshold is a conf knob, not a semantic."""
+    tested equivalent; the threshold is a conf knob, not a semantic.
+
+    `encode=True` runs the distributed loop on dense long ids
+    (pagerank's dictionary encoding). The hash-min semantics survive
+    EXACTLY because global_rank is monotone in the node total order:
+    min(rank) is attained at min(node), so the decoded component is the
+    same string. Row-identical to the string path (pinned in tests);
+    at IRI-width keys every loop shuffle moves 8-byte keys instead."""
     from mms_rdf_spark.operators.pagerank import (
+        _node_dict,
         _shuffle_partitions,
         partitioned_checkpoint,
     )
@@ -91,6 +100,17 @@ def connected_components(
     n_edges = sym.count()
     if n_edges <= driver_threshold:
         return _driver_union_find(edges.sparkSession, sym)
+    dict_df = None
+    if encode:
+        nodes_s = (sym.select(F.col("a").alias("node")).distinct())
+        dict_df = _node_dict(nodes_s)
+        sym = partitioned_checkpoint(
+            sym.join(dict_df.select(F.col("node").alias("a"),
+                                    F.col("nid").alias("_ea")), on="a")
+            .join(dict_df.select(F.col("node").alias("b"),
+                                 F.col("nid").alias("_eb")), on="b")
+            .select(F.col("_ea").alias("a"), F.col("_eb").alias("b"))
+            .repartition(p, "b"))
     # checkpoint the BARE node frame and alias component on top
     # lazily: with component==node inside the checkpointed plan the
     # top repartition is elided as redundant and the physical
@@ -147,6 +167,17 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    if encode:
+        # decode node AND component through the order-preserving dict
+        labels = (
+            labels.join(dict_df.select(F.col("nid").alias("node"),
+                                       F.col("node").alias("_dn")),
+                        on="node")
+            .join(dict_df.select(F.col("nid").alias("component"),
+                                 F.col("node").alias("_dc")),
+                  on="component")
+            .select(F.col("_dn").alias("node"),
+                    F.col("_dc").alias("component")))
     return labels
 
 

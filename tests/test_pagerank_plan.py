@@ -139,6 +139,10 @@ def test_cc_distributed_matches_driver_after_restructure(spark):
                       connected_components(e, driver_threshold=0)
                       .collect()))
     assert drv == dist
+    enc = sorted(map(tuple,
+                     connected_components(e, driver_threshold=0,
+                                          encode=True).collect()))
+    assert drv == enc
 
 
 def test_personalized_pagerank_unchanged_values(spark):
