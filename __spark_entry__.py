@@ -2830,6 +2830,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.packing import chunk_documents
         return chunk_documents(_docs(spark, sf), size=32, stride=24)
 
+    def kg_simrank(spark, sf):
+        # SimRank structural similarity (Jeh & Widom) over the
+        # bidirectional customer-nation-region graph — "linked by the
+        # similar" recursion, 2 bounded rounds, eps-pruned pair frame;
+        # the custkey % 50 sample bounds nation-hub fan-out at toy
+        # scale (at real scale that's simrank's hub_cap). Oracle
+        # unrolls the same rounds with micro-unit contribution sums.
+        from mms_rdf_spark.operators.pagerank import simrank
+        cust = (spark.read.parquet(f"{sf}/customer.parquet")
+                .where(F.col("c_custkey") % 50 == 0))
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        cn = cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+            .alias("dst"))
+        nr = nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))
+            .alias("dst"))
+        e = (cn.unionByName(cn.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .unionByName(nr)
+             .unionByName(nr.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"))))
+        return simrank(e, iters=2)
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3095,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eccentricity": kg_eccentricity,
         "mm_image_resize": mm_image_resize,
         "kg_sparql_projexpr": kg_sparql_projexpr,
+        "kg_simrank": kg_simrank,
     }
 
 
@@ -8391,5 +8420,55 @@ def oracle_sql() -> dict[str, str]:
                  list_slice(toks, c * 24 + 1, c * 24 + 32) AS w
           FROM nc, unnest(generate_series(0, n_chunks - 1)) AS t(c))
     """
+
+    # SimRank: unrolls the SAME bounded rounds the Spark loop runs —
+    # diagonal seed, per-round 9dp rounding, eps cut on the ROUNDED
+    # value, contribution sums as exact 1e9 micro-unit longs (the
+    # grid-aligned-sum rule), fixed 0.8*(t/1e9)/(da*db) op order.
+    sr = """
+    WITH edges AS (
+        SELECT src, dst FROM (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                   'n' || CAST(c_nationkey AS VARCHAR) AS dst
+            FROM customer WHERE c_custkey % 50 = 0
+            UNION ALL
+            SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+                   'c' || CAST(c_custkey AS VARCHAR)
+            FROM customer WHERE c_custkey % 50 = 0
+            UNION ALL
+            SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                   'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+            UNION ALL
+            SELECT 'r' || CAST(n_regionkey AS VARCHAR),
+                   'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+        ) GROUP BY src, dst
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), din AS (
+        SELECT dst AS node, count(*) AS d FROM edges GROUP BY dst
+    ), s0 AS (
+        SELECT node AS a, node AS b, CAST(1.0 AS DOUBLE) AS s
+        FROM nodes
+    )"""
+    for i in range(1, 3):
+        sr += f""", t{i} AS (
+        SELECT e1.dst AS a, e2.dst AS b,
+               sum(CAST(round(s.s * 1e9) AS BIGINT)) AS t
+        FROM s{i - 1} s JOIN edges e1 ON e1.src = s.a
+                        JOIN edges e2 ON e2.src = s.b
+        WHERE e1.dst <> e2.dst
+        GROUP BY e1.dst, e2.dst
+    ), s{i} AS (
+        SELECT node AS a, node AS b, CAST(1.0 AS DOUBLE) AS s
+        FROM nodes
+        UNION ALL
+        SELECT a, b, v FROM (
+            SELECT r.a AS a, r.b AS b,
+                   round(0.8 * (r.t / 1e9) / (da.d * db.d), 9) AS v
+            FROM t{i} r JOIN din da ON da.node = r.a
+                        JOIN din db ON db.node = r.b) u
+        WHERE v >= 1e-4
+    )"""
+    q["kg_simrank"] = sr + "\n    SELECT a, b, s FROM s2 WHERE a < b"
 
     return q

@@ -1575,3 +1575,99 @@ def eccentricity(
                     .alias("n_reachable"),
                     F.coalesce("ecc", F.lit(0)).cast("long")
                     .alias("ecc")))
+
+
+def simrank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    c: float = 0.8,
+    iters: int = 2,
+    precision: int = 9,
+    eps: float = 1e-4,
+    hub_cap: int | None = None,
+) -> DataFrame:
+    """SimRank (Jeh & Widom 2002) node-pair similarity over the
+    directed edge set: two nodes are similar when their IN-neighbors
+    are similar, s(a,a) = 1 and
+    s(a,b) = c / (|I(a)||I(b)|) * sum_{u in I(a), v in I(b)} s(u, v).
+    Returns the non-trivial half-matrix (a, b, s) with a < b and
+    s >= eps after `iters` bounded iterations — "entities cited by
+    the same entities", the structural-equivalence companion to
+    adamic_adar's shared-neighbor link prediction.
+
+    Determinism / cross-engine parity (the pagerank recipe): the pair
+    frame starts from the exact diagonal, every iterated value is
+    rounded to `precision` dp per round, and the eps cut is applied to
+    the ROUNDED value — the DuckDB oracle (kg_simrank) unrolls the
+    same iterations as CTEs and hash-matches.
+
+    Scale shape: the pair frame holds ONLY pairs reachable from the
+    diagonal with similarity >= eps (the standard threshold-pruned
+    SimRank — exact for every surviving pair because dropped entries
+    could only contribute < eps * c per round). Each iteration is two
+    joins against the STATIC checkpointed out-edge frame (pair-side
+    repartitioned on the first key to reuse the edge partitioning) +
+    one map-side-combined (a, b) aggregate + one in-degree join. The
+    quadratic danger is hub fan-out — a node with out-degree d mints
+    d^2 candidate pairs from the diagonal; `hub_cap` drops SOURCES
+    with out-degree > cap from pair generation (the observable-cap
+    philosophy of dedup's LSH buckets: at web scale you cap the
+    celebrity hubs and count what you dropped via a degree groupBy
+    before raising the cap). The fan-out exchange is pinned against
+    AQE's byte-based coalescing (skew.pin_fanout_partitions).
+    """
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+
+    p = _shuffle_partitions(edges)
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().localCheckpoint())
+    if hub_cap is not None:
+        outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+        big = outd.where(F.col("_od") > hub_cap).select("src")
+        e = e.join(F.broadcast(big), on="src", how="left_anti") \
+            .localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    nodes = partitioned_checkpoint(nodes.repartition(p, "node"))
+    if nodes.count() == 0:
+        return nodes.select(F.col("node").alias("a"),
+                            F.col("node").alias("b"),
+                            F.lit(0.0).alias("s"))
+    din = partitioned_checkpoint(
+        e.groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d")).repartition(p, "node"))
+    e1 = partitioned_checkpoint(
+        e.select(F.col("src").alias("_u"), F.col("dst").alias("_a"))
+        .repartition(p, "_u"))
+    e2 = e.select(F.col("src").alias("_v"), F.col("dst").alias("_b"))
+    diag = nodes.select(F.col("node").alias("a"),
+                        F.col("node").alias("b"),
+                        F.lit(1.0).alias("s"))
+    s = partitioned_checkpoint(diag.repartition(p, "a"))
+    for _ in range(iters):
+        t = (s.join(e1, s["a"] == F.col("_u"))
+             .select(F.col("_a"), F.col("b"), F.col("s")))
+        t = pin_fanout_partitions(t, "b")
+        # sums of 9dp-gridded similarities are GRID-ALIGNED — float
+        # summation order would flip the rounded digit between engines
+        # (the NOTES micro-unit rule): accumulate exact 1e9-unit longs
+        t = (t.join(e2, t["b"] == F.col("_v"))
+             .where(F.col("_a") != F.col("_b"))
+             .groupBy("_a", "_b")
+             .agg(F.sum(F.round(F.col("s") * 1e9).cast("long"))
+                  .alias("_t")))
+        upd = (t.join(din.select(F.col("node").alias("_a"),
+                                 F.col("d").alias("_da")), on="_a")
+               .join(din.select(F.col("node").alias("_b"),
+                                F.col("d").alias("_db")), on="_b")
+               .select(F.col("_a").alias("a"), F.col("_b").alias("b"),
+                       F.round(F.lit(c) * (F.col("_t") / F.lit(1e9))
+                               / (F.col("_da") * F.col("_db")),
+                               precision).alias("s"))
+               .where(F.col("s") >= eps))
+        s = partitioned_checkpoint(
+            diag.unionByName(upd).repartition(p, "a"))
+    return (s.where(F.col("a") < F.col("b"))
+            .select("a", "b", "s"))

@@ -252,3 +252,79 @@ def test_ppr_seed_outside_graph_ignored(spark):
     got = {r["node"]: r["rank"]
            for r in personalized_pagerank(e, seeds, iters=2).collect()}
     assert set(got) == {"a", "b"}  # zz never appears
+
+
+# ---- simrank
+
+
+def _simrank_py(pairs, c=0.8, iters=2, prec=9, eps=1e-4):
+    """Pure-Python twin of pagerank.simrank with the SAME rounding,
+    micro-unit accumulation, and eps pruning."""
+    edges = sorted(set(pairs))
+    nodes = sorted({u for e in edges for u in e})
+    din, out = {}, {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+        din[v] = din.get(v, 0) + 1
+    s = {(n, n): 1.0 for n in nodes}
+    for _ in range(iters):
+        t = {}
+        for (u, v), suv in s.items():
+            for a2 in out.get(u, []):
+                for b2 in out.get(v, []):
+                    if a2 != b2:
+                        t[(a2, b2)] = (t.get((a2, b2), 0)
+                                       + round(suv * 1e9))
+        new = {(n, n): 1.0 for n in nodes}
+        for (a2, b2), tt in t.items():
+            val = round(c * (tt / 1e9) / (din[a2] * din[b2]), prec)
+            if val >= eps:
+                new[(a2, b2)] = val
+        s = new
+    return {(a2, b2): v for (a2, b2), v in s.items() if a2 < b2}
+
+
+def test_simrank_matches_python_twin(spark):
+    from mms_rdf_spark.operators.pagerank import simrank
+    # bipartite users->items with shared purchases + a 2nd-order hop
+    pairs = [("u1", "i1"), ("u1", "i2"), ("u2", "i1"), ("u2", "i2"),
+             ("u3", "i2"), ("u3", "i3"), ("i1", "s"), ("i3", "s")]
+    both = pairs + [(b, a) for a, b in pairs]  # undirected
+    e = _edges(spark, both)
+    got = {(r["a"], r["b"]): r["s"]
+           for r in simrank(e, iters=2).collect()}
+    assert got == _simrank_py(both, iters=2)
+    # sanity: co-purchased items are structurally similar
+    assert got[("i1", "i2")] > 0.1
+
+
+def test_simrank_diagonal_excluded_and_symmetric_halved(spark):
+    from mms_rdf_spark.operators.pagerank import simrank
+    e = _edges(spark, [("a", "c"), ("b", "c"), ("c", "a"), ("c", "b")])
+    rows = simrank(e, iters=2).collect()
+    assert all(r["a"] < r["b"] for r in rows)
+    got = {(r["a"], r["b"]): r["s"] for r in rows}
+    assert got == _simrank_py(
+        [("a", "c"), ("b", "c"), ("c", "a"), ("c", "b")], iters=2)
+    assert ("a", "b") in got  # both fed by c
+
+
+def test_simrank_hub_cap_drops_hub_pairs(spark):
+    from mms_rdf_spark.operators.pagerank import simrank
+    # hub h points at 5 leaves; capping out-degree at 4 removes h as a
+    # pair generator, so no leaf pair survives
+    pairs = [("h", f"l{i}") for i in range(5)] + [("x", "l0"), ("x", "l1")]
+    e = _edges(spark, pairs)
+    with_hub = {(r["a"], r["b"]) for r in simrank(e, iters=1).collect()}
+    capped = {(r["a"], r["b"])
+              for r in simrank(e, iters=1, hub_cap=4).collect()}
+    assert ("l0", "l1") in with_hub
+    assert capped == {("l0", "l1")}  # only x's fan-out remains
+    assert len(with_hub) > len(capped)
+
+
+def test_simrank_empty_input(spark):
+    from mms_rdf_spark.operators.pagerank import simrank
+    e = spark.createDataFrame([], "src string, dst string")
+    out = simrank(e, iters=2)
+    assert out.count() == 0 and out.columns == ["a", "b", "s"]
