@@ -2858,6 +2858,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     F.col("src").alias("dst"))))
         return simrank(e, iters=2)
 
+    def link_fs_em(spark, sf):
+        # UNSUPERVISED Fellegi-Sunter EM over the same blocked part
+        # corpus as link_fs_scores — no label; lambda/m_k/u_k from 3
+        # EM rounds, every M-step an exact-long division (oracle
+        # unrolls identical rounds)
+        from mms_rdf_spark.operators.link import fellegi_sunter_em
+        p = (spark.read.parquet(f"{sf}/part.parquet")
+             .withColumn("blk",
+                         F.element_at(F.split("p_name", " "), -1)))
+        return fellegi_sunter_em(
+            p, "p_partkey", "blk", ["p_brand", "p_type", "p_size"],
+            "p_name", iters=3)
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3124,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_resize": mm_image_resize,
         "kg_sparql_projexpr": kg_sparql_projexpr,
         "kg_simrank": kg_simrank,
+        "link_fs_em": link_fs_em,
     }
 
 
@@ -8470,5 +8484,71 @@ def oracle_sql() -> dict[str, str]:
         WHERE v >= 1e-4
     )"""
     q["kg_simrank"] = sr + "\n    SELECT a, b, s FROM s2 WHERE a < b"
+
+    # Fellegi-Sunter EM: unrolls the SAME 3 rounds — posterior =
+    # fixed-order product chain rounded 9dp, M-step numerators /
+    # denominators as exact 1e9 micro-unit longs, one long/long
+    # division per parameter, clamp [1e-6, 1-1e-6] engine-side.
+    _em_feats = ["p_brand", "p_type", "p_size"]
+    _K = len(_em_feats)
+    em = """
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[-1] AS blk,
+               p_brand, p_type,
+               CAST(p_size AS VARCHAR) AS p_size
+        FROM part),
+    pr AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           """ + ",\n           ".join(
+        f"a.{c} = b.{c} AS ag{i}" for i, c in enumerate(_em_feats)) + """
+        FROM p a JOIN p b
+          ON a.blk = b.blk AND a.p_partkey < b.p_partkey),
+    par0 AS (
+        SELECT CAST(0.1 AS DOUBLE) AS lam,
+               """ + ",\n               ".join(
+        [f"CAST(0.9 AS DOUBLE) AS m{i}" for i in range(_K)]
+        + [f"CAST(0.1 AS DOUBLE) AS u{i}" for i in range(_K)]) + """
+    )"""
+    _num = " * ".join(
+        ["lam"] + [f"(CASE WHEN ag{i} THEN m{i} ELSE 1.0 - m{i} END)"
+                   for i in range(_K)])
+    _den = " * ".join(
+        ["(1.0 - lam)"]
+        + [f"(CASE WHEN ag{i} THEN u{i} ELSE 1.0 - u{i} END)"
+           for i in range(_K)])
+    for r in range(1, 4):
+        em += f""", g{r} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(wu) AS sw,
+               """ + ",\n               ".join(
+            [f"sum(CASE WHEN ag{i} THEN wu ELSE 0 END) AS swg{i}"
+             for i in range(_K)]
+            + [f"sum(CASE WHEN ag{i} THEN 1 ELSE 0 END) AS g{i}"
+               for i in range(_K)]) + f"""
+        FROM (
+            SELECT {', '.join(f'ag{i}' for i in range(_K))},
+                   CAST(round(round(num / (num + den), 9) * 1e9)
+                        AS BIGINT) AS wu
+            FROM (
+                SELECT {', '.join(f'ag{i}' for i in range(_K))},
+                       {_num} AS num,
+                       {_den} AS den
+                FROM pr CROSS JOIN par{r - 1}))
+    ), par{r} AS (
+        SELECT least(greatest(round(sw / (n * 1000000000), 9), 1e-6),
+                     1.0 - 1e-6) AS lam,
+               """ + ",\n               ".join(
+            [f"least(greatest(round(swg{i} / greatest(sw, 1), 9), "
+             f"1e-6), 1.0 - 1e-6) AS m{i}" for i in range(_K)]
+            + [f"least(greatest(round((g{i} * 1000000000 - swg{i}) "
+               f"/ greatest(n * 1000000000 - sw, 1), 9), 1e-6), "
+               f"1.0 - 1e-6) AS u{i}" for i in range(_K)]) + f"""
+        FROM g{r})"""
+    em += "\n    " + "\n    UNION ALL ".join(
+        ["SELECT 'lambda' AS param, lam AS value FROM par3"]
+        + [x for i, c in enumerate(_em_feats)
+           for x in (f"SELECT 'm_{c}', m{i} FROM par3",
+                     f"SELECT 'u_{c}', u{i} FROM par3")])
+    q["link_fs_em"] = em
 
     return q

@@ -330,6 +330,50 @@ def link_mentions(
     return entity_table(surfaces, comps)
 
 
+def _blocked_agreement_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    feats: list,
+    label_text_col: str,
+    max_block: int | None,
+) -> DataFrame:
+    """Shared pair seam for the Fellegi-Sunter family: blocked
+    candidate self-join (id_a < id_b) carrying the label text
+    (_ta/_tb) and one boolean agreement column _ag{i} per feature
+    (null-safe string equality). Oversized blocks droppable via
+    `max_block` (broadcast anti-join of the few HOT blocks); the
+    fan-out exchange is pinned against AQE's byte-based coalescing."""
+    cols = df.select(
+        F.col(id_col).alias("_fid"),
+        F.col(label_text_col).alias("_ftext"),
+        F.col(block_col).alias("_fblk"),
+        *[F.col(c).cast("string").alias(f"_f{i}")
+          for i, c in enumerate(feats)])
+    if max_block is not None:
+        sizes = cols.groupBy("_fblk").agg(
+            F.count(F.lit(1)).alias("_fbn"))
+        big = sizes.where(F.col("_fbn") > max_block).select("_fblk")
+        cols = cols.join(F.broadcast(big), on="_fblk", how="left_anti")
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    cols = pin_fanout_partitions(cols, "_fblk")
+    a = cols.select(
+        "_fblk", F.col("_fid").alias("id_a"),
+        F.col("_ftext").alias("_ta"),
+        *[F.col(f"_f{i}").alias(f"_a{i}") for i in range(len(feats))])
+    b = cols.select(
+        "_fblk", F.col("_fid").alias("id_b"),
+        F.col("_ftext").alias("_tb"),
+        *[F.col(f"_f{i}").alias(f"_b{i}") for i in range(len(feats))])
+    pairs = (a.join(b, on="_fblk")
+             .where(F.col("id_a") < F.col("id_b")))
+    for i in range(len(feats)):
+        pairs = pairs.withColumn(
+            f"_ag{i}",
+            F.col(f"_a{i}").eqNullSafe(F.col(f"_b{i}")))
+    return pairs
+
+
 def fellegi_sunter_scores(
     df: DataFrame,
     id_col: str,
@@ -370,37 +414,11 @@ def fellegi_sunter_scores(
     probabilistic upgrade on the same blocking seam.
     """
     feats = list(feature_cols)
-    cols = df.select(
-        F.col(id_col).alias("_fid"),
-        F.col(label_text_col).alias("_ftext"),
-        F.col(block_col).alias("_fblk"),
-        F.length(label_text_col).alias("_flen"),
-        *[F.col(c).cast("string").alias(f"_f{i}")
-          for i, c in enumerate(feats)])
-    if max_block is not None:
-        sizes = cols.groupBy("_fblk").agg(
-            F.count(F.lit(1)).alias("_fbn"))
-        big = sizes.where(F.col("_fbn") > max_block).select("_fblk")
-        cols = cols.join(F.broadcast(big), on="_fblk", how="left_anti")
-    from mms_rdf_spark.operators.skew import pin_fanout_partitions
-    cols = pin_fanout_partitions(cols, "_fblk")
-    a = cols.select(
-        "_fblk", F.col("_fid").alias("id_a"),
-        F.col("_ftext").alias("_ta"),
-        *[F.col(f"_f{i}").alias(f"_a{i}") for i in range(len(feats))])
-    b = cols.select(
-        "_fblk", F.col("_fid").alias("id_b"),
-        F.col("_ftext").alias("_tb"),
-        *[F.col(f"_f{i}").alias(f"_b{i}") for i in range(len(feats))])
-    pairs = (a.join(b, on="_fblk")
-             .where(F.col("id_a") < F.col("id_b"))
+    pairs = (_blocked_agreement_pairs(df, id_col, block_col, feats,
+                                      label_text_col, max_block)
              .withColumn("is_match",
                          F.levenshtein("_ta", "_tb")
                          <= F.lit(label_max_dist)))
-    for i in range(len(feats)):
-        pairs = pairs.withColumn(
-            f"_ag{i}",
-            F.col(f"_a{i}").eqNullSafe(F.col(f"_b{i}")))
     # the pair frame feeds TWO consumers (the m/u count aggregate and
     # the scoring pass): checkpoint so the blocked join runs once.
     # eager=False keeps the lineage visible for plan assertions.
@@ -429,3 +447,103 @@ def fellegi_sunter_scores(
         score = term if score is None else score + term
     return scored.select("id_a", "id_b", "is_match",
                          F.round(score, 6).alias("score"))
+
+
+def fellegi_sunter_em(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    feature_cols: list,
+    label_text_col: str,
+    iters: int = 3,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    max_block: int | None = None,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameter estimation (Winkler's EM
+    over the latent match indicator): no training label at all — the
+    E-step scores every blocked pair with the current (lambda, m_k,
+    u_k) under conditional independence, the M-step re-estimates them
+    from the posterior weights. Returns the tall parameter table
+    (param, value): 'lambda' plus 'm_<col>' / 'u_<col>' per feature
+    after `iters` rounds — feed them to any scorer. This is the
+    companion to fellegi_sunter_scores (which needs an edit-distance
+    pseudo-label); EM is what you run when no label exists, the
+    standard production bootstrap for probabilistic linkage.
+
+    Determinism / parity (the logreg recipe): each posterior is a
+    fixed left-to-right product chain rounded to 9dp; every M-step
+    numerator/denominator is an EXACT 1e9 micro-unit long sum
+    (order-independent), each new parameter is ONE long/long double
+    division rounded to 9dp and clamped into [1e-6, 1-1e-6]
+    engine-side (degenerate cells can't zero a next-round product or
+    divide by zero under ANSI) — the DuckDB oracle (link_fs_em)
+    unrolls the same rounds as CTEs and hash-matches bit-for-bit.
+
+    Scale shape: one blocked pair materialization (localCheckpoint —
+    the E-step re-scans it per round), each round = one broadcast
+    crossJoin of the 1-row parameter frame + one map-side-combined
+    aggregate producing 1 + 2K longs. Nothing pair-proportional ever
+    reaches the driver.
+    """
+    feats = list(feature_cols)
+    k = len(feats)
+    pairs = _blocked_agreement_pairs(
+        df, id_col, block_col, feats, label_text_col, max_block) \
+        .select("id_a", "id_b",
+                *[F.col(f"_ag{i}") for i in range(k)]) \
+        .localCheckpoint()
+    spark = df.sparkSession
+    params = spark.createDataFrame(
+        [tuple([lam0] + [m0] * k + [u0] * k)],
+        ", ".join(["lam double"]
+                  + [f"m{i} double" for i in range(k)]
+                  + [f"u{i} double" for i in range(k)]))
+
+    def _clamp(c):
+        return F.least(F.greatest(c, F.lit(1e-6)),
+                       F.lit(1.0) - F.lit(1e-6))
+
+    giga = F.lit(1000000000)
+    for _ in range(iters):
+        j = pairs.crossJoin(F.broadcast(params))
+        num = F.col("lam")
+        den1 = F.lit(1.0) - F.col("lam")
+        for i in range(k):
+            num = num * F.when(F.col(f"_ag{i}"), F.col(f"m{i}")) \
+                .otherwise(F.lit(1.0) - F.col(f"m{i}"))
+            den1 = den1 * F.when(F.col(f"_ag{i}"), F.col(f"u{i}")) \
+                .otherwise(F.lit(1.0) - F.col(f"u{i}"))
+        w9 = F.round(num / (num + den1), 9)
+        wu = F.round(w9 * 1e9).cast("long")  # exact micro-units
+        g = j.select(wu.alias("_wu"),
+                     *[F.col(f"_ag{i}").cast("long").alias(f"_g{i}")
+                       for i in range(k)]) \
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_wu").alias("sw"),
+                 *[F.sum(F.col(f"_g{i}") * F.col("_wu"))
+                   .alias(f"swg{i}") for i in range(k)],
+                 *[F.sum(f"_g{i}").alias(f"g{i}") for i in range(k)])
+        # every update is ONE division of exact longs, rounded + clamped
+        sw_safe = F.greatest(F.col("sw"), F.lit(1))
+        nu_safe = F.greatest(F.col("n") * giga - F.col("sw"), F.lit(1))
+        params = g.select(
+            _clamp(F.round(F.col("sw") / (F.col("n") * giga), 9))
+            .alias("lam"),
+            *[_clamp(F.round(F.col(f"swg{i}") / sw_safe, 9))
+              .alias(f"m{i}") for i in range(k)],
+            *[_clamp(F.round(
+                (F.col(f"g{i}") * giga - F.col(f"swg{i}")) / nu_safe,
+                9)).alias(f"u{i}") for i in range(k)],
+        ).localCheckpoint()
+
+    rows = [F.struct(F.lit("lambda").alias("param"),
+                     F.col("lam").alias("value"))]
+    for i, name in enumerate(feats):
+        rows.append(F.struct(F.lit(f"m_{name}").alias("param"),
+                             F.col(f"m{i}").alias("value")))
+        rows.append(F.struct(F.lit(f"u_{name}").alias("param"),
+                             F.col(f"u{i}").alias("value")))
+    return (params.select(F.explode(F.array(*rows)).alias("_p"))
+            .select("_p.param", "_p.value"))

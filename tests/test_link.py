@@ -135,3 +135,41 @@ def test_fellegi_sunter_max_block_drops(spark):
         df, "id", "blk", ["brand"], "name", max_block=5)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert pairs == {(10, 11)}  # the 6-member hot block is dropped
+
+
+def test_fs_em_learns_informative_feature(spark):
+    from mms_rdf_spark.operators.link import fellegi_sunter_em
+
+    # duplicates share the brand; non-matching pairs mostly disagree:
+    # EM must drive m_brand above u_brand without any label
+    rows = []
+    for i in range(8):  # 8 duplicate pairs agreeing on brand
+        rows.append((2 * i, f"item {i}", f"B{i}", "blk"))
+        rows.append((2 * i + 1, f"item {i}x", f"B{i}", "blk"))
+    df = spark.createDataFrame(
+        rows, "id int, name string, brand string, blk string")
+    out = {r["param"]: r["value"]
+           for r in fellegi_sunter_em(
+               df, "id", "blk", ["brand"], "name", iters=3).collect()}
+    assert set(out) == {"lambda", "m_brand", "u_brand"}
+    assert out["m_brand"] > out["u_brand"]
+    assert 0 < out["lambda"] < 1
+    for v in out.values():
+        assert 1e-6 <= v <= 1 - 1e-6
+
+
+def test_fs_em_deterministic_and_clamped(spark):
+    from mms_rdf_spark.operators.link import fellegi_sunter_em
+
+    # ALL pairs agree on the only feature -> u is pulled toward its
+    # ceiling but stays inside the clamp; re-run is bit-identical
+    rows = [(i, f"n{i}", "SAME", "blk") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "id int, name string, brand string, blk string")
+    r1 = sorted(map(tuple, fellegi_sunter_em(
+        df, "id", "blk", ["brand"], "name", iters=4).collect()))
+    r2 = sorted(map(tuple, fellegi_sunter_em(
+        df, "id", "blk", ["brand"], "name", iters=4).collect()))
+    assert r1 == r2
+    vals = dict(r1)
+    assert vals["m_brand"] <= 1 - 1e-6 and vals["u_brand"] <= 1 - 1e-6
