@@ -2871,6 +2871,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             p, "p_partkey", "blk", ["p_brand", "p_type", "p_size"],
             "p_name", iters=3)
 
+    def text_kn_scores(spark, sf):
+        # interpolated Kneser-Ney bigram LM (absolute discounting +
+        # continuation probability), self-trained on the corpus
+        from mms_rdf_spark.operators.textstats import kneser_ney_scores
+        return kneser_ney_scores(_docs(spark, sf))
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3138,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_projexpr": kg_sparql_projexpr,
         "kg_simrank": kg_simrank,
         "link_fs_em": link_fs_em,
+        "text_kn_scores": text_kn_scores,
     }
 
 
@@ -8550,5 +8557,45 @@ def oracle_sql() -> dict[str, str]:
            for x in (f"SELECT 'm_{c}', m{i} FROM par3",
                      f"SELECT 'u_{c}', u{i} FROM par3")])
     q["link_fs_em"] = em
+
+    # Kneser-Ney: same fixed-order float expression over exact long
+    # counts; 0.75 cast to DOUBLE (a bare DuckDB decimal literal would
+    # route the arithmetic through DECIMAL, not the double path Spark
+    # takes)
+    q["text_kn_scores"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    db AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + 1), ' ') AS bg
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ), bigr AS (
+        SELECT bg, string_split(bg, ' ')[1] AS u,
+               string_split(bg, ' ')[2] AS w,
+               count(*) AS n_uw
+        FROM db GROUP BY bg
+    ), ctx AS (
+        SELECT u, sum(n_uw) AS n_u, count(*) AS n1p_u
+        FROM bigr GROUP BY u
+    ), cont AS (
+        SELECT w, count(*) AS n1p_w FROM bigr GROUP BY w
+    ), btyp AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bigr),
+    s AS (
+        SELECT db.doc_id,
+               CAST(round(round(ln(
+                   (b.n_uw - CAST(0.75 AS DOUBLE)) / c.n_u
+                   + CAST(0.75 AS DOUBLE) * c.n1p_u / c.n_u
+                     * (o.n1p_w / btyp.bt)), 6) * 1e6, 0)
+                    AS BIGINT) AS lp_u
+        FROM db JOIN bigr b USING (bg)
+        JOIN ctx c ON b.u = c.u
+        JOIN cont o ON b.w = o.w
+        CROSS JOIN btyp
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round((CAST(sum(lp_u) AS DOUBLE) / count(*)) / 1e6, 6)
+               AS avg_logprob
+    FROM s GROUP BY doc_id
+    """
 
     return q

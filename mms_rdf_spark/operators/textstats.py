@@ -683,3 +683,65 @@ def stupid_backoff_scores(docs: DataFrame,
             .agg(n.alias("n_trigrams"),
                  F.round((F.sum("_lpu") / n) / 1e6, 6)
                  .alias("avg_logscore")))
+
+
+def kneser_ney_scores(docs: DataFrame,
+                      discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality signal — the
+    absolute-discounting completion of the self-trained LM family
+    (add-alpha `bigram_lm_scores`, Stupid Backoff
+    `stupid_backoff_scores`): per observed bigram (u, w)
+
+        P_KN(w|u) = (c(u,w) - d) / c(u)
+                  + d * N1+(u,*) / c(u) * (N1+(*,w) / B)
+
+    with c(u) = total bigrams starting at u, N1+(u,*) = distinct
+    continuations of u, N1+(*,w) = distinct CONTEXTS of w (the
+    continuation probability — "how novel are w's contexts", the KN
+    insight that downweights words frequent only inside one fixed
+    phrase), B = distinct bigram types. Observed bigrams have
+    c(u,w) >= 1 > d, so the max(.,0) clamp is vacuous here. Returns
+    (doc_id, n_bigrams, avg_logprob); docs with < 2 tokens excluded.
+
+    Determinism: one fixed-order float expression over exact long
+    counts, ln rounded 6dp, per-doc mean over exact micro-unit longs
+    — the DuckDB oracle (text_kn_scores) hash-matches.
+
+    Scale shape: ONE bigram-type aggregate (map-side combined) is
+    checkpointed and every statistic derives from it (context /
+    continuation tables bounded by |vocab|, the type count a 1-row
+    broadcast); scoring is three gram-keyed joins + one doc_id
+    aggregate — the bigram_lm plan with KN statistics attached.
+    """
+    from mms_rdf_spark.operators.dedup import _tokens, word_ngrams
+
+    toks = _tokens(F.col("text"))
+    bi = F.filter(word_ngrams(toks, 2), lambda g: g.contains(" "))
+    doc_bi = docs.select("doc_id", F.explode(bi).alias("bg"))
+    parts = F.split("bg", " ")
+    bigr = (doc_bi.groupBy("bg")
+            .agg(F.count(F.lit(1)).alias("n_uw"))
+            .select("bg", parts[0].alias("_u"), parts[1].alias("_w"),
+                    "n_uw")
+            .localCheckpoint())
+    ctx = bigr.groupBy("_u").agg(F.sum("n_uw").alias("n_u"),
+                                 F.count(F.lit(1)).alias("n1p_u"))
+    cont = bigr.groupBy("_w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    bt = bigr.agg(F.count(F.lit(1)).alias("bt"))
+    d = F.lit(float(discount))
+    p = ((F.col("n_uw") - d) / F.col("n_u")
+         + d * F.col("n1p_u") / F.col("n_u")
+         * (F.col("n1p_w") / F.col("bt")))
+    scored = (doc_bi
+              .join(bigr, on="bg")
+              .join(ctx, on="_u")
+              .join(cont, on="_w")
+              .crossJoin(F.broadcast(bt))
+              .select("doc_id",
+                      F.round(F.round(F.log(p), 6) * 1e6, 0)
+                      .cast("long").alias("_lpu")))
+    n = F.count(F.lit(1))
+    return (scored.groupBy("doc_id")
+            .agg(n.alias("n_bigrams"),
+                 F.round((F.sum("_lpu") / n) / 1e6, 6)
+                 .alias("avg_logprob")))

@@ -30,3 +30,43 @@ def test_stupid_backoff_loo_backoff_chain(spark):
     assert got[2].n_trigrams == 1
     assert abs(got[2].avg_logscore
                - round(math.log(0.064 / 10), 6)) < 2e-6
+
+
+def test_kneser_ney_hand_computed(spark):
+    import math
+
+    from mms_rdf_spark.operators.textstats import kneser_ney_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id int, text string")
+    got = {r.doc_id: r for r in kneser_ney_scores(docs).collect()}
+    assert set(got) == {1, 2}  # doc 3 has no bigram
+    # bigram types: 'a b' (c=3), 'b a' (1), 'b c' (1); B = 3
+    # ctx  u=a: c=3, N1+=1 ; u=b: c=2, N1+=2
+    # cont w=b: 1 ; w=a: 1 ; w=c: 1
+    p_ab = (3 - 0.75) / 3 + 0.75 * 1 / 3 * (1 / 3)
+    p_ba = (1 - 0.75) / 2 + 0.75 * 2 / 2 * (1 / 3)
+    p_bc = (1 - 0.75) / 2 + 0.75 * 2 / 2 * (1 / 3)
+    lp1 = [round(math.log(p_ab), 6), round(math.log(p_ba), 6),
+           round(math.log(p_ab), 6)]
+    want1 = round(sum(x * 1e6 for x in lp1) / 3 / 1e6, 6)
+    assert got[1].n_bigrams == 3
+    assert abs(got[1].avg_logprob - want1) < 2e-6
+    lp2 = [round(math.log(p_ab), 6), round(math.log(p_bc), 6)]
+    want2 = round(sum(x * 1e6 for x in lp2) / 2 / 1e6, 6)
+    assert got[2].n_bigrams == 2
+    assert abs(got[2].avg_logprob - want2) < 2e-6
+    # KN normalizes per context over the FULL vocab: u=b's observed
+    # continuations (a, c) plus the unseen 'b b' (pure continuation
+    # mass d * N1+(b)/c(b) * Pcont(b)) sum to 1
+    p_bb_unseen = 0.75 * 2 / 2 * (1 / 3)
+    assert abs(p_ba + p_bc + p_bb_unseen - 1.0) < 1e-12
+
+
+def test_kneser_ney_empty_and_null_text(spark):
+    from mms_rdf_spark.operators.textstats import kneser_ney_scores
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id int, text string")
+    assert kneser_ney_scores(docs).count() == 0
