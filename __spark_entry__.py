@@ -2877,6 +2877,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import kneser_ney_scores
         return kneser_ney_scores(_docs(spark, sf))
 
+    def kg_mis(spark, sf):
+        # Luby maximal independent set over the customer-nation-region
+        # graph (md5-priority symmetry breaking, 3 bounded rounds);
+        # oracle unrolls the same rounds
+        from mms_rdf_spark.operators.pagerank import (
+            maximal_independent_set)
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
+        return maximal_independent_set(e, rounds=3)
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3145,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_simrank": kg_simrank,
         "link_fs_em": link_fs_em,
         "text_kn_scores": text_kn_scores,
+        "kg_mis": kg_mis,
     }
 
 
@@ -8597,5 +8616,48 @@ def oracle_sql() -> dict[str, str]:
                AS avg_logprob
     FROM s GROUP BY doc_id
     """
+
+    # Luby MIS: same md5||'#'||node total-order priority, same 3
+    # unrolled rounds (neighbor-min among the remaining pool,
+    # select-if-beats-all, remove selected + covered)
+    mis = """
+    WITH edges0 AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+               'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), sym AS (
+        SELECT src, dst FROM (
+            SELECT src, dst FROM edges0 WHERE src <> dst
+            UNION ALL
+            SELECT dst, src FROM edges0 WHERE src <> dst
+        ) GROUP BY src, dst
+    ), nodes AS (
+        SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0
+    ), p0 AS (
+        SELECT node, md5(node) || '#' || node AS pr FROM nodes
+    )"""
+    for i in range(1, 4):
+        mis += f""", nm{i} AS (
+        SELECT e.src AS node, min(p2.pr) AS nm
+        FROM sym e JOIN p{i - 1} p1 ON e.src = p1.node
+                   JOIN p{i - 1} p2 ON e.dst = p2.node
+        GROUP BY e.src
+    ), s{i} AS (
+        SELECT p.node FROM p{i - 1} p
+        LEFT JOIN nm{i} ON p.node = nm{i}.node
+        WHERE nm{i}.nm IS NULL OR p.pr < nm{i}.nm
+    ), p{i} AS (
+        SELECT p.node, p.pr FROM p{i - 1} p
+        WHERE p.node NOT IN (SELECT node FROM s{i})
+          AND p.node NOT IN (
+            SELECT e.dst FROM sym e JOIN s{i} s ON e.src = s.node)
+    )"""
+    q["kg_mis"] = mis + """
+    SELECT node, 'mis' AS state, 1 AS round FROM s1
+    UNION ALL SELECT node, 'mis', 2 FROM s2
+    UNION ALL SELECT node, 'mis', 3 FROM s3
+    UNION ALL SELECT node, 'undecided', 0 FROM p3"""
 
     return q

@@ -1671,3 +1671,83 @@ def simrank(
             diag.unionByName(upd).repartition(p, "a"))
     return (s.where(F.col("a") < F.col("b"))
             .select("a", "b", "s"))
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Luby-style maximal independent set over the undirected graph:
+    each round, a remaining node joins the MIS iff its priority beats
+    every remaining neighbor's; selected nodes and their neighbors
+    leave the pool. Returns (node, state, round) — 'mis' rows with
+    their selection round, plus any 'undecided' survivors (round 0)
+    if the bounded loop ran out before the pool drained (Luby drains
+    in O(log n) rounds w.h.p.; the early-exit fires when the pool
+    empties, and at fixpoint the MIS is exact and maximal — pinned in
+    tests). MIS is the classic symmetry-breaking primitive (greedy
+    coloring seeds, landmark selection, parallel scheduling).
+
+    Determinism: priority = md5(node) || '#' || node — stable across
+    runs/engines and totally ordered (the '#node' suffix makes ties
+    impossible even under hash collision), never RNG state. The
+    DuckDB oracle (kg_mis) unrolls the same rounds.
+
+    Scale shape: per round ONE neighbor-min aggregate over the
+    remaining edge set (map-side combined — a celebrity node's
+    priorities partial-aggregate) + two anti-joins; the symmetric
+    edge frame is checkpointed once and shrunk each round so later
+    rounds touch only the surviving subgraph; localCheckpoint per
+    round truncates lineage; the only driver action is the bounded
+    per-round pool count.
+    """
+    p = _shuffle_partitions(edges)
+    sym = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+           .where(F.col("src") != F.col("dst")))
+    sym = (sym.unionByName(sym.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+           .distinct())
+    sym = partitioned_checkpoint(sym.repartition(p, "src"))
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    pool = partitioned_checkpoint(
+        nodes.select("node",
+                     F.concat(F.md5("node"), F.lit("#"), F.col("node"))
+                     .alias("pr"))
+        .repartition(p, "node"))
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "node string, state string, round int")
+    n = pool.count()
+    for r in range(1, rounds + 1):
+        if n == 0:
+            break
+        live = (sym.join(pool.select(F.col("node").alias("src")),
+                         on="src", how="left_semi")
+                .join(pool.select(F.col("node").alias("dst")),
+                      on="dst", how="left_semi"))
+        nbr_min = (live.join(pool.select(F.col("node").alias("dst"),
+                                         F.col("pr").alias("_npr")),
+                             on="dst")
+                   .groupBy("src").agg(F.min("_npr").alias("_nm")))
+        sel = (pool.join(nbr_min.withColumnRenamed("src", "node"),
+                         on="node", how="left")
+               .where(F.col("_nm").isNull()
+                      | (F.col("pr") < F.col("_nm")))
+               .select("node").localCheckpoint())
+        covered = (live.join(sel.withColumnRenamed("node", "src"),
+                             on="src", how="left_semi")
+                   .select(F.col("dst").alias("node")).distinct())
+        out = out.unionByName(
+            sel.select("node", F.lit("mis").alias("state"),
+                       F.lit(r).alias("round")))
+        pool = partitioned_checkpoint(
+            pool.join(sel, on="node", how="left_anti")
+            .join(covered, on="node", how="left_anti")
+            .repartition(p, "node"))
+        n = pool.count()
+    return out.unionByName(
+        pool.select("node", F.lit("undecided").alias("state"),
+                    F.lit(0).alias("round")))

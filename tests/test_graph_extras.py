@@ -328,3 +328,71 @@ def test_simrank_empty_input(spark):
     e = spark.createDataFrame([], "src string, dst string")
     out = simrank(e, iters=2)
     assert out.count() == 0 and out.columns == ["a", "b", "s"]
+
+
+# ---- maximal independent set (Luby)
+
+
+def _mis_py(pairs, rounds=3):
+    import hashlib
+
+    nodes, sym = set(), set()
+    for a, b in pairs:
+        nodes.update((a, b))
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    pr = {n: hashlib.md5(n.encode()).hexdigest() + "#" + n
+          for n in nodes}
+    pool, out = set(nodes), {}
+    for r in range(1, rounds + 1):
+        if not pool:
+            break
+        sel = set()
+        for v in pool:
+            nbrs = [u for (x, u) in sym if x == v and u in pool]
+            if not nbrs or pr[v] < min(pr[u] for u in nbrs):
+                sel.add(v)
+        cov = {u for (x, u) in sym if x in sel and u in pool}
+        for v in sel:
+            out[v] = ("mis", r)
+        pool -= sel | cov
+    for v in pool:
+        out[v] = ("undecided", 0)
+    return out
+
+
+def test_mis_matches_python_twin_and_is_maximal(spark):
+    from mms_rdf_spark.operators.pagerank import maximal_independent_set
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("e", "a"), ("c", "f"), ("f", "g"), ("h", "h")]
+    got = {r["node"]: (r["state"], r["round"])
+           for r in maximal_independent_set(
+               _edges(spark, pairs), rounds=4).collect()}
+    assert got == _mis_py(pairs, rounds=4)
+    mis = {n for n, (s, _) in got.items() if s == "mis"}
+    und = {n for n, (s, _) in got.items() if s == "undecided"}
+    assert not und  # 4 rounds drain this graph
+    sym = {(a, b) for a, b in pairs if a != b}
+    sym |= {(b, a) for a, b in sym}
+    # independence: no edge inside the MIS
+    assert not any((a, b) in sym for a in mis for b in mis)
+    # maximality: every non-MIS node has a MIS neighbor
+    for n in set(got) - mis:
+        assert any((n, m) in sym for m in mis)
+    # the self-loop-only node has no real neighbor -> always MIS
+    assert "h" in mis and got["h"][1] == 1
+
+
+def test_mis_deterministic_and_bounded_rounds(spark):
+    from mms_rdf_spark.operators.pagerank import maximal_independent_set
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    e = _edges(spark, pairs)
+    r1 = sorted(map(tuple, maximal_independent_set(e, rounds=2).collect()))
+    r2 = sorted(map(tuple, maximal_independent_set(e, rounds=2).collect()))
+    assert r1 == r2 == sorted(
+        (n, s, r) for n, (s, r) in _mis_py(pairs, rounds=2).items())
+    # rounds=1 may leave undecided survivors on a 13-path
+    one = {r["state"] for r in
+           maximal_independent_set(e, rounds=1).collect()}
+    assert "mis" in one
