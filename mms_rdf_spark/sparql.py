@@ -358,6 +358,26 @@ def _compile_one(triples: DataFrame, terms: list[str]) -> DataFrame:
             for x in outs[1:]:
                 out = out.unionByName(x)
             return out
+    if not p.startswith("?") and p.endswith("?"):
+        # zero-or-one path p?: identity over every graph term plus the
+        # direct edges (SPARQL 1.1 §9.1 ZeroOrOnePath) — the closure
+        # machinery without the transitive part
+        edges = (triples.where(F.col("predicate") == p[:-1])
+                 .select("subject", "object"))
+        nodes = (triples.select("subject")
+                 .union(triples.select(F.col("object").alias("subject")))
+                 .distinct())
+        df = edges.union(
+            nodes.select("subject", F.col("subject").alias("object"))
+        ).distinct()
+        cols = {}
+        for colname, term in (("subject", s), ("object", o)):
+            if term.startswith("?"):
+                cols[colname] = term[1:]
+            else:
+                lit = term[1:-1] if term.startswith('"') else term
+                df = df.where(F.col(colname) == lit)
+        return df.select(*[F.col(c).alias(v) for c, v in cols.items()])
     if not p.startswith("?") and p[-1] in "*+":
         df = _closure_frame(triples, p[:-1], star=p.endswith("*"))
         cols = {}

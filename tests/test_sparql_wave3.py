@@ -183,3 +183,29 @@ def test_projection_expressions(g):
 def test_projection_expression_unparseable_raises(g):
     with pytest.raises(ValueError, match="SELECT item"):
         _run(g, "SELECT (?n) WHERE { ?s p:name ?n . }")
+
+
+def test_zero_or_one_path(g):
+    # p? = identity over every graph term + the direct edges: e:a
+    # reaches itself (zero) and e:b (one); e:b only itself
+    out = _run(g, """
+        SELECT ?x WHERE { e:a p:knows? ?x . }""").collect()
+    assert sorted(r.x for r in out) == ["e:a", "e:b"]
+    out2 = _run(g, """
+        SELECT ?x WHERE { e:b p:knows? ?x . }""").collect()
+    assert sorted(r.x for r in out2) == ["e:b"]
+
+
+def test_zero_or_one_path_in_sequence(g):
+    # sequence step: type of things a knows (zero-or-one hop first)
+    out = _run(g, """
+        SELECT ?x ?t WHERE { e:a p:knows?/rdf:type ?t .
+                             BIND(e:a AS ?x) }""").collect()
+    assert sorted(r.t for r in out) == ["c:Person", "c:Person"]
+
+
+def test_zero_or_one_path_bound_object(g):
+    # bound object side: who reaches e:b in <= 1 p:knows hop
+    out = _run(g, """
+        SELECT ?s WHERE { ?s p:knows? e:b . }""").collect()
+    assert sorted(r.s for r in out) == ["e:a", "e:b"]
