@@ -2877,6 +2877,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import kneser_ney_scores
         return kneser_ney_scores(_docs(spark, sf))
 
+    def kg_sparql_graph(spark, sf):
+        # named graphs: quads (role triples partitioned into per-
+        # conversation-parity graphs, the reference's graph-per-
+        # project model) queried with GRAPH ?g + aggregate
+        from mms_rdf_spark.sparql import sparql_select
+        quads = (triples_from_events(spark, sf)
+                 .where(F.col("predicate") == "mms-property:role")
+                 .withColumn(
+                     "graph",
+                     F.concat(
+                         F.lit("g:p"),
+                         (F.regexp_extract(
+                             "subject", r"^mms-element:(\d+)\.", 1)
+                          .cast("long") % 2).cast("string"))))
+        return sparql_select(quads, """
+            SELECT ?g ?r (COUNT(?s) AS ?n) WHERE {
+              GRAPH ?g { ?s mms-property:role ?r . }
+            } GROUP BY ?g ?r ORDER BY ?g ?r""")
+
     def kg_mis(spark, sf):
         # Luby maximal independent set over the customer-nation-region
         # graph (md5-priority symmetry breaking, 3 bounded rounds);
@@ -3164,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fs_em": link_fs_em,
         "text_kn_scores": text_kn_scores,
         "kg_mis": kg_mis,
+        "kg_sparql_graph": kg_sparql_graph,
     }
 
 
@@ -8659,5 +8679,19 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT node, 'mis', 2 FROM s2
     UNION ALL SELECT node, 'mis', 3 FROM s3
     UNION ALL SELECT node, 'undecided', 0 FROM p3"""
+
+    # named-graph aggregate: DuckDB re-derives the per-parity graph
+    # assignment and the role enumeration directly
+    q["kg_sparql_graph"] = f"""
+    {_T}
+    SELECT 'g:p' || CAST(CAST(conv_id AS BIGINT) % 2 AS VARCHAR) AS g,
+           CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                WHEN 'system' THEN 'mms-class:Role.System'
+                WHEN 'tool' THEN 'mms-class:Role.Tool'
+                ELSE 'rdf:nil' END AS r,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1, 2
+    """
 
     return q

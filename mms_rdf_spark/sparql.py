@@ -399,6 +399,41 @@ def _compile_one(triples: DataFrame, terms: list[str]) -> DataFrame:
     return df.select(*[F.col(c).alias(v) for c, v in cols.items()])
 
 
+def _compile_graph_block(quads: DataFrame, gterm: str,
+                         gbody: str) -> DataFrame:
+    """One `GRAPH <g> { ... }` / `GRAPH ?g { ... }` block over a QUADS
+    frame (a triples frame with a `graph` column — the named-graph
+    model the reference drives: per-project graphs, clear.js:12,
+    Neptune's namedGraphUri, update-neptune.js:85). Patterns OUTSIDE
+    a GRAPH block match all rows (the union-default-graph config most
+    endpoints run). `GRAPH ?g` compiles the body once per distinct
+    graph name and unions with the name bound — the graph list is a
+    bounded driver fold (named graphs are projects/refs,
+    administratively small, never data-proportional)."""
+    if "graph" not in quads.columns:
+        raise ValueError(
+            "GRAPH pattern requires a quads frame with a 'graph' column")
+    if gterm.startswith("?"):
+        var = gterm[1:]
+        names = sorted(
+            r["graph"]
+            for r in quads.select("graph")
+            .where(F.col("graph").isNotNull()).distinct().collect())
+        frames = [
+            _compile_patterns(quads.where(F.col("graph") == g), gbody)
+            .withColumn(var, F.lit(g))
+            for g in names]
+        if not frames:
+            raise ValueError("GRAPH ?var: store has no named graphs")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+    g = gterm[1:-1] if (gterm.startswith("<")
+                        and gterm.endswith(">")) else gterm
+    return _compile_patterns(quads.where(F.col("graph") == g), gbody)
+
+
 def _compile_patterns(triples: DataFrame, chunk: str) -> DataFrame | None:
     out = None
     for terms in _expand_paths(_split_statements(chunk)):
@@ -743,6 +778,12 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     # scoping (inner non-projected vars are invisible outside).
     body, subselects = _extract_subselects(body)
 
+    # GRAPH blocks lift before the brace-consuming rewrites below
+    # (their `{...}` would be eaten by the UNION/OPTIONAL regexes);
+    # each compiles against the named slice and joins conjunctively
+    graph_blocks = _re.findall(r"GRAPH (\S+) \{([^}]*)\}", body, _re.I)
+    body = _re.sub(r"GRAPH \S+ \{[^}]*\}", " ", body, flags=_re.I)
+
     # UNION groups MIXED with other patterns: each `{A} UNION {B}`
     # segment compiles via recursion (branches may carry plain
     # FILTER()/regex/BIND/VALUES but not brace-nested clauses —
@@ -791,6 +832,14 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             out = out.join(u, on=shared) if shared else out.crossJoin(u)
     for sub in subselects:
         frame = sparql_select(triples, sub)
+        if out is None:
+            out = frame
+        else:
+            shared = sorted(set(out.columns) & set(frame.columns))
+            out = out.join(frame, on=shared) if shared \
+                else out.crossJoin(frame)
+    for gterm, gbody in graph_blocks:
+        frame = _compile_graph_block(triples, gterm, gbody)
         if out is None:
             out = frame
         else:
@@ -1156,7 +1205,25 @@ def sparql_update(triples: DataFrame, update: str) -> DataFrame:
     the delete set when it is small."""
     q = _re.sub(r"\s+", " ", update).strip()
 
-    if _re.fullmatch(r"CLEAR( SILENT)?( ALL| GRAPH \S+)? ?", q, _re.I):
+    m = _re.fullmatch(
+        r"CLEAR( SILENT)?( ALL| DEFAULT| NAMED| GRAPH (\S+))? ?",
+        q, _re.I)
+    if m:
+        # with a quads frame the graph argument is honored (the
+        # reference's exact verb: `clear silent graph <mms-graph:X>`,
+        # clear.js:11-12); on a plain triples frame it clears all,
+        # as before (single-graph store)
+        if "graph" in triples.columns and m.group(2):
+            arg = m.group(2).strip().upper()
+            if arg.startswith("GRAPH"):
+                g = m.group(3)
+                if g.startswith("<") and g.endswith(">"):
+                    g = g[1:-1]
+                return triples.where(~F.col("graph").eqNullSafe(g))
+            if arg == "DEFAULT":
+                return triples.where(F.col("graph").isNotNull())
+            if arg == "NAMED":
+                return triples.where(F.col("graph").isNull())
         return triples.where(F.lit(False))
 
     m = _re.match(r"(INSERT|DELETE) DATA \{(.*)\} ?$", q, _re.I)
