@@ -2877,6 +2877,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import kneser_ney_scores
         return kneser_ney_scores(_docs(spark, sf))
 
+    def events_hilbert(spark, sf):
+        # Hilbert-curve layout key over (user_id, epoch-second) —
+        # the tighter-locality sibling of events_zorder
+        from mms_rdf_spark.operators.layout import hilbert_key
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .select("event_id", "user_id",
+                      _epoch_s("ts").cast("long").alias("ts_s")))
+        return (hilbert_key(ev, "user_id", "ts_s", bits=16)
+                .select("event_id", "hkey"))
+
     def kg_sparql_graph(spark, sf):
         # named graphs: quads (role triples partitioned into per-
         # conversation-parity graphs, the reference's graph-per-
@@ -3184,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_scores": text_kn_scores,
         "kg_mis": kg_mis,
         "kg_sparql_graph": kg_sparql_graph,
+        "events_hilbert": events_hilbert,
     }
 
 
@@ -8693,5 +8705,50 @@ def oracle_sql() -> dict[str, str]:
            CAST(count(*) AS BIGINT) AS n
     FROM t GROUP BY 1, 2
     """
+
+    # Hilbert key: the SAME 16-stage rotate/flip ladder as chained
+    # CTEs — pure int64 arithmetic, engine-identical by construction
+    hb = """
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events
+    ), bounds AS (
+        SELECT min(user_id) AS amin, max(user_id) AS amax,
+               min(ts_s) AS bmin, max(ts_s) AS bmax
+        FROM e
+    ), h0 AS (
+        SELECT event_id,
+               CASE WHEN amax - amin = 0 THEN 0
+                    ELSE CAST(floor(((user_id - amin) * 65535)
+                                    / (amax - amin)) AS BIGINT)
+               END AS x,
+               CASE WHEN bmax - bmin = 0 THEN 0
+                    ELSE CAST(floor(((ts_s - bmin) * 65535)
+                                    / (bmax - bmin)) AS BIGINT)
+               END AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM e CROSS JOIN bounds
+    )"""
+    for i in range(16):
+        s = 1 << (15 - i)
+        hb += f""", r{i} AS (
+        SELECT event_id, x, y, d,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM h{i}
+    ), h{i + 1} AS (
+        SELECT event_id,
+               CASE WHEN ry = 0 THEN
+                    (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+                    ELSE x END AS x,
+               CASE WHEN ry = 0 THEN
+                    (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+                    ELSE y END AS y,
+               d + CAST({s * s} AS BIGINT) * xor(3 * rx, ry) AS d
+        FROM r{i}
+    )"""
+    q["events_hilbert"] = hb + \
+        "\n    SELECT event_id, d AS hkey FROM h16"
 
     return q

@@ -91,3 +91,80 @@ def cluster_by_zorder(
     else:
         z = z.repartitionByRange("zkey")
     return z.sortWithinPartitions("zkey")
+
+
+def hilbert_key(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16,
+) -> DataFrame:
+    """Adds `hkey`: the Hilbert-curve index of the two columns after
+    the same exact-integer min/max normalization as `zorder_key`.
+    Hilbert beats Morton on locality — CONSECUTIVE curve positions are
+    always grid-adjacent (no Z-shaped jumps across the space), so
+    range-partitioned files cover even tighter rectangles; it is the
+    curve Iceberg/Delta expose next to z-order for exactly that
+    reason. Cost: `bits` unrolled rotate/flip stages instead of one
+    interleave — still pure integer column math, no UDFs.
+
+    The per-step state (x, y, d) is carried as materialized projection
+    columns, one chained select per step: each intermediate is
+    referenced several times by the next step, which keeps Catalyst's
+    CollapseProject from inlining the chain into an exponentially
+    duplicated expression tree, and the whole ladder still fuses into
+    a single WholeStageCodegen span. The DuckDB oracle
+    (events_hilbert) walks the same ladder as chained CTEs —
+    integer-exact, engine-identical.
+    """
+    clash = [c for c in df.columns
+             if c in ("_amin", "_amax", "_bmin", "_bmax",
+                      "_hx", "_hy", "_hd", "_rx", "_ry", "hkey")]
+    if clash:
+        raise ValueError(f"hilbert_key: input columns {clash} collide "
+                         "with reserved internal names; rename first")
+    bounds = df.agg(
+        F.min(F.col(col_a).cast("long")).alias("_amin"),
+        F.max(F.col(col_a).cast("long")).alias("_amax"),
+        F.min(F.col(col_b).cast("long")).alias("_bmin"),
+        F.max(F.col(col_b).cast("long")).alias("_bmax"))
+    with_b = df.crossJoin(F.broadcast(bounds))
+    a = _bucket(F.col(col_a).cast("long"), F.col("_amin"),
+                F.col("_amax"), bits)
+    b = _bucket(F.col(col_b).cast("long"), F.col("_bmin"),
+                F.col("_bmax"), bits)
+    cur = with_b.select(*df.columns, a.alias("_hx"), b.alias("_hy"),
+                        F.lit(0).cast("long").alias("_hd"))
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0,
+                    F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0,
+                    F.lit(1)).otherwise(F.lit(0)).cast("long")
+        cur = cur.select(*df.columns, "_hx", "_hy", "_hd",
+                         rx.alias("_rx"), ry.alias("_ry"))
+        d2 = (F.col("_hd")
+              + F.lit(s) * F.lit(s)
+              * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")))
+        flipx = F.when(F.col("_rx") == 1,
+                       F.lit(s - 1) - F.col("_hx")).otherwise(
+            F.col("_hx"))
+        flipy = F.when(F.col("_rx") == 1,
+                       F.lit(s - 1) - F.col("_hy")).otherwise(
+            F.col("_hy"))
+        nx = F.when(F.col("_ry") == 0, flipy).otherwise(F.col("_hx"))
+        ny = F.when(F.col("_ry") == 0, flipx).otherwise(F.col("_hy"))
+        cur = cur.select(*df.columns, nx.alias("_hx"),
+                         ny.alias("_hy"), d2.alias("_hd"))
+    return cur.select(*df.columns, F.col("_hd").alias("hkey"))
+
+
+def cluster_by_hilbert(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition + sort by the Hilbert key — `cluster_by_zorder`
+    with the tighter curve."""
+    h = hilbert_key(df, col_a, col_b, bits)
+    if num_partitions:
+        h = h.repartitionByRange(num_partitions, "hkey")
+    else:
+        h = h.repartitionByRange("hkey")
+    return h.sortWithinPartitions("hkey")

@@ -65,3 +65,73 @@ def test_zkey_is_pure_expressions(spark):
     assert "shiftleft" in plan  # interleave stayed a column expression
     # corpus-side shuffle would appear as a hashpartitioning exchange
     assert "hashpartitioning" not in plan, plan
+
+
+# ---- Hilbert curve
+
+
+def _hilbert_py(x, y, bits):
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_python_twin(spark):
+    from mms_rdf_spark.operators.layout import hilbert_key
+    n = 8  # bits=3 -> bucket == raw value on the 0..7 domain
+    rows = [(i, i % n, i // n) for i in range(n * n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {(r["x"], r["y"]): r["hkey"]
+           for r in hilbert_key(df, "x", "y", bits=3).collect()}
+    assert got == {(x, y): _hilbert_py(x, y, 3)
+                   for x in range(n) for y in range(n)}
+
+
+def test_hilbert_consecutive_cells_are_adjacent(spark):
+    """The property Morton lacks: walking the curve never jumps —
+    consecutive keys differ by one step in exactly one dimension."""
+    from mms_rdf_spark.operators.layout import hilbert_key
+    n = 8
+    rows = [(i, i % n, i // n) for i in range(n * n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    inv = {r["hkey"]: (r["x"], r["y"])
+           for r in hilbert_key(df, "x", "y", bits=3).collect()}
+    assert sorted(inv) == list(range(n * n))  # a bijection
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_clusters_both_dimensions(spark):
+    from mms_rdf_spark.operators.layout import cluster_by_hilbert
+    n = 32
+    rows = [(i, i % n, i // n) for i in range(n * n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    def mean_extent(clustered, col):
+        ext = (clustered
+               .withColumn("p", F.spark_partition_id())
+               .groupBy("p").agg((F.max(col) - F.min(col)).alias("e")))
+        return ext.agg(F.avg("e")).collect()[0][0]
+
+    h = cluster_by_hilbert(df, "x", "y", bits=5, num_partitions=16)
+    assert mean_extent(h, "x") <= 16
+    assert mean_extent(h, "y") <= 16
+
+
+def test_hilbert_constant_column_guard(spark):
+    from mms_rdf_spark.operators.layout import hilbert_key
+    df = spark.createDataFrame([(1, 7, 5), (2, 7, 9)],
+                               "id long, a long, b long")
+    out = hilbert_key(df, "a", "b", bits=4).collect()
+    assert all(r["hkey"] >= 0 for r in out)
