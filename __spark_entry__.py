@@ -2877,6 +2877,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import kneser_ney_scores
         return kneser_ney_scores(_docs(spark, sf))
 
+    def kg_coloring_cert(spark, sf):
+        # self-certifying greedy-MIS coloring gate (louvain pattern):
+        # ok = proper (zero monochromatic edges) AND complete (zero
+        # uncolored) over the customer-nation-region forest; n_edges
+        # is the exact cross-engine count. A coloring regression
+        # flips ok and fails the hash-match. (The dense part-supplier
+        # bipartite graph needs more than 8 greedy-MIS colors — hub
+        # priorities rarely win — so the cert runs on the
+        # degree-structured graph; see greedy_coloring's docstring on
+        # max_colors tracking the degree bound.)
+        from mms_rdf_spark.operators.pagerank import greedy_coloring
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        e = (cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                .alias("dst"))
+             .union(nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))))
+             .distinct())
+        col = greedy_coloring(e, max_colors=8)
+        ca = col.select(F.col("node").alias("src"),
+                        F.col("color").alias("_ca"))
+        cb = col.select(F.col("node").alias("dst"),
+                        F.col("color").alias("_cb"))
+        audited = e.join(ca, on="src").join(cb, on="dst")
+        mono = audited.where(
+            (F.col("_ca") == F.col("_cb"))
+            & (F.col("_ca") > 0)).count()
+        uncolored = col.where(F.col("color") == 0).count()
+        n_edges = e.count()
+        return spark.createDataFrame(
+            [(mono == 0 and uncolored == 0, n_edges)],
+            "ok boolean, n_edges long")
+
     def events_hilbert(spark, sf):
         # Hilbert-curve layout key over (user_id, epoch-second) —
         # the tighter-locality sibling of events_zorder
@@ -3196,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mis": kg_mis,
         "kg_sparql_graph": kg_sparql_graph,
         "events_hilbert": events_hilbert,
+        "kg_coloring_cert": kg_coloring_cert,
     }
 
 
@@ -8750,5 +8788,20 @@ def oracle_sql() -> dict[str, str]:
     )"""
     q["events_hilbert"] = hb + \
         "\n    SELECT event_id, d AS hkey FROM h16"
+
+    # coloring cert: the oracle states the INVARIANT (proper +
+    # complete, literal TRUE) plus the exact edge count it must hold
+    # over — the self-certifying louvain/sketch pattern
+    q["kg_coloring_cert"] = """
+    SELECT TRUE AS ok,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM (SELECT DISTINCT src, dst FROM (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                   'n' || CAST(c_nationkey AS VARCHAR) AS dst
+            FROM customer
+            UNION ALL
+            SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                   'r' || CAST(n_regionkey AS VARCHAR) FROM nation))
+    """
 
     return q

@@ -1678,6 +1678,7 @@ def maximal_independent_set(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 3,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Luby-style maximal independent set over the undirected graph:
     each round, a remaining node joins the MIS iff its priority beats
@@ -1710,9 +1711,15 @@ def maximal_independent_set(
                                       F.col("src").alias("dst")))
            .distinct())
     sym = partitioned_checkpoint(sym.repartition(p, "src"))
-    nodes = (edges.select(F.col(src).alias("node"))
-             .unionByName(edges.select(F.col(dst).alias("node")))
-             .distinct())
+    if nodes is None:
+        nodes = (edges.select(F.col(src).alias("node"))
+                 .unionByName(edges.select(F.col(dst).alias("node")))
+                 .distinct())
+    else:
+        # explicit node set (greedy_coloring passes the uncolored
+        # pool): adjacency still comes from `edges`, restricted by
+        # the live semi-joins below to pool-pool edges
+        nodes = nodes.select("node").distinct()
     pool = partitioned_checkpoint(
         nodes.select("node",
                      F.concat(F.md5("node"), F.lit("#"), F.col("node"))
@@ -1751,3 +1758,58 @@ def maximal_independent_set(
     return out.unionByName(
         pool.select("node", F.lit("undecided").alias("state"),
                     F.lit(0).alias("round")))
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_colors: int = 8,
+    mis_rounds: int = 3,
+) -> DataFrame:
+    """Distributed greedy graph coloring by iterated Luby MIS
+    (Jones-Plassmann family): color c goes to a maximal independent
+    set of the still-uncolored subgraph, so every color class is
+    independent by construction — a PROPER coloring of everything
+    colored. Returns (node, color) with color >= 1; nodes still
+    uncolored when `max_colors` runs out come back with color 0
+    (observable leftover, never a silent drop). Coloring is the
+    classic conflict-free scheduling primitive: same-color entities
+    can be processed in one parallel wave with no shared edge.
+
+    Determinism: inherits maximal_independent_set's md5 priorities —
+    bit-stable across runs and engines. The contract row
+    (kg_coloring_cert) is SELF-CERTIFYING in the louvain style: ok =
+    zero monochromatic edges AND zero uncolored nodes, paired with
+    the exact edge count — a regression flips the hash.
+
+    Scale shape: each color round is one bounded MIS over the
+    surviving pool (the pool only shrinks); the symmetric edge frame
+    is built once per round from the same checkpointed base. Nested
+    loop depth is max_colors * mis_rounds — both small constants, and
+    greedy-MIS coloring needs ~(max degree + 1) colors, so max_colors
+    tracks the degree bound, not the graph size."""
+    sym = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+           .where(F.col("src") != F.col("dst")))
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    sym = sym.localCheckpoint()
+    pool = nodes.localCheckpoint()
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "node string, color int")
+    remaining = pool.count()
+    for c in range(1, max_colors + 1):
+        if remaining == 0:
+            break
+        res = maximal_independent_set(sym, rounds=mis_rounds,
+                                      nodes=pool)
+        colored = (res.where(F.col("state") == "mis")
+                   .select("node", F.lit(c).alias("color"))
+                   .localCheckpoint())
+        out = out.unionByName(colored)
+        pool = pool.join(colored.select("node"), on="node",
+                         how="left_anti").localCheckpoint()
+        remaining = pool.count()
+    return out.unionByName(
+        pool.select("node", F.lit(0).alias("color")))

@@ -396,3 +396,47 @@ def test_mis_deterministic_and_bounded_rounds(spark):
     one = {r["state"] for r in
            maximal_independent_set(e, rounds=1).collect()}
     assert "mis" in one
+
+
+# ---- greedy coloring (iterated MIS)
+
+
+def test_coloring_is_proper_and_complete(spark):
+    from mms_rdf_spark.operators.pagerank import greedy_coloring
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),   # triangle
+             ("c", "d"), ("d", "e"), ("e", "a"),
+             ("f", "g")]
+    got = {r["node"]: r["color"]
+           for r in greedy_coloring(_edges(spark, pairs)).collect()}
+    assert set(got) == set("abcdefg")
+    assert all(c >= 1 for c in got.values())  # nothing left uncolored
+    sym = {(x, y) for x, y in pairs} | {(y, x) for x, y in pairs}
+    assert not any(got[x] == got[y] for x, y in sym)  # proper
+    # the triangle forces at least 3 colors
+    assert len({got["a"], got["b"], got["c"]}) == 3
+
+
+def test_coloring_deterministic_and_bipartite_two_colors(spark):
+    from mms_rdf_spark.operators.pagerank import greedy_coloring
+    # even cycle = bipartite; greedy-MIS needs few colors (<= 3 on a
+    # cycle) and must be identical across runs
+    pairs = [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)]
+    e = _edges(spark, pairs)
+    r1 = sorted(map(tuple, greedy_coloring(e).collect()))
+    r2 = sorted(map(tuple, greedy_coloring(e).collect()))
+    assert r1 == r2
+    assert max(c for _, c in r1) <= 3
+
+
+def test_coloring_max_colors_leftover_observable(spark):
+    from mms_rdf_spark.operators.pagerank import greedy_coloring
+    # K4 needs 4 colors; capping at 2 leaves uncolored nodes as 0
+    ns = ["w", "x", "y", "z"]
+    pairs = [(a, b) for i, a in enumerate(ns) for b in ns[i + 1:]]
+    got = {r["node"]: r["color"]
+           for r in greedy_coloring(_edges(spark, pairs),
+                                    max_colors=2).collect()}
+    assert sorted(got) == ns
+    assert sum(1 for c in got.values() if c == 0) == 2  # 2 leftovers
+    colored = [n for n, c in got.items() if c > 0]
+    assert len({got[n] for n in colored}) == 2
