@@ -2877,6 +2877,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import kneser_ney_scores
         return kneser_ney_scores(_docs(spark, sf))
 
+    def text_retrieval_eval(spark, sf):
+        # nDCG/MRR/MAP/P@k/recall@k per query: run = tf-desc top-10
+        # per single-term query, qrels graded 2 (en) / 1 (other) over
+        # every doc containing the term — ranking correlates with but
+        # does not equal the ideal ordering, so every metric is
+        # non-trivial
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.evalmetrics import (
+            retrieval_metrics)
+        docs = _docs(spark, sf)
+        q = spark.createDataFrame(
+            [("spark",), ("join",), ("vector",)], "query string")
+        toks = F.filter(F.split("text", " "), lambda t: t != "")
+        tf = (docs.select("doc_id", toks.alias("_toks"), "lang")
+              .crossJoin(q)
+              .select("query", "doc_id", "lang",
+                      F.size(F.filter(
+                          F.col("_toks"),
+                          lambda x: x == F.col("query"))).alias("tf"))
+              .where(F.col("tf") > 0))
+        w = Window.partitionBy("query").orderBy(F.col("tf").desc(),
+                                                "doc_id")
+        ranked = (tf.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= 10)
+                  .select("query", "doc_id", "rank"))
+        qrels = tf.select(
+            "query", "doc_id",
+            F.when(F.col("lang") == "en", F.lit(2))
+            .otherwise(F.lit(1)).alias("rel"))
+        return retrieval_metrics(ranked, qrels, k=10)
+
     def kg_coloring_cert(spark, sf):
         # self-certifying greedy-MIS coloring gate (louvain pattern):
         # ok = proper (zero monochromatic edges) AND complete (zero
@@ -3234,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph": kg_sparql_graph,
         "events_hilbert": events_hilbert,
         "kg_coloring_cert": kg_coloring_cert,
+        "text_retrieval_eval": text_retrieval_eval,
     }
 
 
@@ -8802,6 +8835,78 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'n' || CAST(n_nationkey AS VARCHAR),
                    'r' || CAST(n_regionkey AS VARCHAR) FROM nation))
+    """
+
+    # retrieval eval: every step mirrored — 6dp micro-unit gain/
+    # precision sums, one-division ratios, doc_id tiebreaks
+    q["text_retrieval_eval"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks, lang
+               FROM documents),
+    tf AS (
+        SELECT q.query, d.doc_id, d.lang,
+               len(list_filter(toks, x -> x = q.query)) AS tf
+        FROM d CROSS JOIN (VALUES ('spark'), ('join'), ('vector'))
+             q(query)
+        WHERE len(list_filter(toks, x -> x = q.query)) > 0
+    ), ranked AS (
+        SELECT query, doc_id,
+               CAST(row_number() OVER (PARTITION BY query
+                                       ORDER BY tf DESC, doc_id)
+                    AS INT) AS rank
+        FROM tf QUALIFY rank <= 10
+    ), qrels AS (
+        SELECT query, doc_id,
+               CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS rel
+        FROM tf
+    ), j AS (
+        SELECT r.query, r.rank, coalesce(q.rel, 0) AS rel,
+               sum(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY r.query ORDER BY r.rank) AS hits
+        FROM ranked r LEFT JOIN qrels q
+          ON r.query = q.query AND r.doc_id = q.doc_id
+    ), per AS (
+        SELECT query,
+               CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits_k,
+               min(CASE WHEN rel > 0 THEN rank END) AS first_rank,
+               sum(CASE WHEN rel > 0 THEN
+                   CAST(round(round(hits / rank, 6) * 1e6, 0)
+                        AS BIGINT) ELSE 0 END) AS ap_u,
+               sum(CAST(round(round((pow(2.0, rel) - 1.0)
+                                    / log2(rank + 1), 6) * 1e6, 0)
+                        AS BIGINT)) AS dcg_u
+        FROM j GROUP BY query
+    ), nrel AS (
+        SELECT query, CAST(count(*) AS BIGINT) AS n_rel
+        FROM qrels WHERE rel > 0 GROUP BY query
+    ), ideal AS (
+        SELECT query,
+               sum(CAST(round(round((pow(2.0, rel) - 1.0)
+                                    / log2(irank + 1), 6) * 1e6, 0)
+                        AS BIGINT)) AS idcg_u
+        FROM (SELECT query, rel,
+                     row_number() OVER (PARTITION BY query
+                                        ORDER BY rel DESC, doc_id)
+                         AS irank
+              FROM qrels WHERE rel > 0)
+        WHERE irank <= 10 GROUP BY query
+    )
+    SELECT p.query, coalesce(n.n_rel, 0) AS n_rel,
+           CASE WHEN first_rank IS NOT NULL
+                THEN round(CAST(1.0 AS DOUBLE) / first_rank, 6)
+                ELSE 0.0 END AS mrr,
+           CASE WHEN coalesce(n.n_rel, 0) > 0
+                THEN round((ap_u / 1e6) / n.n_rel, 6)
+                ELSE 0.0 END AS ap,
+           round(hits_k / 10, 6) AS p_at_k,
+           CASE WHEN coalesce(n.n_rel, 0) > 0
+                THEN round(hits_k / n.n_rel, 6)
+                ELSE 0.0 END AS recall_at_k,
+           CASE WHEN coalesce(idcg_u, 0) > 0
+                THEN round(CAST(dcg_u AS DOUBLE) / idcg_u, 6)
+                ELSE 0.0 END AS ndcg
+    FROM per p LEFT JOIN nrel n USING (query)
+    LEFT JOIN ideal USING (query)
     """
 
     return q

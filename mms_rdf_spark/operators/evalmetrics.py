@@ -105,3 +105,86 @@ def rrf_fuse(a: DataFrame, b: DataFrame, k: int = 60) -> DataFrame:
             .select("doc_id",
                     F.round(term("_ra") + term("_rb"), 9)
                     .alias("rrf_score")))
+
+
+def retrieval_metrics(ranked: DataFrame, qrels: DataFrame,
+                      k: int = 10) -> DataFrame:
+    """Per-query retrieval evaluation over a ranked run and graded
+    relevance labels — the metrics a training-data pipeline uses to
+    judge its retrievers (BM25 / ANN / fused) before mining hard
+    negatives from them. Inputs: `ranked` (query, doc_id, rank —
+    1-based) and `qrels` (query, doc_id, rel — integer grades, rel > 0
+    means relevant). Returns per query:
+
+        n_rel       total relevant docs in qrels
+        mrr         1/rank of the first relevant hit (0 if none)
+        ap          average precision @ k with the classic full-recall
+                    denominator n_rel (sum of precision at each
+                    relevant position / n_rel)
+        p_at_k      relevant hits in the top k / k
+        recall_at_k relevant hits in the top k / n_rel
+        ndcg        DCG/IDCG @ k with the (2^rel - 1)/log2(rank + 1)
+                    gain; IDCG from the rel-descending ideal ordering
+
+    Determinism: each transcendental term (log2) rounds to 6dp and
+    accumulates in exact micro-unit longs; every ratio is ONE division
+    (ndcg divides the two micro-unit longs directly); ideal-order ties
+    break by doc_id (numerically irrelevant — equal rel, equal term —
+    but it keeps the window deterministic). The DuckDB oracle
+    (text_retrieval_eval) mirrors every step.
+
+    Scale shape: one join of the top-k run against qrels, one
+    rank-ordered window per query (k rows each), two map-side-combined
+    per-query aggregates, one broadcast-sized join of the per-query
+    frames. Nothing corpus-sized shuffles; queries are the partition
+    key throughout (a hot query still only owns k rows + its qrels).
+    """
+    from pyspark.sql.window import Window
+
+    r = ranked.where(F.col("rank") <= k)
+    j = (r.join(qrels, on=["query", "doc_id"], how="left")
+         .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0))))
+    w = Window.partitionBy("query").orderBy("rank")
+    hit = (F.col("rel") > 0).cast("long")
+    j = j.withColumn("_hits", F.sum(hit).over(w))
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) \
+        / F.log2(F.col("rank") + F.lit(1))
+    prec = F.col("_hits") / F.col("rank")
+    unit = 1e6
+    per = j.groupBy("query").agg(
+        F.sum(hit).alias("_hits_k"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("_first"),
+        F.sum(F.when(F.col("rel") > 0,
+                     F.round(F.round(prec, 6) * unit, 0).cast("long"))
+              .otherwise(F.lit(0))).alias("_ap_u"),
+        F.sum(F.round(F.round(gain, 6) * unit, 0).cast("long"))
+        .alias("_dcg_u"))
+    rel_only = qrels.where(F.col("rel") > 0)
+    nrel = rel_only.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_rel"))
+    wq = Window.partitionBy("query").orderBy(F.col("rel").desc(),
+                                             "doc_id")
+    igain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) \
+        / F.log2(F.col("_irank") + F.lit(1))
+    ideal = (rel_only.withColumn("_irank", F.row_number().over(wq))
+             .where(F.col("_irank") <= k)
+             .groupBy("query")
+             .agg(F.sum(F.round(F.round(igain, 6) * unit, 0)
+                        .cast("long")).alias("_idcg_u")))
+    out = (per.join(nrel, on="query", how="left")
+           .join(ideal, on="query", how="left"))
+    n_rel = F.coalesce(F.col("n_rel"), F.lit(0))
+    return out.select(
+        "query", n_rel.cast("long").alias("n_rel"),
+        F.when(F.col("_first").isNotNull(),
+               F.round(F.lit(1.0) / F.col("_first"), 6))
+        .otherwise(F.lit(0.0)).alias("mrr"),
+        F.when(n_rel > 0,
+               F.round((F.col("_ap_u") / F.lit(unit)) / n_rel, 6))
+        .otherwise(F.lit(0.0)).alias("ap"),
+        F.round(F.col("_hits_k") / F.lit(k), 6).alias("p_at_k"),
+        F.when(n_rel > 0, F.round(F.col("_hits_k") / n_rel, 6))
+        .otherwise(F.lit(0.0)).alias("recall_at_k"),
+        F.when(F.coalesce(F.col("_idcg_u"), F.lit(0)) > 0,
+               F.round(F.col("_dcg_u") / F.col("_idcg_u"), 6))
+        .otherwise(F.lit(0.0)).alias("ndcg"))

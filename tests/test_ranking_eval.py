@@ -132,3 +132,57 @@ def test_bradley_terry_driver_and_frames_fold_identical(spark):
     b = bradley_terry(g, iterations=8, fold="frames") \
         .orderBy("player").toPandas()
     assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from mms_rdf_spark.operators.evalmetrics import retrieval_metrics
+
+    # q1: ranked d1..d4; relevant = d2 (rel 2), d4 (rel 1), d9 (rel 1,
+    # never retrieved). q2: no relevant docs at all.
+    ranked = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+         ("q1", "d4", 4), ("q2", "d1", 1)],
+        "query string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", "d2", 2), ("q1", "d4", 1), ("q1", "d9", 1)],
+        "query string, doc_id string, rel int")
+    got = {r["query"]: r
+           for r in retrieval_metrics(ranked, qrels, k=4).collect()}
+
+    r1 = got["q1"]
+    assert r1.n_rel == 3
+    assert r1.mrr == round(1 / 2, 6)
+    # precision at the relevant positions: 1/2 (d2), 2/4 (d4)
+    ap = (round(round(0.5, 6) * 1e6) + round(round(0.5, 6) * 1e6)) \
+        / 1e6 / 3
+    assert r1.ap == round(ap, 6)
+    assert r1.p_at_k == round(2 / 4, 6)
+    assert r1.recall_at_k == round(2 / 3, 6)
+    dcg = (round(round((2**0 - 1) / math.log2(2), 6) * 1e6)
+           + round(round((2**2 - 1) / math.log2(3), 6) * 1e6)
+           + round(round((2**0 - 1) / math.log2(4), 6) * 1e6)
+           + round(round((2**1 - 1) / math.log2(5), 6) * 1e6))
+    idcg = (round(round((2**2 - 1) / math.log2(2), 6) * 1e6)
+            + round(round((2**1 - 1) / math.log2(3), 6) * 1e6)
+            + round(round((2**1 - 1) / math.log2(4), 6) * 1e6))
+    assert r1.ndcg == round(dcg / idcg, 6)
+
+    r2 = got["q2"]
+    assert (r2.n_rel, r2.mrr, r2.ap, r2.p_at_k, r2.recall_at_k,
+            r2.ndcg) == (0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_perfect_run_is_one(spark):
+    from mms_rdf_spark.operators.evalmetrics import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2)],
+        "query string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q", "a", 2), ("q", "b", 1)],
+        "query string, doc_id string, rel int")
+    r = retrieval_metrics(ranked, qrels, k=2).collect()[0]
+    assert (r.mrr, r.ap, r.p_at_k, r.recall_at_k, r.ndcg) == \
+        (1.0, 1.0, 1.0, 1.0, 1.0)
