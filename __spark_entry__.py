@@ -2877,6 +2877,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import kneser_ney_scores
         return kneser_ney_scores(_docs(spark, sf))
 
+    def events_mannwhitney(spark, sf):
+        # Mann-Whitney U: do click values stochastically dominate
+        # view values? Exact long rank sums + tie correction
+        from mms_rdf_spark.operators.analytics import mann_whitney_u
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return mann_whitney_u(ev, "event_type", "value",
+                              "click", "view")
+
     def text_retrieval_eval(spark, sf):
         # nDCG/MRR/MAP/P@k/recall@k per query: run = tf-desc top-10
         # per single-term query, qrels graded 2 (en) / 1 (other) over
@@ -3267,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hilbert": events_hilbert,
         "kg_coloring_cert": kg_coloring_cert,
         "text_retrieval_eval": text_retrieval_eval,
+        "events_mannwhitney": events_mannwhitney,
     }
 
 
@@ -8907,6 +8916,43 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 0.0 END AS ndcg
     FROM per p LEFT JOIN nrel n USING (query)
     LEFT JOIN ideal USING (query)
+    """
+
+    # Mann-Whitney U: same exact-long doubled rank sums; float
+    # literals in e-notation so DuckDB routes through DOUBLE, not
+    # DECIMAL division
+    q["events_mannwhitney"] = """
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS isa,
+               value AS v
+        FROM events WHERE event_type IN ('click', 'view')
+    ), per AS (
+        SELECT v, count(*) AS cnt, sum(isa) AS ca FROM s GROUP BY v
+    ), cum AS (
+        SELECT v, cnt, ca, sum(cnt) OVER (ORDER BY v) AS cum FROM per
+    ), st AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cnt - ca) AS BIGINT) AS nb,
+               CAST(sum(ca * (2 * cum - cnt + 1)) AS BIGINT) AS r2a,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round((r2a - na * (na + 1)) / 2e0, 6) AS u_a,
+           CASE WHEN na > 0 AND nb > 0
+                 AND (na * nb / 12e0)
+                     * ((na + nb + 1)
+                        - ties / ((na + nb) * (na + nb - 1e0))) > 0
+                THEN round(((r2a - na * (na + 1)) / 2e0
+                            - na * nb / 2e0)
+                           / sqrt((na * nb / 12e0)
+                                  * ((na + nb + 1)
+                                     - ties / ((na + nb)
+                                               * (na + nb - 1e0)))),
+                           6)
+           END AS z
+    FROM st
     """
 
     return q

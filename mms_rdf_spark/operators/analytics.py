@@ -1508,3 +1508,62 @@ def seasonal_decompose(
                     trend.alias("trend"), "seasonal",
                     F.round(F.col("y") - trend - F.col("seasonal"),
                             ndigits).alias("resid")))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two groups —
+    the non-parametric sibling of the A/B z-test for metrics whose
+    distributions are skewed or heavy-tailed (latencies, token
+    counts): does group A stochastically dominate group B? Returns
+    one row (n_a, n_b, u_a, z) with the tie-corrected normal
+    approximation; z is NULL when the variance degenerates (one
+    group empty or all values identical).
+
+    Exact arithmetic: ranks never exist as floats — per DISTINCT
+    value the frame carries (cnt, cnt_a), the inclusive global cumsum
+    of cnt gives max_rank, and the DOUBLED tied rank-sum
+    2R_A = sum(cnt_a * (2*cum - cnt + 1)) is an exact long, as are
+    the tie term sum(t^3 - t) and 2U_A = 2R_A - n_a(n_a+1). The final
+    u_a/z are single fixed-order float expressions over those longs,
+    rounded 6 — the DuckDB oracle (events_mannwhitney) mirrors them.
+
+    Scale shape: one (value)-keyed map-side-combined aggregate
+    collapses the corpus to |distinct values| rows; the cumsum is the
+    distributed two-phase scan (prefix.global_cumsum — range
+    partition + P-long offset broadcast, NO single-partition window);
+    the finale is a 1-row aggregate.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    sub = (df.where(F.col(group_col).isin([group_a, group_b]))
+           .select((F.col(group_col) == group_a).cast("long")
+                   .alias("_isa"),
+                   F.col(value_col).alias("_v")))
+    per = sub.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"),
+                                F.sum("_isa").alias("_ca"))
+    cum = global_cumsum(per, "_v", "_v", "_cnt")
+    st = cum.agg(
+        F.sum("_ca").cast("long").alias("na"),
+        F.sum(F.col("_cnt") - F.col("_ca")).cast("long").alias("nb"),
+        F.sum(F.col("_ca")
+              * (2 * F.col("cum") - F.col("_cnt") + 1))
+        .cast("long").alias("r2a"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt")
+              - F.col("_cnt")).cast("long").alias("ties"))
+    nn = F.col("na") + F.col("nb")
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    sig2 = (F.col("na") * F.col("nb") / F.lit(12.0)) \
+        * ((nn + 1) - F.col("ties") / (nn * (nn - F.lit(1.0))))
+    z = (u2 / F.lit(2.0) - F.col("na") * F.col("nb") / F.lit(2.0)) \
+        / F.sqrt(sig2)
+    return st.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.round(u2 / F.lit(2.0), 6).alias("u_a"),
+        F.when((F.col("na") > 0) & (F.col("nb") > 0) & (sig2 > 0),
+               F.round(z, 6)).alias("z"))

@@ -436,3 +436,41 @@ def test_seasonal_decompose_short_series_empty(spark):
     ev = spark.createDataFrame(
         pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 03:00")]}))
     assert seasonal_decompose(ev).count() == 0
+
+
+def test_mann_whitney_separated_groups(spark):
+    from mms_rdf_spark.operators.analytics import mann_whitney_u
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # complete separation: U_A = 0; z = -4.5/sqrt(5.25)
+    assert (r.n_a, r.n_b, r.u_a) == (3, 3, 0.0)
+    assert r.z == round(-4.5 / (5.25 ** 0.5), 6)
+    # swapped roles mirror the statistic
+    r2 = mann_whitney_u(df, "g", "v", "b", "a").collect()[0]
+    assert r2.u_a == 9.0 and r2.z == -r.z
+
+
+def test_mann_whitney_tie_correction(spark):
+    from mms_rdf_spark.operators.analytics import mann_whitney_u
+
+    rows = [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # hand-derived: R_A = 4 (avg rank 2 for the tied 1s), U_A = 1,
+    # tie term 24 -> sigma^2 = 1 -> z = -1
+    assert (r.u_a, r.z) == (1.0, -1.0)
+
+
+def test_mann_whitney_degenerate_variance_is_null(spark):
+    from mms_rdf_spark.operators.analytics import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r.z is None  # all values identical -> variance 0
+    r2 = mann_whitney_u(df.where("g = 'b'"), "g", "v",
+                        "a", "b").collect()[0]
+    assert r2.n_a == 0 and r2.z is None  # empty group
