@@ -1642,10 +1642,17 @@ def simrank(
         e.select(F.col("src").alias("_u"), F.col("dst").alias("_a"))
         .repartition(p, "_u"))
     e2 = e.select(F.col("src").alias("_v"), F.col("dst").alias("_b"))
+    # diag stays a LAZY projection of the checkpointed node frame: a
+    # frame whose a and b are duplicate aliases of one column captures
+    # its partitioning canonicalized onto the LAST alias (hash(b)),
+    # so checkpointing it would lose hash(a) and re-exchange the seed
+    # round's pair join (the cc.py bare-frame + lazy-alias recipe;
+    # plan-pinned in test_pagerank_plan.py). Union rounds are immune —
+    # post-union attributes are no longer provably equal.
     diag = nodes.select(F.col("node").alias("a"),
                         F.col("node").alias("b"),
                         F.lit(1.0).alias("s"))
-    s = partitioned_checkpoint(diag.repartition(p, "a"))
+    s = diag
     for _ in range(iters):
         t = (s.join(e1, s["a"] == F.col("_u"))
              .select(F.col("_a"), F.col("b"), F.col("s")))

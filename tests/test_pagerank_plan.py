@@ -158,3 +158,42 @@ def test_personalized_pagerank_unchanged_values(spark):
     # r0=(1,0,0); iter1: a=0.15, b=0.85, c=0; iter2: a=0.15,
     # b=0.85*0.15, c=0.85*0.85 — mass piles at the chain sink
     assert got == {"a": 0.15, "b": 0.1275, "c": 0.7225}
+
+
+def test_simrank_pair_join_reuses_static_edge_partitioning(spark):
+    """SimRank's per-round first join (pairs x out-edges) must plan
+    ZERO exchanges: the pair frame is repartitioned on its first key
+    and the static e1 frame carries its checkpointed hash
+    partitioning — only the fan-out pin and the (a, b) aggregate may
+    shuffle per round."""
+    from mms_rdf_spark.operators.pagerank import (
+        _shuffle_partitions,
+        partitioned_checkpoint,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = spark.range(5000).select(
+            (F.col("id") % 300).cast("string").alias("src"),
+            ((F.col("id") * 13) % 300).cast("string").alias("dst")) \
+            .distinct().localCheckpoint()
+        p = _shuffle_partitions(e)
+        e1 = partitioned_checkpoint(
+            e.select(F.col("src").alias("_u"), F.col("dst").alias("_a"))
+            .repartition(p, "_u"))
+        nodes = partitioned_checkpoint(
+            (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()).repartition(p, "node"))
+        # the LAZY duplicate-alias projection (simrank's diag seed):
+        # checkpointing it instead would canonicalize the captured
+        # partitioning onto hash(b) and re-exchange this join
+        s = nodes.select(F.col("node").alias("a"),
+                         F.col("node").alias("b"),
+                         F.lit(1.0).alias("s"))
+        j = s.join(e1, s["a"] == F.col("_u"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
