@@ -2877,6 +2877,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import kneser_ney_scores
         return kneser_ney_scores(_docs(spark, sf))
 
+    def kg_mst_cert(spark, sf):
+        # self-certifying Boruvka spanning-forest gate: graph =
+        # customer-nation-region tree PLUS cheap customer->region
+        # shortcuts (custkey % 100) and expensive ones (% 7) — real
+        # cycle choices. ok = |forest| == n - c AND forest components
+        # == c AND forest edges are graph edges (together: a spanning
+        # forest; minimality is pinned against the Kruskal twin in
+        # tests). Oracle = TRUE + exact n and c.
+        from mms_rdf_spark.operators.cc import connected_components
+        from mms_rdf_spark.operators.pagerank import boruvka_mst
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        cn = cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+            .alias("dst"),
+            (F.lit(1.0) + (F.col("c_custkey") % 10)).alias("w"))
+        nr = nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))
+            .alias("dst"),
+            F.lit(2.0).alias("w"))
+        shortcuts = (cust.join(nat,
+                               cust["c_nationkey"] == nat["n_nationkey"])
+                     .where(F.col("c_custkey") % 7 == 0)
+                     .select(
+                         F.concat(F.lit("c"),
+                                  F.col("c_custkey").cast("string"))
+                         .alias("src"),
+                         F.concat(F.lit("r"),
+                                  F.col("n_regionkey").cast("string"))
+                         .alias("dst"),
+                         F.when(F.col("c_custkey") % 100 == 0,
+                                F.lit(0.5)).otherwise(F.lit(900.0))
+                         .alias("w")))
+        e = cn.unionByName(nr).unionByName(shortcuts).localCheckpoint()
+        forest = boruvka_mst(e, rounds=6).localCheckpoint()
+        nodes = (e.select(F.col("src").alias("node"))
+                 .unionByName(e.select(F.col("dst").alias("node")))
+                 .distinct().localCheckpoint())
+        n = nodes.count()
+        c_graph = (connected_components(e.select("src", "dst"))
+                   .select("component").distinct().count())
+        fcomp = connected_components(
+            forest.select(F.col("a").alias("src"),
+                          F.col("b").alias("dst")))
+        c_forest = (nodes.join(
+            fcomp, nodes["node"] == fcomp["node"], "left")
+            .select(F.coalesce(fcomp["component"], nodes["node"])
+                    .alias("comp")).distinct().count())
+        canon = e.select(F.least("src", "dst").alias("a"),
+                         F.greatest("src", "dst").alias("b")).distinct()
+        in_graph = forest.join(canon, on=["a", "b"],
+                               how="left_anti").count() == 0
+        ok = (forest.count() == n - c_graph
+              and c_forest == c_graph and in_graph)
+        return spark.createDataFrame(
+            [(ok, n, c_graph)],
+            "ok boolean, n_nodes long, n_components long")
+
     def events_mannwhitney(spark, sf):
         # Mann-Whitney U: do click values stochastically dominate
         # view values? Exact long rank sums + tie correction
@@ -3276,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coloring_cert": kg_coloring_cert,
         "text_retrieval_eval": text_retrieval_eval,
         "events_mannwhitney": events_mannwhitney,
+        "kg_mst_cert": kg_mst_cert,
     }
 
 
@@ -8953,6 +9016,20 @@ def oracle_sql() -> dict[str, str]:
                            6)
            END AS z
     FROM st
+    """
+
+    # MST cert: the invariant (spanning forest, literal TRUE) over
+    # the exact node and component counts of the shortcut-augmented
+    # graph (shortcuts never change connectivity: they parallel
+    # existing customer~region paths, so c = #regions)
+    q["kg_mst_cert"] = """
+    SELECT TRUE AS ok,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer)
+           + (SELECT CAST(count(*) AS BIGINT) FROM nation)
+           + (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT)
+              FROM nation) AS n_nodes,
+           (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT)
+            FROM nation) AS n_components
     """
 
     return q

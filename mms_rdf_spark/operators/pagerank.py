@@ -1820,3 +1820,94 @@ def greedy_coloring(
         remaining = pool.count()
     return out.unionByName(
         pool.select("node", F.lit(0).alias("color")))
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 5,
+) -> DataFrame:
+    """Borůvka minimum spanning forest over the weighted undirected
+    graph — THE textbook bulk-synchronous graph algorithm: each round
+    every component picks its cheapest outgoing edge under the TOTAL
+    order (w, a, b), the picked edges join the forest, and touched
+    components merge; components at least halve per round, so
+    `rounds` ~ log2(V) suffices (early exit at spanning). Returns the
+    forest edges (a, b, w) with a < b. MSTs are the backbone of
+    single-linkage clustering and network-cost planning; HDBSCAN at
+    corpus scale is exactly an MST over a mutual-reachability graph.
+
+    Determinism: the (w, a, b) lexicographic tiebreak makes the
+    picked forest UNIQUE even under duplicate weights (equivalent to
+    an infinitesimal perturbation — the same forest Kruskal picks
+    under the same order; pinned bit-for-bit against a pure-Python
+    Kruskal twin in tests). Parallel edges collapse to their min
+    weight (same tiebreak) first.
+
+    Scale shape: per round ONE join of the surviving cross-component
+    edge set against the component labels (both sides repartitioned
+    on their keys), one map-side-combined min-struct aggregate per
+    component (a celebrity component partial-aggregates), and a
+    connected-components pass over the PICKED edges only (≤ one edge
+    per component — the merge graph is component-sized, not
+    edge-sized); localCheckpoint per round; the only driver action is
+    the bounded per-round cross-edge count."""
+    from mms_rdf_spark.operators.cc import connected_components
+
+    p = _shuffle_partitions(edges)
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src),
+                                                       F.col(dst))
+    und = (edges.where(F.col(src) != F.col(dst))
+           .select(a.alias("a"), b.alias("b"),
+                   F.col(weight).alias("w"))
+           .groupBy("a", "b")
+           .agg(F.min(F.struct("w", "a", "b")).alias("_m"))
+           .select("a", "b", F.col("_m.w").alias("w")))
+    und = partitioned_checkpoint(und.repartition(p, "a"))
+    nodes = (und.select(F.col("a").alias("node"))
+             .unionByName(und.select(F.col("b").alias("node")))
+             .distinct())
+    comp = partitioned_checkpoint(
+        nodes.select("node", F.col("node").alias("c"))
+        .repartition(p, "node"))
+    spark = edges.sparkSession
+    forest = spark.createDataFrame(
+        [], "a string, b string, w double")
+    for _ in range(rounds):
+        lab = (und
+               .join(comp.select(F.col("node").alias("a"),
+                                 F.col("c").alias("_ca")), on="a")
+               .join(comp.select(F.col("node").alias("b"),
+                                 F.col("c").alias("_cb")), on="b")
+               .where(F.col("_ca") != F.col("_cb"))
+               .localCheckpoint())
+        if lab.count() == 0:
+            break  # spanning forest complete
+        pick = (lab.select(F.col("_ca").alias("_c"),
+                           F.struct("w", "a", "b").alias("_e"))
+                .unionByName(
+                    lab.select(F.col("_cb").alias("_c"),
+                               F.struct("w", "a", "b").alias("_e")))
+                .groupBy("_c").agg(F.min("_e").alias("_e"))
+                .select(F.col("_e.a").alias("a"),
+                        F.col("_e.b").alias("b"),
+                        F.col("_e.w").alias("w"))
+                .distinct().localCheckpoint())
+        forest = forest.unionByName(pick).localCheckpoint()
+        merge = (pick
+                 .join(comp.select(F.col("node").alias("a"),
+                                   F.col("c").alias("_ca")), on="a")
+                 .join(comp.select(F.col("node").alias("b"),
+                                   F.col("c").alias("_cb")), on="b")
+                 .select(F.col("_ca").alias("src"),
+                         F.col("_cb").alias("dst")))
+        relab = connected_components(merge, "src", "dst")
+        comp = partitioned_checkpoint(
+            comp.join(relab.withColumnRenamed("node", "c"),
+                      on="c", how="left")
+            .select("node",
+                    F.coalesce("component", F.col("c")).alias("c"))
+            .repartition(p, "node"))
+    return forest.select("a", "b", "w")

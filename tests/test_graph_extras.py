@@ -440,3 +440,74 @@ def test_coloring_max_colors_leftover_observable(spark):
     assert sum(1 for c in got.values() if c == 0) == 2  # 2 leftovers
     colored = [n for n, c in got.items() if c > 0]
     assert len({got[n] for n in colored}) == 2
+
+
+# ---- Boruvka MST
+
+
+def _kruskal_py(tri):
+    # Kruskal under the same (w, a, b) total order; tri = (a, b, w)
+    # canonical pairs already collapsed to min weight
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = []
+    for w, a, b in sorted((w, a, b) for a, b, w in tri):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.append((a, b, w))
+    return sorted(forest)
+
+
+def test_boruvka_matches_kruskal_with_ties(spark):
+    from mms_rdf_spark.operators.pagerank import boruvka_mst
+    # duplicate weights + a parallel edge + both edge directions
+    rows = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 2.0),
+            ("c", "d", 1.0), ("d", "e", 3.0), ("e", "c", 3.0),
+            ("b", "a", 9.0),              # parallel, collapses to 1.0
+            ("x", "y", 5.0)]              # separate component
+    e = spark.createDataFrame(rows, "src string, dst string, w double")
+    got = sorted(map(tuple, boruvka_mst(e).collect()))
+    tri = {}
+    for s, d, w in rows:
+        k = (min(s, d), max(s, d))
+        tri[k] = min(tri.get(k, w), w)
+    want = _kruskal_py([(a, b, w) for (a, b), w in tri.items()])
+    assert got == want
+    # spanning forest: 7 nodes, 2 components -> 5 edges
+    assert len(got) == 5
+
+
+def test_boruvka_chain_needs_multiple_rounds(spark):
+    from mms_rdf_spark.operators.pagerank import boruvka_mst
+    # a path graph: every edge is in the MST. ALTERNATING weights
+    # (cheap, expensive, cheap, ...) force multi-round merging —
+    # round 1 picks only the cheap edges (each node's min incident),
+    # later rounds bridge the merged pairs. (Monotone weights would
+    # finish in ONE round: every edge is its right endpoint's min.)
+    rows = [(f"n{i:02d}", f"n{i+1:02d}",
+             1.0 + i if i % 2 == 0 else 100.0 + i)
+            for i in range(15)]
+    e = spark.createDataFrame(rows, "src string, dst string, w double")
+    got = sorted(map(tuple, boruvka_mst(e, rounds=5).collect()))
+    assert len(got) == 15  # the whole path
+    one_round = boruvka_mst(e, rounds=1).collect()
+    assert len(one_round) < 15  # a single round cannot finish it
+
+
+def test_boruvka_deterministic(spark):
+    from mms_rdf_spark.operators.pagerank import boruvka_mst
+    rows = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)]
+    e = spark.createDataFrame(rows, "src string, dst string, w double")
+    r1 = sorted(map(tuple, boruvka_mst(e).collect()))
+    r2 = sorted(map(tuple, boruvka_mst(e).collect()))
+    # all weights tie: the (w, a, b) order still picks a unique tree
+    # (Kruskal under that order takes (a,b) then (a,c), skips (b,c))
+    assert r1 == r2 == [("a", "b", 1.0), ("a", "c", 1.0)]
