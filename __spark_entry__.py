@@ -3064,6 +3064,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
         return maximal_independent_set(e, rounds=3)
 
+    def kg_rdfs_entail(spark, sf):
+        # RDFS forward-chaining delta (rdfs2/3/7/9) over the type/
+        # role/tool slice of the extracted graph, TBox = the minted
+        # vocabulary (subClassOf/domain/range) + a 2-level
+        # subPropertyOf chain (invokedTool <= tool <= usesArtifact)
+        # so rule 7's transitivity fires; oracle runs the same four
+        # rules in SQL over recursive-CTE closures
+        from mms_rdf_spark.operators.materialize import rdfs_entailment
+        from mms_rdf_spark.pipeline import _vocab_triples_df
+        abox = _triples(spark, sf).where(F.col("predicate").isin(
+            "rdf:type", "mms-property:role", "mms-property:tool",
+            "mms-property:invokedTool"))
+        tbox = (_vocab_triples_df(spark)
+                .select("subject", "predicate", "object")
+                .unionByName(spark.createDataFrame(
+                    [("mms-property:invokedTool", "rdfs:subPropertyOf",
+                      "mms-property:tool"),
+                     ("mms-property:tool", "rdfs:subPropertyOf",
+                      "mms-property:usesArtifact")],
+                    "subject string, predicate string, object string")))
+        return rdfs_entailment(abox, tbox)
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3339,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_retrieval_eval": text_retrieval_eval,
         "events_mannwhitney": events_mannwhitney,
         "kg_mst_cert": kg_mst_cert,
+        "kg_rdfs_entail": kg_rdfs_entail,
     }
 
 
@@ -9030,6 +9053,88 @@ def oracle_sql() -> dict[str, str]:
               FROM nation) AS n_nodes,
            (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT)
             FROM nation) AS n_components
+    """
+
+    # RDFS entailment delta: same four rules in SQL — TBox literals
+    # generated from the SAME vocab module the Spark side reads,
+    # closures as recursive CTEs. Every ABox row in this slice is an
+    # IRI object (extract emits type/role/tool objects as IRIs), so
+    # the rdfs3 IRI guard is vacuous on both engines here.
+    from mms_rdf_spark.vocab import CLASS_HIERARCHY, VOCAB_ROWS
+    _tb: list[tuple[str, str, str]] = []
+    for _r in VOCAB_ROWS:
+        _tb.append((_r["predicate"], "rdfs:domain", _r["domain_type"]))
+        _tb.append((_r["predicate"], "rdfs:range", _r["range"]))
+    for _sub, _sup in CLASS_HIERARCHY:
+        _tb.append((_sub, "rdfs:subClassOf", _sup))
+    _tb.append(("mms-property:invokedTool", "rdfs:subPropertyOf",
+                "mms-property:tool"))
+    _tb.append(("mms-property:tool", "rdfs:subPropertyOf",
+                "mms-property:usesArtifact"))
+    _tb_values = ",\n        ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in sorted(set(_tb)))
+    q["kg_rdfs_entail"] = f"""
+    WITH RECURSIVE t AS ({TRANSCRIPTS_SQL}),
+    abox AS (
+        SELECT {_SUBJ_SQL} AS s, 'rdf:type' AS p,
+               {_TYPE_CASE_SQL} AS o FROM t
+        UNION ALL
+        SELECT DISTINCT 'mms-element:' || conv_id, 'rdf:type',
+               'mms-class:Conversation' FROM t
+        UNION ALL
+        SELECT {_SUBJ_SQL}, 'mms-property:role',
+               CASE role WHEN 'user' THEN 'mms-class:Role.User'
+                    WHEN 'assistant' THEN 'mms-class:Role.Assistant'
+                    WHEN 'system' THEN 'mms-class:Role.System'
+                    WHEN 'tool' THEN 'mms-class:Role.Tool'
+                    ELSE 'rdf:nil' END FROM t
+        UNION ALL
+        SELECT {_SUBJ_SQL},
+               CASE WHEN role = 'tool' THEN 'mms-property:invokedTool'
+                    ELSE 'mms-property:tool' END,
+               CASE WHEN tool = '' THEN 'rdf:nil'
+                    ELSE 'mms-artifact:Tool.ID:' || tool END
+        FROM t WHERE tool IS NOT NULL
+    ),
+    tbox(sub, pred, obj) AS (VALUES
+        {_tb_values}),
+    spe AS (SELECT sub, obj FROM tbox
+            WHERE pred = 'rdfs:subPropertyOf'),
+    sp(a, b) AS (
+        SELECT sub, obj FROM spe
+        UNION
+        SELECT s.a, e.obj FROM sp s JOIN spe e ON e.sub = s.b),
+    spr(a, b) AS (
+        SELECT a, b FROM sp
+        UNION SELECT DISTINCT sub, sub FROM tbox),
+    dom_eff AS (
+        SELECT DISTINCT spr.a AS p, tb.obj AS cls
+        FROM spr JOIN tbox tb
+        ON tb.sub = spr.b AND tb.pred = 'rdfs:domain'),
+    rng_eff AS (
+        SELECT DISTINCT spr.a AS p, tb.obj AS cls
+        FROM spr JOIN tbox tb
+        ON tb.sub = spr.b AND tb.pred = 'rdfs:range'),
+    sce AS (SELECT sub, obj FROM tbox WHERE pred = 'rdfs:subClassOf'),
+    sc(a, b) AS (
+        SELECT sub, obj FROM sce
+        UNION
+        SELECT s.a, e.obj FROM sc s JOIN sce e ON e.sub = s.b),
+    r7 AS (SELECT f.s, sp.b AS p, f.o FROM abox f JOIN sp ON sp.a = f.p),
+    r2 AS (SELECT f.s, 'rdf:type' AS p, d.cls AS o
+           FROM abox f JOIN dom_eff d ON d.p = f.p),
+    r3 AS (SELECT f.o AS s, 'rdf:type' AS p, r.cls AS o
+           FROM abox f JOIN rng_eff r ON r.p = f.p),
+    types_all AS (
+        SELECT s, o AS cls FROM abox WHERE p = 'rdf:type'
+        UNION ALL SELECT s, o FROM r2
+        UNION ALL SELECT s, o FROM r3),
+    r9 AS (SELECT ta.s, 'rdf:type' AS p, sc.b AS o
+           FROM types_all ta JOIN sc ON sc.a = ta.cls)
+    SELECT s AS subject, p AS predicate, o AS object FROM (
+        SELECT * FROM r7 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r9)
+    EXCEPT SELECT s, p, o FROM abox
     """
 
     return q

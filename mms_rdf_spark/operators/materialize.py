@@ -220,3 +220,105 @@ def lpg_void_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .join(nodes.select("~id"), on="~id", how="left_anti")
         .withColumn("~label", F.lit("Void"))
     )
+
+
+def rdfs_entailment(triples: DataFrame, tbox: DataFrame,
+                    max_iterations: int = 20) -> DataFrame:
+    """RDFS forward-chaining materialization: the inferred-triple DELTA
+    for rules rdfs7 (subPropertyOf), rdfs2 (domain), rdfs3 (range) and
+    rdfs9 (subClassOf type inheritance) over an instance graph, given
+    a TBox of rdfs:subClassOf / rdfs:subPropertyOf / rdfs:domain /
+    rdfs:range triples (the shape vocab.vocab_triples_pdf emits — the
+    reference keeps exactly this TBox in its vocabulary named graph,
+    emk.js:109,233, and hand-runs the subClassOf* closure inside its
+    queries, triplifier.js:453-477; this operator materializes the
+    entailment once so downstream queries are plain lookups).
+
+    Rule composition (one pass each, fixpoint-free by construction):
+    domain/range declarations are first extended through the REFLEXIVE
+    subPropertyOf closure (p <= q, q domain C  =>  p domain C), so
+    rdfs2/3 fire for specialized predicates; rdfs9 runs over asserted
+    types UNION the rdfs2/3-derived ones, through the STRICT
+    subClassOf closure. rdfs3 fires only for IRI objects (literals
+    have no class membership) — rows where `object_is_iri` is false
+    are excluded when the column exists.
+
+    Returns the DISTINCT inferred (subject, predicate, object) rows
+    NOT already asserted (left-anti on all three columns).
+
+    Scale shape: the TBox is schema-sized (KBs against a 10^12-row
+    instance graph), so both closures run over a frame of dozens of
+    rows and every rule join is a BROADCAST against the fact stream —
+    the facts are scanned a bounded number of times and never
+    shuffled until the final distinct + anti-join exchange. No
+    iteration touches the instance side (the closure fixpoint lives
+    entirely in the TBox).
+    """
+    from mms_rdf_spark.plans.closure import transitive_closure
+
+    spo = ["subject", "predicate", "object"]
+    facts = triples.select(*spo, *(
+        [F.col("object_is_iri")] if "object_is_iri" in triples.columns
+        else [F.lit(True).alias("object_is_iri")]))
+
+    def _tbox_edges(pred: str) -> DataFrame:
+        return (tbox.where(F.col("predicate") == pred)
+                .select(F.col("subject").alias("sub"),
+                        F.col("object").alias("sup")).distinct())
+
+    subprop_strict = transitive_closure(
+        _tbox_edges("rdfs:subPropertyOf"),
+        max_iterations=max_iterations, reflexive=False)
+    # reflexive extension for domain/range: every predicate also
+    # carries its own declarations
+    preds = (tbox.select(F.col("subject").alias("sub")).distinct()
+             .select("sub", F.col("sub").alias("sup")))
+    subprop_refl = subprop_strict.unionByName(preds).distinct()
+    dom_eff = (subprop_refl
+               .join(_tbox_edges("rdfs:domain")
+                     .select(F.col("sub").alias("sup"),
+                             F.col("sup").alias("cls")),
+                     on="sup")
+               .select(F.col("sub").alias("p"), "cls").distinct())
+    rng_eff = (subprop_refl
+               .join(_tbox_edges("rdfs:range")
+                     .select(F.col("sub").alias("sup"),
+                             F.col("sup").alias("cls")),
+                     on="sup")
+               .select(F.col("sub").alias("p"), "cls").distinct())
+    subcls = transitive_closure(
+        _tbox_edges("rdfs:subClassOf"),
+        max_iterations=max_iterations, reflexive=False)
+
+    # rdfs7: x p y, p subPropertyOf+ q  =>  x q y
+    r7 = (facts.join(F.broadcast(subprop_strict
+                                 .withColumnRenamed("sub", "predicate")),
+                     on="predicate")
+          .select("subject", F.col("sup").alias("predicate"), "object"))
+    # rdfs2: x p y, p domain C  =>  x rdf:type C
+    r2 = (facts.join(F.broadcast(dom_eff.withColumnRenamed("p", "predicate")),
+                     on="predicate")
+          .select("subject", F.lit("rdf:type").alias("predicate"),
+                  F.col("cls").alias("object")))
+    # rdfs3: x p y (y IRI), p range C  =>  y rdf:type C
+    r3 = (facts.where(F.col("object_is_iri"))
+          .join(F.broadcast(rng_eff.withColumnRenamed("p", "predicate")),
+                on="predicate")
+          .select(F.col("object").alias("subject"),
+                  F.lit("rdf:type").alias("predicate"),
+                  F.col("cls").alias("object")))
+    # rdfs9: x rdf:type C, C subClassOf+ D  =>  x rdf:type D
+    types_all = (facts.where(F.col("predicate") == "rdf:type")
+                 .select("subject", F.col("object").alias("cls"))
+                 .unionByName(r2.select("subject",
+                                        F.col("object").alias("cls")))
+                 .unionByName(r3.select("subject",
+                                        F.col("object").alias("cls"))))
+    r9 = (types_all.join(F.broadcast(subcls.withColumnRenamed("sub", "cls")),
+                         on="cls")
+          .select("subject", F.lit("rdf:type").alias("predicate"),
+                  F.col("sup").alias("object")))
+
+    inferred = (r7.unionByName(r2).unionByName(r3).unionByName(r9)
+                .distinct())
+    return inferred.join(facts.select(*spo), on=spo, how="left_anti")

@@ -71,3 +71,49 @@ def test_graph_diff_tags_changes(spark):
            for r in graph_diff(old, new).collect()}
     # unchanged (incl. the NULL-object triple) absent; change tagged
     assert got == {("b", "z", "added"), ("b", "y", "removed")}
+
+
+def test_rdfs_entailment_rules_and_literal_guard(spark):
+    from mms_rdf_spark.operators.materialize import rdfs_entailment
+
+    ddl = "subject string, predicate string, object string, object_is_iri boolean"
+    abox = spark.createDataFrame(
+        [("x", "p_sub", "y", True),        # fires 7 (2 hops), 2, 3
+         ("u", "rdf:type", "C1", True),    # fires 9 through C1<C2<C3
+         ("w", "p_lit", "hello", False)],  # literal: rdfs3 must NOT fire
+        ddl)
+    tddl = "subject string, predicate string, object string"
+    tbox = spark.createDataFrame(
+        [("p_sub", "rdfs:subPropertyOf", "p_mid"),
+         ("p_mid", "rdfs:subPropertyOf", "p_top"),
+         ("p_mid", "rdfs:domain", "DC"),
+         ("p_mid", "rdfs:range", "RC"),
+         ("p_lit", "rdfs:range", "LC"),
+         ("C1", "rdfs:subClassOf", "C2"),
+         ("C2", "rdfs:subClassOf", "C3"),
+         ("DC", "rdfs:subClassOf", "DSup")], tddl)
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in rdfs_entailment(abox, tbox).collect()}
+    assert got == {
+        # rdfs7: p_sub <=+ p_mid, p_top
+        ("x", "p_mid", "y"), ("x", "p_top", "y"),
+        # rdfs2 via the extended domain (p_sub inherits p_mid's)
+        ("x", "rdf:type", "DC"),
+        # rdfs3 likewise (y is an IRI)
+        ("y", "rdf:type", "RC"),
+        # rdfs9 over asserted AND derived types
+        ("u", "rdf:type", "C2"), ("u", "rdf:type", "C3"),
+        ("x", "rdf:type", "DSup"),
+    }
+    # delta excludes asserted rows, and the literal never gained a type
+    assert ("w", "rdf:type", "LC") not in got
+    assert ("u", "rdf:type", "C1") not in got
+
+
+def test_rdfs_entailment_empty_tbox_is_empty_delta(spark):
+    from mms_rdf_spark.operators.materialize import rdfs_entailment
+
+    ddl = "subject string, predicate string, object string"
+    abox = spark.createDataFrame([("x", "p", "y")], ddl)
+    tbox = spark.createDataFrame([], ddl)
+    assert rdfs_entailment(abox, tbox).count() == 0
