@@ -322,3 +322,61 @@ def rdfs_entailment(triples: DataFrame, tbox: DataFrame,
     inferred = (r7.unionByName(r2).unionByName(r3).unionByName(r9)
                 .distinct())
     return inferred.join(facts.select(*spo), on=spo, how="left_anti")
+
+
+def sameas_smush(triples: DataFrame, sameas_pred: str = "owl:sameAs",
+                 **cc_kwargs) -> DataFrame:
+    """owl:sameAs smushing: collapse every sameAs equivalence class to
+    its canonical member (the lexicographic minimum IRI — the same
+    total order connected_components already certifies) and rewrite
+    all remaining triples' subjects/objects to the canonical IRI.
+
+    This is the classic triplestore "smush" pass the reference never
+    needed (its ids are globally unique by construction, emk.js), but
+    which a KG built from linked mentions accrues immediately: the
+    materialize stage emits owl:sameAs bridges (module docstring), and
+    downstream consumers want ONE node per real-world entity.
+
+    Semantics:
+      - the sameAs rows themselves are consumed (dropped from the
+        output) — the equivalence is now structural;
+      - objects are rewritten only where `object_is_iri` (literals
+        can't be entity aliases); subjects always;
+      - output is DISTINCT over the input columns (smushing merges
+        previously-distinct rows by design).
+
+    Scale shape: the rewrite mapping is bounded by the nodes that
+    appear in sameAs edges (entity-table-sized, orders of magnitude
+    below the fact count), and identity rows (node == component) are
+    dropped before the join, so both rewrite joins BROADCAST against
+    the fact stream; the facts are scanned once and the only exchange
+    is the final distinct. The CC fixpoint runs over the sameAs edge
+    set only, never the facts (operators/cc.py's driver/distributed
+    split applies as-is).
+    """
+    from mms_rdf_spark.operators.cc import connected_components
+
+    sa = triples.where(F.col("predicate") == sameas_pred)
+    facts = triples.where(F.col("predicate") != sameas_pred)
+    comps = connected_components(
+        sa.select(F.col("subject").alias("src"),
+                  F.col("object").alias("dst")),
+        **cc_kwargs)
+    mapping = comps.where(F.col("node") != F.col("component"))
+
+    cols = facts.columns
+    has_flag = "object_is_iri" in cols
+    out = (facts
+           .join(F.broadcast(mapping
+                             .withColumnRenamed("node", "subject")
+                             .withColumnRenamed("component", "_cs")),
+                 on="subject", how="left")
+           .join(F.broadcast(mapping
+                             .withColumnRenamed("node", "object")
+                             .withColumnRenamed("component", "_co")),
+                 on="object", how="left")
+           .withColumn("subject", F.coalesce("_cs", "subject")))
+    obj = (F.when(F.col("object_is_iri"), F.coalesce("_co", "object"))
+           .otherwise(F.col("object")) if has_flag
+           else F.coalesce("_co", "object"))
+    return out.withColumn("object", obj).select(*cols).distinct()

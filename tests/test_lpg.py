@@ -117,3 +117,41 @@ def test_rdfs_entailment_empty_tbox_is_empty_delta(spark):
     abox = spark.createDataFrame([("x", "p", "y")], ddl)
     tbox = spark.createDataFrame([], ddl)
     assert rdfs_entailment(abox, tbox).count() == 0
+
+
+def test_sameas_smush_chain_literal_guard_and_merge(spark):
+    from mms_rdf_spark.operators.materialize import sameas_smush
+
+    ddl = "subject string, predicate string, object string, object_is_iri boolean"
+    triples = spark.createDataFrame(
+        [# 2-hop sameAs chain: e3 = e2 = e1 -> canonical e1 (min)
+         ("e3", "owl:sameAs", "e2", True),
+         ("e2", "owl:sameAs", "e1", True),
+         # facts that must merge after smushing (dup by design)
+         ("e2", "p", "X", True),
+         ("e3", "p", "X", True),
+         # object rewrite (IRI) vs literal guard (same lexical form!)
+         ("a", "q", "e2", True),
+         ("a", "r", "e2", False),
+         # untouched row
+         ("z", "p", "Z", True)], ddl)
+    got = {(r["subject"], r["predicate"], r["object"], r["object_is_iri"])
+           for r in sameas_smush(triples).collect()}
+    assert got == {
+        ("e1", "p", "X", True),          # merged: e2/e3 rows collapse to ONE
+        ("a", "q", "e1", True),          # IRI object rewritten via 2-hop CC
+        ("a", "r", "e2", False),         # literal survives verbatim
+        ("z", "p", "Z", True),
+    }
+
+
+def test_sameas_smush_without_iri_flag_rewrites_all_objects(spark):
+    from mms_rdf_spark.operators.materialize import sameas_smush
+
+    ddl = "subject string, predicate string, object string"
+    triples = spark.createDataFrame(
+        [("b", "owl:sameAs", "a"),
+         ("s", "p", "b")], ddl)
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in sameas_smush(triples).collect()}
+    assert got == {("s", "p", "a")}
