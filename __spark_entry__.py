@@ -1312,6 +1312,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fuzzy_edit_pairs(p, "p_partkey", "p_name", "blk",
                                 max_dist=2)
 
+    def link_jw_parts(spark, sf):
+        # Jaro-Winkler blocked matching over part names (the Winkler
+        # 1990 record-linkage scorer); the Python scorer is fuzz-pinned
+        # bit-for-bit to DuckDB's builtin (tests/test_link_jw.py), so
+        # the oracle uses jaro_winkler_similarity directly
+        from mms_rdf_spark.operators.link import jaro_winkler_pairs
+        p = (spark.read.parquet(f"{sf}/part.parquet")
+             .withColumn("blk",
+                         F.element_at(F.split("p_name", " "), -1)))
+        return jaro_winkler_pairs(p, "p_partkey", "p_name", "blk",
+                                  threshold=0.9)
+
     # ---- behavioral analytics (funnel / sliding mean / markov /
     # cohort retention / histogram) over the events stream
     def events_funnel(spark, sf):
@@ -3193,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": tpch_q18,
         "orders_scd2": orders_scd2,
         "link_fuzzy_parts": link_fuzzy_parts,
+        "link_jw_parts": link_jw_parts,
         "events_funnel": events_funnel,
         "events_moving_avg": events_moving_avg,
         "events_transitions": events_transitions,
@@ -4719,6 +4732,21 @@ def oracle_sql() -> dict[str, str]:
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     WHERE abs(a.ln - b.ln) <= 2
       AND levenshtein(a.p_name, b.p_name) <= 2
+    """
+
+    # Jaro-Winkler blocked matching; the engine builtin is bit-for-bit
+    # the Spark-side pure-Python scorer (fuzz parity in
+    # tests/test_link_jw.py), both cut on the 6dp-rounded score
+    q["link_jw_parts"] = """
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[-1] AS blk
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
     """
 
     # Fellegi-Sunter: exact long counts -> Laplace-clamped m/u ->

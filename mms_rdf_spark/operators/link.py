@@ -30,6 +30,7 @@ min, and `entity_table` mints canonical IRIs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -547,3 +548,118 @@ def fellegi_sunter_em(
                              F.col(f"u{i}").alias("value")))
     return (params.select(F.explode(F.array(*rows)).alias("_p"))
             .select("_p.param", "_p.value"))
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler (p=0.1, boost threshold jaro>0.7, prefix
+    cap 4, empty string -> 0.0). Bit-for-bit parity with DuckDB's
+    jaro_winkler_similarity is fuzz-pinned in tests/test_link_jw.py —
+    both reduce to the same double arithmetic, so the contract oracle
+    can use the engine builtin directly."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags1 = [False] * l1
+    flags2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags1[i] = flags2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if flags1[i]:
+            while not flags2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        jaro += p * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy matching by Jaro-Winkler: all (a, b) pairs with
+    `a.id < b.id`, the same `block_col`, and JW(a.text, b.text) >=
+    threshold (compared on the 6dp-rounded score, so the cut is
+    cross-engine stable). Complements fuzzy_edit_pairs for name-like
+    strings where prefix agreement matters more than raw edit count
+    (the classic record-linkage scorer, Winkler 1990).
+
+    Scale shape: pairs exist only within a block (sum b_i^2);
+    oversized blocks are dropped via the same broadcast-the-few-HOT-
+    blocks anti-join as fuzzy_edit_pairs; the pair join is pinned
+    against AQE fan-out coalescing. Before the Python scorer runs, a
+    JVM-side length-ratio prefilter removes pairs that can never reach
+    `threshold`: jw <= 0.6*jaro + 0.4 and jaro <= (2 + lmin/lmax)/3,
+    so lmin/lmax >= 5*threshold - 4 is NECESSARY — at the default 0.9
+    that kills every pair whose lengths differ by more than 2x without
+    leaving the JVM. The scorer itself is an Arrow-batched pandas UDF
+    (short strings, pure-Python inner loop over each Arrow batch).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+
+    cols = df.select(F.col(id_col).alias("_jid"),
+                     F.col(text_col).alias("_jtext"),
+                     F.col(block_col).alias("_jblk"),
+                     F.length(text_col).alias("_jlen"))
+    if max_block is not None:
+        sizes = cols.groupBy("_jblk").agg(F.count(F.lit(1)).alias("_jbn"))
+        big = sizes.where(F.col("_jbn") > max_block).select("_jblk")
+        cols = cols.join(F.broadcast(big), on="_jblk", how="left_anti")
+    cols = pin_fanout_partitions(cols, "_jblk")
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        f = _jaro_winkler_py
+        return pd.Series([f(x or "", y or "") for x, y in zip(a, b)],
+                         dtype="float64")
+
+    a = cols.select(F.col("_jblk"), F.col("_jid").alias("id_a"),
+                    F.col("_jtext").alias("_ta"),
+                    F.col("_jlen").alias("_la"))
+    b = cols.select(F.col("_jblk"), F.col("_jid").alias("id_b"),
+                    F.col("_jtext").alias("_tb"),
+                    F.col("_jlen").alias("_lb"))
+    # prefilter against the TRUE score, but the final cut is on the
+    # 6dp-rounded score — back the bound off by the rounding radius so
+    # a pair at threshold-5e-7 (rounds UP to threshold) can't be
+    # prefiltered away
+    ratio_min = 5.0 * (threshold - 1e-6) - 4.0
+    pairs = (a.join(b, on="_jblk")
+             .where(F.col("id_a") < F.col("id_b")))
+    if ratio_min > 0:
+        pairs = pairs.where(
+            F.least("_la", "_lb")
+            >= ratio_min * F.greatest("_la", "_lb"))
+    return (pairs
+            .withColumn("jw", F.round(_jw("_ta", "_tb"), 6))
+            .where(F.col("jw") >= threshold)
+            .select("id_a", "id_b", "jw"))
