@@ -1851,6 +1851,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return containment_pairs(_docs(spark, sf), threshold=0.2,
                                  max_df=100)
 
+    def dedup_dup_spans(spark, sf):
+        # substring-level exact dedup (Lee et al. 2022 ExactSubstr):
+        # maximal spans of 8-token windows occurring >= 2x corpus-wide;
+        # hash-first count shuffle + exact-gram confirm on survivors
+        from mms_rdf_spark.operators.dedup import duplicated_spans
+        return duplicated_spans(_docs(spark, sf), length=8)
+
     def text_zipf(spark, sf):
         # Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the
         # token frequency table (slope near -1 = natural text). All
@@ -3180,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kendall": events_kendall,
         "events_ks": events_ks,
         "dedup_containment": dedup_containment,
+        "dedup_dup_spans": dedup_dup_spans,
         "text_zipf": text_zipf,
         "sim_pca_top": sim_pca_top,
         "sim_pca_project": sim_pca_project,
@@ -5549,6 +5557,43 @@ def oracle_sql() -> dict[str, str]:
            round(max(abs(ca * nb - cb * na))
                  / (CAST(na AS DOUBLE) * nb), 6) AS ks
     FROM c, na, nb GROUP BY na, nb
+    """
+
+    # substring-level exact dedup: maximal merged islands of 8-token
+    # windows with a corpus-wide occurrence count >= 2 (all copies
+    # emitted); merge rule pos - prev_pos <= L (overlap or adjacency)
+    q["dedup_dup_spans"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    w AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               array_to_string(t[pos+1:pos+8], ' ') AS gram
+        FROM toks, UNNEST(range(0, greatest(len(t) - 8 + 1, 0)))
+             AS u(pos)
+        WHERE len(t) >= 8
+    ),
+    d AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gram) AS n FROM w)
+        WHERE n >= 2
+    ),
+    i1 AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM d
+    ),
+    i2 AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM i1
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 8 - 1 AS span_end,
+           max(pos) + 8 - min(pos) AS span_len,
+           count(*) AS n_windows
+    FROM i2 GROUP BY doc_id, isl
     """
 
     # directional gram containment (stop-grams df-capped first)

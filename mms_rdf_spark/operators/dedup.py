@@ -370,3 +370,85 @@ def containment_pairs(
             .where(F.col("containment") >= threshold)
             .select("a_id", "b_id", "shared", "a_grams",
                     "containment"))
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    length: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    the ExactSubstr criterion, token-granular): every MAXIMAL token
+    span covered by length-L token windows that occur >= 2 times
+    anywhere in the corpus (within or across docs; all occurrences
+    count, including both copies). Returns one row per maximal span:
+    (doc_id, span_start, span_end, span_len, n_windows) with 0-based
+    inclusive token indexes. Docs shorter than L contribute no windows
+    (only FULL windows count — unlike word_ngrams there is no
+    truncated-gram edge case, because a truncated window is not
+    evidence of an L-token duplicate).
+
+    The reference paper builds a corpus-wide suffix array; the
+    Spark-first equivalent is windowed counting, which is
+    embarrassingly shuffle-parallel and needs no global ordered
+    structure:
+      1. one scan explodes (doc, pos, gram) with gram = L tokens
+         joined by the tokenizer separator (tokens cannot contain it,
+         so the join is injective);
+      2. the duplicate test aggregates xxhash64(gram) FIRST — the
+         count shuffle moves (8-byte hash, partial count) pairs, not
+         ~L*avg_token-byte gram strings (map-side combine makes this
+         per-partition-distinct);
+      3. positions semi-join the >=2 hash set, then the small survivor
+         set is confirmed on the EXACT gram string (a second, cheap
+         window over survivors only), so a 64-bit collision can never
+         mark a unique window duplicated — exactness is not
+         probabilistic;
+      4. gaps-and-islands per doc merges windows whose starts differ
+         by <= L (overlapping or exactly adjacent) into maximal spans:
+         one window exchange on doc_id.
+    Worst-case skew (a boilerplate gram in millions of docs) only
+    widens the hash-count groups (8-byte rows, AQE-splittable); the
+    position side is never joined against itself, so there is no pair
+    fan-out to cap.
+    """
+    if length < 1:
+        raise ValueError("duplicated_spans: length must be >= 1")
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       _tokens(F.col(text_col)).alias("t"))
+    toks = toks.where(F.size("t") >= length)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - length),
+                lambda i: F.concat_ws(TOKEN_SPLIT,
+                                      F.slice(F.col("t"), i + 1, length)),
+            )).alias("pos", "gram"))
+    grams = grams.withColumn("h", F.xxhash64("gram"))
+    hot = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") >= 2).select("h"))
+    survivors = grams.join(hot, on="h", how="left_semi")
+    dup = (survivors
+           .withColumn("gn", F.count(F.lit(1)).over(
+               Window.partitionBy("gram")))
+           .where(F.col("gn") >= 2))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dup.select("doc_id", "pos")
+           .withColumn("brk",
+                       F.when(F.col("pos") - F.lag("pos").over(w)
+                              <= length, F.lit(0)).otherwise(F.lit(1)))
+           .withColumn("isl", F.sum("brk").over(w)))
+    return (isl.groupBy("doc_id", "isl")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + length - 1).cast("long")
+                 .alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .withColumn("span_len",
+                        F.col("span_end") - F.col("span_start") + 1)
+            .select("doc_id", "span_start", "span_end", "span_len",
+                    "n_windows"))

@@ -100,6 +100,13 @@ def test_max_block_drops_oversized_blocks(spark):
     assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
 
 
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id int, name string, blk string")
+    assert jaro_winkler_pairs(df, "id", "name", "blk").count() == 0
+    assert jaro_winkler_pairs(df, "id", "name", "blk",
+                              max_block=3).count() == 0
+
+
 def test_null_text_scores_zero_not_crash(spark):
     rows = [(0, None, "x"), (1, "abc", "x"), (2, "abc", "x")]
     df = spark.createDataFrame(rows, "id int, name string, blk string")
