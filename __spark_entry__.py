@@ -2400,6 +2400,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sparql_select(_next_turn_triples(spark, sf), """
             SELECT ?s ?o WHERE { ?s mms-property:nextTurn+ ?o . }""")
 
+    def kg_owl_entail(spark, sf):
+        # OWL property-rule delta (prp-trp / prp-inv / prp-symp):
+        # nextTurn transitive, prevTurn its inverse, adjacentTurn
+        # symmetric — closure confined to the transitive predicate,
+        # predicate-level rewrite map broadcast (materialize.py)
+        from mms_rdf_spark.operators.materialize import (
+            owl_property_entailment,
+        )
+        nt = _next_turn_triples(spark, sf)
+        adj = nt.select(
+            "subject",
+            F.lit("mms-property:adjacentTurn").alias("predicate"),
+            "object")
+        tbox = spark.createDataFrame([
+            ("mms-property:nextTurn", "rdf:type",
+             "owl:TransitiveProperty"),
+            ("mms-property:prevTurn", "owl:inverseOf",
+             "mms-property:nextTurn"),
+            ("mms-property:adjacentTurn", "rdf:type",
+             "owl:SymmetricProperty"),
+        ], "subject string, predicate string, object string")
+        return owl_property_entailment(nt.unionByName(adj), tbox)
+
     def kg_sparql_agg2(spark, sf):
         # aggregate completeness: SUM/AVG (xsd numeric promotion),
         # GROUP_CONCAT (deterministic sorted + SEPARATOR), SAMPLE
@@ -3425,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mannwhitney": events_mannwhitney,
         "kg_mst_cert": kg_mst_cert,
         "kg_rdfs_entail": kg_rdfs_entail,
+        "kg_owl_entail": kg_owl_entail,
         "kg_sameas_smush": kg_sameas_smush,
     }
 
@@ -9189,6 +9213,31 @@ def oracle_sql() -> dict[str, str]:
                 "mms-property:usesArtifact"))
     _tb_values = ",\n        ".join(
         f"('{s}', '{p}', '{o}')" for s, p, o in sorted(set(_tb)))
+    # OWL property entailment delta: turn_idx is dense per conv
+    # (0..n-1), so the nextTurn chain closure is exactly the i<j pairs
+    # and the asserted edges are exactly gap=1 — no recursion needed.
+    # prevTurn (inverse of the transitive pred) = the FULL transposed
+    # closure; adjacentTurn (symmetric, not transitive) = gap-1 swaps.
+    q["kg_owl_entail"] = f"""
+    {_T},
+    e AS (
+        SELECT 'mms-element:' || a.conv_id || '.Turn.'
+                   || CAST(a.turn_idx AS VARCHAR) AS s,
+               'mms-element:' || b.conv_id || '.Turn.'
+                   || CAST(b.turn_idx AS VARCHAR) AS o,
+               b.turn_idx - a.turn_idx AS gap
+        FROM t a JOIN t b
+          ON a.conv_id = b.conv_id AND b.turn_idx > a.turn_idx
+    )
+    SELECT s AS subject, 'mms-property:nextTurn' AS predicate,
+           o AS object
+    FROM e WHERE gap > 1
+    UNION ALL
+    SELECT o, 'mms-property:prevTurn', s FROM e
+    UNION ALL
+    SELECT o, 'mms-property:adjacentTurn', s FROM e WHERE gap = 1
+    """
+
     q["kg_rdfs_entail"] = f"""
     WITH RECURSIVE t AS ({TRANSCRIPTS_SQL}),
     abox AS (

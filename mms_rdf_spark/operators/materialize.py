@@ -380,3 +380,118 @@ def sameas_smush(triples: DataFrame, sameas_pred: str = "owl:sameAs",
            .otherwise(F.col("object")) if has_flag
            else F.coalesce("_co", "object"))
     return out.withColumn("object", obj).select(*cols).distinct()
+
+
+def owl_property_entailment(triples: DataFrame, tbox: DataFrame,
+                            max_iterations: int = 20) -> DataFrame:
+    """OWL 2 RL property-rule materialization: the inferred-triple
+    DELTA for prp-inv (owl:inverseOf), prp-symp (owl:SymmetricProperty)
+    and prp-trp (owl:TransitiveProperty) over an instance graph —
+    the OWL companion to rdfs_entailment, covering the property axioms
+    the reference's vocabulary ontology declares but its notebook
+    queries must hand-expand (the same pattern as triplifier.js:453-477
+    hand-running subClassOf*).
+
+    TBox rows understood: (p, owl:inverseOf, q), (p, rdf:type,
+    owl:SymmetricProperty), (p, rdf:type, owl:TransitiveProperty).
+    Rules apply to OBJECT properties only: rows with object_is_iri
+    false are excluded when the column exists (a literal can never
+    move to the subject position).
+
+    No fact-side fixpoint loop. inverseOf/symmetric act UNIFORMLY per
+    predicate, so their joint closure is computed once at the
+    PREDICATE level: a reachability closure R over 2·|preds| states
+    (pred, orientation) where inverseOf edges switch pred and toggle
+    orientation and symmetric edges toggle orientation in place.
+    Because every transition is an involution, R is symmetric —
+    after one R-expansion of the facts, any two predicates in the
+    same class hold exactly equal (or exactly transposed) edge sets.
+    Transitive closure per transitive predicate (predicate-tagged
+    path doubling, so one closure call covers all of them without
+    cross-predicate joins) therefore yields already-R-consistent
+    sets up to one final R-expansion of the closure output: that
+    three-step chain IS the global fixpoint of all three rules.
+
+    Scale shape: R lives on the schema-sized TBox (broadcast); the
+    fact stream is scanned once and only the ACTIVE slice (predicates
+    named by any rule) is ever shuffled; the path-doubling closure is
+    confined to the transitive predicates' edges. The final distinct +
+    anti-join is the only full-width exchange.
+    """
+    from mms_rdf_spark.plans.closure import transitive_closure
+
+    sep = "\x1f"
+    spo = ["subject", "predicate", "object"]
+    facts_all = triples.select(*spo)
+    facts = triples.select(*spo, *(
+        [F.col("object_is_iri")] if "object_is_iri" in triples.columns
+        else [F.lit(True).alias("object_is_iri")]))
+    facts = facts.where(F.col("object_is_iri")).select(*spo)
+
+    inv = (tbox.where(F.col("predicate") == "owl:inverseOf")
+           .select(F.col("subject").alias("p"),
+                   F.col("object").alias("q")).distinct())
+    inv2 = inv.unionByName(inv.select(F.col("q").alias("p"),
+                                      F.col("p").alias("q")))
+    sym = (tbox.where((F.col("predicate") == "rdf:type")
+                      & (F.col("object") == "owl:SymmetricProperty"))
+           .select(F.col("subject").alias("p")).distinct())
+    trans_preds = (tbox.where((F.col("predicate") == "rdf:type")
+                              & (F.col("object")
+                                 == "owl:TransitiveProperty"))
+                   .select(F.col("subject").alias("p")).distinct())
+
+    def _st(pcol, flip: str):
+        return F.concat(pcol, F.lit(sep), F.lit(flip))
+
+    state_edges = (
+        inv2.select(_st(F.col("p"), "0").alias("sub"),
+                    _st(F.col("q"), "1").alias("sup"))
+        .unionByName(inv2.select(_st(F.col("p"), "1").alias("sub"),
+                                 _st(F.col("q"), "0").alias("sup")))
+        .unionByName(sym.select(_st(F.col("p"), "0").alias("sub"),
+                                _st(F.col("p"), "1").alias("sup")))
+        .unionByName(sym.select(_st(F.col("p"), "1").alias("sub"),
+                                _st(F.col("p"), "0").alias("sup"))))
+    r_states = transitive_closure(state_edges,
+                                  max_iterations=max_iterations,
+                                  reflexive=False)
+    rewrite = (r_states
+               .where(F.element_at(F.split("sub", sep), 2) == "0")
+               .select(
+                   F.element_at(F.split("sub", sep), 1).alias("src_p"),
+                   F.element_at(F.split("sup", sep), 1).alias("dst_p"),
+                   (F.element_at(F.split("sup", sep), 2) == "1")
+                   .alias("flip"))
+               .distinct())
+
+    def _expand(df: DataFrame) -> DataFrame:
+        joined = df.join(F.broadcast(rewrite),
+                         df["predicate"] == rewrite["src_p"])
+        return joined.select(
+            F.when(F.col("flip"), F.col("object"))
+            .otherwise(F.col("subject")).alias("subject"),
+            F.col("dst_p").alias("predicate"),
+            F.when(F.col("flip"), F.col("subject"))
+            .otherwise(F.col("object")).alias("object"))
+
+    expanded = _expand(facts)
+    base = facts.unionByName(expanded).distinct()
+
+    tedges = (base.join(F.broadcast(trans_preds),
+                        base["predicate"] == trans_preds["p"],
+                        "left_semi")
+              .select(F.concat("predicate", F.lit(sep), "subject")
+                      .alias("sub"),
+                      F.concat("predicate", F.lit(sep), "object")
+                      .alias("sup")))
+    closed = transitive_closure(tedges, max_iterations=max_iterations,
+                                reflexive=False)
+    closure_out = closed.select(
+        F.element_at(F.split("sub", sep), 2).alias("subject"),
+        F.element_at(F.split("sub", sep), 1).alias("predicate"),
+        F.element_at(F.split("sup", sep), 2).alias("object"))
+
+    inferred = (expanded.unionByName(closure_out)
+                .unionByName(_expand(closure_out)).distinct())
+    return inferred.join(facts_all, on=spo, how="left_anti")
