@@ -2520,6 +2520,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import feature_hash
         return feature_hash(_docs(spark, sf), n_features=64)
 
+    def text_nb_lang(spark, sf):
+        # multinomial Naive Bayes language classifier trained and
+        # scored fully in-engine (Laplace-smoothed 9dp-ln weights as
+        # exact 1e9 micro-unit longs, sparse per-class weights +
+        # arithmetic unseen-token default, deterministic argmax)
+        from mms_rdf_spark.operators.mlops import nb_score, nb_train
+        docs = _docs(spark, sf)
+        w, m = nb_train(docs)
+        return nb_score(docs, w, m)
+
     def events_seasonal_decomp(spark, sf):
         # classical additive decomposition of the hourly count series:
         # trend (centered 2x24 MA in exact 48ths), hour-of-day
@@ -3425,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": kg_betweenness,
         "kg_closeness": kg_closeness,
         "text_feature_hash": text_feature_hash,
+        "text_nb_lang": text_nb_lang,
         "kg_louvain_cert": kg_louvain_cert,
         "link_fs_scores": link_fs_scores,
         "kg_node2vec_walks": kg_node2vec_walks,
@@ -8227,6 +8238,52 @@ def oracle_sql() -> dict[str, str]:
 
     # hashing trick is md5-deterministic: bucket and sign recompute
     # bit-identically; integer signed sums, zero buckets dropped
+    # multinomial NB: Laplace ln weights 9dp -> 1e9 micro longs (the
+    # fs_scores recipe), sparse class weights + arithmetic OOV default
+    # lp = prior + sum(cnt*w) + (n_tok - matched)*default; argmax ties
+    # break label-ascending
+    q["text_nb_lang"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token
+        FROM documents),
+    v AS (SELECT count(DISTINCT token) AS v FROM toks),
+    cnt AS (SELECT lang AS label, token, count(*) AS c
+            FROM toks GROUP BY 1, 2),
+    tot AS (SELECT label, sum(c) AS tot FROM cnt GROUP BY 1),
+    ndl AS (SELECT lang AS label, count(*) AS nd
+            FROM documents GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (SELECT label, token,
+                 CAST(round(round(ln((c + 1.0) / (tot + v)), 9)
+                      * 1e9) AS BIGINT) AS w_micro
+          FROM cnt JOIN tot USING (label), v),
+    meta AS (SELECT label,
+                    CAST(round(round(ln(nd * 1.0 / n), 9) * 1e9)
+                         AS BIGINT) AS prior_micro,
+                    CAST(round(round(ln(1.0 / (tot + v)), 9) * 1e9)
+                         AS BIGINT) AS default_micro
+             FROM ndl JOIN tot USING (label), v, n),
+    dt AS (SELECT doc_id, token, count(*) AS cnt
+           FROM toks GROUP BY 1, 2),
+    ntok AS (SELECT d.doc_id, coalesce(sum(cnt), 0) AS n_tok
+             FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id
+             GROUP BY 1),
+    part AS (SELECT dt.doc_id, w.label, sum(cnt * w_micro) AS wsum,
+                    sum(cnt) AS matched
+             FROM dt JOIN w USING (token) GROUP BY 1, 2),
+    lp AS (SELECT nt.doc_id, m.label,
+                  CAST(m.prior_micro + coalesce(p.wsum, 0)
+                       + (nt.n_tok - coalesce(p.matched, 0))
+                         * m.default_micro AS BIGINT) AS lp_micro
+           FROM ntok nt CROSS JOIN meta m
+           LEFT JOIN part p
+             ON p.doc_id = nt.doc_id AND p.label = m.label)
+    SELECT doc_id, label AS pred, lp_micro
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY lp_micro DESC, label ASC) AS rn FROM lp)
+    WHERE rn = 1
+    """
+
     q["text_feature_hash"] = f"""
     WITH toks AS (
         SELECT doc_id, unnest({_TOKS_SQL}) AS token

@@ -181,3 +181,112 @@ def feature_hash(docs: DataFrame, n_features: int = 64,
             .groupBy(id_col, "feature")
             .agg(F.sum("sgn").cast("long").alias("value"))
             .where(F.col("value") != 0))
+
+
+def nb_train(docs: DataFrame, label_col: str = "lang",
+             text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes trainer (the classic fastText-era
+    quality / language filter for corpus curation) — fully in-engine,
+    exact-integer deterministic.
+
+    Returns (weights, meta):
+      weights: (label, token, w_micro) — Laplace-smoothed per-class
+        token log-likelihood ln((c+1)/(tot_l+V)), rounded 9dp and held
+        as EXACT 1e9 micro-unit longs (the fs_scores recipe, so score
+        sums are order-independent and a SQL oracle is bit-exact).
+        SPARSE: only (label, token) pairs observed in that class.
+      meta: (label, prior_micro, default_micro, tot, nd) —
+        class log-prior ln(nd_l/n_docs) and the unseen-token default
+        ln(1/(tot_l+V)), same micro-unit encoding.
+
+    Scale shape: one corpus scan explodes tokens; the count aggregate
+    is map-side combined on (label, token); V and the class totals are
+    label-sized broadcast frames. Nothing corpus-sized is collected.
+    """
+    from mms_rdf_spark.operators.dedup import _tokens
+
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))
+                  ).alias("token"))
+    counts = (toks.groupBy("label", "token")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    vocab = toks.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+    tot = counts.groupBy("label").agg(F.sum("c").alias("tot"))
+    nd = (docs.groupBy(F.col(label_col).alias("label"))
+          .agg(F.count(F.lit(1)).cast("long").alias("nd")))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def _micro(x):
+        return F.round(F.round(x, 9) * 1e9).cast("long")
+
+    weights = (counts.join(F.broadcast(tot), on="label")
+               .crossJoin(F.broadcast(vocab))
+               .select("label", "token",
+                       _micro(F.log((F.col("c") + 1.0)
+                                    / (F.col("tot") + F.col("v"))))
+                       .alias("w_micro")))
+    meta = (nd.join(tot, on="label")
+            .crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(n_docs))
+            .select("label",
+                    _micro(F.log(F.col("nd") / F.col("n")))
+                    .alias("prior_micro"),
+                    _micro(F.log(1.0 / (F.col("tot") + F.col("v"))))
+                    .alias("default_micro"),
+                    "tot", "nd"))
+    return weights, meta
+
+
+def nb_score(docs: DataFrame, weights: DataFrame, meta: DataFrame,
+             id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Score docs with an nb_train model: per-doc argmax class.
+
+    Returns (doc_id, pred, lp_micro): the winning label (ties broken
+    by label ascending — deterministic) and its log-posterior in
+    exact 1e9 micro-units.
+
+    Unseen-token handling without a DENSE V×K weight table: per
+    (doc, label), lp = prior + Σ_present cnt·w + (n_tok −
+    matched_cnt)·default — so the token join stays against the SPARSE
+    weights (1-to-≤K on token) and out-of-class tokens cost one
+    arithmetic term instead of V×K join rows. The label spine is a
+    broadcast cross join (K rows), the token aggregate is map-side
+    combined; everything is long arithmetic end-to-end.
+    """
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.dedup import _tokens
+
+    dt = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(_tokens(
+                          F.coalesce(F.col(text_col), F.lit(""))))
+                      .alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    ntok = dt.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    # docs with zero tokens still need a prediction row
+    ntok = (docs.select(F.col(id_col).alias("doc_id"))
+            .join(ntok, on="doc_id", how="left")
+            .na.fill({"n_tok": 0}))
+
+    part = (dt.join(weights, on="token")
+            .groupBy("doc_id", "label")
+            .agg(F.sum(F.col("cnt") * F.col("w_micro")).alias("wsum"),
+                 F.sum("cnt").alias("matched")))
+    labels = meta.select("label", "prior_micro", "default_micro")
+    spine = ntok.crossJoin(F.broadcast(labels))
+    lp = (spine.join(part, on=["doc_id", "label"], how="left")
+          .na.fill({"wsum": 0, "matched": 0})
+          .select("doc_id", "label",
+                  (F.col("prior_micro") + F.col("wsum")
+                   + (F.col("n_tok") - F.col("matched"))
+                   * F.col("default_micro")).alias("lp_micro")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("lp_micro").desc(), F.col("label").asc())
+    return (lp.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", F.col("label").alias("pred"),
+                    "lp_micro"))
