@@ -121,13 +121,15 @@ def main() -> None:
         # chunking, Bradley-Terry training loop, real-decode image hash
         # — new baselines, per-query minima stay name-comparable)
         # (round-5 additions: SimRank pair iteration, Hilbert layout
-        # ladder — same rule, compare per-query by name)
+        # ladder, substring-span exact dedup, in-engine Naive Bayes —
+        # same rule, compare per-query by name)
         for name in ["tpch_q1", "tpch_q3", "events_window",
                      "dedup_lsh_pairs", "sim_cosine_topk", "text_quality",
                      "events_asof", "kg_pagerank", "text_bm25",
                      "sketch_distinct", "text_curate_full",
                      "kg_sft_windows", "text_chunks", "text_bt_scores",
-                     "mm_image_ahash", "kg_simrank", "events_hilbert"]:
+                     "mm_image_ahash", "kg_simrank", "events_hilbert",
+                     "dedup_dup_spans", "text_nb_lang"]:
             timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
         return timings, n_triples, n_turns
 

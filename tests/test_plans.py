@@ -370,3 +370,27 @@ def test_feature_hash_single_exchange(spark, tmp_path):
     plan = _plan(feature_hash(spark.read.parquet(p)))
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_dup_spans_count_shuffle_is_hash_only(spark):
+    """duplicated_spans' duplicate test must aggregate xxhash64 FIRST:
+    the wide count shuffle carries (8-byte hash, partial count) pairs,
+    never the L-token gram strings; the >=2 hash set joins back as a
+    LeftSemi. The gram string appears only in the bounded survivor
+    confirm (round-5; scale note in the docstring)."""
+    from mms_rdf_spark.operators.dedup import duplicated_spans
+
+    docs = _curate_docs(spark)
+    plan = _plan(duplicated_spans(docs, length=3))
+    lines = plan.splitlines()
+    # the hash-count aggregate is map-side combined on h only
+    partials = [ln for ln in lines
+                if "partial_count" in ln and "keys=[h#" in ln]
+    assert partials, plan
+    assert "gram#" not in partials[0], partials[0]
+    # and its exchange partitions on the 8-byte hash, not the gram
+    hash_exchanges = [ln for ln in lines
+                      if "Exchange hashpartitioning(h#" in ln]
+    assert hash_exchanges, plan
+    # the >=2 set comes back as a semi join (broadcast at this scale)
+    assert "LeftSemi" in plan, plan
