@@ -2474,6 +2474,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               BIND(?len * 2 AS ?dbl) .
             }""")
 
+    def kg_sparql_strfns(spark, sf):
+        # SPARQL string-builtin wave: SUBSTR (1-based, optional
+        # length), STRBEFORE/STRAFTER (XPath ""-on-missing),
+        # REPLACE (regex, "i" flag)
+        from mms_rdf_spark.sparql import sparql_select
+        return sparql_select(triples_from_events(spark, sf), """
+            SELECT ?s ?pre ?short ?ns ?fix WHERE {
+              ?s mms-property:role ?r .
+              BIND(SUBSTR(?r, 1, 14) AS ?pre) .
+              BIND(STRAFTER(?r, "Role.") AS ?short) .
+              BIND(STRBEFORE(?s, ":") AS ?ns) .
+              BIND(REPLACE(?short, "[aeiou]", "_", "i") AS ?fix) .
+            }""")
+
     def kg_sparql_having(spark, sf):
         # GROUP BY + HAVING (SPARQL 1.1 §7): conversations with more
         # than 6 turns; the HAVING aggregate is re-stated (not the
@@ -3464,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver's first-50 correctness window (the documented
         # rotation, NOTES.md) is not displaced
         "dedup_dup_spans": dedup_dup_spans,
+        "kg_sparql_strfns": kg_sparql_strfns,
     }
 
 
@@ -8237,6 +8252,25 @@ def oracle_sql() -> dict[str, str]:
            {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag,
            CAST(length({_ROLE_IRI_SQL}) * 2 AS DOUBLE) AS dbl
     FROM t
+    """
+
+    # string builtins: SUBSTR 1-based == substr; STRAFTER/STRBEFORE
+    # with ''-on-missing; REPLACE '(?i)' regex
+    q["kg_sparql_strfns"] = f"""
+    {_T},
+    b AS (SELECT {_SUBJ_SQL} AS s, {_ROLE_IRI_SQL} AS r FROM t),
+    b2 AS (SELECT s, r,
+                  substr(r, 1, 14) AS pre,
+                  CASE WHEN position('Role.' IN r) > 0
+                       THEN substr(r, position('Role.' IN r) + 5)
+                       ELSE '' END AS short,
+                  CASE WHEN position(':' IN s) > 0
+                       THEN substr(s, 1, position(':' IN s) - 1)
+                       ELSE '' END AS ns
+           FROM b)
+    SELECT s, pre, short, ns,
+           regexp_replace(short, '(?i)[aeiou]', '_', 'g') AS fix
+    FROM b2
     """
 
     # hashing trick is md5-deterministic: bucket and sign recompute

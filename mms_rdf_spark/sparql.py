@@ -202,7 +202,9 @@ class Traversal:
 #     MINUS { <patterns> }
 #     VALUES ?v { term term ... }
 #     BIND(expr AS ?v)   expr in: ?x | literal | ?x <+-*/> term |
-#       CONCAT(t, ...) | STRLEN(?x) | UCASE(?x) | LCASE(?x) | STR(?x)
+#       CONCAT(t, ...) | STRLEN(?x) | UCASE(?x) | LCASE(?x) | STR(?x) |
+#       SUBSTR(?x, s[, l]) (1-based) | STRBEFORE/STRAFTER(?x, "sep")
+#       ("" when absent, XPath) | REPLACE(?x, "re", "rep"[, "i"])
 #     FILTER (expr) — boolean expressions over the primitives below,
 #       composed with ! / && / || and parentheses (SPARQL precedence);
 #       primitives: ?v <op> term-or-?var (op in = != < > <= >=),
@@ -684,7 +686,8 @@ def _bind_expr(expr: str) -> Column:
     e = expr.strip()
     while e.startswith("(") and e.endswith(")") and "(" not in e[1:-1]:
         e = e[1:-1].strip()
-    fm = _re.match(r"(CONCAT|STRLEN|UCASE|LCASE|STR|COALESCE|IF) ?"
+    fm = _re.match(r"(CONCAT|STRLEN|UCASE|LCASE|STR|COALESCE|IF|"
+                   r"SUBSTR|STRBEFORE|STRAFTER|REPLACE) ?"
                    r"\((.*)\)$", e, _re.I)
     if fm:
         fn, raw = fm.group(1).upper(), _split_args(fm.group(2))
@@ -706,6 +709,31 @@ def _bind_expr(expr: str) -> Column:
             return F.when(cond, _bind_term(raw[1])) \
                 .when(~cond, _bind_term(raw[2]))
         args = [_bind_term(a) for a in raw]
+        if fn == "SUBSTR":
+            # SPARQL/XPath 1-based; without length, to end of string
+            length = (args[2].cast("int") if len(raw) > 2
+                      else F.lit(2147483647))
+            return F.substring(args[0], args[1].cast("int"), length)
+        if fn == "STRBEFORE":
+            # "" when the separator does not occur (XPath semantics)
+            pos = F.instr(args[0], raw[1].strip()[1:-1])
+            return F.when(pos > 0,
+                          F.substring(args[0], F.lit(1), pos - 1)) \
+                .otherwise(F.lit(""))
+        if fn == "STRAFTER":
+            sep = raw[1].strip()[1:-1]
+            pos = F.instr(args[0], sep)
+            return F.when(pos > 0,
+                          F.substring(args[0], pos + len(sep),
+                                      F.lit(2147483647))) \
+                .otherwise(F.lit(""))
+        if fn == "REPLACE":
+            # regex semantics per spec; optional "i" flag
+            pat = raw[1].strip()[1:-1]
+            if len(raw) > 3 and "i" in raw[3].strip()[1:-1].lower():
+                pat = "(?i)" + pat
+            return F.regexp_replace(args[0], pat,
+                                    raw[2].strip()[1:-1])
         if fn == "CONCAT":
             return F.concat(*args)
         if fn == "STRLEN":

@@ -361,6 +361,44 @@ def test_bind_string_builtins_and_chaining(g):
     assert rows["e:b"].tag == "BOB#e:b"  # BIND var feeds later BIND
 
 
+def test_bind_substr_before_after_replace(g):
+    rows = {r.s: r for r in _run(g, """
+        SELECT ?s ?pre ?loc ?ns ?fix WHERE {
+          ?s p:name ?n .
+          BIND(SUBSTR(?n, 1, 3) AS ?pre) .
+          BIND(STRAFTER(?s, "e:") AS ?loc) .
+          BIND(STRBEFORE(?s, ":") AS ?ns) .
+          BIND(REPLACE(?n, "[aeiou]", "_") AS ?fix) .
+        }""").collect()}
+    assert rows["e:a"].pre == "ali" and rows["e:a"].loc == "a"
+    assert rows["e:a"].ns == "e" and rows["e:a"].fix == "_l_c_"
+    assert rows["e:c"].fix == "c3p_"
+
+
+def test_bind_substr_no_length_and_missing_separator(g):
+    rows = {r.s: r for r in _run(g, """
+        SELECT ?s ?tail ?none ?noneb WHERE {
+          ?s p:name ?n .
+          BIND(SUBSTR(?n, 2) AS ?tail) .
+          BIND(STRAFTER(?n, "zzz") AS ?none) .
+          BIND(STRBEFORE(?n, "zzz") AS ?noneb) .
+        }""").collect()}
+    assert rows["e:a"].tail == "lice"
+    # XPath: empty string when the separator does not occur
+    assert rows["e:a"].none == "" and rows["e:a"].noneb == ""
+
+
+def test_bind_replace_case_insensitive_flag(g):
+    rows = {r.s: r.up for r in _run(g, """
+        SELECT ?s ?up WHERE {
+          ?s p:name ?n .
+          BIND(UCASE(?n) AS ?N) .
+          BIND(REPLACE(?N, "o", "0", "i") AS ?up) .
+        }""").collect()}
+    assert rows["e:b"] == "B0B"
+    assert rows["e:c"] == "C3P0"
+
+
 def test_bind_arithmetic_promotes_numeric(g):
     rows = {r.s: r.half for r in _run(g, """
         SELECT ?s ?half WHERE {
