@@ -2544,6 +2544,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w, m = nb_train(docs)
         return nb_score(docs, w, m)
 
+    def events_seqmatch(spark, sf):
+        # MATCH_RECOGNIZE-lite: regex over each user's time-ordered
+        # event-type string (leftmost non-overlapping greedy — the
+        # Java/RE2-stable pattern class); one groupBy(user) exchange
+        from mms_rdf_spark.operators.analytics import sequence_pattern
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return sequence_pattern(
+            ev, "sv*c+p",
+            {"signup": "s", "view": "v", "click": "c",
+             "purchase": "p", "error": "e"})
+
     def events_seasonal_decomp(spark, sf):
         # classical additive decomposition of the hourly count series:
         # trend (centered 2x24 MA in exact 48ths), hour-of-day
@@ -3479,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation, NOTES.md) is not displaced
         "dedup_dup_spans": dedup_dup_spans,
         "kg_sparql_strfns": kg_sparql_strfns,
+        "events_seqmatch": events_seqmatch,
     }
 
 
@@ -8252,6 +8264,30 @@ def oracle_sql() -> dict[str, str]:
            {_ROLE_IRI_SQL} || '#' || {_SUBJ_SQL} AS tag,
            CAST(length({_ROLE_IRI_SQL}) * 2 AS DOUBLE) AS dbl
     FROM t
+    """
+
+    # MATCH_RECOGNIZE-lite: per-user ordered type string + leftmost
+    # non-overlapping greedy regex (identical in Java and RE2 for the
+    # star/plus pattern class); generate_subscripts zips with unnest
+    q["events_seqmatch"] = """
+    WITH m AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'signup' THEN 's'
+                 WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                 WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+               END AS ch
+        FROM events
+        WHERE event_type IN
+              ('signup', 'view', 'click', 'purchase', 'error')),
+    seq AS (SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id)
+                   AS s
+            FROM m GROUP BY user_id),
+    arr AS (SELECT user_id, regexp_extract_all(s, 'sv*c+p') AS a
+            FROM seq)
+    SELECT user_id,
+           CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS match_idx,
+           unnest(a) AS matched
+    FROM arr
     """
 
     # string builtins: SUBSTR 1-based == substr; STRAFTER/STRBEFORE

@@ -1567,3 +1567,60 @@ def mann_whitney_u(
         F.round(u2 / F.lit(2.0), 6).alias("u_a"),
         F.when((F.col("na") > 0) & (F.col("nb") > 0) & (sig2 > 0),
                F.round(z, 6)).alias("z"))
+
+
+def sequence_pattern(
+    events: DataFrame,
+    pattern: str,
+    mapping: dict[str, str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern matching over each user's
+    time-ordered event-type sequence. Every mapped event type becomes
+    one character (`mapping`: type -> single char); the per-user
+    sequence is the chars ordered by (ts, event_id); matches are the
+    standard leftmost non-overlapping greedy regex matches (identical
+    across Java and RE2 for the alternation/star/plus pattern class —
+    avoid lazy quantifiers and lookarounds if an oracle must agree).
+
+    Returns (user_id, match_idx, matched): the 0-based match ordinal
+    within the user's sequence and the matched substring. Unmapped
+    event types are EXCLUDED from the sequence (they are
+    non-participating, like undeclared MATCH_RECOGNIZE variables) —
+    so a pattern like "sc+p" means "signup, then clicks, then
+    purchase with no OTHER MAPPED event between them".
+
+    Scale shape: one groupBy(user) exchange (collect_list is
+    partial-aggregated object-hash); each user's string is
+    activity-bounded and the regex runs JVM-side per row. Hot users
+    make long strings, not hot partitions — one row per user either
+    way. The whole op is two narrow projections around one exchange.
+    """
+    if any(len(c) != 1 for c in mapping.values()):
+        raise ValueError("sequence_pattern: mapping values must be "
+                         "single characters")
+    ch = F.element_at(
+        F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv]),
+        F.col(type_col))
+    seq = (events
+           .where(F.col(type_col).isin(*mapping.keys()))
+           .select(F.col(user_col).alias("user_id"),
+                   F.struct(F.col(ts_col).alias("ts"),
+                            F.col(id_col).alias("eid"),
+                            ch.alias("ch")).alias("ev"))
+           .groupBy("user_id")
+           .agg(F.array_join(
+               F.transform(F.sort_array(F.collect_list("ev")),
+                           lambda x: x["ch"]), "").alias("seq")))
+    return (seq
+            .select("user_id",
+                    F.posexplode(
+                        F.regexp_extract_all("seq", F.lit(pattern),
+                                             F.lit(0)))
+                    .alias("match_idx", "matched"))
+            .select("user_id",
+                    F.col("match_idx").cast("long").alias("match_idx"),
+                    "matched"))

@@ -474,3 +474,62 @@ def test_mann_whitney_degenerate_variance_is_null(spark):
     r2 = mann_whitney_u(df.where("g = 'b'"), "g", "v",
                         "a", "b").collect()[0]
     assert r2.n_a == 0 and r2.z is None  # empty group
+
+
+def test_sequence_pattern_basic_and_nonoverlap(spark):
+    from mms_rdf_spark.operators.analytics import sequence_pattern
+
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # user 1: s v v c p  s c p  -> two matches of sv*c+p
+    for i, t in enumerate("svvcpscp"):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1,
+                     {"s": "signup", "v": "view", "c": "click",
+                      "p": "purchase"}[t]))
+    # user 2: c p (no signup) -> no match
+    rows.append((100, t0, 2, "click"))
+    rows.append((101, t0 + dt.timedelta(minutes=1), 2, "purchase"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    out = sequence_pattern(
+        ev, "sv*c+p",
+        {"signup": "s", "view": "v", "click": "c", "purchase": "p"})
+    got = sorted((r.user_id, r.match_idx, r.matched)
+                 for r in out.collect())
+    assert got == [(1, 0, "svvcp"), (1, 1, "scp")]
+
+
+def test_sequence_pattern_unmapped_types_excluded(spark):
+    from mms_rdf_spark.operators.analytics import sequence_pattern
+
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    # an unmapped 'error' between s and p must NOT break adjacency
+    rows = [(0, t0, 1, "signup"), (1, t0 + dt.timedelta(minutes=1), 1,
+             "error"), (2, t0 + dt.timedelta(minutes=2), 1, "purchase")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    out = sequence_pattern(ev, "sp", {"signup": "s", "purchase": "p"})
+    assert [(r.user_id, r.matched) for r in out.collect()] == [(1, "sp")]
+
+
+def test_sequence_pattern_ts_tiebreak_and_empty(spark):
+    from mms_rdf_spark.operators.analytics import sequence_pattern
+
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    # same ts: event_id breaks the tie deterministically
+    rows = [(2, t0, 1, "purchase"), (1, t0, 1, "signup")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    out = sequence_pattern(ev, "sp", {"signup": "s", "purchase": "p"})
+    assert [r.matched for r in out.collect()] == ["sp"]
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string")
+    assert sequence_pattern(empty, "sp", {"signup": "s",
+                                          "purchase": "p"}).count() == 0
