@@ -416,8 +416,6 @@ def duplicated_spans(
     """
     if length < 1:
         raise ValueError("duplicated_spans: length must be >= 1")
-    from pyspark.sql.window import Window
-
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        _tokens(F.col(text_col)).alias("t"))
     toks = toks.where(F.size("t") >= length)
@@ -433,10 +431,24 @@ def duplicated_spans(
     hot = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
            .where(F.col("n") >= 2).select("h"))
     survivors = grams.join(hot, on="h", how="left_semi")
+    from pyspark.sql.window import Window
+
     dup = (survivors
            .withColumn("gn", F.count(F.lit(1)).over(
                Window.partitionBy("gram")))
            .where(F.col("gn") >= 2))
+    return merge_window_spans(dup.select("doc_id", "pos"), length)
+
+
+def merge_window_spans(dup: DataFrame, length: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions
+    (doc_id, pos) into maximal spans — the shared render step of
+    duplicated_spans and its streaming twin (streaming/dupspans.py),
+    factored so the span semantics can never drift between them (the
+    blocking_keys lesson). Windows whose starts differ by <= length
+    overlap or touch; one doc_id exchange."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = (dup.select("doc_id", "pos")
            .withColumn("brk",
