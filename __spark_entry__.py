@@ -873,6 +873,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_ivf_topk_trained(spark, sf):
         return S.ivf_topk_trained(_emb(spark, sf), iters=2)
 
+    def sim_silhouette(spark, sf):
+        # simplified (centroid-based) silhouette per cluster — O(n*k)
+        # not O(n^2); exact micro-unit sums make the means stable
+        return S.silhouette_simplified(_emb(spark, sf))
+
     def sim_standardize(spark, sf):
         return S.standardize_embeddings(_emb(spark, sf))
 
@@ -3491,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dup_spans": dedup_dup_spans,
         "kg_sparql_strfns": kg_sparql_strfns,
         "events_seqmatch": events_seqmatch,
+        "sim_silhouette": sim_silhouette,
     }
 
 
@@ -6931,6 +6937,37 @@ def oracle_sql() -> dict[str, str]:
                      ELSE round(v / scale, 0) END)) AS INT) AS q,
            scale
     FROM d
+    """
+
+    # simplified silhouette over the ivf_assign partition: rank-1
+    # distance = own centroid (the assignment argmin), rank-2 = b
+    q["sim_silhouette"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+          WHERE vec_id % 100 = 0),
+    s0 AS (
+        SELECT e.vec_id, c.centroid_id,
+               round(1.0 - round(list_cosine_similarity(e.emb, c.c_emb),
+                                 6), 6) AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(1.0 -
+                       round(list_cosine_similarity(e.emb, c.c_emb), 6),
+                       6) ASC, c.centroid_id) AS rn
+        FROM e, c),
+    own AS (SELECT vec_id, centroid_id, dist AS a FROM s0 WHERE rn = 1),
+    oth AS (SELECT vec_id, dist AS b FROM s0 WHERE rn = 2),
+    sil AS (SELECT own.vec_id, own.centroid_id,
+                   CASE WHEN greatest(a, b) = 0 THEN 0.0
+                        ELSE round((b - a) / greatest(a, b), 6)
+                   END AS s
+            FROM own JOIN oth USING (vec_id))
+    SELECT centroid_id, count(*) AS n,
+           CAST(sum(CAST(round(s * 1e6) AS BIGINT)) AS BIGINT)
+               AS s_sum_micro,
+           round(CAST(sum(CAST(round(s * 1e6) AS BIGINT)) AS BIGINT)
+                 / 1e6 / count(*), 6) AS mean_s
+    FROM sil GROUP BY centroid_id
     """
 
     q["sim_ivf_assign"] = """

@@ -1102,3 +1102,60 @@ def project_component(
             .groupBy("_id")
             .agg(F.round(F.sum("_t") / 1e9, ndigits).alias("score"))
             .select(F.col("_id").alias(id_col), "score"))
+
+
+def silhouette_simplified(embeddings: DataFrame,
+                          every_k: int = 100) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster over the
+    ivf_assign partition: for each point, a = cosine DISTANCE
+    (1 - cos) to its own centroid, b = min distance to any OTHER
+    centroid, s = (b - a) / max(a, b) (0 when max == 0, the
+    degenerate identical-centroid case). Returns one row per cluster:
+    (centroid_id, n, s_sum_micro, mean_s) — the sum is EXACT 1e6
+    micro-unit longs of the 6dp-rounded s, so the per-cluster mean is
+    engine-order-free; the full silhouette's O(n²) pair distances
+    collapse to O(n·k) centroid distances (Hruschka et al.'s
+    simplified variant — the only form that scales).
+
+    Scale shape: identical to ivf_assign — one broadcast of k
+    centroids against the embedding scan, one groupBy(centroid)
+    aggregate; nothing corpus-sized shuffles except the k-row spine.
+    """
+    e = _spread(
+        embeddings.select("vec_id",
+                          _as_double(F.col("embedding")).alias("emb")))
+    cents = (e.where(F.col("vec_id") % every_k == 0)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("emb").alias("c_emb")))
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "centroid_id",
+            F.round(F.lit(1.0)
+                    - F.round(_dot(F.col("emb"), F.col("c_emb"))
+                              / (_norm(F.col("emb"))
+                                 * _norm(F.col("c_emb"))), 6), 6)
+            .alias("dist")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    own = (ranked.where(F.col("rn") == 1)
+           .select("vec_id", "centroid_id", F.col("dist").alias("a")))
+    # b = nearest OTHER centroid = rank-2 distance (rank 1 is own:
+    # the assignment argmin IS the silhouette's own-centroid distance)
+    other = (ranked.where(F.col("rn") == 2)
+             .select("vec_id", F.col("dist").alias("b")))
+    s = (own.join(other, on="vec_id")
+         .withColumn(
+             "s",
+             F.when(F.greatest("a", "b") == 0, F.lit(0.0))
+             .otherwise(F.round((F.col("b") - F.col("a"))
+                                / F.greatest("a", "b"), 6))))
+    return (s.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("s") * 1e6).cast("long"))
+                 .cast("long").alias("s_sum_micro"))
+            .withColumn("mean_s",
+                        F.round(F.col("s_sum_micro") / 1e6
+                                / F.col("n"), 6))
+            .select("centroid_id", "n", "s_sum_micro", "mean_s"))

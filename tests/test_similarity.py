@@ -394,3 +394,33 @@ def test_mmr_batched_identical_vectors_ties(spark):
     got = [tuple(r) for r in
            mmr_select_batched(embs, **kw).orderBy("rank").collect()]
     assert got == want
+
+
+def test_silhouette_separable_clusters_score_high(spark):
+    from mms_rdf_spark.operators.similarity import silhouette_simplified
+
+    # two tight orthogonal clusters; centroids at vec_id 0 and 10
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0, float(i % 3), 0.0]))
+        rows.append((10 + i, [0.0, float(i % 3), 10.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.centroid_id: r for r in
+           silhouette_simplified(emb, every_k=10).collect()}
+    assert set(out) == {0, 10}
+    assert out[0].n == 10 and out[10].n == 10
+    assert out[0].mean_s > 0.5 and out[10].mean_s > 0.5
+    # exact-integer invariant: mean reconstructs from the micro sum
+    assert out[0].mean_s == round(out[0].s_sum_micro / 1e6 / out[0].n, 6)
+
+
+def test_silhouette_identical_centroids_scores_zero(spark):
+    from mms_rdf_spark.operators.similarity import silhouette_simplified
+
+    # both centroids are the SAME direction: a == b for every point
+    # -> s == 0 everywhere (and max(a,b)==0 for the centroid itself)
+    rows = [(0, [1.0, 0.0]), (10, [2.0, 0.0]),
+            (1, [1.0, 1.0]), (11, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = silhouette_simplified(emb, every_k=10).collect()
+    assert all(r.s_sum_micro == 0 for r in out)
