@@ -1863,6 +1863,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.dedup import duplicated_spans
         return duplicated_spans(_docs(spark, sf), length=8)
 
+    def dedup_winnow(spark, sf):
+        # winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+        # MOSS selector): rightmost-min of each 4-gram-hash window via
+        # a single int64 (hash, rightmost-pos) argmin encoding
+        from mms_rdf_spark.operators.dedup import winnow_fingerprints
+        return winnow_fingerprints(_docs(spark, sf), k=4, window=4)
+
     def text_zipf(spark, sf):
         # Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the
         # token frequency table (slope near -1 = natural text). All
@@ -3497,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_strfns": kg_sparql_strfns,
         "events_seqmatch": events_seqmatch,
         "sim_silhouette": sim_silhouette,
+        "dedup_winnow": dedup_winnow,
     }
 
 
@@ -5665,6 +5673,32 @@ def oracle_sql() -> dict[str, str]:
            max(pos) + 8 - min(pos) AS span_len,
            count(*) AS n_windows
     FROM i2 GROUP BY doc_id, isl
+    """
+
+    # winnowing: one-long argmin encoding key = h*2^16 + (65535-pos)
+    # (min = smallest hash, RIGHTMOST pos); integer // decode
+    q["dedup_winnow"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (
+        SELECT doc_id, len(t) - 4 + 1 AS ng, CAST(pos AS BIGINT) AS pos,
+               array_to_string(t[pos+1:pos+4], ' ') AS gram
+        FROM toks, UNNEST(range(0, greatest(len(t) - 4 + 1, 0)))
+             AS u(pos)
+        WHERE len(t) >= 4 + 4 - 1 AND len(t) - 4 + 1 <= 65535),
+    keyed AS (
+        SELECT doc_id, ng, pos,
+               CAST(concat('0x', substr(md5(gram), 1, 10)) AS BIGINT)
+               * 65536 + (65535 - pos) AS key
+        FROM g),
+    sel AS (
+        SELECT doc_id, ng, pos,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+        FROM keyed)
+    SELECT DISTINCT doc_id,
+           CAST(65535 - s % 65536 AS BIGINT) AS pos,
+           CAST(s // 65536 AS BIGINT) AS fp
+    FROM sel WHERE pos <= ng - 4
     """
 
     # directional gram containment (stop-grams df-capped first)

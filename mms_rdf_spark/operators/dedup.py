@@ -464,3 +464,68 @@ def merge_window_spans(dup: DataFrame, length: int) -> DataFrame:
                         F.col("span_end") - F.col("span_start") + 1)
             .select("doc_id", "span_start", "span_end", "span_len",
                     "n_windows"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS copy-detection selector): hash every
+    k-token gram (40-bit md5 prefix — 40+16 bits keeps the
+    encoded key inside signed int64)
+    and from every window of `window` consecutive gram hashes select
+    the MINIMUM, rightmost on ties; the DISTINCT selected (pos, hash)
+    pairs are the fingerprint set. The guarantee: any shared substring
+    of >= window + k - 1 tokens yields at least one shared
+    fingerprint, while only ~2/(window+1) of positions are kept.
+
+    Returns (doc_id, pos, fp). Only FULL windows select (docs with
+    fewer than window grams emit nothing); positions must fit 16 bits
+    (65,536 tokens — chunk longer docs first, textstats.text_chunks),
+    enforced by filter so an over-long doc drops observably rather
+    than corrupting the tie-break encoding.
+
+    Determinism without struct-min portability concerns: the
+    (hash, rightmost-pos) argmin is encoded as ONE long,
+    key = h * 2^16 + (65535 - pos) — min(key) is min hash then MAX
+    pos; decode after selection. Both engines do identical int64
+    arithmetic.
+
+    Scale shape: one scan + explode; the selector is a bounded ROWS
+    frame inside the per-doc window (one doc_id exchange); distinct
+    over the selected ~2n/(w+1) rows is the only other exchange.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        _tokens(F.col(text_col)).alias("t"))
+            .where((F.size("t") >= k + window - 1)
+                   & (F.size("t") - k + 1 <= 65535)))
+    grams = toks.select(
+        "doc_id",
+        (F.size("t") - k + 1).alias("ng"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.concat_ws(TOKEN_SPLIT,
+                                      F.slice(F.col("t"), i + 1, k)),
+            )).alias("pos", "gram"))
+    h = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
+    keyed = grams.select(
+        "doc_id", "ng", "pos",
+        (h * 65536 + (65535 - F.col("pos"))).alias("key"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, window - 1))
+    sel = (keyed.withColumn("sel", F.min("key").over(w))
+           .where(F.col("pos") <= F.col("ng") - window))
+    return (sel.select(
+        "doc_id",
+        (F.lit(65535) - F.col("sel") % 65536).cast("long").alias("pos"),
+        # integer div, NOT floor(/): double division loses ulps on
+        # 56-bit keys and decoded fps come back off by one
+        F.expr("sel div 65536").cast("long").alias("fp"))
+        .distinct())
