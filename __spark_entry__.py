@@ -878,6 +878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # not O(n^2); exact micro-unit sums make the means stable
         return S.silhouette_simplified(_emb(spark, sf))
 
+    def sim_bcubed(spark, sf):
+        # B-cubed P/R/F1 of the IVF partition against the gold label
+        # column — the standard ER clustering-eval metric; exact
+        # micro-unit item means
+        from mms_rdf_spark.operators.evalmetrics import bcubed
+        e = _emb(spark, sf)
+        return bcubed(S.ivf_assign(e).select("vec_id", "centroid_id"),
+                      e.select("vec_id", "label"), id_col="vec_id",
+                      cluster_col="centroid_id", gold_col="label")
+
     def sim_standardize(spark, sf):
         return S.standardize_embeddings(_emb(spark, sf))
 
@@ -3505,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seqmatch": events_seqmatch,
         "sim_silhouette": sim_silhouette,
         "dedup_winnow": dedup_winnow,
+        "sim_bcubed": sim_bcubed,
     }
 
 
@@ -6971,6 +6982,50 @@ def oracle_sql() -> dict[str, str]:
                      ELSE round(v / scale, 0) END)) AS INT) AS q,
            scale
     FROM d
+    """
+
+    # B-cubed over the ivf_assign partition vs the gold label column:
+    # per-item P/R rounded 6dp -> exact micro sums -> one division
+    q["sim_bcubed"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                      label
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+          WHERE vec_id % 100 = 0),
+    s AS (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.emb,
+                                                         c.c_emb), 6)
+                            DESC, c.centroid_id) AS rn
+        FROM e, c),
+    j AS (SELECT s.vec_id, s.centroid_id AS c, e.label AS g
+          FROM s JOIN e USING (vec_id) WHERE s.rn = 1),
+    cs AS (SELECT c, count(*) AS cn FROM j GROUP BY c),
+    gs AS (SELECT g, count(*) AS gn FROM j GROUP BY g),
+    osz AS (SELECT c, g, count(*) AS ovl FROM j GROUP BY c, g),
+    per AS (
+        SELECT CAST(round(round(ovl * 1.0 / cn, 6) * 1e6) AS BIGINT)
+                   AS p_micro,
+               CAST(round(round(ovl * 1.0 / gn, 6) * 1e6) AS BIGINT)
+                   AS r_micro
+        FROM j JOIN osz USING (c, g) JOIN cs USING (c)
+               JOIN gs USING (g)),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p_micro) AS BIGINT) AS p_sum_micro,
+                   CAST(sum(r_micro) AS BIGINT) AS r_sum_micro
+            FROM per)
+    SELECT n, p_sum_micro, r_sum_micro,
+           round(p_sum_micro / 1e6 / n, 6) AS bcubed_p,
+           round(r_sum_micro / 1e6 / n, 6) AS bcubed_r,
+           CASE WHEN round(p_sum_micro / 1e6 / n, 6)
+                     + round(r_sum_micro / 1e6 / n, 6) = 0 THEN 0.0
+                ELSE round(2 * round(p_sum_micro / 1e6 / n, 6)
+                           * round(r_sum_micro / 1e6 / n, 6)
+                           / (round(p_sum_micro / 1e6 / n, 6)
+                              + round(r_sum_micro / 1e6 / n, 6)), 6)
+           END AS bcubed_f1
+    FROM agg WHERE n > 0
     """
 
     # simplified silhouette over the ivf_assign partition: rank-1

@@ -188,3 +188,57 @@ def retrieval_metrics(ranked: DataFrame, qrels: DataFrame,
         F.when(F.coalesce(F.col("_idcg_u"), F.lit(0)) > 0,
                F.round(F.col("_dcg_u") / F.col("_idcg_u"), 6))
         .otherwise(F.lit(0.0)).alias("ndcg"))
+
+
+def bcubed(assignments: DataFrame, gold: DataFrame,
+           id_col: str = "id", cluster_col: str = "cluster",
+           gold_col: str = "gold") -> DataFrame:
+    """B³ (B-cubed) clustering evaluation — THE standard extrinsic
+    metric for entity-resolution output (Bagga & Baldwin 1998): for
+    each item, P_i = |C(i) ∩ G(i)| / |C(i)| and R_i = |C(i) ∩ G(i)| /
+    |G(i)| where C(i)/G(i) are the item's predicted cluster and gold
+    class; B³ precision/recall are the item means; F1 their harmonic
+    mean. Evaluates the linker's canonicalization against labels
+    without the pair-counting blowup of Rand-style metrics.
+
+    Returns ONE row: (n, p_sum_micro, r_sum_micro, bcubed_p, bcubed_r,
+    bcubed_f1). Per-item P/R are rounded to 6dp and summed as EXACT
+    1e6 micro-unit longs (order-free means); the aggregates are single
+    divisions of exact values, F1 one expression of the two rounded
+    means (0.0 when both are 0).
+
+    Scale shape: three aggregates (cluster sizes, gold sizes, overlap
+    sizes) plus size joins back on their own group keys — every join
+    key is an aggregation output key, so the exchanges are reused; the
+    final mean is a scalar aggregate. Nothing quadratic: |C(i) ∩ G(i)|
+    is a (cluster, gold) group count, never an item-pair join.
+    """
+    j = (assignments.select(F.col(id_col).alias("id"),
+                            F.col(cluster_col).alias("c"))
+         .join(gold.select(F.col(id_col).alias("id"),
+                           F.col(gold_col).alias("g")), on="id"))
+    c_size = j.groupBy("c").agg(F.count(F.lit(1)).alias("cn"))
+    g_size = j.groupBy("g").agg(F.count(F.lit(1)).alias("gn"))
+    o_size = j.groupBy("c", "g").agg(F.count(F.lit(1)).alias("on"))
+    per = (j.join(o_size, on=["c", "g"])
+           .join(c_size, on="c").join(g_size, on="g")
+           .select(
+               F.round(F.round(F.col("on") / F.col("cn"), 6) * 1e6)
+               .cast("long").alias("p_micro"),
+               F.round(F.round(F.col("on") / F.col("gn"), 6) * 1e6)
+               .cast("long").alias("r_micro")))
+    agg = per.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("p_micro").cast("long").alias("p_sum_micro"),
+                  F.sum("r_micro").cast("long").alias("r_sum_micro"))
+    bp = F.round(F.col("p_sum_micro") / 1e6 / F.col("n"), 6)
+    br = F.round(F.col("r_sum_micro") / 1e6 / F.col("n"), 6)
+    return (agg.where(F.col("n") > 0)
+            .withColumn("bcubed_p", bp)
+            .withColumn("bcubed_r", br)
+            .withColumn(
+                "bcubed_f1",
+                F.when(F.col("bcubed_p") + F.col("bcubed_r") == 0,
+                       F.lit(0.0))
+                .otherwise(F.round(
+                    2 * F.col("bcubed_p") * F.col("bcubed_r")
+                    / (F.col("bcubed_p") + F.col("bcubed_r")), 6))))

@@ -186,3 +186,48 @@ def test_retrieval_metrics_perfect_run_is_one(spark):
     r = retrieval_metrics(ranked, qrels, k=2).collect()[0]
     assert (r.mrr, r.ap, r.p_at_k, r.recall_at_k, r.ndcg) == \
         (1.0, 1.0, 1.0, 1.0, 1.0)
+
+
+def test_bcubed_perfect_clustering(spark):
+    from mms_rdf_spark.operators.evalmetrics import bcubed
+
+    a = spark.createDataFrame([(i, i % 3) for i in range(9)],
+                              "id long, cluster long")
+    g = spark.createDataFrame([(i, i % 3) for i in range(9)],
+                              "id long, gold long")
+    r = bcubed(a, g).collect()[0]
+    assert (r.bcubed_p, r.bcubed_r, r.bcubed_f1) == (1.0, 1.0, 1.0)
+
+
+def test_bcubed_single_cluster_hand_values(spark):
+    from mms_rdf_spark.operators.evalmetrics import bcubed
+
+    # 4 items, gold = {0,1} {2,3}, predicted = one cluster:
+    # P_i = 2/4 for all -> P = 0.5 ; R_i = 2/2 = 1 -> R = 1
+    a = spark.createDataFrame([(i, 0) for i in range(4)],
+                              "id long, cluster long")
+    g = spark.createDataFrame([(i, i // 2) for i in range(4)],
+                              "id long, gold long")
+    r = bcubed(a, g).collect()[0]
+    assert r.bcubed_p == 0.5 and r.bcubed_r == 1.0
+    assert r.bcubed_f1 == round(2 * 0.5 * 1.0 / 1.5, 6)
+
+
+def test_bcubed_singletons_recall(spark):
+    from mms_rdf_spark.operators.evalmetrics import bcubed
+
+    # all singleton predictions: P = 1, R_i = 1/|G(i)|
+    a = spark.createDataFrame([(i, i) for i in range(4)],
+                              "id long, cluster long")
+    g = spark.createDataFrame([(i, 0) for i in range(4)],
+                              "id long, gold long")
+    r = bcubed(a, g).collect()[0]
+    assert r.bcubed_p == 1.0 and r.bcubed_r == 0.25
+
+
+def test_bcubed_empty(spark):
+    from mms_rdf_spark.operators.evalmetrics import bcubed
+
+    a = spark.createDataFrame([], "id long, cluster long")
+    g = spark.createDataFrame([], "id long, gold long")
+    assert bcubed(a, g).count() == 0
