@@ -888,6 +888,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       e.select("vec_id", "label"), id_col="vec_id",
                       cluster_col="centroid_id", gold_col="label")
 
+    def sim_ari(spark, sf):
+        # adjusted Rand index of the IVF partition vs gold labels —
+        # exact C(m,2) sums over group counts, never a pair join
+        from mms_rdf_spark.operators.evalmetrics import adjusted_rand
+        e = _emb(spark, sf)
+        return adjusted_rand(
+            S.ivf_assign(e).select("vec_id", "centroid_id"),
+            e.select("vec_id", "label"), id_col="vec_id",
+            cluster_col="centroid_id", gold_col="label")
+
     def sim_standardize(spark, sf):
         return S.standardize_embeddings(_emb(spark, sf))
 
@@ -3516,6 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_silhouette": sim_silhouette,
         "dedup_winnow": dedup_winnow,
         "sim_bcubed": sim_bcubed,
+        "sim_ari": sim_ari,
     }
 
 
@@ -6982,6 +6993,44 @@ def oracle_sql() -> dict[str, str]:
                      ELSE round(v / scale, 0) END)) AS INT) AS q,
            scale
     FROM d
+    """
+
+    # ARI: exact C(m,2) sums over the contingency counts; expectation
+    # term in double (s_a*s_b is ~n^4), final ratio rounded 6dp
+    q["sim_ari"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                      label
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+          WHERE vec_id % 100 = 0),
+    s AS (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.emb,
+                                                         c.c_emb), 6)
+                            DESC, c.centroid_id) AS rn
+        FROM e, c),
+    j AS (SELECT s.vec_id, s.centroid_id AS c, e.label AS g
+          FROM s JOIN e USING (vec_id) WHERE s.rn = 1),
+    t1 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS s_nij
+           FROM (SELECT count(*) AS m FROM j GROUP BY c, g)),
+    t2 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS s_a
+           FROM (SELECT count(*) AS m FROM j GROUP BY c)),
+    t3 AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS s_b
+           FROM (SELECT count(*) AS m FROM j GROUP BY g)),
+    t0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j)
+    SELECT n, s_nij AS sum_comb_nij, s_a AS sum_comb_a,
+           s_b AS sum_comb_b,
+           CASE WHEN (s_a + s_b) / 2.0
+                     - s_a * 1.0 * s_b / (n * (n - 1) // 2) = 0
+                THEN 1.0
+                ELSE round((s_nij - s_a * 1.0 * s_b
+                                    / (n * (n - 1) // 2))
+                           / ((s_a + s_b) / 2.0
+                              - s_a * 1.0 * s_b
+                                / (n * (n - 1) // 2)), 6)
+           END AS ari
+    FROM t0, t1, t2, t3 WHERE n > 0
     """
 
     # B-cubed over the ivf_assign partition vs the gold label column:

@@ -242,3 +242,54 @@ def bcubed(assignments: DataFrame, gold: DataFrame,
                 .otherwise(F.round(
                     2 * F.col("bcubed_p") * F.col("bcubed_r")
                     / (F.col("bcubed_p") + F.col("bcubed_r")), 6))))
+
+
+def adjusted_rand(assignments: DataFrame, gold: DataFrame,
+                  id_col: str = "id", cluster_col: str = "cluster",
+                  gold_col: str = "gold") -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) — the chance-
+    corrected pair-agreement metric, computed WITHOUT any pair join:
+    every term is a sum of C(m, 2) over contingency-table counts
+    (overlaps n_ij, row sums a_i, column sums b_j), all exact longs;
+    the index itself is one float expression of those exact sums.
+
+    Returns ONE row: (n, sum_comb_nij, sum_comb_a, sum_comb_b, ari).
+    ARI = (Σij C(n_ij,2) − E) / (M − E) with
+    E = ΣC(a_i,2)·ΣC(b_j,2)/C(n,2), M = (ΣC(a_i,2)+ΣC(b_j,2))/2;
+    1.0 when the denominator is 0 (both partitions all-singletons or
+    one cluster — identical by construction there), rounded 6dp.
+
+    Scale shape: identical to bcubed — three group-count aggregates
+    and scalar folds; the C(n,2)-sized pair space is never
+    materialized.
+    """
+    j = (assignments.select(F.col(id_col).alias("id"),
+                            F.col(cluster_col).alias("c"))
+         .join(gold.select(F.col(id_col).alias("id"),
+                           F.col(gold_col).alias("g")), on="id"))
+
+    def _comb2(col):
+        return (F.col(col) * (F.col(col) - 1) / 2).cast("long")
+
+    nij = (j.groupBy("c", "g").agg(F.count(F.lit(1)).alias("m"))
+           .agg(F.sum(_comb2("m")).cast("long").alias("s_nij")))
+    ai = (j.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+          .agg(F.sum(_comb2("m")).cast("long").alias("s_a")))
+    bj = (j.groupBy("g").agg(F.count(F.lit(1)).alias("m"))
+          .agg(F.sum(_comb2("m")).cast("long").alias("s_b")))
+    n = j.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (n.crossJoin(nij).crossJoin(ai).crossJoin(bj)
+           .where(F.col("n") > 0))
+    cn2 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    # s_a * s_b is ~n^4: compute the expectation in double (the final
+    # ratio is rounded 6dp; both engines do the same IEEE ops)
+    e = F.col("s_a").cast("double") * F.col("s_b") / cn2
+    m = (F.col("s_a") + F.col("s_b")) / 2.0
+    return out.select(
+        "n",
+        F.col("s_nij").alias("sum_comb_nij"),
+        F.col("s_a").alias("sum_comb_a"),
+        F.col("s_b").alias("sum_comb_b"),
+        F.when(m - e == 0, F.lit(1.0))
+        .otherwise(F.round((F.col("s_nij") - e) / (m - e), 6))
+        .alias("ari"))

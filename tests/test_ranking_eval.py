@@ -231,3 +231,35 @@ def test_bcubed_empty(spark):
     a = spark.createDataFrame([], "id long, cluster long")
     g = spark.createDataFrame([], "id long, gold long")
     assert bcubed(a, g).count() == 0
+
+
+def test_ari_textbook_example_and_identity(spark):
+    from mms_rdf_spark.operators.evalmetrics import adjusted_rand
+
+    a = spark.createDataFrame([(i, v) for i, v in
+                               enumerate([0, 0, 0, 1, 1, 1])],
+                              "id long, cluster long")
+    g = spark.createDataFrame([(i, v) for i, v in
+                               enumerate([0, 0, 1, 1, 2, 2])],
+                              "id long, gold long")
+    r = adjusted_rand(a, g).collect()[0]
+    assert r.ari == 0.242424  # Hubert-Arabie worked example family
+    assert (r.sum_comb_nij, r.sum_comb_a, r.sum_comb_b) == (2, 6, 3)
+    same = adjusted_rand(
+        a, a.withColumnRenamed("cluster", "gold")).collect()[0]
+    assert same.ari == 1.0
+
+
+def test_ari_random_labels_near_zero_and_degenerate(spark):
+    from mms_rdf_spark.operators.evalmetrics import adjusted_rand
+
+    # all-singletons vs all-singletons: denominator 0 -> defined 1.0
+    a = spark.createDataFrame([(i, i) for i in range(5)],
+                              "id long, cluster long")
+    r = adjusted_rand(
+        a, a.withColumnRenamed("cluster", "gold")).collect()[0]
+    assert r.ari == 1.0
+    # empty input: no row
+    e = spark.createDataFrame([], "id long, cluster long")
+    assert adjusted_rand(
+        e, e.withColumnRenamed("cluster", "gold")).count() == 0
