@@ -898,6 +898,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.select("vec_id", "label"), id_col="vec_id",
             cluster_col="centroid_id", gold_col="label")
 
+    def sim_nmi(spark, sf):
+        # NMI (max normalization) of the IVF partition vs gold labels
+        # — exact nano-unit ln sums, one final division
+        from mms_rdf_spark.operators.evalmetrics import (
+            normalized_mutual_info,
+        )
+        e = _emb(spark, sf)
+        return normalized_mutual_info(
+            S.ivf_assign(e).select("vec_id", "centroid_id"),
+            e.select("vec_id", "label"), id_col="vec_id",
+            cluster_col="centroid_id", gold_col="label")
+
     def sim_standardize(spark, sf):
         return S.standardize_embeddings(_emb(spark, sf))
 
@@ -3527,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": dedup_winnow,
         "sim_bcubed": sim_bcubed,
         "sim_ari": sim_ari,
+        "sim_nmi": sim_nmi,
     }
 
 
@@ -6993,6 +7006,46 @@ def oracle_sql() -> dict[str, str]:
                      ELSE round(v / scale, 0) END)) AS INT) AS q,
            scale
     FROM d
+    """
+
+    # NMI: per-cell ln terms rounded 9dp -> nano longs -> exact sums
+    q["sim_nmi"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                      label
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+          WHERE vec_id % 100 = 0),
+    s AS (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.emb,
+                                                         c.c_emb), 6)
+                            DESC, c.centroid_id) AS rn
+        FROM e, c),
+    j AS (SELECT s.vec_id, s.centroid_id AS c, e.label AS g
+          FROM s JOIN e USING (vec_id) WHERE s.rn = 1),
+    t0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+    nij AS (SELECT c, g, count(*) AS m FROM j GROUP BY c, g),
+    ai AS (SELECT c, count(*) AS a FROM j GROUP BY c),
+    bj AS (SELECT g, count(*) AS b FROM j GROUP BY g),
+    mi AS (SELECT CAST(sum(CAST(round(round(
+                 (m * 1.0 / n) * ln(n * 1.0 * m / (a * 1.0 * b)), 9)
+                 * 1e9) AS BIGINT)) AS BIGINT) AS mi_nano
+           FROM nij JOIN ai USING (c) JOIN bj USING (g), t0),
+    hc AS (SELECT CAST(sum(CAST(round(round(
+                 -(a * 1.0 / n) * ln(a * 1.0 / n), 9)
+                 * 1e9) AS BIGINT)) AS BIGINT) AS hc_nano
+           FROM ai, t0),
+    hg AS (SELECT CAST(sum(CAST(round(round(
+                 -(b * 1.0 / n) * ln(b * 1.0 / n), 9)
+                 * 1e9) AS BIGINT)) AS BIGINT) AS hg_nano
+           FROM bj, t0)
+    SELECT n, mi_nano, hc_nano, hg_nano,
+           CASE WHEN greatest(hc_nano, hg_nano) = 0 THEN 1.0
+                ELSE round(mi_nano * 1.0 / greatest(hc_nano, hg_nano),
+                           6)
+           END AS nmi
+    FROM t0, mi, hc, hg WHERE n > 0
     """
 
     # ARI: exact C(m,2) sums over the contingency counts; expectation

@@ -293,3 +293,59 @@ def adjusted_rand(assignments: DataFrame, gold: DataFrame,
         F.when(m - e == 0, F.lit(1.0))
         .otherwise(F.round((F.col("s_nij") - e) / (m - e), 6))
         .alias("ari"))
+
+
+def normalized_mutual_info(assignments: DataFrame, gold: DataFrame,
+                           id_col: str = "id",
+                           cluster_col: str = "cluster",
+                           gold_col: str = "gold") -> DataFrame:
+    """NMI (max normalization): I(C;G) / max(H(C), H(G)) — completes
+    the clustering-eval triple with bcubed and adjusted_rand from the
+    SAME three group-count aggregates. Mutual information and both
+    entropies are computed as exact nano-unit long sums of per-cell
+    terms (each term's ln(...) rounded 9dp before scaling — the repo's
+    transcendental recipe), so the sums are order-free and a SQL
+    oracle is bit-exact; only the final ratio is a float division.
+
+    I(C;G)  = Σ_ij (n_ij/n)·ln(n·n_ij/(a_i·b_j))
+    H(C)    = −Σ_i (a_i/n)·ln(a_i/n)
+    Returns ONE row: (n, mi_nano, hc_nano, hg_nano, nmi) with nmi
+    rounded 6dp, and 1.0 when both entropies are 0 (single cluster ==
+    single class). Never a pair join; ~|C|·|G| cells at most.
+    """
+    j = (assignments.select(F.col(id_col).alias("id"),
+                            F.col(cluster_col).alias("c"))
+         .join(gold.select(F.col(id_col).alias("id"),
+                           F.col(gold_col).alias("g")), on="id"))
+    n = j.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nij = j.groupBy("c", "g").agg(F.count(F.lit(1)).alias("m"))
+    ai = j.groupBy("c").agg(F.count(F.lit(1)).alias("a"))
+    bj = j.groupBy("g").agg(F.count(F.lit(1)).alias("b"))
+
+    def _nano(x):
+        return F.round(F.round(x, 9) * 1e9).cast("long")
+
+    mi = (nij.join(ai, on="c").join(bj, on="g").crossJoin(n)
+          .select(_nano((F.col("m") / F.col("n"))
+                        * F.log(F.col("n").cast("double") * F.col("m")
+                                / (F.col("a") * F.col("b"))))
+                  .alias("t"))
+          .agg(F.sum("t").cast("long").alias("mi_nano")))
+
+    def _entropy(sizes: DataFrame, col: str, out: str) -> DataFrame:
+        return (sizes.crossJoin(n)
+                .select(_nano(-(F.col(col) / F.col("n"))
+                              * F.log(F.col(col) / F.col("n")))
+                        .alias("t"))
+                .agg(F.sum("t").cast("long").alias(out)))
+
+    hc = _entropy(ai, "a", "hc_nano")
+    hg = _entropy(bj, "b", "hg_nano")
+    out = (n.crossJoin(mi).crossJoin(hc).crossJoin(hg)
+           .where(F.col("n") > 0))
+    return out.select(
+        "n", "mi_nano", "hc_nano", "hg_nano",
+        F.when(F.greatest("hc_nano", "hg_nano") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("mi_nano")
+                           / F.greatest("hc_nano", "hg_nano")
+                           .cast("double"), 6)).alias("nmi"))

@@ -263,3 +263,36 @@ def test_ari_random_labels_near_zero_and_degenerate(spark):
     e = spark.createDataFrame([], "id long, cluster long")
     assert adjusted_rand(
         e, e.withColumnRenamed("cluster", "gold")).count() == 0
+
+
+def test_nmi_hand_values_and_identity(spark):
+    from mms_rdf_spark.operators.evalmetrics import (
+        normalized_mutual_info,
+    )
+
+    a = spark.createDataFrame([(i, v) for i, v in
+                               enumerate([0, 0, 0, 1, 1, 1])],
+                              "id long, cluster long")
+    g = spark.createDataFrame([(i, v) for i, v in
+                               enumerate([0, 0, 1, 1, 2, 2])],
+                              "id long, gold long")
+    r = normalized_mutual_info(a, g).collect()[0]
+    assert (r.mi_nano, r.hc_nano, r.hg_nano) == (
+        462098120, 693147180, 1098612288)
+    assert r.nmi == 0.42062
+    same = normalized_mutual_info(
+        a, a.withColumnRenamed("cluster", "gold")).collect()[0]
+    assert same.nmi == 1.0
+
+
+def test_nmi_degenerate_single_class(spark):
+    from mms_rdf_spark.operators.evalmetrics import (
+        normalized_mutual_info,
+    )
+
+    a = spark.createDataFrame([(i, 0) for i in range(4)],
+                              "id long, cluster long")
+    r = normalized_mutual_info(
+        a, a.withColumnRenamed("cluster", "gold")).collect()[0]
+    # both entropies 0 -> defined 1.0 (identical by construction)
+    assert r.nmi == 1.0 and r.hc_nano == 0
