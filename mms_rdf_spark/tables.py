@@ -145,3 +145,57 @@ def _clear_stale_managed_dir(spark: SparkSession, table: str) -> None:
             else f"{parts[0]}.db/{parts[1]}"
         shutil.rmtree(urlparse(f"{warehouse}/{rel}").path,
                       ignore_errors=True)
+
+
+def compact_table(spark: SparkSession, target: str,
+                  target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction — the maintenance pass every streaming /
+    incremental writer needs at scale (micro-batch commits leave
+    kilobyte part files; a 100 TB scan over millions of tiny files is
+    metadata-bound long before it is IO-bound). Iceberg deployments
+    run rewrite_data_files; this is the parquet-path twin through the
+    same seam.
+
+    Bin-packs `target` (a parquet directory) into
+    ceil(total_bytes / target_bytes) files, preserving rows exactly
+    (content equality is the contract; the file COUNT is the
+    observable). Crash-safe: the compacted copy is written to a
+    sibling temp dir first, the original moved aside, the new one
+    renamed into place, and the old data removed last — a crash
+    leaves either the old dir or the new dir complete, never a
+    half-written target (same discipline as streaming/snapshot.py,
+    minus the version history a one-shot maintenance op doesn't need).
+
+    Returns {"files_before", "files_after", "bytes", "target"}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if not _is_path(target) or not os.path.isdir(target):
+        raise ValueError("compact_table: parquet directory targets "
+                         "only (Iceberg tables: rewrite_data_files)")
+
+    def _parts(d: str) -> list[str]:
+        out = []
+        for root, _, files in os.walk(d):
+            out += [os.path.join(root, f) for f in files
+                    if f.endswith(".parquet")]
+        return out
+
+    before = _parts(target)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(target)
+    tmp = f"{target.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    # coalesce, not repartition: packing needs no shuffle, only fewer
+    # output tasks (row order within files is not part of the contract)
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = f"{target.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.replace(target, old) if os.path.isfile(target) else \
+        shutil.move(target, old)
+    shutil.move(tmp, target)
+    shutil.rmtree(old)
+    return {"files_before": len(before),
+            "files_after": len(_parts(target)),
+            "bytes": int(total), "target": target}

@@ -100,3 +100,35 @@ def test_iceberg_bucket_transform_and_snapshot(tmp_path):
         assert read_table(spark, "iceberg_cat.db.t").count() == 50
     finally:
         spark.stop()
+
+
+def test_compact_table_preserves_rows_and_shrinks_files(spark, tmp_path):
+    import os
+
+    from mms_rdf_spark.tables import compact_table
+
+    target = str(tmp_path / "t")
+    # simulate a micro-batch writer: many tiny appends
+    for i in range(6):
+        (spark.range(i * 100, (i + 1) * 100)
+         .withColumnRenamed("id", "k")
+         .repartition(4)
+         .write.mode("append").parquet(target))
+    before = {r.k for r in spark.read.parquet(target).collect()}
+    man = compact_table(spark, target, target_bytes=1 << 30)
+    assert man["files_after"] == 1
+    assert man["files_before"] >= 6
+    after = {r.k for r in spark.read.parquet(target).collect()}
+    assert after == before and len(after) == 600
+    # no stragglers left behind
+    assert not [d for d in os.listdir(tmp_path)
+                if "__old_" in d or "__compact_" in d]
+
+
+def test_compact_table_rejects_catalog_targets(spark):
+    import pytest
+
+    from mms_rdf_spark.tables import compact_table
+
+    with pytest.raises(ValueError):
+        compact_table(spark, "some_catalog_table")
