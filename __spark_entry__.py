@@ -1349,6 +1349,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fuzzy_edit_pairs(p, "p_partkey", "p_name", "blk",
                                 max_dist=2)
 
+    def link_sorted_parts(spark, sf):
+        # sorted-neighborhood blocking (Hernandez & Stolfo merge/purge):
+        # rank-adjacent candidate pairs — linear output, skew-free by
+        # construction (<= window-1 partners per record)
+        from mms_rdf_spark.operators.link import (
+            sorted_neighborhood_pairs,
+        )
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        return sorted_neighborhood_pairs(p, "p_partkey", "p_name",
+                                         window=5)
+
     def link_jw_parts(spark, sf):
         # Jaro-Winkler blocked matching over part names (the Winkler
         # 1990 record-linkage scorer); the Python scorer is fuzz-pinned
@@ -3540,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bcubed": sim_bcubed,
         "sim_ari": sim_ari,
         "sim_nmi": sim_nmi,
+        "link_sorted_parts": link_sorted_parts,
     }
 
 
@@ -4854,6 +4866,18 @@ def oracle_sql() -> dict[str, str]:
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     WHERE abs(a.ln - b.ln) <= 2
       AND levenshtein(a.p_name, b.p_name) <= 2
+    """
+
+    # sorted-neighborhood: rank adjacency under the (name, id) total
+    # order — row_number windows agree with global_rank exactly
+    q["link_sorted_parts"] = """
+    WITH r AS (SELECT p_partkey AS id,
+                      row_number() OVER (ORDER BY p_name, p_partkey)
+                          AS rk
+               FROM part)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(b.rk - a.rk AS BIGINT) AS gap
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 5
     """
 
     # Jaro-Winkler blocked matching; the engine builtin is bit-for-bit
