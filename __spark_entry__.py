@@ -2610,6 +2610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"signup": "s", "view": "v", "click": "c",
              "purchase": "p", "error": "e"})
 
+    def text_tiling(spark, sf):
+        # TextTiling (Hearst 1997) over each source's document stream:
+        # adjacent-Jaccard cohesion, valley depth, mean - c*std cutoff
+        from mms_rdf_spark.operators.textstats import texttiling
+        return texttiling(_docs(spark, sf), "source", "doc_id", "text")
+
     def events_seasonal_decomp(spark, sf):
         # classical additive decomposition of the hourly count series:
         # trend (centered 2x24 MA in exact 48ths), hour-of-day
@@ -3552,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ari": sim_ari,
         "sim_nmi": sim_nmi,
         "link_sorted_parts": link_sorted_parts,
+        "text_tiling": text_tiling,
     }
 
 
@@ -7030,6 +7037,54 @@ def oracle_sql() -> dict[str, str]:
                      ELSE round(v / scale, 0) END)) AS INT) AS q,
            scale
     FROM d
+    """
+
+    # TextTiling: adjacent-Jaccard cohesion (6dp micro longs), valley
+    # depth, Hearst cutoff mean - 0.5*std from exact sums; <2-gap
+    # sequences pinned non-boundary
+    q["text_tiling"] = f"""
+    WITH b AS (
+        SELECT source AS k, doc_id AS i,
+               list_distinct({_TOKS_SQL.replace(
+                   "text", "coalesce(text,'')")}) AS t
+        FROM documents),
+    s0 AS (SELECT k, i, t,
+                  lead(t) OVER (PARTITION BY k ORDER BY i) AS tn
+           FROM b),
+    s1 AS (
+        SELECT k, i,
+               round(CASE WHEN len(list_distinct(list_concat(t, tn)))
+                               > 0
+                    THEN len(list_intersect(t, tn)) * 1.0
+                         / len(list_distinct(list_concat(t, tn)))
+                    ELSE 0.0 END, 6) AS s
+        FROM s0 WHERE tn IS NOT NULL),
+    s2 AS (SELECT k, i, s, CAST(round(s * 1e6) AS BIGINT) AS sm
+           FROM s1),
+    s3 AS (SELECT k, i, s, sm,
+                  lag(sm) OVER (PARTITION BY k ORDER BY i) AS pm,
+                  lead(sm) OVER (PARTITION BY k ORDER BY i) AS nm
+           FROM s2),
+    s4 AS (
+        SELECT k, i, s,
+               CAST(greatest(coalesce(pm, sm) - sm, 0)
+                    + greatest(coalesce(nm, sm) - sm, 0) AS BIGINT)
+                   AS dm
+        FROM s3),
+    s5 AS (
+        SELECT k, i, s, dm,
+               count(*) OVER (PARTITION BY k) AS n,
+               CAST(sum(dm) OVER (PARTITION BY k) AS BIGINT) AS sd,
+               CAST(sum(dm * dm) OVER (PARTITION BY k) AS BIGINT)
+                   AS sd2
+        FROM s4)
+    SELECT k AS key, CAST(i AS BIGINT) AS gap_idx, s AS score,
+           round(dm / 1e6, 6) AS depth,
+           CASE WHEN n >= 2 THEN dm > (sd * 1.0 / n)
+                    - 0.5 * sqrt(greatest(sd2 * 1.0 / n
+                        - (sd * 1.0 / n) * (sd * 1.0 / n), 0.0))
+                ELSE FALSE END AS is_boundary
+    FROM s5
     """
 
     # NMI: per-cell ln terms rounded 9dp -> nano longs -> exact sums

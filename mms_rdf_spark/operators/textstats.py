@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # small English stopword list (fixed: part of the operator contract)
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
@@ -745,3 +746,82 @@ def kneser_ney_scores(docs: DataFrame,
             .agg(n.alias("n_bigrams"),
                  F.round((F.sum("_lpu") / n) / 1e6, 6)
                  .alias("avg_logprob")))
+
+
+def texttiling(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    text_col: str,
+    c: float = 0.5,
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst, CL 1997) over any
+    ordered text sequence (turns of a conversation, documents of a
+    source stream): per gap between consecutive items, lexical
+    cohesion = Jaccard of the two sides' distinct token sets; depth
+    score = max(0, s_prev − s) + max(0, s_next − s) (the valley form);
+    a gap is a boundary when its depth exceeds Hearst's cutoff
+    mean(depth) − c·std(depth), computed per sequence.
+
+    Returns (key, gap_idx, score, depth, is_boundary): gap_idx is the
+    idx of the LEFT item; score/depth are 6dp. Sequences with < 2 gaps
+    have no std — their gaps are never boundaries (cutoff undefined →
+    false, pinned).
+
+    Determinism: scores and depths are 6dp-rounded then held as exact
+    1e6 micro-unit longs; mean/std come from exact Σd and Σd² (one
+    sqrt, identical IEEE both engines); the boundary comparison is
+    long-vs-identically-computed-double, so engines can never split.
+
+    Scale shape: one (key) exchange for the ordered window (lead/lag
+    over the sequence); token sets never leave their row (array
+    intersect/union inside codegen); the per-key stats broadcast back
+    via a window aggregate sharing the SAME partitioning. Hot keys own
+    their own sequence length only.
+    """
+    from mms_rdf_spark.operators.dedup import _tokens
+
+    w = Window.partitionBy("_k").orderBy("_i")
+    base = df.select(F.col(key_col).alias("_k"),
+                     F.col(idx_col).alias("_i"),
+                     F.array_distinct(_tokens(
+                         F.coalesce(F.col(text_col), F.lit(""))))
+                     .alias("_t"))
+    nxt = F.lead("_t").over(w)
+    scored = (base
+              .withColumn("_tn", nxt)
+              .where(F.col("_tn").isNotNull())
+              .withColumn(
+                  "_s",
+                  F.round(F.when(
+                      F.size(F.array_union("_t", "_tn")) > 0,
+                      F.size(F.array_intersect("_t", "_tn"))
+                      / F.size(F.array_union("_t", "_tn")))
+                      .otherwise(F.lit(0.0)), 6))
+              .withColumn("_sm",
+                          F.round(F.col("_s") * 1e6).cast("long")))
+    d = (scored
+         .withColumn("_pm", F.lag("_sm").over(w))
+         .withColumn("_nm", F.lead("_sm").over(w))
+         .withColumn(
+             "_dm",
+             (F.greatest(F.coalesce("_pm", F.col("_sm")) - F.col("_sm"),
+                         F.lit(0))
+              + F.greatest(F.coalesce("_nm", F.col("_sm"))
+                           - F.col("_sm"), F.lit(0))).cast("long")))
+    stats = Window.partitionBy("_k")
+    d = (d.withColumn("_n", F.count(F.lit(1)).over(stats))
+         .withColumn("_sd", F.sum("_dm").over(stats))
+         .withColumn("_sd2", F.sum(F.col("_dm") * F.col("_dm"))
+                     .over(stats)))
+    mean = F.col("_sd") / F.col("_n")
+    var = F.col("_sd2") / F.col("_n") - mean * mean
+    cutoff = mean - c * F.sqrt(F.greatest(var, F.lit(0.0)))
+    return d.select(
+        F.col("_k").alias("key"),
+        F.col("_i").cast("long").alias("gap_idx"),
+        F.col("_s").alias("score"),
+        F.round(F.col("_dm") / 1e6, 6).alias("depth"),
+        F.when(F.col("_n") >= 2,
+               F.col("_dm") > cutoff).otherwise(F.lit(False))
+        .alias("is_boundary"))

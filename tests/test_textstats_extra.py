@@ -70,3 +70,35 @@ def test_kneser_ney_empty_and_null_text(spark):
     docs = spark.createDataFrame(
         [(1, None), (2, "")], "doc_id int, text string")
     assert kneser_ney_scores(docs).count() == 0
+
+
+def test_texttiling_sharp_topic_shift_is_boundary(spark):
+    from mms_rdf_spark.operators.textstats import texttiling
+
+    rows = [(0, "cats purr cats meow"), (1, "cats purr softly"),
+            (2, "cats meow purr"),
+            (3, "quarks gluons bosons"), (4, "gluons quarks decay"),
+            (5, "bosons quarks gluons spin")]
+    df = spark.createDataFrame([("a", i, t) for i, t in rows],
+                               "src string, idx int, text string")
+    out = {r.gap_idx: r for r in
+           texttiling(df, "src", "idx", "text").collect()}
+    assert len(out) == 5  # n-1 gaps
+    # the topic shift at gap 2 (cats -> physics) has score 0 and the
+    # deepest valley; it must be the boundary
+    assert out[2].score == 0.0 and out[2].is_boundary
+    assert not out[0].is_boundary and not out[3].is_boundary
+
+
+def test_texttiling_short_sequences_never_boundary(spark):
+    from mms_rdf_spark.operators.textstats import texttiling
+
+    # 2 items -> 1 gap -> no std -> pinned false
+    df = spark.createDataFrame(
+        [("a", 0, "x y"), ("a", 1, "p q")],
+        "src string, idx int, text string")
+    out = texttiling(df, "src", "idx", "text").collect()
+    assert len(out) == 1 and not out[0].is_boundary
+    # empty input
+    e = spark.createDataFrame([], "src string, idx int, text string")
+    assert texttiling(e, "src", "idx", "text").count() == 0
