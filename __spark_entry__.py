@@ -2655,6 +2655,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .distinct())
         return k_truss(e, k=4, rounds=2, src="a", dst="b")
 
+    def kg_seeded_lpa(spark, sf):
+        # semi-supervised node classification (Zhu-Ghahramani hard
+        # clamp): brands seed every 40th part; 2 synchronous rounds
+        # over the co-purchase graph; oracle unrolls the same rounds
+        from mms_rdf_spark.operators.pagerank import (
+            seeded_label_propagation,
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        lp = li.select("l_orderkey", "l_partkey").distinct()
+        x, y = lp.alias("x"), lp.alias("y")
+        e = (x.join(y, on="l_orderkey")
+             .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .select(F.col("x.l_partkey").alias("src"),
+                     F.col("y.l_partkey").alias("dst"))
+             .distinct())
+        seeds = (spark.read.parquet(f"{sf}/part.parquet")
+                 .where(F.col("p_partkey") % 40 == 0)
+                 .select(F.col("p_partkey").alias("node"),
+                         F.col("p_brand").alias("label")))
+        return seeded_label_propagation(e, seeds, iters=2)
+
     def kg_eccentricity(spark, sf):
         # exact per-node eccentricity over the thresholded transition
         # digraph (radius = min non-sink ecc, diameter = max)
@@ -3559,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_nmi": sim_nmi,
         "link_sorted_parts": link_sorted_parts,
         "text_tiling": text_tiling,
+        "kg_seeded_lpa": kg_seeded_lpa,
     }
 
 
@@ -8785,6 +8807,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.a, s.b FROM s{i - 1} s
         JOIN u{i} u ON s.a = u.a AND s.b = u.b WHERE u.c >= 2
     )"""
+    # seeded LPA: 2 unrolled synchronous rounds, argmax (cnt DESC,
+    # label ASC), seeds hard-clamped (anti-joined out of each argmax)
+    q["kg_seeded_lpa"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lp x JOIN lp y
+             ON x.l_orderkey = y.l_orderkey
+            AND x.l_partkey < y.l_partkey),
+    und AS (SELECT a AS u, b AS v FROM e0
+            UNION SELECT b AS u, a AS v FROM e0),
+    seed AS (SELECT p_partkey AS node, min(p_brand) AS label
+             FROM part WHERE p_partkey % 40 = 0 GROUP BY 1),
+    m1 AS (SELECT und.v AS node, l.label
+           FROM und JOIN seed l ON und.u = l.node),
+    c1 AS (SELECT node, label, count(*) AS cnt FROM m1 GROUP BY 1, 2),
+    a1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+    l1 AS (SELECT * FROM seed
+           UNION ALL
+           SELECT a1.node, a1.label FROM a1
+           LEFT JOIN seed s ON a1.node = s.node WHERE s.node IS NULL),
+    m2 AS (SELECT und.v AS node, l.label
+           FROM und JOIN l1 l ON und.u = l.node),
+    c2 AS (SELECT node, label, count(*) AS cnt FROM m2 GROUP BY 1, 2),
+    a2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, label) AS rn
+               FROM c2) WHERE rn = 1),
+    l2 AS (SELECT * FROM seed
+           UNION ALL
+           SELECT a2.node, a2.label FROM a2
+           LEFT JOIN seed s ON a2.node = s.node WHERE s.node IS NULL)
+    SELECT l2.node, l2.label, s.node IS NOT NULL AS is_seed
+    FROM l2 LEFT JOIN seed s ON l2.node = s.node
+    """
+
     q["kg_ktruss"] = kt + """
     SELECT s.a, s.b, CAST(coalesce(u.c, 0) AS BIGINT) AS support
     FROM s2 s LEFT JOIN u3 u ON s.a = u.a AND s.b = u.b

@@ -1911,3 +1911,64 @@ def boruvka_mst(
                     F.coalesce("component", F.col("c")).alias("c"))
             .repartition(p, "node"))
     return forest.select("a", "b", "w")
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised node classification by seeded label propagation
+    (Zhu & Ghahramani 2002, hard-clamp variant): seed nodes keep their
+    label forever; every other node adopts, each synchronous round,
+    the most frequent label among its CURRENTLY-labeled neighbors
+    (ties broken label-ascending — deterministic); nodes no labeled
+    neighbor has reached stay unlabeled. Bounded `iters` rounds (the
+    classification analog of label_propagation above, which seeds
+    every node with itself for community detection).
+
+    Returns (node, label, is_seed) for every node that HAS a label
+    after the final round.
+
+    Scale shape: per round, one message join (labels x both edge
+    directions), one (node, label) count aggregate, one argmax window
+    over label-count rows (each node owns its distinct-neighbor-label
+    rows only); labels are localCheckpointed per round so the lineage
+    stays round-deep, not geometric.
+    """
+    from pyspark.sql.window import Window
+
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .unionByName(edges.select(F.col(dst).alias("u"),
+                                     F.col(src).alias("v")))
+           .distinct().localCheckpoint())
+    # conflicting seed labels for one node resolve to the min label
+    # (deterministic; ill-formed input, not silently doubled)
+    seed_t = (seeds.select(F.col(node_col).alias("node"),
+                           F.col(label_col).alias("label"))
+              .groupBy("node").agg(F.min("label").alias("label"))
+              .localCheckpoint())
+    labels = seed_t
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(iters):
+        msgs = (und.join(labels.withColumnRenamed("node", "u"),
+                         on="u")
+                .select(F.col("v").alias("node"), "label"))
+        counts = (msgs.groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        argmax = (counts.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1)
+                  .select("node", "label"))
+        labels = (seed_t.unionByName(
+            argmax.join(seed_t.select("node"), on="node",
+                        how="left_anti"))
+            .localCheckpoint())
+    return labels.join(
+        seed_t.select("node", F.lit(True).alias("is_seed")),
+        on="node", how="left").na.fill({"is_seed": False}) \
+        .select("node", "label", "is_seed")
