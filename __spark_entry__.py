@@ -1274,6 +1274,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return hll_distinct(ev, "event_type", "user_id")
 
+    def sketch_mg_hitters(spark, sf):
+        # Misra-Gries frequent items (mergeable form): summary
+        # contents are partition-dependent by nature — rows-only;
+        # the guarantee is certified by sketch_mg_cert
+        from mms_rdf_spark.operators.sketch import mg_heavy_hitters
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return mg_heavy_hitters(ev, "event_type", k=3)
+
+    def sketch_mg_cert(spark, sf):
+        # self-certifying: every item with exact count > n/(k+1) is
+        # present AND every estimate within [true - n/(k+1), true]
+        from mms_rdf_spark.operators.sketch import mg_certificate
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return mg_certificate(ev, "event_type", k=3)
+
     def events_zorder(spark, sf):
         from mms_rdf_spark.operators.layout import zorder_key
         from mms_rdf_spark.operators.temporal import _epoch_s
@@ -3581,6 +3596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_sorted_parts": link_sorted_parts,
         "text_tiling": text_tiling,
         "kg_seeded_lpa": kg_seeded_lpa,
+        "sketch_mg_hitters": sketch_mg_hitters,
+        "sketch_mg_cert": sketch_mg_cert,
     }
 
 
@@ -4651,6 +4668,18 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
                AS n_exact, TRUE AS ok
     FROM events GROUP BY event_type
+    """
+
+    # MG cert: the guarantee holds or the hash fails (ok = TRUE);
+    # n / n_over_k1 / n_guaranteed are exact engine-agnostic values
+    q["sketch_mg_cert"] = """
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+    e AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1)
+    SELECT n, round(n / 4.0, 6) AS n_over_k1,
+           CAST((SELECT count(*) FROM e, t WHERE c > n / 4.0)
+                AS BIGINT) AS n_guaranteed,
+           TRUE AS ok
+    FROM t
     """
 
     # Morton interleave mirrored operation-for-operation (the product

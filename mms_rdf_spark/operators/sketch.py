@@ -29,6 +29,7 @@ double in every engine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -371,3 +372,81 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, col: str,
     return (pcells.join(F.broadcast(cms), on=["d", "w"], how="left")
             .select("value", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
             .groupBy("value").agg(F.min("c").alias("est")))
+
+
+def mg_heavy_hitters(df: DataFrame, col: str, k: int = 16) -> DataFrame:
+    """Misra-Gries heavy hitters with k counters — the deterministic
+    frequent-items summary (mergeable form, Agarwal et al. PODS 2012):
+    per-partition MG summaries (Arrow mapInPandas, k counters each)
+    merge by summing per-item counts and subtracting the (k+1)-st
+    largest merged count from every item (the mergeability theorem —
+    error bounds ADD across merges and stay <= n/(k+1)).
+
+    Returns (item, est_count): every item with true count > n/(k+1)
+    is guaranteed present; each estimate satisfies
+    true - n/(k+1) <= est <= true. The SUMMARY CONTENTS depend on
+    partition layout (like any MG deployment), so the contract row is
+    the self-certifying companion `mg_certificate` (the
+    quantiles/HLL/CMS pattern): the guarantee is cross-engine
+    checkable even though the summary is not.
+
+    Scale shape: one corpus scan; each task carries k counters; the
+    driver merges P summaries of <= k rows (P·k integers, not data).
+    """
+    if k < 1:
+        raise ValueError("mg_heavy_hitters: k >= 1")
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col].astype(str):
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    drop = [key for key in counters
+                            if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in drop:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters),
+                            "cnt": [counters[i] for i in counters]})
+
+    partial = df.select(F.col(col).cast("string").alias(col)) \
+        .mapInPandas(_mg, "item string, cnt long")
+    rows = partial.groupBy("item").agg(F.sum("cnt").alias("cnt")) \
+        .collect()  # <= P*k rows by construction — a driver fold
+    merged = sorted(((r.item, int(r.cnt)) for r in rows),
+                    key=lambda t: (-t[1], t[0]))
+    sub = merged[k][1] if len(merged) > k else 0
+    out = [(i, c - sub) for i, c in merged[:k] if c - sub > 0]
+    spark = df.sparkSession
+    return spark.createDataFrame(out, "item string, est_count long")
+
+
+def mg_certificate(df: DataFrame, col: str, k: int = 16) -> DataFrame:
+    """Self-certifying gate for mg_heavy_hitters (the HLL/CMS cert
+    pattern): ONE row (n, n_over_k1, n_guaranteed, ok) with ok = TRUE
+    iff (a) every item whose EXACT count exceeds n/(k+1) appears in
+    the summary, and (b) every reported estimate e satisfies
+    exact - n/(k+1) <= e <= exact. A violation of either clause is a
+    bug in the sketch, and it fails the contract hash loudly."""
+    hh = mg_heavy_hitters(df, col, k)
+    exact = (df.select(F.col(col).cast("string").alias("item"))
+             .groupBy("item").agg(F.count(F.lit(1)).alias("n_true")))
+    n = df.count()
+    bound = n / (k + 1)
+    j = exact.join(hh, on="item", how="full_outer")
+    bad_missing = j.where(F.col("n_true") > bound) \
+        .where(F.col("est_count").isNull()).count()
+    bad_est = j.where(F.col("est_count").isNotNull()).where(
+        (F.col("est_count") > F.col("n_true"))
+        | (F.col("est_count") < F.col("n_true") - bound)).count()
+    n_guar = exact.where(F.col("n_true") > bound).count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(n), float(round(bound, 6)), int(n_guar),
+          bad_missing == 0 and bad_est == 0)],
+        "n long, n_over_k1 double, n_guaranteed long, ok boolean")

@@ -203,3 +203,46 @@ def test_cms_params_recovered_and_mismatch_fails_loudly(spark):
     other = cms_build(ev, "t", depth=3, width=128)
     with pytest.raises(ValueError, match="widths"):
         cms_merge(small, other)
+
+
+def test_mg_guarantee_on_skewed_stream(spark):
+    from mms_rdf_spark.operators.sketch import (
+        mg_certificate, mg_heavy_hitters)
+
+    # zipf-ish: item i has ~N/i occurrences; k=8 guarantees items
+    # with count > n/9
+    rows = []
+    for i in range(1, 40):
+        rows += [(f"item{i}",)] * (2000 // i)
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    hh = {r.item: r.est_count
+          for r in mg_heavy_hitters(df, "v", k=8).collect()}
+    n = len(rows)
+    from collections import Counter
+    exact = Counter(v for (v,) in rows)
+    for item, c in exact.items():
+        if c > n / 9:
+            assert item in hh, item
+    for item, est in hh.items():
+        assert exact[item] - n / 9 <= est <= exact[item], item
+    cert = mg_certificate(df, "v", k=8).collect()[0]
+    assert cert.ok and cert.n == n and cert.n_guaranteed >= 1
+
+
+def test_mg_fewer_items_than_k_is_exact(spark):
+    from mms_rdf_spark.operators.sketch import mg_heavy_hitters
+
+    rows = [("a",)] * 5 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "v string").repartition(3)
+    got = {r.item: r.est_count
+           for r in mg_heavy_hitters(df, "v", k=8).collect()}
+    assert got == {"a": 5, "b": 3}  # no overflow ever -> exact
+
+
+def test_mg_empty(spark):
+    from mms_rdf_spark.operators.sketch import (
+        mg_certificate, mg_heavy_hitters)
+
+    df = spark.createDataFrame([], "v string")
+    assert mg_heavy_hitters(df, "v", k=4).count() == 0
+    assert mg_certificate(df, "v", k=4).collect()[0].ok
