@@ -333,6 +333,20 @@ def main() -> None:
         skeleton(louvain(g, levels=1, move_rounds=1)),
     ))
 
+    from mms_rdf_spark.operators.dedup import duplicated_spans
+
+    sections.append((
+        "Substring-level exact dedup (hash-only count shuffle)",
+        "The duplicate-test aggregate is map-side combined on "
+        "xxhash64 only (8-byte rows move, never the L-token gram "
+        "strings); the >=2 hash set comes back as a LeftSemi; the "
+        "exact-gram confirm window and the gaps-and-islands merge "
+        "run over the bounded survivor set "
+        "(tests/test_plans.py::test_dup_spans_count_shuffle_is_"
+        "hash_only).",
+        skeleton(duplicated_spans(docs2, length=3)),
+    ))
+
     out = ["# PLANS — captured physical plans (evidence for SCALE.md "
            "claims)", "",
            "Regenerated by `python tools/dump_plans.py` from live "
