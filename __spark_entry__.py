@@ -2625,6 +2625,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"signup": "s", "view": "v", "click": "c",
              "purchase": "p", "error": "e"})
 
+    def text_nb_kappa(spark, sf):
+        # Cohen's kappa between the NB language prediction and the
+        # gold lang column — the annotation-QC metric composed over
+        # the in-engine classifier
+        from mms_rdf_spark.operators.evalmetrics import cohens_kappa
+        from mms_rdf_spark.operators.mlops import nb_score, nb_train
+        docs = _docs(spark, sf)
+        w, m = nb_train(docs)
+        pred = nb_score(docs, w, m).select(
+            F.col("doc_id").alias("id"), F.col("pred").alias("label"))
+        gold = docs.select(F.col("doc_id").alias("id"),
+                           F.col("lang").alias("label"))
+        return cohens_kappa(pred, gold)
+
     def text_tiling(spark, sf):
         # TextTiling (Hearst 1997) over each source's document stream:
         # adjacent-Jaccard cohesion, valley depth, mean - c*std cutoff
@@ -3598,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_seeded_lpa": kg_seeded_lpa,
         "sketch_mg_hitters": sketch_mg_hitters,
         "sketch_mg_cert": sketch_mg_cert,
+        "text_nb_kappa": text_nb_kappa,
     }
 
 
@@ -8713,6 +8728,32 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY lp_micro DESC, label ASC) AS rn FROM lp)
     WHERE rn = 1
+    """
+
+    # Cohen's kappa over the NB prediction (the full NB chain rides
+    # along as a parenthesized subquery; kappa uses UNROUNDED po/pe
+    # internally, mirrored exactly)
+    q["text_nb_kappa"] = f"""
+    WITH j AS (
+        SELECT p.pred AS la, d.lang AS lb
+        FROM ({q["text_nb_lang"]}) p
+        JOIN documents d ON p.doc_id = d.doc_id),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_agree
+           FROM j),
+    ma AS (SELECT la AS l, count(*) AS na FROM j GROUP BY 1),
+    mb AS (SELECT lb AS l, count(*) AS nb FROM j GROUP BY 1),
+    pe AS (SELECT coalesce(sum(na * 1.0 * nb), 0.0) AS s
+           FROM ma JOIN mb USING (l))
+    SELECT n, n_agree,
+           round(n_agree * 1.0 / n, 6) AS po,
+           round(s / (n * 1.0 * n), 6) AS pe,
+           CASE WHEN s / (n * 1.0 * n) = 1.0 THEN 1.0
+                ELSE round((n_agree * 1.0 / n - s / (n * 1.0 * n))
+                           / (1.0 - s / (n * 1.0 * n)), 6)
+           END AS kappa
+    FROM nn, pe WHERE n > 0
     """
 
     q["text_feature_hash"] = f"""

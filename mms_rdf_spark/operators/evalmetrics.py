@@ -349,3 +349,50 @@ def normalized_mutual_info(assignments: DataFrame, gold: DataFrame,
         .otherwise(F.round(F.col("mi_nano")
                            / F.greatest("hc_nano", "hg_nano")
                            .cast("double"), 6)).alias("nmi"))
+
+
+def cohens_kappa(a: DataFrame, b: DataFrame, id_col: str = "id",
+                 label_a: str = "label", label_b: str = "label"
+                 ) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement
+    (Cohen 1960), the standard QC metric for label pipelines (human
+    vs human, model vs gold, two model raters): kappa =
+    (p_o − p_e) / (1 − p_e) with p_o the observed agreement rate and
+    p_e = Σ_l (n_a,l/n)(n_b,l/n) the chance agreement from the two
+    raters' marginals.
+
+    Returns ONE row (n, n_agree, po, pe, kappa): n/n_agree exact
+    longs; p_o one division; p_e from exact marginal products summed
+    in double over the label set (|labels| terms — tiny); kappa one
+    expression rounded 6dp, defined 1.0 when p_e == 1 (both raters
+    constant and equal — agreement is perfect by construction there;
+    otherwise the 0/0 form).
+
+    Scale shape: one id join + three group counts; the marginal
+    product sum is a |labels|-row fold. Nothing pairwise.
+    """
+    j = (a.select(F.col(id_col).alias("id"),
+                  F.col(label_a).alias("la"))
+         .join(b.select(F.col(id_col).alias("id"),
+                        F.col(label_b).alias("lb")), on="id"))
+    n = j.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum((F.col("la") == F.col("lb")).cast("long"))
+              .cast("long").alias("n_agree"))
+    ma = j.groupBy(F.col("la").alias("l")).agg(
+        F.count(F.lit(1)).alias("na"))
+    mb = j.groupBy(F.col("lb").alias("l")).agg(
+        F.count(F.lit(1)).alias("nb"))
+    pe = (ma.join(mb, on="l")
+          .agg(F.sum(F.col("na").cast("double") * F.col("nb"))
+               .alias("_s")))
+    out = n.crossJoin(pe).where(F.col("n") > 0) \
+        .na.fill({"_s": 0.0})
+    po = F.col("n_agree") / F.col("n")
+    pe_v = F.col("_s") / (F.col("n").cast("double") * F.col("n"))
+    return out.select(
+        "n", "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe_v, 6).alias("pe"),
+        F.when(pe_v == 1.0, F.lit(1.0))
+        .otherwise(F.round((po - pe_v) / (1.0 - pe_v), 6))
+        .alias("kappa"))

@@ -296,3 +296,33 @@ def test_nmi_degenerate_single_class(spark):
         a, a.withColumnRenamed("cluster", "gold")).collect()[0]
     # both entropies 0 -> defined 1.0 (identical by construction)
     assert r.nmi == 1.0 and r.hc_nano == 0
+
+
+def test_kappa_textbook_and_degenerates(spark):
+    from mms_rdf_spark.operators.evalmetrics import cohens_kappa
+
+    # classic 2x2 example: 50 items, a/b agree on 20 yes + 15 no,
+    # disagree 10+5 -> po=0.7, pe=0.5*0.55+0.5*0.45=0.5, kappa=0.4
+    rows = []
+    i = 0
+    for la, lb, cnt in [("y", "y", 20), ("n", "n", 15),
+                        ("y", "n", 10), ("n", "y", 5)]:
+        for _ in range(cnt):
+            rows.append((i, la, lb))
+            i += 1
+    a = spark.createDataFrame([(i, la) for i, la, _ in rows],
+                              "id long, label string")
+    b = spark.createDataFrame([(i, lb) for i, _, lb in rows],
+                              "id long, label string")
+    r = cohens_kappa(a, b).collect()[0]
+    assert (r.n, r.n_agree, r.po) == (50, 35, 0.7)
+    assert r.pe == 0.5 and r.kappa == 0.4
+    # identical raters -> kappa 1; constant-and-equal -> defined 1.0
+    same = cohens_kappa(a, a.withColumnRenamed("label", "label")
+                        ).collect()[0]
+    assert same.kappa == 1.0
+    const = spark.createDataFrame([(i, "x") for i in range(4)],
+                                  "id long, label string")
+    assert cohens_kappa(const, const).collect()[0].kappa == 1.0
+    e = spark.createDataFrame([], "id long, label string")
+    assert cohens_kappa(e, e).count() == 0
