@@ -96,3 +96,52 @@ def test_streaming_chain_matches_batch(spark, tmp_path):
     assert sorted(got_nodes.columns) == sorted(ref_nodes.columns)
     assert got_nodes[sorted(got_nodes.columns)] \
         .equals(ref_nodes[sorted(ref_nodes.columns)])
+
+
+def test_streaming_chain_with_entailment(spark, tmp_path):
+    """The chain extended by twin #16: RDFS entailment runs
+    incrementally over the streamed triple table, and the inferred
+    view equals the batch operator on the cumulative triples."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mms_rdf_spark.operators.materialize import rdfs_entailment
+    from mms_rdf_spark.streaming.entail import (
+        incremental_entailment, inferred_view)
+    from mms_rdf_spark.streaming.incremental import incremental_extract
+    from mms_rdf_spark.synth import make_transcripts
+
+    tdir = str(tmp_path / "transcripts")
+    trip = str(tmp_path / "triples")
+    store = str(tmp_path / "ent_store")
+    emit = str(tmp_path / "ent_emit")
+    os.makedirs(tdir, exist_ok=True)
+
+    tbox = spark.createDataFrame([
+        ("mms-class:ToolTurn", "rdfs:subClassOf", "mms-class:Turn"),
+        ("mms-class:UserTurn", "rdfs:subClassOf", "mms-class:Turn"),
+        ("mms-class:AssistantTurn", "rdfs:subClassOf",
+         "mms-class:Turn"),
+        ("mms-property:mentions", "rdfs:domain", "mms-class:Turn"),
+    ], "subject string, predicate string, object string")
+
+    pdf = make_transcripts(n_convs=10, seed=3, hot_conv_turns=20)
+    convs = sorted(pdf.conv_id.unique())
+    waves = [pdf[pdf.conv_id.isin(convs[:5])],
+             pdf[pdf.conv_id.isin(convs[5:])]]
+    for i, wave in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(wave.reset_index(drop=True)),
+            os.path.join(tdir, f"wave{i}.parquet"))
+        incremental_extract(spark, tdir, trip,
+                            str(tmp_path / "ckx")).awaitTermination(180)
+        incremental_entailment(spark, trip, tbox, store, emit,
+                               str(tmp_path / "cke")).awaitTermination()
+
+    got = {(r.subject, r.predicate, r.object) for r in
+           inferred_view(spark, store).collect()}
+    ref = {(r.subject, r.predicate, r.object) for r in
+           rdfs_entailment(spark.read.parquet(trip), tbox).collect()}
+    assert got == ref and len(got) > 0
