@@ -372,6 +372,27 @@ def containment_pairs(
                     "containment"))
 
 
+def window_grams(docs: DataFrame, length: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, gram): every FULL length-L token window of every
+    doc (docs shorter than L contribute nothing). ONE definition
+    shared by duplicated_spans and its streaming twin
+    (streaming/dupspans.py) so the window semantics can never drift
+    between them (the blocking_keys lesson)."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        _tokens(F.col(text_col)).alias("t"))
+            .where(F.size("t") >= length))
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - length),
+                lambda i: F.concat_ws(TOKEN_SPLIT,
+                                      F.slice(F.col("t"), i + 1,
+                                              length)),
+            )).alias("pos", "gram"))
+
+
 def duplicated_spans(
     docs: DataFrame,
     length: int = 8,
@@ -416,18 +437,9 @@ def duplicated_spans(
     """
     if length < 1:
         raise ValueError("duplicated_spans: length must be >= 1")
-    toks = docs.select(F.col(id_col).alias("doc_id"),
-                       _tokens(F.col(text_col)).alias("t"))
-    toks = toks.where(F.size("t") >= length)
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - length),
-                lambda i: F.concat_ws(TOKEN_SPLIT,
-                                      F.slice(F.col("t"), i + 1, length)),
-            )).alias("pos", "gram"))
-    grams = grams.withColumn("h", F.xxhash64("gram"))
+    grams = window_grams(docs, length, id_col=id_col,
+                         text_col=text_col) \
+        .withColumn("h", F.xxhash64("gram"))
     hot = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
            .where(F.col("n") >= 2).select("h"))
     survivors = grams.join(hot, on="h", how="left_semi")

@@ -48,9 +48,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from mms_rdf_spark.operators.dedup import (
-    TOKEN_SPLIT,
-    _tokens,
     merge_window_spans,
+    window_grams,
 )
 from mms_rdf_spark.streaming import snapshot
 from mms_rdf_spark.streaming.snapshot import (
@@ -63,19 +62,9 @@ LENGTH = 8
 
 
 def _windows(docs: DataFrame, length: int) -> DataFrame:
-    """(doc_id, pos, gram) — the batch operator's window explode."""
-    toks = (docs.select(F.col("doc_id"),
-                        _tokens(F.col("text")).alias("t"))
-            .where(F.size("t") >= length))
-    return toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - length),
-                lambda i: F.concat_ws(TOKEN_SPLIT,
-                                      F.slice(F.col("t"), i + 1,
-                                              length)),
-            )).alias("pos", "gram"))
+    """(doc_id, pos, gram) — the batch operator's OWN window explode
+    (dedup.window_grams), imported so the definitions cannot drift."""
+    return window_grams(docs, length)
 
 
 def read_grams(spark: SparkSession, store_dir: str) -> DataFrame | None:
