@@ -1365,15 +1365,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 max_dist=2)
 
     def link_sorted_parts(spark, sf):
-        # sorted-neighborhood blocking (Hernandez & Stolfo merge/purge):
-        # rank-adjacent candidate pairs — linear output, skew-free by
-        # construction (<= window-1 partners per record)
+        # second fixture for the EXISTING sorted-neighborhood operator
+        # (link.py:225 — probe-explode in rank space): part names,
+        # window 4 (link_sorted_neighborhood covers customers, w=2)
         from mms_rdf_spark.operators.link import (
             sorted_neighborhood_pairs,
         )
         p = spark.read.parquet(f"{sf}/part.parquet")
-        return sorted_neighborhood_pairs(p, "p_partkey", "p_name",
-                                         window=5)
+        return sorted_neighborhood_pairs(p, key="p_name",
+                                         id_col="p_partkey", window=4)
 
     def link_jw_parts(spark, sf):
         # Jaro-Winkler blocked matching over part names (the Winkler
@@ -4941,16 +4941,19 @@ def oracle_sql() -> dict[str, str]:
       AND levenshtein(a.p_name, b.p_name) <= 2
     """
 
-    # sorted-neighborhood: rank adjacency under the (name, id) total
-    # order — row_number windows agree with global_rank exactly
+    # second fixture for the existing sorted-neighborhood operator:
+    # part names, window 4 (same rank-space join as
+    # link_sorted_neighborhood)
     q["link_sorted_parts"] = """
-    WITH r AS (SELECT p_partkey AS id,
-                      row_number() OVER (ORDER BY p_name, p_partkey)
-                          AS rk
+    WITH r AS (SELECT p_partkey AS _id,
+                      CAST(row_number() OVER (ORDER BY p_name,
+                                              p_partkey)
+                           AS BIGINT) AS rank
                FROM part)
-    SELECT a.id AS id_a, b.id AS id_b,
-           CAST(b.rk - a.rk AS BIGINT) AS gap
-    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 5
+    SELECT a._id AS a_id, b._id AS b_id,
+           a.rank AS a_rank, b.rank AS b_rank
+    FROM r a JOIN r b
+        ON b.rank BETWEEN a.rank + 1 AND a.rank + 4
     """
 
     # Jaro-Winkler blocked matching; the engine builtin is bit-for-bit

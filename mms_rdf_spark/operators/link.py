@@ -664,51 +664,3 @@ def jaro_winkler_pairs(
             .where(F.col("jw") >= threshold)
             .select("id_a", "id_b", "jw"))
 
-
-def sorted_neighborhood_pairs(
-    df: DataFrame,
-    id_col: str,
-    key_col: str,
-    window: int = 5,
-) -> DataFrame:
-    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995, the
-    merge/purge method): sort all records by a sorting key and pair
-    every record with the next `window - 1` records in that order —
-    the classic ER candidate generator for typo-heavy keys where
-    equality blocking misses (neighbors in sort order share prefixes
-    even when no block key agrees). Returns (id_a, id_b, gap) with
-    id_a the earlier record, gap = rank distance in [1, window-1].
-
-    Output is EXACTLY rank-adjacency: (n-1) + (n-2) + ... pairs, ~
-    n*(window-1) total — linear in the corpus, never quadratic, and
-    skew-free BY CONSTRUCTION (every record has <= window-1 partners
-    regardless of key distribution — the property that makes this the
-    standard complement to equality blocking on hot keys).
-
-    Scale shape: global_rank's range repartition is the only wide
-    exchange; the pair join buckets ranks at floor(rank/window) and
-    joins each bucket with itself and its successor (two narrow
-    equi-joins on a dense integer key), then filters 0 < gap <
-    window. Total order is (key_col, id_col), so ties are
-    deterministic and the oracle's row_number agrees.
-    """
-    if window < 2:
-        raise ValueError("sorted_neighborhood_pairs: window >= 2")
-    ranked = global_rank(
-        df.select(F.col(id_col).alias("_sid"),
-                  F.col(key_col).alias("_skey")),
-        order_col="_skey", id_col="_sid") \
-        .select(F.col("_sid").alias("id"), F.col("rank").alias("r"),
-                (F.col("rank") / window).cast("long").alias("b"))
-    a = ranked.select(F.col("id").alias("id_a"),
-                      F.col("r").alias("ra"), F.col("b").alias("ba"))
-    b = ranked.select(F.col("id").alias("id_b"),
-                      F.col("r").alias("rb"), F.col("b").alias("bb"))
-    same = a.join(b, F.col("ba") == F.col("bb"))
-    nxt = a.join(b, F.col("ba") == F.col("bb") - 1)
-    return (same.unionByName(nxt)
-            .where((F.col("rb") > F.col("ra"))
-                   & (F.col("rb") - F.col("ra") < window))
-            .select("id_a", "id_b",
-                    (F.col("rb") - F.col("ra")).cast("long")
-                    .alias("gap")))

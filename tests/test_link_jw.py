@@ -117,37 +117,25 @@ def test_null_text_scores_zero_not_crash(spark):
 
 
 def test_sorted_neighborhood_exact_adjacency(spark):
+    # the EXISTING probe-explode operator (link.py) on a generic key:
+    # next `window` neighbors in (key, id) sort order
     from mms_rdf_spark.operators.link import sorted_neighborhood_pairs
 
-    rows = [(i, k) for i, k in enumerate(
+    rows = [(str(i), k) for i, k in enumerate(
         ["apple", "apples", "aple", "banana", "bananna", "cherry"])]
-    df = spark.createDataFrame(rows, "id int, key string")
-    got = sorted((r.id_a, r.id_b, r.gap) for r in
-                 sorted_neighborhood_pairs(df, "id", "key",
-                                           window=3).collect())
+    df = spark.createDataFrame(rows, "id string, key string")
+    got = sorted((r.a_id, r.b_id, r.b_rank - r.a_rank) for r in
+                 sorted_neighborhood_pairs(df, key="key", id_col="id",
+                                           window=2).collect())
     # sort order: aple(2) apple(0) apples(1) banana(3) bananna(4)
-    # cherry(5); window 3 pairs = gaps 1 and 2
-    want = sorted([(2, 0, 1), (2, 1, 2), (0, 1, 1), (0, 3, 2),
-                   (1, 3, 1), (1, 4, 2), (3, 4, 1), (3, 5, 2),
-                   (4, 5, 1)])
+    # cherry(5); window 2 = gaps 1 and 2
+    want = sorted([("2", "0", 1), ("2", "1", 2), ("0", "1", 1),
+                   ("0", "3", 2), ("1", "3", 1), ("1", "4", 2),
+                   ("3", "4", 1), ("3", "5", 2), ("4", "5", 1)])
     assert got == want
-    # skew-free by construction: every record has <= window-1 partners
+    # skew-free by construction: every record has <= window partners
     from collections import Counter
     deg = Counter()
-    for a, b, _ in got:
+    for a, _, _ in got:
         deg[a] += 1
     assert max(deg.values()) <= 2
-
-
-def test_sorted_neighborhood_tie_and_empty(spark):
-    from mms_rdf_spark.operators.link import sorted_neighborhood_pairs
-
-    # equal keys: id breaks the tie (total order), pairs still emit
-    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "x")],
-                               "id int, key string")
-    got = {(r.id_a, r.id_b) for r in
-           sorted_neighborhood_pairs(df, "id", "key",
-                                     window=2).collect()}
-    assert got == {(1, 2), (2, 3)}
-    e = spark.createDataFrame([], "id int, key string")
-    assert sorted_neighborhood_pairs(e, "id", "key").count() == 0
