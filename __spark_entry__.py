@@ -3316,6 +3316,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       F.lit(True).alias("object_is_iri")))
         return sameas_smush(t.unionByName(sa))
 
+    def kg_linkpred(spark, sf):
+        # shared-neighbor link-prediction baselines (common-neighbors
+        # / Jaccard / resource-allocation / preferential-attachment)
+        # over the same part-supplier graph as kg_adamic, one
+        # mediator pass, hub mediators capped at deg 50
+        from mms_rdf_spark.operators.pagerank import (
+            link_prediction_scores)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        return link_prediction_scores(e, max_deg=50)
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3613,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_mg_hitters": sketch_mg_hitters,
         "sketch_mg_cert": sketch_mg_cert,
         "text_nb_kappa": text_nb_kappa,
+        "kg_linkpred": kg_linkpred,
     }
 
 
@@ -9913,6 +9929,40 @@ def oracle_sql() -> dict[str, str]:
     FROM facts f
     LEFT JOIN map ms ON ms.node = f.s
     LEFT JOIN map mo ON mo.node = f.o
+    """
+
+    # link-prediction baselines: mediator micro-unit RA weights, exact
+    # long cn/pa, jaccard as a single first-generation double division
+    q["kg_linkpred"] = """
+    WITH e0 AS (
+        SELECT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+               's' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem
+    ), sym AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+        WHERE a <> b
+    ), deg AS (
+        SELECT a AS z, count(*) AS d FROM sym GROUP BY a
+    ), keep AS (
+        SELECT z, CAST(round(1000000.0 / d) AS BIGINT) AS w
+        FROM deg WHERE d >= 2 AND d <= 50
+    ), nb AS (
+        SELECT sym.a AS z, sym.b AS n, k.w
+        FROM sym JOIN keep k ON sym.a = k.z
+    ), pairs AS (
+        SELECT x.n AS a, y.n AS b, count(*) AS cn,
+               CAST(sum(x.w) AS BIGINT) AS ra_mu
+        FROM nb x JOIN nb y ON x.z = y.z AND x.n < y.n
+        GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, CAST(p.cn AS BIGINT) AS cn,
+           round(CAST(p.cn AS DOUBLE) / (da.d + db.d - p.cn), 6)
+               AS jaccard,
+           round(ra_mu / 1000000.0, 6) AS ra,
+           CAST(da.d * db.d AS BIGINT) AS pa
+    FROM pairs p
+    JOIN deg da ON p.a = da.z
+    JOIN deg db ON p.b = db.z
     """
 
     return q

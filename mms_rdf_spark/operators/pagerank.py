@@ -626,6 +626,8 @@ def adamic_adar(
     nbrs = (sym.select(F.col("a").alias("z"), F.col("b").alias("n"))
             .join(F.broadcast(keep.withColumn("_w", w_mu)
                               .select("z", "_w")), on="z"))
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    nbrs = pin_fanout_partitions(nbrs, "z")
     x = nbrs.select("z", F.col("n").alias("pa"), "_w")
     y = nbrs.select("z", F.col("n").alias("pb"))
     return (x.join(y, on="z")
@@ -1972,3 +1974,65 @@ def seeded_label_propagation(
         seed_t.select("node", F.lit(True).alias("is_seed")),
         on="node", how="left").na.fill({"is_seed": False}) \
         .select("node", "label", "is_seed")
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_deg: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """The classic shared-neighbor link-prediction baselines in ONE
+    mediator pass (Liben-Nowell & Kleinberg 2003), complementing
+    adamic_adar: for every pair (a < b) sharing >=1 kept mediator,
+    cn      = |Γ(a) ∩ Γ(b)|            (common neighbors, long)
+    jaccard = cn / |Γ(a) ∪ Γ(b)|
+    ra      = Σ_z 1/deg(z)             (resource allocation)
+    pa      = deg(a) * deg(b)          (preferential attachment, long)
+    Returns (a, b, cn, jaccard, ra, pa).
+
+    Scale shape: identical to adamic_adar — pairs generated per
+    mediator z (cost Σ deg(z)²), `max_deg` drops super-hub mediators
+    (their pair volume is the bill, their 1/deg weight is noise), and
+    the z self-join is pinned against AQE's fan-out-blind coalescing
+    (skew.pin_fanout_partitions). Capping affects cn/jaccard/ra
+    consistently (all three count only KEPT mediators — documented
+    hybrid); endpoint degrees for jaccard's union and pa are the FULL
+    degrees (endpoint properties, not mediator ones). Determinism: cn
+    and pa are exact longs; ra sums integer micro-unit weights; the
+    jaccard division is a single first-generation double op.
+    """
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (e.union(e.select(F.col("b"), F.col("a")))
+           .where(F.col("a") != F.col("b")).distinct())
+    deg = sym.groupBy(F.col("a").alias("z")) \
+        .agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.where(F.col("d") >= 2)
+    if max_deg is not None:
+        keep = keep.where(F.col("d") <= max_deg)
+    ra_mu = F.round(F.lit(1e6) / F.col("d")).cast("long")
+    nbrs = (sym.select(F.col("a").alias("z"), F.col("b").alias("n"))
+            .join(F.broadcast(keep.withColumn("_w", ra_mu)
+                              .select("z", "_w")), on="z"))
+    nbrs = pin_fanout_partitions(nbrs, "z")
+    x = nbrs.select("z", F.col("n").alias("pa"), "_w")
+    y = nbrs.select("z", F.col("n").alias("pb"))
+    pairs = (x.join(y, on="z")
+             .where(F.col("pa") < F.col("pb"))
+             .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+             .agg(F.count(F.lit(1)).alias("cn"),
+                  F.sum("_w").alias("_ra_mu")))
+    da = deg.select(F.col("z").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("z").alias("b"), F.col("d").alias("db"))
+    return (pairs.join(da, on="a").join(db, on="b")
+            .select(
+                "a", "b",
+                F.col("cn").cast("long").alias("cn"),
+                F.round(F.col("cn") / (F.col("da") + F.col("db")
+                                       - F.col("cn")),
+                        ndigits).alias("jaccard"),
+                F.round(F.col("_ra_mu") / 1e6, ndigits).alias("ra"),
+                (F.col("da") * F.col("db")).cast("long").alias("pa")))
