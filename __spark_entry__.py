@@ -3331,6 +3331,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return link_prediction_scores(e, max_deg=50)
 
+    def text_normalize(spark, sf):
+        # NFC + control-strip + whitespace-collapse normalization; a
+        # decomposed-accent/tab/double-space prefix is injected so the
+        # NFC and collapse paths actually fire on the ASCII synth
+        # corpus (U+0301 = combining acute: NFC('e'+U+0301) = 'é')
+        from mms_rdf_spark.operators.curate import normalize_text
+        d = (spark.read.parquet(f"{sf}/documents.parquet")
+             .select("doc_id",
+                     F.concat(F.lit("Cafe\u0301\tA  "),
+                              F.coalesce(F.col("text"), F.lit("")))
+                     .alias("text")))
+        return normalize_text(d)
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3629,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_mg_cert": sketch_mg_cert,
         "text_nb_kappa": text_nb_kappa,
         "kg_linkpred": kg_linkpred,
+        "text_normalize": text_normalize,
     }
 
 
@@ -9963,6 +9977,28 @@ def oracle_sql() -> dict[str, str]:
     FROM pairs p
     JOIN deg da ON p.a = da.z
     JOIN deg db ON p.b = db.z
+    """
+
+    # text normalization: DuckDB nfc_normalize is the same Unicode
+    # canonical composition as Python's unicodedata NFC; chr(769) =
+    # U+0301 combining acute, chr(9) = tab
+    q["text_normalize"] = """
+    WITH d AS (
+        SELECT doc_id,
+               'Cafe' || chr(769) || chr(9) || 'A  '
+                   || coalesce(text, '') AS text
+        FROM documents
+    ), n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(nfc_normalize(text),
+                                  '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS text_norm
+        FROM d
+    )
+    SELECT doc_id, text_norm,
+           (text IS DISTINCT FROM text_norm) AS changed
+    FROM n
     """
 
     return q

@@ -23,6 +23,8 @@ version deletes.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -233,3 +235,41 @@ def prepare_pretraining_corpus(
         F.row_number().over(
             Window.partitionBy("lane", "shard").orderBy("doc_id"))
         .cast("int").alias("pos_in_shard"))
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Curation-standard text normalization — the fix-the-bytes stage
+    every pretraining pipeline runs before dedup/quality so that
+    byte-different-but-canonically-equal texts hash together:
+
+      1. Unicode NFC (composed form: 'e' + U+0301 -> 'é'),
+      2. C0/DEL control chars -> space,
+      3. whitespace runs collapsed to one space, ends trimmed.
+
+    Returns (id_col, text_norm, changed); `changed` is null-safe so
+    NULL inputs read as unchanged (text_norm NULL). Scale shape: steps
+    2-3 are JVM regexp codegen in the one scan projection; NFC is the
+    single Python lane — Spark has no NFC builtin, so it runs as ONE
+    Arrow-vectorized pandas UDF (batch transfer, never per-row
+    Python), the same UDF surface contract as the multimodal decoders.
+    Cross-engine: DuckDB's nfc_normalize implements the same Unicode
+    canonical composition, so outputs hash-match (kg contract row
+    text_normalize).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize("NFC", v))
+
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(_nfc(F.col(text_col)),
+                         "[\\x00-\\x1F\\x7F]", " "),
+        "\\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("text_norm"),
+        (~F.col(text_col).eqNullSafe(cleaned)).alias("changed"))

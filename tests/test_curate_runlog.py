@@ -76,3 +76,25 @@ def test_prepare_pretraining_corpus_shards_respect_budget(spark):
     from mms_rdf_spark.operators.curate import curate_full
     kept = {r["doc_id"] for r in curate_full(docs).collect()}
     assert {r["doc_id"] for r in rows} == kept
+
+
+def test_normalize_text_nfc_controls_whitespace(spark):
+    from mms_rdf_spark.operators.curate import normalize_text
+
+    rows = [
+        ("a", "Café"),            # NFC composes to Café
+        ("b", "x\ty\x00z"),             # controls -> space -> collapse
+        ("c", "  a   b  "),             # collapse + trim
+        ("d", "clean"),                 # unchanged
+        ("e", None),                    # NULL stays NULL, unchanged
+        ("f", "Café"),             # already composed: unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["text_norm"], r["changed"])
+           for r in normalize_text(df).collect()}
+    assert got["a"] == ("Café", True)
+    assert got["b"] == ("x y z", True)
+    assert got["c"] == ("a b", True)
+    assert got["d"] == ("clean", False)
+    assert got["e"] == (None, False)
+    assert got["f"] == ("Café", False)
