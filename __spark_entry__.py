@@ -3344,6 +3344,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("text")))
         return normalize_text(d)
 
+    def dedup_allpairs(spark, sf):
+        # prefix-filtered all-pairs cosine; the DuckDB oracle is the
+        # BRUTE-FORCE quadratic join, so a hash match certifies the
+        # prefix filter is lossless on real data, not just on paper
+        from mms_rdf_spark.operators.dedup import allpairs_cosine_pairs
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return allpairs_cosine_pairs(d, threshold=0.85)
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3643,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_kappa": text_nb_kappa,
         "kg_linkpred": kg_linkpred,
         "text_normalize": text_normalize,
+        "dedup_allpairs": dedup_allpairs,
     }
 
 
@@ -9999,6 +10008,34 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, text_norm,
            (text IS DISTINCT FROM text_norm) AS changed
     FROM n
+    """
+
+    # all-pairs cosine: BRUTE-FORCE quadratic oracle (no prefix
+    # filter) — a hash match proves the engine's filter is lossless.
+    # T2 = round(0.85^2 * 1e12); the threshold compare is exact
+    # integer arithmetic in both engines.
+    q["dedup_allpairs"] = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok
+              FROM documents) u
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), ov AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               count(*) AS overlap
+        FROM toks a JOIN toks b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT o.a_id, o.b_id, o.overlap,
+           sa.sz AS a_sz, sb.sz AS b_sz,
+           round(o.overlap / sqrt(sa.sz * sb.sz), 6) AS cosine
+    FROM ov o
+    JOIN sizes sa ON sa.doc_id = o.a_id
+    JOIN sizes sb ON sb.doc_id = o.b_id
+    WHERE o.overlap * o.overlap * CAST(1000000000000 AS BIGINT)
+          >= CAST(722500000000 AS BIGINT) * sa.sz * sb.sz
     """
 
     return q

@@ -541,3 +541,90 @@ def winnow_fingerprints(
         # 56-bit keys and decoded fps come back off by one
         F.expr("sel div 65536").cast("long").alias("fp"))
         .distinct())
+
+
+def allpairs_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs cosine similarity self-join over binary token sets
+    with LOSSLESS prefix filtering (Bayardo/Ramakrishnan/Srikant,
+    WWW'07; Chaudhuri et al. ICDE'06): every pair with
+    cos(A,B) = |A∩B| / sqrt(|A|·|B|) >= threshold, found WITHOUT the
+    quadratic all-pairs join. Returns (a_id, b_id, overlap, a_sz,
+    b_sz, cosine), a_id < b_id.
+
+    Filter math (exact longs end to end so the keep/drop decision can
+    never split engines): a qualifying partner must satisfy
+    ov >= t·sqrt(la·lb) and ov <= min(la,lb), so lb >= t²·la and the
+    minimum possible qualifying overlap for A is minov_A = ceil(t²·la)
+    — computed as integer ceil-div with T2 = round(t²·1e12). By the
+    prefix principle, pairs meeting ov >= minov must share a token
+    within each side's (l - minov + 1)-prefix under any common global
+    token order; we order by (df asc, token) so prefixes hold the
+    RAREST tokens and hot stopwords index last or never. The final
+    threshold test is ov²·1e12 >= T2·la·lb in longs (safe while
+    la·lb < ~9e5 distinct tokens squared — far above any real doc).
+
+    Plan shape: one scan -> distinct (doc, token) -> df aggregate
+    broadcast back -> one per-doc window for the canonical rank ->
+    prefix self-join on token (pin_fanout_partitions: a bytes-small
+    fan-out join, the AQE blind spot) -> distinct candidate pairs ->
+    verify via token-set join restricted to candidates. The oracle is
+    the BRUTE-FORCE quadratic join, so the contract row certifies the
+    prefix filter is genuinely lossless — not just plausible.
+    Refinements that compose later: positional filter and suffix
+    bound (PPJoin), both pure column math on the same structure.
+    """
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+
+    T2 = int(round(threshold * threshold * 1e12))
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col))))
+        .alias("tok"))
+    sizes = toks.groupBy("_d").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (toks.join(F.broadcast(dfreq), on="tok")
+              .join(F.broadcast(sizes), on="_d")
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("_d").orderBy("_df", "tok"))))
+    minov = F.expr(f"({T2} * sz + 999999999999) div 1000000000000")
+    prefix = (ranked.where(F.col("_rn") <= F.col("sz") - minov + 1)
+              .select("_d", "tok", "sz"))
+
+    a = pin_fanout_partitions(
+        prefix.select(F.col("_d").alias("a_id"),
+                      F.col("sz").alias("a_sz"), "tok"), "tok")
+    b = pin_fanout_partitions(
+        prefix.select(F.col("_d").alias("b_id"),
+                      F.col("sz").alias("b_sz"),
+                      F.col("tok").alias("_btok")), "_btok")
+    cand = (a.join(b, (F.col("tok") == F.col("_btok"))
+                   & (F.col("a_id") < F.col("b_id")))
+            # size filter: min(la,lb)² must reach t²·la·lb
+            .where(F.least("a_sz", "b_sz") * F.least("a_sz", "b_sz")
+                   * F.lit(1000000000000).cast("long")
+                   >= F.lit(T2) * F.col("a_sz") * F.col("b_sz"))
+            .select("a_id", "b_id", "a_sz", "b_sz").distinct())
+
+    ta = toks.select(F.col("_d").alias("a_id"), "tok")
+    tb = toks.select(F.col("_d").alias("_vb"),
+                     F.col("tok").alias("_vtok"))
+    ov = (cand.join(ta, on="a_id")
+          .join(tb, (F.col("b_id") == F.col("_vb"))
+                & (F.col("tok") == F.col("_vtok")))
+          .groupBy("a_id", "b_id", "a_sz", "b_sz")
+          .agg(F.count(F.lit(1)).alias("overlap")))
+    keep = (F.col("overlap") * F.col("overlap")
+            * F.lit(1000000000000).cast("long")
+            >= F.lit(T2) * F.col("a_sz") * F.col("b_sz"))
+    return (ov.where(keep)
+            .select("a_id", "b_id", "overlap", "a_sz", "b_sz",
+                    F.round(F.col("overlap")
+                            / F.sqrt(F.col("a_sz") * F.col("b_sz")),
+                            6).alias("cosine")))

@@ -110,3 +110,62 @@ def test_containment_stopgram_cap_drops_hot_grams(spark):
             for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert containment_pairs(df, threshold=0.3, max_df=5).count() == 0
+
+
+def test_allpairs_cosine_matches_brute_force(spark):
+    """The prefix filter must be LOSSLESS: compare against the
+    quadratic join on the real synth corpus at two thresholds."""
+    from pyspark.sql import functions as F
+
+    from mms_rdf_spark.operators.dedup import (_tokens,
+                                               allpairs_cosine_pairs)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id").alias("d"),
+        F.explode(F.array_distinct(_tokens(F.col("text"))))
+        .alias("tok"))
+    sz = toks.groupBy("d").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.withColumnRenamed("d", "a_id")
+    b = toks.withColumnRenamed("d", "b_id")
+    ov = (a.join(b, (a["tok"] == b["tok"])
+                 & (F.col("a_id") < F.col("b_id")))
+          .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("ov"))
+          .join(sz.withColumnsRenamed({"d": "a_id", "sz": "a_sz"}),
+                "a_id")
+          .join(sz.withColumnsRenamed({"d": "b_id", "sz": "b_sz"}),
+                "b_id")).cache()
+    for t in (0.6, 0.85):
+        T2 = int(round(t * t * 1e12))
+        exp = {(r["a_id"], r["b_id"], r["ov"]) for r in ov.where(
+            F.col("ov") * F.col("ov") * F.lit(10**12)
+            >= F.lit(T2) * F.col("a_sz") * F.col("b_sz")).collect()}
+        got = {(r["a_id"], r["b_id"], r["overlap"])
+               for r in allpairs_cosine_pairs(docs, threshold=t)
+               .collect()}
+        assert got == exp and len(got) > 0, (t, len(got), len(exp))
+
+
+def test_allpairs_prefix_actually_prunes(spark):
+    """The candidate join must touch fewer (doc, token) rows than the
+    full token table — i.e. the prefix really truncates. Two docs
+    sharing only their rarest token ARE found (the prefix holds rare
+    tokens); two docs sharing only hot tokens below threshold are
+    not emitted."""
+    from mms_rdf_spark.operators.dedup import allpairs_cosine_pairs
+
+    rows = [(1, "rare1 a b c d e f g h"),
+            (2, "rare1 p q r s t u v w"),
+            (3, "a b c d e f g h p"),
+            (4, "a b c d e f g h p")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["a_id"], r["b_id"]): r["cosine"]
+           for r in allpairs_cosine_pairs(df, threshold=0.95)
+           .collect()}
+    # 3/4 identical -> cosine 1.0; nothing else reaches 0.95
+    assert got == {(3, 4): 1.0}
+    # drop to 0.1: the (1,2) pair (shared rarest token only) appears
+    low = {(r["a_id"], r["b_id"]) for r in
+           allpairs_cosine_pairs(df, threshold=0.1).collect()}
+    assert (1, 2) in low
