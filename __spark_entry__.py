@@ -3344,6 +3344,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("text")))
         return normalize_text(d)
 
+    def text_llr(spark, sf):
+        # Dunning G² collocations; nano-long ln discipline (NB/bm25
+        # precedent) so the ranking longs are engine-identical
+        from mms_rdf_spark.operators.textstats import llr_collocations
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return llr_collocations(d, min_count=5, k=50)
+
+    def text_good_turing(spark, sf):
+        # Good-Turing count-of-counts smoothing table; divisions of
+        # exact longs only
+        from mms_rdf_spark.operators.textstats import good_turing
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return good_turing(d)
+
     def dedup_allpairs(spark, sf):
         # prefix-filtered all-pairs cosine; the DuckDB oracle is the
         # BRUTE-FORCE quadratic join, so a hash match certifies the
@@ -3652,6 +3666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred": kg_linkpred,
         "text_normalize": text_normalize,
         "dedup_allpairs": dedup_allpairs,
+        "text_llr": text_llr,
+        "text_good_turing": text_good_turing,
     }
 
 
@@ -10036,6 +10052,69 @@ def oracle_sql() -> dict[str, str]:
     JOIN sizes sb ON sb.doc_id = o.b_id
     WHERE o.overlap * o.overlap * CAST(1000000000000 AS BIGINT)
           >= CAST(722500000000 AS BIGINT) * sa.sz * sb.sz
+    """
+
+    # Dunning G² collocations: per-cell ln rounded 9dp -> nano longs
+    # BEFORE the k_ij multiply (the NB weight discipline), so the
+    # ranking keys are exact integers in both engines. t_all rides as
+    # a window total on the bigram count table — never a re-evaluated
+    # 1-row CTE (the text_sb_scores DuckDB lesson).
+    q["text_llr"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+        SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        WHERE len(toks) >= 2
+    ),
+    k AS (SELECT tok_a, tok_b, count(*) AS k11 FROM bg GROUP BY 1, 2),
+    kt AS (SELECT *, sum(k11) OVER () AS t_all FROM k),
+    r AS (SELECT tok_a, sum(k11) AS r1 FROM k GROUP BY 1),
+    c AS (SELECT tok_b, sum(k11) AS c1 FROM k GROUP BY 1),
+    j AS (SELECT kt.tok_a, kt.tok_b, kt.k11, r.r1, c.c1, kt.t_all
+          FROM kt JOIN r USING (tok_a) JOIN c USING (tok_b)
+          WHERE kt.k11 >= 5),
+    s AS (SELECT tok_a, tok_b, k11 AS n_ab,
+          2 * (CASE WHEN k11 > 0 THEN k11 * CAST(round(round(
+                   ln(k11 * 1.0 * t_all / (r1 * 1.0 * c1)), 9)
+                   * 1e9) AS BIGINT) ELSE 0 END
+             + CASE WHEN r1 - k11 > 0 THEN (r1 - k11)
+                   * CAST(round(round(ln((r1 - k11) * 1.0 * t_all
+                   / (r1 * 1.0 * (t_all - c1))), 9) * 1e9) AS BIGINT)
+                   ELSE 0 END
+             + CASE WHEN c1 - k11 > 0 THEN (c1 - k11)
+                   * CAST(round(round(ln((c1 - k11) * 1.0 * t_all
+                   / ((t_all - r1) * 1.0 * c1)), 9) * 1e9) AS BIGINT)
+                   ELSE 0 END
+             + CASE WHEN t_all - r1 - c1 + k11 > 0
+                   THEN (t_all - r1 - c1 + k11)
+                   * CAST(round(round(
+                       ln((t_all - r1 - c1 + k11) * 1.0 * t_all
+                       / ((t_all - r1) * 1.0 * (t_all - c1))), 9)
+                       * 1e9) AS BIGINT) ELSE 0 END) AS nano
+          FROM j),
+    t AS (SELECT tok_a, tok_b, n_ab, nano,
+                 row_number() OVER (ORDER BY nano DESC, tok_a, tok_b)
+                     AS rank
+          FROM s)
+    SELECT tok_a, tok_b, n_ab, round(nano / 1e9, 6) AS llr,
+           CAST(rank AS INT) AS rank
+    FROM t WHERE rank <= 50
+    """
+
+    # Good-Turing table: both divisions take exact longs; t_all as a
+    # window total for the same reason as above
+    q["text_good_turing"] = f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+    cnts AS (SELECT token, count(*) AS r FROM toks GROUP BY 1),
+    nr AS (SELECT r, count(*) AS n_r FROM cnts GROUP BY 1),
+    nrt AS (SELECT r, n_r, sum(r * n_r) OVER () AS t_all FROM nr),
+    j AS (SELECT nrt.r, nrt.n_r, nrt.t_all,
+                 coalesce(n2.n_r, 0) AS n_r1
+          FROM nrt LEFT JOIN nr n2 ON n2.r = nrt.r + 1)
+    SELECT r, n_r,
+           round((r + 1) * n_r1 / n_r, 6) AS r_star,
+           round((r + 1) * n_r1 / n_r / t_all, 9) AS p_token
+    FROM j
     """
 
     return q

@@ -825,3 +825,101 @@ def texttiling(
         F.when(F.col("_n") >= 2,
                F.col("_dm") > cutoff).otherwise(F.lit(False))
         .alias("is_boundary"))
+
+
+def llr_collocations(docs: DataFrame, min_count: int = 5,
+                     k: int = 50) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning, CL 1993 —
+    "Accurate Methods for the Statistics of Surprise and
+    Coincidence"): top-k ADJACENT bigrams (tok_a, tok_b, n_ab, llr,
+    rank) by the G² statistic over the bigram contingency table —
+    the collocation score that, unlike PMI, does not explode on rare
+    pairs (it weights by evidence, which is why it became the
+    standard for collocation discovery and term burst detection).
+
+    For bigram (a, b): k11 = c(a,b), R1 = c(a,·), C1 = c(·,b),
+    T = total bigrams; G² = 2·Σ k_ij·ln(k_ij·T / (R_i·C_j)) over the
+    four cells (0·ln0 = 0). Every ln rounds to 9dp and scales to an
+    exact NANO long before the k_ij multiply, so both engines rank
+    identical longs (the NB / bm25 micro-unit discipline) — a float
+    G² sort would tie-flip across engines. Ties break (tok_a, tok_b).
+
+    Plan: one explode to the (|bigram vocab|)-row count table, R/C as
+    two re-aggregations OF THAT TABLE (never the corpus again), T
+    carried as a window total — one scan of the corpus end to end.
+    Top-k plans as TakeOrderedAndProject; rank windows over the k
+    survivors only."""
+    from pyspark.sql.window import Window
+
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")))
+    k11 = (docs.select(F.explode(bigrams).alias("bg"))
+           .select("bg.tok_a", "bg.tok_b")
+           .groupBy("tok_a", "tok_b")
+           .agg(F.count(F.lit(1)).alias("k11")))
+    r = k11.groupBy("tok_a").agg(F.sum("k11").alias("r1"))
+    c = k11.groupBy("tok_b").agg(F.sum("k11").alias("c1"))
+    tot = k11.agg(F.sum("k11").alias("t_all"))
+    joined = (k11.join(r, on="tok_a").join(c, on="tok_b")
+              .crossJoin(F.broadcast(tot))
+              .where(F.col("k11") >= min_count))
+
+    def term(kk, rr, cc):
+        ln = F.round(F.round(
+            F.log(kk.cast("double") * F.col("t_all")
+                  / (rr.cast("double") * cc)), 9) * 1e9).cast("long")
+        return F.when(kk > 0, kk * ln).otherwise(F.lit(0).cast("long"))
+
+    k11c, r1, c1 = F.col("k11"), F.col("r1"), F.col("c1")
+    t_all = F.col("t_all")
+    nano = (term(k11c, r1, c1)
+            + term(r1 - k11c, r1, t_all - c1)
+            + term(c1 - k11c, t_all - r1, c1)
+            + term(t_all - r1 - c1 + k11c, t_all - r1, t_all - c1))
+    scored = joined.select(
+        "tok_a", "tok_b", F.col("k11").alias("n_ab"),
+        (F.lit(2) * nano).alias("_nano"))
+    topk = scored.orderBy(F.col("_nano").desc(), "tok_a", "tok_b") \
+        .limit(k)
+    w = Window.orderBy(F.col("_nano").desc(), "tok_a", "tok_b")
+    return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("tok_a", "tok_b", "n_ab",
+                    F.round(F.col("_nano") / 1e9, 6).alias("llr"),
+                    "rank"))
+
+
+def good_turing(docs: DataFrame) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good 1953; the
+    Katz-backoff / absolute-discounting ancestor): for each observed
+    token count r, (r, n_r, r_star, p_token) where n_r = how many
+    token types occur exactly r times, r* = (r+1)·N_{r+1}/N_r (the GT
+    adjusted count; 0 where N_{r+1} is empty — simple GT, no N_r
+    regression), and p_token = r*/T the smoothed per-token
+    probability. The unseen-mass estimate is the r=0 row convention
+    p_0 = N_1/T — readable straight off the table.
+
+    Scale: output is |distinct counts| rows (tens), from one
+    map-side-combined token count + one |vocab|-row re-aggregation;
+    the N_{r+1} lookup is a self-join of that tiny table. All inputs
+    to the two divisions are exact longs, so both engines divide
+    identical values (6dp / 9dp rounding on the way out)."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    counts = (docs.select(F.explode(toks).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("r")))
+    nr = counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = nr.agg(F.sum(F.col("r") * F.col("n_r")).alias("t_all"))
+    nxt = nr.select((F.col("r") - 1).alias("r"),
+                    F.col("n_r").alias("n_r1"))
+    return (nr.join(nxt, on="r", how="left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "r", "n_r",
+                F.round((F.col("r") + 1) * F.coalesce("n_r1", F.lit(0))
+                        / F.col("n_r"), 6).alias("r_star"),
+                F.round((F.col("r") + 1) * F.coalesce("n_r1", F.lit(0))
+                        / F.col("n_r") / F.col("t_all"), 9)
+                .alias("p_token"))
+            .orderBy("r"))

@@ -102,3 +102,61 @@ def test_texttiling_short_sequences_never_boundary(spark):
     # empty input
     e = spark.createDataFrame([], "src string, idx int, text string")
     assert texttiling(e, "src", "idx", "text").count() == 0
+
+
+def test_llr_collocations_matches_pure_python(spark):
+    import collections
+    import math
+
+    from mms_rdf_spark.operators.textstats import llr_collocations
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    got = [(r["tok_a"], r["tok_b"], r["n_ab"], r["llr"], r["rank"])
+           for r in llr_collocations(docs, min_count=5, k=10)
+           .collect()]
+
+    bg, R, C = (collections.Counter(), collections.Counter(),
+                collections.Counter())
+    for txt in docs.toPandas()["text"].fillna(""):
+        t = [x for x in txt.split(" ") if x]
+        for a, b in zip(t, t[1:]):
+            bg[(a, b)] += 1
+            R[a] += 1
+            C[b] += 1
+    T = sum(bg.values())
+
+    def nano(x):
+        return int(round(round(math.log(x), 9) * 1e9))
+
+    def g2(a, b):
+        k11, r1, c1 = bg[(a, b)], R[a], C[b]
+        cells = [(k11, r1, c1), (r1 - k11, r1, T - c1),
+                 (c1 - k11, T - r1, c1),
+                 (T - r1 - c1 + k11, T - r1, T - c1)]
+        return 2 * sum(k * nano(k * T / (rr * cc))
+                       for k, rr, cc in cells if k > 0)
+
+    scored = sorted(((g2(a, b), a, b) for (a, b), n in bg.items()
+                     if n >= 5), key=lambda x: (-x[0], x[1], x[2]))[:10]
+    exp = [(a, b, bg[(a, b)], round(s / 1e9, 6), i + 1)
+           for i, (s, a, b) in enumerate(scored)]
+    assert got == exp and len(got) == 10
+
+
+def test_good_turing_table(spark):
+    from mms_rdf_spark.operators.textstats import good_turing
+
+    # 3 hapaxes, 2 tokens seen twice, 1 seen three times; T = 10
+    docs = spark.createDataFrame(
+        [(1, "h1 h2 h3 d1 d2 t"), (2, "d1 d2 t t")],
+        "doc_id int, text string")
+    got = {r["r"]: (r["n_r"], r["r_star"], r["p_token"])
+           for r in good_turing(docs).collect()}
+    # r=1: N1=3, N2=2 -> r* = 2*2/3; r=2: N2=2, N3=1 -> r* = 3*1/2;
+    # r=3: N4=0 -> r* = 0
+    assert got == {
+        1: (3, round(4 / 3, 6), round(4 / 3 / 10, 9)),
+        2: (2, 1.5, 0.15),
+        3: (1, 0.0, 0.0),
+    }
