@@ -3344,6 +3344,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("text")))
         return normalize_text(d)
 
+    def _fs_pairs(spark, sf):
+        # the shared FS-scored pair seam (same params as
+        # link_fs_scores) feeding the match-assignment rows
+        from mms_rdf_spark.operators.link import fellegi_sunter_scores
+        p = (spark.read.parquet(f"{sf}/part.parquet")
+             .withColumn("blk",
+                         F.element_at(F.split("p_name", " "), -1)))
+        return fellegi_sunter_scores(
+            p, "p_partkey", "blk", ["p_brand", "p_type", "p_size"],
+            "p_name", label_max_dist=2).select("id_a", "id_b", "score")
+
+    def link_mutual_best(spark, sf):
+        # reciprocal-best-hit 1-1 assignment over the FS pair seam
+        from mms_rdf_spark.operators.link import mutual_best_match
+        return mutual_best_match(_fs_pairs(spark, sf))
+
+    def link_greedy_cert(spark, sf):
+        # self-certifying greedy-matching gate: ok = each node used
+        # at most once (valid) AND no input pair has two free
+        # endpoints (maximal) AND every matched pair is an input pair
+        # at its input score (subset). Greedy-optimality itself is
+        # pinned against the sequential-greedy Python twin in
+        # tests/test_link_matching.py. Oracle = TRUE + the exact
+        # input-pair count from the nested FS subquery.
+        from mms_rdf_spark.operators.link import greedy_matching
+        pairs = _fs_pairs(spark, sf).localCheckpoint()
+        m = greedy_matching(pairs).localCheckpoint()
+        nodes = (m.select(F.col("id_a").alias("n"))
+                 .unionByName(m.select(F.col("id_b").alias("n"))))
+        valid = nodes.agg(
+            (F.count("n") == F.countDistinct("n")).alias("v"))
+        free_free = (pairs
+                     .join(nodes, pairs["id_a"] == nodes["n"],
+                           "left_anti")
+                     .join(nodes, pairs["id_b"] == nodes["n"],
+                           "left_anti"))
+        subset_ok = (m.join(pairs, on=["id_a", "id_b", "score"],
+                            how="left_anti").count() == 0)
+        ok = bool(valid.collect()[0]["v"]
+                  and free_free.count() == 0 and subset_ok)
+        n_pairs = pairs.count()
+        return spark.createDataFrame(
+            [(ok, n_pairs)], "ok boolean, n_pairs bigint")
+
     def text_llr(spark, sf):
         # Dunning G² collocations; nano-long ln discipline (NB/bm25
         # precedent) so the ranking longs are engine-identical
@@ -3668,6 +3712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_allpairs": dedup_allpairs,
         "text_llr": text_llr,
         "text_good_turing": text_good_turing,
+        "link_mutual_best": link_mutual_best,
+        "link_greedy_cert": link_greedy_cert,
     }
 
 
@@ -10115,6 +10161,39 @@ def oracle_sql() -> dict[str, str]:
            round((r + 1) * n_r1 / n_r, 6) AS r_star,
            round((r + 1) * n_r1 / n_r / t_all, 9) AS p_token
     FROM j
+    """
+
+    # reciprocal-best 1-1 assignment over the FS pair seam (the FS
+    # chain rides along as a subquery, the text_nb_kappa pattern);
+    # ranking compares exact micro longs like the engine
+    q["link_mutual_best"] = f"""
+    WITH p AS ({q["link_fs_scores"]}),
+    sym AS (
+        SELECT id_a AS u, id_b AS v,
+               CAST(round(score * 1e6) AS BIGINT) AS s FROM p
+        UNION ALL
+        SELECT id_b, id_a, CAST(round(score * 1e6) AS BIGINT) FROM p
+    ),
+    best AS (
+        SELECT u, v, s FROM (
+            SELECT u, v, s, row_number() OVER (
+                PARTITION BY u ORDER BY s DESC, v) AS rn
+            FROM sym) r
+        WHERE rn = 1
+    )
+    SELECT a.u AS id_a, a.v AS id_b, round(a.s / 1e6, 6) AS score
+    FROM best a JOIN best b ON a.u = b.v AND a.v = b.u
+    WHERE a.u < a.v
+    """
+
+    # greedy-matching certificate: the matching itself is engine-side
+    # (validity + maximality + subset checked in-engine; sequential-
+    # greedy equality pinned in tests); the oracle re-derives the
+    # input-pair count so the cert is tied to the right seam
+    q["link_greedy_cert"] = f"""
+    SELECT TRUE AS ok,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM ({q["link_fs_scores"]}) p) AS n_pairs
     """
 
     return q

@@ -664,3 +664,102 @@ def jaro_winkler_pairs(
             .where(F.col("jw") >= threshold)
             .select("id_a", "id_b", "jw"))
 
+
+
+def _symmetrized_micro(pairs: DataFrame, id_a: str, id_b: str,
+                       score_col: str) -> DataFrame:
+    """Both orientations of an undirected scored pair set, with the
+    score lifted to an exact micro long so every rank/argmax below
+    compares integers (floats rounded to 6dp ARE exact at 1e6 scale;
+    comparing the longs keeps engines and partitionings agreed)."""
+    micro = F.round(F.col(score_col) * 1e6).cast("long")
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"),
+                       micro.alias("s"))
+    rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"),
+                       micro.alias("s"))
+    return fwd.unionByName(rev)
+
+
+def mutual_best_match(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b",
+                      score_col: str = "score") -> DataFrame:
+    """Reciprocal-best-hit one-to-one assignment — the ER step after
+    pair scoring (fellegi_sunter_scores / jaro_winkler_pairs emit
+    SCORED PAIRS; an entity-resolution decision needs each record
+    matched at most once): keep (a, b) iff b is a's highest-scoring
+    partner AND a is b's (ties by partner id asc). Returns
+    (id_a, id_b, score) with id_a < id_b, each id appearing at most
+    once — the "locally dominant" pairs of the matching literature.
+
+    Plan: symmetrize -> one row_number window per node -> self-join
+    of the two rank-1 orientations. Two exchanges total, both on node
+    id (unskewable uniform keys after blocking caps)."""
+    from pyspark.sql.window import Window
+
+    sym = _symmetrized_micro(pairs, id_a, id_b, score_col)
+    w = Window.partitionBy("u").orderBy(F.col("s").desc(), "v")
+    best = (sym.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).select("u", "v", "s"))
+    other = best.select(F.col("u").alias("_bu"),
+                        F.col("v").alias("_bv"))
+    return (best.join(other, (F.col("u") == F.col("_bv"))
+                      & (F.col("v") == F.col("_bu")))
+            .where(F.col("u") < F.col("v"))
+            .select(F.col("u").alias(id_a), F.col("v").alias(id_b),
+                    F.round(F.col("s") / 1e6, 6).alias(score_col)))
+
+
+def greedy_matching(pairs: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b", score_col: str = "score",
+                    max_rounds: int = 40) -> DataFrame:
+    """Greedy maximum-weight one-to-one matching via repeated
+    locally-dominant pair elimination (Preis 1999 / Manne-Bisseling:
+    a pair that is mutually each other's best surviving partner is
+    ALWAYS in the greedy matching, and all such pairs can be taken
+    simultaneously): each round takes every reciprocal-best pair,
+    removes both endpoints, repeats until no edges survive. Under the
+    total order (score desc, u asc, v asc) the result is EXACTLY the
+    sequential sort-all-pairs greedy matching — pinned against a
+    pure-Python twin in tests/test_link_matching.py.
+
+    Scale shape per round: one node-keyed window + one broadcast-able
+    anti-join of matched nodes; lineage truncated by localCheckpoint
+    (the cc/pagerank discipline). Rounds are data-dependent (~log n
+    typical; a monotone-decreasing path is the linear worst case) —
+    `max_rounds` exhaustion raises LOUDLY rather than returning a
+    partial matching."""
+    from pyspark.sql.window import Window
+
+    sym = _symmetrized_micro(pairs, id_a, id_b, score_col) \
+        .localCheckpoint()
+    out = None
+    for _ in range(max_rounds):
+        if sym.rdd.isEmpty():
+            break
+        w = Window.partitionBy("u").orderBy(F.col("s").desc(), "v")
+        best = (sym.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).select("u", "v", "s"))
+        other = best.select(F.col("u").alias("_bu"),
+                            F.col("v").alias("_bv"))
+        matched = (best.join(other, (F.col("u") == F.col("_bv"))
+                             & (F.col("v") == F.col("_bu")))
+                   .where(F.col("u") < F.col("v"))
+                   .select("u", "v", "s").localCheckpoint())
+        out = matched if out is None else out.unionByName(matched)
+        nodes = (matched.select(F.col("u").alias("n"))
+                 .unionByName(matched.select(F.col("v").alias("n"))))
+        # no broadcast hint: round-1's matched set can approach n/2
+        # nodes, so let AQE pick broadcast-vs-shuffle per round
+        sym = (sym.join(nodes, F.col("u") == F.col("n"), "left_anti")
+               .join(nodes, F.col("v") == F.col("n"), "left_anti")
+               .localCheckpoint())
+    # re-check AFTER the loop: exhausting range() on the round that
+    # cleared the last edge is convergence, not failure
+    if not sym.rdd.isEmpty():
+        raise RuntimeError(
+            f"greedy_matching: not converged in {max_rounds} rounds")
+    if out is None:
+        return pairs.select(F.col(id_a), F.col(id_b),
+                            F.col(score_col)).limit(0)
+    return out.select(F.col("u").alias(id_a), F.col("v").alias(id_b),
+                      F.round(F.col("s") / 1e6, 6).alias(score_col))
