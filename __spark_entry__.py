@@ -3344,6 +3344,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("text")))
         return normalize_text(d)
 
+    def text_nb_report(spark, sf):
+        # per-class P/R/F1 of the NB language classifier vs gold —
+        # the classification-report companion to text_nb_kappa
+        from mms_rdf_spark.operators.evalmetrics import (
+            classification_report,
+        )
+        from mms_rdf_spark.operators.mlops import nb_score, nb_train
+        docs = _docs(spark, sf)
+        w, m = nb_train(docs)
+        pred = nb_score(docs, w, m).select(
+            F.col("doc_id").alias("id"), F.col("pred").alias("label"))
+        gold = docs.select(F.col("doc_id").alias("id"),
+                           F.col("lang").alias("label"))
+        return classification_report(pred, gold)
+
     def _fs_pairs(spark, sf):
         # the shared FS-scored pair seam (same params as
         # link_fs_scores) feeding the match-assignment rows
@@ -3714,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_good_turing": text_good_turing,
         "link_mutual_best": link_mutual_best,
         "link_greedy_cert": link_greedy_cert,
+        "text_nb_report": text_nb_report,
     }
 
 
@@ -10184,6 +10200,41 @@ def oracle_sql() -> dict[str, str]:
     SELECT a.u AS id_a, a.v AS id_b, round(a.s / 1e6, 6) AS score
     FROM best a JOIN best b ON a.u = b.v AND a.v = b.u
     WHERE a.u < a.v
+    """
+
+    # per-class classification report over the nested NB chain; f1
+    # is computed from the ROUNDED p/r so both engines divide
+    # identical doubles
+    q["text_nb_report"] = f"""
+    WITH j AS (
+        SELECT p.pred AS pl, d.lang AS gl
+        FROM ({q["text_nb_lang"]}) p
+        JOIN documents d ON p.doc_id = d.doc_id),
+    cells AS (SELECT pl, gl, count(*) AS c FROM j GROUP BY 1, 2),
+    pp AS (SELECT pl AS label, sum(c) AS n_pred,
+                  sum(CASE WHEN pl = gl THEN c ELSE 0 END) AS tp_p
+           FROM cells GROUP BY 1),
+    pg AS (SELECT gl AS label, sum(c) AS n_gold
+           FROM cells GROUP BY 1),
+    m AS (SELECT coalesce(pp.label, pg.label) AS label,
+                 CAST(coalesce(tp_p, 0) AS BIGINT) AS tp,
+                 CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+                 CAST(coalesce(n_gold, 0) AS BIGINT) AS n_gold
+          FROM pp FULL OUTER JOIN pg ON pp.label = pg.label),
+    s AS (SELECT label, tp, n_pred - tp AS fp, n_gold - tp AS fn,
+                 CASE WHEN n_pred > 0
+                      THEN round(tp * 1.0 / n_pred, 6)
+                      ELSE 0.0 END AS precision,
+                 CASE WHEN n_gold > 0
+                      THEN round(tp * 1.0 / n_gold, 6)
+                      ELSE 0.0 END AS recall
+          FROM m)
+    SELECT label, tp, fp, fn, precision, recall,
+           CASE WHEN precision + recall > 0
+                THEN round(2 * precision * recall
+                           / (precision + recall), 6)
+                ELSE 0.0 END AS f1
+    FROM s
     """
 
     # greedy-matching certificate: the matching itself is engine-side

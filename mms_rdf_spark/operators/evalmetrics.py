@@ -396,3 +396,48 @@ def cohens_kappa(a: DataFrame, b: DataFrame, id_col: str = "id",
         F.when(pe_v == 1.0, F.lit(1.0))
         .otherwise(F.round((po - pe_v) / (1.0 - pe_v), 6))
         .alias("kappa"))
+
+
+def classification_report(pred: DataFrame, gold: DataFrame,
+                          id_col: str = "id",
+                          label_col: str = "label") -> DataFrame:
+    """Per-class precision / recall / F1 — the sklearn-style
+    classification report, fully in-engine: one id join, one
+    (pred, gold) contingency aggregate (|classes|² rows max), then
+    pure column math. Returns (label, tp, fp, fn, precision, recall,
+    f1) for every label present in either rater; macro/micro
+    averages are one tiny aggregate away from this frame.
+
+    Determinism: tp/fp/fn are exact longs; precision and recall are
+    single divisions of those longs rounded 6dp; f1 is computed FROM
+    THE ROUNDED p and r (identical doubles in both engines) — the
+    cohens_kappa discipline. Zero-denominator classes report 0.0 (the
+    sklearn zero_division=0 convention)."""
+    j = (pred.select(F.col(id_col).alias("_id"),
+                     F.col(label_col).alias("_p"))
+         .join(gold.select(F.col(id_col).alias("_id"),
+                           F.col(label_col).alias("_g")), on="_id"))
+    cells = j.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("c"))
+    per_pred = (cells.groupBy(F.col("_p").alias("label"))
+                .agg(F.sum("c").alias("n_pred"),
+                     F.sum(F.when(F.col("_p") == F.col("_g"),
+                                  F.col("c")).otherwise(0))
+                     .alias("tp_p")))
+    per_gold = (cells.groupBy(F.col("_g").alias("label"))
+                .agg(F.sum("c").alias("n_gold")))
+    m = per_pred.join(per_gold, on="label", how="full_outer")
+    tp = F.coalesce("tp_p", F.lit(0)).cast("long")
+    n_pred = F.coalesce("n_pred", F.lit(0)).cast("long")
+    n_gold = F.coalesce("n_gold", F.lit(0)).cast("long")
+    prec = F.when(n_pred > 0, F.round(tp / n_pred, 6)) \
+        .otherwise(F.lit(0.0))
+    rec = F.when(n_gold > 0, F.round(tp / n_gold, 6)) \
+        .otherwise(F.lit(0.0))
+    scored = m.select("label", tp.alias("tp"),
+                      (n_pred - tp).alias("fp"),
+                      (n_gold - tp).alias("fn"),
+                      prec.alias("precision"), rec.alias("recall"))
+    p, r = F.col("precision"), F.col("recall")
+    return scored.withColumn(
+        "f1", F.when(p + r > 0, F.round(2 * p * r / (p + r), 6))
+        .otherwise(F.lit(0.0)))

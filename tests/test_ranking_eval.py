@@ -326,3 +326,29 @@ def test_kappa_textbook_and_degenerates(spark):
     assert cohens_kappa(const, const).collect()[0].kappa == 1.0
     e = spark.createDataFrame([], "id long, label string")
     assert cohens_kappa(e, e).count() == 0
+
+
+def test_classification_report_textbook(spark):
+    from mms_rdf_spark.operators.evalmetrics import classification_report
+
+    # confusion: gold a,a,a,b,b,c ; pred a,a,b,b,b,a
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b"), (6, "a")],
+        "id int, label string")
+    gold = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")],
+        "id int, label string")
+    got = {r["label"]: (r["tp"], r["fp"], r["fn"], r["precision"],
+                        r["recall"], r["f1"])
+           for r in classification_report(pred, gold).collect()}
+    # a: tp=2 fp=1 fn=1 -> p=2/3 r=2/3 f1=2/3
+    pa = round(2 / 3, 6)
+    f1a = round(2 * pa * pa / (pa + pa), 6)
+    assert got["a"] == (2, 1, 1, pa, pa, f1a)
+    # b: tp=2 fp=1 fn=0 -> p=2/3 r=1
+    rb = 1.0
+    f1b = round(2 * pa * rb / (pa + rb), 6)
+    assert got["b"] == (2, 1, 0, pa, rb, f1b)
+    # c: never predicted -> tp=0 fp=0 fn=1, zero_division=0
+    assert got["c"] == (0, 0, 1, 0.0, 0.0, 0.0)
+    assert set(got) == {"a", "b", "c"}
