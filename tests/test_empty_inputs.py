@@ -327,3 +327,28 @@ def test_round5_continuation_ops_on_empty(spark):
                                  "name").count() == 0
     ev = _empty(spark, "ts timestamp")
     assert seasonal_decompose(ev).count() == 0
+
+
+def test_round5_new_ops_on_empty(spark):
+    from mms_rdf_spark.operators.curate import normalize_text
+    from mms_rdf_spark.operators.dedup import allpairs_cosine_pairs
+    from mms_rdf_spark.operators.evalmetrics import classification_report
+    from mms_rdf_spark.operators.link import (
+        greedy_matching,
+        mutual_best_match,
+    )
+    from mms_rdf_spark.operators.textstats import (
+        good_turing,
+        llr_collocations,
+    )
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert normalize_text(docs).count() == 0
+    assert allpairs_cosine_pairs(docs).count() == 0
+    assert llr_collocations(docs).count() == 0
+    assert good_turing(docs).count() == 0
+    pairs = _empty(spark, "id_a long, id_b long, score double")
+    assert mutual_best_match(pairs).count() == 0
+    assert greedy_matching(pairs).count() == 0
+    lab = _empty(spark, "id long, label string")
+    assert classification_report(lab, lab).count() == 0
