@@ -574,9 +574,19 @@ def allpairs_cosine_pairs(
     fan-out join, the AQE blind spot) -> distinct candidate pairs ->
     verify via token-set join restricted to candidates. The oracle is
     the BRUTE-FORCE quadratic join, so the contract row certifies the
-    prefix filter is genuinely lossless — not just plausible.
-    Refinements that compose later: positional filter and suffix
-    bound (PPJoin), both pure column math on the same structure.
+    prefix AND positional filters are genuinely lossless — not just
+    plausible.
+
+    Positional filter (the PPJoin refinement, Xiao et al. WWW'08):
+    shared prefix tokens appear in the SAME relative order on both
+    sides (one global order), so for the first shared token — at
+    ranks (i, j), the pair minimizing both — the true overlap is at
+    most 1 + min(la−i, lb−j). Aggregating max over shared tokens of
+    that bound IS the first-token bound (la−i decreases in i), so
+    dropping pairs whose bound misses ov >= t·sqrt(la·lb) — compared
+    as bound²·1e12 >= T2·la·lb in longs — is lossless; the bound
+    rides the same pair aggregate that dedups candidates, costing
+    nothing extra.
     """
     from pyspark.sql.window import Window
 
@@ -595,22 +605,32 @@ def allpairs_cosine_pairs(
                   Window.partitionBy("_d").orderBy("_df", "tok"))))
     minov = F.expr(f"({T2} * sz + 999999999999) div 1000000000000")
     prefix = (ranked.where(F.col("_rn") <= F.col("sz") - minov + 1)
-              .select("_d", "tok", "sz"))
+              .select("_d", "tok", "sz", "_rn"))
 
     a = pin_fanout_partitions(
         prefix.select(F.col("_d").alias("a_id"),
-                      F.col("sz").alias("a_sz"), "tok"), "tok")
+                      F.col("sz").alias("a_sz"), "tok",
+                      F.col("_rn").alias("_ri")), "tok")
     b = pin_fanout_partitions(
         prefix.select(F.col("_d").alias("b_id"),
                       F.col("sz").alias("b_sz"),
-                      F.col("tok").alias("_btok")), "_btok")
+                      F.col("tok").alias("_btok"),
+                      F.col("_rn").alias("_rj")), "_btok")
+    scale = F.lit(1000000000000).cast("long")
     cand = (a.join(b, (F.col("tok") == F.col("_btok"))
                    & (F.col("a_id") < F.col("b_id")))
             # size filter: min(la,lb)² must reach t²·la·lb
             .where(F.least("a_sz", "b_sz") * F.least("a_sz", "b_sz")
-                   * F.lit(1000000000000).cast("long")
+                   * scale >= F.lit(T2) * F.col("a_sz") * F.col("b_sz"))
+            .groupBy("a_id", "b_id", "a_sz", "b_sz")
+            .agg(F.max(F.least(F.col("a_sz") - F.col("_ri"),
+                               F.col("b_sz") - F.col("_rj")) + 1)
+                 .alias("_ub"))
+            # positional filter: the overlap upper bound must itself
+            # clear the threshold
+            .where(F.col("_ub") * F.col("_ub") * scale
                    >= F.lit(T2) * F.col("a_sz") * F.col("b_sz"))
-            .select("a_id", "b_id", "a_sz", "b_sz").distinct())
+            .select("a_id", "b_id", "a_sz", "b_sz"))
 
     ta = toks.select(F.col("_d").alias("a_id"), "tok")
     tb = toks.select(F.col("_d").alias("_vb"),
