@@ -3344,6 +3344,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("text")))
         return normalize_text(d)
 
+    def text_mcnemar(spark, sf):
+        # paired-model comparison: NB classifier vs the stopword
+        # heuristic on the same docs, both against gold lang
+        from mms_rdf_spark.operators.evalmetrics import mcnemar_test
+        from mms_rdf_spark.operators.mlops import nb_score, nb_train
+        from mms_rdf_spark.operators.textstats import detect_language
+        docs = _docs(spark, sf)
+        w, m = nb_train(docs)
+        pa = nb_score(docs, w, m).select(
+            F.col("doc_id").alias("id"), F.col("pred").alias("label"))
+        pb = detect_language(docs).select(
+            F.col("doc_id").alias("id"),
+            F.col("lang_pred").alias("label"))
+        gold = docs.select(F.col("doc_id").alias("id"),
+                           F.col("lang").alias("label"))
+        return mcnemar_test(pa, pb, gold)
+
+    def link_golden(spark, sf):
+        # survivorship over exact-duplicate text clusters: modal
+        # lang/source per cluster, NULLs excluded from the vote
+        from mms_rdf_spark.operators.link import golden_record
+        d = (spark.read.parquet(f"{sf}/documents.parquet")
+             .withColumn("cluster",
+                         F.md5(F.coalesce(F.col("text"), F.lit("")))))
+        return golden_record(d, "cluster", ["lang", "source"],
+                             id_col="doc_id")
+
     def text_nb_report(spark, sf):
         # per-class P/R/F1 of the NB language classifier vs gold —
         # the classification-report companion to text_nb_kappa
@@ -3730,6 +3757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_mutual_best": link_mutual_best,
         "link_greedy_cert": link_greedy_cert,
         "text_nb_report": text_nb_report,
+        "text_mcnemar": text_mcnemar,
+        "link_golden": link_golden,
     }
 
 
@@ -10235,6 +10264,57 @@ def oracle_sql() -> dict[str, str]:
                            / (precision + recall), 6)
                 ELSE 0.0 END AS f1
     FROM s
+    """
+
+    # McNemar: NB chain and the stopword heuristic ride along as
+    # subqueries; the statistic is one division of exact longs
+    q["text_mcnemar"] = f"""
+    WITH a AS ({q["text_nb_lang"]}),
+    b AS ({q["text_langid"]}),
+    j AS (SELECT d.doc_id,
+                 CASE WHEN a.pred = d.lang THEN 1 ELSE 0 END AS aok,
+                 CASE WHEN b.lang_pred = d.lang THEN 1 ELSE 0 END
+                     AS bok
+          FROM documents d
+          JOIN a ON a.doc_id = d.doc_id
+          JOIN b ON b.doc_id = d.doc_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum((1 - aok) * bok) AS BIGINT) AS n01,
+                 CAST(sum(aok * (1 - bok)) AS BIGINT) AS n10
+          FROM j)
+    SELECT n, n01, n10,
+           CASE WHEN n01 + n10 > 0
+                THEN round((abs(n01 - n10) - 1) * (abs(n01 - n10) - 1)
+                           * 1.0 / (n01 + n10), 6)
+                ELSE 0.0 END AS statistic
+    FROM g
+    """
+
+    # golden record: modal attribute per exact-dup cluster (count
+    # desc, value asc), NULL votes excluded
+    q["link_golden"] = """
+    WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS cluster,
+                      lang, source
+               FROM documents),
+    base AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+                    min(doc_id) AS rep_id
+             FROM d GROUP BY 1),
+    lc AS (SELECT cluster, lang FROM (
+        SELECT cluster, lang, row_number() OVER (
+            PARTITION BY cluster ORDER BY c DESC, lang) AS rn
+        FROM (SELECT cluster, lang, count(*) AS c FROM d
+              WHERE lang IS NOT NULL GROUP BY 1, 2) t) x
+        WHERE rn = 1),
+    sc AS (SELECT cluster, source FROM (
+        SELECT cluster, source, row_number() OVER (
+            PARTITION BY cluster ORDER BY c DESC, source) AS rn
+        FROM (SELECT cluster, source, count(*) AS c FROM d
+              WHERE source IS NOT NULL GROUP BY 1, 2) t) x
+        WHERE rn = 1)
+    SELECT b.cluster, b.n_members, b.rep_id, lc.lang, sc.source
+    FROM base b
+    LEFT JOIN lc USING (cluster)
+    LEFT JOIN sc USING (cluster)
     """
 
     # greedy-matching certificate: the matching itself is engine-side

@@ -441,3 +441,36 @@ def classification_report(pred: DataFrame, gold: DataFrame,
     return scored.withColumn(
         "f1", F.when(p + r > 0, F.round(2 * p * r / (p + r), 6))
         .otherwise(F.lit(0.0)))
+
+
+def mcnemar_test(pred_a: DataFrame, pred_b: DataFrame,
+                 gold: DataFrame, id_col: str = "id",
+                 label_col: str = "label") -> DataFrame:
+    """McNemar's paired test between two classifiers on the same
+    items (McNemar 1947; the Dietterich 1998 recommendation for
+    comparing models on one test set): counts the DISCORDANT items —
+    n01 = A wrong, B right; n10 = A right, B wrong — and the
+    continuity-corrected statistic (|n01−n10|−1)²/(n01+n10), which is
+    χ²(1df) under "both models have the same error rate". Returns ONE
+    row (n, n01, n10, statistic); statistic is 0.0 when no item
+    discords (the degenerate-case convention). Two id joins + one
+    aggregate; the counts are exact longs, the statistic one division
+    of longs rounded 6dp."""
+    j = (pred_a.select(F.col(id_col).alias("_id"),
+                       F.col(label_col).alias("_a"))
+         .join(pred_b.select(F.col(id_col).alias("_id"),
+                             F.col(label_col).alias("_b")), on="_id")
+         .join(gold.select(F.col(id_col).alias("_id"),
+                           F.col(label_col).alias("_g")), on="_id"))
+    a_ok = (F.col("_a") == F.col("_g")).cast("long")
+    b_ok = (F.col("_b") == F.col("_g")).cast("long")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((1 - a_ok) * b_ok).alias("n01"),
+        F.sum(a_ok * (1 - b_ok)).alias("n10"))
+    d = F.col("n01") + F.col("n10")
+    num = (F.abs(F.col("n01") - F.col("n10")) - 1)
+    return agg.select(
+        "n", "n01", "n10",
+        F.when(d > 0, F.round(num * num / d, 6))
+        .otherwise(F.lit(0.0)).alias("statistic"))

@@ -763,3 +763,39 @@ def greedy_matching(pairs: DataFrame, id_a: str = "id_a",
                             F.col(score_col)).limit(0)
     return out.select(F.col("u").alias(id_a), F.col("v").alias(id_b),
                       F.round(F.col("s") / 1e6, 6).alias(score_col))
+
+
+def golden_record(df: DataFrame, cluster_col: str, attr_cols: list,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Survivorship / golden-record construction — the MDM step after
+    clustering: one canonical row per entity cluster, where each
+    attribute independently takes the cluster's MODAL value (most
+    frequent; ties by value asc — F.mode() is tie-nondeterministic,
+    so this uses an explicit count+rank), plus n_members and rep_id
+    (min member id) for lineage. NULLs never win: null attribute
+    values are excluded from the vote (a cluster that is all-NULL on
+    an attribute yields NULL).
+
+    Plan: one (cluster, attr, value) count per attribute + one
+    cluster-keyed rank window each — aggregates of aggregates, so the
+    shuffled bytes are cluster-cardinality-sized, never corpus-sized;
+    the per-attr frames re-join on the cluster key they are already
+    partitioned by."""
+    from pyspark.sql.window import Window
+
+    base = df.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(id_col).alias("rep_id"))
+    out = base
+    for attr in attr_cols:
+        counts = (df.where(F.col(attr).isNotNull())
+                  .groupBy(F.col(cluster_col).alias("cluster"),
+                           F.col(attr))
+                  .agg(F.count(F.lit(1)).alias("_c")))
+        w = Window.partitionBy("cluster").orderBy(
+            F.col("_c").desc(), F.col(attr))
+        winner = (counts.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1)
+                  .select("cluster", attr))
+        out = out.join(winner, on="cluster", how="left")
+    return out

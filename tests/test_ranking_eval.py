@@ -352,3 +352,46 @@ def test_classification_report_textbook(spark):
     # c: never predicted -> tp=0 fp=0 fn=1, zero_division=0
     assert got["c"] == (0, 0, 1, 0.0, 0.0, 0.0)
     assert set(got) == {"a", "b", "c"}
+
+
+def test_mcnemar_textbook(spark):
+    from mms_rdf_spark.operators.evalmetrics import mcnemar_test
+
+    # gold all "x"; A right on 1-6, B right on 1-4 and 7-8:
+    # n01 (A wrong, B right) = {7,8} = 2;
+    # n10 (A right, B wrong) = {5,6} = 2
+    gold = spark.createDataFrame(
+        [(i, "x") for i in range(1, 9)], "id int, label string")
+    a = spark.createDataFrame(
+        [(i, "x" if i <= 6 else "y") for i in range(1, 9)],
+        "id int, label string")
+    b = spark.createDataFrame(
+        [(i, "x" if i <= 4 or i >= 7 else "y") for i in range(1, 9)],
+        "id int, label string")
+    r = mcnemar_test(a, b, gold).collect()[0]
+    assert (r["n"], r["n01"], r["n10"]) == (8, 2, 2)
+    # continuity correction: (|2-2|-1)^2 / 4 = 0.25
+    assert r["statistic"] == 0.25
+    # no discordance -> 0.0
+    r2 = mcnemar_test(a, a, gold).collect()[0]
+    assert r2["statistic"] == 0.0 and r2["n01"] == 0 and r2["n10"] == 0
+
+
+def test_golden_record_modal_votes(spark):
+    from mms_rdf_spark.operators.link import golden_record
+
+    rows = [
+        (1, "c1", "en", "web"), (2, "c1", "en", "api"),
+        (3, "c1", "de", "api"), (4, "c2", None, None),
+        (5, "c2", "fr", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, cluster string, lang string, source string")
+    got = {r["cluster"]: (r["n_members"], r["rep_id"], r["lang"],
+                          r["source"])
+           for r in golden_record(df, "cluster", ["lang", "source"],
+                                  id_col="doc_id").collect()}
+    # c1: lang en (2 votes), source tie api/web -> api (value asc)
+    assert got["c1"] == (3, 1, "en", "api")
+    # c2: lang fr (NULL excluded), source all-NULL -> NULL
+    assert got["c2"] == (2, 4, "fr", None)
