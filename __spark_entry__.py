@@ -3344,6 +3344,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("text")))
         return normalize_text(d)
 
+    def events_ljungbox(spark, sf):
+        # portmanteau whiteness test over the hourly click series —
+        # composed over the SAME per-lag estimator as events_acf
+        from mms_rdf_spark.operators.analytics import ljung_box
+        return ljung_box(spark.read.parquet(f"{sf}/events.parquet"),
+                         "click", max_lag=6)
+
     def text_mcnemar(spark, sf):
         # paired-model comparison: NB classifier vs the stopword
         # heuristic on the same docs, both against gold lang
@@ -3759,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_report": text_nb_report,
         "text_mcnemar": text_mcnemar,
         "link_golden": link_golden,
+        "events_ljungbox": events_ljungbox,
     }
 
 
@@ -10264,6 +10272,23 @@ def oracle_sql() -> dict[str, str]:
                            / (precision + recall), 6)
                 ELSE 0.0 END AS f1
     FROM s
+    """
+
+    # Ljung-Box over the nested ACF: per-lag terms lift to exact pico
+    # longs before the cross-lag sum (identical double-rounding chain
+    # engine-side)
+    q["events_ljungbox"] = f"""
+    WITH acf AS ({q["events_acf"]}),
+    base AS (SELECT n AS n0 FROM acf WHERE lag = 0),
+    terms AS (SELECT CAST(round(round(r * r / n, 12) * 1e12)
+                          AS BIGINT) AS t
+              FROM acf WHERE lag >= 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS h,
+                 CAST(sum(t) AS BIGINT) AS st
+          FROM terms)
+    SELECT b.n0 AS n, s.h,
+           round((b.n0 * (b.n0 + 2)) * (st / 1e12), 6) AS q
+    FROM base b, s
     """
 
     # McNemar: NB chain and the stopword heuristic ride along as

@@ -1624,3 +1624,43 @@ def sequence_pattern(
             .select("user_id",
                     F.col("match_idx").cast("long").alias("match_idx"),
                     "matched"))
+
+
+def ljung_box(
+    events: DataFrame,
+    event_type: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (Ljung & Box 1978) over an
+    event-count series: Q = n(n+2)·Σ_{k=1..h} ρ_k²/(n−k), the standard
+    "is this series white noise / did my model leave structure in the
+    residuals" QC statistic, composed over the SAME per-lag Pearson
+    estimator as lagged_crosscorr (events_acf) so the two can never
+    drift. Returns ONE row (n, h, q): n = lag-0 series length, h =
+    surviving lags (degenerate constant-overlap lags drop, matching
+    the ACF operator), q compared against χ²(h).
+
+    Determinism: each lag's term rounds to 12dp and lifts to an exact
+    pico long BEFORE the cross-lag sum (float summation order never
+    matters), then one double multiply against n(n+2). Empty/constant
+    series (no lag-0 row) yield an empty frame rather than a fake 0."""
+    acf = lagged_crosscorr(events, event_type, event_type,
+                           type_col=type_col, ts_col=ts_col,
+                           bucket_seconds=bucket_seconds,
+                           max_lag=max_lag)
+    base = acf.where(F.col("lag") == 0) \
+        .select(F.col("n").alias("n0"))
+    terms = (acf.where(F.col("lag") >= 1)
+             .select(F.round(F.round(F.col("r") * F.col("r")
+                                     / F.col("n"), 12) * 1e12)
+                     .cast("long").alias("_t")))
+    s = terms.agg(F.count(F.lit(1)).alias("h"),
+                  F.sum("_t").alias("_st"))
+    return (base.crossJoin(F.broadcast(s))
+            .select(F.col("n0").alias("n"), "h",
+                    F.round((F.col("n0") * (F.col("n0") + 2))
+                            * (F.col("_st") / F.lit(1e12)), 6)
+                    .alias("q")))

@@ -533,3 +533,27 @@ def test_sequence_pattern_ts_tiebreak_and_empty(spark):
             "event_type string")
     assert sequence_pattern(empty, "sp", {"signup": "s",
                                           "purchase": "p"}).count() == 0
+
+
+def test_ljung_box_composes_over_acf(spark):
+    from mms_rdf_spark.operators.analytics import (
+        lagged_crosscorr,
+        ljung_box,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    row = ljung_box(ev, "click", max_lag=4).collect()
+    assert len(row) == 1
+    r = row[0]
+    acf = {x["lag"]: (x["n"], x["r"]) for x in
+           lagged_crosscorr(ev, "click", "click", max_lag=4).collect()}
+    n0 = acf[0][0]
+    st = sum(int(round(round(x_r * x_r / x_n, 12) * 1e12))
+             for lag, (x_n, x_r) in acf.items() if lag >= 1)
+    assert r["n"] == n0 and r["h"] == len(acf) - 1
+    assert r["q"] == round((n0 * (n0 + 2)) * (st / 1e12), 6)
+    assert r["q"] >= 0
+
+    # empty input -> empty frame, not a fake zero
+    e = spark.createDataFrame([], "event_type string, ts timestamp")
+    assert ljung_box(e, "click").count() == 0
