@@ -3459,6 +3459,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(f"{sf}/documents.parquet")
         return allpairs_cosine_pairs(d, threshold=0.85)
 
+    def text_bleu(spark, sf):
+        # sentence BLEU-2 over the adjacent (even, even+1) pairing;
+        # exact clipped-count numerators ride along in the hash
+        from mms_rdf_spark.operators.textstats import bleu2_pairs
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return bleu2_pairs(d)
+
+    def text_jsd(spark, sf):
+        # per-token Jensen-Shannon contributions between the doc_id%2
+        # corpus halves; nano-long ln discipline
+        from mms_rdf_spark.operators.textstats import jsd_contributions
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return jsd_contributions(d, k=50)
+
+    def kg_squares(spark, sf):
+        # per-node 4-cycle counts on the parts-co-occurrence graph
+        # (same edge derivation as kg_triangles)
+        from mms_rdf_spark.operators.pagerank import square_counts
+        li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+              .select("l_orderkey", "l_partkey").distinct())
+        pairs = (li.alias("x")
+                 .join(li.alias("y"), on="l_orderkey")
+                 .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+                 .select(F.col("x.l_partkey").alias("src"),
+                         F.col("y.l_partkey").alias("dst")))
+        return square_counts(pairs)
+
     return {
         # Driver-window rotation (round 5): the driver grades the
         # FIRST 50 dict entries. kg_* conversion queries (the P/R
@@ -3767,6 +3794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mcnemar": text_mcnemar,
         "link_golden": link_golden,
         "events_ljungbox": events_ljungbox,
+        "text_bleu": text_bleu,
+        "text_jsd": text_jsd,
+        "kg_squares": kg_squares,
     }
 
 
@@ -10350,6 +10380,125 @@ def oracle_sql() -> dict[str, str]:
     SELECT TRUE AS ok,
            (SELECT CAST(count(*) AS BIGINT)
             FROM ({q["link_fs_scores"]}) p) AS n_pairs
+    """
+
+    # BLEU-2 over the adjacent (even, even+1) pairing; clipped-count
+    # algebra entirely in exact integers, one exp + one sqrt at the
+    # end (identical op order to the Spark expression)
+    q["text_bleu"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+        SELECT doc_id, u.tok AS gram, count(*) AS cnt
+        FROM d, unnest(toks) u(tok) GROUP BY 1, 2),
+    bi AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram,
+               count(*) AS cnt
+        FROM d, unnest(generate_series(1, len(toks) - 1)) g(i)
+        GROUP BY 1, 2),
+    lens AS (SELECT doc_id, len(toks) AS n1,
+                    greatest(len(toks) - 1, 0) AS n2 FROM d),
+    mm1 AS (
+        SELECT c.doc_id AS cid,
+               CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS m
+        FROM uni c JOIN uni r
+          ON r.doc_id = c.doc_id + 1 AND r.gram = c.gram
+        WHERE c.doc_id % 2 = 0 GROUP BY 1),
+    mm2 AS (
+        SELECT c.doc_id AS cid,
+               CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS m
+        FROM bi c JOIN bi r
+          ON r.doc_id = c.doc_id + 1 AND r.gram = c.gram
+        WHERE c.doc_id % 2 = 0 GROUP BY 1),
+    pairs AS (
+        SELECT cl.doc_id AS cand_id, rl.doc_id AS ref_id,
+               cl.n1 AS c1, cl.n2 AS c2, rl.n1 AS r1
+        FROM lens cl JOIN lens rl ON rl.doc_id = cl.doc_id + 1
+        WHERE cl.doc_id % 2 = 0)
+    SELECT p.cand_id, p.ref_id,
+           coalesce(mm1.m, 0) AS m1, p.c1,
+           coalesce(mm2.m, 0) AS m2, p.c2,
+           round(CASE WHEN p.c1 = 0 OR p.c2 = 0
+                        OR coalesce(mm1.m, 0) = 0
+                        OR coalesce(mm2.m, 0) = 0 THEN 0.0
+                 ELSE (CASE WHEN p.c1 >= p.r1 THEN 1.0
+                       ELSE exp(1.0 - CAST(p.r1 AS DOUBLE) / p.c1)
+                       END)
+                      * sqrt((CAST(coalesce(mm1.m, 0) AS DOUBLE)
+                              / p.c1)
+                             * (CAST(coalesce(mm2.m, 0) AS DOUBLE)
+                                / p.c2))
+                 END, 6) AS bleu2
+    FROM pairs p
+    LEFT JOIN mm1 ON mm1.cid = p.cand_id
+    LEFT JOIN mm2 ON mm2.cid = p.cand_id
+    """
+
+    # Jensen-Shannon per-token contributions between the doc_id%2
+    # halves: each ln rounds to 9dp -> nano long before the count
+    # multiply (llr discipline); totals ride as window sums (never a
+    # re-evaluated 1-row CTE); + 0.0 normalizes a nano-rounded -0
+    q["text_jsd"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+        SELECT u.tok,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_p,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_q
+        FROM d, unnest(toks) u(tok) GROUP BY 1),
+    tot AS (
+        SELECT tok, n_p, n_q,
+               CAST(sum(n_p) OVER () AS BIGINT) AS t_p,
+               CAST(sum(n_q) OVER () AS BIGINT) AS t_q
+        FROM uni),
+    nano AS (
+        SELECT tok, n_p, n_q, t_p, t_q,
+               CAST(round(round(ln(CAST(2 * n_p * t_q AS DOUBLE)
+                                   / CAST(n_p * t_q + n_q * t_p
+                                          AS DOUBLE)), 9) * 1e9)
+                    AS BIGINT) AS ln_a,
+               CAST(round(round(ln(CAST(2 * n_q * t_p AS DOUBLE)
+                                   / CAST(n_p * t_q + n_q * t_p
+                                          AS DOUBLE)), 9) * 1e9)
+                    AS BIGINT) AS ln_b
+        FROM tot),
+    scored AS (
+        SELECT tok, n_p, n_q,
+               round((CASE WHEN n_p > 0
+                      THEN CAST(n_p * ln_a AS DOUBLE) / 1e9
+                           / (2.0 * t_p) ELSE 0.0 END)
+                     + (CASE WHEN n_q > 0
+                        THEN CAST(n_q * ln_b AS DOUBLE) / 1e9
+                             / (2.0 * t_q) ELSE 0.0 END), 6) + 0.0
+               AS jsd_contrib
+        FROM nano)
+    SELECT tok, n_p, n_q, jsd_contrib,
+           CAST(row_number() OVER (ORDER BY jsd_contrib DESC, tok)
+                AS INTEGER) AS rank
+    FROM scored
+    ORDER BY jsd_contrib DESC, tok LIMIT 50
+    """
+
+    # per-node 4-cycle counts: naive wedge enumeration + exact
+    # comb-sum on the same parts-co-occurrence edges as kg_triangles
+    q["kg_squares"] = """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+    ), sym AS (
+        SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+    ), wd AS (
+        SELECT l.a AS u, r.b AS w, count(*) AS cn
+        FROM sym l JOIN sym r ON l.b = r.a
+        WHERE l.a <> r.b
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT u AS node, CAST(sum(cn * (cn - 1) // 2) AS BIGINT)
+           AS squares
+    FROM wd GROUP BY u
     """
 
     return q

@@ -923,3 +923,140 @@ def good_turing(docs: DataFrame) -> DataFrame:
                         / F.col("n_r") / F.col("t_all"), 9)
                 .alias("p_token"))
             .orderBy("r"))
+
+
+def bleu2_pairs(docs: DataFrame) -> DataFrame:
+    """Sentence-level BLEU-2 (Papineni et al., ACL 2002) over the
+    deterministic adjacent pairing: candidate = even doc_id, reference
+    = doc_id + 1. The standard generation-eval metric a transcript
+    pipeline needs for model-output scoring: clipped n-gram precision
+    p_n = sum_type min(c_cand, c_ref) / |cand n-grams| for n=1,2, a
+    brevity penalty exp(1 - r/c) when the candidate is shorter, and
+    BLEU2 = BP * sqrt(p1 * p2); unsmoothed, so any zero precision
+    gives 0 (the sentence-BLEU convention).
+
+    Returns (cand_id, ref_id, m1, c1, m2, c2, bleu2) — the exact
+    integer numerators/denominators ride along so the cross-engine
+    hash pins the count algebra, not just the rounded float.
+
+    Scale: n-gram counts are one explode + map-side-combined groupBy
+    per order; the clipped-match join is equi on (doc_id + 1, gram) —
+    a plain shuffle join whose key cardinality is |doc| x |vocab per
+    doc|, no fan-out (each (cand, gram) meets at most one ref row).
+    The float path is one exp and one sqrt from exact longs, rounded
+    to 6dp — single-op libm divergence is measure-zero at the grid.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    t = F.col("toks")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+
+    def gram_counts(col):
+        return (base.select("doc_id", F.explode(col).alias("gram"))
+                .groupBy("doc_id", "gram")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+    def clipped(cnts):
+        c = cnts.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1).alias("rid"), "doc_id", "gram",
+            F.col("cnt").alias("c_cnt"))
+        r = cnts.where(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").alias("rid"), F.col("gram"),
+            F.col("cnt").alias("r_cnt"))
+        return (c.join(r, on=["rid", "gram"])
+                .groupBy("doc_id")
+                .agg(F.sum(F.least("c_cnt", "r_cnt")).alias("m")))
+
+    uni, bi = gram_counts(t), gram_counts(bigrams)
+    lens = base.select(
+        "doc_id", F.size("toks").alias("n1"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("n2"))
+    cand = lens.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"), F.col("n1").alias("c1"),
+        F.col("n2").alias("c2"))
+    ref = lens.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("ref_id"), F.col("n1").alias("r1"))
+    pairs = cand.join(ref, cand["cand_id"] + 1 == ref["ref_id"])
+    m1 = clipped(uni).select(F.col("doc_id").alias("cand_id"),
+                             F.col("m").alias("m1"))
+    m2 = clipped(bi).select(F.col("doc_id").alias("cand_id"),
+                            F.col("m").alias("m2"))
+    j = (pairs.join(m1, on="cand_id", how="left")
+         .join(m2, on="cand_id", how="left")
+         .select("cand_id", "ref_id",
+                 F.coalesce("m1", F.lit(0)).alias("m1"), "c1",
+                 F.coalesce("m2", F.lit(0)).alias("m2"), "c2", "r1"))
+    bp = F.when(F.col("c1") >= F.col("r1"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("r1").cast("double") / F.col("c1")))
+    zero = ((F.col("c1") == 0) | (F.col("c2") == 0)
+            | (F.col("m1") == 0) | (F.col("m2") == 0))
+    bleu = F.when(zero, F.lit(0.0)).otherwise(
+        bp * F.sqrt((F.col("m1").cast("double") / F.col("c1"))
+                    * (F.col("m2").cast("double") / F.col("c2"))))
+    return j.select("cand_id", "ref_id", "m1", "c1", "m2", "c2",
+                    F.round(bleu, 6).alias("bleu2"))
+
+
+def jsd_contributions(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Per-token Jensen-Shannon divergence contributions between the
+    unigram distributions of two deterministic corpus halves
+    (doc_id % 2) — the distribution-shift / data-mixing diagnostic
+    (symmetric, bounded by ln 2, defined even where one side is 0,
+    unlike KL). For token t with counts (n_p, n_q) and totals
+    (T_p, T_q):
+
+        contrib(t) = [n_p*ln(2 n_p T_q / (n_p T_q + n_q T_p))]/(2 T_p)
+                   + [n_q*ln(2 n_q T_p / (n_p T_q + n_q T_p))]/(2 T_q)
+
+    (each pointwise term >= 0 by convexity); sum over tokens = JSD in
+    nats. Returns the top-k tokens by contribution:
+    (tok, n_p, n_q, jsd_contrib, rank) — the tokens that most
+    distinguish the halves.
+
+    Discipline: each ln takes a single double division of EXACT
+    integer products (counts fit 2^53 far past sf1), rounds to 9dp
+    and scales to a nano long (the llr/NB precedent), so both engines
+    multiply identical longs; the two-term sum has a fixed order and
+    `+ 0.0` normalizes a nano-rounding -0. Ordering is by the ROUNDED
+    value then token, so the top-k frontier is engine-stable.
+
+    Scale: one explode + one conditional-sum groupBy(token) (map-side
+    combined), totals as a broadcast 1-row crossJoin, top-k plans as
+    TakeOrderedAndProject.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    uni = (docs.select((F.col("doc_id") % 2).alias("half"),
+                       F.explode(toks).alias("tok"))
+           .groupBy("tok")
+           .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                .alias("n_p"),
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                .alias("n_q")))
+    tot = uni.agg(F.sum("n_p").alias("t_p"), F.sum("n_q").alias("t_q"))
+    j = uni.crossJoin(F.broadcast(tot))
+    n_p, n_q = F.col("n_p"), F.col("n_q")
+    t_p, t_q = F.col("t_p"), F.col("t_q")
+
+    def ln_nano(num_cnt, other_cnt, num_tot_other, den):
+        # ln((2*num_cnt*num_tot_other) / den) as an exact nano long
+        arg = ((F.lit(2) * num_cnt * num_tot_other).cast("double")
+               / den.cast("double"))
+        return F.round(F.round(F.log(arg), 9) * 1e9).cast("long")
+
+    den = n_p * t_q + n_q * t_p
+    ln_a = ln_nano(n_p, n_q, t_q, den)
+    ln_b = ln_nano(n_q, n_p, t_p, den)
+    term_a = F.when(n_p > 0, (n_p * ln_a).cast("double")
+                    / F.lit(1e9) / (F.lit(2.0) * t_p)).otherwise(0.0)
+    term_b = F.when(n_q > 0, (n_q * ln_b).cast("double")
+                    / F.lit(1e9) / (F.lit(2.0) * t_q)).otherwise(0.0)
+    scored = j.select(
+        "tok", "n_p", "n_q",
+        (F.round(term_a + term_b, 6) + F.lit(0.0)).alias("jsd_contrib"))
+    topk = scored.orderBy(F.col("jsd_contrib").desc(), "tok").limit(k)
+    w = Window.orderBy(F.col("jsd_contrib").desc(), "tok")
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int"))

@@ -342,11 +342,21 @@ def test_round5_new_ops_on_empty(spark):
         llr_collocations,
     )
 
+    from mms_rdf_spark.operators.pagerank import square_counts
+    from mms_rdf_spark.operators.textstats import (
+        bleu2_pairs,
+        jsd_contributions,
+    )
+
     docs = _empty(spark, "doc_id long, text string")
     assert normalize_text(docs).count() == 0
     assert allpairs_cosine_pairs(docs).count() == 0
     assert llr_collocations(docs).count() == 0
     assert good_turing(docs).count() == 0
+    assert bleu2_pairs(docs).count() == 0
+    assert jsd_contributions(docs).count() == 0
+    edges = _empty(spark, "src long, dst long")
+    assert square_counts(edges).count() == 0
     pairs = _empty(spark, "id_a long, id_b long, score double")
     assert mutual_best_match(pairs).count() == 0
     assert greedy_matching(pairs).count() == 0

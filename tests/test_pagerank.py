@@ -128,3 +128,21 @@ def test_negative_edges_properties(spark):
     assert len(keys) == len(set(keys))
     again = negative_edges(edges, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_square_counts_c4_and_k4(spark):
+    from mms_rdf_spark.operators.pagerank import square_counts
+
+    # plain 4-cycle 1-2-3-4-1 (+ a pendant node 5 off node 1):
+    # every cycle node sits on exactly one square, the pendant on none
+    c4 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5)], "src long, dst long")
+    got = {r.node: r.squares for r in square_counts(c4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    # K4 has 3 four-cycles, each node on all 3 (global = 12 / 4 = 3)
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+        "src long, dst long")
+    got = {r.node: r.squares for r in square_counts(k4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

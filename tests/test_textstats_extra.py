@@ -160,3 +160,56 @@ def test_good_turing_table(spark):
         2: (2, 1.5, 0.15),
         3: (1, 0.0, 0.0),
     }
+
+
+def test_bleu2_hand_computed(spark):
+    import math
+
+    from mms_rdf_spark.operators.textstats import bleu2_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat is on the mat"),
+         (2, "a b"), (3, "a b c d"),
+         (4, "x"), (5, "y z")],
+        "doc_id long, text string")
+    got = {r.cand_id: r for r in bleu2_pairs(docs).collect()}
+    assert set(got) == {0, 2, 4}
+    # pair (0, 1): clipped uni the:2 cat:1 on:1 mat:1 -> 5/6;
+    # clipped bi "the cat","on the","the mat" -> 3/5; BP = 1
+    r0 = got[0]
+    assert (r0.m1, r0.c1, r0.m2, r0.c2) == (5, 6, 3, 5)
+    assert abs(r0.bleu2 - round(math.sqrt((5 / 6) * (3 / 5)), 6)) < 1e-9
+    # pair (2, 3): perfect precisions, short candidate -> BP = e^-1
+    r2 = got[2]
+    assert (r2.m1, r2.c1, r2.m2, r2.c2) == (2, 2, 1, 1)
+    assert abs(r2.bleu2 - round(math.exp(-1.0), 6)) < 1e-9
+    # pair (4, 5): no matches and no candidate bigram -> 0
+    r4 = got[4]
+    assert (r4.m1, r4.m2, r4.c2) == (0, 0, 0)
+    assert r4.bleu2 == 0.0
+
+
+def test_jsd_contributions_hand_computed(spark):
+    import math
+
+    from mms_rdf_spark.operators.textstats import jsd_contributions
+
+    # half 0 (even doc_id): a a b | a  -> a:3 b:1, T_p = 4
+    # half 1 (odd  doc_id): b b   | c c -> b:2 c:2, T_q = 4
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (2, "a"), (1, "b b"), (3, "c c")],
+        "doc_id long, text string")
+    got = {r.tok: r for r in jsd_contributions(docs, k=10).collect()}
+    assert set(got) == {"a", "b", "c"}
+
+    def nano(x):
+        return round(round(math.log(x), 9) * 1e9)
+
+    want_a = round(3 * nano(2.0) / 1e9 / 8.0, 6)
+    want_c = round(2 * nano(2.0) / 1e9 / 8.0, 6)
+    want_b = round(1 * nano(2 / 3) / 1e9 / 8.0
+                   + 2 * nano(4 / 3) / 1e9 / 8.0, 6)
+    assert got["a"].jsd_contrib == want_a and got["a"].rank == 1
+    assert got["c"].jsd_contrib == want_c and got["c"].rank == 2
+    assert got["b"].jsd_contrib == want_b and got["b"].rank == 3
+    assert (got["a"].n_p, got["a"].n_q) == (3, 0)
