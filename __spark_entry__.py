@@ -3473,6 +3473,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(f"{sf}/documents.parquet")
         return jsd_contributions(d, k=50)
 
+    def text_novelty(spark, sf):
+        # per-doc first-occurrence trigram novelty in doc_id order —
+        # the corpus-ordering / dedup-pressure profile
+        from mms_rdf_spark.operators.textstats import ngram_novelty
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return ngram_novelty(d, n=3)
+
     def kg_squares(spark, sf):
         # per-node 4-cycle counts on the parts-co-occurrence graph
         # (same edge derivation as kg_triangles)
@@ -3797,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bleu": text_bleu,
         "text_jsd": text_jsd,
         "kg_squares": kg_squares,
+        "text_novelty": text_novelty,
     }
 
 
@@ -10499,6 +10507,27 @@ def oracle_sql() -> dict[str, str]:
     SELECT u AS node, CAST(sum(cn * (cn - 1) // 2) AS BIGINT)
            AS squares
     FROM wd GROUP BY u
+    """
+
+    # first-occurrence trigram novelty: distinct shingles per doc,
+    # min doc_id per gram, two exact counts into one division
+    q["text_novelty"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    dg AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               AS gram
+        FROM d, unnest(generate_series(1, len(toks) - 2)) g(i)),
+    fst AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY 1)
+    SELECT dg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = dg.doc_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           round(CAST(sum(CASE WHEN f.first_doc = dg.doc_id
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM dg JOIN fst f USING (gram)
+    GROUP BY dg.doc_id
     """
 
     return q

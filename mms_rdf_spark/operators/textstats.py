@@ -1060,3 +1060,43 @@ def jsd_contributions(docs: DataFrame, k: int = 50) -> DataFrame:
     w = Window.orderBy(F.col("jsd_contrib").desc(), "tok")
     return topk.withColumn(
         "rank", F.row_number().over(w).cast("int"))
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the
+    corpus (doc_id order): the fraction of a doc's distinct word
+    n-gram shingles whose first corpus occurrence (min doc_id) is the
+    doc itself. The corpus-ordering / dedup-pressure signal — a
+    near-duplicate of earlier data scores ~0, fresh text ~1 — and the
+    self-referential complement of `decontaminate` (which checks
+    overlap against an external benchmark set, quality.py).
+
+    Returns (doc_id, n_grams, n_new, novelty) for docs with >= n
+    tokens (shorter docs have no shingle and are excluded — same
+    convention as the shingle-based dedup family).
+
+    Exactness: two integer counts into one division rounded to 6dp.
+    Scale: explode shingles -> map-side-combined min(doc_id) per gram
+    (one row per distinct gram regardless of how hot it is), then a
+    gram-keyed join back — the same shape as the exact-dedup
+    hash-groupBy, no quadratic pair step anywhere.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    t = F.col("toks")
+    cols = [F.slice(t, i + 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
+            for i in range(n)]
+    grams = cols[0]
+    for c in cols[1:]:
+        grams = F.zip_with(grams, c, lambda a, b: F.concat_ws(" ", a, b))
+    dg = (base.select("doc_id", F.explode(grams).alias("gram"))
+          .distinct())
+    first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (dg.join(first, on="gram")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"),
+                                 1).otherwise(0)).alias("n_new")))
+    return per_doc.select(
+        "doc_id", "n_grams", "n_new",
+        F.round(F.col("n_new") / F.col("n_grams"), 6).alias("novelty"))

@@ -213,3 +213,19 @@ def test_jsd_contributions_hand_computed(spark):
     assert got["c"].jsd_contrib == want_c and got["c"].rank == 2
     assert got["b"].jsd_contrib == want_b and got["b"].rank == 3
     assert (got["a"].n_p, got["a"].n_q) == (3, 0)
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from mms_rdf_spark.operators.textstats import ngram_novelty
+
+    # doc 0 introduces "a b c" and "b c d"; doc 1 repeats "a b c" and
+    # introduces "b c e"; doc 2 is an exact duplicate of doc 0 -> 0.0;
+    # doc 3 is too short for a trigram -> excluded
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "a b c d"), (3, "x y")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_grams, got[0].n_new, got[0].novelty) == (2, 2, 1.0)
+    assert (got[1].n_grams, got[1].n_new, got[1].novelty) == (2, 1, 0.5)
+    assert (got[2].n_grams, got[2].n_new, got[2].novelty) == (2, 0, 0.0)
