@@ -394,3 +394,20 @@ def test_dup_spans_count_shuffle_is_hash_only(spark):
     assert hash_exchanges, plan
     # the >=2 set comes back as a semi join (broadcast at this scale)
     assert "LeftSemi" in plan, plan
+
+
+def test_square_wedge_join_partitioning_pinned_against_aqe(spark):
+    """The wedge self-join in square_counts is another bytes-small /
+    fan-out-huge pair join (hub wedges are quadratic in degree):
+    both sides must carry the explicit hashpartitioning pin on the
+    middle vertex so AQE's byte-based coalescing cannot fold the
+    wedge expansion into one task."""
+    from mms_rdf_spark.operators.pagerank import square_counts
+
+    edges = spark.range(40).select(
+        (F.col("id") % 8).alias("src"), (F.col("id") % 5).alias("dst"))
+    plan = _plan(square_counts(edges))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert "hashpartitioning(x#" in plan \
+        or "REPARTITION_BY_COL" in plan, plan
+    assert f", {n})" in plan, plan

@@ -347,6 +347,21 @@ def main() -> None:
         skeleton(duplicated_spans(docs2, length=3)),
     ))
 
+    from mms_rdf_spark.operators.pagerank import square_counts
+
+    edges40 = spark.range(40).select(
+        (F.col("id") % 8).alias("src"), (F.col("id") % 5).alias("dst"))
+    sections.append((
+        "4-cycle counts: wedge self-join pinned against AQE",
+        "Both sides of the middle-vertex self-join carry the explicit "
+        "hashpartitioning pin (skew.pin_fanout_partitions) — hub "
+        "wedges fan out quadratically while the input is bytes-tiny, "
+        "exactly the AQE coalescing blind spot "
+        "(tests/test_plans.py::test_square_wedge_join_partitioning_"
+        "pinned_against_aqe).",
+        skeleton(square_counts(edges40)),
+    ))
+
     out = ["# PLANS — captured physical plans (evidence for SCALE.md "
            "claims)", "",
            "Regenerated by `python tools/dump_plans.py` from live "
