@@ -3480,6 +3480,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(f"{sf}/documents.parquet")
         return ngram_novelty(d, n=3)
 
+    def text_chrf(spark, sf):
+        # chrF3 generation-eval score; F-beta collapses to ONE exact
+        # division 5m/(4r+c) — no transcendental at all
+        from mms_rdf_spark.operators.textstats import chrf3_pairs
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return chrf3_pairs(d)
+
     def kg_squares(spark, sf):
         # per-node 4-cycle counts on the parts-co-occurrence graph
         # (same edge derivation as kg_triangles)
@@ -3805,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_jsd": text_jsd,
         "kg_squares": kg_squares,
         "text_novelty": text_novelty,
+        "text_chrf": text_chrf,
     }
 
 
@@ -10528,6 +10536,37 @@ def oracle_sql() -> dict[str, str]:
                  / count(*), 6) AS novelty
     FROM dg JOIN fst f USING (gram)
     GROUP BY dg.doc_id
+    """
+
+    # chrF3: clipped char-trigram multiset match over the adjacent
+    # pairing; 5PR/(4P+R) collapses to 5m/(4r+c) — one exact division
+    q["text_chrf"] = """
+    WITH d AS (SELECT doc_id, replace(coalesce(text, ''), ' ', '')
+               AS s FROM documents),
+    g AS (
+        SELECT doc_id, substring(s, i, 3) AS gram
+        FROM d, unnest(generate_series(1, length(s) - 2)) t(i)),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    mm AS (
+        SELECT c.doc_id AS cid,
+               CAST(sum(least(c.c, r.c)) AS BIGINT) AS m
+        FROM cnt c JOIN cnt r
+          ON r.doc_id = c.doc_id + 1 AND r.gram = c.gram
+        WHERE c.doc_id % 2 = 0 GROUP BY 1),
+    tot AS (SELECT doc_id,
+                   CAST(greatest(length(s) - 2, 0) AS BIGINT)
+                   AS n_grams FROM d),
+    pairs AS (
+        SELECT ct.doc_id AS cand_id, rt.doc_id AS ref_id,
+               ct.n_grams AS c_total, rt.n_grams AS r_total
+        FROM tot ct JOIN tot rt ON rt.doc_id = ct.doc_id + 1
+        WHERE ct.doc_id % 2 = 0)
+    SELECT p.cand_id, p.ref_id, coalesce(mm.m, 0) AS m,
+           p.c_total, p.r_total,
+           round(CASE WHEN coalesce(mm.m, 0) = 0 THEN 0.0
+                 ELSE 5.0 * coalesce(mm.m, 0)
+                      / (4 * p.r_total + p.c_total) END, 6) AS chrf3
+    FROM pairs p LEFT JOIN mm ON mm.cid = p.cand_id
     """
 
     return q

@@ -1100,3 +1100,67 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     return per_doc.select(
         "doc_id", "n_grams", "n_new",
         F.round(F.col("n_new") / F.col("n_grams"), 6).alias("novelty"))
+
+
+def chrf3_pairs(docs: DataFrame) -> DataFrame:
+    """Single-order chrF3 (character 3-gram F-score with beta = 2,
+    the recall-weighted variant of Popović 2015's chrF) over the same
+    deterministic adjacent pairing as `bleu2_pairs`: whitespace is
+    stripped, character trigram multisets are clipped-matched
+    (m = sum_gram min(c_cand, c_ref)), and with P = m/c, R = m/r the
+    F-beta collapses algebraically to
+
+        chrF3 = 5 P R / (4 P + R) = 5 m / (4 r + c)
+
+    — ONE division of exact longs, so the score is cross-engine
+    deterministic with no transcendental at all (stronger than
+    BLEU's exp/sqrt). Returns (cand_id, ref_id, m, c_total, r_total,
+    chrf3); pairs where either side has no trigram score 0.
+
+    Scale: same shape as bleu2_pairs — one explode + map-side
+    combined gram count, equi-join on (doc_id + 1, gram), no fan-out.
+    """
+    n = 3
+    s = F.translate(F.coalesce(F.col("text"), F.lit("")), " ", "")
+    grams_expr = F.when(
+        F.length(s) >= n,
+        F.expr(f"transform(sequence(1, length(translate(coalesce(text,"
+               f" ''), ' ', '')) - {n - 1}),"
+               f" i -> substring(translate(coalesce(text, ''), ' ',"
+               f" ''), i, {n}))")
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", F.length(s).alias("slen"),
+                       grams_expr.alias("grams"))
+    cnts = (base.select("doc_id", F.explode("grams").alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    c = cnts.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1).alias("rid"), "doc_id", "gram",
+        F.col("cnt").alias("c_cnt"))
+    r = cnts.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("rid"), F.col("gram"),
+        F.col("cnt").alias("r_cnt"))
+    m = (c.join(r, on=["rid", "gram"])
+         .groupBy("doc_id")
+         .agg(F.sum(F.least("c_cnt", "r_cnt")).alias("m"))
+         .select(F.col("doc_id").alias("cand_id"), "m"))
+    tot = base.select(
+        "doc_id",
+        F.greatest(F.col("slen") - (n - 1), F.lit(0)).cast("long")
+        .alias("n_grams"))
+    cand = tot.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("n_grams").alias("c_total"))
+    ref = tot.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("n_grams").alias("r_total"))
+    pairs = cand.join(ref, cand["cand_id"] + 1 == ref["ref_id"])
+    j = (pairs.join(m, on="cand_id", how="left")
+         .select("cand_id", "ref_id",
+                 F.coalesce("m", F.lit(0)).alias("m"),
+                 "c_total", "r_total"))
+    chrf = F.when(F.col("m") == 0, F.lit(0.0)).otherwise(
+        F.lit(5.0) * F.col("m")
+        / (F.lit(4) * F.col("r_total") + F.col("c_total")))
+    return j.select("cand_id", "ref_id", "m", "c_total", "r_total",
+                    F.round(chrf, 6).alias("chrf3"))

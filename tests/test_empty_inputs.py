@@ -345,6 +345,7 @@ def test_round5_new_ops_on_empty(spark):
     from mms_rdf_spark.operators.pagerank import square_counts
     from mms_rdf_spark.operators.textstats import (
         bleu2_pairs,
+        chrf3_pairs,
         jsd_contributions,
         ngram_novelty,
     )
@@ -357,6 +358,7 @@ def test_round5_new_ops_on_empty(spark):
     assert bleu2_pairs(docs).count() == 0
     assert jsd_contributions(docs).count() == 0
     assert ngram_novelty(docs).count() == 0
+    assert chrf3_pairs(docs).count() == 0
     edges = _empty(spark, "src long, dst long")
     assert square_counts(edges).count() == 0
     pairs = _empty(spark, "id_a long, id_b long, score double")

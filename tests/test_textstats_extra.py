@@ -229,3 +229,23 @@ def test_ngram_novelty_hand_computed(spark):
     assert (got[0].n_grams, got[0].n_new, got[0].novelty) == (2, 2, 1.0)
     assert (got[1].n_grams, got[1].n_new, got[1].novelty) == (2, 1, 0.5)
     assert (got[2].n_grams, got[2].n_new, got[2].novelty) == (2, 0, 0.0)
+
+
+def test_chrf3_hand_computed(spark):
+    from mms_rdf_spark.operators.textstats import chrf3_pairs
+
+    # cand "abcd" -> abc, bcd; ref "abce" -> abc, bce: m=1, c=2, r=2
+    # chrF3 = 5*1 / (4*2 + 2) = 0.5
+    # cand "ab" has no trigram -> m=0, score 0
+    # whitespace strip: "a bcd" == "abcd" after strip
+    docs = spark.createDataFrame(
+        [(0, "a bcd"), (1, "abce"), (2, "ab"), (3, "xyz")],
+        "doc_id long, text string")
+    got = {r.cand_id: r for r in chrf3_pairs(docs).collect()}
+    assert set(got) == {0, 2}
+    r0 = got[0]
+    assert (r0.m, r0.c_total, r0.r_total) == (1, 2, 2)
+    assert r0.chrf3 == 0.5
+    r2 = got[2]
+    assert (r2.m, r2.c_total, r2.r_total) == (0, 0, 1)
+    assert r2.chrf3 == 0.0
