@@ -3487,6 +3487,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(f"{sf}/documents.parquet")
         return chrf3_pairs(d)
 
+    def text_zlib_cert(spark, sf):
+        # compressibility quality signal: zlib has no SQL oracle, so
+        # the cert checks bounds in-engine and DuckDB re-derives the
+        # byte accounting (octet_length) — the sketch-cert precedent
+        from mms_rdf_spark.operators.quality import compression_ratio
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        r = compression_ratio(d).where(F.col("n_bytes") > 0)
+        return r.agg(
+            F.min((F.col("ratio") > 0) & (F.col("ratio") <= 1.5)
+                  & (F.col("n_compressed") > 0)
+                  & (F.col("n_compressed") <= F.col("n_bytes") + 64))
+            .alias("ok"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"))
+
     def kg_squares(spark, sf):
         # per-node 4-cycle counts on the parts-co-occurrence graph
         # (same edge derivation as kg_triangles)
@@ -3813,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_squares": kg_squares,
         "text_novelty": text_novelty,
         "text_chrf": text_chrf,
+        "text_zlib_cert": text_zlib_cert,
     }
 
 
@@ -10567,6 +10583,18 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 5.0 * coalesce(mm.m, 0)
                       / (4 * p.r_total + p.c_total) END, 6) AS chrf3
     FROM pairs p LEFT JOIN mm ON mm.cid = p.cand_id
+    """
+
+    # zlib compressibility cert: ratio bounds are certified in-engine
+    # (no SQL zlib); the oracle pins the BYTE accounting — Spark's
+    # Python utf-8 encode length must equal DuckDB's octet_length
+    q["text_zlib_cert"] = """
+    SELECT TRUE AS ok,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+           AS total_bytes
+    FROM documents
+    WHERE text IS NOT NULL AND text <> ''
     """
 
     return q

@@ -132,3 +132,48 @@ def split_leakage(
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("split").alias("n_splits"))
             .where(F.col("n_splits") >= 2))
+
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """Per-document zlib compression ratio — the classic
+    compressibility quality signal (Gopher-family rule: highly
+    compressible text is repetitive boilerplate, incompressible text
+    is noise/binary junk; natural prose sits in a mid band).
+
+    Returns (doc_id, n_bytes, n_compressed, ratio) with
+    ratio = n_compressed / n_bytes (level-9 zlib over UTF-8 bytes);
+    empty/NULL text rows get ratio NULL. Arrow-batched mapInPandas —
+    zlib is CPU-bound per row with zero shuffle, the canonical
+    Python-stage shape (same lane as the multimodal decoders; the
+    decode scaling pair measured 0.837 efficiency for this shape).
+
+    No SQL oracle exists for zlib, so the contract row is the
+    self-certifying `text_zlib_cert` (bounds + monotonicity checked
+    in-engine; DuckDB re-derives only the doc count) — the sketch-
+    family precedent. Byte-exact outputs depend on the zlib build, so
+    ONLY the ratio's bounded behavior is contracted, never its hash.
+    """
+    import pandas as pd  # noqa: F401  (module-level import precedent)
+
+    schema = ("doc_id long, n_bytes long, n_compressed long, "
+              "ratio double")
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            texts = pdf["text"]
+            n_b, n_c, ratio = [], [], []
+            for t in texts:
+                if t is None or t == "":
+                    n_b.append(0); n_c.append(0); ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, 9)
+                n_b.append(len(raw)); n_c.append(len(comp))
+                ratio.append(round(len(comp) / len(raw), 6))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n_bytes": n_b, "n_compressed": n_c,
+                                "ratio": ratio})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema)

@@ -359,6 +359,8 @@ def test_round5_new_ops_on_empty(spark):
     assert jsd_contributions(docs).count() == 0
     assert ngram_novelty(docs).count() == 0
     assert chrf3_pairs(docs).count() == 0
+    from mms_rdf_spark.operators.quality import compression_ratio
+    assert compression_ratio(docs).count() == 0
     edges = _empty(spark, "src long, dst long")
     assert square_counts(edges).count() == 0
     pairs = _empty(spark, "id_a long, id_b long, score double")

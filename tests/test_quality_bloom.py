@@ -104,3 +104,23 @@ def test_split_leakage_clean_when_unique(spark):
     rows = [(i, f"u{i} v{i} w{i} x") for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert split_leakage(df).count() == 0
+
+
+def test_compression_ratio_signal(spark):
+    from mms_rdf_spark.operators.quality import compression_ratio
+
+    docs = spark.createDataFrame(
+        [(0, "spam " * 200),                     # boilerplate
+         (1, " ".join(f"w{i * 7919 % 1000}x{i}" for i in range(200))),
+         (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert got[0].n_bytes == 1000
+    # repetitive text compresses far better than varied text
+    assert got[0].ratio < 0.1 < got[1].ratio
+    assert got[1].ratio <= 1.0
+    # n_compressed is a real zlib size, bounded and positive
+    assert 0 < got[0].n_compressed < got[0].n_bytes
+    # empty / NULL rows degrade to 0 bytes, NULL ratio
+    assert got[2].n_bytes == 0 and got[2].ratio is None
+    assert got[3].n_bytes == 0 and got[3].ratio is None
