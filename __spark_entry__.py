@@ -3502,6 +3502,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").cast("long").alias("total_bytes"))
 
+    def events_stationary(spark, sf):
+        # exact-integer Markov power iteration; pi_nano pins the whole
+        # trajectory in the hash, not just the 6dp tail
+        from mms_rdf_spark.operators.analytics import markov_stationary
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return markov_stationary(ev, iters=6)
+
     def kg_squares(spark, sf):
         # per-node 4-cycle counts on the parts-co-occurrence graph
         # (same edge derivation as kg_triangles)
@@ -3829,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": text_novelty,
         "text_chrf": text_chrf,
         "text_zlib_cert": text_zlib_cert,
+        "events_stationary": events_stationary,
     }
 
 
@@ -10595,6 +10603,76 @@ def oracle_sql() -> dict[str, str]:
            AS total_bytes
     FROM documents
     WHERE text IS NOT NULL AND text <> ''
+    """
+
+    # Markov stationary distribution: per-term integer floor division
+    # keeps every iterate an exact long; iterations unrolled as
+    # chained CTEs (the kg_pagerank precedent — no aggregates in a
+    # recursive term)
+    q["events_stationary"] = """
+    WITH pairs AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events),
+    cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT c.* FROM cnt c
+          WHERE c.dst IN (SELECT DISTINCT src FROM cnt)),
+    outn AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n
+             FROM r GROUP BY 1),
+    edg AS (SELECT r.src, r.dst, r.n, o.out_n
+            FROM r JOIN outn o USING (src)),
+    x0 AS (SELECT src AS state,
+                  CAST(1000000000 // (count(*) OVER ()) AS BIGINT)
+                  AS v
+           FROM outn),
+    x1 AS (
+        SELECT o.src AS state, CAST(coalesce(a.v, 0) AS BIGINT) AS v
+        FROM outn o LEFT JOIN (
+            SELECT e.dst AS state,
+                   CAST(sum((x.v * e.n) // e.out_n) AS BIGINT) AS v
+            FROM x0 x JOIN edg e ON e.src = x.state
+            GROUP BY 1) a ON a.state = o.src),
+    x2 AS (
+        SELECT o.src AS state, CAST(coalesce(a.v, 0) AS BIGINT) AS v
+        FROM outn o LEFT JOIN (
+            SELECT e.dst AS state,
+                   CAST(sum((x.v * e.n) // e.out_n) AS BIGINT) AS v
+            FROM x1 x JOIN edg e ON e.src = x.state
+            GROUP BY 1) a ON a.state = o.src),
+    x3 AS (
+        SELECT o.src AS state, CAST(coalesce(a.v, 0) AS BIGINT) AS v
+        FROM outn o LEFT JOIN (
+            SELECT e.dst AS state,
+                   CAST(sum((x.v * e.n) // e.out_n) AS BIGINT) AS v
+            FROM x2 x JOIN edg e ON e.src = x.state
+            GROUP BY 1) a ON a.state = o.src),
+    x4 AS (
+        SELECT o.src AS state, CAST(coalesce(a.v, 0) AS BIGINT) AS v
+        FROM outn o LEFT JOIN (
+            SELECT e.dst AS state,
+                   CAST(sum((x.v * e.n) // e.out_n) AS BIGINT) AS v
+            FROM x3 x JOIN edg e ON e.src = x.state
+            GROUP BY 1) a ON a.state = o.src),
+    x5 AS (
+        SELECT o.src AS state, CAST(coalesce(a.v, 0) AS BIGINT) AS v
+        FROM outn o LEFT JOIN (
+            SELECT e.dst AS state,
+                   CAST(sum((x.v * e.n) // e.out_n) AS BIGINT) AS v
+            FROM x4 x JOIN edg e ON e.src = x.state
+            GROUP BY 1) a ON a.state = o.src),
+    x6 AS (
+        SELECT o.src AS state, CAST(coalesce(a.v, 0) AS BIGINT) AS v
+        FROM outn o LEFT JOIN (
+            SELECT e.dst AS state,
+                   CAST(sum((x.v * e.n) // e.out_n) AS BIGINT) AS v
+            FROM x5 x JOIN edg e ON e.src = x.state
+            GROUP BY 1) a ON a.state = o.src),
+    tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM x6)
+    SELECT x.state, x.v AS pi_nano,
+           round(CAST(x.v AS DOUBLE) / t.t, 6) AS pi
+    FROM x6 x CROSS JOIN tot t
     """
 
     return q

@@ -132,16 +132,11 @@ def transition_probs(
 
     Plan: one exchange on `key` for the lead(), one tiny exchange on
     (src, dst) for the counts; the row-normalizing sum is a window over
-    the |types|^2-row aggregate.
+    the |types|^2-row aggregate. Counting shares `_transition_counts`
+    with markov_stationary (one seam, no drift).
     """
-    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
-    pairs = (events
-             .select(key, type_col, ts_col, tiebreak_col)
-             .withColumn("_dst", F.lead(type_col).over(w))
-             .where(F.col("_dst").isNotNull()))
-    counts = (pairs.groupBy(F.col(type_col).alias("src"),
-                            F.col("_dst").alias("dst"))
-              .agg(F.count(F.lit(1)).alias("n")))
+    counts = _transition_counts(events, key, type_col, ts_col,
+                                tiebreak_col)
     wsrc = Window.partitionBy("src")
     return counts.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(wsrc), ndigits))
@@ -1664,3 +1659,111 @@ def ljung_box(
                     F.round((F.col("n0") * (F.col("n0") + 2))
                             * (F.col("_st") / F.lit(1e12)), 6)
                     .alias("q")))
+
+
+def _transition_counts(events: DataFrame, key: str, type_col: str,
+                       ts_col: str, tiebreak_col: str) -> DataFrame:
+    """(src, dst, n) transition counts over per-key event sequences —
+    the single seam shared by transition_probs and markov_stationary
+    so the two can never drift."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    pairs = (events
+             .select(key, type_col, ts_col, tiebreak_col)
+             .withColumn("_dst", F.lead(type_col).over(w))
+             .where(F.col("_dst").isNotNull()))
+    return (pairs.groupBy(F.col(type_col).alias("src"),
+                          F.col("_dst").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def markov_stationary(
+    events: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    iters: int = 6,
+    fold: str = "driver",
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (the long-run state occupancy that transition_probs'
+    one-step matrix only hints at), by EXACT-INTEGER power iteration:
+
+      - transitions restricted in one pass to dst states that are
+        themselves sources (terminal-only states carry no out-edges;
+        mass reaching a state whose every out-edge was dropped is
+        lost and the final vector renormalizes — documented, and moot
+        on cyclic event corpora);
+      - x starts uniform at 10^9 // n_states nanos; each step
+        x'_j = sum_i (x_i * n_ij) // out_i with per-term integer
+        floor division — every iterate is an exact long, so both
+        engines walk the IDENTICAL integer trajectory (the repo's
+        answer to the grid-aligned-average float lesson: iterated
+        values must never re-enter float sums);
+      - after `iters` steps, pi = round(x / sum(x), 6).
+
+    Returns (state, pi_nano, pi); pi_nano is the raw exact long so
+    the cross-engine hash pins the whole trajectory, not just 6dp.
+
+    Scale: the transition matrix is |event types|^2 — schema-sized —
+    so the default fold="driver" collects it and iterates in pure
+    Python ints (the ivf_train static-fold precedent; the collect is
+    bounded by construction, never by data volume). fold="joins" is
+    the distributed path for huge state spaces (URL- or doc-level
+    chains): `iters` tiny (join + groupBy) rounds, row-identical to
+    the driver fold (pinned in tests/test_analytics.py).
+    """
+    spark = events.sparkSession
+    counts = _transition_counts(events, key, type_col, ts_col,
+                                tiebreak_col)
+    srcs = counts.select("src").distinct()
+    restricted = counts.join(srcs.select(F.col("src").alias("dst")),
+                             on="dst", how="left_semi")
+    out_n = restricted.groupBy("src").agg(
+        F.sum("n").cast("long").alias("out_n"))
+    edges = restricted.join(out_n, on="src")
+
+    if fold == "driver":
+        rows = edges.collect()
+        states = sorted({r.src for r in rows})
+        if not states:
+            return spark.createDataFrame(
+                [], "state string, pi_nano long, pi double")
+        x = {s: 10**9 // len(states) for s in states}
+        for _ in range(iters):
+            nxt = {s: 0 for s in states}
+            for r in rows:
+                if r.dst in nxt:
+                    nxt[r.dst] += x[r.src] * r.n // r.out_n
+            x = nxt
+        vec = spark.createDataFrame(
+            [(s, x[s]) for s in states], "state string, pi_nano long")
+    elif fold == "joins":
+        n_states = out_n.count()
+        if n_states == 0:
+            return spark.createDataFrame(
+                [], "state string, pi_nano long, pi double")
+        vec = out_n.select(
+            F.col("src").alias("state"),
+            F.lit(10**9 // n_states).cast("long").alias("pi_nano"))
+        for _ in range(iters):
+            agg = (edges.join(vec, edges["src"] == vec["state"])
+                   .select("dst", F.expr(
+                       "CAST(pi_nano * n AS BIGINT) div out_n")
+                       .alias("_t"))
+                   .groupBy(F.col("dst").alias("state"))
+                   .agg(F.sum("_t").cast("long").alias("_v")))
+            vec = (out_n.select(F.col("src").alias("state"))
+                   .join(agg, on="state", how="left")
+                   .select("state", F.coalesce("_v", F.lit(0))
+                           .cast("long").alias("pi_nano"))
+                   .localCheckpoint())
+    else:
+        raise ValueError(f"markov_stationary: unknown fold {fold!r}")
+
+    tot = vec.agg(F.sum("pi_nano").cast("long").alias("_tot"))
+    return (vec.crossJoin(F.broadcast(tot))
+            .select("state", "pi_nano",
+                    F.round(F.col("pi_nano")
+                            / F.col("_tot").cast("double"), 6)
+                    .alias("pi")))

@@ -557,3 +557,59 @@ def test_ljung_box_composes_over_acf(spark):
     # empty input -> empty frame, not a fake zero
     e = spark.createDataFrame([], "event_type string, ts timestamp")
     assert ljung_box(e, "click").count() == 0
+
+
+def test_markov_stationary_exact_trajectory_and_folds(spark):
+    from mms_rdf_spark.operators.analytics import markov_stationary
+
+    # symmetric two-state swap chain: a<->b, stationary 0.5/0.5 and
+    # every exact-integer iterate stays at 500_000_000 nanos
+    ev = _events(spark, [
+        (1, 1, "a", _ts(1), 0.0), (2, 1, "b", _ts(2), 0.0),
+        (3, 1, "a", _ts(3), 0.0),
+        (4, 2, "b", _ts(1), 0.0), (5, 2, "a", _ts(2), 0.0),
+        (6, 2, "b", _ts(3), 0.0),
+    ])
+    got = {r["state"]: (r["pi_nano"], r["pi"])
+           for r in markov_stationary(ev).collect()}
+    assert got == {"a": (500000000, 0.5), "b": (500000000, 0.5)}
+
+    # 3-cycle a->b->c->a: mass moves wholesale, 10^9 // 3 nanos each,
+    # pi renormalizes the lost remainder (333333333/999999999)
+    cyc = _events(spark, [
+        (1, 1, "a", _ts(1), 0.0), (2, 1, "b", _ts(2), 0.0),
+        (3, 1, "c", _ts(3), 0.0), (4, 1, "a", _ts(4), 0.0),
+    ])
+    got = {r["state"]: (r["pi_nano"], r["pi"])
+           for r in markov_stationary(cyc).collect()}
+    assert got == {"a": (333333333, 0.333333),
+                   "b": (333333333, 0.333333),
+                   "c": (333333333, 0.333333)}
+
+    # terminal-state restriction: c never recurs as a source, so the
+    # b->c edge is dropped and the chain runs on {a, b} only
+    term = _events(spark, [
+        (1, 1, "a", _ts(1), 0.0), (2, 1, "b", _ts(2), 0.0),
+        (3, 1, "a", _ts(3), 0.0), (4, 1, "b", _ts(4), 0.0),
+        (5, 1, "c", _ts(5), 0.0),
+    ])
+    states = {r["state"] for r in markov_stationary(term).collect()}
+    assert states == {"a", "b"}
+
+    # fold equivalence on real data: driver fold == joins fold,
+    # row-identical including the exact nano trajectory
+    real = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    drv = sorted(markov_stationary(real, fold="driver").collect())
+    jns = sorted(markov_stationary(real, fold="joins").collect())
+    assert drv == jns and len(drv) > 0
+    assert abs(sum(r["pi"] for r in drv) - 1.0) < 1e-4
+
+    # empty input -> empty frame on BOTH folds
+    e = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double")
+    assert markov_stationary(e, fold="driver").count() == 0
+    assert markov_stationary(e, fold="joins").count() == 0
+
+    with pytest.raises(ValueError):
+        markov_stationary(ev, fold="nope")
