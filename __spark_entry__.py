@@ -3502,6 +3502,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").cast("long").alias("total_bytes"))
 
+    def text_textrank(spark, sf):
+        # TextRank keywords: weighted pagerank over the word
+        # co-occurrence graph (window=2, 3 rounds, top-20)
+        from mms_rdf_spark.operators.textstats import textrank_keywords
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textrank_keywords(docs, window=2, iters=3, k=20)
+
     def events_stationary(spark, sf):
         # exact-integer Markov power iteration; pi_nano pins the whole
         # trajectory in the hash, not just the 6dp tail
@@ -3837,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chrf": text_chrf,
         "text_zlib_cert": text_zlib_cert,
         "events_stationary": events_stationary,
+        "text_textrank": text_textrank,
     }
 
 
@@ -10673,6 +10681,62 @@ def oracle_sql() -> dict[str, str]:
     SELECT x.state, x.v AS pi_nano,
            round(CAST(x.v AS DOUBLE) / t.t, 6) AS pi
     FROM x6 x CROSS JOIN tot t
+    """
+
+    # TextRank keywords: pair CTE (positions within window 2) feeding
+    # the SAME unrolled weighted-pagerank round structure as
+    # kg_pagerank_weighted
+    trk = """
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, g.i AS pos, toks[g.i] AS tok
+        FROM tk, unnest(generate_series(1, len(toks))) AS g(i)
+    ), pr AS (
+        SELECT a.tok AS a, b.tok AS b
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+        WHERE a.tok <> b.tok
+    ), edges AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst FROM pr
+            UNION ALL SELECT b, a FROM pr) GROUP BY 1, 2
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), wd AS (
+        SELECT src AS node, CAST(sum(w) AS BIGINT) AS wt
+        FROM edges GROUP BY src
+    ), nn AS (SELECT count(*) AS n FROM nodes
+    ), r0 AS (
+        SELECT node, round(1.0 / n, 8) AS r FROM nodes CROSS JOIN nn
+    )"""
+    for i in range(1, 4):
+        trk += f""", c{i} AS (
+        SELECT e.dst AS node, sum(r.r * e.w / wd.wt) AS c
+        FROM edges e JOIN r{i - 1} r ON e.src = r.node
+        JOIN wd ON wd.node = e.src
+        GROUP BY e.dst
+    ), d{i} AS (
+        SELECT coalesce(sum(r.r), 0.0) AS dm
+        FROM r{i - 1} r LEFT JOIN wd ON r.node = wd.node
+        WHERE wd.node IS NULL
+    ), r{i} AS (
+        SELECT nd.node,
+               round((1 - 0.85) / n
+                     + 0.85 * (coalesce(c{i}.c, 0.0) + dm / n), 8) AS r
+        FROM nodes nd CROSS JOIN nn CROSS JOIN d{i}
+        LEFT JOIN c{i} ON nd.node = c{i}.node
+    )"""
+    q["text_textrank"] = trk + """
+    SELECT token, rank, rnk FROM (
+        SELECT node AS token, r AS rank,
+               CAST(row_number() OVER (ORDER BY r DESC, node) AS INT)
+                   AS rnk
+        FROM r3)
+    WHERE rnk <= 20
     """
 
     return q

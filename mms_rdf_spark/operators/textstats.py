@@ -1164,3 +1164,64 @@ def chrf3_pairs(docs: DataFrame) -> DataFrame:
         / (F.lit(4) * F.col("r_total") + F.col("c_total")))
     return j.select("cand_id", "ref_id", "m", "c_total", "r_total",
                     F.round(chrf, 6).alias("chrf3"))
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    window: int = 2,
+    iters: int = 3,
+    k: int = 20,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    rank words by weighted PageRank over the corpus word-cooccurrence
+    graph — the graph-centrality complement of tfidf_keywords (a word
+    that glues many contexts outranks a merely frequent one).
+
+      - nodes = lowercased whitespace tokens (the shared `_tokens`
+        convention over lower(text));
+      - edges = token pairs within `window` positions in a document,
+        symmetrized, weight = co-occurrence count (self-pairs dropped);
+      - ranks = pagerank.weighted_pagerank (r*w/W_out mass flow), so
+        the determinism contract — per-round 8dp rounding, engine-side
+        constants, uniform dangling redistribution — is inherited, and
+        the DuckDB oracle is the same unrolled-CTE round structure as
+        kg_pagerank_weighted over the pair CTE;
+      - top-k by (rank DESC, token), rnk = 1-based position.
+
+    Returns (token, rank, rnk).
+
+    Plan/scale: pair generation is `window` lead() columns over ONE
+    doc_id exchange stacked by a generator — token positions are never
+    self-joined, so cost is O(window * tokens) row-linear. The graph
+    is vocabulary-sized: the pagerank rounds shuffle |V|-row frames,
+    and the final top-k is TakeOrderedAndProject. At 100 TB the only
+    corpus-sized exchange is the doc_id window; everything after runs
+    on the (much smaller) distinct-pair aggregate.
+    """
+    from mms_rdf_spark.operators.dedup import _tokens
+    from mms_rdf_spark.operators.pagerank import weighted_pagerank
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.lower(F.col("text"))))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", d).over(w).alias(f"_b{d}")
+             for d in range(1, window + 1)]
+    pairs = (toks.select(F.col("tok").alias("a"), *leads)
+             .select("a", F.explode(F.array(
+                 *[F.col(f"_b{d}") for d in range(1, window + 1)]))
+                 .alias("b"))
+             .where(F.col("b").isNotNull() & (F.col("a") != F.col("b"))))
+    edges = (pairs.select("a", "b")
+             .union(pairs.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+             .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .agg(F.count(F.lit(1)).cast("long").alias("w")))
+    ranks = weighted_pagerank(edges, iters=iters, damping=damping)
+    top = (ranks.orderBy(F.desc("rank"), "node").limit(k)
+           .select(F.col("node").alias("token"), "rank"))
+    return top.withColumn(
+        "rnk", F.row_number().over(
+            Window.orderBy(F.desc("rank"), "token")).cast("int"))

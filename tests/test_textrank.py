@@ -89,3 +89,36 @@ def test_bigram_lm_scores_fluency_ordering(spark):
     assert 200 not in got
     assert got[0]["n_bigrams"] == 5
     assert got[0]["avg_logprob"] > got[100]["avg_logprob"]
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    from mms_rdf_spark.operators.textstats import textrank_keywords
+
+    # "hub" co-occurs with every filler word; fillers only ever see
+    # hub and one neighbor -> hub's centrality dominates
+    rows = [(i, f"hub w{i} hub w{i} hub") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textrank_keywords(df, window=2, iters=3, k=5).collect()
+    assert got[0]["token"] == "hub" and got[0]["rnk"] == 1
+    assert len(got) == 5
+    # rnk is the 1-based (rank desc, token) order, dense and total
+    assert [r["rnk"] for r in got] == [1, 2, 3, 4, 5]
+    ranks = [r["rank"] for r in got]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_textrank_lowercases_and_drops_self_pairs(spark):
+    from mms_rdf_spark.operators.textstats import textrank_keywords
+
+    # "Same same SAME" collapses to one token whose self-pairs are
+    # dropped -> the graph has no 'same' node at all (no edges), and
+    # the only edges come from the second doc
+    rows = [(1, "Same same SAME"), (2, "alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {r["token"] for r in
+            textrank_keywords(df, window=1, iters=2, k=10).collect()}
+    assert toks == {"alpha", "beta"}
+
+    # empty corpus -> empty frame
+    e = spark.createDataFrame([], "doc_id long, text string")
+    assert textrank_keywords(e).count() == 0
