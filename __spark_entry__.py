@@ -3502,6 +3502,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").cast("long").alias("total_bytes"))
 
+    def text_auc(spark, sf):
+        # ROC-AUC of the trained quality classifier: exact tie-
+        # corrected rank form (AUC = U_+/(n1*n0)) over 6dp-gridded
+        # probs
+        from mms_rdf_spark.operators.evalmetrics import roc_auc
+        from mms_rdf_spark.operators.mlops import (
+            doc_features, logreg_score, logreg_train)
+        feats = doc_features(_docs(spark, sf))
+        scored = logreg_score(feats, logreg_train(feats, iterations=6))
+        return roc_auc(scored, "prob", "y")
+
+    def events_welch(spark, sf):
+        # Welch's t between click and view values (exact cent moment
+        # sums, n-1 variances, Welch-Satterthwaite df)
+        from mms_rdf_spark.operators.analytics import welch_ttest
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return welch_ttest(ev, "event_type", "value", "click", "view")
+
     def text_textrank(spark, sf):
         # TextRank keywords: weighted pagerank over the word
         # co-occurrence graph (window=2, 3 rounds, top-20)
@@ -3845,6 +3863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zlib_cert": text_zlib_cert,
         "events_stationary": events_stationary,
         "text_textrank": text_textrank,
+        "text_auc": text_auc,
+        "events_welch": events_welch,
     }
 
 
@@ -10737,6 +10757,77 @@ def oracle_sql() -> dict[str, str]:
                    AS rnk
         FROM r3)
     WHERE rnk <= 20
+    """
+
+    # ROC-AUC of the trained classifier: the Mann-Whitney rank form —
+    # exact-long doubled rank sums over distinct 6dp-gridded probs,
+    # one final division (composes the lg logreg unroll)
+    q["text_auc"] = lg + """,
+    sc AS (
+        SELECT round(1.0 / (1.0 + exp(-(w.w0*f.x0 + w.w1*f.x1
+                   + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4))), 6) AS prob,
+               f.y
+        FROM feats f, w6 w),
+    per AS (
+        SELECT prob AS v, count(*) AS cnt, sum(y) AS cp
+        FROM sc GROUP BY 1),
+    cum AS (
+        SELECT v, cnt, cp, sum(cnt) OVER (ORDER BY v) AS cum
+        FROM per),
+    st AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS n1,
+               CAST(sum(cnt - cp) AS BIGINT) AS n0,
+               CAST(sum(cp * (2 * cum - cnt + 1)) AS BIGINT) AS r2p
+        FROM cum)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN round((r2p - n1 * (n1 + 1))
+                           / (2.0 * n1 * n0), 6)
+           END AS auc
+    FROM st WHERE n1 IS NOT NULL
+    """
+
+    # Welch's t-test click vs view: all six moment sums exact cent
+    # longs; fixed-order float expressions mirrored from the operator
+    q["events_welch"] = """
+    WITH s AS (
+        SELECT event_type = 'click' AS isa,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events WHERE event_type IN ('click', 'view')
+    ), st AS (
+        SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT)
+                   AS nb,
+               CAST(sum(CASE WHEN isa THEN u ELSE 0 END) AS BIGINT)
+                   AS sa,
+               CAST(sum(CASE WHEN isa THEN 0 ELSE u END) AS BIGINT)
+                   AS sb,
+               CAST(sum(CASE WHEN isa THEN u * u ELSE 0 END)
+                    AS BIGINT) AS qa,
+               CAST(sum(CASE WHEN isa THEN 0 ELSE u * u END)
+                    AS BIGINT) AS qb
+        FROM s
+    ), v AS (
+        SELECT na, nb, sa, sb,
+               (qa - CAST(sa AS DOUBLE) * sa / na) / (na - 1) AS va,
+               (qb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb
+        FROM st WHERE na IS NOT NULL AND na + nb > 0
+    ), r AS (
+        SELECT na, nb, sa, sb, va / na AS ra, vb / nb AS rb FROM v
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(sa / na / 100, 6) AS mean_a,
+           round(sb / nb / 100, 6) AS mean_b,
+           CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0
+                THEN round((sb / nb - sa / na) / sqrt(ra + rb), 6)
+           END AS t,
+           CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0
+                THEN round((ra + rb) * (ra + rb)
+                           / (ra * ra / (na - 1)
+                              + rb * rb / (nb - 1)), 6)
+           END AS df
+    FROM r
     """
 
     return q

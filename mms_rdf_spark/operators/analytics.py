@@ -1767,3 +1767,66 @@ def markov_stationary(
                     F.round(F.col("pi_nano")
                             / F.col("_tot").cast("double"), 6)
                     .alias("pi")))
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    unit: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the
+    parametric sibling of mann_whitney_u (and the small-sample /
+    unequal-variance upgrade of ab_test_zstats' z): does the mean of
+    group B differ from group A when neither equal variances nor
+    equal sizes can be assumed? Returns one row
+    (n_a, n_b, mean_a, mean_b, t, df) with the Welch-Satterthwaite
+    degrees of freedom; t/df are NULL when a group has <2 rows or the
+    pooled standard error degenerates.
+
+    Exact arithmetic: values ride as integer `unit`ths (default
+    cents), so ONE conditional map-side aggregate produces all six
+    moment sums (n, sum, sumsq per arm) as exact longs; every float
+    op after is a fixed-order expression over those longs, mirrored
+    textually by the SQL oracle (s*s is computed via CAST(s AS
+    DOUBLE)*s so the square never overflows the long). Sample
+    variance uses the n-1 denominator (vs the population form in
+    ab_test_zstats). sumsq overflows long when n*u^2 > 2^63 — at that
+    scale pre-aggregate per partition into DECIMAL; documented trade.
+
+    Scale shape: one exchange (the 2-row groupBy), then a 1-row
+    projection.
+    """
+    sub = (df.where(F.col(group_col).isin([group_a, group_b]))
+           .select((F.col(group_col) == group_a).alias("_isa"),
+                   F.round(F.col(value_col) * unit).cast("long")
+                   .alias("_u")))
+
+    def _s(isa, expr, name):
+        return F.sum(F.when(F.col("_isa") == isa, expr)
+                     .otherwise(F.lit(0))).alias(name)
+
+    st = sub.agg(
+        _s(True, F.lit(1), "na"), _s(False, F.lit(1), "nb"),
+        _s(True, F.col("_u"), "sa"), _s(False, F.col("_u"), "sb"),
+        _s(True, F.col("_u") * F.col("_u"), "qa"),
+        _s(False, F.col("_u") * F.col("_u"), "qb"))
+    st = st.where(F.col("na").isNotNull()
+                  & ((F.col("na") + F.col("nb")) > 0))
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    va = (F.col("qa") - sa.cast("double") * sa / na) / (na - 1)
+    vb = (F.col("qb") - sb.cast("double") * sb / nb) / (nb - 1)
+    ra, rb = va / na, vb / nb
+    t = F.round((sb / nb - sa / na) / F.sqrt(ra + rb), 6)
+    dof = F.round((ra + rb) * (ra + rb)
+                  / (ra * ra / (na - 1) + rb * rb / (nb - 1)), 6)
+    ok = (na > 1) & (nb > 1) & ((ra + rb) > 0)
+    return st.select(
+        na.alias("n_a"), nb.alias("n_b"),
+        F.round(sa / na / unit, 6).alias("mean_a"),
+        F.round(sb / nb / unit, 6).alias("mean_b"),
+        F.when(ok, t).alias("t"),
+        F.when(ok, dof).alias("df"))

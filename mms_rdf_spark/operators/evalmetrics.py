@@ -474,3 +474,52 @@ def mcnemar_test(pred_a: DataFrame, pred_b: DataFrame,
         "n", "n01", "n10",
         F.when(d > 0, F.round(num * num / d, 6))
         .otherwise(F.lit(0.0)).alias("statistic"))
+
+
+def roc_auc(scored: DataFrame, score_col: str = "prob",
+            label_col: str = "y") -> DataFrame:
+    """Exact tie-corrected ROC-AUC over a scored frame: the
+    probability that a uniformly random positive outscores a
+    uniformly random negative, ties counting 1/2 — the standard
+    threshold-free classifier metric (and the missing third of the
+    eval triple next to classification_report and calibration_error).
+
+    AUC is algebraically the Mann-Whitney statistic of the positive
+    class over scores, AUC = U_+ / (n_pos * n_neg), so this reuses
+    the exact-long rank discipline of analytics.mann_whitney_u:
+    per DISTINCT score the frame carries (cnt, cnt_pos); the
+    inclusive global cumsum of cnt gives the tie class's max rank;
+    the DOUBLED tied rank-sum 2R_+ = sum(cnt_pos*(2*cum - cnt + 1))
+    and 2U_+ = 2R_+ - n_pos*(n_pos+1) are exact longs; the single
+    float op is the final division, rounded 6dp. Ranks never exist
+    as floats, so both engines agree bit-for-bit.
+
+    Returns one row (n_pos, n_neg, auc); auc is NULL when a class is
+    empty; empty input yields an empty frame. Scale shape: one
+    map-side-combined aggregate collapses the corpus to |distinct
+    scores| rows, the cumsum is the distributed two-phase scan
+    (prefix.global_cumsum — no single-partition window), finale is a
+    1-row aggregate. analytics.mann_whitney_auc is the same statistic
+    on the two-sample seam (its cumulative pass is a global window);
+    equivalence is pinned in tests/test_ranking_eval.py.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    sub = scored.select(F.col(score_col).alias("_v"),
+                        F.col(label_col).cast("long").alias("_isp"))
+    per = sub.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"),
+                                F.sum("_isp").alias("_cp"))
+    cum = global_cumsum(per, "_v", "_v", "_cnt")
+    st = cum.agg(
+        F.sum("_cp").cast("long").alias("n1"),
+        F.sum(F.col("_cnt") - F.col("_cp")).cast("long").alias("n0"),
+        F.sum(F.col("_cp") * (2 * F.col("cum") - F.col("_cnt") + 1))
+        .cast("long").alias("r2p"))
+    u2 = F.col("r2p") - F.col("n1") * (F.col("n1") + 1)
+    auc = F.round(
+        u2 / (F.lit(2.0) * F.col("n1") * F.col("n0")), 6)
+    return (st.where(F.col("n1").isNotNull())
+            .select(F.col("n1").alias("n_pos"),
+                    F.col("n0").alias("n_neg"),
+                    F.when((F.col("n1") > 0) & (F.col("n0") > 0), auc)
+                    .alias("auc")))

@@ -613,3 +613,35 @@ def test_markov_stationary_exact_trajectory_and_folds(spark):
 
     with pytest.raises(ValueError):
         markov_stationary(ev, fold="nope")
+
+
+def test_welch_ttest_matches_textbook_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import welch_ttest
+
+    # hand-checkable: A = [1, 2, 3], B = [2, 4, 6, 8]
+    # mean_a=2 var_a=1; mean_b=5 var_b=20/3
+    # se2 = 1/3 + 5/3 = 2; t = 3/sqrt(2); df = 4/(1/18 + 25/27)
+    rows = ([(i, 1, "a", _ts(1), v) for i, v in
+             enumerate([1.0, 2.0, 3.0])]
+            + [(10 + i, 1, "b", _ts(1), v) for i, v in
+               enumerate([2.0, 4.0, 6.0, 8.0])])
+    ev = _events(spark, rows)
+    r = welch_ttest(ev, "event_type", "value", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 4)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 5.0)
+    assert r["t"] == round(3 / 2 ** 0.5, 6)
+    assert r["df"] == round(4 / (1 / 18 + (5 / 3) ** 2 / 3), 6)
+
+    # a 1-row arm degenerates t/df to NULL but keeps counts/means
+    one = _events(spark, [(1, 1, "a", _ts(1), 5.0),
+                          (2, 1, "b", _ts(1), 1.0),
+                          (3, 1, "b", _ts(1), 3.0)])
+    r = welch_ttest(one, "event_type", "value", "a", "b").collect()[0]
+    assert r["n_a"] == 1 and r["t"] is None and r["df"] is None
+    assert r["mean_a"] == 5.0 and r["mean_b"] == 2.0
+
+    # empty input -> empty frame
+    e = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double")
+    assert welch_ttest(e, "event_type", "value", "a", "b").count() == 0

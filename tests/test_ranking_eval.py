@@ -395,3 +395,59 @@ def test_golden_record_modal_votes(spark):
     assert got["c1"] == (3, 1, "en", "api")
     # c2: lang fr (NULL excluded), source all-NULL -> NULL
     assert got["c2"] == (2, 4, "fr", None)
+
+
+def test_roc_auc_matches_pairwise_definition(spark):
+    from mms_rdf_spark.operators.evalmetrics import roc_auc
+
+    # scores with ties across classes; brute-force pairwise AUC =
+    # (#(pos>neg) + 0.5*#(pos==neg)) / (n_pos*n_neg)
+    rows = [(0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.7, 1),
+            (0.5, 0), (0.5, 0), (0.3, 1), (0.1, 0)]
+    df = spark.createDataFrame(
+        [(i, s, y) for i, (s, y) in enumerate(rows)],
+        "doc_id long, prob double, y int")
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    brute = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg) \
+        / (len(pos) * len(neg))
+    r = roc_auc(df).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert r["auc"] == round(brute, 6)
+
+    # perfect separation -> 1.0; inverted -> 0.0
+    sep = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.8, 1), (3, 0.2, 0)],
+        "doc_id long, prob double, y int")
+    assert roc_auc(sep).collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [(1, 0.1, 1), (2, 0.8, 0)], "doc_id long, prob double, y int")
+    assert roc_auc(inv).collect()[0]["auc"] == 0.0
+
+    # one class empty -> auc NULL, counts kept; empty input -> empty
+    onec = spark.createDataFrame(
+        [(1, 0.5, 1), (2, 0.6, 1)], "doc_id long, prob double, y int")
+    r = roc_auc(onec).collect()[0]
+    assert r["n_neg"] == 0 and r["auc"] is None
+    e = spark.createDataFrame([], "doc_id long, prob double, y int")
+    assert roc_auc(e).count() == 0
+
+
+def test_roc_auc_equals_mann_whitney_auc(spark):
+    # cross-pin: the scored-classifier-seam roc_auc and the two-
+    # sample-seam mann_whitney_auc are the same statistic — the
+    # 6dp-rounded values must be identical on real data
+    from mms_rdf_spark.operators.analytics import mann_whitney_auc
+    from mms_rdf_spark.operators.evalmetrics import roc_auc
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import pyspark.sql.functions as F
+    scored = ev.select(
+        F.col("value").alias("prob"),
+        (F.col("event_type") == "click").cast("int").alias("y"))
+    r = roc_auc(scored).collect()[0]
+    m = mann_whitney_auc(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") != "click")).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (m["n_a"], m["n_b"])
+    assert r["auc"] == m["auc"]
