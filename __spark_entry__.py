@@ -3520,6 +3520,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return welch_ttest(ev, "event_type", "value", "click", "view")
 
+    def events_spearman(spark, sf):
+        # Spearman rank correlation between hourly click and view
+        # volumes — the rank-moment twin of events_kendall's seam
+        from mms_rdf_spark.operators.analytics import spearman_rho
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        bucket = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.where(F.col("event_type").isin("click", "view"))
+                  .groupBy(bucket.alias("t"))
+                  .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                             .otherwise(0)).cast("long").alias("x"),
+                       F.sum(F.when(F.col("event_type") == "view", 1)
+                             .otherwise(0)).cast("long").alias("y")))
+        return spearman_rho(hourly, "x", "y")
+
     def text_textrank(spark, sf):
         # TextRank keywords: weighted pagerank over the word
         # co-occurrence graph (window=2, 3 rounds, top-20)
@@ -3865,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": text_textrank,
         "text_auc": text_auc,
         "events_welch": events_welch,
+        "events_spearman": events_spearman,
     }
 
 
@@ -10828,6 +10844,55 @@ def oracle_sql() -> dict[str, str]:
                               + rb * rb / (nb - 1)), 6)
            END AS df
     FROM r
+    """
+
+    # Spearman over the events_kendall hourly seam: doubled average
+    # ranks (exact longs), HUGEINT moment sums, one float finale
+    q["events_spearman"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(sum(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'view'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    ), rx AS (
+        SELECT v, 2 * (cum - cnt) + cnt + 1 AS rr FROM (
+            SELECT x AS v, count(*) AS cnt,
+                   sum(count(*)) OVER (ORDER BY x) AS cum
+            FROM h GROUP BY x)
+    ), ry AS (
+        SELECT v, 2 * (cum - cnt) + cnt + 1 AS rr FROM (
+            SELECT y AS v, count(*) AS cnt,
+                   sum(count(*)) OVER (ORDER BY y) AS cum
+            FROM h GROUP BY y)
+    ), j AS (
+        SELECT rx.rr AS xr, ry.rr AS yr
+        FROM h JOIN rx ON h.x = rx.v JOIN ry ON h.y = ry.v
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(xr) AS sx, sum(yr) AS sy,
+               sum(xr * xr) AS sxx, sum(yr * yr) AS syy,
+               sum(xr * yr) AS sxy
+        FROM j
+    )
+    SELECT n,
+           CASE WHEN n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND n * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN round((n * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(n * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                              * sqrt(n * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+           END AS rho
+    FROM st WHERE n > 0
     """
 
     return q

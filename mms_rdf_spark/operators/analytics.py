@@ -1830,3 +1830,64 @@ def welch_ttest(
         F.round(sb / nb / unit, 6).alias("mean_b"),
         F.when(ok, t).alias("t"),
         F.when(ok, dof).alias("df"))
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation — Pearson over
+    AVERAGE ranks, the monotone-association complement to kendall_tau
+    (same question, rank-moment form: O(n) after two distinct-value
+    passes instead of pair counting). Returns one row (n, rho); rho
+    is NULL when either column has zero rank variance.
+
+    Exact arithmetic: ranks never exist as floats — per column the
+    DOUBLED average rank of a tie class, 2r = 2*cum_below + cnt + 1,
+    is an exact long (the roc_auc/mann_whitney_u recipe, via
+    prefix.global_cumsum — no single-partition window); the doubling
+    cancels in the correlation. Moment sums of the doubled ranks
+    accumulate as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so they
+    stay exact past the long range (sum of squares is ~4n^3); rho is
+    ONE fixed-order float expression over those exact sums, rounded.
+
+    Scale shape: two distinct-value aggregates + cumsums, two hash
+    joins back on the value keys, one 1-row moment aggregate.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+
+    def _ranks(col: str) -> DataFrame:
+        per = (s.groupBy(F.col(col).alias("_v"))
+               .agg(F.count(F.lit(1)).alias("_cnt")))
+        c = global_cumsum(per, "_v", "_v", "_cnt")
+        return c.select(
+            F.col("_v").alias(col),
+            (2 * (F.col("cum") - F.col("_cnt")) + F.col("_cnt") + 1)
+            .cast("long").alias(f"{col}r"))
+
+    j = (s.join(_ranks("_x"), on="_x").join(_ranks("_y"), on="_y"))
+
+    def _dsum(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).alias(name)
+
+    st = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _dsum(F.col("_xr"), "sx"), _dsum(F.col("_yr"), "sy"),
+        _dsum(F.col("_xr") * F.col("_xr"), "sxx"),
+        _dsum(F.col("_yr") * F.col("_yr"), "syy"),
+        _dsum(F.col("_xr") * F.col("_yr"), "sxy"))
+    st = st.where(F.col("n") > 0)
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sxd * syd
+    vx = n * F.col("sxx").cast("double") - sxd * sxd
+    vy = n * F.col("syy").cast("double") - syd * syd
+    return st.select(
+        "n",
+        F.when((vx > 0) & (vy > 0),
+               F.round(num / (F.sqrt(vx) * F.sqrt(vy)), ndigits))
+        .alias("rho"))

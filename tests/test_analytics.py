@@ -645,3 +645,53 @@ def test_welch_ttest_matches_textbook_and_guards(spark):
         [], "event_id long, user_id long, event_type string, "
             "ts timestamp, value double")
     assert welch_ttest(e, "event_type", "value", "a", "b").count() == 0
+
+
+def test_spearman_matches_pure_python_with_ties(spark):
+    from mms_rdf_spark.operators.analytics import spearman_rho
+
+    def _py_spearman(xs, ys):
+        def avg_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while (j + 1 < len(order)
+                       and vals[order[j + 1]] == vals[order[i]]):
+                    j += 1
+                r = (i + j + 2) / 2.0  # average of 1-based ranks
+                for k in range(i, j + 1):
+                    ranks[order[k]] = r
+                i = j + 1
+            return ranks
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(xs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = (sum((a - mx) ** 2 for a in rx)
+               * sum((b - my) ** 2 for b in ry)) ** 0.5
+        return num / den
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    ys = [2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0, 8.0, 2.0, 8.0]
+    df = spark.createDataFrame(list(zip(xs, ys)),
+                               "x double, y double")
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r["n"] == 10
+    assert r["rho"] == round(_py_spearman(xs, ys), 6)
+
+    # strictly monotone transform -> rho exactly 1
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 9)],
+        "x double, y double")
+    assert spearman_rho(mono, "x", "y").collect()[0]["rho"] == 1.0
+
+    # constant column -> zero rank variance -> NULL
+    const = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(5)], "x double, y double")
+    assert spearman_rho(const, "x", "y").collect()[0]["rho"] is None
+
+    # empty input -> empty frame
+    e = spark.createDataFrame([], "x double, y double")
+    assert spearman_rho(e, "x", "y").count() == 0
