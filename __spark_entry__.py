@@ -3520,6 +3520,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return welch_ttest(ev, "event_type", "value", "click", "view")
 
+    def events_benford(spark, sf):
+        # Benford first-digit audit over positive event values
+        # (exact-cent digit extraction, rounded-probability chi2)
+        from mms_rdf_spark.operators.analytics import benford_digits
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return benford_digits(ev)
+
     def events_spearman(spark, sf):
         # Spearman rank correlation between hourly click and view
         # volumes — the rank-moment twin of events_kendall's seam
@@ -3541,6 +3548,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import textrank_keywords
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return textrank_keywords(docs, window=2, iters=3, k=20)
+
+    def text_rake(spark, sf):
+        # RAKE keyphrases: stopword-delimited candidate runs, exact
+        # micro-long deg/freq word-score sums, top-20
+        from mms_rdf_spark.operators.textstats import rake_keywords
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return rake_keywords(docs, k=20)
 
     def events_stationary(spark, sf):
         # exact-integer Markov power iteration; pi_nano pins the whole
@@ -3881,6 +3895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_auc": text_auc,
         "events_welch": events_welch,
         "events_spearman": events_spearman,
+        "events_benford": events_benford,
+        "text_rake": text_rake,
     }
 
 
@@ -10893,6 +10909,84 @@ def oracle_sql() -> dict[str, str]:
                                        * CAST(sy AS DOUBLE))), 6)
            END AS rho
     FROM st WHERE n > 0
+    """
+
+    # Benford first-digit audit: leading digit of the exact positive
+    # cent longs (pure string math, no log10-of-double boundary
+    # flips); chi2 from the ROUNDED probabilities
+    q["events_benford"] = """
+    WITH c AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE round(value * 100) > 0
+    ), d AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c GROUP BY 1
+    ), t AS (
+        SELECT digit, n, sum(n) OVER () AS tot FROM d
+    )
+    SELECT digit, n,
+           round(n / tot, 6) AS obs_p,
+           round(log10(1 + 1.0 / digit), 9) AS exp_p,
+           round(tot * (round(n / tot, 6)
+                        - round(log10(1 + 1.0 / digit), 9))
+                     * (round(n / tot, 6)
+                        - round(log10(1 + 1.0 / digit), 9))
+                 / round(log10(1 + 1.0 / digit), 9), 6) AS chi2_term
+    FROM t
+    """
+
+    # RAKE keyphrases: stopword-delimited islands via
+    # pos - row_number, word deg/freq as exact micro longs, phrase
+    # score = exact long sum (stopword list interpolated from the
+    # SAME module constant the operator uses — no drift)
+    from mms_rdf_spark.operators.textstats import STOPWORDS
+    _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    q["text_rake"] = f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, g.i AS pos, toks[g.i] AS tok
+        FROM tk, unnest(generate_series(1, len(toks))) AS g(i)
+    ), ns AS (
+        SELECT doc_id, pos, tok,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS isl
+        FROM pos WHERE tok NOT IN ({_sw})
+    ), ph AS (
+        SELECT doc_id, isl,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM ns GROUP BY doc_id, isl
+    ), pw AS (
+        SELECT ns.doc_id, ns.isl, ns.tok, ph.phrase, ph.n_words
+        FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.isl = ph.isl
+    ), wrd AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(n_words) AS BIGINT) AS deg
+        FROM pw GROUP BY tok
+    ), sw AS (
+        SELECT tok, CAST(round(CAST(deg AS DOUBLE) * 1e6 / freq)
+                         AS BIGINT) AS swm
+        FROM wrd
+    ), inst AS (
+        SELECT pw.doc_id, pw.isl, pw.phrase, pw.n_words,
+               CAST(sum(sw.swm) AS BIGINT) AS sm
+        FROM pw JOIN sw ON pw.tok = sw.tok
+        GROUP BY pw.doc_id, pw.isl, pw.phrase, pw.n_words
+    ), ded AS (
+        SELECT phrase, CAST(max(n_words) AS INT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_occ, max(sm) AS sm
+        FROM inst GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occ, round(sm / 1e6, 6) AS score,
+           CAST(row_number() OVER (ORDER BY sm DESC, phrase) AS INT)
+               AS rnk
+    FROM ded
+    ORDER BY sm DESC, phrase LIMIT 20
     """
 
     return q

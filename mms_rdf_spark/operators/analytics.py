@@ -1891,3 +1891,44 @@ def spearman_rho(
         F.when((vx > 0) & (vy > 0),
                F.round(num / (F.sqrt(vx) * F.sqrt(vy)), ndigits))
         .alias("rho"))
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str = "value",
+    unit: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    instrumentation-bug forensic: naturally-occurring positive
+    magnitudes put digit d first with probability log10(1 + 1/d);
+    synthetic or truncated feeds don't. Returns one row per leading
+    digit 1..9 present: (digit, n, obs_p, exp_p, chi2_term); the
+    portmanteau chi-square is sum(chi2_term) driver-side.
+
+    Robust digit extraction: values ride as positive integer
+    `unit`ths (cents), so the leading digit is pure long-to-string
+    math — identical on every engine, no log10-of-double boundary
+    flips (Benford is scale-invariant, so auditing cents IS auditing
+    the values). exp_p = round(log10(1 + 1/d), 9), the transcendental
+    rounding discipline; obs_p rounds 6dp and chi2_term is computed
+    from the ROUNDED probabilities so both engines divide identical
+    doubles. Zero/negative/null values are excluded (Benford is
+    defined on positive magnitudes).
+
+    Scale shape: one map-side-combined 9-row aggregate; the total is
+    a broadcast window over those 9 rows.
+    """
+    c = F.round(F.col(value_col) * unit).cast("long")
+    d = (df.select(c.alias("_c")).where(F.col("_c") > 0)
+         .select(F.substring(F.col("_c").cast("string"), 1, 1)
+                 .cast("int").alias("digit"))
+         .groupBy("digit").agg(F.count(F.lit(1)).cast("long")
+                               .alias("n")))
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w)
+    obs = F.round(F.col("n") / tot, 6)
+    exp = F.round(F.log10(1 + 1.0 / F.col("digit")), 9)
+    return d.select(
+        "digit", "n", obs.alias("obs_p"), exp.alias("exp_p"),
+        F.round(tot * (obs - exp) * (obs - exp) / exp, 6)
+        .alias("chi2_term"))

@@ -1225,3 +1225,74 @@ def textrank_keywords(
     return top.withColumn(
         "rnk", F.row_number().over(
             Window.orderBy(F.desc("rank"), "token")).cast("int"))
+
+
+def rake_keywords(
+    docs: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — MULTI-WORD
+    candidate phrases, the phrase-level complement of the word-level
+    textrank_keywords/keywords_tfidf: candidates are maximal runs of
+    consecutive non-stopword tokens (the fixed STOPWORDS contract
+    list delimits them), each word scores deg/freq over the candidate
+    corpus (deg = sum of lengths of phrases containing it, freq = its
+    phrase occurrences), and a phrase scores the sum of its member
+    word scores — phrases built from well-connected words win.
+
+    Exact arithmetic: word scores are 6dp micro-unit longs
+    (round(deg*1e6/freq)) so the phrase sum is an exact long and
+    never re-enters float summation (the NOTES grid-aligned-average
+    rule); the reported score is ONE final division. Identical phrase
+    strings necessarily share member words, so the per-phrase dedup
+    aggregates instances (n_occ) without recomputing.
+
+    Returns top-k (phrase, n_words, n_occ, score, rnk) by
+    (score DESC, phrase).
+
+    Plan/scale: islands come from one (doc_id)-partitioned
+    row_number — a single corpus exchange; everything after runs on
+    the phrase/word aggregates. Top-k is TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window as W
+
+    from mms_rdf_spark.operators.dedup import _tokens
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.lower(F.col("text"))))
+        .alias("pos", "tok"))
+    nonstop = toks.where(~F.col("tok").isin(STOPWORDS))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = nonstop.withColumn(
+        "_isl", F.col("pos") - F.row_number().over(w))
+    phrases = (isl.groupBy("doc_id", "_isl")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("pos"), F.col("tok")))),
+                   lambda s: s["tok"]).alias("_toks")))
+    phrases = phrases.select(
+        "doc_id", "_isl",
+        F.concat_ws(" ", F.col("_toks")).alias("phrase"),
+        F.size("_toks").alias("n_words"),
+        F.explode("_toks").alias("tok"))
+    words = (phrases.groupBy("tok")
+             .agg(F.count(F.lit(1)).cast("long").alias("freq"),
+                  F.sum("n_words").cast("long").alias("deg")))
+    sw = words.select(
+        "tok",
+        F.round(F.col("deg").cast("double") * 1e6 / F.col("freq"))
+        .cast("long").alias("_sw"))
+    inst = (phrases.join(sw, on="tok")
+            .groupBy("doc_id", "_isl", "phrase", "n_words")
+            .agg(F.sum("_sw").cast("long").alias("_sm")))
+    dedup = (inst.groupBy("phrase")
+             .agg(F.max("n_words").cast("int").alias("n_words"),
+                  F.count(F.lit(1)).cast("long").alias("n_occ"),
+                  F.max("_sm").alias("_sm")))
+    top = (dedup.orderBy(F.desc("_sm"), "phrase").limit(k)
+           .select("phrase", "n_words", "n_occ",
+                   F.round(F.col("_sm") / 1e6, 6).alias("score")))
+    return top.withColumn(
+        "rnk", F.row_number().over(
+            W.orderBy(F.desc("score"), "phrase")).cast("int"))

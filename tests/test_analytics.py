@@ -695,3 +695,31 @@ def test_spearman_matches_pure_python_with_ties(spark):
     # empty input -> empty frame
     e = spark.createDataFrame([], "x double, y double")
     assert spearman_rho(e, "x", "y").count() == 0
+
+
+def test_benford_digit_extraction_and_chi2(spark):
+    import math
+
+    from mms_rdf_spark.operators.analytics import benford_digits
+
+    # cents: 1.23 -> 123 (digit 1), 0.05 -> 5 (digit 5), 91.0 -> 9100
+    # (digit 9); zero/negative/null excluded
+    rows = [(1, 1, "x", _ts(1), 1.23), (2, 1, "x", _ts(1), 0.05),
+            (3, 1, "x", _ts(1), 91.0), (4, 1, "x", _ts(1), 17.2),
+            (5, 1, "x", _ts(1), 0.0), (6, 1, "x", _ts(1), -3.0),
+            (7, 1, "x", _ts(1), None)]
+    ev = _events(spark, rows)
+    got = {r["digit"]: r for r in benford_digits(ev).collect()}
+    assert set(got) == {1, 5, 9}
+    assert got[1]["n"] == 2 and got[5]["n"] == 1 and got[9]["n"] == 1
+    assert got[1]["obs_p"] == 0.5
+    e1 = round(math.log10(2), 9)
+    assert got[1]["exp_p"] == e1
+    assert got[1]["chi2_term"] == round(4 * (0.5 - e1) ** 2 / e1, 6)
+    # probabilities sum to 1 over the table
+    assert abs(sum(r["obs_p"] for r in got.values()) - 1.0) < 1e-5
+
+    e = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double")
+    assert benford_digits(e).count() == 0

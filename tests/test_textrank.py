@@ -122,3 +122,33 @@ def test_textrank_lowercases_and_drops_self_pairs(spark):
     # empty corpus -> empty frame
     e = spark.createDataFrame([], "doc_id long, text string")
     assert textrank_keywords(e).count() == 0
+
+
+def test_rake_phrases_and_scores_hand_computed(spark):
+    from mms_rdf_spark.operators.textstats import rake_keywords
+
+    # STOPWORDS contains "of" and "the": "deep learning" and
+    # "deep net" are the two candidate phrases.
+    # freq: deep=2 learning=1 net=1; deg: deep=4 learning=2 net=2
+    # word scores: deep=2.0 learning=2.0 net=2.0 -> phrases both 4.0
+    rows = [(1, "deep learning of the deep net"),
+            (2, "the a an")]  # stopwords only: no candidates
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["phrase"], r["n_words"], r["n_occ"], r["score"],
+            r["rnk"]) for r in rake_keywords(df).collect()]
+    assert got == [("deep learning", 2, 1, 4.0, 1),
+                   ("deep net", 2, 1, 4.0, 2)]
+
+    # repeated identical phrase: n_occ counts instances, score once
+    rep = spark.createDataFrame(
+        [(1, "big model"), (2, "big model"), (3, "tiny probe")],
+        "doc_id long, text string")
+    got = {r["phrase"]: (r["n_occ"], r["score"])
+           for r in rake_keywords(rep).collect()}
+    # freq: big=2 model=2 tiny=1 probe=1; deg: big=4 model=4 tiny=2
+    # probe=2 -> all word scores 2.0; both phrases score 4.0
+    assert got["big model"] == (2, 4.0)
+    assert got["tiny probe"] == (1, 4.0)
+
+    e = spark.createDataFrame([], "doc_id long, text string")
+    assert rake_keywords(e).count() == 0
