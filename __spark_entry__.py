@@ -2291,6 +2291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the SAME analytic oracle as the PPM path (same pixel formula)
         return MM.image_stats(MM.synth_png_media(_docs(spark, sf)))
 
+    def mm_bmp_stats(spark, sf):
+        # REAL BMP decode (24bpp BI_RGB): header parse + bottom-up
+        # row flip + BGR swap + 4-byte padding; channel means
+        # hash-match the SAME analytic oracle as the PPM/PNG paths
+        return MM.image_stats(MM.synth_bmp_media(_docs(spark, sf)))
+
     def kg_sparql_select(spark, sf):
         # the SPARQL string front-end compiled onto Catalyst: BGP join
         # + OPTIONAL (left join) + FILTER over the extracted triples
@@ -3897,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
+        "mm_bmp_stats": mm_bmp_stats,
     }
 
 
@@ -8085,6 +8092,9 @@ def oracle_sql() -> dict[str, str]:
     # generator formula), so the analytic oracle is identical — what
     # differs is the engine side: inflate + all five unfilter branches
     q["mm_png_stats"] = q["mm_image_stats"]
+    # ...and the BMP path likewise (engine side: header parse +
+    # bottom-up flip + BGR swap + row padding)
+    q["mm_bmp_stats"] = q["mm_image_stats"]
 
     # decoded-audio statistics from the generator sample(i) =
     # ((media_id*17 + i*13) % 65536) - 32768 over 64 samples (2^6 ->

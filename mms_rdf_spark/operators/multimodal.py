@@ -399,6 +399,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if b == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
+    if b[:2] == b"BM":
+        return decode_bmp(data)
     raise NotImplementedError(
         "no in-engine decoder for this image format; wire a codec "
         "library into decode_image_batch")
@@ -418,6 +420,77 @@ def synth_png_media(docs: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
                 "media_id": pdf["media_id"].values,
                 "kind": "image",
                 "payload": [encode_png(ppm_pixels(int(m), h, w))
+                            for m in pdf["media_id"]],
+                "width": np.int32(w),
+                "height": np.int32(h),
+                "n_frames": np.int32(1),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------- real BMP decode path
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24bpp uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR channel order, rows padded to 4 bytes) — the
+    third REAL image codec next to PPM and PNG; BMP is raw raster
+    plumbing, so the whole format lives in numpy + struct."""
+    import struct
+
+    h, w, _ = arr.shape
+    pad = (-(w * 3)) % 4
+    rows = arr[::-1, :, ::-1]  # bottom-up, RGB -> BGR
+    raster = b"".join(rows[r].tobytes() + b"\x00" * pad
+                      for r in range(h))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(raster), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster),
+                       0, 0, 54)
+    return head + info + raster
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24bpp uncompressed BMP -> (h, w, 3) uint8 RGB. Pure numpy —
+    header parse, bottom-up row flip, BGR -> RGB. Top-down BMPs
+    (negative height) are handled; compressed/paletted BMPs raise
+    the honest codec stub."""
+    import struct
+
+    b = bytes(data)
+    if b[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    _hsz, w, h_signed = struct.unpack_from("<Iii", b, 14)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "only 24bpp uncompressed BMP has an in-engine decoder")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    raster = np.frombuffer(b, dtype=np.uint8, count=h * stride,
+                           offset=offset).reshape(h, stride)
+    img = raster[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up storage -> top-down array
+    return np.ascontiguousarray(img)
+
+
+def synth_bmp_media(docs: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
+    """Real encoded BMP payloads over the SAME deterministic pixel
+    formula as synth_ppm_media — the analytic oracle exercises the
+    header parse + row flip + BGR swap + 4-byte row padding (w=8
+    makes padding zero; pass odd w in tests to exercise it)."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": "image",
+                "payload": [encode_bmp(ppm_pixels(int(m), h, w))
                             for m in pdf["media_id"]],
                 "width": np.int32(w),
                 "height": np.int32(h),

@@ -250,3 +250,45 @@ def test_resize_non_divisible_dims(spark):
     out = resize_images(synth_ppm_media(docs, h=8, w=8),
                         out_h=3, out_w=5).collect()
     assert all((r.width, r.height) == (5, 3) for r in out)
+
+
+def test_bmp_roundtrip_padding_and_stats_parity(spark):
+    import numpy as np
+
+    from mms_rdf_spark.operators.multimodal import (
+        decode_bmp, decode_image, encode_bmp, image_stats, ppm_pixels,
+        synth_bmp_media, synth_ppm_media)
+
+    # odd width exercises the 4-byte row padding; roundtrip is exact
+    arr = ppm_pixels(54321, h=5, w=7)
+    assert (decode_bmp(encode_bmp(arr)) == arr).all()
+    # dispatch on the BM magic
+    assert (decode_image(encode_bmp(arr)) == arr).all()
+
+    # top-down variant (negative height) decodes identically
+    import struct
+    raw = bytearray(encode_bmp(arr))
+    h = struct.unpack_from("<i", raw, 22)[0]
+    struct.pack_into("<i", raw, 22, -h)
+    stride = (7 * 3 + 3) // 4 * 4
+    flipped = bytearray(raw[:54])
+    body = raw[54:]
+    for r in range(5):                       # re-order rows top-down
+        flipped += body[(4 - r) * stride:(5 - r) * stride]
+    assert (decode_bmp(bytes(flipped)) == arr).all()
+
+    # image_stats over BMP payloads == over PPM payloads (same pixels)
+    docs = spark.createDataFrame([(i,) for i in range(6)],
+                                 "doc_id long")
+    a = sorted(image_stats(synth_bmp_media(docs)).collect())
+    b = sorted(image_stats(synth_ppm_media(docs)).collect())
+    assert a == b and len(a) == 6
+
+    # compressed/paletted guard raises the honest stub
+    bad = bytearray(encode_bmp(arr))
+    struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+    try:
+        decode_bmp(bytes(bad))
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
