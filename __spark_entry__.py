@@ -3526,6 +3526,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return welch_ttest(ev, "event_type", "value", "click", "view")
 
+    def text_prcurve(spark, sf):
+        # PR curve of the trained quality classifier: exact confusion
+        # counts per distinct 6dp-gridded threshold
+        from mms_rdf_spark.operators.evalmetrics import pr_curve
+        from mms_rdf_spark.operators.mlops import (
+            doc_features, logreg_score, logreg_train)
+        feats = doc_features(_docs(spark, sf))
+        scored = logreg_score(feats, logreg_train(feats, iterations=6))
+        return pr_curve(scored, "prob", "y")
+
     def events_benford(spark, sf):
         # Benford first-digit audit over positive event values
         # (exact-cent digit extraction, rounded-probability chi2)
@@ -3904,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_benford": events_benford,
         "text_rake": text_rake,
         "mm_bmp_stats": mm_bmp_stats,
+        "text_prcurve": text_prcurve,
     }
 
 
@@ -10997,6 +11008,47 @@ def oracle_sql() -> dict[str, str]:
                AS rnk
     FROM ded
     ORDER BY sm DESC, phrase LIMIT 20
+    """
+
+    # PR curve of the trained classifier: per distinct score, two
+    # inclusive cumsums give exact confusion counts at threshold
+    # "score >= v"; f1 from the ROUNDED p/r
+    q["text_prcurve"] = lg + """,
+    sc AS (
+        SELECT round(1.0 / (1.0 + exp(-(w.w0*f.x0 + w.w1*f.x1
+                   + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4))), 6) AS prob,
+               f.y
+        FROM feats f, w6 w),
+    per AS (
+        SELECT prob AS v, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(y) AS BIGINT) AS cp
+        FROM sc GROUP BY 1),
+    cum AS (
+        SELECT v, cnt, cp,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cumn,
+               CAST(sum(cp) OVER (ORDER BY v) AS BIGINT) AS cump
+        FROM per),
+    tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS tn,
+               CAST(sum(cp) AS BIGINT) AS tp_tot
+        FROM per),
+    cf AS (
+        SELECT v, tp_tot - cump + cp AS tp,
+               (tn - cumn + cnt) - (tp_tot - cump + cp) AS fp,
+               tp_tot - (tp_tot - cump + cp) AS fn,
+               tn - cumn + cnt AS pos_pred, tp_tot
+        FROM cum CROSS JOIN tot),
+    pr AS (
+        SELECT v, tp, fp, fn,
+               round(tp / pos_pred, 6) AS p,
+               CASE WHEN tp_tot > 0 THEN round(tp / tp_tot, 6) END
+                   AS r
+        FROM cf)
+    SELECT v AS threshold, tp, fp, fn, p AS precision, r AS recall,
+           CASE WHEN r IS NULL THEN NULL
+                WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6)
+                ELSE 0.0 END AS f1
+    FROM pr
     """
 
     return q

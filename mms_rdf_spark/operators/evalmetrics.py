@@ -523,3 +523,52 @@ def roc_auc(scored: DataFrame, score_col: str = "prob",
                     F.col("n0").alias("n_neg"),
                     F.when((F.col("n1") > 0) & (F.col("n0") > 0), auc)
                     .alias("auc")))
+
+
+def pr_curve(scored: DataFrame, score_col: str = "prob",
+             label_col: str = "y") -> DataFrame:
+    """Precision-recall curve: one row per DISTINCT score threshold t
+    (predict positive iff score >= t) with exact confusion counts —
+    the threshold-sweep companion of roc_auc (pick the operating
+    point; AUC only says the ranking is good). Returns
+    (threshold, tp, fp, fn, precision, recall, f1) ordered by any
+    consumer's choice; f1 is computed FROM the rounded p/r so engines
+    divide identical doubles (the classification_report rule).
+
+    Exact arithmetic: per distinct score the frame carries (cnt,
+    cnt_pos); two distributed cumsums (prefix.global_cumsum — no
+    single-partition window) give inclusive counts at-or-below each
+    score, so tp = total_pos - cum_pos + cnt_pos and
+    fp = (total - cum) + cnt - tp are exact longs. Scale shape: one
+    map-side aggregate to |distinct scores| rows (6dp-gridded probs
+    bound it at ~1e6), two two-phase scans, a broadcast 1-row total.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    sub = scored.select(F.col(score_col).alias("_v"),
+                        F.col(label_col).cast("long").alias("_isp"))
+    per = sub.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"),
+                                F.sum("_isp").alias("_cp"))
+    c1 = global_cumsum(per, "_v", "_v", "_cnt") \
+        .withColumnRenamed("cum", "_cumn")
+    c2 = global_cumsum(c1, "_v", "_v", "_cp") \
+        .withColumnRenamed("cum", "_cump")
+    tot = c2.agg(F.sum("_cnt").cast("long").alias("_tn"),
+                 F.sum("_cp").cast("long").alias("_tp"))
+    j = c2.crossJoin(F.broadcast(tot))
+    tp = (F.col("_tp") - F.col("_cump") + F.col("_cp")).cast("long")
+    pos_pred = (F.col("_tn") - F.col("_cumn") + F.col("_cnt")) \
+        .cast("long")
+    fp = (pos_pred - tp).cast("long")
+    fn = (F.col("_tp") - tp).cast("long")
+    prec = F.round(tp / pos_pred, 6)
+    rec = F.when(F.col("_tp") > 0,
+                 F.round(tp / F.col("_tp"), 6))
+    f1 = F.when((prec + rec) > 0,
+                F.round(2 * prec * rec / (prec + rec), 6)) \
+        .otherwise(F.lit(0.0))
+    return j.select(
+        F.col("_v").alias("threshold"), tp.alias("tp"),
+        fp.alias("fp"), fn.alias("fn"), prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(rec.isNotNull(), f1).alias("f1"))

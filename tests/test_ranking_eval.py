@@ -451,3 +451,36 @@ def test_roc_auc_equals_mann_whitney_auc(spark):
         ev.where(F.col("event_type") != "click")).collect()[0]
     assert (r["n_pos"], r["n_neg"]) == (m["n_a"], m["n_b"])
     assert r["auc"] == m["auc"]
+
+
+def test_pr_curve_matches_bruteforce(spark):
+    from mms_rdf_spark.operators.evalmetrics import pr_curve
+
+    rows = [(0.9, 1), (0.8, 1), (0.8, 0), (0.5, 0), (0.5, 1),
+            (0.3, 0), (0.1, 1)]
+    df = spark.createDataFrame(
+        [(i, s, y) for i, (s, y) in enumerate(rows)],
+        "doc_id long, prob double, y int")
+    got = {r["threshold"]: r for r in pr_curve(df).collect()}
+    n_pos = sum(y for _, y in rows)
+    assert set(got) == {0.9, 0.8, 0.5, 0.3, 0.1}
+    for t in got:
+        tp = sum(1 for s, y in rows if s >= t and y == 1)
+        fp = sum(1 for s, y in rows if s >= t and y == 0)
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, n_pos - tp)
+        p = round(tp / (tp + fp), 6)
+        rec = round(tp / n_pos, 6)
+        assert r["precision"] == p and r["recall"] == rec
+        assert r["f1"] == (round(2 * p * rec / (p + rec), 6)
+                           if p + rec > 0 else 0.0)
+
+    # all-negative corpus: recall/f1 NULL, precision still defined
+    neg = spark.createDataFrame([(1, 0.7, 0), (2, 0.2, 0)],
+                                "doc_id long, prob double, y int")
+    for r in pr_curve(neg).collect():
+        assert r["recall"] is None and r["f1"] is None
+        assert r["tp"] == 0 and r["precision"] == 0.0
+
+    e = spark.createDataFrame([], "doc_id long, prob double, y int")
+    assert pr_curve(e).count() == 0
