@@ -3526,6 +3526,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return welch_ttest(ev, "event_type", "value", "click", "view")
 
+    def text_alpha(spark, sf):
+        # Krippendorff's alpha over THREE raters of doc language —
+        # NB classifier, stopword heuristic, gold — with deterministic
+        # holes (heur skips doc_id%7==0, gold skips doc_id%5==0) so
+        # variable m_i and the singleton exclusion both fire
+        from mms_rdf_spark.operators.evalmetrics import (
+            krippendorff_alpha)
+        from mms_rdf_spark.operators.mlops import nb_score, nb_train
+        from mms_rdf_spark.operators.textstats import detect_language
+        docs = _docs(spark, sf)
+        w, m = nb_train(docs)
+        nb = nb_score(docs, w, m).select(
+            F.col("doc_id").alias("item"), F.col("pred").alias("label"))
+        heur = (detect_language(docs)
+                .where(F.col("doc_id") % 7 != 0)
+                .select(F.col("doc_id").alias("item"),
+                        F.col("lang_pred").alias("label")))
+        gold = (docs.where(F.col("doc_id") % 5 != 0)
+                .select(F.col("doc_id").alias("item"),
+                        F.col("lang").alias("label")))
+        return krippendorff_alpha(
+            nb.unionByName(heur).unionByName(gold))
+
     def text_prcurve(spark, sf):
         # PR curve of the trained quality classifier: exact confusion
         # counts per distinct 6dp-gridded threshold
@@ -3915,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake": text_rake,
         "mm_bmp_stats": mm_bmp_stats,
         "text_prcurve": text_prcurve,
+        "text_alpha": text_alpha,
     }
 
 
@@ -11049,6 +11073,49 @@ def oracle_sql() -> dict[str, str]:
                 WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6)
                 ELSE 0.0 END AS f1
     FROM pr
+    """
+
+    # Krippendorff alpha over three raters (NB pred nested, stopword
+    # heuristic nested, gold) with deterministic coverage holes;
+    # per-item D_o term as a 9dp nano long, marginals over KEPT items
+    q["text_alpha"] = f"""
+    WITH r AS (
+        SELECT doc_id AS i, pred AS l FROM ({q["text_nb_lang"]})
+        UNION ALL
+        SELECT doc_id, lang_pred FROM ({q["text_langid"]})
+        WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0
+    ), nic AS (
+        SELECT i, l, CAST(count(*) AS BIGINT) AS nic
+        FROM r WHERE l IS NOT NULL GROUP BY i, l
+    ), per AS (
+        SELECT i, CAST(sum(nic) AS BIGINT) AS m,
+               CAST(sum(nic * nic) AS BIGINT) AS s2
+        FROM nic GROUP BY i
+        HAVING sum(nic) >= 2
+    ), do_ AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(round((m * m - s2)
+                                         / (m - 1), 9) * 1e9, 0)
+                             AS BIGINT)) AS BIGINT) AS d_o_nano
+        FROM per
+    ), marg AS (
+        SELECT l, CAST(sum(nic) AS BIGINT) AS nc
+        FROM nic WHERE i IN (SELECT i FROM per) GROUP BY l
+    ), tot AS (
+        SELECT CAST(sum(nc) AS BIGINT) AS n,
+               CAST(sum(nc * nc) AS BIGINT) AS sc
+        FROM marg
+    )
+    SELECT n_items, n AS n_ratings, d_o_nano,
+           CASE WHEN (CAST(n AS DOUBLE) * n - sc) / (n - 1) > 0
+                THEN round(1 - (d_o_nano / 1e9)
+                           / ((CAST(n AS DOUBLE) * n - sc) / (n - 1)),
+                           6)
+           END AS alpha
+    FROM do_ CROSS JOIN tot
+    WHERE n_items IS NOT NULL AND n_items > 0
     """
 
     return q

@@ -572,3 +572,61 @@ def pr_curve(scored: DataFrame, score_col: str = "prob",
         fp.alias("fp"), fn.alias("fn"), prec.alias("precision"),
         rec.alias("recall"),
         F.when(rec.isNotNull(), f1).alias("f1"))
+
+
+def krippendorff_alpha(ratings: DataFrame, item_col: str = "item",
+                       label_col: str = "label") -> DataFrame:
+    """Krippendorff's alpha (nominal) — the inter-annotator agreement
+    coefficient that, unlike cohens_kappa, handles ANY number of
+    raters and MISSING ratings (Krippendorff 2004): the standard QC
+    gate when transcript labels come from several imperfect sources.
+    Input is one row per rating (item, label) — rater identity is
+    irrelevant to the statistic; NULL labels are ignored; items with
+    fewer than 2 ratings carry no disagreement information and are
+    excluded per the definition.
+
+      D_o = sum_i (m_i^2 - sum_c n_ic^2) / (m_i - 1)   observed
+      D_e = (n^2 - sum_c n_c^2) / (n - 1)              expected
+      alpha = 1 - D_o / D_e
+
+    Exact arithmetic: each item's rational D_o term rounds to 9dp and
+    rides as a nano long, so the cross-item sum is exact and
+    order-free; the marginals n_c / n are exact longs over the KEPT
+    items only; D_e and alpha are fixed-order float expressions over
+    those longs, mirrored textually by the SQL oracle. alpha is NULL
+    when D_e degenerates (all ratings one label).
+
+    Returns one row (n_items, n_ratings, d_o_nano, alpha); d_o_nano
+    pins the whole observed-disagreement sum in the hash. Scale
+    shape: one (item, label) aggregate, one per-item fold, one
+    label-marginal aggregate over kept items, a 1-row finale.
+    """
+    r = (ratings.where(F.col(label_col).isNotNull())
+         .select(F.col(item_col).alias("_i"),
+                 F.col(label_col).alias("_l")))
+    nic = (r.groupBy("_i", "_l")
+           .agg(F.count(F.lit(1)).cast("long").alias("_nic")))
+    per = (nic.groupBy("_i")
+           .agg(F.sum("_nic").cast("long").alias("_m"),
+                F.sum(F.col("_nic") * F.col("_nic")).cast("long")
+                .alias("_s2"))
+           .where(F.col("_m") >= 2))
+    t = F.round(F.round(
+        (F.col("_m") * F.col("_m") - F.col("_s2"))
+        / (F.col("_m") - 1), 9) * 1e9, 0).cast("long")
+    do = per.agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.sum(t).cast("long").alias("d_o_nano"))
+    marg = (nic.join(per.select("_i"), on="_i", how="left_semi")
+            .groupBy("_l")
+            .agg(F.sum("_nic").cast("long").alias("_nc")))
+    tot = marg.agg(F.sum("_nc").cast("long").alias("_n"),
+                   F.sum(F.col("_nc") * F.col("_nc")).cast("long")
+                   .alias("_sc"))
+    j = do.crossJoin(F.broadcast(tot)) \
+        .where(F.col("n_items").isNotNull() & (F.col("n_items") > 0))
+    de = (F.col("_n").cast("double") * F.col("_n") - F.col("_sc")) \
+        / (F.col("_n") - 1)
+    alpha = F.round(1 - (F.col("d_o_nano") / 1e9) / de, 6)
+    return j.select(
+        "n_items", F.col("_n").alias("n_ratings"), "d_o_nano",
+        F.when(de > 0, alpha).alias("alpha"))

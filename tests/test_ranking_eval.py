@@ -484,3 +484,63 @@ def test_pr_curve_matches_bruteforce(spark):
 
     e = spark.createDataFrame([], "doc_id long, prob double, y int")
     assert pr_curve(e).count() == 0
+
+
+def test_krippendorff_alpha_known_values_and_missing(spark):
+    from mms_rdf_spark.operators.evalmetrics import krippendorff_alpha
+
+    def _r(rows):
+        return spark.createDataFrame(rows, "item long, label string")
+
+    # perfect agreement -> alpha = 1
+    perfect = _r([(1, "a"), (1, "a"), (2, "b"), (2, "b")])
+    assert krippendorff_alpha(perfect).collect()[0]["alpha"] == 1.0
+
+    # maximal systematic disagreement on 2 items, 2 raters:
+    # D_o = 4, D_e = (16-8)/3 -> alpha = 1 - 4/(8/3) = -0.5
+    dis = _r([(1, "a"), (1, "b"), (2, "a"), (2, "b")])
+    row = dis_row = krippendorff_alpha(dis).collect()[0]
+    assert row["alpha"] == -0.5
+    assert row["n_items"] == 2 and row["n_ratings"] == 4
+    assert row["d_o_nano"] == 4 * 10**9
+
+    # missing data: singleton items are excluded, NULL labels ignored
+    miss = _r([(1, "a"), (1, "a"), (2, "c"),      # item 2 singleton
+               (3, None), (3, "b"), (3, "b")])    # NULL ignored
+    row = krippendorff_alpha(miss).collect()[0]
+    assert row["n_items"] == 2 and row["n_ratings"] == 4
+    assert row["alpha"] == 1.0
+
+    # pure-Python twin on a mixed multi-rater fixture (3 raters,
+    # holes, ties) mirroring the 9dp-nano discipline exactly
+    rows = [(1, "a"), (1, "a"), (1, "b"),
+            (2, "b"), (2, "b"),
+            (3, "a"), (3, "c"), (3, "c"),
+            (4, "c"), (4, "c"), (4, "c"),
+            (5, "a")]  # singleton: excluded
+    from collections import Counter, defaultdict
+    by_item = defaultdict(list)
+    for i, l in rows:
+        by_item[i].append(l)
+    kept = {i: ls for i, ls in by_item.items() if len(ls) >= 2}
+    do_nano = sum(
+        int(round(round((len(ls) ** 2
+                         - sum(c * c
+                               for c in Counter(ls).values()))
+                        / (len(ls) - 1), 9) * 1e9))
+        for ls in kept.values())
+    nc = Counter(l for ls in kept.values() for l in ls)
+    n = sum(nc.values())
+    de = (float(n) * n - sum(c * c for c in nc.values())) / (n - 1)
+    exp = round(1 - (do_nano / 1e9) / de, 6)
+    row = krippendorff_alpha(_r(rows)).collect()[0]
+    assert row["d_o_nano"] == do_nano and row["alpha"] == exp
+
+    # degenerate: one label everywhere -> D_e = 0 -> alpha NULL
+    one = _r([(1, "a"), (1, "a"), (2, "a"), (2, "a")])
+    assert krippendorff_alpha(one).collect()[0]["alpha"] is None
+
+    # empty / all-singleton -> empty frame
+    e = _r([])
+    assert krippendorff_alpha(e).count() == 0
+    assert krippendorff_alpha(_r([(1, "a"), (2, "b")])).count() == 0
