@@ -3526,6 +3526,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return welch_ttest(ev, "event_type", "value", "click", "view")
 
+    def sketch_ams_f2(spark, sf):
+        # AMS tug-of-war sketch of the user_id self-join size: md5
+        # signs make the sketch VALUES fully deterministic, so the
+        # whole R-row table hash-matches (not just a certificate)
+        from mms_rdf_spark.operators.sketch import ams_f2
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ams_f2(ev, "user_id", seeds=9)
+
     def text_alpha(spark, sf):
         # Krippendorff's alpha over THREE raters of doc language —
         # NB classifier, stopword heuristic, gold — with deterministic
@@ -3939,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_bmp_stats": mm_bmp_stats,
         "text_prcurve": text_prcurve,
         "text_alpha": text_alpha,
+        "sketch_ams_f2": sketch_ams_f2,
     }
 
 
@@ -11116,6 +11125,32 @@ def oracle_sql() -> dict[str, str]:
            END AS alpha
     FROM do_ CROSS JOIN tot
     WHERE n_items IS NOT NULL AND n_items > 0
+    """
+
+    # AMS F2 sketch: md5 sign per (seed, value), exact long sums —
+    # the sketch VALUES are deterministic, full hash-match
+    q["sketch_ams_f2"] = """
+    WITH c AS (
+        SELECT CAST(user_id AS VARCHAR) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), x AS (
+        SELECT v, n, s.seed
+        FROM c, unnest(generate_series(0, 8)) AS s(seed)
+    ), sg AS (
+        SELECT seed,
+               n * (CASE WHEN substr(md5(CAST(seed AS VARCHAR)
+                                     || '|' || v), 1, 1) IN
+                         ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE -1 END) AS t
+        FROM x
+    ), sk AS (
+        SELECT seed, CAST(sum(t) AS BIGINT) AS sketch
+        FROM sg GROUP BY seed
+    )
+    SELECT seed, sketch,
+           CAST(sketch * sketch AS BIGINT) AS est
+    FROM sk
     """
 
     return q

@@ -450,3 +450,61 @@ def mg_certificate(df: DataFrame, col: str, k: int = 16) -> DataFrame:
         [(int(n), float(round(bound, 6)), int(n_guar),
           bad_missing == 0 and bad_est == 0)],
         "n long, n_over_k1 double, n_guaranteed long, ok boolean")
+
+
+def ams_f2(df: DataFrame, value_col: str, seeds: int = 9) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996,
+    the tug-of-war sketch): per seed r, sketch_r = sum_v n_v * s_r(v)
+    with s_r(v) in {-1,+1} an independent md5 sign bit (the
+    feature_hash idiom). est_r = sketch_r^2 is an unbiased estimator
+    of F2 = sum_v n_v^2 — the SELF-JOIN SIZE of the column, exactly
+    the fan-out a skew planner needs before keying a join on it;
+    Var(est) <= 2*F2^2, so callers take the median over the R seeds
+    (ams_f2_estimate).
+
+    Returns the R-row sketch table (seed, sketch, est) — sketches are
+    MERGEABLE by per-seed addition across partitions, tables, or
+    stream batches, and est re-derives after any merge. Unlike the
+    bound-certified sketches (CMS/KMV/MG) this one's VALUES are fully
+    deterministic (md5 signs, exact long sums), so the DuckDB oracle
+    hash-matches the sketch itself, not just a certificate.
+
+    Scale shape: one (value) aggregate collapses the corpus to
+    distinct values, a seeds-wide generate fans each to R sign rows,
+    one R-row aggregate. sketch^2 overflows long only past |sketch| ~
+    3e9 — sketch concentrates at ~sqrt(F2), so the bound is ~9e18
+    self-join pairs; past that, lift est to DECIMAL (documented
+    trade).
+    """
+    cnt = (df.where(F.col(value_col).isNotNull())
+           .groupBy(F.col(value_col).cast("string").alias("_v"))
+           .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    x = cnt.select(
+        "_v", "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(seeds - 1)))
+        .alias("seed"))
+    sgn = F.when(
+        F.substring(F.md5(F.concat_ws(
+            "|", F.col("seed").cast("string"), F.col("_v"))), 1, 1)
+        .isin(*"01234567"), F.lit(1)).otherwise(F.lit(-1))
+    sk = (x.select("seed", (F.col("_n") * sgn).alias("_t"))
+          .groupBy("seed")
+          .agg(F.sum("_t").cast("long").alias("sketch")))
+    return sk.select(
+        "seed", "sketch",
+        (F.col("sketch") * F.col("sketch")).cast("long").alias("est"))
+
+
+def ams_f2_estimate(sketch: DataFrame) -> DataFrame:
+    """Median-of-seeds F2 estimate from an ams_f2 sketch table (lower
+    order statistic under (est, seed) for even counts — no
+    interpolation, the theil_sen rule). One row (n_seeds, f2_est)."""
+    n = sketch.count()
+    if n == 0:
+        return sketch.sparkSession.createDataFrame(
+            [], "n_seeds long, f2_est long")
+    mid = (sketch.orderBy("est", "seed")
+           .limit((n + 1) // 2).orderBy(F.desc("est"), "seed")
+           .limit(1))
+    return mid.select(F.lit(n).cast("long").alias("n_seeds"),
+                      F.col("est").alias("f2_est"))

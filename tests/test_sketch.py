@@ -246,3 +246,43 @@ def test_mg_empty(spark):
     df = spark.createDataFrame([], "v string")
     assert mg_heavy_hitters(df, "v", k=4).count() == 0
     assert mg_certificate(df, "v", k=4).collect()[0].ok
+
+
+def test_ams_f2_unbiased_mergeable_and_sane(spark):
+    from pyspark.sql import functions as F
+
+    from mms_rdf_spark.operators.sketch import ams_f2, ams_f2_estimate
+
+    # single value, count 3: every seed's sketch is +-3, est = 9 = F2
+    one = spark.createDataFrame([(7,)] * 3, "v long")
+    rows = ams_f2(one, "v", seeds=5).collect()
+    assert len(rows) == 5
+    assert all(abs(r["sketch"]) == 3 and r["est"] == 9 for r in rows)
+    assert ams_f2_estimate(ams_f2(one, "v", seeds=5)) \
+        .collect()[0]["f2_est"] == 9
+
+    # mergeability: per-seed sketches over two halves sum to the
+    # whole-table sketch (then est re-derives)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    whole = {r["seed"]: r["sketch"]
+             for r in ams_f2(ev, "user_id").collect()}
+    pa = {r["seed"]: r["sketch"] for r in ams_f2(a, "user_id").collect()}
+    pb = {r["seed"]: r["sketch"] for r in ams_f2(b, "user_id").collect()}
+    assert whole == {s: pa.get(s, 0) + pb.get(s, 0) for s in whole}
+
+    # the median estimate lands within a small factor of the exact
+    # self-join size on real data (fixed data + fixed seeds ->
+    # deterministic pass; the 2F2^2 variance bound makes 4x generous)
+    exact = (ev.groupBy("user_id").count()
+             .agg(F.sum(F.col("count") * F.col("count"))
+                  .cast("long").alias("f2")).collect()[0]["f2"])
+    est = ams_f2_estimate(ams_f2(ev, "user_id")) \
+        .collect()[0]["f2_est"]
+    assert exact / 4 <= est <= exact * 4, (est, exact)
+
+    # empty input -> empty sketch and empty estimate
+    e = spark.createDataFrame([], "v long")
+    assert ams_f2(e, "v").count() == 0
+    assert ams_f2_estimate(ams_f2(e, "v")).count() == 0
