@@ -3534,6 +3534,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return ams_f2(ev, "user_id", seeds=9)
 
+    def sketch_cms_join(spark, sf):
+        # CMS inner-product join-size estimate (orders x customer on
+        # custkey) + the exact join size + the deterministic
+        # guarantee clause, all hash-checked
+        from mms_rdf_spark.operators.sketch import (
+            cms_build, cms_join_size)
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        est = cms_join_size(cms_build(orders, "o_custkey"),
+                            cms_build(cust, "c_custkey"))
+        na = orders.groupBy(F.col("o_custkey").alias("k")) \
+            .agg(F.count(F.lit(1)).cast("long").alias("na"))
+        nb = cust.groupBy(F.col("c_custkey").alias("k")) \
+            .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        exact = (na.join(nb, on="k")
+                 .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")),
+                                 F.lit(0)).cast("long")
+                      .alias("exact_join")))
+        tot = (na.agg(F.sum("na").cast("long").alias("_ta"))
+               .crossJoin(nb.agg(F.sum("nb").cast("long")
+                                 .alias("_tb"))))
+        return (est.crossJoin(F.broadcast(exact))
+                .crossJoin(F.broadcast(tot))
+                .select("est", "exact_join",
+                        ((F.col("exact_join") <= F.col("est"))
+                         & (F.col("est")
+                            <= F.col("_ta") * F.col("_tb")))
+                        .alias("ok")))
+
     def text_alpha(spark, sf):
         # Krippendorff's alpha over THREE raters of doc language —
         # NB classifier, stopword heuristic, gold — with deterministic
@@ -3948,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_prcurve": text_prcurve,
         "text_alpha": text_alpha,
         "sketch_ams_f2": sketch_ams_f2,
+        "sketch_cms_join": sketch_cms_join,
     }
 
 
@@ -11151,6 +11181,51 @@ def oracle_sql() -> dict[str, str]:
     SELECT seed, sketch,
            CAST(sketch * sketch AS BIGINT) AS est
     FROM sk
+    """
+
+    # CMS inner-product join size: same md5 cell derivation for both
+    # tables; a depth row with no shared cells contributes 0 to the
+    # min (LEFT JOIN from the d values); ok pins the deterministic
+    # sandwich exact <= est <= n_a*n_b
+    q["sketch_cms_join"] = """
+    WITH ca AS (
+        SELECT d, CAST(concat('0x', substr(md5(concat(
+                   CAST(d AS VARCHAR), '|',
+                   CAST(o_custkey AS VARCHAR))), 1, 6))
+                 AS BIGINT) % 1024 AS w
+        FROM orders, unnest(generate_series(0, 3)) AS t(d)
+    ), sa AS (SELECT d, w, CAST(count(*) AS BIGINT) AS c
+              FROM ca GROUP BY d, w),
+    cb AS (
+        SELECT d, CAST(concat('0x', substr(md5(concat(
+                   CAST(d AS VARCHAR), '|',
+                   CAST(c_custkey AS VARCHAR))), 1, 6))
+                 AS BIGINT) % 1024 AS w
+        FROM customer, unnest(generate_series(0, 3)) AS t(d)
+    ), sb AS (SELECT d, w, CAST(count(*) AS BIGINT) AS c
+              FROM cb GROUP BY d, w),
+    ip AS (
+        SELECT sa.d, CAST(sum(sa.c * sb.c) AS BIGINT) AS ip
+        FROM sa JOIN sb ON sa.d = sb.d AND sa.w = sb.w
+        GROUP BY sa.d
+    ), ipz AS (
+        SELECT CAST(coalesce(ip.ip, 0) AS BIGINT) AS ip
+        FROM unnest(generate_series(0, 3)) AS t(d)
+        LEFT JOIN ip ON ip.d = t.d
+    ), est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ipz),
+    na AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS na
+           FROM orders GROUP BY 1),
+    nb AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS nb
+           FROM customer GROUP BY 1),
+    ex AS (SELECT CAST(coalesce(sum(na.na * nb.nb), 0) AS BIGINT)
+               AS exact_join
+           FROM na JOIN nb USING (k)),
+    tt AS (SELECT (SELECT CAST(sum(na) AS BIGINT) FROM na) AS ta,
+                  (SELECT CAST(sum(nb) AS BIGINT) FROM nb) AS tb)
+    SELECT est.est, ex.exact_join,
+           (ex.exact_join <= est.est AND est.est <= tt.ta * tt.tb)
+               AS ok
+    FROM est, ex, tt
     """
 
     return q

@@ -508,3 +508,41 @@ def ams_f2_estimate(sketch: DataFrame) -> DataFrame:
            .limit(1))
     return mid.select(F.lit(n).cast("long").alias("n_seeds"),
                       F.col("est").alias("f2_est"))
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimate from two count-min sketches (Cormode &
+    Muthukrishnan 2005 inner product): est = min over depth rows d of
+    sum_w a_c(d,w) * b_c(d,w). DETERMINISTIC guarantees: J <= est
+    (colliding values only ADD cross terms) and est <= n_a * n_b
+    (every cell sum is bounded by the column totals); in expectation
+    est - J <= n_a*n_b/width per row, hence the min. This answers the
+    planner question "how many rows will `a JOIN b ON v` produce?"
+    from two broadcast-sized summaries, never touching raw data —
+    the two-table complement of ams_f2's self-join estimate.
+
+    Fails loudly on depth/width mismatch (incomparable cells — the
+    cms_estimate lesson). Returns one row (est). The sketch cells are
+    md5-deterministic, so est is exactly reproducible cross-engine
+    (query sketch_cms_join_cert hash-matches value + guarantee).
+    """
+    da, wa = _cms_params(a)
+    db, wb = _cms_params(b)
+    if (da, wa) != (db, wb):
+        raise ValueError(
+            f"cannot inner-product sketches of shape ({da},{wa}) != "
+            f"({db},{wb})")
+    j = (a.select("d", "w", F.col("c").alias("_ca"))
+         .join(b.select("d", "w", F.col("c").alias("_cb")),
+               on=["d", "w"])
+         .groupBy("d")
+         .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long")
+              .alias("_ip")))
+    # a depth row with NO coinciding cells has inner product 0 — it
+    # must participate in the min, not vanish with the inner join
+    dd = a.select("d").distinct()
+    j = (dd.join(j, on="d", how="left")
+         .select(F.coalesce(F.col("_ip"), F.lit(0)).cast("long")
+                 .alias("_ip")))
+    return j.agg(F.min("_ip").cast("long").alias("est")) \
+        .where(F.col("est").isNotNull())

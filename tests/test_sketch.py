@@ -286,3 +286,42 @@ def test_ams_f2_unbiased_mergeable_and_sane(spark):
     e = spark.createDataFrame([], "v long")
     assert ams_f2(e, "v").count() == 0
     assert ams_f2_estimate(ams_f2(e, "v")).count() == 0
+
+
+def test_cms_join_size_guarantees_and_zero_row(spark):
+    from pyspark.sql import functions as F
+
+    from mms_rdf_spark.operators.sketch import cms_build, cms_join_size
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+    sa = cms_build(half_a, "user_id")
+    sb = cms_build(half_b, "user_id")
+    est = cms_join_size(sa, sb).collect()[0]["est"]
+    exact = (half_a.groupBy("user_id").count()
+             .withColumnRenamed("count", "na")
+             .join(half_b.groupBy("user_id").count()
+                   .withColumnRenamed("count", "nb"), on="user_id")
+             .agg(F.sum(F.col("na") * F.col("nb")).cast("long")
+                  .alias("j")).collect()[0]["j"])
+    tot = half_a.count() * half_b.count()
+    assert exact <= est <= tot, (exact, est, tot)
+
+    # disjoint value sets: the true min-inner-product can be 0 and a
+    # depth row with no shared cells must still count (width huge so
+    # collisions are unlikely but the 0-row rule is what's pinned)
+    xa = spark.createDataFrame([(f"a{i}",) for i in range(4)],
+                               "v string")
+    xb = spark.createDataFrame([(f"b{i}",) for i in range(4)],
+                               "v string")
+    est0 = cms_join_size(cms_build(xa, "v", width=65536),
+                         cms_build(xb, "v", width=65536)) \
+        .collect()[0]["est"]
+    assert est0 == 0
+
+    # shape mismatch fails loudly
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cms_join_size(cms_build(xa, "v", width=512),
+                      cms_build(xb, "v", width=1024))
