@@ -1296,3 +1296,4 @@ def rake_keywords(
     return top.withColumn(
         "rnk", F.row_number().over(
             W.orderBy(F.desc("score"), "phrase")).cast("int"))
+

@@ -152,3 +152,4 @@ def test_rake_phrases_and_scores_hand_computed(spark):
 
     e = spark.createDataFrame([], "doc_id long, text string")
     assert rake_keywords(e).count() == 0
+
