@@ -105,3 +105,33 @@ def test_rest_star_first_over_collection_graph(spark, triples_df):
             triples_df.where(F.col("predicate") == "mms-property:turns")
             .select("subject", "object", "idx").collect()}
     assert got == want
+
+
+def test_entry_registry_has_no_duplicate_keys():
+    """The queries() dict is built from one literal; a re-added name
+    silently SHADOWS the original (the text_zipf near-miss and the
+    link_sorted_parts shadowing before it). AST-pin uniqueness so a
+    duplicate key fails loudly, and pin oracle keys ⊆ query keys."""
+    import ast
+    from collections import Counter
+
+    import __spark_entry__ as e
+
+    tree = ast.parse(open(e.__file__).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "queries":
+            dicts = [d for d in ast.walk(node)
+                     if isinstance(d, ast.Dict) and len(d.keys) > 100]
+            assert len(dicts) == 1
+            keys = [k.value for k in dicts[0].keys]
+            dups = [k for k, c in Counter(keys).items() if c > 1]
+            assert not dups, f"duplicate queries() keys: {dups}"
+            registry = set(keys)
+    # oracle keys must reference existing queries (and no oracle key
+    # may be assigned twice — double assignment hides a replacement)
+    import re
+    src = open(e.__file__).read()
+    okeys = re.findall(r'q\["([a-z0-9_]+)"\] = ', src)
+    odups = [k for k, c in Counter(okeys).items() if c > 1]
+    assert not odups, f"oracle keys assigned twice: {odups}"
+    assert set(okeys) <= registry
