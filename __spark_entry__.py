@@ -3526,6 +3526,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return welch_ttest(ev, "event_type", "value", "click", "view")
 
+    def events_anova(spark, sf):
+        # one-way ANOVA F across event types over hourly volumes:
+        # per-group exact long moments, 6dp micro-long between-terms
+        from mms_rdf_spark.operators.analytics import anova_oneway
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        bucket = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.groupBy(F.col("event_type").alias("g"),
+                             bucket.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        return anova_oneway(hourly, "g", "c")
+
     def sketch_ams_f2(spark, sf):
         # AMS tug-of-war sketch of the user_id self-join size: md5
         # signs make the sketch VALUES fully deterministic, so the
@@ -3970,6 +3982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": text_textrank,
         "text_auc": text_auc,
         "events_welch": events_welch,
+        "events_anova": events_anova,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -10944,6 +10957,48 @@ def oracle_sql() -> dict[str, str]:
                               + rb * rb / (nb - 1)), 6)
            END AS df
     FROM r
+    """
+
+    # one-way ANOVA over hourly volumes per event type: per-group
+    # exact long moments; between-terms as 6dp micro longs so the
+    # cross-group sum is order-free; fixed-order float finale
+    q["events_anova"] = """
+    WITH h AS (
+        SELECT event_type AS g,
+               CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), grp AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS q
+        FROM h GROUP BY 1
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS ss,
+               CAST(sum(q) AS BIGINT) AS qq,
+               CAST(sum(CAST(round(round(CAST(s AS DOUBLE) * s / n, 6)
+                                   * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS bm
+        FROM grp
+    ), fin AS (
+        SELECT k, n, qq, bm / 1e6 AS b,
+               CAST(ss AS DOUBLE) * ss / n AS grand
+        FROM st WHERE n IS NOT NULL AND n > 0
+    )
+    SELECT k, n,
+           round(b - grand, 6) AS ss_between,
+           round(qq - b, 6) AS ss_within,
+           CASE WHEN k > 1 AND n > k AND qq - b > 0
+                THEN round(((b - grand) / (k - 1))
+                           / ((qq - b) / (n - k)), 6)
+           END AS f,
+           CASE WHEN qq - grand > 0
+                THEN round((b - grand) / (qq - grand), 6)
+           END AS eta_sq
+    FROM fin
     """
 
     # Spearman over the events_kendall hourly seam: doubled average

@@ -1932,3 +1932,59 @@ def benford_digits(
         "digit", "n", obs.alias("obs_p"), exp.alias("exp_p"),
         F.round(tot * (obs - exp) * (obs - exp) / exp, 6)
         .alias("chi2_term"))
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-test across k groups — the k-sample extension
+    of welch_ttest's two arms (classic equal-variance form): does the
+    group mean differ anywhere, before pairwise drill-down? Values
+    must already be exact integers (counts, or pre-scaled units);
+    this keeps every moment sum an exact long.
+
+    Exact arithmetic: ONE map-side-combined aggregate produces the
+    per-group moment sums (n_g, s_g, q_g) as exact longs; each
+    group's between-term s_g^2/n_g rounds to 6dp and rides as a
+    micro long, so the cross-group sum is exact and order-free (the
+    krippendorff_alpha recipe); every float op after is a fixed-order
+    expression over those longs, mirrored textually by the SQL
+    oracle. s_g^2 goes through CAST(s AS DOUBLE)*s so the square
+    never overflows the long; |s_g| must stay under ~2^47 for the
+    micro grid to survive the double mantissa — counts-scale inputs,
+    documented trade.
+
+    Returns one row (k, n, ss_between, ss_within, f, eta_sq); f is
+    NULL when k<2, n<=k, or ss_within degenerates; eta_sq (effect
+    size SS_b/SS_t) is NULL when the total variance is 0.
+
+    Scale shape: one exchange (the k-row groupBy), then a 1-row fold.
+    """
+    v = F.col(value_col).cast("long")
+    g = (df.groupBy(F.col(group_col).alias("_g"))
+         .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+              F.sum(v).cast("long").alias("_s"),
+              F.sum(v * v).cast("long").alias("_q")))
+    term = F.round(F.round(
+        F.col("_s").cast("double") * F.col("_s") / F.col("_n"), 6)
+        * 1e6, 0).cast("long")
+    st = g.agg(F.count(F.lit(1)).cast("long").alias("k"),
+               F.sum("_n").cast("long").alias("n"),
+               F.sum("_s").cast("long").alias("_ss"),
+               F.sum("_q").cast("long").alias("_qq"),
+               F.sum(term).cast("long").alias("_bm"))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    n, k = F.col("n"), F.col("k")
+    b = F.col("_bm") / 1e6
+    grand = F.col("_ss").cast("double") * F.col("_ss") / n
+    ssb, ssw, sst = b - grand, F.col("_qq") - b, F.col("_qq") - grand
+    ok = (k > 1) & (n > k) & (ssw > 0)
+    return st.select(
+        "k", "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.when(ok, F.round((ssb / (k - 1)) / (ssw / (n - k)), 6))
+        .alias("f"),
+        F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"))

@@ -723,3 +723,35 @@ def test_benford_digit_extraction_and_chi2(spark):
         [], "event_id long, user_id long, event_type string, "
             "ts timestamp, value double")
     assert benford_digits(e).count() == 0
+
+
+def test_anova_oneway_matches_textbook_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import anova_oneway
+
+    # hand-checked: A=[1,2,3] B=[2,4,6] C=[5,5,8]
+    # sum s_g^2/n_g = 12+48+108 = 168; grand = 36^2/9 = 144
+    # SS_b = 24, SS_w = 16, SS_t = 40; F = (24/2)/(16/6) = 4.5
+    rows = ([("a", v) for v in [1, 2, 3]]
+            + [("b", v) for v in [2, 4, 6]]
+            + [("c", v) for v in [5, 5, 8]])
+    df = spark.createDataFrame(rows, "g string, c long")
+    r = anova_oneway(df, "g", "c").collect()[0]
+    assert (r["k"], r["n"]) == (3, 9)
+    assert (r["ss_between"], r["ss_within"]) == (24.0, 16.0)
+    assert r["f"] == 4.5 and r["eta_sq"] == 0.6
+
+    # a single group carries no between-variance: f NULL
+    one = spark.createDataFrame([("a", 1), ("a", 5)], "g string, c long")
+    r = anova_oneway(one, "g", "c").collect()[0]
+    assert r["k"] == 1 and r["f"] is None
+
+    # all-constant values: ss_within = 0 -> f NULL, eta_sq NULL
+    const = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("b", 3), ("b", 3)], "g string, c long")
+    r = anova_oneway(const, "g", "c").collect()[0]
+    assert r["ss_between"] == 0.0 and r["f"] is None
+    assert r["eta_sq"] is None
+
+    # empty input -> empty frame
+    e = spark.createDataFrame([], "g string, c long")
+    assert anova_oneway(e, "g", "c").count() == 0
