@@ -3538,6 +3538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("c")))
         return anova_oneway(hourly, "g", "c")
 
+    def orders_jarque(spark, sf):
+        # Jarque-Bera normality audit of order prices: four exact
+        # DECIMAL(38,0) cent moments, scale-invariant skew/kurt
+        from mms_rdf_spark.operators.analytics import jarque_bera
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        return jarque_bera(orders, "o_totalprice")
+
     def sketch_ams_f2(spark, sf):
         # AMS tug-of-war sketch of the user_id self-join size: md5
         # signs make the sketch VALUES fully deterministic, so the
@@ -3983,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_auc": text_auc,
         "events_welch": events_welch,
         "events_anova": events_anova,
+        "orders_jarque": orders_jarque,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -10999,6 +11007,50 @@ def oracle_sql() -> dict[str, str]:
                 THEN round((b - grand) / (qq - grand), 6)
            END AS eta_sq
     FROM fin
+    """
+
+    # Jarque-Bera over order-price cents: HUGEINT raw moments (u^4
+    # stays exact), scale-invariant skew/kurt as fixed-order floats,
+    # JB from the ROUNDED pair
+    q["orders_jarque"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS u
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(u) AS BIGINT) AS s1,
+               sum(CAST(u AS HUGEINT) * u) AS s2,
+               sum(CAST(u AS HUGEINT) * u * u) AS s3,
+               sum(CAST(u AS HUGEINT) * u * u * u) AS s4
+        FROM c
+    ), r AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM st WHERE s1 IS NOT NULL AND n > 0
+    ), m AS (
+        SELECT n, mu,
+               r2 - mu * mu AS m2,
+               r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+               r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu AS m4
+        FROM r
+    ), sk AS (
+        SELECT n, mu, m2,
+               round(m3 / (sqrt(m2) * m2), 6) AS skew,
+               round(m4 / (m2 * m2) - 3, 6) AS kurt
+        FROM m
+    )
+    SELECT n, round(mu / 100, 6) AS mean,
+           CASE WHEN n > 1 AND m2 > 0 THEN skew END AS skew,
+           CASE WHEN n > 1 AND m2 > 0 THEN kurt END AS kurt,
+           CASE WHEN n > 1 AND m2 > 0
+                THEN round(n / 6.0 * (skew * skew
+                                      + kurt * kurt / 4), 6)
+           END AS jb
+    FROM sk
     """
 
     # Spearman over the events_kendall hourly seam: doubled average

@@ -1988,3 +1988,62 @@ def anova_oneway(
         F.when(ok, F.round((ssb / (k - 1)) / (ssw / (n - k)), 6))
         .alias("f"),
         F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"))
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    unit: int = 100,
+) -> DataFrame:
+    """Jarque-Bera normality test — the skewness/kurtosis portmanteau
+    (Jarque & Bera 1980): JB = n/6 * (S^2 + K^2/4) where S is sample
+    skewness and K excess kurtosis; under normality JB ~ chi2(2).
+    The distribution-shape audit next to ks_statistic (which needs a
+    reference CDF) — JB needs only moments, so it is one aggregate.
+
+    Exact arithmetic: values ride as integer `unit`ths (cents); the
+    four raw moment sums accumulate as DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) so u^4 sums stay exact far past the long range
+    (u^4 fits 38 digits for |u| < ~3e9); skew/kurt are fixed-order
+    float expressions over those exact sums — both scale-invariant,
+    so cent moments ARE the value moments — rounded 6dp, and JB is
+    computed from the ROUNDED pair so both engines square identical
+    doubles. NULL values are excluded; skew/kurt/jb are NULL when
+    n < 2 or the variance degenerates.
+
+    Returns one row (n, mean, skew, kurt, jb); mean is back in value
+    units. Scale shape: ONE map-side-combined 1-row aggregate.
+    """
+    c = F.round(F.col(value_col) * unit).cast("long")
+    d = c.cast("decimal(38,0)")
+    s = (df.where(F.col(value_col).isNotNull())
+         .select(c.alias("_c"), d.alias("_d")))
+    st = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_c").cast("long").alias("s1"),
+        F.sum(F.col("_d") * F.col("_d")).cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(F.col("_d") * F.col("_d") * F.col("_d"))
+        .cast("decimal(38,0)").alias("s3"),
+        F.sum(F.col("_d") * F.col("_d") * F.col("_d") * F.col("_d"))
+        .cast("decimal(38,0)").alias("s4"))
+    st = st.where(F.col("s1").isNotNull() & (F.col("n") > 0))
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    ok = (n > 1) & (m2 > 0)
+    skew = F.round(m3 / (F.sqrt(m2) * m2), 6)
+    kurt = F.round(m4 / (m2 * m2) - 3, 6)
+    return st.select(
+        "n",
+        F.round(mu / unit, 6).alias("mean"),
+        F.when(ok, skew).alias("skew"),
+        F.when(ok, kurt).alias("kurt"),
+        F.when(ok, F.round(n / 6.0 * (skew * skew
+                                      + kurt * kurt / 4), 6))
+        .alias("jb"))

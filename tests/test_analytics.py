@@ -755,3 +755,34 @@ def test_anova_oneway_matches_textbook_and_guards(spark):
     # empty input -> empty frame
     e = spark.createDataFrame([], "g string, c long")
     assert anova_oneway(e, "g", "c").count() == 0
+
+
+def test_jarque_bera_matches_hand_moments_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import jarque_bera
+
+    # hand-checked on [1,2,3,4,10]: m2=10, m3=36, m4=278.8
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 10]], "v double")
+    r = jarque_bera(df, "v", unit=1).collect()[0]
+    skew = round(36 / (10 ** 0.5 * 10), 6)
+    kurt = round(278.8 / 100 - 3, 6)
+    assert r["n"] == 5 and r["mean"] == 4.0
+    assert r["skew"] == skew and r["kurt"] == kurt
+    assert r["jb"] == round(5 / 6 * (skew ** 2 + kurt ** 2 / 4), 6)
+
+    # constant values: zero variance -> shape stats NULL
+    const = spark.createDataFrame([(2.0,), (2.0,), (2.0,)], "v double")
+    r = jarque_bera(const, "v", unit=1).collect()[0]
+    assert r["n"] == 3 and r["mean"] == 2.0
+    assert r["skew"] is None and r["kurt"] is None and r["jb"] is None
+
+    # single row degenerates the same way; empty input -> empty frame
+    one = spark.createDataFrame([(7.0,)], "v double")
+    assert jarque_bera(one, "v", unit=1).collect()[0]["jb"] is None
+    e = spark.createDataFrame([], "v double")
+    assert jarque_bera(e, "v").count() == 0
+
+    # cents vs whole units: skew/kurt/jb are scale-invariant
+    a = jarque_bera(df, "v", unit=1).collect()[0]
+    b = jarque_bera(df, "v", unit=100).collect()[0]
+    assert (a["skew"], a["kurt"], a["jb"]) == (b["skew"], b["kurt"], b["jb"])
