@@ -3538,6 +3538,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("c")))
         return anova_oneway(hourly, "g", "c")
 
+    def text_fleiss(spark, sf):
+        # Fleiss' kappa over the SAME three language raters as
+        # text_alpha but with NO holes: every doc has exactly m=3
+        # ratings, the fixed-panel regime alpha can't distinguish
+        from mms_rdf_spark.operators.evalmetrics import fleiss_kappa
+        from mms_rdf_spark.operators.mlops import nb_score, nb_train
+        from mms_rdf_spark.operators.textstats import detect_language
+        docs = _docs(spark, sf)
+        w, mm = nb_train(docs)
+        nb = nb_score(docs, w, mm).select(
+            F.col("doc_id").alias("item"), F.col("pred").alias("label"))
+        heur = detect_language(docs).select(
+            F.col("doc_id").alias("item"),
+            F.col("lang_pred").alias("label"))
+        gold = docs.select(F.col("doc_id").alias("item"),
+                           F.col("lang").alias("label"))
+        return fleiss_kappa(nb.unionByName(heur).unionByName(gold),
+                            "item", "label", m=3)
+
     def orders_jarque(spark, sf):
         # Jarque-Bera normality audit of order prices: four exact
         # DECIMAL(38,0) cent moments, scale-invariant skew/kurt
@@ -3991,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_welch": events_welch,
         "events_anova": events_anova,
         "orders_jarque": orders_jarque,
+        "text_fleiss": text_fleiss,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -11262,6 +11282,49 @@ def oracle_sql() -> dict[str, str]:
            END AS alpha
     FROM do_ CROSS JOIN tot
     WHERE n_items IS NOT NULL AND n_items > 0
+    """
+
+    # Fleiss' kappa over the same three raters, hole-free (m=3):
+    # P_bar numerator telescopes to S2 - N*m — exact longs end to
+    # end, two fixed-order float divisions at the finale
+    q["text_fleiss"] = f"""
+    WITH r AS (
+        SELECT doc_id AS i, pred AS l FROM ({q["text_nb_lang"]})
+        UNION ALL
+        SELECT doc_id, lang_pred FROM ({q["text_langid"]})
+        UNION ALL
+        SELECT doc_id, lang FROM documents
+    ), nic AS (
+        SELECT i, l, CAST(count(*) AS BIGINT) AS nic
+        FROM r WHERE l IS NOT NULL GROUP BY i, l
+    ), per AS (
+        SELECT i, CAST(sum(nic) AS BIGINT) AS m,
+               CAST(sum(nic * nic) AS BIGINT) AS s2
+        FROM nic GROUP BY i
+        HAVING sum(nic) = 3
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(s2) AS BIGINT) AS ss
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(nc * nc) AS BIGINT) AS sc
+        FROM (SELECT l, CAST(sum(nic) AS BIGINT) AS nc
+              FROM nic WHERE i IN (SELECT i FROM per) GROUP BY l)
+    ), fin AS (
+        SELECT n_items, ss, sc,
+               CAST(ss - n_items * 3 AS DOUBLE)
+                   / (n_items * 3 * 2) AS p_bar,
+               CAST(sc AS DOUBLE) / (n_items * 3)
+                   / (n_items * 3) AS p_e
+        FROM st CROSS JOIN tot
+        WHERE ss IS NOT NULL AND n_items > 0
+    )
+    SELECT n_items, CAST(3 AS BIGINT) AS m,
+           round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+           CASE WHEN p_e < 1
+                THEN round((p_bar - p_e) / (1 - p_e), 6)
+           END AS kappa
+    FROM fin
     """
 
     # AMS F2 sketch: md5 sign per (seed, value), exact long sums —

@@ -630,3 +630,61 @@ def krippendorff_alpha(ratings: DataFrame, item_col: str = "item",
     return j.select(
         "n_items", F.col("_n").alias("n_ratings"), "d_o_nano",
         F.when(de > 0, alpha).alias("alpha"))
+
+
+def fleiss_kappa(ratings: DataFrame, item_col: str = "item",
+                 label_col: str = "label", m: int = 3) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — multi-rater chance-corrected
+    agreement for a FIXED panel size m: the committee-of-equals
+    complement to krippendorff_alpha (which tolerates variable /
+    missing panels but weighs items unevenly to get there). Input is
+    one row per rating (item, label); rater identity is irrelevant;
+    NULL labels are ignored; items whose rating count differs from m
+    are excluded (the statistic is undefined for them).
+
+      P_i   = (sum_j n_ij^2 - m) / (m(m-1))    per-item agreement
+      P_bar = mean_i P_i
+      P_e   = sum_j (c_j / (N m))^2            chance agreement
+      kappa = (P_bar - P_e) / (1 - P_e)
+
+    Exact arithmetic: EVERYTHING before the final division is exact
+    long math — P_bar's numerator telescopes to S2 - N*m with
+    S2 = sum_i sum_j n_ij^2, and P_e's to sum_j c_j^2 over (N m)^2 —
+    so unlike alpha no per-item rounding is ever needed; the SQL
+    oracle mirrors the two fixed-order float divisions textually.
+    kappa is NULL when P_e degenerates to 1 (every rating one label).
+
+    Returns one row (n_items, m, p_bar, p_e, kappa). Scale shape: one
+    (item, label) aggregate, one per-item fold, one label-marginal
+    aggregate over kept items, a 1-row finale.
+    """
+    if m < 2:
+        raise ValueError("fleiss_kappa requires a panel of m >= 2")
+    r = (ratings.where(F.col(label_col).isNotNull())
+         .select(F.col(item_col).alias("_i"),
+                 F.col(label_col).alias("_l")))
+    nic = (r.groupBy("_i", "_l")
+           .agg(F.count(F.lit(1)).cast("long").alias("_nic")))
+    per = (nic.groupBy("_i")
+           .agg(F.sum("_nic").cast("long").alias("_m"),
+                F.sum(F.col("_nic") * F.col("_nic")).cast("long")
+                .alias("_s2"))
+           .where(F.col("_m") == m))
+    st = per.agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.sum("_s2").cast("long").alias("_ss"))
+    marg = (nic.join(per.select("_i"), on="_i", how="left_semi")
+            .groupBy("_l")
+            .agg(F.sum("_nic").cast("long").alias("_nc")))
+    tot = marg.agg(F.sum(F.col("_nc") * F.col("_nc")).cast("long")
+                   .alias("_sc"))
+    j = st.crossJoin(F.broadcast(tot)) \
+        .where(F.col("_ss").isNotNull() & (F.col("n_items") > 0))
+    ni = F.col("n_items")
+    pbar = (F.col("_ss") - ni * m).cast("double") / (ni * m * (m - 1))
+    pe = F.col("_sc").cast("double") / (ni * m) / (ni * m)
+    return j.select(
+        "n_items", F.lit(m).cast("long").alias("m"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.when(pe < 1, F.round((pbar - pe) / (1 - pe), 6))
+        .alias("kappa"))

@@ -544,3 +544,42 @@ def test_krippendorff_alpha_known_values_and_missing(spark):
     e = _r([])
     assert krippendorff_alpha(e).count() == 0
     assert krippendorff_alpha(_r([(1, "a"), (2, "b")])).count() == 0
+
+
+def test_fleiss_kappa_hand_example_and_guards(spark):
+    from mms_rdf_spark.operators.evalmetrics import fleiss_kappa
+
+    # hand-checked, m=2: item1 unanimous 'a' (P_1=1), item2 split
+    # a/b (P_2=0) -> P_bar=0.5; c_a=3 c_b=1, Nm=4 -> P_e=10/16
+    # kappa = (0.5-0.625)/0.375 = -1/3
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b")], "item long, label string")
+    r = fleiss_kappa(df, m=2).collect()[0]
+    assert (r["n_items"], r["m"]) == (2, 2)
+    assert (r["p_bar"], r["p_e"]) == (0.5, 0.625)
+    assert r["kappa"] == round(-1 / 3, 6)
+
+    # unanimous items over DIFFERENT labels: P_bar=1, kappa=1
+    u = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "item long, label string")
+    assert fleiss_kappa(u, m=2).collect()[0]["kappa"] == 1.0
+
+    # every rating one label: P_e=1 -> kappa NULL (not 1.0)
+    d = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "item long, label string")
+    r = fleiss_kappa(d, m=2).collect()[0]
+    assert r["p_e"] == 1.0 and r["kappa"] is None
+
+    # items with a panel size != m are excluded; NULL labels ignored
+    v = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, "b"), (3, None)],
+        "item long, label string")
+    r = fleiss_kappa(v, m=2).collect()[0]
+    assert r["n_items"] == 1
+
+    # empty input -> empty frame; m < 2 raises
+    e = spark.createDataFrame([], "item long, label string")
+    assert fleiss_kappa(e, m=2).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fleiss_kappa(df, m=1)
