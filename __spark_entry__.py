@@ -3538,6 +3538,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("c")))
         return anova_oneway(hourly, "g", "c")
 
+    def text_brier(spark, sf):
+        # Brier score + Murphy decomposition of the trained quality
+        # classifier: REL - RES + UNC over 6dp-gridded probs
+        from mms_rdf_spark.operators.evalmetrics import (
+            brier_decomposition)
+        from mms_rdf_spark.operators.mlops import (
+            doc_features, logreg_score, logreg_train)
+        feats = doc_features(_docs(spark, sf))
+        scored = logreg_score(feats, logreg_train(feats, iterations=6))
+        return brier_decomposition(scored, "prob", "y")
+
     def text_fleiss(spark, sf):
         # Fleiss' kappa over the SAME three language raters as
         # text_alpha but with NO holes: every doc has exactly m=3
@@ -4011,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anova": events_anova,
         "orders_jarque": orders_jarque,
         "text_fleiss": text_fleiss,
+        "text_brier": text_brier,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -10942,6 +10954,52 @@ def oracle_sql() -> dict[str, str]:
                            / (2.0 * n1 * n0), 6)
            END AS auc
     FROM st WHERE n1 IS NOT NULL
+    """
+
+    # Brier + Murphy decomposition over the same 6dp-gridded probs:
+    # exact-long numerators per bin, 9dp nano-long cross-bin sums
+    q["text_brier"] = lg + """,
+    sc AS (
+        SELECT round(1.0 / (1.0 + exp(-(w.w0*f.x0 + w.w1*f.x1
+                   + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4))), 6) AS prob,
+               f.y
+        FROM feats f, w6 w),
+    s AS (
+        SELECT CAST(round(prob * 1e6, 0) AS BIGINT) AS u,
+               CAST(y AS BIGINT) AS y
+        FROM sc WHERE prob IS NOT NULL AND y IS NOT NULL),
+    t0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(y) AS BIGINT) AS ss,
+               CAST(sum((u - y * 1000000) * (u - y * 1000000))
+                    AS BIGINT) AS qq
+        FROM s),
+    per AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM s GROUP BY u),
+    terms AS (
+        SELECT t0.nn, t0.ss, t0.qq,
+               CAST(round(round(((n * u - sy * 1000000) / 1e6)
+                                * ((n * u - sy * 1000000) / 1e6)
+                                / n, 9) * 1e9, 0) AS BIGINT) AS trel,
+               CAST(round(round(((sy * t0.nn - n * t0.ss) / t0.nn)
+                                * ((sy * t0.nn - n * t0.ss) / t0.nn)
+                                / n, 9) * 1e9, 0) AS BIGINT) AS tres
+        FROM per, t0 WHERE t0.nn > 0),
+    ag AS (
+        SELECT max(nn) AS nn, max(ss) AS ss, max(qq) AS qq,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(trel) AS BIGINT) AS rel,
+               CAST(sum(tres) AS BIGINT) AS res
+        FROM terms)
+    SELECT nn AS n, n_bins,
+           round(qq / 1e12 / nn, 6) AS brier,
+           round(rel / 1e9 / nn, 6) AS reliability,
+           round(res / 1e9 / nn, 6) AS resolution,
+           round((CAST(ss AS DOUBLE) / nn)
+                 * (1 - CAST(ss AS DOUBLE) / nn), 6) AS uncertainty
+    FROM ag WHERE nn IS NOT NULL AND nn > 0
     """
 
     # Welch's t-test click vs view: all six moment sums exact cent

@@ -688,3 +688,65 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item",
         F.round(pe, 6).alias("p_e"),
         F.when(pe < 1, F.round((pbar - pe) / (1 - pe), 6))
         .alias("kappa"))
+
+
+def brier_decomposition(scored: DataFrame, score_col: str = "prob",
+                        label_col: str = "y") -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the proper
+    scoring rule that completes the classifier-eval set: roc_auc
+    measures ranking, pr_curve the operating points, and this the
+    probability QUALITY, split into reliability (calibration, lower
+    better), resolution (sharpness, higher better) and uncertainty
+    (the data's irreducible base-rate variance):
+
+      brier = mean (p - y)^2 = REL - RES + UNC   (binned by distinct p)
+      REL = (1/N) sum_k n_k (p_k - o_k)^2        o_k = bin event rate
+      RES = (1/N) sum_k n_k (o_k - o_bar)^2
+      UNC = o_bar (1 - o_bar)
+
+    Exact arithmetic: probs grid to 6dp micro longs, so the raw Brier
+    numerator sum_r (u - y*1e6)^2 is an exact long; per-bin REL/RES
+    terms have exact-long numerators (n_k u - s_k 1e6 and
+    s_k N - n_k S), are divided in fixed order as doubles, round to
+    9dp and ride as nano longs so the cross-bin sums are order-free
+    (the krippendorff_alpha recipe); the finale divides exact longs
+    only. NULL scores/labels are excluded.
+
+    Returns one row (n, n_bins, brier, reliability, resolution,
+    uncertainty). Scale shape: one 1-row totals aggregate, one
+    distinct-prob aggregate + broadcast of the totals, a 1-row fold.
+    """
+    s = (scored.where(F.col(score_col).isNotNull()
+                      & F.col(label_col).isNotNull())
+         .select(F.round(F.round(F.col(score_col), 6) * 1e6, 0)
+                 .cast("long").alias("_u"),
+                 F.col(label_col).cast("long").alias("_y")))
+    dd = F.col("_u") - F.col("_y") * 1000000
+    t0 = s.agg(F.count(F.lit(1)).cast("long").alias("_nn"),
+               F.sum("_y").cast("long").alias("_ss"),
+               F.sum(dd * dd).cast("long").alias("_qq"))
+    per = (s.groupBy("_u")
+           .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum("_y").cast("long").alias("_s"))
+           .crossJoin(F.broadcast(t0.where(F.col("_nn") > 0))))
+    ar = (F.col("_n") * F.col("_u") - F.col("_s") * 1000000) / 1e6
+    br = (F.col("_s") * F.col("_nn") - F.col("_n") * F.col("_ss")) \
+        / F.col("_nn")
+    trel = F.round(F.round(ar * ar / F.col("_n"), 9) * 1e9, 0) \
+        .cast("long")
+    tres = F.round(F.round(br * br / F.col("_n"), 9) * 1e9, 0) \
+        .cast("long")
+    ag = per.agg(F.max("_nn").alias("_nn"), F.max("_ss").alias("_ss"),
+                 F.max("_qq").alias("_qq"),
+                 F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 F.sum(trel).cast("long").alias("_rel"),
+                 F.sum(tres).cast("long").alias("_res"))
+    ag = ag.where(F.col("_nn").isNotNull() & (F.col("_nn") > 0))
+    nn = F.col("_nn")
+    obar = F.col("_ss").cast("double") / nn
+    return ag.select(
+        nn.alias("n"), "n_bins",
+        F.round(F.col("_qq") / 1e12 / nn, 6).alias("brier"),
+        F.round(F.col("_rel") / 1e9 / nn, 6).alias("reliability"),
+        F.round(F.col("_res") / 1e9 / nn, 6).alias("resolution"),
+        F.round(obar * (1 - obar), 6).alias("uncertainty"))

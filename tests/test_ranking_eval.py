@@ -583,3 +583,33 @@ def test_fleiss_kappa_hand_example_and_guards(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         fleiss_kappa(df, m=1)
+
+
+def test_brier_decomposition_hand_example(spark):
+    from mms_rdf_spark.operators.evalmetrics import brier_decomposition
+
+    # hand-checked: brier=0.3, REL=0.1, RES=0.04, UNC=0.24
+    # and the Murphy identity REL - RES + UNC = brier holds exactly
+    rows = [(1.0, 1), (1.0, 0), (0.0, 0), (0.5, 1), (0.5, 0)]
+    df = spark.createDataFrame(rows, "prob double, y int")
+    r = brier_decomposition(df).collect()[0]
+    assert (r["n"], r["n_bins"]) == (5, 3)
+    assert r["brier"] == 0.3
+    assert r["reliability"] == 0.1
+    assert r["resolution"] == 0.04
+    assert r["uncertainty"] == 0.24
+    assert round(r["reliability"] - r["resolution"]
+                 + r["uncertainty"], 6) == r["brier"]
+
+    # perfect confident forecasts: everything 0
+    p = spark.createDataFrame([(1.0, 1), (0.0, 0)], "prob double, y int")
+    r = brier_decomposition(p).collect()[0]
+    assert (r["brier"], r["reliability"]) == (0.0, 0.0)
+    assert r["resolution"] == r["uncertainty"] == 0.25
+
+    # NULLs excluded; empty -> empty frame
+    withnull = spark.createDataFrame(
+        [(0.5, 1), (None, 0), (0.2, None)], "prob double, y int")
+    assert brier_decomposition(withnull).collect()[0]["n"] == 1
+    e = spark.createDataFrame([], "prob double, y int")
+    assert brier_decomposition(e).count() == 0
