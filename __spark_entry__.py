@@ -3538,6 +3538,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("c")))
         return anova_oneway(hourly, "g", "c")
 
+    def events_dw(spark, sf):
+        # Durbin-Watson on OLS trend residuals of the hourly click
+        # series: exact integer scaled residuals, two HUGEINT sums
+        from mms_rdf_spark.operators.analytics import durbin_watson
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        bucket = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.where(F.col("event_type") == "click")
+                  .groupBy(bucket.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return durbin_watson(hourly, "t", "y")
+
     def text_brier(spark, sf):
         # Brier score + Murphy decomposition of the trained quality
         # classifier: REL - RES + UNC over 6dp-gridded probs
@@ -4023,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_jarque": orders_jarque,
         "text_fleiss": text_fleiss,
         "text_brier": text_brier,
+        "events_dw": events_dw,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -11085,6 +11098,58 @@ def oracle_sql() -> dict[str, str]:
                 THEN round((b - grand) / (qq - grand), 6)
            END AS eta_sq
     FROM fin
+    """
+
+    # Durbin-Watson over the hourly click series: the n*Sxx factor
+    # cancels in the ratio, so scaled residuals are exact integers
+    # and both sums ride as HUGEINTs; floats only at the finale
+    q["events_dw"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), r AS (
+        SELECT CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i, y
+        FROM h
+    ), tt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(i) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(i AS HUGEINT) * i) AS qx,
+               sum(CAST(i AS HUGEINT) * y) AS qxy
+        FROM r
+    ), ss AS (
+        SELECT n, sx, sy,
+               CAST(n AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx
+                   AS sxx,
+               CAST(n AS HUGEINT) * qxy - CAST(sx AS HUGEINT) * sy
+                   AS sxy
+        FROM tt WHERE sx IS NOT NULL AND n > 0
+    ), res AS (
+        SELECT r.i, ss.n, ss.sxx, ss.sxy,
+               ss.sxx * (CAST(ss.n AS HUGEINT) * r.y - ss.sy)
+               - ss.sxy * (CAST(ss.n AS HUGEINT) * r.i - ss.sx) AS rr
+        FROM r, ss
+    ), den AS (
+        SELECT max(n) AS n, max(sxx) AS sxx, max(sxy) AS sxy,
+               sum(rr * rr) AS den
+        FROM res
+    ), num AS (
+        SELECT sum((a.rr - b.rr) * (a.rr - b.rr)) AS num
+        FROM res a JOIN res b ON a.i = b.i + 1
+    )
+    SELECT n,
+           CASE WHEN n > 1 AND CAST(sxx AS DOUBLE) > 0
+                THEN round(CAST(sxy AS DOUBLE)
+                           / CAST(sxx AS DOUBLE), 6)
+           END AS slope,
+           CASE WHEN n > 1 AND CAST(sxx AS DOUBLE) > 0
+                     AND CAST(den AS DOUBLE) > 0
+                THEN round(CAST(num AS DOUBLE)
+                           / CAST(den AS DOUBLE), 6)
+           END AS dw
+    FROM den, num WHERE n IS NOT NULL
     """
 
     # Jarque-Bera over order-price cents: HUGEINT raw moments (u^4

@@ -2047,3 +2047,87 @@ def jarque_bera(
         F.when(ok, F.round(n / 6.0 * (skew * skew
                                       + kurt * kurt / 4), 6))
         .alias("jb"))
+
+
+def durbin_watson(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Watson autocorrelation test on the residuals of an OLS
+    trend fit — the "is the trend model missing serial structure?"
+    companion to ljung_box (which tests the raw series): DW near 2
+    means independent residuals, near 0 positive lag-1 correlation,
+    near 4 negative. The regressor is the observation INDEX under the
+    `order_col` total order (standard trend form); values must be
+    exact integers (counts / pre-scaled units).
+
+    Exact arithmetic: DW is a RATIO of residual sums of squares, so
+    the OLS denominator n*Sxx cancels — the scaled residual
+    R_i = Sxx*(n*y_i - Sy) - Sxy*(n*i - Sx) is an exact integer, and
+    both sums accumulate as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB).
+    No float enters until the final num/den and slope divisions,
+    mirrored textually by the SQL oracle. R_i^2 must fit 38 digits:
+    |R_i| <~ 3e18 bounds the series length x magnitude (fine for
+    hourly/daily seams; pre-scale y beyond that, documented trade).
+
+    Returns one row (n, slope, dw); slope is the OLS trend per index
+    step, NULL when n < 2; dw is NULL when the residuals are exactly
+    0 (perfect fit) or n < 2. Scale shape: ranks via global_cumsum
+    (no single-partition window), one 1-row totals aggregate
+    broadcast back, a rank-shift self-join for the lag, two 1-row
+    folds.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = df.select(F.col(order_col).alias("_t"),
+                  F.col(value_col).cast("long").alias("_y"),
+                  F.lit(1).alias("_one"))
+    r = global_cumsum(s, "_t", "_t", "_one").select(
+        F.col("cum").cast("long").alias("_i"), "_y")
+
+    def _d(c):
+        return c.cast("decimal(38,0)")
+
+    tot = r.agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum("_i").cast("long").alias("_sx"),
+                F.sum("_y").cast("long").alias("_sy"),
+                F.sum(_d(F.col("_i")) * F.col("_i"))
+                .cast("decimal(38,0)").alias("_qx"),
+                F.sum(_d(F.col("_i")) * F.col("_y"))
+                .cast("decimal(38,0)").alias("_qxy"))
+    tot = tot.where(F.col("_sx").isNotNull() & (F.col("_n") > 0)) \
+        .select("_n", "_sx", "_sy",
+                (_d(F.col("_n")) * F.col("_qx")
+                 - _d(F.col("_sx")) * F.col("_sx")).alias("_sxx"),
+                (_d(F.col("_n")) * F.col("_qxy")
+                 - _d(F.col("_sx")) * F.col("_sy")).alias("_sxy"))
+    res = r.crossJoin(F.broadcast(tot)).select(
+        "_i", "_n", "_sxx", "_sxy",
+        (F.col("_sxx") * (_d(F.col("_n")) * F.col("_y")
+                          - _d(F.col("_sy")))
+         - F.col("_sxy") * (_d(F.col("_n")) * F.col("_i")
+                            - _d(F.col("_sx")))).alias("_r"))
+    den = res.agg(
+        F.max("_n").alias("n"), F.max("_sxx").alias("_sxx"),
+        F.max("_sxy").alias("_sxy"),
+        F.sum(F.col("_r") * F.col("_r")).cast("decimal(38,0)")
+        .alias("_den"))
+    prev = res.select((F.col("_i") + 1).alias("_i"),
+                      F.col("_r").alias("_rp"))
+    num = (res.join(prev, on="_i")
+           .agg(F.sum((F.col("_r") - F.col("_rp"))
+                      * (F.col("_r") - F.col("_rp")))
+                .cast("decimal(38,0)").alias("_num")))
+    j = den.where(F.col("n").isNotNull()) \
+        .crossJoin(F.broadcast(num))
+    ok = (F.col("n") > 1) & (F.col("_sxx").cast("double") > 0)
+    return j.select(
+        "n",
+        F.when(ok, F.round(F.col("_sxy").cast("double")
+                           / F.col("_sxx").cast("double"), 6))
+        .alias("slope"),
+        F.when(ok & (F.col("_den").cast("double") > 0),
+               F.round(F.col("_num").cast("double")
+                       / F.col("_den").cast("double"), 6))
+        .alias("dw"))

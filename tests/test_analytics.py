@@ -786,3 +786,32 @@ def test_jarque_bera_matches_hand_moments_and_guards(spark):
     a = jarque_bera(df, "v", unit=1).collect()[0]
     b = jarque_bera(df, "v", unit=100).collect()[0]
     assert (a["skew"], a["kurt"], a["jb"]) == (b["skew"], b["kurt"], b["jb"])
+
+
+def test_durbin_watson_hand_example_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import durbin_watson
+
+    # hand-checked on y=[1,3,2,4]: slope=0.8, residuals
+    # [-0.3, 0.9, -0.9, 0.3] -> dw = 6.12/1.8 = 3.4
+    df = spark.createDataFrame(
+        [(10, 1), (20, 3), (30, 2), (40, 4)], "t long, y long")
+    r = durbin_watson(df, "t", "y").collect()[0]
+    assert r["n"] == 4 and r["slope"] == 0.8 and r["dw"] == 3.4
+
+    # a perfect line: residuals all 0 -> dw NULL but slope kept
+    line = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 6)], "t long, y long")
+    r = durbin_watson(line, "t", "y").collect()[0]
+    assert r["slope"] == 2.0 and r["dw"] is None
+
+    # order comes from order_col, not input order
+    rev = spark.createDataFrame(
+        [(40, 4), (30, 2), (20, 3), (10, 1)], "t long, y long")
+    assert durbin_watson(rev, "t", "y").collect()[0]["dw"] == 3.4
+
+    # n=1 degenerates; empty input -> empty frame
+    one = spark.createDataFrame([(1, 5)], "t long, y long")
+    r = durbin_watson(one, "t", "y").collect()[0]
+    assert r["n"] == 1 and r["slope"] is None and r["dw"] is None
+    e = spark.createDataFrame([], "t long, y long")
+    assert durbin_watson(e, "t", "y").count() == 0
