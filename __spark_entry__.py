@@ -3550,6 +3550,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("y")))
         return durbin_watson(hourly, "t", "y")
 
+    def events_runs(spark, sf):
+        # Wald-Wolfowitz runs test on the hourly click series:
+        # exact lower-median dichotomy, rank-shift run boundaries
+        from mms_rdf_spark.operators.analytics import runs_test
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        bucket = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.where(F.col("event_type") == "click")
+                  .groupBy(bucket.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return runs_test(hourly, "t", "y")
+
     def text_brier(spark, sf):
         # Brier score + Murphy decomposition of the trained quality
         # classifier: REL - RES + UNC over 6dp-gridded probs
@@ -4036,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fleiss": text_fleiss,
         "text_brier": text_brier,
         "events_dw": events_dw,
+        "events_runs": events_runs,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -11150,6 +11163,53 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(den AS DOUBLE), 6)
            END AS dw
     FROM den, num WHERE n IS NOT NULL
+    """
+
+    # Runs test over the hourly click series: exact lower median by
+    # rank, median ties dropped, run boundaries via lag; fixed-order
+    # float z over exact longs
+    q["events_runs"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), med AS (
+        SELECT y AS m FROM (
+            SELECT y, row_number() OVER (ORDER BY y, t) AS rk,
+                   count(*) OVER () AS nt
+            FROM h)
+        WHERE rk = CAST(floor((nt + 1) / 2.0) AS BIGINT)
+    ), f AS (
+        SELECT t, CAST(y > m AS BIGINT) AS s
+        FROM h, med WHERE y <> m
+    ), r AS (
+        SELECT CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i, s
+        FROM f
+    ), cnt AS (
+        SELECT CAST(sum(s) AS BIGINT) AS n1,
+               CAST(sum(1 - s) AS BIGINT) AS n2
+        FROM r
+    ), bnd AS (
+        SELECT CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM r a JOIN r b ON a.i = b.i + 1
+    )
+    SELECT n1, n2,
+           CAST(1 + coalesce(b, 0) AS BIGINT) AS runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2
+                     AND 2.0 * n1 * n2
+                         * (2.0 * n1 * n2 - (n1 + n2))
+                         / ((n1 + n2) * (n1 + n2))
+                         / ((n1 + n2) - 1.0) > 0
+                THEN round(((1 + coalesce(b, 0))
+                            - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                           / sqrt(2.0 * n1 * n2
+                                  * (2.0 * n1 * n2 - (n1 + n2))
+                                  / ((n1 + n2) * (n1 + n2))
+                                  / ((n1 + n2) - 1.0)), 6)
+           END AS z
+    FROM cnt, bnd WHERE n1 IS NOT NULL
     """
 
     # Jarque-Bera over order-price cents: HUGEINT raw moments (u^4

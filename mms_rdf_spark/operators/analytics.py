@@ -2131,3 +2131,67 @@ def durbin_watson(
                F.round(F.col("_num").cast("double")
                        / F.col("_den").cast("double"), 6))
         .alias("dw"))
+
+
+def runs_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test — the nonparametric randomness check
+    that needs NO distributional model (vs durbin_watson's linear
+    residual form): dichotomize the ordered series at its median,
+    count maximal same-sign runs, and compare against the run count a
+    random shuffle would produce. Too FEW runs = positive serial
+    dependence / clustering; too many = alternation. Values ride as
+    exact integer longs; ties AT the median are dropped (the standard
+    procedure — they carry no sign).
+
+    Exact arithmetic: the median is the exact lower median by global
+    rank (no float percentile); signs, the run-boundary count, and
+    n1/n2 are exact longs; mu/sigma^2/z are fixed-order float
+    expressions over those longs, mirrored textually by the SQL
+    oracle.
+
+    Returns one row (n1, n2, runs, z): counts above/below, observed
+    runs, and the normal-approximation z; z is NULL when either side
+    is empty or the variance degenerates; the frame is empty when
+    every value ties the median. Scale shape: two global_cumsum rank
+    passes (no single-partition window), a rank-shift self-join for
+    boundaries, two 1-row folds.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = df.select(F.col(order_col).alias("_t"),
+                  F.col(value_col).cast("long").alias("_y"),
+                  F.lit(1).alias("_one"))
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    byval = global_cumsum(s, "_y", "_t", "_one")
+    med = (byval.crossJoin(F.broadcast(tot))
+           .where(F.col("cum") == F.floor((F.col("_nt") + 1) / 2))
+           .select(F.col("_y").alias("_m")))
+    f = (s.crossJoin(F.broadcast(med))
+         .where(F.col("_y") != F.col("_m"))
+         .select("_t", (F.col("_y") > F.col("_m")).cast("long")
+                 .alias("_s"), "_one"))
+    r = global_cumsum(f, "_t", "_t", "_one").select(
+        F.col("cum").cast("long").alias("_i"), "_s")
+    cnt = r.agg(F.sum("_s").cast("long").alias("n1"),
+                F.sum(1 - F.col("_s")).cast("long").alias("n2"))
+    cnt = cnt.where(F.col("n1").isNotNull())
+    prev = r.select((F.col("_i") + 1).alias("_i"),
+                    F.col("_s").alias("_sp"))
+    bnd = (r.join(prev, on="_i")
+           .agg(F.sum((F.col("_s") != F.col("_sp")).cast("long"))
+                .alias("_b")))
+    j = cnt.crossJoin(F.broadcast(bnd))
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    runs = F.lit(1) + F.coalesce(F.col("_b"), F.lit(0))
+    mu = 2.0 * n1 * n2 / nn + 1
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+           / (nn * nn) / (nn - 1.0))
+    ok = (n1 > 0) & (n2 > 0) & (nn > 2) & (var > 0)
+    return j.select(
+        "n1", "n2", runs.cast("long").alias("runs"),
+        F.when(ok, F.round((runs - mu) / F.sqrt(var), 6)).alias("z"))

@@ -815,3 +815,34 @@ def test_durbin_watson_hand_example_and_guards(spark):
     assert r["n"] == 1 and r["slope"] is None and r["dw"] is None
     e = spark.createDataFrame([], "t long, y long")
     assert durbin_watson(e, "t", "y").count() == 0
+
+
+def test_runs_test_hand_examples_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import runs_test
+
+    # y=[3,7,1,9,2,8]: lower median 3 dropped -> signs 1,0,1,0,1
+    # runs=5 (alternating), n1=3 n2=2; mu=3.4 var=0.84
+    df = spark.createDataFrame(
+        list(enumerate([3, 7, 1, 9, 2, 8])), "t long, y long")
+    r = runs_test(df, "t", "y").collect()[0]
+    assert (r["n1"], r["n2"], r["runs"]) == (3, 2, 5)
+    assert r["z"] == round((5 - 3.4) / 0.84 ** 0.5, 6)
+
+    # the sorted series clusters: runs=2, z negative
+    lo = spark.createDataFrame(
+        list(enumerate([1, 2, 3, 7, 8, 9])), "t long, y long")
+    r = runs_test(lo, "t", "y").collect()[0]
+    assert r["runs"] == 2 and r["z"] == round((2 - 3.4) / 0.84 ** 0.5, 6)
+
+    # one side empty after the median drop -> z NULL
+    onesided = spark.createDataFrame(
+        list(enumerate([1, 1, 1, 5, 5])), "t long, y long")
+    r = runs_test(onesided, "t", "y").collect()[0]
+    assert r["n2"] == 0 and r["z"] is None
+
+    # every value ties the median -> empty frame; empty in, empty out
+    const = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4)], "t long, y long")
+    assert runs_test(const, "t", "y").count() == 0
+    e = spark.createDataFrame([], "t long, y long")
+    assert runs_test(e, "t", "y").count() == 0
