@@ -3562,6 +3562,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("y")))
         return runs_test(hourly, "t", "y")
 
+    def events_friedman(spark, sf):
+        # Friedman test: do event types rank consistently across
+        # day blocks? Doubled within-block ranks, exact to one division
+        from mms_rdf_spark.operators.analytics import friedman_test
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        day = (F.floor(_epoch_s("ts") / 86400) * 86400).cast("long")
+        daily = (ev.groupBy(day.alias("d"),
+                            F.col("event_type").alias("g"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        return friedman_test(daily, "d", "g", "c")
+
     def text_brier(spark, sf):
         # Brier score + Murphy decomposition of the trained quality
         # classifier: REL - RES + UNC over 6dp-gridded probs
@@ -4049,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_brier": text_brier,
         "events_dw": events_dw,
         "events_runs": events_runs,
+        "events_friedman": events_friedman,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -11210,6 +11223,62 @@ def oracle_sql() -> dict[str, str]:
                                   / ((n1 + n2) - 1.0)), 6)
            END AS z
     FROM cnt, bnd WHERE n1 IS NOT NULL
+    """
+
+    # Friedman over (day block x event type): doubled tie-averaged
+    # within-block ranks — the /4 cancels, so all-integer until the
+    # single chi2 division; Kendall's W rides along
+    q["events_friedman"] = """
+    WITH daily AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 86400) * 86400
+                    AS BIGINT) AS b,
+               event_type AS g,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), kf AS (
+        SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM daily
+    ), complete AS (
+        SELECT b FROM daily, kf
+        GROUP BY b, k
+        HAVING count(*) = k AND count(DISTINCT g) = k
+    ), f AS (
+        SELECT d.b, d.g, d.v FROM daily d
+        WHERE d.b IN (SELECT b FROM complete)
+    ), pv AS (
+        SELECT b, v, CAST(count(*) AS BIGINT) AS cnt
+        FROM f GROUP BY b, v
+    ), pr AS (
+        SELECT b, v,
+               CAST(2 * (sum(cnt) OVER (PARTITION BY b ORDER BY v)
+                         - cnt) + cnt + 1 AS BIGINT) AS r2
+        FROM pv
+    ), ranked AS (
+        SELECT f.b, f.g, pr.r2
+        FROM f JOIN pr ON f.b = pr.b AND f.v = pr.v
+    ), dj AS (
+        SELECT g, CAST(sum(r2) AS BIGINT) AS dj FROM ranked GROUP BY g
+    ), a2 AS (
+        SELECT CAST(sum(r2 * r2) AS BIGINT) AS a2 FROM ranked
+    ), bc AS (
+        SELECT CAST(count(*) AS BIGINT) AS nb FROM complete
+    ), base AS (
+        SELECT k, nb AS b, a2 FROM kf, bc, a2 WHERE nb > 0
+    ), num AS (
+        SELECT CAST(sum((dj.dj - base.b * (base.k + 1))
+                        * (dj.dj - base.b * (base.k + 1)))
+                    AS BIGINT) AS num
+        FROM dj, base
+    )
+    SELECT k, b,
+           CASE WHEN k > 1 AND a2 - b * k * (k + 1) * (k + 1) > 0
+                THEN round((k - 1) * CAST(num AS DOUBLE)
+                           / (a2 - b * k * (k + 1) * (k + 1)), 6)
+           END AS chi2,
+           CASE WHEN k > 1 AND a2 - b * k * (k + 1) * (k + 1) > 0
+                THEN round(CAST(num AS DOUBLE)
+                           / (a2 - b * k * (k + 1) * (k + 1)) / b, 6)
+           END AS w
+    FROM base, num
     """
 
     # Jarque-Bera over order-price cents: HUGEINT raw moments (u^4

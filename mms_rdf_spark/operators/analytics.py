@@ -2195,3 +2195,81 @@ def runs_test(
     return j.select(
         "n1", "n2", runs.cast("long").alias("runs"),
         F.when(ok, F.round((runs - mu) / F.sqrt(var), 6)).alias("z"))
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test — the nonparametric repeated-measures ANOVA
+    (Friedman 1937): rank k treatments WITHIN each block, then ask
+    whether any treatment consistently outranks the others; the
+    block design removes the between-block level anova_oneway would
+    confound. Input must carry one value per (block, treatment)
+    cell; incomplete blocks (fewer than k distinct treatments) are
+    excluded per the definition. Values ride as exact integer longs.
+
+    Exact arithmetic: within-block tie-averaged ranks ride DOUBLED
+    (2r = 2*below + eq + 1, exact longs — the spearman/roc_auc
+    recipe), and the /4 of the tie-corrected statistic cancels:
+
+      chi2 = (k-1) * sum_j (D_j - b(k+1))^2
+             / (sum_ij (2r_ij)^2 - b k (k+1)^2),   D_j = sum_i 2r_ij
+
+    so EVERYTHING up to the single final division is exact long
+    math, mirrored textually by the SQL oracle. Kendall's W
+    (= chi2 / (b(k-1))) rides along as the effect size. chi2/w are
+    NULL when k < 2 or the denominator degenerates (all-tied
+    blocks).
+
+    Returns one row (k, b, chi2, w). Scale shape: blocks are width-k
+    (small) so the within-block rank window is bounded; one
+    (block, value) aggregate, one semi-join on complete blocks, a
+    k-row treatment fold and two 1-row finales.
+    """
+    from pyspark.sql.window import Window
+
+    s = df.select(F.col(block_col).alias("_b"),
+                  F.col(treat_col).alias("_g"),
+                  F.col(value_col).cast("long").alias("_v"))
+    kf = s.agg(F.countDistinct("_g").cast("long").alias("k"))
+    bs = (s.groupBy("_b")
+          .agg(F.count(F.lit(1)).cast("long").alias("_cb"),
+               F.countDistinct("_g").cast("long").alias("_gb")))
+    complete = (bs.crossJoin(F.broadcast(kf))
+                .where((F.col("_cb") == F.col("k"))
+                       & (F.col("_gb") == F.col("k")))
+                .select("_b"))
+    f = s.join(complete, on="_b", how="left_semi")
+    pv = (f.groupBy("_b", "_v")
+          .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
+    w_blk = (Window.partitionBy("_b").orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    pv = pv.withColumn("_cum", F.sum("_cnt").over(w_blk)) \
+        .select("_b", "_v",
+                (2 * (F.col("_cum") - F.col("_cnt"))
+                 + F.col("_cnt") + 1).cast("long").alias("_r2"))
+    ranked = f.join(pv, on=["_b", "_v"])
+    dj = (ranked.groupBy("_g")
+          .agg(F.sum("_r2").cast("long").alias("_dj")))
+    a2 = ranked.agg(
+        F.sum(F.col("_r2") * F.col("_r2")).cast("long").alias("_a2"))
+    bcnt = complete.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    base = (kf.crossJoin(bcnt).crossJoin(a2)
+            .where(F.col("b") > 0))
+    num = (dj.crossJoin(F.broadcast(base))
+           .agg(F.sum((F.col("_dj") - F.col("b") * (F.col("k") + 1))
+                      * (F.col("_dj") - F.col("b") * (F.col("k") + 1)))
+                .cast("long").alias("_num")))
+    j = base.crossJoin(F.broadcast(num))
+    k, b = F.col("k"), F.col("b")
+    den = (F.col("_a2") - b * k * (k + 1) * (k + 1))
+    ok = (k > 1) & (den > 0)
+    chi2 = (k - 1) * F.col("_num").cast("double") / den
+    return j.select(
+        "k", "b",
+        F.when(ok, F.round(chi2, 6)).alias("chi2"),
+        F.when(ok, F.round(F.col("_num").cast("double") / den / b, 6))
+        .alias("w"))

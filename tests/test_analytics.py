@@ -846,3 +846,46 @@ def test_runs_test_hand_examples_and_guards(spark):
     assert runs_test(const, "t", "y").count() == 0
     e = spark.createDataFrame([], "t long, y long")
     assert runs_test(e, "t", "y").count() == 0
+
+
+def test_friedman_test_textbook_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import friedman_test
+
+    # hand-checked 4 blocks x 3 treatments: rank sums 5, 8, 11
+    # -> chi2 = 4.5, Kendall's W = 4.5 / (4*2) = 0.5625
+    rows = []
+    for i, (a, b_, c) in enumerate(
+            [(1, 2, 3), (1, 3, 2), (2, 1, 3), (1, 2, 3)]):
+        rows += [(i, "A", a), (i, "B", b_), (i, "C", c)]
+    df = spark.createDataFrame(rows, "blk long, g string, v long")
+    r = friedman_test(df, "blk", "g", "v").collect()[0]
+    assert (r["k"], r["b"]) == (3, 4)
+    assert r["chi2"] == 4.5 and r["w"] == 0.5625
+
+    # an incomplete block is excluded, not mis-ranked
+    df2 = spark.createDataFrame(
+        rows + [(9, "A", 7)], "blk long, g string, v long")
+    r = friedman_test(df2, "blk", "g", "v").collect()[0]
+    assert (r["k"], r["b"], r["chi2"]) == (3, 4, 4.5)
+
+    # all-tied blocks: denominator 0 -> chi2/w NULL
+    tied = spark.createDataFrame(
+        [(0, "A", 5), (0, "B", 5), (1, "A", 2), (1, "B", 2)],
+        "blk long, g string, v long")
+    r = friedman_test(tied, "blk", "g", "v").collect()[0]
+    assert r["chi2"] is None and r["w"] is None
+
+    # within-block ties average: block (1,1,2) gives doubled
+    # ranks 3,3,6 -- perfect consistency across 2 such blocks
+    t2 = spark.createDataFrame(
+        [(0, "A", 1), (0, "B", 1), (0, "C", 2),
+         (1, "A", 1), (1, "B", 1), (1, "C", 2)],
+        "blk long, g string, v long")
+    r = friedman_test(t2, "blk", "g", "v").collect()[0]
+    # D = (6,6,12), T = 2*4 = 8 -> num = 4+4+16 = 24
+    # A2 = 2*(9+9+36) = 108, den = 108 - 2*3*16 = 12
+    assert r["chi2"] == round(2 * 24 / 12, 6) == 4.0
+
+    # empty input -> empty frame
+    e = spark.createDataFrame([], "blk long, g string, v long")
+    assert friedman_test(e, "blk", "g", "v").count() == 0
