@@ -3574,6 +3574,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .agg(F.count(F.lit(1)).cast("long").alias("c")))
         return friedman_test(daily, "d", "g", "c")
 
+    def events_cvar(spark, sf):
+        # expected shortfall of event values: exact integer-percent
+        # rank target, threshold-split tail sum, one final division
+        from mms_rdf_spark.operators.analytics import cvar_tail
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return cvar_tail(ev, "value", pct=95)
+
     def text_brier(spark, sf):
         # Brier score + Murphy decomposition of the trained quality
         # classifier: REL - RES + UNC over 6dp-gridded probs
@@ -4062,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dw": events_dw,
         "events_runs": events_runs,
         "events_friedman": events_friedman,
+        "events_cvar": events_cvar,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -11279,6 +11287,37 @@ def oracle_sql() -> dict[str, str]:
                            / (a2 - b * k * (k + 1) * (k + 1)) / b, 6)
            END AS w
     FROM base, num
+    """
+
+    # CVaR of event values at 95%: integer rank target, exact
+    # threshold-split tail sum over distinct cent values
+    q["events_cvar"] = """
+    WITH per AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), cum AS (
+        SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT)
+                   AS cum
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n FROM per
+    ), thr AS (
+        SELECT v AS vt, cum AS cumvt, n,
+               CAST(floor((95 * n + 99) / 100.0) AS BIGINT) - 1 AS r0
+        FROM cum, tot
+        WHERE n > 0
+          AND cum >= CAST(floor((95 * n + 99) / 100.0) AS BIGINT)
+        ORDER BY v LIMIT 1
+    ), hi AS (
+        SELECT CAST(sum(per.v * per.cnt) AS BIGINT) AS hi
+        FROM per, thr WHERE per.v > thr.vt
+    )
+    SELECT n, n - r0 AS tail_n,
+           round(vt / 100.0, 6) AS var_value,
+           round((vt * (cumvt - r0) + coalesce(hi, 0))
+                 / (n - r0) / 100.0, 6) AS cvar
+    FROM thr, hi
     """
 
     # Jarque-Bera over order-price cents: HUGEINT raw moments (u^4

@@ -2273,3 +2273,64 @@ def friedman_test(
         F.when(ok, F.round(chi2, 6)).alias("chi2"),
         F.when(ok, F.round(F.col("_num").cast("double") / den / b, 6))
         .alias("w"))
+
+
+def cvar_tail(
+    df: DataFrame,
+    value_col: str,
+    pct: int = 95,
+    unit: int = 100,
+) -> DataFrame:
+    """CVaR / expected shortfall — the tail-severity companion to the
+    exact-quantile operators: VaR (the pct-th empirical quantile)
+    says where the tail starts, CVaR averages the k = n - ceil(pct
+    n/100) + 1 LARGEST observations, i.e. how bad the tail actually
+    is. The level is an integer percent so the rank target
+    ceil(pct*n/100) is pure integer math — no 0.95*n float whose
+    IEEE representation can flip the ceil at exact-multiple
+    boundaries.
+
+    Exact arithmetic: values ride as integer `unit`ths (cents);
+    ranks come from a distinct-value count cumsum (global_cumsum, no
+    single-partition window); the tail sum splits exactly at the
+    threshold value (cum_vt - r0 copies of the threshold + all
+    strictly-greater mass), all exact longs; the single final
+    division is mirrored textually by the SQL oracle.
+
+    Returns one row (n, tail_n, var_value, cvar). Raises on pct
+    outside [1, 99]. Scale shape: one distinct-value aggregate +
+    cumsum, a 1-row TakeOrdered threshold probe, one filtered tail
+    aggregate, a 1-row finale.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    if not 1 <= pct <= 99:
+        raise ValueError("pct must be an integer percent in [1, 99]")
+    c = F.round(F.col(value_col) * unit).cast("long")
+    per = (df.where(F.col(value_col).isNotNull())
+           .select(c.alias("_v"))
+           .groupBy("_v").agg(F.count(F.lit(1)).cast("long")
+                              .alias("_cnt")))
+    tot = per.agg(F.sum("_cnt").cast("long").alias("_n"))
+    cum = global_cumsum(per, "_v", "_v", "_cnt")
+    j = cum.crossJoin(F.broadcast(tot.where(F.col("_n") > 0)))
+    r0 = (F.floor((F.lit(pct) * F.col("_n") + 99) / F.lit(100.0))
+          .cast("long") - 1)
+    thr = (j.withColumn("_r0", r0)
+           .where(F.col("cum") >= F.col("_r0") + 1)
+           .orderBy("_v").limit(1)
+           .select(F.col("_v").alias("_vt"),
+                   F.col("cum").alias("_cumvt"), "_n", "_r0"))
+    hi = (per.crossJoin(F.broadcast(thr))
+          .where(F.col("_v") > F.col("_vt"))
+          .agg(F.sum(F.col("_v") * F.col("_cnt")).cast("long")
+               .alias("_hi")))
+    out = thr.crossJoin(F.broadcast(hi))
+    tail_sum = (F.col("_vt") * (F.col("_cumvt") - F.col("_r0"))
+                + F.coalesce(F.col("_hi"), F.lit(0)))
+    k = F.col("_n") - F.col("_r0")
+    return out.select(
+        F.col("_n").alias("n"), k.alias("tail_n"),
+        F.round(F.col("_vt") / F.lit(float(unit)), 6)
+        .alias("var_value"),
+        F.round(tail_sum / k / F.lit(float(unit)), 6).alias("cvar"))

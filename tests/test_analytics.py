@@ -889,3 +889,39 @@ def test_friedman_test_textbook_and_guards(spark):
     # empty input -> empty frame
     e = spark.createDataFrame([], "blk long, g string, v long")
     assert friedman_test(e, "blk", "g", "v").count() == 0
+
+
+def test_cvar_tail_hand_examples_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import cvar_tail
+
+    # [1..10] at 90%: VaR = 9th smallest = 9, tail {9,10} -> 9.5
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)], "value double")
+    r = cvar_tail(df, "value", pct=90, unit=1).collect()[0]
+    assert (r["n"], r["tail_n"]) == (10, 2)
+    assert r["var_value"] == 9.0 and r["cvar"] == 9.5
+
+    # ties straddling the threshold split exactly:
+    # [1,1,1,1,5,5,5,5,5,5] at 30% -> top 8 = [1,1,5*6] -> 4.0
+    t = spark.createDataFrame(
+        [(1.0,)] * 4 + [(5.0,)] * 6, "value double")
+    r = cvar_tail(t, "value", pct=30, unit=1).collect()[0]
+    assert (r["tail_n"], r["var_value"], r["cvar"]) == (8, 1.0, 4.0)
+    # ...and at 70%: tail is 4 copies of 5
+    r = cvar_tail(t, "value", pct=70, unit=1).collect()[0]
+    assert (r["tail_n"], r["var_value"], r["cvar"]) == (4, 5.0, 5.0)
+
+    # exact-multiple boundary: n=100 at 95% -> rank 95 exactly
+    # (the 0.95*n float form would ceil to 96 here)
+    big = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "value double")
+    r = cvar_tail(big, "value", pct=95, unit=1).collect()[0]
+    assert r["var_value"] == 95.0 and r["tail_n"] == 6
+    assert r["cvar"] == sum(range(95, 101)) / 6
+
+    # pct bounds raise; empty input -> empty frame
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cvar_tail(df, "value", pct=0)
+    e = spark.createDataFrame([], "value double")
+    assert cvar_tail(e, "value").count() == 0
