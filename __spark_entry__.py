@@ -3581,6 +3581,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return cvar_tail(ev, "value", pct=95)
 
+    def events_dispersion(spark, sf):
+        # Poisson dispersion (variance-to-mean) of per-user event
+        # counts: integer-cleared statistics, one division each
+        from mms_rdf_spark.operators.analytics import dispersion_test
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        per = (ev.where(F.col("user_id").isNotNull())
+               .groupBy("user_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return dispersion_test(per, "y")
+
     def text_brier(spark, sf):
         # Brier score + Murphy decomposition of the trained quality
         # classifier: REL - RES + UNC over 6dp-gridded probs
@@ -4070,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_runs": events_runs,
         "events_friedman": events_friedman,
         "events_cvar": events_cvar,
+        "events_dispersion": events_dispersion,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
         "text_rake": text_rake,
@@ -11318,6 +11329,28 @@ def oracle_sql() -> dict[str, str]:
            round((vt * (cumvt - r0) + coalesce(hi, 0))
                  / (n - r0) / 100.0, 6) AS cvar
     FROM thr, hi
+    """
+
+    # Poisson dispersion of per-user event counts: D and VMR clear
+    # to integer numerators, one float division each
+    q["events_dispersion"] = """
+    WITH per AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS q
+        FROM per
+    )
+    SELECT n, round(s / n, 6) AS mean,
+           CASE WHEN n > 1 AND s > 0
+                THEN round((n * q - s * s) / ((n - 1) * s), 6)
+           END AS vmr,
+           CASE WHEN n > 1 AND s > 0
+                THEN round((n * q - s * s) / s, 6)
+           END AS d
+    FROM st WHERE s IS NOT NULL AND n > 0
     """
 
     # Jarque-Bera over order-price cents: HUGEINT raw moments (u^4

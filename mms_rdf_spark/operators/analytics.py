@@ -2334,3 +2334,40 @@ def cvar_tail(
         F.round(F.col("_vt") / F.lit(float(unit)), 6)
         .alias("var_value"),
         F.round(tail_sum / k / F.lit(float(unit)), 6).alias("cvar"))
+
+
+def dispersion_test(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Poisson dispersion test — the variance-to-mean audit for count
+    data: under a Poisson arrival model VMR = 1, and the index of
+    dispersion D = sum (y - ybar)^2 / ybar is ~ chi2(n-1);
+    VMR >> 1 flags clumped / bursty arrivals (the per-entity
+    companion to burst_detection's time-local view). Values must be
+    exact integer counts.
+
+    Exact arithmetic: both statistics clear denominators to integer
+    forms — D = (n Q - S^2)/S and VMR = (n Q - S^2)/((n-1) S) with
+    S = sum y, Q = sum y^2 exact longs from ONE map-side-combined
+    aggregate — so a single fixed-order float division ends each,
+    mirrored textually by the SQL oracle. n*Q must fit a long
+    (pre-aggregate into DECIMAL past ~3e18; documented trade).
+
+    Returns one row (n, mean, vmr, d); vmr/d are NULL when n < 2 or
+    the mean is 0. Scale shape: ONE 1-row aggregate.
+    """
+    v = F.col(value_col).cast("long")
+    st = (df.where(F.col(value_col).isNotNull())
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum(v).cast("long").alias("_s"),
+               F.sum(v * v).cast("long").alias("_q")))
+    st = st.where(F.col("_s").isNotNull() & (F.col("n") > 0))
+    n, s, qq = F.col("n"), F.col("_s"), F.col("_q")
+    num = n * qq - s * s
+    ok = (n > 1) & (s > 0)
+    return st.select(
+        "n",
+        F.round(s / n, 6).alias("mean"),
+        F.when(ok, F.round(num / ((n - 1) * s), 6)).alias("vmr"),
+        F.when(ok, F.round(num / s, 6)).alias("d"))

@@ -925,3 +925,29 @@ def test_cvar_tail_hand_examples_and_guards(spark):
         cvar_tail(df, "value", pct=0)
     e = spark.createDataFrame([], "value double")
     assert cvar_tail(e, "value").count() == 0
+
+
+def test_dispersion_test_hand_examples_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import dispersion_test
+
+    # [2,4,6]: s2 = 4, mean 4 -> VMR exactly 1 (Poisson-like)
+    df = spark.createDataFrame([(2,), (4,), (6,)], "y long")
+    r = dispersion_test(df, "y").collect()[0]
+    assert (r["n"], r["mean"]) == (3, 4.0)
+    assert r["vmr"] == 1.0 and r["d"] == 2.0
+
+    # clumped [0,0,12]: VMR = 12 flags overdispersion
+    c = spark.createDataFrame([(0,), (0,), (12,)], "y long")
+    r = dispersion_test(c, "y").collect()[0]
+    assert r["vmr"] == 12.0 and r["d"] == 24.0
+
+    # all-zero counts: mean 0 -> vmr/d NULL; n=1 degenerates too
+    z = spark.createDataFrame([(0,), (0,)], "y long")
+    r = dispersion_test(z, "y").collect()[0]
+    assert r["vmr"] is None and r["d"] is None
+    one = spark.createDataFrame([(5,)], "y long")
+    assert dispersion_test(one, "y").collect()[0]["vmr"] is None
+
+    # empty input -> empty frame
+    e = spark.createDataFrame([], "y long")
+    assert dispersion_test(e, "y").count() == 0
