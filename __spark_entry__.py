@@ -2257,6 +2257,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual hash over REAL decoded pixels, analytic oracle
         return MM.image_ahash(MM.synth_ppm_media(_docs(spark, sf)))
 
+    def mm_image_dhash(spark, sf):
+        # gradient hash over REAL decoded 8x9 pixels: pure integer
+        # column comparisons, analytic oracle
+        return MM.image_dhash(MM.synth_ppm_media(_docs(spark, sf),
+                                                 h=8, w=9))
+
     def mm_audio_silence(spark, sf):
         # decoded-PCM gaps-and-islands, analytic oracle mirrors the
         # island arithmetic over the sample generator
@@ -3935,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": mm_audio_stats,
         "mm_video_stats": mm_video_stats,
         "mm_image_ahash": mm_image_ahash,
+        "mm_image_dhash": mm_image_dhash,
         "mm_audio_silence": mm_audio_silence,
         "sim_mmr_batched": sim_mmr_batched,
         "sketch_quantile_cert": sketch_quantile_cert,
@@ -8330,6 +8337,34 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN 64 * px.gray > s.sg THEN 1 ELSE 0 END
                      AS bit
           FROM px JOIN s USING (media_id))
+    SELECT media_id,
+           CAST(sum(CASE WHEN pos >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (pos - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN pos < 32
+                         THEN bit * (CAST(1 AS BIGINT) << pos)
+                         ELSE 0 END) AS BIGINT) AS hash_lo
+    FROM b GROUP BY media_id
+    """
+
+    # difference-hash over the 8x9 synth grid: bit = horizontal
+    # gradient of the closed-form gray plane, same hi/lo packing
+    q["mm_image_dhash"] = """
+    WITH px AS (
+        SELECT d.doc_id AS media_id, r.r, c.c,
+               (((d.doc_id * 31 + r.r * 7 + c.c * 3) % 256)
+                + ((d.doc_id * 31 + r.r * 7 + c.c * 3 + 11) % 256)
+                + ((d.doc_id * 31 + r.r * 7 + c.c * 3 + 22) % 256))
+               // 3 AS gray
+        FROM documents d,
+             unnest(generate_series(0, 7)) AS r(r),
+             unnest(generate_series(0, 8)) AS c(c)),
+    b AS (SELECT a.media_id, a.r * 8 + a.c AS pos,
+                 CASE WHEN n.gray > a.gray THEN 1 ELSE 0 END AS bit
+          FROM px a JOIN px n
+            ON a.media_id = n.media_id AND a.r = n.r
+           AND n.c = a.c + 1
+          WHERE a.c < 8)
     SELECT media_id,
            CAST(sum(CASE WHEN pos >= 32
                          THEN bit * (CAST(1 AS BIGINT) << (pos - 32))

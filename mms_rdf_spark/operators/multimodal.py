@@ -809,3 +809,45 @@ def audio_silence_runs(media: DataFrame,
 
     return cols.mapInPandas(
         run, schema="media_id long, n_quiet long, longest_run long")
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Difference-hash over REAL decoded pixels — the gradient
+    companion to image_ahash: bit(r, c) = [gray(r, c+1) > gray(r, c)]
+    over the (r+g+b)//3 gray plane, so it keys on horizontal
+    STRUCTURE rather than global brightness (robust to level shifts
+    that flip ahash bits wholesale). Standard form: feed h=8, w=9
+    images for 8x8 = 64 bits; any h*(w-1) <= 64 works, higher raises.
+    Pure integer comparisons — no float mean at all — packed into two
+    32-bit halves (hash_hi, hash_lo) like ahash so the 64th bit never
+    overflows a signed BIGINT on either engine.
+
+    Scale: decode + hash happen in the Arrow scan stage; only
+    (media_id, hash_hi, hash_lo) ever leaves it. Pairs via
+    image_neardup_pairs (identical banding)."""
+    cols = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(payload).astype(np.int64)
+                gray = arr.sum(axis=2) // 3           # (h, w)
+                nb = gray.shape[0] * (gray.shape[1] - 1)
+                if nb > 64:
+                    raise ValueError(
+                        f"image_dhash packs at most 64 bits, got {nb} "
+                        f"(shape {gray.shape}); resize first")
+                bits = np.zeros(64, dtype=np.int64)
+                bits[:nb] = (gray[:, 1:] > gray[:, :-1]) \
+                    .astype(np.int64).reshape(-1)     # row-major
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:] << np.arange(32)).sum())
+                rows.append((int(mid), hi, lo))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "hash_hi", "hash_lo"])
+
+    return cols.mapInPandas(
+        run, schema="media_id long, hash_hi long, hash_lo long")

@@ -292,3 +292,32 @@ def test_bmp_roundtrip_padding_and_stats_parity(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_image_dhash_matches_numpy_and_guards(spark):
+    from mms_rdf_spark.operators import multimodal as MM
+    import numpy as np
+
+    docs = spark.createDataFrame([(i, "x") for i in range(5)],
+                                 "doc_id long, text string")
+    media = MM.synth_ppm_media(docs, h=8, w=9)
+    got = {r["media_id"]: (r["hash_hi"], r["hash_lo"])
+           for r in MM.image_dhash(media).collect()}
+    assert len(got) == 5
+    for mid in range(5):
+        gray = MM.ppm_pixels(mid, 8, 9).astype(np.int64).sum(axis=2) // 3
+        bits = np.zeros(64, dtype=np.int64)
+        bits[:64] = (gray[:, 1:] > gray[:, :-1]).astype(np.int64) \
+            .reshape(-1)
+        lo = int((bits[:32] << np.arange(32)).sum())
+        hi = int((bits[32:] << np.arange(32)).sum())
+        assert got[mid] == (hi, lo)
+
+    # a level shift leaves dhash unchanged (the ahash failure mode):
+    # gray+10 everywhere has identical gradients by construction --
+    # covered analytically by the gradient definition; here we pin
+    # that >64 bits refuses loudly instead of silently truncating
+    import pytest as _pt
+    wide = MM.synth_ppm_media(docs.limit(1), h=8, w=10)
+    with _pt.raises(Exception):
+        MM.image_dhash(wide).collect()
