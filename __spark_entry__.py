@@ -2248,6 +2248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle computes peak / mean-square analytically
         return MM.audio_stats(MM.synth_wav_media(_docs(spark, sf)))
 
+    def mm_audio_zcr(spark, sf):
+        # REAL WAV decode: zero crossings + exact lag-1 product sum,
+        # analytic oracle over the closed-form samples
+        return MM.audio_zcr(MM.synth_wav_media(_docs(spark, sf)))
+
     def mm_video_stats(spark, sf):
         # REAL Y4M decode: frame-sampled luma means, analytic oracle
         return MM.video_frame_stats(
@@ -3939,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": mm_frame_sample,
         "mm_image_stats": mm_image_stats,
         "mm_audio_stats": mm_audio_stats,
+        "mm_audio_zcr": mm_audio_zcr,
         "mm_video_stats": mm_video_stats,
         "mm_image_ahash": mm_image_ahash,
         "mm_image_dhash": mm_image_dhash,
@@ -8301,6 +8307,22 @@ def oracle_sql() -> dict[str, str]:
            CAST(max(abs(v)) AS BIGINT) AS peak,
            sum(v * v) / 64.0 AS mean_square
     FROM s GROUP BY media_id
+    """
+
+    # decoded zero crossings + lag-1 product sum: pure integer fold
+    # over adjacent closed-form samples
+    q["mm_audio_zcr"] = """
+    WITH s AS (
+        SELECT d.doc_id AS media_id, i.i,
+               ((d.doc_id * 17 + i.i * 13) % 65536) - 32768 AS v
+        FROM documents d, unnest(generate_series(0, 63)) AS i(i))
+    SELECT a.media_id, CAST(64 AS INT) AS n_samples,
+           CAST(sum(CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings,
+           CAST(sum(a.v * b.v) AS BIGINT) AS ac1_num
+    FROM s a JOIN s b
+      ON a.media_id = b.media_id AND b.i = a.i + 1
+    GROUP BY a.media_id
     """
 
     # decoded-video statistics: frames 0 and 2 of 4, luma(f,r,c) =

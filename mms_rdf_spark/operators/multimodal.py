@@ -851,3 +851,37 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     return cols.mapInPandas(
         run, schema="media_id long, hash_hi long, hash_lo long")
+
+
+def audio_zcr(media: DataFrame) -> DataFrame:
+    """REAL decode + zero-crossing and lag-1 autocorrelation counts —
+    the frequency-content / periodicity complement to audio_stats'
+    level stats (high ZCR = noisy/fricative content, high positive
+    lag-1 product sum = low-frequency tonal content). Pure integer
+    outputs: zero_crossings counts strict sign flips
+    (s_i * s_{i+1} < 0) and ac1_num is the exact int64 lag-1 product
+    sum — no division or sqrt crosses the engine boundary (callers
+    normalize; the oracle checks the raw integers).
+
+    Scale: decode + fold happen in the Arrow scan stage; only
+    (media_id, n_samples, zero_crossings, ac1_num) ever leaves it."""
+    cols = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, _rate = decode_wav(payload)
+                s64 = s.astype(np.int64)
+                prod = s64[:-1] * s64[1:]
+                rows.append((int(mid), len(s),
+                             int((prod < 0).sum()),
+                             int(prod.sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "zero_crossings", "ac1_num"])
+
+    return cols.mapInPandas(run, schema=(
+        "media_id long, n_samples int, zero_crossings long, "
+        "ac1_num long"))

@@ -321,3 +321,25 @@ def test_image_dhash_matches_numpy_and_guards(spark):
     wide = MM.synth_ppm_media(docs.limit(1), h=8, w=10)
     with _pt.raises(Exception):
         MM.image_dhash(wide).collect()
+
+
+def test_audio_zcr_matches_numpy(spark):
+    from mms_rdf_spark.operators import multimodal as MM
+    import numpy as np
+
+    docs = spark.createDataFrame([(i, "x") for i in range(4)],
+                                 "doc_id long, text string")
+    got = {r["media_id"]: (r["n_samples"], r["zero_crossings"],
+                           r["ac1_num"])
+           for r in MM.audio_zcr(MM.synth_wav_media(docs)).collect()}
+    for mid in range(4):
+        s = MM.wav_samples(mid).astype(np.int64)
+        prod = s[:-1] * s[1:]
+        assert got[mid] == (64, int((prod < 0).sum()), int(prod.sum()))
+
+    # a pure alternating-sign square wave crosses at every step
+    sq = MM.encode_wav(np.array([1000, -1000] * 8, dtype=np.int16))
+    media = spark.createDataFrame([(99, "audio", bytearray(sq), 0, 0, 0)],
+                                  MM.MEDIA_SCHEMA)
+    r = MM.audio_zcr(media).collect()[0]
+    assert r["zero_crossings"] == 15 and r["ac1_num"] == -15 * 1000000
