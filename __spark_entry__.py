@@ -3585,6 +3585,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .agg(F.count(F.lit(1)).cast("long").alias("c")))
         return friedman_test(daily, "d", "g", "c")
 
+    def events_cochran(spark, sf):
+        # Cochran's Q: do per-user incidence rates differ across
+        # event types? Integer-telescoped statistic, one division
+        from mms_rdf_spark.operators.analytics import cochran_q
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev = ev.where(F.col("user_id").isNotNull())
+        users = ev.select("user_id").distinct()
+        types = ev.select("event_type").distinct()
+        seen = (ev.select("user_id", "event_type").distinct()
+                .withColumn("x", F.lit(1)))
+        matrix = (users.crossJoin(F.broadcast(types))
+                  .join(seen, on=["user_id", "event_type"],
+                        how="left")
+                  .select("user_id", "event_type",
+                          F.coalesce(F.col("x"), F.lit(0)).alias("x")))
+        return cochran_q(matrix, "user_id", "event_type", "x")
+
     def events_cvar(spark, sf):
         # expected shortfall of event values: exact integer-percent
         # rank target, threshold-split tail sum, one final division
@@ -4093,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_runs": events_runs,
         "events_friedman": events_friedman,
         "events_cvar": events_cvar,
+        "events_cochran": events_cochran,
         "events_dispersion": events_dispersion,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
@@ -11408,6 +11426,41 @@ def oracle_sql() -> dict[str, str]:
                 THEN round((n * q - s * s) / s, 6)
            END AS d
     FROM st WHERE s IS NOT NULL AND n > 0
+    """
+
+    # Cochran's Q over the user x event-type incidence matrix:
+    # integer-telescoped numerator/denominator, one float division
+    q["events_cochran"] = """
+    WITH ev AS (
+        SELECT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL
+    ), m AS (
+        SELECT u.user_id, t.event_type,
+               CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END AS x
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        LEFT JOIN (SELECT DISTINCT user_id, event_type FROM ev) s
+          ON u.user_id = s.user_id AND t.event_type = s.event_type
+    ), kf AS (
+        SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM m
+    ), rows_ AS (
+        SELECT CAST(count(*) AS BIGINT) AS b,
+               CAST(sum(r) AS BIGINT) AS n,
+               CAST(sum(r * r) AS BIGINT) AS rr
+        FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS r
+              FROM m GROUP BY user_id)
+    ), cols_ AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS cc
+        FROM (SELECT event_type, CAST(sum(x) AS BIGINT) AS c
+              FROM m GROUP BY event_type)
+    )
+    SELECT k, b, n AS n_success,
+           CASE WHEN k > 1 AND k * n - rr > 0
+                THEN round((k - 1) * (k * cc - n * n)
+                           / (k * n - rr), 6)
+           END AS q
+    FROM kf, rows_, cols_
+    WHERE n IS NOT NULL AND b > 0
     """
 
     # Jarque-Bera over order-price cents: HUGEINT raw moments (u^4

@@ -2371,3 +2371,61 @@ def dispersion_test(
         F.round(s / n, 6).alias("mean"),
         F.when(ok, F.round(num / ((n - 1) * s), 6)).alias("vmr"),
         F.when(ok, F.round(num / s, 6)).alias("d"))
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Cochran's Q test — the binary-outcome member of the
+    matched-design family (friedman_test for ranks, mcnemar_test for
+    its k=2 special case): across k treatments measured on the same
+    blocks, do the success PROPORTIONS differ anywhere? x must be
+    0/1; blocks missing any treatment are excluded per the
+    definition.
+
+    Exact arithmetic: the textbook numerator telescopes —
+    sum_j (C_j - N/k)^2 = sum C_j^2 - N^2/k — so
+
+      Q = (k-1) (k sum_j C_j^2 - N^2) / (k N - sum_i R_i^2)
+
+    is integer-over-integer with ONE final float division, mirrored
+    textually by the SQL oracle (column totals C_j, block totals R_i,
+    grand total N, all exact longs). Q is NULL when k < 2 or the
+    denominator degenerates (every block all-0 or all-1 — no
+    within-block information).
+
+    Returns one row (k, b, n_success, q). Scale shape: one
+    completeness semi-join, one block fold + one treatment fold, a
+    1-row finale.
+    """
+    s = df.select(F.col(block_col).alias("_b"),
+                  F.col(treat_col).alias("_g"),
+                  F.col(x_col).cast("long").alias("_x"))
+    kf = s.agg(F.countDistinct("_g").cast("long").alias("k"))
+    bs = (s.groupBy("_b")
+          .agg(F.count(F.lit(1)).cast("long").alias("_cb"),
+               F.countDistinct("_g").cast("long").alias("_gb"),
+               F.sum("_x").cast("long").alias("_r")))
+    complete = (bs.crossJoin(F.broadcast(kf))
+                .where((F.col("_cb") == F.col("k"))
+                       & (F.col("_gb") == F.col("k"))))
+    rows = (complete.agg(F.count(F.lit(1)).cast("long").alias("b"),
+                         F.sum("_r").cast("long").alias("_n"),
+                         F.sum(F.col("_r") * F.col("_r"))
+                         .cast("long").alias("_rr")))
+    cols = (s.join(complete.select("_b"), on="_b", how="left_semi")
+            .groupBy("_g").agg(F.sum("_x").cast("long").alias("_c"))
+            .agg(F.sum(F.col("_c") * F.col("_c")).cast("long")
+                 .alias("_cc")))
+    j = (kf.crossJoin(rows).crossJoin(cols)
+         .where(F.col("_n").isNotNull() & (F.col("b") > 0)))
+    k, n = F.col("k"), F.col("_n")
+    den = k * n - F.col("_rr")
+    ok = (k > 1) & (den > 0)
+    return j.select(
+        "k", "b", n.alias("n_success"),
+        F.when(ok, F.round((k - 1) * (k * F.col("_cc") - n * n)
+                           / den, 6)).alias("q"))

@@ -951,3 +951,35 @@ def test_dispersion_test_hand_examples_and_guards(spark):
     # empty input -> empty frame
     e = spark.createDataFrame([], "y long")
     assert dispersion_test(e, "y").count() == 0
+
+
+def test_cochran_q_textbook_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import cochran_q
+
+    # hand-checked 4 blocks x 3 treatments:
+    # C=(3,4,1) N=8 R=(2,2,1,3) -> Q = 2*(3*26-64)/(24-18) = 28/6
+    rows = []
+    for i, (a, b_, c) in enumerate(
+            [(1, 1, 0), (1, 1, 0), (0, 1, 0), (1, 1, 1)]):
+        rows += [(i, "A", a), (i, "B", b_), (i, "C", c)]
+    df = spark.createDataFrame(rows, "blk long, g string, x long")
+    r = cochran_q(df, "blk", "g", "x").collect()[0]
+    assert (r["k"], r["b"], r["n_success"]) == (3, 4, 8)
+    assert r["q"] == round(28 / 6, 6)
+
+    # an incomplete block is excluded
+    df2 = spark.createDataFrame(rows + [(9, "A", 1)],
+                                "blk long, g string, x long")
+    r = cochran_q(df2, "blk", "g", "x").collect()[0]
+    assert (r["b"], r["q"]) == (4, round(28 / 6, 6))
+
+    # all-constant blocks carry no information -> q NULL
+    flat = spark.createDataFrame(
+        [(0, "A", 1), (0, "B", 1), (1, "A", 0), (1, "B", 0)],
+        "blk long, g string, x long")
+    r = cochran_q(flat, "blk", "g", "x").collect()[0]
+    assert r["q"] is None
+
+    # empty input -> empty frame
+    e = spark.createDataFrame([], "blk long, g string, x long")
+    assert cochran_q(e, "blk", "g", "x").count() == 0
