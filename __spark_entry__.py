@@ -3585,6 +3585,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .agg(F.count(F.lit(1)).cast("long").alias("c")))
         return friedman_test(daily, "d", "g", "c")
 
+    def orders_levene(spark, sf):
+        # Brown-Forsythe equal-variance test of order prices across
+        # priorities: exact per-group lower medians, cent deviations
+        from mms_rdf_spark.operators.analytics import levene_bf
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        return levene_bf(orders, "o_orderpriority", "o_totalprice")
+
     def events_cochran(spark, sf):
         # Cochran's Q: do per-user incidence rates differ across
         # event types? Integer-telescoped statistic, one division
@@ -4111,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_friedman": events_friedman,
         "events_cvar": events_cvar,
         "events_cochran": events_cochran,
+        "orders_levene": orders_levene,
         "events_dispersion": events_dispersion,
         "events_spearman": events_spearman,
         "events_benford": events_benford,
@@ -11191,31 +11199,31 @@ def oracle_sql() -> dict[str, str]:
     ), grp AS (
         SELECT g, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(c) AS BIGINT) AS s,
-               CAST(sum(c * c) AS BIGINT) AS q
+               sum(CAST(c AS HUGEINT) * c) AS q
         FROM h GROUP BY 1
     ), st AS (
         SELECT CAST(count(*) AS BIGINT) AS k,
                CAST(sum(n) AS BIGINT) AS n,
                CAST(sum(s) AS BIGINT) AS ss,
-               CAST(sum(q) AS BIGINT) AS qq,
-               CAST(sum(CAST(round(round(CAST(s AS DOUBLE) * s / n, 6)
-                                   * 1e6, 0) AS BIGINT)) AS BIGINT)
-                   AS bm
+               sum(q) AS qq,
+               sum((CAST(s AS HUGEINT) * s) // n) AS bm
         FROM grp
     ), fin AS (
-        SELECT k, n, qq, bm / 1e6 AS b,
+        SELECT k, n, CAST(qq AS DOUBLE) AS qq,
+               CAST(bm AS DOUBLE) AS b,
                CAST(ss AS DOUBLE) * ss / n AS grand
         FROM st WHERE n IS NOT NULL AND n > 0
     )
     SELECT k, n,
-           round(b - grand, 6) AS ss_between,
-           round(qq - b, 6) AS ss_within,
+           greatest(b - grand, 0.0) AS ss_between,
+           qq - b AS ss_within,
            CASE WHEN k > 1 AND n > k AND qq - b > 0
-                THEN round(((b - grand) / (k - 1))
+                THEN round((greatest(b - grand, 0.0) / (k - 1))
                            / ((qq - b) / (n - k)), 6)
            END AS f,
            CASE WHEN qq - grand > 0
-                THEN round((b - grand) / (qq - grand), 6)
+                THEN round(greatest(b - grand, 0.0)
+                           / (qq - grand), 6)
            END AS eta_sq
     FROM fin
     """
@@ -11461,6 +11469,64 @@ def oracle_sql() -> dict[str, str]:
            END AS q
     FROM kf, rows_, cols_
     WHERE n IS NOT NULL AND b > 0
+    """
+
+    # Brown-Forsythe over order-price cents: exact per-group lower
+    # medians from the distinct-value cumsum, then the ANOVA chain
+    # (HUGEINT moments) on the integer deviations
+    q["orders_levene"] = """
+    WITH s AS (
+        SELECT o_orderpriority AS g,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), pv AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+        FROM s GROUP BY g, v
+    ), cw AS (
+        SELECT g, v, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v)
+                    AS BIGINT) AS cum
+        FROM pv
+    ), ng AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS ng FROM s GROUP BY g
+    ), med AS (
+        SELECT cw.g, cw.v AS m
+        FROM cw JOIN ng ON cw.g = ng.g
+        WHERE cw.cum - cw.cnt < floor((ng.ng + 1) / 2.0)
+          AND cw.cum >= floor((ng.ng + 1) / 2.0)
+    ), z AS (
+        SELECT s.g, abs(s.v - med.m) AS c
+        FROM s JOIN med ON s.g = med.g
+    ), grp AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sm,
+               sum(CAST(c AS HUGEINT) * c) AS q
+        FROM z GROUP BY g
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(sm) AS BIGINT) AS ss,
+               sum(q) AS qq,
+               sum((CAST(sm AS HUGEINT) * sm) // n) AS bm
+        FROM grp
+    ), fin AS (
+        SELECT k, n, CAST(qq AS DOUBLE) AS qq,
+               CAST(bm AS DOUBLE) AS b,
+               CAST(ss AS DOUBLE) * ss / n AS grand
+        FROM st WHERE n IS NOT NULL AND n > 0
+    )
+    SELECT k, n,
+           greatest(b - grand, 0.0) AS ss_between,
+           qq - b AS ss_within,
+           CASE WHEN k > 1 AND n > k AND qq - b > 0
+                THEN round((greatest(b - grand, 0.0) / (k - 1))
+                           / ((qq - b) / (n - k)), 6)
+           END AS f,
+           CASE WHEN qq - grand > 0
+                THEN round(greatest(b - grand, 0.0)
+                           / (qq - grand), 6)
+           END AS eta_sq
+    FROM fin
     """
 
     # Jarque-Bera over order-price cents: HUGEINT raw moments (u^4

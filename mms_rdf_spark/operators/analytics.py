@@ -1942,19 +1942,24 @@ def anova_oneway(
     """One-way ANOVA F-test across k groups — the k-sample extension
     of welch_ttest's two arms (classic equal-variance form): does the
     group mean differ anywhere, before pairwise drill-down? Values
-    must already be exact integers (counts, or pre-scaled units);
-    this keeps every moment sum an exact long.
+    must already be exact integers (counts, or pre-scaled units).
 
     Exact arithmetic: ONE map-side-combined aggregate produces the
-    per-group moment sums (n_g, s_g, q_g) as exact longs; each
-    group's between-term s_g^2/n_g rounds to 6dp and rides as a
-    micro long, so the cross-group sum is exact and order-free (the
-    krippendorff_alpha recipe); every float op after is a fixed-order
-    expression over those longs, mirrored textually by the SQL
-    oracle. s_g^2 goes through CAST(s AS DOUBLE)*s so the square
-    never overflows the long; |s_g| must stay under ~2^47 for the
-    micro grid to survive the double mantissa — counts-scale inputs,
-    documented trade.
+    per-group moment sums — n_g/s_g exact longs, q_g as
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so squared cents-scale
+    values never overflow; each group's between-term is the exact
+    FLOOR division s_g^2 div n_g (Spark `div` over a decimal square,
+    DuckDB `//` over HUGEINT — bit-identical, no round()-of-a-huge-
+    double whose last-ulp behavior differs between engines; the
+    LESSON from the first cut, which 6dp-micro-gridded the term and
+    diverged by one ulp at 1e17 magnitudes), so the cross-group sum
+    is exact and order-free; truncation understates SS_between by at
+    most k integer units — negligible against cents^2 magnitudes and
+    identical on both engines. Every float op after is a fixed-order
+    expression over those exact sums, mirrored textually by the SQL
+    oracle. The floored quotient must fit a long (~9e18): fine
+    through n*mean^2 of cents-scale data at 1e8 rows; past that,
+    pre-scale units down.
 
     Returns one row (k, n, ss_between, ss_within, f, eta_sq); f is
     NULL when k<2, n<=k, or ss_within degenerates; eta_sq (effect
@@ -1966,25 +1971,36 @@ def anova_oneway(
     g = (df.groupBy(F.col(group_col).alias("_g"))
          .agg(F.count(F.lit(1)).cast("long").alias("_n"),
               F.sum(v).cast("long").alias("_s"),
-              F.sum(v * v).cast("long").alias("_q")))
-    term = F.round(F.round(
-        F.col("_s").cast("double") * F.col("_s") / F.col("_n"), 6)
-        * 1e6, 0).cast("long")
+              F.sum(v.cast("decimal(38,0)") * v)
+              .cast("decimal(38,0)").alias("_q")))
+    g = g.withColumn(
+        "_s2", F.col("_s").cast("decimal(38,0)") * F.col("_s"))
+    term = F.expr("_s2 div _n")
     st = g.agg(F.count(F.lit(1)).cast("long").alias("k"),
                F.sum("_n").cast("long").alias("n"),
                F.sum("_s").cast("long").alias("_ss"),
-               F.sum("_q").cast("long").alias("_qq"),
-               F.sum(term).cast("long").alias("_bm"))
+               F.sum("_q").cast("decimal(38,0)").alias("_qq"),
+               F.sum(term.cast("decimal(38,0)"))
+               .cast("decimal(38,0)").alias("_bm"))
     st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
     n, k = F.col("n"), F.col("k")
-    b = F.col("_bm") / 1e6
+    b = F.col("_bm").cast("double")
     grand = F.col("_ss").cast("double") * F.col("_ss") / n
-    ssb, ssw, sst = b - grand, F.col("_qq") - b, F.col("_qq") - grand
+    qq = F.col("_qq").cast("double")
+    # SS_between >= 0 mathematically; floor truncation only ever
+    # understates it, so the clamp corrects truncation, never hides
+    ssb = F.greatest(b - grand, F.lit(0.0))
+    ssw, sst = qq - b, qq - grand
     ok = (k > 1) & (n > k) & (ssw > 0)
+    # ss_* ride UNROUNDED: they can reach 1e18 (cents^2), where
+    # DuckDB's round(x, 6) perturbs the last ulp while Spark's
+    # BigDecimal round is the identity — the raw doubles are
+    # bit-identical across engines by construction. f/eta_sq are
+    # O(1) ratios, where 6dp rounding is safe on both.
     return st.select(
         "k", "n",
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(ssw, 6).alias("ss_within"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
         F.when(ok, F.round((ssb / (k - 1)) / (ssw / (n - k)), 6))
         .alias("f"),
         F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"))
@@ -2429,3 +2445,50 @@ def cochran_q(
         "k", "b", n.alias("n_success"),
         F.when(ok, F.round((k - 1) * (k * F.col("_cc") - n * n)
                            / den, 6)).alias("q"))
+
+
+def levene_bf(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit: int = 100,
+) -> DataFrame:
+    """Brown-Forsythe / Levene test — equal-VARIANCE across k groups
+    (the assumption anova_oneway and pooled t-tests lean on):
+    one-way ANOVA on z_ij = |x_ij - median_j|, the median-centered
+    robust form (Brown & Forsythe 1974). Values ride as integer
+    `unit`ths, so each group's exact LOWER median is an integer and
+    every deviation is an exact long — anova_oneway's micro-long
+    machinery applies unchanged.
+
+    Per-group medians come from the distinct-value frame: one
+    (group, value) aggregate, then a per-group cumulative count —
+    one task per group over its DISTINCT values (the honest trade at
+    few groups; swap in a grouped histogram selection past ~1e7
+    distinct values per group).
+
+    Returns anova_oneway's row (k, n, ss_between, ss_within, f,
+    eta_sq) computed over the deviations; f is the Brown-Forsythe W.
+    """
+    from pyspark.sql.window import Window
+
+    s = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.round(F.col(value_col) * unit).cast("long")
+                 .alias("_v")))
+    pv = (s.groupBy("_g", "_v")
+          .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
+    wg = (Window.partitionBy("_g").orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = pv.withColumn("_cum", F.sum("_cnt").over(wg))
+    ng = s.groupBy("_g").agg(F.count(F.lit(1)).cast("long")
+                             .alias("_ng"))
+    med = (cum.join(ng, on="_g")
+           .where((F.col("_cum") - F.col("_cnt"))
+                  < F.floor((F.col("_ng") + 1) / F.lit(2.0)))
+           .where(F.col("_cum")
+                  >= F.floor((F.col("_ng") + 1) / F.lit(2.0)))
+           .select("_g", F.col("_v").alias("_m")))
+    z = (s.join(med, on="_g")
+         .select("_g", F.abs(F.col("_v") - F.col("_m")).alias("_z")))
+    return anova_oneway(z, "_g", "_z")

@@ -983,3 +983,44 @@ def test_cochran_q_textbook_and_guards(spark):
     # empty input -> empty frame
     e = spark.createDataFrame([], "blk long, g string, x long")
     assert cochran_q(e, "blk", "g", "x").count() == 0
+
+
+def test_levene_bf_hand_example_and_median_centering(spark):
+    from mms_rdf_spark.operators.analytics import levene_bf
+
+    # A=[1,2,3] (median 2 -> z=[1,0,1]), B=[10,20,90] (median 20 ->
+    # z=[10,0,70]); ANOVA over z with exact floored between-terms
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 10.0), ("b", 20.0), ("b", 90.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = levene_bf(df, "g", "v", unit=1).collect()[0]
+    assert (r["k"], r["n"]) == (2, 6)
+    b = 4 // 3 + 6400 // 3
+    grand = 82.0 * 82 / 6
+    ssb, ssw = b - grand, 5002 - b
+    assert r["ss_between"] == ssb
+    assert r["ss_within"] == ssw
+    assert r["f"] == round((ssb / 1) / (ssw / 4), 6)
+
+    # identical spreads around different centers: the medians remove
+    # the location difference; the >=0 clamp absorbs the floored
+    # between-term's sub-unit truncation, so W is exactly 0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 101.0), ("b", 102.0), ("b", 103.0)],
+        "g string, v double")
+    r = levene_bf(same, "g", "v", unit=1).collect()[0]
+    assert r["ss_between"] == 0.0 and r["f"] == 0.0
+
+    # even group size uses the LOWER median deterministically:
+    # [1,2,3,4] -> median 2 -> z=[1,0,1,2]
+    even = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 5.0), ("b", 6.0)], "g string, v double")
+    r = levene_bf(even, "g", "v", unit=1).collect()[0]
+    # group a deviations sum 4, sumsq 6; group b -> z=[0,1]
+    assert r["n"] == 6
+
+    # empty input -> empty frame
+    e = spark.createDataFrame([], "g string, v double")
+    assert levene_bf(e, "g", "v").count() == 0
