@@ -3671,6 +3671,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return ams_f2(ev, "user_id", seeds=9)
 
+    def events_kruskal(spark, sf):
+        # Kruskal-Wallis H: does ANY event type's value distribution
+        # sit higher? Exact doubled tied ranks, micro-long group
+        # terms, one tie-correction division
+        from mms_rdf_spark.operators.analytics import kruskal_wallis
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return kruskal_wallis(ev, "event_type", "value")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4128,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_alpha": text_alpha,
         "sketch_ams_f2": sketch_ams_f2,
         "sketch_cms_join": sketch_cms_join,
+        "events_kruskal": events_kruskal,
     }
 
 
@@ -11896,6 +11905,65 @@ def oracle_sql() -> dict[str, str]:
            (ex.exact_join <= est.est AND est.est <= tt.ta * tt.tb)
                AS ok
     FROM est, ex, tt
+    """
+
+    # Kruskal-Wallis: exact doubled tied ranks via the window cumsum,
+    # per-group micro-long scaled terms (order-free cross-group sum),
+    # tie correction divides once; fixed-order float expressions
+    # mirror analytics.kruskal_wallis textually
+    q["events_kruskal"] = """
+    WITH s AS (
+        SELECT event_type AS g, value AS v
+        FROM events WHERE value IS NOT NULL
+    ), pgv AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        FROM s GROUP BY g, v
+    ), pv AS (
+        SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM pgv GROUP BY v
+    ), cw AS (
+        SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM pv
+    ), per_g AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * (2 * cum - cnt + 1)) AS BIGINT) AS r2
+        FROM pgv JOIN cw USING (v) GROUP BY g
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM cw
+    ), j AS (
+        SELECT CAST(round((CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                           / (4.0 * n)) * 12.0
+                          / (CAST(nn AS DOUBLE)
+                             * (CAST(nn AS DOUBLE) + 1.0))
+                          * 1e6) AS BIGINT) AS u,
+               nn, ties
+        FROM per_g, tot
+    ), st AS (
+        SELECT nn, ties, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(u) AS BIGINT) AS um
+        FROM j GROUP BY nn, ties
+    )
+    SELECT k, nn AS n,
+           CASE WHEN k > 1
+                THEN round(um / 1e6
+                           - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 6)
+           END AS h,
+           CASE WHEN k > 1
+                 AND 1.0 - ties
+                     / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                        * CAST(nn AS DOUBLE)
+                        - CAST(nn AS DOUBLE)) > 0
+                THEN round((um / 1e6
+                            - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+                           / (1.0 - ties
+                              / (CAST(nn AS DOUBLE)
+                                 * CAST(nn AS DOUBLE)
+                                 * CAST(nn AS DOUBLE)
+                                 - CAST(nn AS DOUBLE))), 6)
+           END AS h_tie
+    FROM st WHERE nn IS NOT NULL AND nn > 0
     """
 
     return q

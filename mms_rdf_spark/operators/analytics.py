@@ -2492,3 +2492,84 @@ def levene_bf(
     z = (s.join(med, on="_g")
          .select("_g", F.abs(F.col("_v") - F.col("_m")).alias("_z")))
     return anova_oneway(z, "_g", "_z")
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the rank-based one-way ANOVA across k
+    groups (the k-sample extension of mann_whitney_u, and the
+    non-parametric twin of anova_oneway for skewed/heavy-tailed
+    metrics): does ANY group's distribution sit higher than another's?
+
+    Exact arithmetic, the mann_whitney_u discipline extended to k
+    groups: ranks never exist as floats. One (group, value) aggregate
+    collapses the corpus; re-aggregating it by value gives the
+    distinct-value frame whose inclusive global cumsum
+    (prefix.global_cumsum — range partition + P-long offset broadcast,
+    no single-partition window) yields, per distinct value, the
+    DOUBLED tied average rank 2r = 2*cum - cnt + 1 (an exact long).
+    Joining that back to the (group, value) counts gives each group's
+    doubled rank sum 2R_g = sum(c_gv * (2*cum - cnt + 1)) exactly; the
+    tie term sum(t^3 - t) is exact on the same frame.
+
+    The statistic H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) is
+    assembled from per-group micro-longs: each group's scaled term
+    u_g = ((2R_g)^2/(4 n_g)) * 12/(N(N+1)) is an O(N)-magnitude
+    fixed-order float expression over exact longs, rounded to integer
+    1e-6 units, so the cross-group sum is order-free; the tie
+    correction C = 1 - sum(t^3-t)/(N^3-N) divides once at the end.
+    (2R_g)^2 is a double*double product of identical inputs on both
+    engines — IEEE-deterministic; only SUMS of floats are ordering
+    hazards, and none remain.
+
+    Returns one row (k, n, h, h_tie): h is the uncorrected statistic,
+    h_tie = h / C; both NULL when k < 2, h_tie also NULL when ties
+    degenerate C to <= 0 (all values identical).
+
+    Scale shape: two map-side-combined aggregates, one distributed
+    scan, one aggregated-table join keyed on the value, then a k-row
+    fold. No pairwise anything.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(value_col).alias("_v")))
+    pgv = (s.groupBy("_g", "_v")
+           .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    pv = pgv.groupBy("_v").agg(F.sum("_c").cast("long").alias("_cnt"))
+    cum = global_cumsum(pv, "_v", "_v", "_cnt")
+    per_g = (pgv.join(cum, on="_v")
+             .groupBy("_g")
+             .agg(F.sum("_c").cast("long").alias("_n"),
+                  F.sum(F.col("_c")
+                        * (2 * F.col("cum") - F.col("_cnt") + 1))
+                  .cast("long").alias("_r2")))
+    tot = cum.agg(
+        F.sum("_cnt").cast("long").alias("_nn"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt")
+              - F.col("_cnt")).cast("long").alias("_ties"))
+    nd = F.col("_nn").cast("double")
+    r2d = F.col("_r2").cast("double")
+    u = (r2d * r2d / (4.0 * F.col("_n"))) * 12.0 / (nd * (nd + 1.0))
+    j = (per_g.crossJoin(F.broadcast(tot))
+         .select(F.round(u * 1e6).cast("long").alias("_u"),
+                 "_nn", "_ties"))
+    st = (j.groupBy("_nn", "_ties")
+          .agg(F.count(F.lit(1)).cast("long").alias("k"),
+               F.sum("_u").cast("long").alias("_um")))
+    st = st.where(F.col("_nn").isNotNull() & (F.col("_nn") > 0))
+    n2 = F.col("_nn").cast("double")
+    h = F.col("_um") / 1e6 - 3.0 * (n2 + 1.0)
+    c = 1.0 - F.col("_ties") / (n2 * n2 * n2 - n2)
+    return st.select(
+        F.col("k"), F.col("_nn").alias("n"),
+        F.when(F.col("k") > 1, F.round(h, 6)).alias("h"),
+        F.when((F.col("k") > 1) & (c > 0), F.round(h / c, 6))
+        .alias("h_tie"))

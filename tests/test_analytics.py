@@ -1024,3 +1024,60 @@ def test_levene_bf_hand_example_and_median_centering(spark):
     # empty input -> empty frame
     e = spark.createDataFrame([], "g string, v double")
     assert levene_bf(e, "g", "v").count() == 0
+
+
+def _kw_reference(groups):
+    """Pure-Python tie-averaged Kruskal-Wallis (h, h_tie)."""
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    # tie-averaged rank per distinct value
+    rank = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        rank[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    h = sum(sum(rank[v] for v in vs) ** 2 / len(vs)
+            for vs in groups.values() if vs)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    from collections import Counter
+    ties = sum(t ** 3 - t for t in Counter(allv).values())
+    c = 1.0 - ties / float(n ** 3 - n)
+    return h, (h / c if c > 0 else None)
+
+
+def test_kruskal_wallis_separation_ties_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import kruskal_wallis
+
+    # complete separation, no ties: H = 7.2 exactly, h_tie == h
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] \
+        + [("b", v) for v in (4.0, 5.0, 6.0)] \
+        + [("c", v) for v in (7.0, 8.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (r.k, r.n) == (3, 9)
+    assert abs(r.h - 7.2) < 1e-5 and abs(r.h_tie - 7.2) < 1e-5
+
+    # ties across and within groups: matches the pure-Python
+    # tie-averaged reference (micro-grid terms, <= k ulps apart)
+    groups = {"a": [1.0, 1.0, 2.0], "b": [2.0, 3.0, 3.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    h_ref, ht_ref = _kw_reference(groups)
+    assert abs(r.h - h_ref) < 1e-5
+    assert abs(r.h_tie - ht_ref) < 1e-5
+
+    # single group -> h NULL; all-identical values -> h 0, h_tie NULL
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                                "g string, v double")
+    r = kruskal_wallis(one, "g", "v").collect()[0]
+    assert r.k == 1 and r.h is None and r.h_tie is None
+    const = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0)], "g string, v double")
+    r = kruskal_wallis(const, "g", "v").collect()[0]
+    assert abs(r.h) < 1e-5 and r.h_tie is None
+    empty = one.where("g = 'zzz'")
+    assert kruskal_wallis(empty, "g", "v").count() == 0
