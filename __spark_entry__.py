@@ -3679,6 +3679,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return kruskal_wallis(ev, "event_type", "value")
 
+    def events_wilcoxon(spark, sf):
+        # Wilcoxon signed-rank: per user, does click spend exceed
+        # view spend? Exact cent sums per arm, doubled |d| ranks
+        from mms_rdf_spark.operators.analytics import (
+            wilcoxon_signed_rank)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cents = F.round(F.col("value") * 100).cast("long")
+        per = (ev.where(F.col("user_id").isNotNull())
+               .groupBy("user_id")
+               .agg(F.sum(F.when(F.col("event_type") == "click",
+                                 cents)).cast("long").alias("a"),
+                    F.sum(F.when(F.col("event_type") == "view",
+                                 cents)).cast("long").alias("b"))
+               .where(F.col("a").isNotNull()
+                      & F.col("b").isNotNull()))
+        return wilcoxon_signed_rank(per, "a", "b")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4137,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ams_f2": sketch_ams_f2,
         "sketch_cms_join": sketch_cms_join,
         "events_kruskal": events_kruskal,
+        "events_wilcoxon": events_wilcoxon,
     }
 
 
@@ -11964,6 +11982,46 @@ def oracle_sql() -> dict[str, str]:
                                  - CAST(nn AS DOUBLE))), 6)
            END AS h_tie
     FROM st WHERE nn IS NOT NULL AND nn > 0
+    """
+
+    # Wilcoxon signed-rank: exact per-user cent sums per arm, zero
+    # diffs dropped, doubled tied |d| ranks via the window cumsum;
+    # the z pieces stay exact longs until one division + sqrt
+    q["events_wilcoxon"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click'
+                        THEN CAST(round(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN event_type = 'view'
+                        THEN CAST(round(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS b
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), dd AS (
+        SELECT a - b AS d FROM per_user
+        WHERE a IS NOT NULL AND b IS NOT NULL AND a - b <> 0
+    ), per AS (
+        SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cp
+        FROM dd GROUP BY abs(d)
+    ), cw AS (
+        SELECT ad, cnt, cp,
+               CAST(sum(cnt) OVER (ORDER BY ad) AS BIGINT) AS cum
+        FROM per
+    ), st AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(cp * (2 * cum - cnt + 1)) AS BIGINT) AS w2,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM cw
+    )
+    SELECT n, round(w2 / 2.0, 6) AS w_plus,
+           CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - ties > 0
+                THEN round(((2 * w2 - n * (n + 1)) / 4.0)
+                           / sqrt((2 * n * (n + 1) * (2 * n + 1)
+                                   - ties) / 48.0), 6)
+           END AS z
+    FROM st WHERE n IS NOT NULL AND n > 0
     """
 
     return q

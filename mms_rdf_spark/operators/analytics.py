@@ -2573,3 +2573,70 @@ def kruskal_wallis(
         F.when(F.col("k") > 1, F.round(h, 6)).alias("h"),
         F.when((F.col("k") > 1) & (c > 0), F.round(h / c, 6))
         .alias("h_tie"))
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over matched pairs — the paired
+    complement of mann_whitney_u (which assumes independent groups):
+    per unit, did metric A sit above metric B more often/further than
+    chance? The classic before/after test for non-normal paired
+    metrics. Both columns must already be exact integers (counts or
+    pre-scaled units) so the differences are exact longs.
+
+    Semantics: zero differences are DROPPED (Wilcoxon's original
+    procedure), |d| is ranked with tie averaging, W+ = sum of ranks
+    of the positive differences, and z is the tie-corrected normal
+    approximation z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 -
+    sum(t^3-t)/48).
+
+    Exact arithmetic (the mann_whitney_u discipline on |d|): per
+    DISTINCT |d| the frame carries (cnt, cnt_pos); the inclusive
+    global cumsum of cnt (prefix.global_cumsum — no single-partition
+    window) gives the DOUBLED tied rank 2r = 2*cum - cnt + 1, so
+    2W+ = sum(cnt_pos * (2*cum - cnt + 1)) is an exact long, as are
+    the tie term and the scaled z pieces 4*(W+ - E) = 2*(2W+) -
+    n(n+1) and 48*sigma^2 = 2n(n+1)(2n+1) - sum(t^3-t). One division
+    and one sqrt at the end, mirrored textually by the SQL oracle.
+
+    Returns one row (n, w_plus, z): n = non-zero pairs; z NULL when
+    the variance degenerates (n = 0, or every |d| identical with...
+    sigma > 0 always holds for n >= 1 since t^3-t < 2n(n+1)(2n+1)
+    strictly — the guard is belt-and-braces). Empty input: 0 rows.
+
+    Scale shape: one map-side-combined distinct-|d| aggregate, one
+    distributed scan, a 1-row fold.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    d = F.col(col_a).cast("long") - F.col(col_b).cast("long")
+    nz = (df.where(F.col(col_a).isNotNull()
+                   & F.col(col_b).isNotNull())
+          .select(d.alias("_d")).where(F.col("_d") != 0))
+    per = (nz.select(F.abs(F.col("_d")).alias("_ad"),
+                     (F.col("_d") > 0).cast("long").alias("_p"))
+           .groupBy("_ad")
+           .agg(F.count(F.lit(1)).cast("long").alias("_cnt"),
+                F.sum("_p").cast("long").alias("_cp")))
+    cum = global_cumsum(per, "_ad", "_ad", "_cnt")
+    st = cum.agg(
+        F.sum("_cnt").cast("long").alias("n"),
+        F.sum(F.col("_cp") * (2 * F.col("cum") - F.col("_cnt") + 1))
+        .cast("long").alias("_w2"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt")
+              - F.col("_cnt")).cast("long").alias("_ties"))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    n = F.col("n")
+    num4 = 2 * F.col("_w2") - n * (n + 1)
+    sig48 = 2 * n * (n + 1) * (2 * n + 1) - F.col("_ties")
+    z = (num4 / 4.0) / F.sqrt(sig48 / 48.0)
+    return st.select(
+        "n",
+        F.round(F.col("_w2") / 2.0, 6).alias("w_plus"),
+        F.when(sig48 > 0, F.round(z, 6)).alias("z"))

@@ -1081,3 +1081,51 @@ def test_kruskal_wallis_separation_ties_and_guards(spark):
     assert abs(r.h) < 1e-5 and r.h_tie is None
     empty = one.where("g = 'zzz'")
     assert kruskal_wallis(empty, "g", "v").count() == 0
+
+
+def _wsr_reference(diffs):
+    """Pure-Python tie-averaged Wilcoxon signed-rank (n, w+, z)."""
+    d = [x for x in diffs if x != 0]
+    n = len(d)
+    if n == 0:
+        return 0, None, None
+    srt = sorted(abs(x) for x in d)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and srt[j] == srt[i]:
+            j += 1
+        rank[srt[i]] = (i + 1 + j) / 2.0
+        i = j
+    wp = sum(rank[abs(x)] for x in d if x > 0)
+    from collections import Counter
+    ties = sum(t ** 3 - t for t in Counter(srt).values())
+    sig2 = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    z = (wp - n * (n + 1) / 4.0) / sig2 ** 0.5 if sig2 > 0 else None
+    return n, wp, z
+
+
+def test_wilcoxon_signed_rank_hand_and_reference(spark):
+    from mms_rdf_spark.operators.analytics import wilcoxon_signed_rank
+
+    # all-positive diffs 1..5: W+ = 15, z = 7.5/sqrt(13.75)
+    rows = [(1 + k, 1) for k in range(1, 6)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert (r.n, r.w_plus) == (5, 15.0)
+    assert r.z == round(7.5 / 13.75 ** 0.5, 6)
+
+    # zeros dropped, NULLs dropped, ties averaged: match the twin
+    diffs = [3, -3, 3, 1, -2, 2, 0, 5, -1, 1]
+    rows = [(x, 0) for x in diffs] + [(None, 0), (4, None)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    n_ref, wp_ref, z_ref = _wsr_reference(diffs)
+    assert r.n == n_ref and abs(r.w_plus - wp_ref) < 1e-9
+    assert abs(r.z - z_ref) < 1e-6
+
+    # all-zero diffs / empty input -> 0 rows
+    zz = spark.createDataFrame([(7, 7), (2, 2)], "a long, b long")
+    assert wilcoxon_signed_rank(zz, "a", "b").count() == 0
+    assert wilcoxon_signed_rank(zz.where("a < 0"), "a", "b").count() == 0
