@@ -3696,6 +3696,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       & F.col("b").isNotNull()))
         return wilcoxon_signed_rank(per, "a", "b")
 
+    def orders_bartlett(spark, sf):
+        # Bartlett equal-variance test of order-price cents across
+        # order statuses: exact moment sums, nano-long ln weights
+        from mms_rdf_spark.operators.analytics import bartlett_test
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cents = (orders.where(F.col("o_totalprice").isNotNull())
+                 .select(F.col("o_orderstatus").alias("g"),
+                         F.round(F.col("o_totalprice") * 100)
+                         .cast("long").alias("v")))
+        return bartlett_test(cents, "g", "v")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4155,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_join": sketch_cms_join,
         "events_kruskal": events_kruskal,
         "events_wilcoxon": events_wilcoxon,
+        "orders_bartlett": orders_bartlett,
     }
 
 
@@ -12022,6 +12034,62 @@ def oracle_sql() -> dict[str, str]:
                                    - ties) / 48.0), 6)
            END AS z
     FROM st WHERE n IS NOT NULL AND n > 0
+    """
+
+    # Bartlett: exact per-group moments (HUGEINT squares), SS_within
+    # by floor division (the anova form), per-group ln(s^2) as nano
+    # longs so the weighted sum is order-free; fixed-order finale
+    # mirrors analytics.bartlett_test textually
+    q["orders_bartlett"] = """
+    WITH s AS (
+        SELECT o_orderstatus AS g,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), grp AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sm,
+               sum(CAST(v AS HUGEINT) * v) AS q
+        FROM s GROUP BY g
+        HAVING count(*) >= 2
+    ), per1 AS (
+        SELECT n, q, (CAST(sm AS HUGEINT) * sm) // n AS bm,
+               (CAST(q AS DOUBLE)
+                - CAST(sm AS DOUBLE) * sm / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS s2
+        FROM grp
+    ), per AS (
+        SELECT n, q, bm, s2,
+               CASE WHEN s2 > 0
+                    THEN (n - 1)
+                         * CAST(round(ln(s2) * 1e9) AS BIGINT)
+               END AS w,
+               CAST(round(1e9 / (n - 1)) AS BIGINT) AS inv
+        FROM per1
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               sum(q) AS qq, sum(bm) AS bms,
+               CAST(sum(w) AS BIGINT) AS ws,
+               CAST(sum(inv) AS BIGINT) AS invs,
+               CAST(sum(CASE WHEN s2 <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad
+        FROM per
+    ), fin AS (
+        SELECT k, n, ws, invs, bad,
+               CAST(qq AS DOUBLE) - CAST(bms AS DOUBLE) AS ssw
+        FROM st WHERE n IS NOT NULL AND n > 0
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 AND n > k AND ssw > 0 AND bad = 0
+                THEN round((((n - k)
+                             * CAST(round(ln(ssw / (n - k)) * 1e9)
+                                    AS BIGINT) - ws) / 1e9)
+                           / (1.0 + ((invs
+                                      - CAST(round(1e9 / (n - k))
+                                             AS BIGINT)) / 1e9)
+                              / (3.0 * (k - 1.0))), 6)
+           END AS t
+    FROM fin
     """
 
     return q

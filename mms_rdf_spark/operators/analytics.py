@@ -2640,3 +2640,80 @@ def wilcoxon_signed_rank(
         "n",
         F.round(F.col("_w2") / 2.0, 6).alias("w_plus"),
         F.when(sig48 > 0, F.round(z, 6)).alias("z"))
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's test for equal variances across k groups — the
+    parametric, more powerful sibling of levene_bf (which is the
+    robust choice under non-normality): T = [(N-k) ln(S_p^2) -
+    sum_j (n_j-1) ln(s_j^2)] / C with the standard correction
+    C = 1 + (sum_j 1/(n_j-1) - 1/(N-k)) / (3(k-1)). Values must
+    already be exact integers (counts or pre-scaled units).
+
+    Exact arithmetic: ONE map-side-combined aggregate gives per-group
+    (n, s, q) with q as DECIMAL(38,0)/HUGEINT; the pooled numerator
+    SS_within = sum(q) - sum(s^2 div n) is anova_oneway's exact
+    floor-division form. Each group's ln(s_j^2) rounds to integer
+    NANO units so the weighted cross-group sum (n_j-1)*l_j is an
+    exact long and order-free; 1/(n_j-1) likewise rides as rounded
+    nano longs. The only floats are fixed-order expressions over
+    those longs plus TWO final transcendentals (ln of the pooled
+    variance, rounded 9dp before use), mirrored textually in SQL.
+
+    Semantics: groups with n_j < 2 are EXCLUDED (their sample
+    variance is undefined); t is NULL when fewer than 2 groups
+    remain, when any kept group has zero variance (ln degenerates),
+    or when the pooled variance degenerates.
+
+    Returns one row (k, n, t) over the kept groups.
+
+    Scale shape: one k-row groupBy exchange, then a 1-row fold.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    v = F.col(value_col).cast("long")
+    g = (df.where(F.col(value_col).isNotNull())
+         .groupBy(F.col(group_col).alias("_g"))
+         .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+              F.sum(v).cast("long").alias("_s"),
+              F.sum(v.cast("decimal(38,0)") * v)
+              .cast("decimal(38,0)").alias("_q"))
+         .where(F.col("_n") >= 2))
+    nd = F.col("_n").cast("double")
+    s2 = ((F.col("_q").cast("double")
+           - F.col("_s").cast("double") * F.col("_s") / nd)
+          / (nd - 1.0))
+    g = g.select(
+        "_n", "_q",
+        F.expr("_s * CAST(_s AS DECIMAL(38,0)) div _n")
+        .cast("decimal(38,0)").alias("_bm"),
+        s2.alias("_s2"),
+        F.when(s2 > 0,
+               (F.col("_n") - 1)
+               * F.round(F.log(s2) * 1e9).cast("long"))
+        .alias("_w"),
+        F.round(1e9 / (F.col("_n") - 1)).cast("long").alias("_inv"))
+    st = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_q").cast("decimal(38,0)").alias("_qq"),
+        F.sum("_bm").cast("decimal(38,0)").alias("_bms"),
+        F.sum("_w").cast("long").alias("_ws"),
+        F.sum("_inv").cast("long").alias("_invs"),
+        F.sum(F.when(F.col("_s2") <= 0, 1).otherwise(0))
+        .cast("long").alias("_bad"))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    n, k = F.col("n"), F.col("k")
+    ssw = F.col("_qq").cast("double") - F.col("_bms").cast("double")
+    lp = F.round(F.log(ssw / (n - k)) * 1e9).cast("long")
+    num = ((n - k) * lp - F.col("_ws")) / 1e9
+    invp = F.round(1e9 / (n - k)).cast("long")
+    c = 1.0 + ((F.col("_invs") - invp) / 1e9) / (3.0 * (k - 1.0))
+    ok = (k > 1) & (n > k) & (ssw > 0) & (F.col("_bad") == 0)
+    return st.select(
+        "k", "n", F.when(ok, F.round(num / c, 6)).alias("t"))

@@ -1129,3 +1129,59 @@ def test_wilcoxon_signed_rank_hand_and_reference(spark):
     zz = spark.createDataFrame([(7, 7), (2, 2)], "a long, b long")
     assert wilcoxon_signed_rank(zz, "a", "b").count() == 0
     assert wilcoxon_signed_rank(zz.where("a < 0"), "a", "b").count() == 0
+
+
+def _bartlett_reference(groups):
+    """Pure-Python Bartlett (k, n, t) over integer-valued groups."""
+    import math
+    gs = {g: vs for g, vs in groups.items() if len(vs) >= 2}
+    k = len(gs)
+    n = sum(len(vs) for vs in gs.values())
+    if k < 2 or n <= k:
+        return k, n, None
+    s2 = {}
+    for g, vs in gs.items():
+        m = sum(vs) / len(vs)
+        s2[g] = sum((x - m) ** 2 for x in vs) / (len(vs) - 1)
+    if any(v <= 0 for v in s2.values()):
+        return k, n, None
+    ssw = sum((len(vs) - 1) * s2[g] for g, vs in gs.items())
+    sp2 = ssw / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(vs) - 1) * math.log(s2[g]) for g, vs in gs.items())
+    c = 1.0 + (sum(1.0 / (len(vs) - 1) for vs in gs.values())
+               - 1.0 / (n - k)) / (3.0 * (k - 1))
+    return k, n, num / c
+
+
+def test_bartlett_reference_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import bartlett_test
+
+    # unit-scale magnitudes (the operator contract): the floored
+    # SS_within is negligible against 1e4-scale values, and the
+    # statistic is scale-invariant so the twin's t is unchanged
+    groups = {"a": [10, 12, 14, 11, 13],
+              "b": [20, 30, 10, 25, 40, 5],
+              "c": [7, 7, 8, 9, 7, 8, 9]}
+    groups = {g: [v * 10000 for v in vs] for g, vs in groups.items()}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = bartlett_test(df, "g", "v").collect()[0]
+    k_ref, n_ref, t_ref = _bartlett_reference(groups)
+    assert (r.k, r.n) == (k_ref, n_ref)
+    # nano-ln grid vs full-precision twin: agree to ~1e-5
+    assert abs(r.t - t_ref) < 1e-4
+
+    # singleton group excluded; zero-variance group -> t NULL
+    rows2 = rows + [("d", 990000)]
+    r = bartlett_test(spark.createDataFrame(rows2, "g string, v long"),
+                      "g", "v").collect()[0]
+    assert r.k == k_ref and abs(r.t - t_ref) < 1e-4
+    zv = [("a", 5), ("a", 5), ("a", 5), ("b", 1), ("b", 2), ("b", 3)]
+    r = bartlett_test(spark.createDataFrame(zv, "g string, v long"),
+                      "g", "v").collect()[0]
+    assert r.t is None
+    # one group only / empty -> t NULL / 0 rows
+    one = spark.createDataFrame(zv, "g string, v long").where("g='b'")
+    assert bartlett_test(one, "g", "v").collect()[0].t is None
+    assert bartlett_test(one.where("v < 0"), "g", "v").count() == 0
