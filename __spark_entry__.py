@@ -3707,6 +3707,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .cast("long").alias("v")))
         return bartlett_test(cents, "g", "v")
 
+    def orders_grubbs(spark, sf):
+        # Grubbs outlier statistic over order-price cents: one
+        # aggregate (moments + min/max), fixed-order finale
+        from mms_rdf_spark.operators.analytics import grubbs_statistic
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cents = (orders.where(F.col("o_totalprice").isNotNull())
+                 .select(F.round(F.col("o_totalprice") * 100)
+                         .cast("long").alias("v")))
+        return grubbs_statistic(cents, "v")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4167,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kruskal": events_kruskal,
         "events_wilcoxon": events_wilcoxon,
         "orders_bartlett": orders_bartlett,
+        "orders_grubbs": orders_grubbs,
     }
 
 
@@ -12089,6 +12100,41 @@ def oracle_sql() -> dict[str, str]:
                                              AS BIGINT)) / 1e9)
                               / (3.0 * (k - 1.0))), 6)
            END AS t
+    FROM fin
+    """
+
+    # Grubbs: one aggregate, max|x-mean| = greatest(max-mu, mu-min);
+    # fixed-order mirror of analytics.grubbs_statistic
+    q["orders_grubbs"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS q,
+               CAST(min(v) AS BIGINT) AS lo,
+               CAST(max(v) AS BIGINT) AS hi
+        FROM c
+    ), fin AS (
+        SELECT n,
+               CAST(hi AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS dev_hi,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(lo AS DOUBLE) AS dev_lo,
+               (CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS var
+        FROM st WHERE n > 0
+    )
+    SELECT n,
+           CASE WHEN n >= 3 AND var > 0
+                THEN round(greatest(dev_hi, dev_lo) / sqrt(var), 6)
+           END AS g,
+           CASE WHEN n >= 3 AND var > 0
+                THEN CASE WHEN dev_hi >= dev_lo THEN 'high'
+                          ELSE 'low' END
+           END AS side
     FROM fin
     """
 

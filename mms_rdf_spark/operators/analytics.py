@@ -2717,3 +2717,52 @@ def bartlett_test(
     ok = (k > 1) & (n > k) & (ssw > 0) & (F.col("_bad") == 0)
     return st.select(
         "k", "n", F.when(ok, F.round(num / c, 6)).alias("t"))
+
+
+def grubbs_statistic(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Grubbs' outlier statistic G = max|x - mean| / s — the classic
+    single-outlier screen (compare G against the t-based critical
+    value for the chosen alpha off-engine; the engine's job is the
+    exact statistic over the full column). Values must already be
+    exact integers (counts or pre-scaled units).
+
+    Exact arithmetic: max|x - mean| = greatest(max - mean, mean -
+    min), so ONE map-side-combined aggregate (n, sum, sumsq as
+    DECIMAL(38,0)/HUGEINT, min, max) is the whole scan — no second
+    pass, no per-row deviation. Everything after is a fixed-order
+    float expression over those exact values, mirrored textually in
+    the SQL oracle (orders_grubbs).
+
+    Returns one row (n, g, side): side is 'high' when the max
+    deviation is above the mean, 'low' otherwise (ties -> 'high');
+    g NULL when n < 3 or the variance degenerates. Empty: 0 rows.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    v = F.col(value_col).cast("long")
+    st = (df.where(F.col(value_col).isNotNull())
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum(v).cast("long").alias("_s"),
+               F.sum(v.cast("decimal(38,0)") * v)
+               .cast("decimal(38,0)").alias("_q"),
+               F.min(v).alias("_lo"),
+               F.max(v).alias("_hi")))
+    st = st.where(F.col("n") > 0)
+    nd = F.col("n").cast("double")
+    mu = F.col("_s").cast("double") / nd
+    var = ((F.col("_q").cast("double")
+            - F.col("_s").cast("double") * F.col("_s") / nd)
+           / (nd - 1.0))
+    dev_hi = F.col("_hi").cast("double") - mu
+    dev_lo = mu - F.col("_lo").cast("double")
+    g = F.greatest(dev_hi, dev_lo) / F.sqrt(var)
+    ok = (F.col("n") >= 3) & (var > 0)
+    return st.select(
+        "n",
+        F.when(ok, F.round(g, 6)).alias("g"),
+        F.when(ok, F.when(dev_hi >= dev_lo, F.lit("high"))
+               .otherwise(F.lit("low"))).alias("side"))

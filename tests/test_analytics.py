@@ -1185,3 +1185,31 @@ def test_bartlett_reference_and_guards(spark):
     one = spark.createDataFrame(zv, "g string, v long").where("g='b'")
     assert bartlett_test(one, "g", "v").collect()[0].t is None
     assert bartlett_test(one.where("v < 0"), "g", "v").count() == 0
+
+
+def test_grubbs_statistic_hand_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import grubbs_statistic
+
+    # 1,2,3,4,100: mean 22, s = sqrt(sum((x-22)^2)/4), G high side
+    vals = [1, 2, 3, 4, 100]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = grubbs_statistic(df, "v").collect()[0]
+    m = sum(vals) / len(vals)
+    s = (sum((x - m) ** 2 for x in vals) / (len(vals) - 1)) ** 0.5
+    assert r.n == 5 and r.side == "high"
+    assert abs(r.g - (100 - m) / s) < 1e-6
+
+    # low-side outlier
+    low = [-100, 1, 2, 3, 4]
+    r = grubbs_statistic(
+        spark.createDataFrame([(v,) for v in low], "v long"),
+        "v").collect()[0]
+    assert r.side == "low"
+
+    # n < 3 / zero variance -> NULL; empty -> 0 rows
+    two = spark.createDataFrame([(1,), (2,)], "v long")
+    assert grubbs_statistic(two, "v").collect()[0].g is None
+    const = spark.createDataFrame([(5,)] * 4, "v long")
+    r = grubbs_statistic(const, "v").collect()[0]
+    assert r.g is None and r.side is None
+    assert grubbs_statistic(two.where("v < 0"), "v").count() == 0
