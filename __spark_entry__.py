@@ -3717,6 +3717,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .cast("long").alias("v")))
         return grubbs_statistic(cents, "v")
 
+    def events_lorenz(spark, sf):
+        # Lorenz curve of per-user spend: decile cumulative shares,
+        # exact cent totals, distributed rank + exact ntile math
+        from mms_rdf_spark.operators.analytics import lorenz_curve
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cents = (ev.where(F.col("user_id").isNotNull()
+                          & F.col("value").isNotNull())
+                 .select("user_id",
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("cents")))
+        return lorenz_curve(cents, "user_id", "cents", n_buckets=10)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4178,6 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wilcoxon": events_wilcoxon,
         "orders_bartlett": orders_bartlett,
         "orders_grubbs": orders_grubbs,
+        "events_lorenz": events_lorenz,
     }
 
 
@@ -12136,6 +12149,49 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'low' END
            END AS side
     FROM fin
+    """
+
+    # Lorenz curve: per-user exact cent totals, row_number under the
+    # (x, key) total order, the SAME exact ntile arithmetic as
+    # _ntile_from_rank (NOT the engine's NTILE — definitions differ),
+    # cumulative tile sums, single divisions
+    q["events_lorenz"] = """
+    WITH per AS (
+        SELECT user_id AS k,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS cnt FROM per
+    ), rk AS (
+        SELECT x, row_number() OVER (ORDER BY x, k) AS r FROM per
+    ), tiled AS (
+        SELECT CASE WHEN r <= (cnt % 10) * (cnt // 10 + 1)
+                    THEN CAST(ceil(r / (cnt // 10 + 1)) AS INT)
+                    ELSE CAST(cnt % 10
+                              + ceil((r - (cnt % 10) * (cnt // 10 + 1))
+                                     / greatest(cnt // 10, 1)) AS INT)
+               END AS bucket, x
+        FROM rk, c
+    ), tb AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM tiled GROUP BY bucket
+    ), cum AS (
+        SELECT bucket, n_keys,
+               CAST(sum(n_keys) OVER (ORDER BY bucket) AS BIGINT)
+                   AS ck,
+               CAST(sum(sx) OVER (ORDER BY bucket) AS BIGINT) AS cv,
+               CAST(sum(n_keys) OVER () AS BIGINT) AS tk,
+               CAST(sum(sx) OVER () AS BIGINT) AS tv
+        FROM tb
+    )
+    SELECT bucket, n_keys,
+           round(ck / tk, 6) AS cum_keys_share,
+           round(cv / tv, 6) AS cum_value_share
+    FROM cum
     """
 
     return q

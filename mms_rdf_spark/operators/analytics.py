@@ -2766,3 +2766,72 @@ def grubbs_statistic(
         F.when(ok, F.round(g, 6)).alias("g"),
         F.when(ok, F.when(dev_hi >= dev_lo, F.lit("high"))
                .otherwise(F.lit("low"))).alias("side"))
+
+
+def lorenz_curve(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Lorenz curve table — the distributional view behind
+    gini_concentration's scalar: keys ranked ascending by their exact
+    total, cut into `n_buckets` equal-population tiles, with each
+    tile's cumulative population and value share. The standard
+    "bottom 50% of users hold x% of spend" audit. `value_col` must
+    already be exact integers (pre-scaled units) so per-key and
+    per-tile totals are exact longs.
+
+    Exact arithmetic: per-key totals and per-tile sums are exact
+    longs; tiles come from link.global_rank (range repartition +
+    P-long offsets, no single-partition window) and the exact
+    _ntile_from_rank arithmetic (row-identical to SQL NTILE);
+    cumulative tile sums ride prefix.global_cumsum over the
+    n_buckets-row frame. Shares are single divisions of exact longs,
+    rounded 6.
+
+    Returns n_buckets rows (bucket, n_keys, cum_keys_share,
+    cum_value_share), bucket 1 = poorest tile; fewer rows when there
+    are fewer keys than buckets. Empty input: 0 rows.
+
+    Scale shape: one key-grouped exchange, one global rank, one
+    tile-grouped aggregate of n_buckets rows, then bounded-frame
+    scans. The .count() for the ntile arithmetic is one bounded job
+    (the rfm_segments precedent).
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    from mms_rdf_spark.operators.link import global_rank
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    per = (df.where(F.col(value_col).isNotNull())
+           .groupBy(F.col(key).alias("_k"))
+           .agg(F.sum(F.col(value_col).cast("long"))
+                .cast("long").alias("_x")))
+    cnt = per.count()
+    if cnt == 0:
+        return per.select(
+            F.lit(0).cast("int").alias("bucket"),
+            F.lit(0).cast("long").alias("n_keys"),
+            F.lit(0.0).alias("cum_keys_share"),
+            F.lit(0.0).alias("cum_value_share")).where(F.lit(False))
+    ranked = global_rank(per, "_x", "_k")
+    tiled = (ranked.select(
+        _ntile_from_rank(F.col("rank"), cnt, n_buckets)
+        .alias("bucket"), "_x")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+             F.sum("_x").cast("long").alias("_sx")))
+    cumv = global_cumsum(tiled, "bucket", "bucket", "_sx") \
+        .withColumnRenamed("cum", "_cv")
+    cumk = global_cumsum(cumv, "bucket", "bucket", "n_keys") \
+        .withColumnRenamed("cum", "_ck")
+    tot = tiled.agg(F.sum("n_keys").cast("long").alias("_tk"),
+                    F.sum("_sx").cast("long").alias("_tv"))
+    return (cumk.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_keys",
+                    F.round(F.col("_ck") / F.col("_tk"), 6)
+                    .alias("cum_keys_share"),
+                    F.round(F.col("_cv") / F.col("_tv"), 6)
+                    .alias("cum_value_share")))

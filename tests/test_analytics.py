@@ -1213,3 +1213,39 @@ def test_grubbs_statistic_hand_and_guards(spark):
     r = grubbs_statistic(const, "v").collect()[0]
     assert r.g is None and r.side is None
     assert grubbs_statistic(two.where("v < 0"), "v").count() == 0
+
+
+def test_lorenz_curve_hand_case_and_edges(spark):
+    from mms_rdf_spark.operators.analytics import lorenz_curve
+
+    # 4 keys, 2 buckets: totals 1,1,2,6 -> poorest half holds 2/10
+    rows = [(1, 1), (2, 1), (3, 2), (4, 6)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.bucket: r for r in
+           lorenz_curve(df, "k", "v", n_buckets=2).collect()}
+    assert got[1].n_keys == 2 and got[2].n_keys == 2
+    assert got[1].cum_keys_share == 0.5
+    assert got[1].cum_value_share == 0.2
+    assert got[2].cum_keys_share == 1.0
+    assert got[2].cum_value_share == 1.0
+
+    # uneven split: 5 keys, 2 buckets -> first tile gets 3
+    rows = [(i, i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.bucket: r for r in
+           lorenz_curve(df, "k", "v", n_buckets=2).collect()}
+    assert got[1].n_keys == 3 and got[2].n_keys == 2
+    assert got[1].cum_value_share == round(6 / 15, 6)
+
+    # per-key aggregation happens inside: duplicate keys sum first
+    rows = [(1, 1), (1, 1), (2, 8)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.bucket: r for r in
+           lorenz_curve(df, "k", "v", n_buckets=2).collect()}
+    assert got[1].n_keys == 1 and got[1].cum_value_share == 0.2
+
+    # empty -> 0 rows with the right schema
+    e = lorenz_curve(df.where("v < 0"), "k", "v")
+    assert e.count() == 0
+    assert e.columns == ["bucket", "n_keys", "cum_keys_share",
+                         "cum_value_share"]
