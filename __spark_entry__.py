@@ -3729,6 +3729,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .alias("cents")))
         return lorenz_curve(cents, "user_id", "cents", n_buckets=10)
 
+    def text_heaps(spark, sf):
+        # Heaps' law vocabulary-growth fit: cumulative (tokens,
+        # types) per doc-order prefix, nano-ln log-log OLS
+        from mms_rdf_spark.operators.textstats import heaps_fit
+        return heaps_fit(_docs(spark, sf))
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4191,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bartlett": orders_bartlett,
         "orders_grubbs": orders_grubbs,
         "events_lorenz": events_lorenz,
+        "text_heaps": text_heaps,
     }
 
 
@@ -12192,6 +12199,58 @@ def oracle_sql() -> dict[str, str]:
            round(ck / tk, 6) AS cum_keys_share,
            round(cv / tv, 6) AS cum_value_share
     FROM cum
+    """
+
+    # Heaps' law: first-occurrence type counts (min doc_id per
+    # token), window cumsums, nano-ln log-log OLS with HUGEINT
+    # moment sums; ln_k uses the ROUNDED beta like the Spark side
+    q["text_heaps"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest(toks) AS tok
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ), nt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+        FROM t GROUP BY doc_id
+    ), fd AS (
+        SELECT min(doc_id) AS doc_id FROM t GROUP BY tok
+    ), nv AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nnew
+        FROM fd GROUP BY doc_id
+    ), pts AS (
+        SELECT nt.doc_id, ntok, COALESCE(nnew, 0) AS nnew
+        FROM nt LEFT JOIN nv USING (doc_id)
+    ), cum AS (
+        SELECT CAST(sum(ntok) OVER (ORDER BY doc_id) AS BIGINT) AS nn,
+               CAST(sum(nnew) OVER (ORDER BY doc_id) AS BIGINT) AS vv
+        FROM pts
+    ), xy AS (
+        SELECT CAST(round(ln(nn) * 1e9) AS BIGINT) AS x,
+               CAST(round(ln(vv) * 1e9) AS BIGINT) AS y
+        FROM cum
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM xy
+    ), fin AS (
+        SELECT n, sx, sy,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+        FROM st WHERE n > 0
+    )
+    SELECT n AS n_points,
+           CASE WHEN den > 0 THEN round(num / den, 6) END AS beta,
+           CASE WHEN den > 0
+                THEN round(((CAST(sy AS DOUBLE)
+                             - round(num / den, 6)
+                               * CAST(sx AS DOUBLE))
+                            / CAST(n AS DOUBLE)) / 1e9, 6)
+           END AS ln_k
+    FROM fin
     """
 
     return q

@@ -1297,3 +1297,73 @@ def rake_keywords(
         "rnk", F.row_number().over(
             W.orderBy(F.desc("score"), "phrase")).cast("int"))
 
+
+
+def heaps_fit(docs: DataFrame) -> DataFrame:
+    """Heaps' (Herdan's) law fit V(N) = k * N^beta over the corpus in
+    doc_id order — the vocabulary-growth exponent (English prose
+    lands ~0.4-0.6): the sibling diagnostic to zipf_fit (frequency
+    spectrum) and ngram_novelty (doc-level freshness), answering
+    "how fast does NEW vocabulary keep arriving at 10x the data?" —
+    the tokenizer-budget planning question.
+
+    One point per non-empty doc: after that doc, (N_i = cumulative
+    tokens, V_i = cumulative distinct types). V_i comes from each
+    type's FIRST corpus occurrence (min doc_id per token — one row
+    per distinct type, the ngram_novelty shape), so the distinct
+    count is never re-scanned per prefix. Both cumulatives ride
+    prefix.global_cumsum (no single-partition window). The log-log
+    OLS runs on nano-long ln values (round(ln * 1e9)), their squares
+    and cross products summed as DECIMAL(38,0)/HUGEINT — exact and
+    order-free; beta is one fixed-order float ratio, and ln_k uses
+    the ROUNDED beta so both engines assemble identical doubles.
+
+    Returns one row (n_points, beta, ln_k); beta/ln_k NULL when
+    fewer than 2 distinct x values (degenerate regression). Empty
+    corpus: 0 rows.
+
+    Scale shape: one token-keyed exchange (min doc_id per type), one
+    doc-keyed exchange, two distributed scans, a 1-row fold.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference text-analysis suite.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    per_tok = docs.select("doc_id", F.explode(toks).alias("_tok"))
+    ntok = (per_tok.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("_nt")))
+    first = per_tok.groupBy("_tok").agg(F.min("doc_id").alias("_fd"))
+    newt = (first.groupBy(F.col("_fd").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_nv")))
+    pts = (ntok.join(newt, on="doc_id", how="left")
+           .select("doc_id", "_nt",
+                   F.coalesce(F.col("_nv"), F.lit(0)).cast("long")
+                   .alias("_nv2")))
+    cn = global_cumsum(pts, "doc_id", "doc_id", "_nt") \
+        .withColumnRenamed("cum", "_N")
+    cv = global_cumsum(cn, "doc_id", "doc_id", "_nv2") \
+        .withColumnRenamed("cum", "_V")
+    x = F.round(F.log(F.col("_N")) * 1e9).cast("long")
+    y = F.round(F.log(F.col("_V")) * 1e9).cast("long")
+    xy = cv.select(x.alias("_x"), y.alias("_y"))
+    st = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x"))
+        .cast("decimal(38,0)").alias("_sxx"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_y"))
+        .cast("decimal(38,0)").alias("_sxy"))
+    st = st.where(F.col("n_points") > 0)
+    nd = F.col("n_points").cast("double")
+    sxd, syd = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    num = nd * F.col("_sxy").cast("double") - sxd * syd
+    den = nd * F.col("_sxx").cast("double") - sxd * sxd
+    beta = F.round(num / den, 6)
+    ln_k = F.round(((syd - beta * sxd) / nd) / 1e9, 6)
+    return st.select(
+        "n_points",
+        F.when(den > 0, beta).alias("beta"),
+        F.when(den > 0, ln_k).alias("ln_k"))

@@ -249,3 +249,44 @@ def test_chrf3_hand_computed(spark):
     r2 = got[2]
     assert (r2.m, r2.c_total, r2.r_total) == (0, 0, 1)
     assert r2.chrf3 == 0.0
+
+
+def test_heaps_fit_matches_pure_python_twin(spark):
+    from mms_rdf_spark.operators.textstats import heaps_fit
+
+    docs = [
+        (1, "a b c a"),
+        (2, "a d e"),
+        (3, "b b f g h"),
+        (4, "a b c d"),
+        (5, "i j k l m n"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = heaps_fit(df).collect()[0]
+
+    # twin: cumulative tokens / first-occurrence types, log-log OLS
+    import math
+    seen, pts, nn = set(), [], 0
+    for _, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        nn += len(ws)
+        seen |= set(ws)
+        pts.append((math.log(nn), math.log(len(seen))))
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    ln_k = (sy - beta * sx) / n
+    assert r.n_points == n
+    assert abs(r.beta - beta) < 1e-5
+    assert abs(r.ln_k - ln_k) < 1e-5
+    # growth exponent sits in (0, 1) for any corpus with reuse
+    assert 0.0 < r.beta < 1.0
+
+    # degenerate: single doc -> one point -> NULL fit; empty -> 0 rows
+    one = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    r1 = heaps_fit(one).collect()[0]
+    assert r1.n_points == 1 and r1.beta is None and r1.ln_k is None
+    assert heaps_fit(df.where("doc_id < 0")).count() == 0
