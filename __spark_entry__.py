@@ -3735,6 +3735,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import heaps_fit
         return heaps_fit(_docs(spark, sf))
 
+    def events_adtest(spark, sf):
+        # k-sample Anderson-Darling: do event types share one value
+        # distribution? Doubled midrank cumulatives, nano-long cells
+        from mms_rdf_spark.operators.analytics import (
+            anderson_darling_k)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return anderson_darling_k(ev, "event_type", "value")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4198,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grubbs": orders_grubbs,
         "events_lorenz": events_lorenz,
         "text_heaps": text_heaps,
+        "events_adtest": events_adtest,
     }
 
 
@@ -12082,14 +12091,19 @@ def oracle_sql() -> dict[str, str]:
                sum(CAST(v AS HUGEINT) * v) AS q
         FROM s GROUP BY g
         HAVING count(*) >= 2
-    ), per1 AS (
-        SELECT n, q, (CAST(sm AS HUGEINT) * sm) // n AS bm,
-               (CAST(q AS DOUBLE)
-                - CAST(sm AS DOUBLE) * sm / CAST(n AS DOUBLE))
-               / (CAST(n AS DOUBLE) - 1.0) AS s2
+    ), per0 AS (
+        SELECT n,
+               CAST(n AS HUGEINT) * q
+               - CAST(sm AS HUGEINT) * sm AS e
         FROM grp
+    ), per1 AS (
+        SELECT n, e // n AS fl,
+               CAST(e AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                   AS s2
+        FROM per0
     ), per AS (
-        SELECT n, q, bm, s2,
+        SELECT n, fl, s2,
                CASE WHEN s2 > 0
                     THEN (n - 1)
                          * CAST(round(ln(s2) * 1e9) AS BIGINT)
@@ -12099,7 +12113,7 @@ def oracle_sql() -> dict[str, str]:
     ), st AS (
         SELECT CAST(count(*) AS BIGINT) AS k,
                CAST(sum(n) AS BIGINT) AS n,
-               sum(q) AS qq, sum(bm) AS bms,
+               sum(fl) AS fls,
                CAST(sum(w) AS BIGINT) AS ws,
                CAST(sum(inv) AS BIGINT) AS invs,
                CAST(sum(CASE WHEN s2 <= 0 THEN 1 ELSE 0 END)
@@ -12107,7 +12121,7 @@ def oracle_sql() -> dict[str, str]:
         FROM per
     ), fin AS (
         SELECT k, n, ws, invs, bad,
-               CAST(qq AS DOUBLE) - CAST(bms AS DOUBLE) AS ssw
+               CAST(fls AS DOUBLE) AS ssw
         FROM st WHERE n IS NOT NULL AND n > 0
     )
     SELECT k, n,
@@ -12251,6 +12265,71 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(n AS DOUBLE)) / 1e9, 6)
            END AS ln_k
     FROM fin
+    """
+
+    # k-sample Anderson-Darling (tie-adjusted A2akN): doubled midrank
+    # cumulatives clear the halves, per-cell nano longs keep the
+    # cross-cell sum order-free; textual mirror of
+    # analytics.anderson_darling_k
+    q["events_adtest"] = """
+    WITH s AS (
+        SELECT event_type AS g, value AS v FROM events
+        WHERE value IS NOT NULL
+    ), pgv AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS lij
+        FROM s GROUP BY g, v
+    ), pooled AS (
+        SELECT v, CAST(sum(lij) AS BIGINT) AS l FROM pgv GROUP BY v
+    ), pooledc AS (
+        SELECT v, l, CAST(sum(l) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM pooled
+    ), grps AS (
+        SELECT g, CAST(sum(lij) AS BIGINT) AS ni FROM pgv GROUP BY g
+    ), tot AS (
+        SELECT CAST(sum(l) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS jj
+        FROM pooledc
+    ), grid AS (
+        SELECT p.v, p.l, p.cum, gr.g, gr.ni,
+               COALESCE(pgv.lij, 0) AS lij
+        FROM pooledc p CROSS JOIN grps gr
+        LEFT JOIN pgv ON pgv.g = gr.g AND pgv.v = p.v
+    ), gcum AS (
+        SELECT g, v, l, cum, ni, lij,
+               CAST(sum(lij) OVER (PARTITION BY g ORDER BY v)
+                    AS BIGINT) AS cumg
+        FROM grid
+    ), cells AS (
+        SELECT nn, jj,
+               CASE WHEN (2 * cum - l) * (2 * nn - (2 * cum - l))
+                         - nn * l > 0
+                    THEN CAST(round(
+                         ((CAST(nn * (2 * cumg - lij)
+                                - ni * (2 * cum - l) AS DOUBLE)
+                           * CAST(nn * (2 * cumg - lij)
+                                  - ni * (2 * cum - l) AS DOUBLE))
+                          / CAST((2 * cum - l)
+                                 * (2 * nn - (2 * cum - l))
+                                 - nn * l AS DOUBLE))
+                         * l / (nn * ni) * 1e9) AS BIGINT)
+               END AS t,
+               CASE WHEN (2 * cum - l) * (2 * nn - (2 * cum - l))
+                         - nn * l <= 0
+                    THEN 1 ELSE 0 END AS bad
+        FROM gcum, tot
+    ), st AS (
+        SELECT nn, jj, CAST(sum(t) AS BIGINT) AS ts,
+               CAST(sum(bad) AS BIGINT) AS nbad
+        FROM cells GROUP BY nn, jj
+    ), kk AS (
+        SELECT CAST(count(*) AS BIGINT) AS k FROM grps
+    )
+    SELECT k, nn AS n,
+           CASE WHEN k > 1 AND jj > 1 AND nbad = 0
+                THEN round(((CAST(nn AS DOUBLE) - 1.0)
+                            / CAST(nn AS DOUBLE)) * (ts / 1e9), 6)
+           END AS a2
+    FROM st, kk WHERE nn IS NOT NULL AND nn > 0
     """
 
     return q

@@ -2655,14 +2655,18 @@ def bartlett_test(
     already be exact integers (counts or pre-scaled units).
 
     Exact arithmetic: ONE map-side-combined aggregate gives per-group
-    (n, s, q) with q as DECIMAL(38,0)/HUGEINT; the pooled numerator
-    SS_within = sum(q) - sum(s^2 div n) is anova_oneway's exact
-    floor-division form. Each group's ln(s_j^2) rounds to integer
-    NANO units so the weighted cross-group sum (n_j-1)*l_j is an
-    exact long and order-free; 1/(n_j-1) likewise rides as rounded
-    nano longs. The only floats are fixed-order expressions over
-    those longs plus TWO final transcendentals (ln of the pooled
-    variance, rounded 9dp before use), mirrored textually in SQL.
+    (n, s, q) with q as DECIMAL(38,0)/HUGEINT; each group's exact
+    variance NUMERATOR e = n*q - s^2 stays decimal (never a long —
+    at cents-scale order totals s^2/n alone overflows int64, the
+    sf0.1 lesson), and SS_within = sum(e div n) uses the exact
+    decimal floor division (e % n is exact, (e - e%n)/n is an
+    integral decimal; DuckDB mirrors with HUGEINT //). Each group's
+    ln(s_j^2) rounds to integer NANO units so the weighted
+    cross-group sum (n_j-1)*l_j is an exact long and order-free;
+    1/(n_j-1) likewise rides as rounded nano longs. The only floats
+    are fixed-order expressions over those longs plus TWO final
+    transcendentals (ln of the pooled variance, rounded 9dp before
+    use), mirrored textually in SQL.
 
     Semantics: groups with n_j < 2 are EXCLUDED (their sample
     variance is undefined); t is NULL when fewer than 2 groups
@@ -2685,13 +2689,14 @@ def bartlett_test(
               .cast("decimal(38,0)").alias("_q"))
          .where(F.col("_n") >= 2))
     nd = F.col("_n").cast("double")
-    s2 = ((F.col("_q").cast("double")
-           - F.col("_s").cast("double") * F.col("_s") / nd)
-          / (nd - 1.0))
+    e = (F.col("_n").cast("decimal(38,0)") * F.col("_q")
+         - F.col("_s").cast("decimal(38,0)") * F.col("_s"))
+    g = g.select("_n", e.cast("decimal(38,0)").alias("_e"))
+    s2 = F.col("_e").cast("double") / (nd * (nd - 1.0))
     g = g.select(
-        "_n", "_q",
-        F.expr("_s * CAST(_s AS DECIMAL(38,0)) div _n")
-        .cast("decimal(38,0)").alias("_bm"),
+        "_n",
+        ((F.col("_e") - F.col("_e") % F.col("_n")) / F.col("_n"))
+        .cast("decimal(38,0)").alias("_fl"),
         s2.alias("_s2"),
         F.when(s2 > 0,
                (F.col("_n") - 1)
@@ -2701,15 +2706,14 @@ def bartlett_test(
     st = g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("_n").cast("long").alias("n"),
-        F.sum("_q").cast("decimal(38,0)").alias("_qq"),
-        F.sum("_bm").cast("decimal(38,0)").alias("_bms"),
+        F.sum("_fl").cast("decimal(38,0)").alias("_fls"),
         F.sum("_w").cast("long").alias("_ws"),
         F.sum("_inv").cast("long").alias("_invs"),
         F.sum(F.when(F.col("_s2") <= 0, 1).otherwise(0))
         .cast("long").alias("_bad"))
     st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
     n, k = F.col("n"), F.col("k")
-    ssw = F.col("_qq").cast("double") - F.col("_bms").cast("double")
+    ssw = F.col("_fls").cast("double")
     lp = F.round(F.log(ssw / (n - k)) * 1e9).cast("long")
     num = ((n - k) * lp - F.col("_ws")) / 1e9
     invp = F.round(1e9 / (n - k)).cast("long")
@@ -2835,3 +2839,89 @@ def lorenz_curve(
                     .alias("cum_keys_share"),
                     F.round(F.col("_cv") / F.col("_tv"), 6)
                     .alias("cum_value_share")))
+
+
+def anderson_darling_k(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """k-sample Anderson-Darling test (Scholz & Stephens 1987, the
+    tie-adjusted midrank version A2akN) — the tail-sensitive sibling
+    of ks_statistic: do the k groups share one distribution, with
+    extra power in the tails where KS is weakest? Rank-based, so the
+    statistic is invariant under any strictly monotone transform of
+    the values (pinned in tests).
+
+    A2akN = (N-1)/N * sum_i 1/n_i * sum_j (l_j/N)
+            * (N*M_ij - n_i*B_j)^2 / (B_j(N-B_j) - N*l_j/4)
+    over the J distinct pooled values, with midrank cumulatives
+    M_ij = cumG_ij - l_ij/2 and B_j = cum_j - l_j/2.
+
+    Exact arithmetic: the halves clear by DOUBLING — 2M = 2*cumG -
+    l_ij and 2B = 2*cum - l_j are exact longs, the numerator
+    num2 = N*2M - n_i*2B (= 2x) and denominator den4 = 2B*(2N-2B) -
+    N*l_j (= 4x) are exact longs whose 4s cancel in the ratio; each
+    cell's term rounds to integer NANO units so the cross-cell sum
+    is order-free, then one final fixed-order expression. Pooled
+    cumulatives ride prefix.global_cumsum; the per-group cumulative
+    runs over the k x J grid with one window task per group over its
+    DISTINCT pooled values — the levene_bf honest trade at few
+    groups (the grid is k x |distinct|, never k x rows).
+
+    Returns one row (k, n, a2): a2 NULL when k < 2 or all values
+    identical (J = 1 degenerates every denominator). Empty: 0 rows.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(value_col).alias("_v")))
+    pgv = (s.groupBy("_g", "_v")
+           .agg(F.count(F.lit(1)).cast("long").alias("_lij")))
+    pooled = pgv.groupBy("_v").agg(F.sum("_lij").cast("long")
+                                   .alias("_l"))
+    pooledc = global_cumsum(pooled, "_v", "_v", "_l")
+    groups = pgv.groupBy("_g").agg(F.sum("_lij").cast("long")
+                                   .alias("_ni"))
+    tot = pooledc.agg(F.sum("_l").cast("long").alias("_nn"),
+                      F.count(F.lit(1)).cast("long").alias("_jj"))
+    grid = (pooledc.crossJoin(F.broadcast(groups))
+            .join(pgv, on=["_g", "_v"], how="left")
+            .select("_g", "_v", "_l", "cum", "_ni",
+                    F.coalesce(F.col("_lij"), F.lit(0)).cast("long")
+                    .alias("_lij2")))
+    wg = (Window.partitionBy("_g").orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    grid = (grid.withColumn("_cumg", F.sum("_lij2").over(wg))
+            .crossJoin(F.broadcast(tot)))
+    nn = F.col("_nn")
+    m2 = 2 * F.col("_cumg") - F.col("_lij2")
+    b2 = 2 * F.col("cum") - F.col("_l")
+    num2 = nn * m2 - F.col("_ni") * b2
+    den4 = b2 * (2 * nn - b2) - nn * F.col("_l")
+    term = ((num2.cast("double") * num2.cast("double"))
+            / den4.cast("double")) \
+        * F.col("_l") / (nn * F.col("_ni"))
+    cells = grid.select(
+        F.when(den4 > 0, F.round(term * 1e9).cast("long"))
+        .alias("_t"),
+        (den4 <= 0).cast("long").alias("_bad"),
+        "_nn", "_jj")
+    st = (cells.groupBy("_nn", "_jj")
+          .agg(F.sum("_t").cast("long").alias("_ts"),
+               F.sum("_bad").cast("long").alias("_nbad")))
+    st = (st.crossJoin(F.broadcast(
+        groups.agg(F.count(F.lit(1)).cast("long").alias("k"))))
+        .where(F.col("_nn").isNotNull() & (F.col("_nn") > 0)))
+    nnd = F.col("_nn").cast("double")
+    a2 = ((nnd - 1.0) / nnd) * (F.col("_ts") / 1e9)
+    ok = (F.col("k") > 1) & (F.col("_jj") > 1) & (F.col("_nbad") == 0)
+    return st.select(
+        "k", F.col("_nn").alias("n"),
+        F.when(ok, F.round(a2, 6)).alias("a2"))

@@ -1249,3 +1249,68 @@ def test_lorenz_curve_hand_case_and_edges(spark):
     assert e.count() == 0
     assert e.columns == ["bucket", "n_keys", "cum_keys_share",
                          "cum_value_share"]
+
+
+def _adk_reference(groups):
+    """Pure-Python tie-adjusted k-sample Anderson-Darling A2akN."""
+    vals = sorted({v for vs in groups.values() for v in vs})
+    names = sorted(groups)
+    n_i = {g: len(groups[g]) for g in names}
+    nn = sum(n_i.values())
+    total = 0.0
+    for g in names:
+        cumg = 0
+        cum = 0
+        inner = 0.0
+        for v in vals:
+            lij = sum(1 for x in groups[g] if x == v)
+            lj = sum(1 for vs in groups.values() for x in vs if x == v)
+            cumg += lij
+            cum += lj
+            m = cumg - lij / 2.0
+            b = cum - lj / 2.0
+            den = b * (nn - b) - nn * lj / 4.0
+            if den <= 0:
+                return None
+            inner += (lj / nn) * (nn * m - n_i[g] * b) ** 2 / den
+        total += inner / n_i[g]
+    return (nn - 1.0) / nn * total
+
+
+def test_anderson_darling_k_reference_and_invariance(spark):
+    from mms_rdf_spark.operators.analytics import anderson_darling_k
+
+    groups = {"a": [1.0, 3.0, 5.0, 7.0, 7.0],
+              "b": [2.0, 4.0, 4.0, 6.0],
+              "c": [1.0, 8.0, 9.0, 10.0, 11.0, 3.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anderson_darling_k(df, "g", "v").collect()[0]
+    ref = _adk_reference(groups)
+    assert (r.k, r.n) == (3, 15)
+    assert abs(r.a2 - ref) < 1e-5
+
+    # rank statistic: invariant under a strictly monotone transform
+    df3 = df.select("g", (F.col("v") * F.col("v") * F.col("v"))
+                    .alias("v"))
+    r3 = anderson_darling_k(df3, "g", "v").collect()[0]
+    assert r3.a2 == r.a2
+
+    # clear separation scores far above the near-identical case
+    sep = {"a": [1.0, 2.0, 3.0, 4.0], "b": [10.0, 11.0, 12.0, 13.0]}
+    mix = {"a": [1.0, 10.0, 3.0, 12.0], "b": [2.0, 11.0, 4.0, 13.0]}
+    def _a2(gs):
+        rws = [(g, v) for g, vs in gs.items() for v in vs]
+        d = spark.createDataFrame(rws, "g string, v double")
+        return anderson_darling_k(d, "g", "v").collect()[0].a2
+    assert _a2(sep) > _a2(mix) + 1.0
+    assert abs(_a2(sep) - _adk_reference(sep)) < 1e-5
+
+    # degenerate: one group -> NULL; all identical -> NULL; empty -> 0
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                                "g string, v double")
+    assert anderson_darling_k(one, "g", "v").collect()[0].a2 is None
+    const = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double")
+    assert anderson_darling_k(const, "g", "v").collect()[0].a2 is None
+    assert anderson_darling_k(one.where("g='z'"), "g", "v").count() == 0
