@@ -3743,6 +3743,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return anderson_darling_k(ev, "event_type", "value")
 
+    def events_mood(spark, sf):
+        # Mood's median test: above / not-above the exact grand
+        # median per event type, micro-long chi-square cells
+        from mms_rdf_spark.operators.analytics import mood_median_test
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return mood_median_test(ev, "event_type", "value")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4207,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lorenz": events_lorenz,
         "text_heaps": text_heaps,
         "events_adtest": events_adtest,
+        "events_mood": events_mood,
     }
 
 
@@ -12330,6 +12338,65 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(nn AS DOUBLE)) * (ts / 1e9), 6)
            END AS a2
     FROM st, kk WHERE nn IS NOT NULL AND nn > 0
+    """
+
+    # Mood's median test: exact lower grand median via the window
+    # cumsum, 2 x k chi-square with micro-long per-group cells;
+    # textual mirror of analytics.mood_median_test
+    q["events_mood"] = """
+    WITH s AS (
+        SELECT event_type AS g, value AS v FROM events
+        WHERE value IS NOT NULL
+    ), pv AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY v
+    ), cw AS (
+        SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM pv
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM cw
+    ), med AS (
+        SELECT min(v) AS m FROM cw, tot
+        WHERE cum >= floor((nn + 1) / 2.0)
+    ), per AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS ni,
+               CAST(sum(CASE WHEN v > m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ai
+        FROM s, med GROUP BY g
+    ), marg AS (
+        SELECT CAST(sum(ni) AS BIGINT) AS nn,
+               CAST(sum(ai) AS BIGINT) AS aa
+        FROM per
+    ), cells AS (
+        SELECT nn, aa, m,
+               CASE WHEN aa > 0 AND aa < nn
+                    THEN CAST(round(
+                         ((CAST(ai AS DOUBLE)
+                           - ni * aa / CAST(nn AS DOUBLE))
+                          * (CAST(ai AS DOUBLE)
+                             - ni * aa / CAST(nn AS DOUBLE))
+                          / (ni * aa / CAST(nn AS DOUBLE))
+                          + (CAST(ni - ai AS DOUBLE)
+                             - ni * (nn - aa) / CAST(nn AS DOUBLE))
+                            * (CAST(ni - ai AS DOUBLE)
+                               - ni * (nn - aa)
+                                 / CAST(nn AS DOUBLE))
+                            / (ni * (nn - aa)
+                               / CAST(nn AS DOUBLE))) * 1e6)
+                         AS BIGINT)
+               END AS t
+        FROM per, marg, med
+    ), st AS (
+        SELECT nn, aa, m, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(t) AS BIGINT) AS tm
+        FROM cells GROUP BY nn, aa, m
+    )
+    SELECT k, nn AS n, m AS median,
+           CASE WHEN k > 1 AND aa > 0 AND aa < nn
+                THEN round(tm / 1e6, 6) END AS chi2,
+           CASE WHEN k > 1 AND aa > 0 AND aa < nn
+                THEN CAST(k - 1 AS BIGINT) END AS dof
+    FROM st WHERE nn IS NOT NULL AND nn > 0
     """
 
     return q

@@ -2925,3 +2925,76 @@ def anderson_darling_k(
     return st.select(
         "k", F.col("_nn").alias("n"),
         F.when(ok, F.round(a2, 6)).alias("a2"))
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test across k groups — the bluntest, most
+    outlier-proof location test (kruskal_wallis's poor relation, but
+    valid under arbitrary group-specific tail shapes): classify every
+    value as above / not-above the GRAND median and chi-square the
+    resulting 2 x k contingency table.
+
+    Semantics: the grand median is the exact LOWER median (the
+    levene_bf convention); values equal to it count as "not above".
+
+    Exact arithmetic: the distinct-value frame's inclusive global
+    cumsum (prefix.global_cumsum) locates the median; per-group
+    (above, total) counts are exact longs; each group's chi-square
+    contribution is a fixed-order float over exact longs rounded to
+    integer MICRO units so the cross-group sum is order-free; one
+    final division each for the expected counts, mirrored textually
+    in SQL.
+
+    Returns one row (k, n, median, chi2, dof): chi2 NULL when k < 2
+    or the median is extreme (a margin empty). Empty input: 0 rows.
+
+    Scale shape: one distinct-value aggregate + distributed scan for
+    the median, one k-row group aggregate, a 1-row fold.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(value_col).alias("_v")))
+    pv = s.groupBy("_v").agg(F.count(F.lit(1)).cast("long")
+                             .alias("_cnt"))
+    cum = global_cumsum(pv, "_v", "_v", "_cnt")
+    tot = cum.agg(F.sum("_cnt").cast("long").alias("_nn"))
+    med = (cum.crossJoin(F.broadcast(tot))
+           .where(F.col("cum")
+                  >= F.floor((F.col("_nn") + 1) / F.lit(2.0)))
+           .agg(F.min("_v").alias("_m")))
+    per = (s.crossJoin(F.broadcast(med))
+           .groupBy("_g")
+           .agg(F.count(F.lit(1)).cast("long").alias("_ni"),
+                F.sum((F.col("_v") > F.col("_m")).cast("long"))
+                .cast("long").alias("_ai")))
+    marg = per.agg(F.sum("_ni").cast("long").alias("_nn"),
+                   F.sum("_ai").cast("long").alias("_aa"))
+    j = per.crossJoin(F.broadcast(marg)).crossJoin(F.broadcast(med))
+    nnd = F.col("_nn").cast("double")
+    ea = F.col("_ni") * F.col("_aa") / nnd
+    eb = F.col("_ni") * (F.col("_nn") - F.col("_aa")) / nnd
+    da = F.col("_ai").cast("double") - ea
+    db = (F.col("_ni") - F.col("_ai")).cast("double") - eb
+    t = da * da / ea + db * db / eb
+    healthy = (F.col("_aa") > 0) & (F.col("_aa") < F.col("_nn"))
+    st = (j.groupBy("_nn", "_aa", "_m")
+          .agg(F.count(F.lit(1)).cast("long").alias("k"),
+               F.sum(F.when(healthy,
+                            F.round(t * 1e6).cast("long")))
+               .cast("long").alias("_tm")))
+    st = st.where(F.col("_nn").isNotNull() & (F.col("_nn") > 0))
+    ok = ((F.col("k") > 1) & (F.col("_aa") > 0)
+          & (F.col("_aa") < F.col("_nn")))
+    return st.select(
+        "k", F.col("_nn").alias("n"), F.col("_m").alias("median"),
+        F.when(ok, F.round(F.col("_tm") / 1e6, 6)).alias("chi2"),
+        F.when(ok, (F.col("k") - 1).cast("long")).alias("dof"))

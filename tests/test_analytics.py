@@ -1314,3 +1314,38 @@ def test_anderson_darling_k_reference_and_invariance(spark):
         [("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double")
     assert anderson_darling_k(const, "g", "v").collect()[0].a2 is None
     assert anderson_darling_k(one.where("g='z'"), "g", "v").count() == 0
+
+
+def test_mood_median_test_hand_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import mood_median_test
+
+    # grand median (lower) of 1..8 is 4; a: {1,2,3,4} none above,
+    # b: {5,6,7,8} all above -> maximal separation chi2 = n = 8
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] \
+        + [("b", float(v)) for v in (5, 6, 7, 8)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "g", "v").collect()[0]
+    assert (r.k, r.n, r.median, r.dof) == (2, 8, 4.0, 1)
+    assert r.chi2 == 8.0
+
+    # hand 2x2: a has 3 above of 5, b has 1 above of 5 -> A=4, N=10
+    groups = {"a": [1, 2, 6, 7, 8], "b": [3, 4, 5, 9, 0]}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    r = mood_median_test(
+        spark.createDataFrame(rows, "g string, v double"),
+        "g", "v").collect()[0]
+    # lower median of 0..9 is 4; above: a {6,7,8}=3, b {5,9}=2 -> A=5
+    e = 5 * 5 / 10.0
+    chi = 2 * ((3 - e) ** 2 / e + (2 - e) ** 2 / e)
+    assert r.median == 4.0 and abs(r.chi2 - chi) < 1e-5
+
+    # degenerate: all values identical -> nothing above -> chi2 NULL
+    const = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double")
+    r = mood_median_test(const, "g", "v").collect()[0]
+    assert r.chi2 is None and r.dof is None
+    # one group -> NULL; empty -> 0 rows
+    one = spark.createDataFrame([("a", 1.0), ("a", 9.0)],
+                                "g string, v double")
+    assert mood_median_test(one, "g", "v").collect()[0].chi2 is None
+    assert mood_median_test(one.where("g='z'"), "g", "v").count() == 0
