@@ -3750,6 +3750,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return mood_median_test(ev, "event_type", "value")
 
+    def kg_densest_cert(spark, sf):
+        # Charikar greedy densest subgraph over the co-purchase
+        # graph, self-certifying: profile t=0 == exact graph counts,
+        # best >= global density, best suffix's edges recounted
+        # independently; oracle = literal TRUE + the SQL-exact counts
+        from mms_rdf_spark.operators.pagerank import (
+            density_profile, peel_rounds)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        lp = li.select("l_orderkey", "l_partkey").distinct()
+        x, y = lp.alias("x"), lp.alias("y")
+        e = (x.join(y, on="l_orderkey")
+             .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .select(F.col("x.l_partkey").alias("a"),
+                     F.col("y.l_partkey").alias("b"))
+             .distinct().localCheckpoint())
+        rem = peel_rounds(e, src="a", dst="b", eps=0.25)
+        prof = sorted(
+            density_profile(e, src="a", dst="b", rem=rem).collect(),
+            key=lambda r: (-r.density, r.t))
+        n_graph = (e.select(F.col("a").alias("k"))
+                   .unionByName(e.select(F.col("b").alias("k")))
+                   .distinct().count())
+        m_graph = e.count()
+        best = prof[0]
+        t0 = {r.t: r for r in prof}[0]
+        nodes = rem.where(F.col("r") >= best.t).select("node")
+        recount = (e.join(nodes.withColumnRenamed("node", "a"),
+                          on="a", how="left_semi")
+                   .join(nodes.withColumnRenamed("node", "b"),
+                         on="b", how="left_semi").count())
+        ok = (t0.n_nodes == n_graph and t0.n_edges == m_graph
+              and best.density >= t0.density
+              and recount == best.n_edges and best.n_nodes > 0)
+        return spark.createDataFrame(
+            [(bool(ok), n_graph, m_graph)],
+            "ok boolean, n_nodes long, n_edges long")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4215,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heaps": text_heaps,
         "events_adtest": events_adtest,
         "events_mood": events_mood,
+        "kg_densest_cert": kg_densest_cert,
     }
 
 
@@ -12397,6 +12435,24 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN k > 1 AND aa > 0 AND aa < nn
                 THEN CAST(k - 1 AS BIGINT) END AS dof
     FROM st WHERE nn IS NOT NULL AND nn > 0
+    """
+
+    # Densest-subgraph cert: the peel itself is engine-side and
+    # self-certified (profile-vs-graph equality, independent edge
+    # recount); the oracle pins the SQL-exact co-purchase graph size
+    q["kg_densest_cert"] = """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+    )
+    SELECT TRUE AS ok,
+           (SELECT CAST(count(DISTINCT k) AS BIGINT)
+            FROM (SELECT a AS k FROM e
+                  UNION ALL SELECT b FROM e)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges
     """
 
     return q

@@ -2090,3 +2090,146 @@ def square_counts(edges: DataFrame, src: str = "src",
                     .alias("pairs2"))
             .groupBy("node")
             .agg(F.sum("pairs2").cast("long").alias("squares")))
+
+
+def peel_rounds(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    eps: float = 0.25,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Charikar greedy densest-subgraph peel (Charikar 2000, batch
+    form of Bahmani et al. VLDB 2012): repeatedly remove every node
+    whose degree is <= (1+eps) times the CURRENT average degree,
+    labeling each node with its removal round. The suffix sets
+    S_t = {nodes removed at round >= t} are exactly the graphs the
+    peel saw, so the densest of them is a 2(1+eps)-approximation of
+    the densest subgraph — see density_profile / densest_subgraph.
+
+    Returns (node, r): r = 0-based round at which the node left
+    (nodes that lose their last edge without crossing the threshold
+    leave the same round — alive \\ keep, not just below-threshold).
+
+    Scale shape: each round is one map-side-combined degree
+    aggregate + two semi-joins on the shrinking symmetric edge list
+    (partitioned_checkpoint bounds lineage, k_core's discipline);
+    per Markov at least an eps/(1+eps) fraction of nodes leaves per
+    round, so rounds <= log(n)/log(1+eps) — the loop RAISES on
+    max_rounds exhaustion rather than return a mislabeled prefix
+    (the SCC loud-exhaustion precedent). Driver state per round is
+    two bounded counts.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference graph suite.
+    """
+    if eps <= 0:
+        raise ValueError("peel_rounds: eps must be > 0 (termination)")
+    spark = edges.sparkSession
+    p = _shuffle_partitions(edges)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = partitioned_checkpoint(
+        (e.union(e.select(F.col("dst"), F.col("src")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()).repartition(p, "src"))
+    alive = sym.select(F.col("src").alias("node")).distinct() \
+        .localCheckpoint()
+    rem = None
+    for r in range(max_rounds):
+        n = alive.count()
+        if n == 0:
+            break
+        m2 = sym.count()  # both orientations = 2m
+        thresh = (1.0 + eps) * m2 / n  # (1+eps) * average degree
+        deg = sym.groupBy(F.col("src").alias("node")) \
+            .agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") > thresh).select("node") \
+            .localCheckpoint()
+        removed = (alive.join(keep, on="node", how="left_anti")
+                   .select("node", F.lit(r).cast("int").alias("r")))
+        rem = removed if rem is None else rem.unionByName(removed)
+        rem = rem.localCheckpoint()
+        alive = keep
+        sym = partitioned_checkpoint(
+            sym.join(keep.withColumnRenamed("node", "src"),
+                     on="src", how="left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), on="dst",
+                  how="left_semi")
+            .select("src", "dst"))
+    else:
+        if alive.count() > 0:
+            raise RuntimeError(
+                f"peel_rounds: not empty after {max_rounds} rounds")
+    if rem is None:
+        return spark.createDataFrame([], "node long, r int")
+    return rem
+
+
+def density_profile(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    eps: float = 0.25,
+    max_rounds: int = 64,
+    rem: DataFrame | None = None,
+) -> DataFrame:
+    """Density of every peel suffix S_t (the graph alive entering
+    round t): (t, n_nodes, n_edges, density) — t = 0 is the full
+    graph. The best row is the 2(1+eps)-approximate densest
+    subgraph; the classic argmax-over-suffixes trick means NO
+    per-round snapshots: each edge's death round is
+    min(r_u, r_v) and each suffix's counts are suffix sums of two
+    <= max_rounds-row tables (a bounded driver fold). Pass a
+    precomputed peel_rounds frame via `rem` to avoid re-peeling.
+    """
+    if rem is None:
+        rem = peel_rounds(edges, src, dst, eps, max_rounds)
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b")).distinct())
+    ru = rem.withColumnRenamed("node", "a") \
+        .withColumnRenamed("r", "ra")
+    rv = rem.withColumnRenamed("node", "b") \
+        .withColumnRenamed("r", "rb")
+    et = (e.join(ru, on="a").join(rv, on="b")
+          .select(F.least("ra", "rb").alias("t")))
+    m_t = {row["t"]: row["m"] for row in
+           et.groupBy("t").agg(F.count(F.lit(1)).alias("m"))
+           .collect()}
+    n_t = {row["r"]: row["n"] for row in
+           rem.groupBy("r").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    rounds = sorted(set(m_t) | set(n_t))
+    rows, mm, nn = [], 0, 0
+    for t in reversed(rounds):
+        mm += int(m_t.get(t, 0))
+        nn += int(n_t.get(t, 0))
+        rows.append((int(t), nn, mm, round(mm / nn, 6)))
+    rows.reverse()
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], "t int, n_nodes long, n_edges long, density double")
+    return spark.createDataFrame(
+        rows, "t int, n_nodes long, n_edges long, density double")
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    eps: float = 0.25,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Node set of the densest peel suffix (max density, earliest t
+    on ties): a 2(1+eps)-approximate densest subgraph. Returns
+    (node,). Compose with density_profile for the numbers."""
+    rem = peel_rounds(edges, src, dst, eps, max_rounds)
+    prof = density_profile(edges, src, dst, eps, max_rounds, rem=rem)
+    best = (prof.orderBy(F.col("density").desc(), F.col("t"))
+            .limit(1).collect())
+    if not best:
+        return edges.sparkSession.createDataFrame([], "node long")
+    t_star = best[0]["t"]
+    return rem.where(F.col("r") >= t_star).select("node")

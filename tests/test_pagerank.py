@@ -146,3 +146,62 @@ def test_square_counts_c4_and_k4(spark):
         "src long, dst long")
     got = {r.node: r.squares for r in square_counts(k4).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    from mms_rdf_spark.operators.pagerank import (
+        densest_subgraph,
+        density_profile,
+    )
+
+    # 4-clique {1,2,3,4} + pendant path 4-5-6-7: densest = the
+    # clique (density 1.5 > 9/7 global); eps=0.1 peels the path
+    # first, so suffix round 1 IS the clique
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    path = [(4, 5), (5, 6), (6, 7)]
+    e = spark.createDataFrame(clique + path, "src long, dst long")
+    nodes = {r.node for r in
+             densest_subgraph(e, eps=0.1).collect()}
+    assert nodes == {1, 2, 3, 4}
+    prof = {r.t: r for r in density_profile(e, eps=0.1).collect()}
+    assert prof[0].n_nodes == 7 and prof[0].n_edges == 9
+    assert prof[0].density == round(9 / 7, 6)
+    assert max(r.density for r in prof.values()) == 1.5
+
+
+def test_densest_subgraph_brute_force_bound(spark):
+    from itertools import combinations
+
+    from mms_rdf_spark.operators.pagerank import density_profile
+
+    # deterministic 8-node graph; check the 2(1+eps) guarantee
+    # against the exhaustive optimum
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6),
+             (6, 7), (7, 5), (2, 8), (8, 1), (8, 3), (4, 7)]
+    eps = 0.25
+    best = 0.0
+    nodes = sorted({x for p in edges for x in p})
+    for k in range(1, len(nodes) + 1):
+        for sub in combinations(nodes, k):
+            s = set(sub)
+            m = sum(1 for a, b in edges if a in s and b in s)
+            best = max(best, m / len(s))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    prof = density_profile(e, eps=eps).collect()
+    found = max(r.density for r in prof)
+    assert found >= best / (2 * (1 + eps)) - 1e-9
+    assert found <= best + 1e-9  # never exceeds the true optimum
+
+
+def test_densest_subgraph_empty_and_selfloop(spark):
+    from mms_rdf_spark.operators.pagerank import (
+        densest_subgraph,
+        density_profile,
+    )
+
+    e = spark.createDataFrame([(1, 1)], "src long, dst long")
+    # self-loops are dropped -> graph empty
+    assert density_profile(e).count() == 0
+    assert densest_subgraph(e).count() == 0
+    empty = e.where("src < 0")
+    assert density_profile(empty).count() == 0
