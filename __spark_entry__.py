@@ -3787,6 +3787,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(bool(ok), n_graph, m_graph)],
             "ok boolean, n_nodes long, n_edges long")
 
+    def events_cliffs(spark, sf):
+        # Cliff's delta effect size for click-vs-view values:
+        # exact half-tie U composed over the Mann-Whitney rank sums
+        from mms_rdf_spark.operators.analytics import cliffs_delta
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return cliffs_delta(ev, "event_type", "value",
+                            "click", "view")
+
+    def events_powerlaw(spark, sf):
+        # Hill MLE tail exponent of the per-user activity
+        # distribution: nano-ln per DISTINCT count, exact tail sum
+        from mms_rdf_spark.operators.analytics import powerlaw_alpha
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        acts = (ev.where(F.col("user_id").isNotNull())
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_ev")))
+        return powerlaw_alpha(acts, "n_ev", d_min=5)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4253,6 +4271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_adtest": events_adtest,
         "events_mood": events_mood,
         "kg_densest_cert": kg_densest_cert,
+        "events_cliffs": events_cliffs,
+        "events_powerlaw": events_powerlaw,
     }
 
 
@@ -12453,6 +12473,61 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT a AS k FROM e
                   UNION ALL SELECT b FROM e)) AS n_nodes,
            (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges
+    """
+
+    # Cliff's delta: the Mann-Whitney doubled-rank-sum CTEs with the
+    # effect-size finale; u_a = (r2a - na(na+1))/2 exactly as there
+    q["events_cliffs"] = """
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS isa,
+               value AS v
+        FROM events WHERE event_type IN ('click', 'view')
+    ), per AS (
+        SELECT v, count(*) AS cnt, sum(isa) AS ca FROM s GROUP BY v
+    ), cum AS (
+        SELECT v, cnt, ca, sum(cnt) OVER (ORDER BY v) AS cum FROM per
+    ), st AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cnt - ca) AS BIGINT) AS nb,
+               CAST(sum(ca * (2 * cum - cnt + 1)) AS BIGINT) AS r2a
+        FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na * nb > 0
+                THEN round((2 * round((r2a - na * (na + 1)) / 2e0, 6)
+                            - na * nb) / (na * nb), 6)
+           END AS delta
+    FROM st
+    """
+
+    # Hill power-law exponent: nano-ln per distinct activity count,
+    # exact tail sum; the d_min-1/2 constant is computed ONCE in
+    # Python and inlined in both engines so it can never drift
+    import math as _math
+    _lm_nano = int(round(_math.log(5 - 0.5) * 1e9))
+    q["events_powerlaw"] = f"""
+    WITH acts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS d
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), per AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS cnt
+        FROM acts WHERE d > 0 GROUP BY d
+    ), st AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+               CAST(sum(cnt * (CAST(round(ln(d) * 1e9) AS BIGINT)
+                               - {_lm_nano})) AS BIGINT) AS ls
+        FROM per WHERE d >= 5
+    )
+    SELECT n_tail, CAST(5 AS INT) AS d_min,
+           CASE WHEN ls > 0
+                THEN round(1.0 + n_tail / (ls / 1e9), 6)
+           END AS alpha,
+           CASE WHEN ls > 0
+                THEN round((1.0 + n_tail / (ls / 1e9) - 1.0)
+                           / sqrt(CAST(n_tail AS DOUBLE)), 6)
+           END AS se
+    FROM st WHERE n_tail IS NOT NULL AND n_tail > 0
     """
 
     return q

@@ -2998,3 +2998,85 @@ def mood_median_test(
         "k", F.col("_nn").alias("n"), F.col("_m").alias("median"),
         F.when(ok, F.round(F.col("_tm") / 1e6, 6)).alias("chi2"),
         F.when(ok, (F.col("k") - 1).cast("long")).alias("dof"))
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cliff's delta — the non-parametric EFFECT SIZE companion to
+    mann_whitney_u's significance: P(a > b) - P(a < b) in [-1, 1]
+    (|0.147| small / |0.33| medium / |0.474| large by Romano's rule
+    of thumb). Significance without magnitude is how trivially-true
+    A/B differences ship; this is the magnitude.
+
+    delta = 2*U_A/(n_a*n_b) - 1 with the half-tie U, so it composes
+    EXACTLY over mann_whitney_u's doubled rank sums: u_a is an
+    integer-or-half value carried exactly in double (mann_whitney_u
+    rounds at 6dp, the identity for .0/.5 values), and delta is one
+    fixed-order division mirrored in SQL.
+
+    Returns one row (n_a, n_b, delta); delta NULL when either group
+    is empty.
+    """
+    mw = mann_whitney_u(df, group_col, value_col, group_a, group_b)
+    prod = F.col("n_a") * F.col("n_b")
+    return mw.select(
+        "n_a", "n_b",
+        F.when(prod > 0,
+               F.round((2 * F.col("u_a") - prod) / prod, 6))
+        .alias("delta"))
+
+
+def powerlaw_alpha(
+    df: DataFrame,
+    value_col: str,
+    d_min: int = 5,
+) -> DataFrame:
+    """Discrete power-law exponent by the Hill / continuous MLE
+    approximation (Clauset, Shalizi & Newman 2009 eq. 3.1):
+    alpha = 1 + n / sum(ln(d_i / (d_min - 1/2))) over the tail
+    d_i >= d_min — the standard heavy-tail diagnostic for degree and
+    activity distributions (is this graph/user base scale-free, and
+    how heavy is the tail?). Values must be positive integers
+    (degrees, counts).
+
+    Exact arithmetic: one map-side-combined aggregate collapses the
+    corpus to the (distinct value, count) frame — ln runs once per
+    DISTINCT value, rounded to integer NANO units, so the tail sum
+    sum(cnt * (ln_d - ln_dmin)) is an exact long and order-free; one
+    fixed-order finale mirrored textually in SQL. The standard error
+    (alpha - 1)/sqrt(n) rides along.
+
+    Returns one row (n_tail, d_min, alpha, se); alpha NULL when the
+    tail is empty or degenerate (all tail values at d_min with zero
+    log sum). Empty input: 0 rows.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    import math
+
+    lm = F.lit(int(round(math.log(d_min - 0.5) * 1e9)))
+    v = F.col(value_col).cast("long")
+    per = (df.where(v.isNotNull() & (v > 0))
+           .groupBy(v.alias("_d"))
+           .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
+    tail = per.where(F.col("_d") >= d_min)
+    st = tail.agg(
+        F.sum("_cnt").cast("long").alias("n_tail"),
+        F.sum(F.col("_cnt")
+              * (F.round(F.log(F.col("_d")) * 1e9).cast("long") - lm))
+        .cast("long").alias("_ls"))
+    st = st.where(F.col("n_tail").isNotNull() & (F.col("n_tail") > 0))
+    alpha = 1.0 + F.col("n_tail") / (F.col("_ls") / 1e9)
+    ok = F.col("_ls") > 0
+    return st.select(
+        "n_tail", F.lit(d_min).cast("int").alias("d_min"),
+        F.when(ok, F.round(alpha, 6)).alias("alpha"),
+        F.when(ok, F.round((alpha - 1.0)
+                           / F.sqrt(F.col("n_tail").cast("double")),
+                           6)).alias("se"))

@@ -1349,3 +1349,53 @@ def test_mood_median_test_hand_and_guards(spark):
                                 "g string, v double")
     assert mood_median_test(one, "g", "v").collect()[0].chi2 is None
     assert mood_median_test(one.where("g='z'"), "g", "v").count() == 0
+
+
+def test_cliffs_delta_hand_cases(spark):
+    from mms_rdf_spark.operators.analytics import cliffs_delta
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # complete separation below: delta = -1; swapped: +1
+    assert cliffs_delta(df, "g", "v", "a", "b").collect()[0].delta \
+        == -1.0
+    assert cliffs_delta(df, "g", "v", "b", "a").collect()[0].delta \
+        == 1.0
+
+    # hand case with a tie: a={1,2}, b={2,3}: pairs (1<2),(1<3),
+    # (2=2 half),(2<3) -> U_A = 0.5, delta = 2*0.5/4 - 1 = -0.75
+    rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert cliffs_delta(df, "g", "v", "a", "b").collect()[0].delta \
+        == -0.75
+
+    # identical distributions -> 0; empty arm -> NULL
+    same = [("a", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(same, "g string, v double")
+    assert cliffs_delta(df, "g", "v", "a", "b").collect()[0].delta \
+        == 0.0
+    r = cliffs_delta(df.where("g = 'a'"), "g", "v",
+                     "a", "b").collect()[0]
+    assert r.delta is None
+
+
+def test_powerlaw_alpha_hill_reference(spark):
+    import math
+
+    from mms_rdf_spark.operators.analytics import powerlaw_alpha
+
+    # exact Zipf-ish sample: counts with known Hill estimate
+    vals = [5, 5, 6, 8, 10, 20, 40, 3, 2, 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = powerlaw_alpha(df, "v", d_min=5).collect()[0]
+    tail = [v for v in vals if v >= 5]
+    ref = 1 + len(tail) / sum(math.log(v / 4.5) for v in tail)
+    assert r.n_tail == len(tail) and r.d_min == 5
+    assert abs(r.alpha - ref) < 1e-5
+    assert abs(r.se - (ref - 1) / len(tail) ** 0.5) < 1e-5
+
+    # empty tail -> 0 rows (filter drops the all-below-d_min case)
+    low = spark.createDataFrame([(1,), (2,)], "v long")
+    assert powerlaw_alpha(low, "v", d_min=5).count() == 0
+    assert powerlaw_alpha(low.where("v < 0"), "v").count() == 0
