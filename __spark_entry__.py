@@ -3805,6 +3805,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).cast("long").alias("n_ev")))
         return powerlaw_alpha(acts, "n_ev", d_min=5)
 
+    def orders_ols(spark, sf):
+        # In-engine 2-feature OLS: order price cents ~ item count +
+        # total quantity; Cramer over one aggregate's exact moments
+        from mms_rdf_spark.operators.mlops import ols2_train
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        feats = (li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                      F.sum(F.col("l_quantity").cast("long"))
+                      .cast("long").alias("qty")))
+        d = (orders.join(feats, on="o_orderkey")
+             .select(F.round(F.col("o_totalprice") * 100)
+                     .cast("long").alias("cents"),
+                     "n_items", "qty"))
+        return ols2_train(d, "cents", "n_items", "qty")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4273,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_densest_cert": kg_densest_cert,
         "events_cliffs": events_cliffs,
         "events_powerlaw": events_powerlaw,
+        "orders_ols": orders_ols,
     }
 
 
@@ -12528,6 +12545,74 @@ def oracle_sql() -> dict[str, str]:
                            / sqrt(CAST(n_tail AS DOUBLE)), 6)
            END AS se
     FROM st WHERE n_tail IS NOT NULL AND n_tail > 0
+    """
+
+    # 2-feature OLS by Cramer: the nine exact moment sums (y^2 as
+    # HUGEINT), determinants as fixed-order doubles, R^2 from the
+    # ROUNDED coefficients; textual mirror of mlops.ols2_train
+    q["orders_ols"] = """
+    WITH feats AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(count(*) AS BIGINT) AS x1,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+        FROM lineitem GROUP BY l_orderkey
+    ), d AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+               x1, x2
+        FROM orders JOIN feats USING (o_orderkey)
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(x1 * y) AS BIGINT) AS s1y,
+               CAST(sum(x2 * y) AS BIGINT) AS s2y,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM d
+        WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL
+    ), m AS (
+        SELECT n,
+               CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+               CAST(s2 AS DOUBLE) AS a13, CAST(s11 AS DOUBLE) AS a22,
+               CAST(s12 AS DOUBLE) AS a23, CAST(s22 AS DOUBLE) AS a33,
+               CAST(sy AS DOUBLE) AS c1, CAST(s1y AS DOUBLE) AS c2,
+               CAST(s2y AS DOUBLE) AS c3, CAST(syy AS DOUBLE) AS syy
+        FROM st WHERE n IS NOT NULL AND n > 0
+    ), dets AS (
+        SELECT n, a11, c1, c2, c3, syy,
+               a11 * (a22 * a33 - a23 * a23)
+               - a12 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * a23 - a22 * a13) AS det,
+               c1 * (a22 * a33 - a23 * a23)
+               - a12 * (c2 * a33 - a23 * c3)
+               + a13 * (c2 * a23 - a22 * c3) AS det0,
+               a11 * (c2 * a33 - a23 * c3)
+               - c1 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * c3 - c2 * a13) AS det1,
+               a11 * (a22 * c3 - c2 * a23)
+               - a12 * (a12 * c3 - c2 * a13)
+               + c1 * (a12 * a23 - a22 * a13) AS det2
+        FROM m
+    ), coef AS (
+        SELECT n, c1, c2, c3, syy, det,
+               round(det0 / det, 6) AS b0,
+               round(det1 / det, 6) AS b1,
+               round(det2 / det, 6) AS b2,
+               syy - c1 * c1 / a11 AS sst
+        FROM dets
+    )
+    SELECT n,
+           CASE WHEN det <> 0.0 THEN b0 END AS b0,
+           CASE WHEN det <> 0.0 THEN b1 END AS b1,
+           CASE WHEN det <> 0.0 THEN b2 END AS b2,
+           CASE WHEN det <> 0.0 AND sst > 0
+                THEN round(1.0 - (syy - (b0 * c1 + b1 * c2
+                                         + b2 * c3)) / sst, 6)
+           END AS r2
+    FROM coef
     """
 
     return q

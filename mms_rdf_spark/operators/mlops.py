@@ -290,3 +290,88 @@ def nb_score(docs: DataFrame, weights: DataFrame, meta: DataFrame,
             .where(F.col("_rn") == 1)
             .select("doc_id", F.col("label").alias("pred"),
                     "lp_micro"))
+
+
+def ols2_train(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Closed-form ordinary least squares with TWO features + an
+    intercept — y ~ b0 + b1*x1 + b2*x2 — trained fully in-engine:
+    the normal equations' nine moment sums come from ONE map-side-
+    combined aggregate, and the 3x3 system solves by Cramer's rule in
+    fixed-order float expressions over those exact sums (the
+    multiple-regression sibling of analytics.grouped_ols_trend's
+    simple slope and logreg_train's iterative fit). All columns must
+    already be exact integers (counts or pre-scaled units).
+
+    Exact arithmetic: x*x, x*y cross sums are exact longs, y*y rides
+    DECIMAL(38,0)/HUGEINT; the determinants are textual mirrors in
+    the SQL oracle; R^2 is computed FROM THE ROUNDED coefficients so
+    both engines multiply identical doubles.
+
+    Returns one row (n, b0, b1, b2, r2): coefficients NULL when the
+    design matrix is singular (det = 0 — collinear or constant
+    features); r2 additionally NULL when y is constant. Empty: 0
+    rows.
+
+    Scale shape: one aggregate, a 1-row fold. Two features is the
+    Cramer sweet spot; for wider designs compose feature_hash +
+    logreg-style iterations instead.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference in-engine training suite.
+    """
+    y = F.col(y_col).cast("long")
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    st = (df.where(y.isNotNull() & x1.isNotNull() & x2.isNotNull())
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum(x1).cast("long").alias("_s1"),
+               F.sum(x2).cast("long").alias("_s2"),
+               F.sum(y).cast("long").alias("_sy"),
+               F.sum(x1 * x1).cast("long").alias("_s11"),
+               F.sum(x1 * x2).cast("long").alias("_s12"),
+               F.sum(x2 * x2).cast("long").alias("_s22"),
+               F.sum(x1 * y).cast("long").alias("_s1y"),
+               F.sum(x2 * y).cast("long").alias("_s2y"),
+               F.sum(y.cast("decimal(38,0)") * y)
+               .cast("decimal(38,0)").alias("_syy")))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    a11 = F.col("n").cast("double")
+    a12 = F.col("_s1").cast("double")
+    a13 = F.col("_s2").cast("double")
+    a22 = F.col("_s11").cast("double")
+    a23 = F.col("_s12").cast("double")
+    a33 = F.col("_s22").cast("double")
+    c1 = F.col("_sy").cast("double")
+    c2 = F.col("_s1y").cast("double")
+    c3 = F.col("_s2y").cast("double")
+    det = (a11 * (a22 * a33 - a23 * a23)
+           - a12 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * a23 - a22 * a13))
+    det0 = (c1 * (a22 * a33 - a23 * a23)
+            - a12 * (c2 * a33 - a23 * c3)
+            + a13 * (c2 * a23 - a22 * c3))
+    det1 = (a11 * (c2 * a33 - a23 * c3)
+            - c1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * c3 - c2 * a13))
+    det2 = (a11 * (a22 * c3 - c2 * a23)
+            - a12 * (a12 * c3 - c2 * a13)
+            + c1 * (a12 * a23 - a22 * a13))
+    b0 = F.round(det0 / det, 6)
+    b1 = F.round(det1 / det, 6)
+    b2 = F.round(det2 / det, 6)
+    syy = F.col("_syy").cast("double")
+    sst = syy - c1 * c1 / a11
+    sse = syy - (b0 * c1 + b1 * c2 + b2 * c3)
+    ok = det != 0.0
+    return st.select(
+        "n",
+        F.when(ok, b0).alias("b0"),
+        F.when(ok, b1).alias("b1"),
+        F.when(ok, b2).alias("b2"),
+        F.when(ok & (sst > 0),
+               F.round(1.0 - sse / sst, 6)).alias("r2"))

@@ -150,3 +150,39 @@ def test_feature_hash_signed_counts_and_sparsity(spark):
     again = {(r.doc_id, r.feature): r.value
              for r in feature_hash(docs, n_features=8).collect()}
     assert again == rows
+
+
+def test_ols2_train_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from mms_rdf_spark.operators.mlops import ols2_train
+
+    rows = [(3 + 2 * a + 5 * b + e, a, b) for a, b, e in
+            [(1, 2, 1), (2, 1, -1), (3, 5, 2), (4, 2, 0),
+             (5, 7, -2), (6, 3, 1), (2, 9, -1), (8, 4, 0)]]
+    df = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+    r = ols2_train(df, "y", "x1", "x2").collect()[0]
+    X = np.array([[1.0, a, b] for _, a, b in rows])
+    yv = np.array([float(y) for y, _, _ in rows])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert r.n == len(rows)
+    assert abs(r.b0 - beta[0]) < 1e-5
+    assert abs(r.b1 - beta[1]) < 1e-5
+    assert abs(r.b2 - beta[2]) < 1e-5
+    pred = X @ beta
+    sst = ((yv - yv.mean()) ** 2).sum()
+    r2 = 1 - ((yv - pred) ** 2).sum() / sst
+    assert abs(r.r2 - r2) < 1e-4
+
+    # collinear features -> singular -> NULL coefficients
+    col = [(y, a, 2 * a) for y, a, _ in rows]
+    df2 = spark.createDataFrame(col, "y long, x1 long, x2 long")
+    r = ols2_train(df2, "y", "x1", "x2").collect()[0]
+    assert r.b0 is None and r.r2 is None
+
+    # constant y -> r2 NULL but fit exact; empty -> 0 rows
+    cy = [(7, a, b) for _, a, b in rows]
+    r = ols2_train(spark.createDataFrame(
+        cy, "y long, x1 long, x2 long"), "y", "x1", "x2").collect()[0]
+    assert r.r2 is None and r.b0 == 7.0 and r.b1 == 0.0
+    assert ols2_train(df.where("y < 0"), "y", "x1", "x2").count() == 0
