@@ -3821,6 +3821,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      "n_items", "qty"))
         return ols2_train(d, "cents", "n_items", "qty")
 
+    def text_mcc(spark, sf):
+        # Matthews correlation of the NB language classifier vs gold,
+        # binarized on 'en': one conditional aggregate, one sqrt
+        from mms_rdf_spark.operators.evalmetrics import matthews_corr
+        from mms_rdf_spark.operators.mlops import nb_score, nb_train
+        docs = _docs(spark, sf)
+        w, m = nb_train(docs)
+        pred = nb_score(docs, w, m).select(
+            F.col("doc_id").alias("id"), F.col("pred").alias("label"))
+        gold = docs.select(F.col("doc_id").alias("id"),
+                           F.col("lang").alias("label"))
+        return matthews_corr(pred, gold, positive="en")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4290,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cliffs": events_cliffs,
         "events_powerlaw": events_powerlaw,
         "orders_ols": orders_ols,
+        "text_mcc": text_mcc,
     }
 
 
@@ -12613,6 +12627,36 @@ def oracle_sql() -> dict[str, str]:
                                          + b2 * c3)) / sst, 6)
            END AS r2
     FROM coef
+    """
+
+    # MCC over the NB chain: exact confusion cells, double 4-way
+    # denominator product under one sqrt; textual mirror of
+    # evalmetrics.matthews_corr
+    q["text_mcc"] = f"""
+    WITH j AS (
+        SELECT p.pred = 'en' AS pa, d.lang = 'en' AS pb
+        FROM ({q["text_nb_lang"]}) p
+        JOIN documents d ON p.doc_id = d.doc_id),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tp,
+                  CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fp,
+                  CAST(sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS fn,
+                  CAST(sum(CASE WHEN NOT pa AND NOT pb
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM j)
+    SELECT n, tp, fp, fn, tn,
+           CASE WHEN (CAST(tp + fp AS DOUBLE) * (tp + fn))
+                     * (CAST(tn + fp AS DOUBLE) * (tn + fn)) > 0
+                THEN round((tp * tn - fp * fn)
+                           / sqrt((CAST(tp + fp AS DOUBLE)
+                                   * (tp + fn))
+                                  * (CAST(tn + fp AS DOUBLE)
+                                     * (tn + fn))), 6)
+           END AS mcc
+    FROM st WHERE n > 0
     """
 
     return q

@@ -750,3 +750,48 @@ def brier_decomposition(scored: DataFrame, score_col: str = "prob",
         F.round(F.col("_rel") / 1e9 / nn, 6).alias("reliability"),
         F.round(F.col("_res") / 1e9 / nn, 6).alias("resolution"),
         F.round(obar * (1 - obar), 6).alias("uncertainty"))
+
+
+def matthews_corr(a: DataFrame, b: DataFrame, positive: str,
+                  id_col: str = "id", label_a: str = "label",
+                  label_b: str = "label") -> DataFrame:
+    """Matthews correlation coefficient — the single binary-classifier
+    number that survives class imbalance (unlike accuracy and F1,
+    which classification_report already covers): the phi coefficient
+    of the 2x2 confusion table between rater a (predictions) and
+    rater b (gold), binarized on `positive`.
+
+    MCC = (tp*tn - fp*fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)).
+
+    Exact arithmetic: the four cells come from ONE conditional
+    aggregate over the id join (exact longs); the numerator products
+    stay long; the denominator's 4-way product runs in double
+    (fixed-order, mirrored in SQL) under one sqrt. MCC is NULL when
+    any margin is empty (the denominator degenerates).
+
+    Returns one row (n, tp, fp, fn, tn, mcc). Empty join: 0 rows.
+    """
+    j = (a.select(F.col(id_col).alias("id"),
+                  (F.col(label_a) == positive).alias("pa"))
+         .join(b.select(F.col(id_col).alias("id"),
+                        (F.col(label_b) == positive).alias("pb")),
+               on="id"))
+    st = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("pa") & F.col("pb")).cast("long"))
+        .cast("long").alias("tp"),
+        F.sum((F.col("pa") & ~F.col("pb")).cast("long"))
+        .cast("long").alias("fp"),
+        F.sum((~F.col("pa") & F.col("pb")).cast("long"))
+        .cast("long").alias("fn"),
+        F.sum((~F.col("pa") & ~F.col("pb")).cast("long"))
+        .cast("long").alias("tn"))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    den = (((tp + fp).cast("double") * (tp + fn))
+           * ((tn + fp).cast("double") * (tn + fn)))
+    mcc = (tp * tn - fp * fn) / F.sqrt(den)
+    return st.select(
+        "n", "tp", "fp", "fn", "tn",
+        F.when(den > 0, F.round(mcc, 6)).alias("mcc"))

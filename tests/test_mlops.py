@@ -186,3 +186,33 @@ def test_ols2_train_matches_numpy_lstsq(spark):
         cy, "y long, x1 long, x2 long"), "y", "x1", "x2").collect()[0]
     assert r.r2 is None and r.b0 == 7.0 and r.b1 == 0.0
     assert ols2_train(df.where("y < 0"), "y", "x1", "x2").count() == 0
+
+
+def test_matthews_corr_hand_cases(spark):
+    from mms_rdf_spark.operators.evalmetrics import matthews_corr
+
+    def _df(labels):
+        return spark.createDataFrame(
+            [(i, l) for i, l in enumerate(labels)],
+            "id long, label string")
+
+    # hand 2x2: tp=4 fp=1 fn=2 tn=3
+    gold = _df(["p"] * 6 + ["n"] * 4)
+    pred = _df(["p"] * 4 + ["n"] * 2 + ["p"] + ["n"] * 3)
+    r = matthews_corr(pred, gold, positive="p").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (4, 1, 2, 3)
+    den = (5 * 6 * 4 * 5) ** 0.5
+    assert r.mcc == round((4 * 3 - 1 * 2) / den, 6)
+
+    # perfect prediction -> 1; inverted -> -1; constant pred -> NULL
+    assert matthews_corr(gold, gold, positive="p") \
+        .collect()[0].mcc == 1.0
+    inv = _df(["n"] * 6 + ["p"] * 4)
+    assert matthews_corr(inv, gold, positive="p") \
+        .collect()[0].mcc == -1.0
+    const = _df(["p"] * 10)
+    assert matthews_corr(const, gold, positive="p") \
+        .collect()[0].mcc is None
+    # empty join -> 0 rows
+    assert matthews_corr(pred.where("id < 0"), gold,
+                         positive="p").count() == 0
