@@ -3834,6 +3834,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.col("lang").alias("label"))
         return matthews_corr(pred, gold, positive="en")
 
+    def events_page(spark, sf):
+        # Page's L: does daily activity increase across the four
+        # six-hour buckets? Blocks = days, doubled in-block ranks
+        from mms_rdf_spark.operators.analytics import page_trend_test
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        day = (F.floor(_epoch_s("ts") / 86400) * 86400).cast("long")
+        bucket = F.floor((_epoch_s("ts") % 86400) / 21600).cast("int")
+        cells = (ev.groupBy(day.alias("d"),
+                            bucket.cast("string").alias("q"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        return page_trend_test(cells, "d", "q", "c",
+                               order=["0", "1", "2", "3"])
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4304,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_powerlaw": events_powerlaw,
         "orders_ols": orders_ols,
         "text_mcc": text_mcc,
+        "events_page": events_page,
     }
 
 
@@ -12657,6 +12672,53 @@ def oracle_sql() -> dict[str, str]:
                                      * (tn + fn))), 6)
            END AS mcc
     FROM st WHERE n > 0
+    """
+
+    # Page's L: the friedman doubled-rank CTEs with the ordered
+    # position weights (six-hour bucket index + 1); exact 2L / e4 /
+    # tie-adjusted variance pieces, one division + sqrt
+    q["events_page"] = """
+    WITH cells AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 86400) * 86400
+                    AS BIGINT) AS b,
+               CAST(CAST(floor(CAST(floor(epoch(ts)) AS BIGINT)
+                               % 86400 / 21600) AS INT)
+                    AS VARCHAR) AS g,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), complete AS (
+        SELECT b FROM cells GROUP BY b
+        HAVING count(*) = 4 AND count(DISTINCT g) = 4
+    ), f AS (
+        SELECT c.b, c.g, c.v FROM cells c
+        WHERE c.b IN (SELECT b FROM complete)
+    ), pv AS (
+        SELECT b, v, CAST(count(*) AS BIGINT) AS cnt
+        FROM f GROUP BY b, v
+    ), pr AS (
+        SELECT b, v,
+               CAST(2 * (sum(cnt) OVER (PARTITION BY b ORDER BY v)
+                         - cnt) + cnt + 1 AS BIGINT) AS r2
+        FROM pv
+    ), ranked AS (
+        SELECT f.g, pr.r2
+        FROM f JOIN pr ON f.b = pr.b AND f.v = pr.v
+    ), st AS (
+        SELECT CAST(sum((CAST(g AS INT) + 1) * r2) AS BIGINT) AS l2,
+               CAST(sum(r2 * r2) AS BIGINT) AS a2
+        FROM ranked
+    ), bc AS (
+        SELECT CAST(count(*) AS BIGINT) AS b FROM complete
+    )
+    SELECT CAST(4 AS BIGINT) AS k, b,
+           round(l2 / 2.0, 6) AS l,
+           CASE WHEN 4 * (4 * 4 - 1) * (a2 - b * 4 * 5 * 5) > 0
+                THEN round((l2 - b * 4 * 5 * 5 / 2.0)
+                           / sqrt(4 * (4 * 4 - 1)
+                                  * (a2 - b * 4 * 5 * 5)
+                                  / (12.0 * (4 - 1.0))), 6)
+           END AS z
+    FROM st, bc WHERE b > 0
     """
 
     return q

@@ -3080,3 +3080,84 @@ def powerlaw_alpha(
         F.when(ok, F.round((alpha - 1.0)
                            / F.sqrt(F.col("n_tail").cast("double")),
                            6)).alias("se"))
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    order: list,
+) -> DataFrame:
+    """Page's L trend test (Page 1963) — friedman_test's ORDERED
+    alternative: with treatments in a pre-specified order (doses,
+    days, model sizes), is the response monotonically increasing
+    along it? Far more powerful than Friedman when the order is the
+    hypothesis. `order` lists the treatments in hypothesized
+    ascending order; blocks must be complete (the Friedman
+    convention), and treatments outside `order` raise.
+
+    L = sum_j pos_j * R_j over per-treatment rank sums. Exact
+    arithmetic: within-block tie-averaged ranks ride DOUBLED (the
+    friedman recipe), so 2L, the scaled mean b*k*(k+1)^2 (= 4E[L])
+    and the conditional tie-adjusted variance pieces are all exact
+    longs: Var(2L) = k(k^2-1)/12(k-1) * sum_i S_i with per-block
+    S_i = sum_j (2r_ij)^2 - k(k+1)^2 (zero when the whole block
+    ties). One final division + sqrt, mirrored textually in SQL.
+
+    Returns one row (k, b, l, z): z NULL when k < 2 or the variance
+    degenerates (every block fully tied). Empty / no complete
+    blocks: 0 rows.
+
+    Scale shape: friedman_test's — bounded within-block windows, one
+    treatment fold, 1-row finales.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    from pyspark.sql.window import Window
+
+    k_lit = len(order)
+    pos = df.sparkSession.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(order)], "_g string, _c int")
+    s = df.select(F.col(block_col).alias("_b"),
+                  F.col(treat_col).cast("string").alias("_g"),
+                  F.col(value_col).cast("long").alias("_v"))
+    extra = s.join(F.broadcast(pos), on="_g", how="left_anti")
+    if extra.take(1):
+        raise ValueError("page_trend_test: treatments outside "
+                         "`order` present")
+    bs = (s.groupBy("_b")
+          .agg(F.count(F.lit(1)).cast("long").alias("_cb"),
+               F.countDistinct("_g").cast("long").alias("_gb")))
+    complete = (bs.where((F.col("_cb") == k_lit)
+                         & (F.col("_gb") == k_lit))
+                .select("_b"))
+    f = s.join(complete, on="_b", how="left_semi")
+    pv = (f.groupBy("_b", "_v")
+          .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
+    w_blk = (Window.partitionBy("_b").orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    pv = pv.withColumn("_cum", F.sum("_cnt").over(w_blk)) \
+        .select("_b", "_v",
+                (2 * (F.col("_cum") - F.col("_cnt"))
+                 + F.col("_cnt") + 1).cast("long").alias("_r2"))
+    ranked = f.join(pv, on=["_b", "_v"]).join(F.broadcast(pos),
+                                              on="_g")
+    st = ranked.agg(
+        F.sum(F.col("_c") * F.col("_r2")).cast("long").alias("_l2"),
+        F.sum(F.col("_r2") * F.col("_r2")).cast("long").alias("_a2"))
+    bcnt = complete.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    j = st.crossJoin(F.broadcast(bcnt)).where(F.col("b") > 0)
+    k = F.lit(k_lit).cast("long")
+    b = F.col("b")
+    e4 = b * k * (k + 1) * (k + 1)
+    ss = F.col("_a2") - e4  # sum_i S_i, since sum_i k(k+1)^2 = e4
+    var12 = k * (k * k - 1) * ss  # 12(k-1) * Var(2L)
+    z = ((F.col("_l2") - e4 / F.lit(2.0))
+         / F.sqrt(var12 / (12.0 * (k - F.lit(1.0)))))
+    ok = (k > 1) & (var12 > 0)
+    return j.select(
+        k.cast("long").alias("k"), "b",
+        F.round(F.col("_l2") / 2.0, 6).alias("l"),
+        F.when(ok, F.round(z, 6)).alias("z"))

@@ -1399,3 +1399,56 @@ def test_powerlaw_alpha_hill_reference(spark):
     low = spark.createDataFrame([(1,), (2,)], "v long")
     assert powerlaw_alpha(low, "v", d_min=5).count() == 0
     assert powerlaw_alpha(low.where("v < 0"), "v").count() == 0
+
+
+def test_page_trend_test_hand_and_guards(spark):
+    import pytest as _pytest
+
+    from mms_rdf_spark.operators.analytics import page_trend_test
+
+    # one block with a perfect trend: L = 14, Var(2L) = 8, z = sqrt(2)
+    rows = [(1, "a", 10), (1, "b", 20), (1, "c", 30)]
+    df = spark.createDataFrame(rows, "blk long, g string, v long")
+    r = page_trend_test(df, "blk", "g", "v",
+                        order=["a", "b", "c"]).collect()[0]
+    assert (r.k, r.b, r.l) == (3, 1, 14.0)
+    assert r.z == round(2 / 2 ** 0.5, 6)
+
+    # anti-trend order flips the sign
+    r2 = page_trend_test(df, "blk", "g", "v",
+                         order=["c", "b", "a"]).collect()[0]
+    assert r2.z == -r.z
+
+    # ties: block fully tied contributes S_i = 0; two blocks, one
+    # tied -> variance only from the untied block
+    rows = [(1, "a", 5), (1, "b", 5), (1, "c", 5),
+            (2, "a", 1), (2, "b", 2), (2, "c", 3)]
+    df = spark.createDataFrame(rows, "blk long, g string, v long")
+    r = page_trend_test(df, "blk", "g", "v",
+                        order=["a", "b", "c"]).collect()[0]
+    # tied block: each 2r = 4 -> L contribution 6*2=12... in L units
+    # tied ranks all 2.0 -> contributes 2*(1+2+3)=12; trend block 14
+    assert r.l == 26.0 and r.b == 2
+    # 2L=52, E=48, Var(2L)=8: variance comes only from the untied
+    # block (the tied block's S_i = 0)
+    assert r.z == round(4 / 8 ** 0.5, 6)
+
+    # incomplete blocks excluded; unknown treatment raises
+    rows = [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "a", 9)]
+    df = spark.createDataFrame(rows, "blk long, g string, v long")
+    r = page_trend_test(df, "blk", "g", "v",
+                        order=["a", "b", "c"]).collect()[0]
+    assert r.b == 1
+    bad = spark.createDataFrame([(1, "zzz", 1)],
+                                "blk long, g string, v long")
+    with _pytest.raises(ValueError, match="outside"):
+        page_trend_test(bad, "blk", "g", "v", order=["a"])
+    # all blocks fully tied -> z NULL
+    t = spark.createDataFrame([(1, "a", 5), (1, "b", 5)],
+                              "blk long, g string, v long")
+    rt = page_trend_test(t, "blk", "g", "v",
+                         order=["a", "b"]).collect()[0]
+    assert rt.z is None
+    # empty -> 0 rows
+    assert page_trend_test(t.where("blk < 0"), "blk", "g", "v",
+                           order=["a", "b"]).count() == 0
