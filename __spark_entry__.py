@@ -3848,6 +3848,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return page_trend_test(cells, "d", "q", "c",
                                order=["0", "1", "2", "3"])
 
+    def mm_cdc_cert(spark, sf):
+        # Content-defined chunking certificate: chunks cover each
+        # payload exactly (no gaps/overlaps), clamps hold, and the
+        # dedup accounting reconciles with the SQL-exact byte total
+        from mms_rdf_spark.operators.multimodal import (
+            cdc_chunks, cdc_dedup_stats)
+        docs = _docs(spark, sf).where(F.col("text").isNotNull())
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"))
+        ch = cdc_chunks(media, min_size=16, avg_bits=6,
+                        max_size=256).localCheckpoint()
+        pay = media.select("media_id",
+                           F.octet_length("payload").cast("long")
+                           .alias("plen"))
+        cover = (ch.groupBy("media_id")
+                 .agg(F.sum("length").cast("long").alias("blen"),
+                      F.max(F.col("offset") + F.col("length"))
+                      .cast("long").alias("end"),
+                      F.min("offset").cast("long").alias("st0")))
+        bad_cover = (cover.join(pay, on="media_id")
+                     .where((F.col("blen") != F.col("plen"))
+                            | (F.col("end") != F.col("plen"))
+                            | (F.col("st0") != 0)).count())
+        bad_clamp = ch.where((F.col("length") > 256)
+                             | (F.col("length") < 1)).count()
+        st = cdc_dedup_stats(ch).collect()[0]
+        tot = pay.agg(F.sum("plen").cast("long").alias("t"),
+                      F.count(F.lit(1)).cast("long").alias("nm")) \
+            .collect()[0]
+        ok = (bad_cover == 0 and bad_clamp == 0
+              and st.total_bytes == tot.t
+              and st.distinct_bytes <= st.total_bytes
+              and st.n_media <= tot.nm)
+        return spark.createDataFrame(
+            [(bool(ok), int(tot.nm), int(tot.t))],
+            "ok boolean, n_media long, total_bytes long")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4319,6 +4357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_ols": orders_ols,
         "text_mcc": text_mcc,
         "events_page": events_page,
+        "mm_cdc_cert": mm_cdc_cert,
     }
 
 
@@ -12719,6 +12758,17 @@ def oracle_sql() -> dict[str, str]:
                                   / (12.0 * (4 - 1.0))), 6)
            END AS z
     FROM st, bc WHERE b > 0
+    """
+
+    # CDC chunking cert: the chunker is engine-side and
+    # self-certified (exact cover, clamp, accounting); the oracle
+    # pins the SQL-exact media count and UTF-8 byte total
+    q["mm_cdc_cert"] = """
+    SELECT TRUE AS ok,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE text IS NOT NULL) AS n_media,
+           (SELECT CAST(sum(octet_length(encode(text))) AS BIGINT)
+            FROM documents WHERE text IS NOT NULL) AS total_bytes
     """
 
     return q

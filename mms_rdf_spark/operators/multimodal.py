@@ -885,3 +885,119 @@ def audio_zcr(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=(
         "media_id long, n_samples int, zero_crossings long, "
         "ac1_num long"))
+
+
+# ---------------------------------------------------------------- CDC
+# Content-defined chunking: the binary-blob dedup primitive (FastCDC /
+# LBFS lineage — Muthitacharoen et al. SOSP'01). Boundaries depend only
+# on a local byte window, so shared segments between blobs chunk
+# identically regardless of byte offset — the property that makes
+# chunk-hash dedup find sharing that whole-file hashing misses.
+
+_CDC_MIX = 0x9E3779B97F4A7C15  # Fibonacci hashing multiplier
+
+
+def _cdc_cut_points(b: np.ndarray, min_size: int, avg_bits: int,
+                    max_size: int) -> list[int]:
+    """Cut positions (exclusive ends) for one payload. Candidate
+    boundaries sit after byte i when the mixed 8-byte window ending
+    at i hashes to avg_bits leading zeros — expected spacing
+    2^avg_bits — then the sequential min/max clamp walks candidates
+    (tiny per payload). Deterministic: uint64 wraparound arithmetic,
+    no RNG, no float."""
+    n = len(b)
+    if n <= min_size:
+        return [n] if n else []
+    # rolling 8-byte little-endian window value at end position i
+    w = np.zeros(n, dtype=np.uint64)
+    u = b.astype(np.uint64)
+    for j in range(8):
+        acc = np.uint64(256) ** np.uint64(j)
+        w[7:] = w[7:] + u[j:n - 7 + j] * acc
+    mixed = (w * np.uint64(_CDC_MIX)) >> np.uint64(64 - avg_bits)
+    cand = np.nonzero(mixed[7:] == 0)[0] + 7 + 1  # exclusive ends
+    cuts, last = [], 0
+    ci = 0
+    m = len(cand)
+    while last < n:
+        nxt = None
+        while ci < m:
+            c = int(cand[ci])
+            ci += 1
+            if c <= last + min_size:
+                continue
+            if c > last + max_size:
+                ci -= 1
+                break
+            nxt = c
+            break
+        if nxt is None:
+            nxt = min(last + max_size, n)
+        cuts.append(nxt)
+        last = nxt
+    return cuts
+
+
+def cdc_chunks(media: DataFrame, min_size: int = 16,
+               avg_bits: int = 6, max_size: int = 256) -> DataFrame:
+    """Content-defined chunking over binary payloads: (media_id,
+    chunk_idx, offset, length, chunk_hash). Arrow-batched
+    mapInPandas — payloads never shuffle; the output is the small
+    (id, hash) table dedup joins on. Expected chunk size
+    2^avg_bits bytes between the [min_size, max_size] clamps; the
+    final chunk may be shorter than min_size.
+
+    Scale shape: one Python decode-lane pass (the multimodal
+    mapInPandas discipline), then everything downstream is hash
+    tables. Chunk hashes are md5 of the exact chunk bytes."""
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "chunk_idx": [], "offset": [],
+                   "length": [], "chunk_hash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                b = np.frombuffer(raw, dtype=np.uint8)
+                last = 0
+                for idx, cut in enumerate(_cdc_cut_points(
+                        b, min_size, avg_bits, max_size)):
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(idx)
+                    out["offset"].append(last)
+                    out["length"].append(cut - last)
+                    out["chunk_hash"].append(
+                        _hl.md5(raw[last:cut]).hexdigest())
+                    last = cut
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, chunk_idx int, offset long, "
+             "length long, chunk_hash string")
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Chunk-level dedup accounting over a cdc_chunks table: one row
+    (n_media, n_chunks, n_distinct, total_bytes, distinct_bytes,
+    dedup_ratio) — dedup_ratio = distinct_bytes / total_bytes (1.0 =
+    nothing shared). Exact longs into one division."""
+    per = (chunks.groupBy("chunk_hash", "length")
+           .agg(F.count(F.lit(1)).cast("long").alias("_occ")))
+    st = per.agg(
+        F.sum("_occ").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("_occ") * F.col("length")).cast("long")
+        .alias("total_bytes"),
+        F.sum("length").cast("long").alias("distinct_bytes"))
+    nm = chunks.agg(F.countDistinct("media_id").cast("long")
+                    .alias("n_media"))
+    st = st.crossJoin(F.broadcast(nm))
+    st = st.where(F.col("n_chunks").isNotNull()
+                  & (F.col("n_chunks") > 0))
+    return st.select(
+        "n_media", "n_chunks", "n_distinct", "total_bytes",
+        "distinct_bytes",
+        F.round(F.col("distinct_bytes") / F.col("total_bytes"), 6)
+        .alias("dedup_ratio"))

@@ -343,3 +343,79 @@ def test_audio_zcr_matches_numpy(spark):
                                   MM.MEDIA_SCHEMA)
     r = MM.audio_zcr(media).collect()[0]
     assert r["zero_crossings"] == 15 and r["ac1_num"] == -15 * 1000000
+
+
+def _media(spark, payloads):
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, payload binary")
+
+
+def test_cdc_chunks_reconstruct_and_clamps(spark):
+    import hashlib
+
+    from mms_rdf_spark.operators.multimodal import cdc_chunks
+
+    rng_bytes = hashlib.sha256(b"seed").digest() * 40  # 1280 bytes
+    small = b"tiny"
+    media = _media(spark, [rng_bytes, small])
+    rows = cdc_chunks(media, min_size=16, avg_bits=5,
+                      max_size=128).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, payload in [(0, rng_bytes), (1, small)]:
+        chunks = sorted(by_media[mid], key=lambda r: r.chunk_idx)
+        # contiguous cover of the payload
+        pos = 0
+        for c in chunks:
+            assert c.offset == pos
+            pos += c.length
+            assert hashlib.md5(
+                payload[c.offset:c.offset + c.length]).hexdigest() \
+                == c.chunk_hash
+        assert pos == len(payload)
+        # clamps: all but the last chunk within [min, max]
+        for c in chunks[:-1]:
+            assert 16 < c.length <= 128
+        assert chunks[-1].length <= 128
+
+
+def test_cdc_shared_suffix_shares_chunks(spark):
+    import hashlib
+
+    from mms_rdf_spark.operators.multimodal import (
+        cdc_chunks,
+        cdc_dedup_stats,
+    )
+
+    # non-repeating 1280 bytes (a periodic payload would dedup
+    # against ITSELF — the operator catches that too, but here we
+    # want the cross-payload effect isolated)
+    base = b"".join(hashlib.sha256(b"blk%d" % i).digest()
+                    for i in range(40))
+    shifted = b"PREFIX-OF-DIFFERENT-LENGTH!" + base
+    media = _media(spark, [base, shifted])
+    ch = cdc_chunks(media, min_size=16, avg_bits=5, max_size=128)
+    rows = ch.collect()
+    h0 = {r.chunk_hash for r in rows if r.media_id == 0}
+    h1 = {r.chunk_hash for r in rows if r.media_id == 1}
+    # content-defined boundaries re-align after the foreign prefix
+    assert len(h0 & h1) >= len(h0) // 2
+    st = cdc_dedup_stats(ch).collect()[0]
+    assert st.n_media == 2
+    assert st.total_bytes == len(base) + len(shifted)
+    assert st.dedup_ratio < 0.75  # real sharing detected
+
+    # whole-payload duplicates collapse to ~half the bytes
+    dup = _media(spark, [base, base])
+    st2 = cdc_dedup_stats(
+        cdc_chunks(dup, min_size=16, avg_bits=5, max_size=128)) \
+        .collect()[0]
+    assert st2.dedup_ratio == round(
+        st2.distinct_bytes / st2.total_bytes, 6)
+    assert st2.distinct_bytes * 2 == st2.total_bytes
+
+    # empty input -> 0 rows
+    assert cdc_dedup_stats(
+        cdc_chunks(media.where("media_id < 0"))).count() == 0
