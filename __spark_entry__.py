@@ -3886,6 +3886,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(bool(ok), int(tot.nm), int(tot.t))],
             "ok boolean, n_media long, total_bytes long")
 
+    def events_forecast(spark, sf):
+        # Seasonal-naive forecast accuracy on the hourly event
+        # series: MAE/RMSE/MAPE + MASE vs the one-step baseline
+        from mms_rdf_spark.operators.analytics import forecast_accuracy
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hour = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.groupBy(hour.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return forecast_accuracy(hourly, "t", "y",
+                                 season_s=86400, step_s=3600)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4358,6 +4370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mcc": text_mcc,
         "events_page": events_page,
         "mm_cdc_cert": mm_cdc_cert,
+        "events_forecast": events_forecast,
     }
 
 
@@ -12769,6 +12782,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL) AS n_media,
            (SELECT CAST(sum(octet_length(encode(text))) AS BIGINT)
             FROM documents WHERE text IS NOT NULL) AS total_bytes
+    """
+
+    # Forecast accuracy: equi-join lags on the hourly grid, exact
+    # |e| / e^2 / nano-percent sums; textual mirror of
+    # analytics.forecast_accuracy (season 86400, step 3600)
+    q["events_forecast"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), jf AS (
+        SELECT a.y AS y, f.y AS f
+        FROM h a JOIN h f ON a.t = f.t + 86400
+    ), stf AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs(y - f)) AS BIGINT) AS ae,
+               sum(CAST(abs(y - f) AS HUGEINT) * abs(y - f)) AS se,
+               CAST(sum(CASE WHEN y <> 0
+                        THEN CAST(round(abs(y - f) / abs(y) * 1e9)
+                                  AS BIGINT) END) AS BIGINT) AS pe,
+               CAST(sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS np
+        FROM jf
+    ), stb AS (
+        SELECT CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(abs(a.y - b.y)) AS BIGINT) AS ab
+        FROM h a JOIN h b ON a.t = b.t + 3600
+    )
+    SELECT n AS n_points,
+           round(ae / CAST(n AS DOUBLE), 6) AS mae,
+           round(sqrt(CAST(se AS DOUBLE) / n), 6) AS rmse,
+           CASE WHEN np > 0 THEN round(pe / 1e9 / np, 6) END AS mape,
+           CASE WHEN nb > 0 AND ab > 0
+                THEN round((ae / CAST(n AS DOUBLE))
+                           / (ab / CAST(nb AS DOUBLE)), 6)
+           END AS mase
+    FROM stf, stb WHERE n IS NOT NULL AND n > 0
     """
 
     return q

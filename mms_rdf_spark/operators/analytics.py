@@ -3161,3 +3161,74 @@ def page_trend_test(
         k.cast("long").alias("k"), "b",
         F.round(F.col("_l2") / 2.0, 6).alias("l"),
         F.when(ok, F.round(z, 6)).alias("z"))
+
+
+def forecast_accuracy(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    season_s: int,
+    step_s: int,
+) -> DataFrame:
+    """Forecast-accuracy table for the SEASONAL-NAIVE forecast
+    (y_hat_t = y_{t-season}) against the one-step-naive baseline —
+    the standard sanity floor every real forecaster must beat, and
+    the denominator convention behind MASE (Hyndman & Koehler 2006).
+    Input is a regular integer-valued series (t in epoch seconds on
+    a `step_s` grid, y exact integer counts/units).
+
+    Metrics over the timestamps where BOTH forecast and actual
+    exist: MAE, RMSE, MAPE (zero-actual points excluded, the
+    standard caveat), and MASE = MAE_forecast / MAE_naive1 with the
+    baseline MAE over its own valid points.
+
+    Exact arithmetic: lags come from EQUI-JOINS on t - season_s /
+    t - step_s (no single-partition window over the series); |e|,
+    e^2 sums are exact longs/DECIMAL(38,0); per-point MAPE terms
+    round to integer NANO units so the sum is order-free. One
+    division each at the finale, mirrored textually in SQL.
+
+    Returns one row (n_points, mae, rmse, mape, mase): mase NULL
+    when the baseline error is zero; mape NULL when every actual is
+    zero. Empty overlap: 0 rows.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    s = series.select(F.col(t_col).cast("long").alias("_t"),
+                      F.col(y_col).cast("long").alias("_y"))
+    f = s.select((F.col("_t") + season_s).alias("_t"),
+                 F.col("_y").alias("_f"))
+    b = s.select((F.col("_t") + step_s).alias("_t"),
+                 F.col("_y").alias("_b"))
+    jf = s.join(f, on="_t")
+    e = F.abs(F.col("_y") - F.col("_f"))
+    stf = jf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(e).cast("long").alias("_ae"),
+        F.sum(e.cast("decimal(38,0)") * e).cast("decimal(38,0)")
+        .alias("_se"),
+        F.sum(F.when(F.col("_y") != 0,
+                     F.round(e / F.abs(F.col("_y")) * 1e9)
+                     .cast("long"))).cast("long").alias("_pe"),
+        F.sum(F.when(F.col("_y") != 0, 1).otherwise(0))
+        .cast("long").alias("_np"))
+    stb = (s.join(b, on="_t")
+           .agg(F.count(F.lit(1)).cast("long").alias("_nb"),
+                F.sum(F.abs(F.col("_y") - F.col("_b")))
+                .cast("long").alias("_ab")))
+    j = stf.crossJoin(F.broadcast(stb))
+    j = j.where(F.col("n_points").isNotNull()
+                & (F.col("n_points") > 0))
+    n = F.col("n_points")
+    mae = F.col("_ae") / n
+    rmse = F.sqrt(F.col("_se").cast("double") / n)
+    mape = F.col("_pe") / 1e9 / F.col("_np")
+    mase_den = F.col("_ab") / F.col("_nb")
+    ok_b = (F.col("_nb") > 0) & (F.col("_ab") > 0)
+    return j.select(
+        "n_points",
+        F.round(mae, 6).alias("mae"),
+        F.round(rmse, 6).alias("rmse"),
+        F.when(F.col("_np") > 0, F.round(mape, 6)).alias("mape"),
+        F.when(ok_b, F.round(mae / mase_den, 6)).alias("mase"))

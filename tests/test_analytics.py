@@ -1452,3 +1452,47 @@ def test_page_trend_test_hand_and_guards(spark):
     # empty -> 0 rows
     assert page_trend_test(t.where("blk < 0"), "blk", "g", "v",
                            order=["a", "b"]).count() == 0
+
+
+def test_forecast_accuracy_hand_case(spark):
+    from mms_rdf_spark.operators.analytics import forecast_accuracy
+
+    # grid step 1, season 2: y = [10, 20, 13, 24, 10, 26]
+    ys = [10, 20, 13, 24, 10, 26]
+    rows = [(t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    r = forecast_accuracy(df, "t", "y", season_s=2,
+                          step_s=1).collect()[0]
+    # forecast pairs (t>=2): e = |13-10|,|24-20|,|10-13|,|26-24|
+    errs = [3, 4, 3, 2]
+    acts = [13, 24, 10, 26]
+    base = [abs(b - a) for a, b in zip(ys, ys[1:])]
+    assert r.n_points == 4
+    assert r.mae == round(sum(errs) / 4, 6)
+    assert r.rmse == round((sum(e * e for e in errs) / 4) ** 0.5, 6)
+    assert abs(r.mape - sum(e / a for e, a in zip(errs, acts)) / 4) \
+        < 1e-6
+    assert abs(r.mase - (sum(errs) / 4) / (sum(base) / 5)) < 1e-6
+
+    # perfect seasonal repetition: zero errors everywhere
+    per = [(t, 5 + (t % 2)) for t in range(8)]
+    r = forecast_accuracy(spark.createDataFrame(per, "t long, y long"),
+                          "t", "y", season_s=2, step_s=1).collect()[0]
+    assert r.mae == 0.0 and r.rmse == 0.0 and r.mase == 0.0
+
+    # constant series: baseline error zero -> mase NULL; all-zero
+    # actuals -> mape NULL
+    const = [(t, 7) for t in range(5)]
+    r = forecast_accuracy(
+        spark.createDataFrame(const, "t long, y long"),
+        "t", "y", season_s=2, step_s=1).collect()[0]
+    assert r.mase is None and r.mae == 0.0
+    zeros = [(t, 0) for t in range(5)]
+    r = forecast_accuracy(
+        spark.createDataFrame(zeros, "t long, y long"),
+        "t", "y", season_s=2, step_s=1).collect()[0]
+    assert r.mape is None
+    # no overlap -> 0 rows
+    two = spark.createDataFrame([(0, 1), (1, 2)], "t long, y long")
+    assert forecast_accuracy(two, "t", "y", season_s=10,
+                             step_s=10).count() == 0
