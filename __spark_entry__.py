@@ -3898,6 +3898,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return forecast_accuracy(hourly, "t", "y",
                                  season_s=86400, step_s=3600)
 
+    def events_theilu(spark, sf):
+        # Theil's U: how much of the event-type entropy does the
+        # hour of day explain? One exact integer division
+        from mms_rdf_spark.operators.analytics import theils_u
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hod = F.floor(_epoch_s("ts") % 86400 / 3600).cast("int")
+        d = ev.select(F.col("event_type").alias("x"),
+                      hod.alias("y"))
+        return theils_u(d, "x", "y")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4371,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_page": events_page,
         "mm_cdc_cert": mm_cdc_cert,
         "events_forecast": events_forecast,
+        "events_theilu": events_theilu,
     }
 
 
@@ -12820,6 +12832,51 @@ def oracle_sql() -> dict[str, str]:
                            / (ab / CAST(nb AS DOUBLE)), 6)
            END AS mase
     FROM stf, stb WHERE n IS NOT NULL AND n > 0
+    """
+
+    # Theil's U: nano-ln count-log sums, U = one exact integer
+    # division; textual mirror of analytics.theils_u
+    q["events_theilu"] = """
+    WITH s AS (
+        SELECT event_type AS x,
+               CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) % 86400
+                          / 3600) AS INT) AS y
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), cells AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS n
+        FROM s GROUP BY x, y
+    ), sxy AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nxy,
+               CAST(sum(n * CAST(round(ln(n) * 1e9) AS BIGINT))
+                    AS BIGINT) AS sxy
+        FROM cells
+    ), mx AS (
+        SELECT x, CAST(sum(n) AS BIGINT) AS n FROM cells GROUP BY x
+    ), sx AS (
+        SELECT CAST(sum(n * CAST(round(ln(n) * 1e9) AS BIGINT))
+                    AS BIGINT) AS sx
+        FROM mx
+    ), my AS (
+        SELECT y, CAST(sum(n) AS BIGINT) AS n FROM cells GROUP BY y
+    ), sy AS (
+        SELECT CAST(sum(n * CAST(round(ln(n) * 1e9) AS BIGINT))
+                    AS BIGINT) AS sy
+        FROM my
+    )
+    SELECT nxy AS n,
+           round((nxy * CAST(round(ln(nxy) * 1e9) AS BIGINT) - sx)
+                 / (nxy * 1e9), 6) AS h_x,
+           round((sy - sxy) / (nxy * 1e9), 6) AS h_x_given_y,
+           CASE WHEN nxy * CAST(round(ln(nxy) * 1e9) AS BIGINT)
+                     - sx > 0
+                THEN round((nxy * CAST(round(ln(nxy) * 1e9)
+                                       AS BIGINT)
+                            - (sx + sy - sxy))
+                           / (nxy * CAST(round(ln(nxy) * 1e9)
+                                         AS BIGINT) - sx + 0.0), 6)
+           END AS u
+    FROM sxy, sx, sy WHERE nxy IS NOT NULL AND nxy > 0
     """
 
     return q

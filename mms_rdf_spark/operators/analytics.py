@@ -3232,3 +3232,64 @@ def forecast_accuracy(
         F.round(rmse, 6).alias("rmse"),
         F.when(F.col("_np") > 0, F.round(mape, 6)).alias("mape"),
         F.when(ok_b, F.round(mae / mase_den, 6)).alias("mase"))
+
+
+def theils_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil's U (uncertainty coefficient) U(X|Y) — the ASYMMETRIC
+    categorical-association measure: what fraction of X's entropy
+    does knowing Y remove? Complements chi_square_cells / Cramer's V
+    (symmetric, magnitude-blind) for feature-leak audits ("does the
+    hour of day determine the event type?"), where direction
+    matters.
+
+    U = (H(X) - H(X|Y)) / H(X), and with counts every entropy
+    collapses to count-log sums: H(X) = ln N - S_x/N and
+    H(X|Y) = (S_y - S_xy)/N with S_* = sum(n ln n). Exact
+    arithmetic: each ln rounds to integer NANO units once per
+    distinct cell/margin, giving exact longs A = N*LN - (S_x + S_y
+    - S_xy) and D = N*LN - S_x, so U = A/D is ONE division of exact
+    integers — no float sums anywhere. Rows with NULL in either
+    column are excluded.
+
+    Returns one row (n, h_x, h_x_given_y, u): u NULL when X is
+    constant (H(X) = 0). Empty: 0 rows.
+
+    Scale shape: one (x,y) cell aggregate (map-side combined), two
+    margin re-aggregates of the cell table, a 1-row fold.
+
+    Reference provenance: no analog in the reference (Node triple
+    factory); beyond-reference analytics suite.
+    """
+    s = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+         .select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
+    cells = s.groupBy("_x", "_y").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("_n"))
+
+    def _s(dfc, name):
+        return dfc.agg(
+            F.sum("_n").cast("long").alias(f"_n{name}"),
+            F.sum(F.col("_n")
+                  * F.round(F.log("_n") * 1e9).cast("long"))
+            .cast("long").alias(f"_s{name}"))
+
+    sxy = _s(cells, "xy")
+    sx = _s(cells.groupBy("_x").agg(F.sum("_n").cast("long")
+                                    .alias("_n")), "x")
+    sy = _s(cells.groupBy("_y").agg(F.sum("_n").cast("long")
+                                    .alias("_n")), "y")
+    j = (sxy.crossJoin(F.broadcast(sx)).crossJoin(F.broadcast(sy))
+         .where(F.col("_nxy").isNotNull() & (F.col("_nxy") > 0)))
+    n = F.col("_nxy")
+    ln_nano = F.round(F.log(n) * 1e9).cast("long")
+    a = n * ln_nano - (F.col("_sx") + F.col("_sy") - F.col("_sxy"))
+    d = n * ln_nano - F.col("_sx")
+    return j.select(
+        n.alias("n"),
+        F.round(d / (n * 1e9), 6).alias("h_x"),
+        F.round((F.col("_sy") - F.col("_sxy")) / (n * 1e9), 6)
+        .alias("h_x_given_y"),
+        F.when(d > 0, F.round(a / d, 6)).alias("u"))

@@ -1496,3 +1496,44 @@ def test_forecast_accuracy_hand_case(spark):
     two = spark.createDataFrame([(0, 1), (1, 2)], "t long, y long")
     assert forecast_accuracy(two, "t", "y", season_s=10,
                              step_s=10).count() == 0
+
+
+def test_theils_u_hand_cases(spark):
+    import math
+
+    from mms_rdf_spark.operators.analytics import theils_u
+
+    # Y fully determines X -> U = 1
+    det = [("a", 1), ("a", 1), ("b", 2), ("b", 2), ("c", 3)]
+    df = spark.createDataFrame(det, "x string, y int")
+    r = theils_u(df, "x", "y").collect()[0]
+    assert r.u == 1.0 and abs(r.h_x_given_y) < 1e-9
+
+    # independence -> U = 0 (balanced product design)
+    ind = [(x, y) for x in ("a", "b") for y in (1, 2)] * 3
+    r = theils_u(spark.createDataFrame(ind, "x string, y int"),
+                 "x", "y").collect()[0]
+    assert r.u == 0.0
+
+    # hand case vs a pure-Python twin
+    data = [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 2),
+            ("b", 2), ("b", 2), ("c", 1)]
+    r = theils_u(spark.createDataFrame(data, "x string, y int"),
+                 "x", "y").collect()[0]
+    n = len(data)
+    from collections import Counter
+    cx, cy, cxy = Counter(), Counter(), Counter()
+    for x, y in data:
+        cx[x] += 1; cy[y] += 1; cxy[(x, y)] += 1
+    hx = -sum(c / n * math.log(c / n) for c in cx.values())
+    hxy = -sum(c / n * math.log(c / cy[y])
+               for (x, y), c in cxy.items())
+    assert abs(r.h_x - hx) < 1e-6
+    assert abs(r.h_x_given_y - hxy) < 1e-6
+    assert abs(r.u - (hx - hxy) / hx) < 1e-6
+
+    # constant X -> H(X)=0 -> u NULL; empty -> 0 rows
+    const = spark.createDataFrame([("a", 1), ("a", 2)],
+                                  "x string, y int")
+    assert theils_u(const, "x", "y").collect()[0].u is None
+    assert theils_u(const.where("y > 9"), "x", "y").count() == 0
