@@ -3909,6 +3909,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       hod.alias("y"))
         return theils_u(d, "x", "y")
 
+    def text_diversity(spark, sf):
+        # Corpus lexical-diversity panel: TTR + Shannon + Simpson
+        # from one token-count aggregate, exact integer ratios
+        from mms_rdf_spark.operators.textstats import lexical_diversity
+        return lexical_diversity(_docs(spark, sf))
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4383,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_cdc_cert": mm_cdc_cert,
         "events_forecast": events_forecast,
         "events_theilu": events_theilu,
+        "text_diversity": text_diversity,
     }
 
 
@@ -12877,6 +12884,33 @@ def oracle_sql() -> dict[str, str]:
                                          AS BIGINT) - sx + 0.0), 6)
            END AS u
     FROM sxy, sx, sy WHERE nxy IS NOT NULL AND nxy > 0
+    """
+
+    # Lexical diversity: nano-ln Shannon, exact-integer Simpson;
+    # textual mirror of textstats.lexical_diversity
+    q["text_diversity"] = f"""
+    WITH t AS (
+        SELECT unnest(toks) AS tok
+        FROM (SELECT {_TOKS_SQL} AS toks FROM documents)
+    ), counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok
+    ), st AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(n * CAST(round(ln(n) * 1e9) AS BIGINT))
+                    AS BIGINT) AS s,
+               sum(CAST(n AS HUGEINT) * (n - 1)) AS d
+        FROM counts
+    )
+    SELECT nt AS n_tokens, vocab,
+           round(vocab / CAST(nt AS DOUBLE), 6) AS ttr,
+           round((nt * CAST(round(ln(nt) * 1e9) AS BIGINT) - s)
+                 / (nt * 1e9), 6) AS shannon,
+           CASE WHEN nt > 1
+                THEN round(CAST(d AS DOUBLE)
+                           / (CAST(nt AS DOUBLE) * (nt - 1)), 6)
+           END AS simpson
+    FROM st WHERE nt IS NOT NULL AND nt > 0
     """
 
     return q

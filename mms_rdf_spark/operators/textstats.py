@@ -1367,3 +1367,46 @@ def heaps_fit(docs: DataFrame) -> DataFrame:
         "n_points",
         F.when(den > 0, beta).alias("beta"),
         F.when(den > 0, ln_k).alias("ln_k"))
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Corpus-level lexical diversity panel in one row: token count,
+    vocabulary size, type-token ratio, Shannon entropy of the token
+    distribution (nats), and Simpson concentration — the quick
+    "is this corpus template spam?" dial next to zipf_fit (slope),
+    heaps_fit (growth) and hapax_ratio (tail). Low entropy + high
+    Simpson at normal TTR = a few tokens dominating; boilerplate.
+
+    Exact arithmetic: one token-count aggregate; Shannon collapses
+    to H = ln N - sum(n ln n)/N with per-distinct-token nano-longs
+    (the theils_u recipe) so the sum is an exact long; Simpson
+    D = sum(n(n-1)) / (N(N-1)) is ONE division of exact longs
+    (n(n-1) rides DECIMAL against hot-token squares). TTR = V/N.
+
+    Returns one row (n_tokens, vocab, ttr, shannon, simpson);
+    simpson NULL when N < 2. Empty corpus: 0 rows.
+    """
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    counts = (docs.select(F.explode(toks).alias("_tok"))
+              .groupBy("_tok")
+              .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    st = counts.agg(
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("_n")
+              * F.round(F.log("_n") * 1e9).cast("long"))
+        .cast("long").alias("_s"),
+        F.sum(F.col("_n").cast("decimal(38,0)")
+              * (F.col("_n") - 1)).cast("decimal(38,0)").alias("_d"))
+    st = st.where(F.col("n_tokens").isNotNull()
+                  & (F.col("n_tokens") > 0))
+    n = F.col("n_tokens")
+    ln_nano = F.round(F.log(n) * 1e9).cast("long")
+    shannon = (n * ln_nano - F.col("_s")) / (n * 1e9)
+    simpson = (F.col("_d").cast("double")
+               / (n.cast("double") * (n - 1)))
+    return st.select(
+        "n_tokens", "vocab",
+        F.round(F.col("vocab") / n, 6).alias("ttr"),
+        F.round(shannon, 6).alias("shannon"),
+        F.when(n > 1, F.round(simpson, 6)).alias("simpson"))

@@ -290,3 +290,27 @@ def test_heaps_fit_matches_pure_python_twin(spark):
     r1 = heaps_fit(one).collect()[0]
     assert r1.n_points == 1 and r1.beta is None and r1.ln_k is None
     assert heaps_fit(df.where("doc_id < 0")).count() == 0
+
+
+def test_lexical_diversity_hand_case(spark):
+    import math
+
+    from mms_rdf_spark.operators.textstats import lexical_diversity
+
+    docs = [(1, "a a b"), (2, "b c"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = lexical_diversity(df).collect()[0]
+    # tokens: a a b b c -> N=5, V=3
+    assert (r.n_tokens, r.vocab) == (5, 3)
+    assert r.ttr == 0.6
+    counts = [2, 2, 1]
+    h = -sum(c / 5 * math.log(c / 5) for c in counts)
+    assert abs(r.shannon - h) < 1e-6
+    assert r.simpson == round((2 * 1 + 2 * 1 + 0) / (5 * 4), 6)
+
+    # single token -> simpson NULL, shannon 0
+    one = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    r = lexical_diversity(one).collect()[0]
+    assert r.shannon == 0.0 and r.simpson is None and r.ttr == 1.0
+    # empty corpus -> 0 rows
+    assert lexical_diversity(df.where("doc_id < 0")).count() == 0
