@@ -3915,6 +3915,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.textstats import lexical_diversity
         return lexical_diversity(_docs(spark, sf))
 
+    def orders_breusch(spark, sf):
+        # Breusch-Pagan over the orders OLS fit: squared exact-cent
+        # residuals regressed on the same features, BP = n * R2_aux
+        from mms_rdf_spark.operators.mlops import ols2_breusch_pagan
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        feats = (li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                      F.sum(F.col("l_quantity").cast("long"))
+                      .cast("long").alias("qty")))
+        d = (orders.join(feats, on="o_orderkey")
+             .select(F.round(F.col("o_totalprice") * 100)
+                     .cast("long").alias("cents"),
+                     "n_items", "qty"))
+        return ols2_breusch_pagan(d, "cents", "n_items", "qty")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4390,6 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast": events_forecast,
         "events_theilu": events_theilu,
         "text_diversity": text_diversity,
+        "orders_breusch": orders_breusch,
     }
 
 
@@ -12911,6 +12928,80 @@ def oracle_sql() -> dict[str, str]:
                            / (CAST(nt AS DOUBLE) * (nt - 1)), 6)
            END AS simpson
     FROM st WHERE nt IS NOT NULL AND nt > 0
+    """
+
+    # Breusch-Pagan: nests the orders_ols oracle for the trained
+    # coefficients (the logreg-unroll precedent), then the residual
+    # pass with exact-cent e, HUGEINT e^2/e^4 moments, Cramer aux R^2
+    q["orders_breusch"] = f"""
+    WITH feats AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(count(*) AS BIGINT) AS x1,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+        FROM lineitem GROUP BY l_orderkey
+    ), d AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+               x1, x2
+        FROM orders JOIN feats USING (o_orderkey)
+    ), ols AS (
+        SELECT b0, b1, b2 FROM ({q["orders_ols"]})
+    ), res AS (
+        SELECT CAST(round(y - (b0 + b1 * x1 + b2 * x2)) AS BIGINT)
+                   AS e,
+               x1, x2
+        FROM d, ols
+        WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               sum(CAST(e AS HUGEINT) * e) AS sy,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               sum(CAST(e AS HUGEINT) * e * x1) AS s1y,
+               sum(CAST(e AS HUGEINT) * e * x2) AS s2y,
+               sum(CAST(e AS HUGEINT) * e * e * e) AS syy
+        FROM res
+    ), m AS (
+        SELECT n,
+               CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+               CAST(s2 AS DOUBLE) AS a13, CAST(s11 AS DOUBLE) AS a22,
+               CAST(s12 AS DOUBLE) AS a23, CAST(s22 AS DOUBLE) AS a33,
+               CAST(sy AS DOUBLE) AS c1, CAST(s1y AS DOUBLE) AS c2,
+               CAST(s2y AS DOUBLE) AS c3, CAST(syy AS DOUBLE) AS syy
+        FROM st WHERE n IS NOT NULL AND n > 0
+    ), dets AS (
+        SELECT n, a11, c1, c2, c3, syy,
+               a11 * (a22 * a33 - a23 * a23)
+               - a12 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * a23 - a22 * a13) AS det,
+               c1 * (a22 * a33 - a23 * a23)
+               - a12 * (c2 * a33 - a23 * c3)
+               + a13 * (c2 * a23 - a22 * c3) AS det0,
+               a11 * (c2 * a33 - a23 * c3)
+               - c1 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * c3 - c2 * a13) AS det1,
+               a11 * (a22 * c3 - c2 * a23)
+               - a12 * (a12 * c3 - c2 * a13)
+               + c1 * (a12 * a23 - a22 * a13) AS det2
+        FROM m
+    ), coef AS (
+        SELECT n, c1, c2, c3, syy, det,
+               round(det0 / det, 6) AS b0,
+               round(det1 / det, 6) AS b1,
+               round(det2 / det, 6) AS b2,
+               syy - c1 * c1 / a11 AS sst
+        FROM dets
+    )
+    SELECT n,
+           CASE WHEN det <> 0.0 AND sst > 0
+                THEN round(n * (1.0 - (syy - (b0 * c1 + b1 * c2
+                                              + b2 * c3)) / sst), 6)
+           END AS bp,
+           CASE WHEN det <> 0.0 AND sst > 0
+                THEN CAST(2 AS INT) END AS dof
+    FROM coef
     """
 
     return q

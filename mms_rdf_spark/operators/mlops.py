@@ -375,3 +375,95 @@ def ols2_train(
         F.when(ok, b2).alias("b2"),
         F.when(ok & (sst > 0),
                F.round(1.0 - sse / sst, 6)).alias("r2"))
+
+
+def ols2_breusch_pagan(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test for the ols2_train fit:
+    regress the squared residuals on the same two features and
+    report BP = n * R^2_aux (chi-square, dof = 2 under the null of
+    constant error variance) — the standard "can I trust my OLS
+    standard errors?" diagnostic.
+
+    Two exact passes: (1) ols2_train's one-aggregate fit; (2) a
+    residual pass where e = y - (b0 + b1*x1 + b2*x2) uses the
+    ROUNDED coefficients (identical doubles on both engines) and
+    rounds to the integer unit grid, so e and e^2 are exact longs
+    and the aux regression's moment sums ride exact
+    longs/DECIMAL(38,0) (e^4 sums fit HUGEINT through cents-scale
+    1e6-row data). The aux R^2 solves by the same Cramer mirror.
+
+    Returns one row (n, bp, dof): bp NULL when the design is
+    singular or the squared residuals are constant. Empty: 0 rows.
+
+    Scale shape: two aggregates over the joined frame, 1-row folds.
+
+    Reference provenance: no analog in the reference; beyond-
+    reference diagnostics suite.
+    """
+    coefs = ols2_train(df, y_col, x1_col, x2_col).collect()
+    if not coefs or coefs[0]["b0"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "n long, bp double, dof int")
+    c = coefs[0]
+    y = F.col(y_col).cast("long")
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    e = F.round(y - (F.lit(c["b0"]) + F.lit(c["b1"]) * x1
+                     + F.lit(c["b2"]) * x2)).cast("long")
+    d = (df.where(y.isNotNull() & x1.isNotNull() & x2.isNotNull())
+         .select((e.cast("decimal(38,0)") * e)
+                 .cast("decimal(38,0)").alias("_u"),
+                 x1.alias("_x1"), x2.alias("_x2")))
+    st = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x1").cast("long").alias("_s1"),
+        F.sum("_x2").cast("long").alias("_s2"),
+        F.sum("_u").cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.col("_x1") * F.col("_x1")).cast("long").alias("_s11"),
+        F.sum(F.col("_x1") * F.col("_x2")).cast("long").alias("_s12"),
+        F.sum(F.col("_x2") * F.col("_x2")).cast("long").alias("_s22"),
+        F.sum(F.col("_u") * F.col("_x1")).cast("decimal(38,0)")
+        .alias("_s1y"),
+        F.sum(F.col("_u") * F.col("_x2")).cast("decimal(38,0)")
+        .alias("_s2y"),
+        F.sum(F.col("_u") * F.col("_u")).cast("decimal(38,0)")
+        .alias("_syy"))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    a11 = F.col("n").cast("double")
+    a12 = F.col("_s1").cast("double")
+    a13 = F.col("_s2").cast("double")
+    a22 = F.col("_s11").cast("double")
+    a23 = F.col("_s12").cast("double")
+    a33 = F.col("_s22").cast("double")
+    c1 = F.col("_sy").cast("double")
+    c2 = F.col("_s1y").cast("double")
+    c3 = F.col("_s2y").cast("double")
+    det = (a11 * (a22 * a33 - a23 * a23)
+           - a12 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * a23 - a22 * a13))
+    det0 = (c1 * (a22 * a33 - a23 * a23)
+            - a12 * (c2 * a33 - a23 * c3)
+            + a13 * (c2 * a23 - a22 * c3))
+    det1 = (a11 * (c2 * a33 - a23 * c3)
+            - c1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * c3 - c2 * a13))
+    det2 = (a11 * (a22 * c3 - c2 * a23)
+            - a12 * (a12 * c3 - c2 * a13)
+            + c1 * (a12 * a23 - a22 * a13))
+    b0 = F.round(det0 / det, 6)
+    b1 = F.round(det1 / det, 6)
+    b2 = F.round(det2 / det, 6)
+    syy = F.col("_syy").cast("double")
+    sst = syy - c1 * c1 / a11
+    sse = syy - (b0 * c1 + b1 * c2 + b2 * c3)
+    r2 = 1.0 - sse / sst
+    ok = (det != 0.0) & (sst > 0)
+    return st.select(
+        "n",
+        F.when(ok, F.round(F.col("n") * r2, 6)).alias("bp"),
+        F.when(ok, F.lit(2).cast("int")).alias("dof"))

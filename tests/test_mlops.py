@@ -216,3 +216,47 @@ def test_matthews_corr_hand_cases(spark):
     # empty join -> 0 rows
     assert matthews_corr(pred.where("id < 0"), gold,
                          positive="p").count() == 0
+
+
+def test_breusch_pagan_detects_heteroscedasticity(spark):
+    import numpy as np
+
+    from mms_rdf_spark.operators.mlops import ols2_breusch_pagan
+
+    # deterministic pseudo-noise from a hash-free recurrence
+    def noise(i):
+        return ((i * 37 + 11) % 17) - 8  # in [-8, 8]
+
+    # heteroscedastic: error magnitude grows with x1
+    het = [(1000 + 20 * a + 3 * b + noise(i) * a, a, b)
+           for i, (a, b) in enumerate(
+               [(a, b) for a in range(1, 21) for b in range(1, 6)])]
+    df = spark.createDataFrame(het, "y long, x1 long, x2 long")
+    r_het = ols2_breusch_pagan(df, "y", "x1", "x2").collect()[0]
+
+    # homoscedastic: same noise, constant scale
+    hom = [(1000 + 20 * a + 3 * b + noise(i) * 8, a, b)
+           for i, (a, b) in enumerate(
+               [(a, b) for a in range(1, 21) for b in range(1, 6)])]
+    df2 = spark.createDataFrame(hom, "y long, x1 long, x2 long")
+    r_hom = ols2_breusch_pagan(df2, "y", "x1", "x2").collect()[0]
+
+    assert r_het.dof == 2 and r_hom.dof == 2
+    assert r_het.bp > 10.0          # strongly heteroscedastic
+    assert r_hom.bp < r_het.bp / 2  # clearly separated
+
+    # numpy cross-check of the same two-stage recipe (unrounded
+    # coefficients; agreement within the rounding slack)
+    X = np.array([[1.0, a, b] for _, a, b in het])
+    yv = np.array([float(y) for y, _, _ in het])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    e2 = np.round(yv - X @ np.round(beta, 6)) ** 2
+    g, *_ = np.linalg.lstsq(X, e2, rcond=None)
+    pred = X @ np.round(g, 6)
+    r2 = 1 - ((e2 - pred) ** 2).sum() / ((e2 - e2.mean()) ** 2).sum()
+    assert abs(r_het.bp - len(het) * r2) < 0.05
+
+    # singular design -> empty frame
+    col = [(y, a, 2 * a) for y, a, _ in het]
+    df3 = spark.createDataFrame(col, "y long, x1 long, x2 long")
+    assert ols2_breusch_pagan(df3, "y", "x1", "x2").count() == 0
