@@ -3931,6 +3931,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      "n_items", "qty"))
         return ols2_breusch_pagan(d, "cents", "n_items", "qty")
 
+    def events_wilson(spark, sf):
+        # Wilson score intervals per event type: success = a
+        # same-user purchase ever happened; exact counts, per-group
+        # fixed-order interval
+        from mms_rdf_spark.operators.analytics import wilson_rates
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        buyers = (ev.where(F.col("event_type") == "purchase")
+                  .select("user_id").distinct())
+        d = (ev.where(F.col("user_id").isNotNull())
+             .join(buyers.withColumn("_b", F.lit(1)),
+                   on="user_id", how="left")
+             .select(F.col("event_type").alias("g"),
+                     F.coalesce(F.col("_b"), F.lit(0)).alias("s")))
+        return wilson_rates(d, "g", "s")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4407,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theilu": events_theilu,
         "text_diversity": text_diversity,
         "orders_breusch": orders_breusch,
+        "events_wilson": events_wilson,
     }
 
 
@@ -13002,6 +13018,52 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN det <> 0.0 AND sst > 0
                 THEN CAST(2 AS INT) END AS dof
     FROM coef
+    """
+
+    # Wilson intervals: exact per-group (n, s), per-group fixed-order
+    # interval; z^2 is written as z * z with the SAME literal both
+    # engines; textual mirror of analytics.wilson_rates
+    q["events_wilson"] = """
+    WITH buyers AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+    ), d AS (
+        SELECT e.event_type AS grp,
+               CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS s
+        FROM events e LEFT JOIN buyers b ON e.user_id = b.user_id
+        WHERE e.user_id IS NOT NULL
+    ), per AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS successes
+        FROM d GROUP BY grp
+    )
+    SELECT grp, n, successes,
+           round(successes / CAST(n AS DOUBLE), 6) AS rate,
+           round(((successes / CAST(n AS DOUBLE)
+                   + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))
+                  / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)))
+                 - (1.959964
+                    * sqrt(successes / CAST(n AS DOUBLE)
+                           * (1.0 - successes / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + 1.959964 * 1.959964
+                             / (4.0 * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE))))
+                   / (1.0 + 1.959964 * 1.959964
+                      / CAST(n AS DOUBLE)), 6) AS lo,
+           round(((successes / CAST(n AS DOUBLE)
+                   + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))
+                  / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)))
+                 + (1.959964
+                    * sqrt(successes / CAST(n AS DOUBLE)
+                           * (1.0 - successes / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + 1.959964 * 1.959964
+                             / (4.0 * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE))))
+                   / (1.0 + 1.959964 * 1.959964
+                      / CAST(n AS DOUBLE)), 6) AS hi
+    FROM per
     """
 
     return q

@@ -3293,3 +3293,48 @@ def theils_u(
         F.round((F.col("_sy") - F.col("_sxy")) / (n * 1e9), 6)
         .alias("h_x_given_y"),
         F.when(d > 0, F.round(a / d, 6)).alias("u"))
+
+
+def wilson_rates(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group binomial rate with the Wilson score interval — the
+    interval that stays sane at small n and extreme rates (where the
+    naive Wald p +/- z*sqrt(pq/n) collapses), i.e. what ab_test_zstats
+    should be read with: per arm, (n, successes, rate, lo, hi).
+
+    center = (p + z^2/2n) / (1 + z^2/n),
+    halfwidth = z * sqrt(pq/n + z^2/4n^2) / (1 + z^2/n).
+
+    Exact arithmetic: one conditional aggregate gives exact (n, s)
+    per group; everything after is a per-group fixed-order float
+    expression over those two longs (no cross-row float sums),
+    mirrored textually in SQL. `success_col` must be 0/1 integers.
+
+    Returns one row per group (group, n, successes, rate, lo, hi),
+    all rates rounded 6; groups with n = 0 cannot occur (groupBy).
+
+    Reference provenance: no analog in the reference; beyond-
+    reference analytics suite.
+    """
+    s = df.select(F.col(group_col).alias("grp"),
+                  F.col(success_col).cast("long").alias("_s"))
+    per = (s.where(F.col("_s").isNotNull())
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_s").cast("long").alias("successes")))
+    nd = F.col("n").cast("double")
+    p = F.col("successes") / nd
+    z2 = z * z
+    denom = 1.0 + z2 / nd
+    center = (p + z2 / (2.0 * nd)) / denom
+    half = (z * F.sqrt(p * (1.0 - p) / nd
+                       + z2 / (4.0 * nd * nd))) / denom
+    return per.select(
+        "grp", "n", "successes",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("lo"),
+        F.round(center + half, 6).alias("hi"))

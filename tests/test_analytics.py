@@ -1537,3 +1537,25 @@ def test_theils_u_hand_cases(spark):
                                   "x string, y int")
     assert theils_u(const, "x", "y").collect()[0].u is None
     assert theils_u(const.where("y > 9"), "x", "y").count() == 0
+
+
+def test_wilson_rates_hand_case(spark):
+    from mms_rdf_spark.operators.analytics import wilson_rates
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = {r.grp: r for r in wilson_rates(df, "g", "s").collect()}
+    z = 1.959964
+    p, n = 0.8, 10
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+    assert got["a"].rate == 0.8
+    assert abs(got["a"].lo - (center - half)) < 1e-6
+    assert abs(got["a"].hi - (center + half)) < 1e-6
+    # zero successes: lo == 0-ish but hi well above 0 (Wilson sanity)
+    assert got["b"].rate == 0.0
+    assert got["b"].lo == 0.0 and got["b"].hi > 0.3
+    # interval is inside [0,1] and ordered
+    for r in got.values():
+        assert 0.0 <= r.lo <= r.rate <= r.hi <= 1.0
