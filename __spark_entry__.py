@@ -3946,6 +3946,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.coalesce(F.col("_b"), F.lit(0)).alias("s")))
         return wilson_rates(d, "g", "s")
 
+    def events_hurst(spark, sf):
+        # Hurst exponent of the hourly event series by aggregated
+        # variance: exact block sums, nano-ln log-log fit
+        from mms_rdf_spark.operators.analytics import hurst_exponent
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hour = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.groupBy(hour.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return hurst_exponent(hourly, "t", "y", step_s=3600)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4423,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_diversity": text_diversity,
         "orders_breusch": orders_breusch,
         "events_wilson": events_wilson,
+        "events_hurst": events_hurst,
     }
 
 
@@ -13064,6 +13076,64 @@ def oracle_sql() -> dict[str, str]:
                    / (1.0 + 1.959964 * 1.959964
                       / CAST(n AS DOUBLE)), 6) AS hi
     FROM per
+    """
+
+    # Hurst (aggregated variance): exact block sums per scale,
+    # incomplete blocks dropped, nano-ln OLS; textual mirror of
+    # analytics.hurst_exponent (step 3600, scales 1..32)
+    q["events_hurst"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ms AS (
+        SELECT * FROM (VALUES (1), (2), (4), (8), (16), (32))
+            AS v(m)
+    ), g AS (
+        SELECT m, CAST(floor(t / (m * 3600)) AS BIGINT) AS blk,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(y) AS BIGINT) AS s
+        FROM h, ms GROUP BY m, 2
+    ), per AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(s) AS BIGINT) AS ss,
+               sum(CAST(s AS HUGEINT) * s) AS s2
+        FROM g WHERE c = m GROUP BY m
+        HAVING count(*) >= 2
+    ), vv AS (
+        SELECT m, nb,
+               CAST(CAST(nb AS HUGEINT) * s2
+                    - CAST(ss AS HUGEINT) * ss AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))
+               / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS v
+        FROM per
+    ), pts AS (
+        SELECT CAST(round(ln(m) * 1e9) AS BIGINT) AS x,
+               CAST(round(ln(v) * 1e9) AS BIGINT) AS y
+        FROM vv WHERE v > 0
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pts
+    ), fin AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+        FROM st WHERE n IS NOT NULL AND n > 0
+    )
+    SELECT n AS n_scales,
+           CASE WHEN n > 1 AND den > 0
+                THEN round(num / den, 6) END AS slope,
+           CASE WHEN n > 1 AND den > 0
+                THEN round(1.0 + round(num / den, 6) / 2.0, 6)
+           END AS hurst
+    FROM fin
     """
 
     return q

@@ -3338,3 +3338,85 @@ def wilson_rates(
         F.round(p, 6).alias("rate"),
         F.round(center - half, 6).alias("lo"),
         F.round(center + half, 6).alias("hi"))
+
+
+def hurst_exponent(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    step_s: int,
+    scales: tuple = (1, 2, 4, 8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent by the aggregated-variance method (Beran 1994
+    / Taqqu, Teverovsky & Willinger 1995): long-range dependence of
+    a regular integer series. For each block size m, average the
+    series over calendar-aligned blocks of m points and take the
+    sample variance of the block means; Var(m) ~ m^(2H-2), so H =
+    1 + slope/2 of the log-log fit. H ~ 0.5 = short memory, -> 1 =
+    persistent (bursty load that stays bursty at every aggregation
+    level — the capacity-planning signal).
+
+    Exact arithmetic: per (scale, block) sums are exact longs;
+    incomplete blocks are EXCLUDED; each scale's variance numerator
+    e = n*S2 - S^2 rides DECIMAL(38,0)/HUGEINT; ln(v) and ln(m)
+    round to integer NANO units and the tiny (<= |scales|-point)
+    log-log OLS uses the heaps_fit moment recipe. Scales with
+    fewer than 2 complete blocks or zero variance drop out.
+
+    Returns one row (n_scales, slope, hurst): NULL when fewer than
+    2 usable scales remain. Empty: 0 rows.
+
+    Scale shape: one crossJoin with the |scales|-row broadcast, one
+    (scale, block) aggregate, one scale aggregate, a bounded fold.
+
+    Reference provenance: no analog in the reference; beyond-
+    reference analytics suite.
+    """
+    spark = series.sparkSession
+    ms = spark.createDataFrame([(int(m),) for m in scales], "m int")
+    s = series.select(F.col(t_col).cast("long").alias("_t"),
+                      F.col(y_col).cast("long").alias("_y"))
+    g = (s.crossJoin(F.broadcast(ms))
+         .groupBy("m", F.floor(F.col("_t") / (F.col("m") * step_s))
+                  .alias("_blk"))
+         .agg(F.count(F.lit(1)).cast("long").alias("_c"),
+              F.sum("_y").cast("long").alias("_s")))
+    per = (g.where(F.col("_c") == F.col("m"))
+           .groupBy("m")
+           .agg(F.count(F.lit(1)).cast("long").alias("_nb"),
+                F.sum("_s").cast("long").alias("_ss"),
+                F.sum(F.col("_s").cast("decimal(38,0)")
+                      * F.col("_s")).cast("decimal(38,0)")
+                .alias("_s2")))
+    per = per.where(F.col("_nb") >= 2)
+    nb = F.col("_nb").cast("double")
+    e = (F.col("_nb").cast("decimal(38,0)") * F.col("_s2")
+         - F.col("_ss").cast("decimal(38,0)") * F.col("_ss"))
+    v = (e.cast("double") / (nb * (nb - 1.0))
+         / (F.col("m").cast("double") * F.col("m")))
+    pts = (per.select(
+        F.round(F.log(F.col("m")) * 1e9).cast("long").alias("_x"),
+        F.when(v > 0, F.round(F.log(v) * 1e9).cast("long"))
+        .alias("_y"))
+        .where(F.col("_y").isNotNull()))
+    st = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scales"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x"))
+        .cast("decimal(38,0)").alias("_sxx"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_y"))
+        .cast("decimal(38,0)").alias("_sxy"))
+    st = st.where(F.col("n_scales").isNotNull()
+                  & (F.col("n_scales") > 0))
+    nd = F.col("n_scales").cast("double")
+    sxd = F.col("_sx").cast("double")
+    syd = F.col("_sy").cast("double")
+    num = nd * F.col("_sxy").cast("double") - sxd * syd
+    den = nd * F.col("_sxx").cast("double") - sxd * sxd
+    slope = F.round(num / den, 6)
+    ok = (F.col("n_scales") > 1) & (den > 0)
+    return st.select(
+        "n_scales",
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, F.round(1.0 + slope / 2.0, 6)).alias("hurst"))

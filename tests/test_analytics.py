@@ -1559,3 +1559,52 @@ def test_wilson_rates_hand_case(spark):
     # interval is inside [0,1] and ordered
     for r in got.values():
         assert 0.0 <= r.lo <= r.rate <= r.hi <= 1.0
+
+
+def test_hurst_exponent_white_noise_and_trend(spark):
+    from mms_rdf_spark.operators.analytics import hurst_exponent
+
+    # deterministic "white-noise-like" series: low-discrepancy
+    # residues have block means whose variance shrinks ~1/m -> H~0.5
+    n = 512
+    wn = [(t, (t * 97) % 101) for t in range(n)]
+    df = spark.createDataFrame(wn, "t long, y long")
+    r = hurst_exponent(df, "t", "y", step_s=1).collect()[0]
+    assert r.n_scales >= 5
+    assert 0.0 < r.hurst < 0.6  # anti-persistent-to-short-memory
+
+    # strong linear trend: block-mean variance ~ m^0 relative...
+    # variance of means stays ~constant -> slope ~0 -> H ~ 1
+    tr = [(t, 10 * t) for t in range(n)]
+    r2 = hurst_exponent(
+        spark.createDataFrame(tr, "t long, y long"),
+        "t", "y", step_s=1).collect()[0]
+    assert r2.hurst > 0.95
+
+    # twin check on the small white-noise series
+    import math
+    pts = []
+    for m in (1, 2, 4, 8, 16, 32):
+        blocks = {}
+        for t, y in wn:
+            blocks.setdefault(t // m, []).append(y)
+        sums = [sum(v) for v in blocks.values() if len(v) == m]
+        nb = len(sums)
+        if nb < 2:
+            continue
+        mean = sum(sums) / nb
+        var = sum((s - mean) ** 2 for s in sums) / (nb - 1) / m / m
+        if var > 0:
+            pts.append((math.log(m), math.log(var)))
+    k = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert abs(r.slope - slope) < 1e-4
+
+    # constant series: every variance 0 -> no usable scale -> 0 rows
+    const = [(t, 7) for t in range(64)]
+    out = hurst_exponent(spark.createDataFrame(const, "t long, y long"),
+                         "t", "y", step_s=1)
+    assert out.count() == 0
