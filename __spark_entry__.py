@@ -3957,6 +3957,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("y")))
         return hurst_exponent(hourly, "t", "y", step_s=3600)
 
+    def events_spectrum(spark, sf):
+        # Single-bin DFT power at 6/12/24/48-hour candidate periods
+        # over the hourly series; Python-literal trig tables
+        from mms_rdf_spark.operators.analytics import spectral_power
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hour = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.groupBy(hour.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return spectral_power(hourly, "t", "y", step_s=3600)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4435,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_breusch": orders_breusch,
         "events_wilson": events_wilson,
         "events_hurst": events_hurst,
+        "events_spectrum": events_spectrum,
     }
 
 
@@ -13134,6 +13146,54 @@ def oracle_sql() -> dict[str, str]:
                 THEN round(1.0 + round(num / den, 6) / 2.0, 6)
            END AS hurst
     FROM fin
+    """
+
+    # Spectral power: the SAME Python-computed nano trig literals as
+    # the Spark side (no engine trig anywhere), exact centered sums
+    import math as _math2
+    _spec_rows = []
+    for _p in (6, 12, 24, 48):
+        for _ph in range(_p):
+            _th = 2.0 * _math2.pi * _ph / _p
+            _spec_rows.append(
+                f"({_p},{_ph},{int(round(_math2.cos(_th) * 1e9))},"
+                f"{int(round(_math2.sin(_th) * 1e9))})")
+    q["events_spectrum"] = f"""
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), tab(p, ph, c, s) AS (
+        VALUES {", ".join(_spec_rows)}
+    ), j AS (
+        SELECT tab.p, h.y, tab.c, tab.s
+        FROM h JOIN tab
+          ON tab.ph = CAST(floor(h.t / 3600) AS BIGINT) % tab.p
+    ), per AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(y AS HUGEINT) * c) AS sc,
+               sum(CAST(y AS HUGEINT) * s) AS ss,
+               CAST(sum(c) AS BIGINT) AS tc,
+               CAST(sum(s) AS BIGINT) AS ts
+        FROM j GROUP BY p
+    )
+    SELECT p AS period_steps,
+           round(((CAST(CAST(n AS HUGEINT) * sc
+                        - CAST(sy AS HUGEINT) * tc AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * 1e9))
+                  * (CAST(CAST(n AS HUGEINT) * sc
+                          - CAST(sy AS HUGEINT) * tc AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1e9))
+                  + (CAST(CAST(n AS HUGEINT) * ss
+                          - CAST(sy AS HUGEINT) * ts AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1e9))
+                    * (CAST(CAST(n AS HUGEINT) * ss
+                            - CAST(sy AS HUGEINT) * ts AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1e9)))
+                 / CAST(n AS DOUBLE), 6) AS power
+    FROM per
     """
 
     return q

@@ -3420,3 +3420,73 @@ def hurst_exponent(
         "n_scales",
         F.when(ok, slope).alias("slope"),
         F.when(ok, F.round(1.0 + slope / 2.0, 6)).alias("hurst"))
+
+
+def spectral_power(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    step_s: int,
+    periods: tuple = (6, 12, 24, 48),
+) -> DataFrame:
+    """Mean-centered spectral power of a regular integer series at
+    FIXED candidate periods (in steps) — the "which cycle dominates,
+    daily or weekly?" probe (a Goertzel-style single-bin DFT per
+    candidate, not an FFT): P = |sum_t y'_t e^{-2pi i t/T}|^2 / N.
+
+    Cross-engine exactness trick: the only transcendentals are
+    cos/sin at T distinct phases per period, so they are computed
+    ONCE in PYTHON as integer NANO literals and joined as a
+    broadcast table — both engines multiply identical integers, no
+    engine trig, no float sums. Mean-centering is algebraic:
+    N*y - Sy replaces y - mean, keeping every sum an exact
+    long/DECIMAL; two squares and one division at the finale.
+
+    Returns one row per period (period_steps, power), power rounded
+    6 and in y-units^2 (comparable across the table; argmax = the
+    dominant cycle). Empty: 0 rows.
+
+    Scale shape: one broadcast phase-table join per row (|periods| x
+    T literal rows), one per-period aggregate.
+
+    Reference provenance: no analog in the reference; beyond-
+    reference analytics suite.
+    """
+    import math
+
+    spark = series.sparkSession
+    rows = []
+    for p in periods:
+        for ph in range(p):
+            th = 2.0 * math.pi * ph / p
+            rows.append((int(p), int(ph),
+                         int(round(math.cos(th) * 1e9)),
+                         int(round(math.sin(th) * 1e9))))
+    tab = spark.createDataFrame(
+        rows, "p int, ph int, c long, s long")
+    sv = series.select(F.col(t_col).cast("long").alias("_t"),
+                       F.col(y_col).cast("long").alias("_y"))
+    ps = spark.createDataFrame([(int(p),) for p in periods], "p int")
+    j = (sv.crossJoin(F.broadcast(ps))
+         .withColumn("ph", F.pmod(F.floor(F.col("_t") / step_s),
+                                  F.col("p")).cast("int"))
+         .join(F.broadcast(tab), on=["p", "ph"]))
+    per = j.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_y") * F.col("c")).cast("decimal(38,0)")
+        .alias("_sc"),
+        F.sum(F.col("_y") * F.col("s")).cast("decimal(38,0)")
+        .alias("_ss"),
+        F.sum("c").cast("long").alias("_tc"),
+        F.sum("s").cast("long").alias("_ts"))
+    nd = F.col("_n").cast("double")
+    a = ((F.col("_n").cast("decimal(38,0)") * F.col("_sc")
+          - F.col("_sy").cast("decimal(38,0)") * F.col("_tc"))
+         .cast("double") / (nd * 1e9))
+    b = ((F.col("_n").cast("decimal(38,0)") * F.col("_ss")
+          - F.col("_sy").cast("decimal(38,0)") * F.col("_ts"))
+         .cast("double") / (nd * 1e9))
+    return per.select(
+        F.col("p").alias("period_steps"),
+        F.round((a * a + b * b) / nd, 6).alias("power"))

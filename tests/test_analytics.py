@@ -1608,3 +1608,39 @@ def test_hurst_exponent_white_noise_and_trend(spark):
     out = hurst_exponent(spark.createDataFrame(const, "t long, y long"),
                          "t", "y", step_s=1)
     assert out.count() == 0
+
+
+def test_spectral_power_finds_planted_period(spark):
+    import math
+
+    from mms_rdf_spark.operators.analytics import spectral_power
+
+    # pure 24-step cosine (amplitude 100 around 1000): power must
+    # concentrate at period 24 and be ~A^2/2... per the estimator,
+    # N * |(A/2)|^2-ish — just require clear dominance + twin match
+    n = 24 * 14
+    ys = [(t, 1000 + int(round(100 * math.cos(2 * math.pi * t / 24))))
+          for t in range(n)]
+    df = spark.createDataFrame(ys, "t long, y long")
+    got = {r.period_steps: r.power for r in
+           spectral_power(df, "t", "y", step_s=1).collect()}
+    assert set(got) == {6, 12, 24, 48}
+    assert got[24] > 10 * max(got[6], got[12])
+
+    # twin: direct complex DFT bin with the same nano-trig grid
+    ybar = sum(v for _, v in ys) / n
+    for p in (6, 12, 24):
+        a = sum((y - ybar)
+                * round(math.cos(2 * math.pi * (t % p) / p) * 1e9)
+                for t, y in ys) / 1e9
+        b = sum((y - ybar)
+                * round(math.sin(2 * math.pi * (t % p) / p) * 1e9)
+                for t, y in ys) / 1e9
+        assert abs(got[p] - (a * a + b * b) / n) < 1e-3
+
+    # constant series: zero power everywhere
+    const = spark.createDataFrame([(t, 5) for t in range(48)],
+                                  "t long, y long")
+    g2 = {r.period_steps: r.power for r in
+          spectral_power(const, "t", "y", step_s=1).collect()}
+    assert all(v == 0.0 for v in g2.values())
