@@ -3968,6 +3968,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("y")))
         return spectral_power(hourly, "t", "y", step_s=3600)
 
+    def events_logrank(spark, sf):
+        # Log-rank test: does time-to-first-purchase differ between
+        # the even/odd user arms? Exact risk sets, nano-unit E/V
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.analytics import logrank_test
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .select("user_id", "event_type",
+                      _epoch_s("ts").alias("s")))
+        w = Window.partitionBy("user_id")
+        d = ev.withColumn(
+            "_sg", F.min(F.when(F.col("event_type") == "signup",
+                                F.col("s"))).over(w))
+        d = d.withColumn(
+            "_pu", F.min(F.when((F.col("event_type") == "purchase")
+                                & (F.col("s") > F.col("_sg")),
+                                F.col("s"))).over(w))
+        gmax = d.agg(F.max("s").alias("_gm"))
+        per_user = (d.groupBy("user_id")
+                    .agg(F.first("_sg").alias("sg"),
+                         F.first("_pu").alias("pu"))
+                    .where(F.col("sg").isNotNull())
+                    .crossJoin(F.broadcast(gmax)))
+        durations = per_user.select(
+            F.pmod(F.col("user_id"), 2).cast("string").alias("arm"),
+            F.floor((F.coalesce(F.col("pu"), F.col("_gm"))
+                     - F.col("sg")) / 86400).cast("long")
+            .alias("duration"),
+            F.when(F.col("pu").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("event"))
+        return logrank_test(durations, "arm")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4447,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wilson": events_wilson,
         "events_hurst": events_hurst,
         "events_spectrum": events_spectrum,
+        "events_logrank": events_logrank,
     }
 
 
@@ -13194,6 +13228,101 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n AS DOUBLE) * 1e9)))
                  / CAST(n AS DOUBLE), 6) AS power
     FROM per
+    """
+
+    # Log-rank: the events_survival duration CTEs split by arm,
+    # grid at-risk counts, nano-long E/V cells; textual mirror of
+    # analytics.logrank_test
+    q["events_logrank"] = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    ), w1 AS (
+        SELECT *, min(CASE WHEN event_type = 'signup' THEN s END)
+                      OVER (PARTITION BY user_id) AS sg
+        FROM e
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND s > sg
+                           THEN s END)
+                      OVER (PARTITION BY user_id) AS pu
+        FROM w1
+    ), g AS (SELECT max(s) AS gm FROM e
+    ), u AS (
+        SELECT user_id, min(sg) AS sg, min(pu) AS pu
+        FROM w2 GROUP BY user_id
+    ), dur AS (
+        SELECT CAST(user_id % 2 AS VARCHAR) AS grp,
+               CAST(floor((coalesce(pu, gm) - sg) / 86400) AS BIGINT)
+                   AS t,
+               CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u CROSS JOIN g WHERE sg IS NOT NULL
+    ), pgt AS (
+        SELECT grp, t, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(ev) AS BIGINT) AS d
+        FROM dur GROUP BY grp, t
+    ), times AS (SELECT DISTINCT t FROM pgt
+    ), grps AS (
+        SELECT grp, CAST(sum(m) AS BIGINT) AS tot
+        FROM pgt GROUP BY grp
+    ), names AS (
+        SELECT min(grp) AS group_a, max(grp) AS group_b FROM grps
+    ), grid AS (
+        SELECT gr.grp, ti.t, gr.tot,
+               COALESCE(p.m, 0) AS m, COALESCE(p.d, 0) AS d
+        FROM times ti CROSS JOIN grps gr
+        LEFT JOIN pgt p ON p.grp = gr.grp AND p.t = ti.t
+    ), ar AS (
+        SELECT grp, t, d,
+               tot - (sum(m) OVER (PARTITION BY grp ORDER BY t) - m)
+                   AS atrisk
+        FROM grid
+    ), cells AS (
+        SELECT t,
+               CAST(sum(CASE WHEN grp = group_a THEN atrisk
+                        ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN grp <> group_a THEN atrisk
+                        ELSE 0 END) AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN grp = group_a THEN d
+                        ELSE 0 END) AS BIGINT) AS da,
+               CAST(sum(CASE WHEN grp <> group_a THEN d
+                        ELSE 0 END) AS BIGINT) AS db
+        FROM ar, names GROUP BY t
+    ), contrib AS (
+        SELECT da,
+               CAST(round((da + db) * na / (na + nb) * 1e9)
+                    AS BIGINT) AS en,
+               CASE WHEN na + nb > 1
+                    THEN CAST(round(CAST(da + db AS DOUBLE)
+                                    * na / (na + nb)
+                                    * nb / (na + nb)
+                                    * ((na + nb) - (da + db))
+                                    / ((na + nb) - 1) * 1e9)
+                              AS BIGINT)
+                    ELSE 0 END AS vn
+        FROM cells WHERE da + db > 0
+    ), st AS (
+        SELECT CAST(sum(da) AS BIGINT) AS oa,
+               CAST(sum(en) AS BIGINT) AS es,
+               CAST(sum(vn) AS BIGINT) AS vs
+        FROM contrib
+    ), ta AS (
+        SELECT CAST(sum(CASE WHEN grp = group_a THEN tot END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN grp = group_b THEN tot END)
+                    AS BIGINT) AS n_b
+        FROM grps, names
+    )
+    SELECT group_a, group_b, n_a, n_b, oa AS o_a,
+           round(es / 1e9, 6) AS e_a,
+           CASE WHEN vs > 0
+                THEN round(((oa - es / 1e9) / sqrt(vs / 1e9))
+                           * ((oa - es / 1e9) / sqrt(vs / 1e9)), 6)
+           END AS chi2,
+           CASE WHEN vs > 0
+                THEN round((oa - es / 1e9) / sqrt(vs / 1e9), 6)
+           END AS z
+    FROM st, ta, names WHERE oa IS NOT NULL
     """
 
     return q

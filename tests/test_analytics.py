@@ -1644,3 +1644,64 @@ def test_spectral_power_finds_planted_period(spark):
     g2 = {r.period_steps: r.power for r in
           spectral_power(const, "t", "y", step_s=1).collect()}
     assert all(v == 0.0 for v in g2.values())
+
+
+def _logrank_reference(rows):
+    """Pure-Python two-group log-rank (o_a, e_a, v)."""
+    ga = min(g for g, _, _ in rows)
+    times = sorted({t for _, t, e in rows if e == 1})
+    oa = ea = v = 0.0
+    for t in times:
+        na = sum(1 for g, tt, _ in rows if g == ga and tt >= t)
+        nb = sum(1 for g, tt, _ in rows if g != ga and tt >= t)
+        da = sum(1 for g, tt, e in rows
+                 if g == ga and tt == t and e == 1)
+        db = sum(1 for g, tt, e in rows
+                 if g != ga and tt == t and e == 1)
+        n, d = na + nb, da + db
+        if d == 0:
+            continue
+        oa += da
+        ea += d * na / n
+        if n > 1:
+            v += d * (na / n) * (nb / n) * (n - d) / (n - 1)
+    return oa, ea, v
+
+
+def test_logrank_reference_and_guards(spark):
+    import pytest as _pytest
+
+    from mms_rdf_spark.operators.analytics import logrank_test
+
+    # classic small example with censoring and ties
+    rows = [("a", 6, 1), ("a", 6, 1), ("a", 6, 0), ("a", 7, 1),
+            ("a", 10, 0), ("a", 13, 1), ("a", 16, 1),
+            ("b", 1, 1), ("b", 1, 1), ("b", 2, 1), ("b", 2, 1),
+            ("b", 3, 1), ("b", 4, 1), ("b", 5, 1), ("b", 8, 1),
+            ("b", 11, 1), ("b", 12, 1), ("b", 15, 1)]
+    df = spark.createDataFrame(rows, "g string, duration long, "
+                                     "event long")
+    r = logrank_test(df, "g").collect()[0]
+    oa, ea, v = _logrank_reference(rows)
+    assert (r.group_a, r.group_b) == ("a", "b")
+    assert (r.n_a, r.n_b) == (7, 11)
+    assert r.o_a == oa
+    assert abs(r.e_a - ea) < 1e-6
+    z = (oa - ea) / v ** 0.5
+    assert abs(r.z - z) < 1e-5 and abs(r.chi2 - z * z) < 1e-4
+
+    # identical groups -> z ~ 0
+    same = [("a", t, 1) for t in (1, 2, 3, 4)] \
+        + [("b", t, 1) for t in (1, 2, 3, 4)]
+    r = logrank_test(spark.createDataFrame(
+        same, "g string, duration long, event long"), "g").collect()[0]
+    assert abs(r.z) < 1e-9
+
+    # all censored -> no event times -> 0 rows; >2 groups raise
+    cen = [("a", 5, 0), ("b", 6, 0)]
+    assert logrank_test(spark.createDataFrame(
+        cen, "g string, duration long, event long"), "g").count() == 0
+    three = [("a", 1, 1), ("b", 1, 1), ("c", 1, 1)]
+    with _pytest.raises(ValueError, match="two groups"):
+        logrank_test(spark.createDataFrame(
+            three, "g string, duration long, event long"), "g")
