@@ -4001,6 +4001,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("event"))
         return logrank_test(durations, "arm")
 
+    def text_wordpiece(spark, sf):
+        # WordPiece likelihood-objective merges: 4 rounds over the
+        # distinct-word table, integer-gridded score key
+        from mms_rdf_spark.operators.bpe import wordpiece_merges
+        return wordpiece_merges(_docs(spark, sf), rounds=4)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4481,6 +4487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hurst": events_hurst,
         "events_spectrum": events_spectrum,
         "events_logrank": events_logrank,
+        "text_wordpiece": text_wordpiece,
     }
 
 
@@ -13324,5 +13331,55 @@ def oracle_sql() -> dict[str, str]:
            END AS z
     FROM st, ta, names WHERE oa IS NOT NULL
     """
+
+    # WordPiece merges: the BPE round CTEs with per-round symbol
+    # counts and the 1e18-gridded likelihood key; textual mirror of
+    # bpe.wordpiece_merges (4 rounds)
+    wp_rounds = ""
+    for i in range(1, 5):
+        wp_rounds += f""", wsy{i} AS (
+        SELECT t AS sym, CAST(sum(freq) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(s, chr(31))) AS t, freq
+              FROM ww{i - 1})
+        GROUP BY t
+    ), wpr{i} AS (
+        SELECT unnest(list_zip(l, l[2:])) AS pr, freq
+        FROM (SELECT string_split(s, chr(31)) AS l, freq
+              FROM ww{i - 1})
+    ), wp{i} AS (
+        SELECT pr[1] AS a, pr[2] AS b,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM wpr{i} WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), wj{i} AS (
+        SELECT a, b, cnt,
+               CAST(round(CAST(cnt AS DOUBLE) * 1e18
+                          / (CAST(na.n AS DOUBLE)
+                             * CAST(nb.n AS DOUBLE))) AS BIGINT)
+                   AS key
+        FROM wp{i}
+        JOIN wsy{i} na ON wp{i}.a = na.sym
+        JOIN wsy{i} nb ON wp{i}.b = nb.sym
+    ), wt{i} AS (
+        SELECT CAST({i} AS INT) AS "round", a, b, cnt,
+               round(key / 1e18, 6) AS score
+        FROM wj{i} ORDER BY key DESC, a, b LIMIT 1
+    ), ww{i} AS (
+        SELECT replace(s, a || chr(31) || b, a || b) AS s, freq
+        FROM ww{i - 1} CROSS JOIN wt{i}
+    )"""
+    q["text_wordpiece"] = rf"""
+    WITH wf AS (
+        SELECT t AS w, count(*) AS freq
+        FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+        GROUP BY t
+    ), ww0 AS (
+        SELECT substr(cs, 1, length(cs) - 1) AS s, freq FROM (
+            SELECT regexp_replace(w, '(.)', '\1' || chr(31), 'g')
+                       AS cs,
+                   freq
+            FROM wf)
+    ){wp_rounds}
+    SELECT * FROM wt1 UNION ALL SELECT * FROM wt2
+    UNION ALL SELECT * FROM wt3 UNION ALL SELECT * FROM wt4"""
 
     return q

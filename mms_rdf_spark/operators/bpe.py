@@ -115,3 +115,77 @@ def bpe_segment(
     return (per_word.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("_ns").alias("n_subwords")))
+
+
+def wordpiece_merges(
+    docs: DataFrame,
+    rounds: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece-objective merge training (Schuster & Nakajima 2012 /
+    the BERT tokenizer): identical mechanics to bpe_merges, but each
+    round merges the pair maximizing the LIKELIHOOD score
+    count(ab) / (count(a) * count(b)) instead of raw frequency —
+    preferring pairs that co-occur far above chance even when rare.
+
+    Determinism: the score is gridded once as an integer key
+    round(cnt * 1e18 / (n_a * n_b)) — the double expression is
+    fixed-order and identical on both engines, ties break on the
+    exact key then (a, b) — so the SQL oracle unrolling the same
+    rounds hash-matches. Returns (round, a, b, cnt, score) with
+    score = key / 1e18 rounded 6.
+
+    Scale shape: per round, one symbol-count aggregate + one pair
+    aggregate over the DISTINCT-WORD table, two symbol joins on the
+    pair table, TakeOrdered(1), broadcast back — bpe_merges'
+    vocabulary-not-corpus discipline throughout.
+    """
+    if not 1 <= rounds <= 16:
+        raise ValueError("wordpiece_merges: 1..16 rounds supported")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    words = (docs.select(F.explode(toks).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select(_charify(F.col("w")).alias("s"), "freq")
+             .localCheckpoint())
+    tops = []
+    for r in range(1, rounds + 1):
+        syms = (words.select(
+            F.explode(F.split("s", US)).alias("sym"), "freq")
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("long").alias("n")))
+        pairs = words.select(
+            F.explode(F.expr(
+                f"transform(slice(split(s, '{US}'), 1, "
+                f"size(split(s, '{US}')) - 1), "
+                f"(x, i) -> struct(x as a, "
+                f"element_at(split(s, '{US}'), i + 2) as b))"))
+            .alias("p"), "freq")
+        pc = (pairs.groupBy(F.col("p.a").alias("a"),
+                            F.col("p.b").alias("b"))
+              .agg(F.sum("freq").cast("long").alias("cnt")))
+        jn = (pc.join(syms.withColumnRenamed("sym", "a")
+                      .withColumnRenamed("n", "_na"), on="a")
+              .join(syms.withColumnRenamed("sym", "b")
+                    .withColumnRenamed("n", "_nb"), on="b"))
+        key = F.round(F.col("cnt").cast("double") * 1e18
+                      / (F.col("_na").cast("double")
+                         * F.col("_nb").cast("double"))).cast("long")
+        top = (jn.withColumn("_key", key)
+               .orderBy(F.col("_key").desc(), "a", "b").limit(1)
+               .select(F.lit(r).cast("int").alias("round"),
+                       "a", "b", "cnt",
+                       F.round(F.col("_key") / 1e18, 6)
+                       .alias("score"))
+               .localCheckpoint())
+        tops.append(top)
+        words = (words.crossJoin(F.broadcast(top))
+                 .select(F.replace(
+                     F.col("s"),
+                     F.concat(F.col("a"), F.lit(US), F.col("b")),
+                     F.concat(F.col("a"), F.col("b"))).alias("s"),
+                     "freq")
+                 .localCheckpoint())
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out

@@ -40,3 +40,25 @@ def test_bpe_segment_compression_counts(spark):
     # after merges l+o, lo+w, e+r: low=1 subword, lower=[low,er]=2
     assert row["n_words"] == 3
     assert row["n_subwords"] == 1 + 1 + 2
+
+
+def test_wordpiece_prefers_high_likelihood_pairs(spark):
+    from mms_rdf_spark.operators.bpe import wordpiece_merges
+
+    # "xy" appears only together (score 1/(n_x*n_y) maximal at
+    # cnt=n_x=n_y); "ab" is frequent but a,b also occur alone a lot
+    docs = [(1, "xy xy xy ab ab ab ab ab"),
+            (2, "aa ba ab ca ad ab be bf")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = wordpiece_merges(df, rounds=2).orderBy("round").collect()
+    # round 1: count(xy)=3, n_x=n_y=3 -> score 1/3; every a/b pair
+    # is diluted by the many singleton a's and b's
+    assert (rows[0].a, rows[0].b) == ("x", "y")
+    assert rows[0].cnt == 3
+    assert abs(rows[0].score - 3 / 9) < 1e-6
+    # merged symbol "xy" participates in later rounds' counts
+    assert rows[1].score <= rows[0].score + 1e-9
+
+    # determinism: rerun yields the identical merge table
+    again = wordpiece_merges(df, rounds=2).orderBy("round").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
