@@ -4007,6 +4007,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.bpe import wordpiece_merges
         return wordpiece_merges(_docs(spark, sf), rounds=4)
 
+    def events_lttb(spark, sf):
+        # LTTB (mean-anchored) downsampling of the hourly series to
+        # 24 points: exact integer triangle-area keys
+        from mms_rdf_spark.operators.temporal import (
+            _epoch_s, lttb_downsample)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hour = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.groupBy(hour.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return lttb_downsample(hourly, "t", "y", n_buckets=24)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4488,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spectrum": events_spectrum,
         "events_logrank": events_logrank,
         "text_wordpiece": text_wordpiece,
+        "events_lttb": events_lttb,
     }
 
 
@@ -13381,5 +13393,68 @@ def oracle_sql() -> dict[str, str]:
     ){wp_rounds}
     SELECT * FROM wt1 UNION ALL SELECT * FROM wt2
     UNION ALL SELECT * FROM wt3 UNION ALL SELECT * FROM wt4"""
+
+    # LTTB (mean-anchored): the lorenz ntile arithmetic, neighbor
+    # bucket means, exact HUGEINT doubled-area keys, (area desc, t)
+    # argmax, first/last points kept; mirror of temporal.lttb_downsample
+    q["events_lttb"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS cnt FROM h
+    ), rk AS (
+        SELECT t, y, row_number() OVER (ORDER BY t, y) AS r FROM h
+    ), pts AS (
+        SELECT CASE WHEN r <= (cnt % 24) * (cnt // 24 + 1)
+                    THEN CAST(ceil(r / (cnt // 24 + 1)) AS INT)
+                    ELSE CAST(cnt % 24
+                              + ceil((r - (cnt % 24)
+                                      * (cnt // 24 + 1))
+                                     / greatest(cnt // 24, 1))
+                              AS INT)
+               END AS bucket, t, y, r, cnt
+        FROM rk, c
+    ), means AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS mc,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM pts GROUP BY bucket
+    ), j AS (
+        SELECT p.bucket, p.t, p.y,
+               pv.mc AS cp, pv.st AS stp, pv.sy AS syp,
+               nx.mc AS cn, nx.st AS stn, nx.sy AS syn
+        FROM pts p
+        JOIN means pv ON pv.bucket = p.bucket - 1
+        JOIN means nx ON nx.bucket = p.bucket + 1
+    ), areas AS (
+        SELECT bucket, t, y,
+               abs(CAST(stp * cn - stn * cp AS HUGEINT)
+                   * (y * cp - syp)
+                   - CAST(stp - t * cp AS HUGEINT)
+                     * (syn * cp - syp * cn)) AS area
+        FROM j
+    ), pick AS (
+        SELECT bucket, t, y,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY area DESC, t) AS rn
+        FROM areas
+    ), lo AS (
+        SELECT bucket, t, y FROM pts WHERE r = 1
+    ), hi AS (
+        SELECT bucket, t, y FROM pts WHERE r = cnt
+    ), inner_pts AS (
+        SELECT bucket, t, y FROM pick
+        WHERE rn = 1
+          AND bucket NOT IN (SELECT bucket FROM lo
+                             UNION ALL SELECT bucket FROM hi)
+    )
+    SELECT DISTINCT bucket, t, y FROM (
+        SELECT * FROM lo
+        UNION ALL SELECT * FROM inner_pts
+        UNION ALL SELECT * FROM hi)
+    """
 
     return q

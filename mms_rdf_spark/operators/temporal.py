@@ -402,3 +402,99 @@ def interval_overlap_join(
             .where((F.col("_ls") < F.col("_re"))
                    & (F.col("_rs") < F.col("_le")))
             .select(on, left_id, right_id).distinct())
+
+
+def lttb_downsample(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    the MEAN-ANCHORED parallel variant: pick, per time bucket, the
+    point forming the largest triangle with the NEIGHBOR BUCKETS'
+    mean points. The classic LTTB anchors on the previously SELECTED
+    point — an inherently sequential chain — so the distributed form
+    anchors on bucket means instead (documented variant; same visual
+    intent, embarrassingly parallel, and deterministic).
+
+    Exact arithmetic: values must be exact integers; bucket ids come
+    from the exact ntile-style arithmetic over link.global_rank
+    positions (equal-population buckets); each candidate's DOUBLED
+    triangle area |(xp-xn)(y-yp) - (xp-x)(yn-yp)| is computed from
+    neighbor-mean coordinates SCALED by the neighbor counts
+    (multiply through by cp*cn) so every area key is an exact
+    integer — no float comparisons pick the winner. Ties break on
+    (area desc, t asc). First and last buckets keep their first/last
+    point (the LTTB convention).
+
+    Returns (bucket, t, y) — one row per bucket, ordered by bucket.
+
+    Scale shape: one global rank, one bucket aggregate joined back,
+    one bounded per-bucket window for the argmax. The driver holds
+    one count (the rank arithmetic, rfm precedent).
+
+    Reference provenance: no analog in the reference; beyond-
+    reference temporal suite.
+    """
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.analytics import _ntile_from_rank
+    from mms_rdf_spark.operators.link import global_rank
+
+    s = (series.where(F.col(t_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+         .select(F.col(t_col).cast("long").alias("_t"),
+                 F.col(y_col).cast("long").alias("_y")))
+    cnt = s.count()
+    if cnt == 0:
+        return s.select(F.lit(0).cast("int").alias("bucket"),
+                        F.col("_t").alias("t"),
+                        F.col("_y").alias("y")).where(F.lit(False))
+    ranked = global_rank(s, "_t", "_y")
+    pts = ranked.select(
+        _ntile_from_rank(F.col("rank"), cnt, n_buckets)
+        .alias("bucket"), "_t", "_y", "rank")
+    means = (pts.groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("_c"),
+                  F.sum("_t").cast("long").alias("_st"),
+                  F.sum("_y").cast("long").alias("_sy")))
+    prev = means.select((F.col("bucket") + 1).alias("bucket"),
+                        F.col("_c").alias("_cp"),
+                        F.col("_st").alias("_stp"),
+                        F.col("_sy").alias("_syp"))
+    nxt = means.select((F.col("bucket") - 1).alias("bucket"),
+                       F.col("_c").alias("_cn"),
+                       F.col("_st").alias("_stn"),
+                       F.col("_sy").alias("_syn"))
+    j = pts.join(F.broadcast(prev), on="bucket", how="left") \
+           .join(F.broadcast(nxt), on="bucket", how="left")
+    # doubled area scaled by cp*cn: all-integer cross product
+    xp, yp = F.col("_stp"), F.col("_syp")   # prev sums (mean*cp)
+    xn, yn = F.col("_stn"), F.col("_syn")
+    cp, cn = F.col("_cp"), F.col("_cn")
+    x, y = F.col("_t"), F.col("_y")
+    area = F.abs(
+        (xp * cn - xn * cp).cast("decimal(38,0)")
+        * (y * cp - yp)
+        - (xp - x * cp).cast("decimal(38,0)") * (yn * cp - yp * cn))
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("_area").desc(), F.col("_t"))
+    inner = (j.where(cp.isNotNull() & cn.isNotNull())
+             .withColumn("_area", area)
+             .withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .select("bucket", F.col("_t").alias("t"),
+                     F.col("_y").alias("y")))
+    lo = (pts.orderBy("rank").limit(1)
+          .select("bucket", F.col("_t").alias("t"),
+                  F.col("_y").alias("y")))
+    hi = (pts.orderBy(F.col("rank").desc()).limit(1)
+          .select("bucket", F.col("_t").alias("t"),
+                  F.col("_y").alias("y")))
+    edge_buckets = [r.bucket for r in
+                    lo.select("bucket").union(hi.select("bucket"))
+                    .collect()]
+    inner = inner.where(~F.col("bucket").isin(edge_buckets))
+    return (lo.unionByName(inner).unionByName(hi)
+            .distinct().orderBy("bucket"))

@@ -352,3 +352,34 @@ def test_asof_null_right_value_pairs_with_own_timestamp(spark):
     got = asof_join(left, right, on="user_id",
                     tolerance_seconds=120).collect()
     assert [r.asof_value for r in got] == [None]
+
+
+def test_lttb_downsample_picks_extremes(spark):
+    from mms_rdf_spark.operators.temporal import lttb_downsample
+
+    # 40 points, mostly flat with one big spike per middle region:
+    # the spike must survive downsampling to 4 buckets
+    rows = []
+    for t in range(40):
+        y = 10
+        if t == 15:
+            y = 500
+        if t == 25:
+            y = -300
+        rows.append((t, y))
+    df = spark.createDataFrame(rows, "t long, y long")
+    out = lttb_downsample(df, "t", "y", n_buckets=4).collect()
+    assert len(out) == 4
+    ys = {r.y for r in out}
+    assert 500 in ys and -300 in ys
+    # first/last points kept verbatim (LTTB convention)
+    ts = sorted(r.t for r in out)
+    assert ts[0] == 0 and ts[-1] == 39
+    # one row per bucket, ordered
+    assert [r.bucket for r in out] == sorted({r.bucket for r in out})
+
+    # single point / empty
+    one = spark.createDataFrame([(5, 7)], "t long, y long")
+    o = lttb_downsample(one, "t", "y", n_buckets=3).collect()
+    assert len(o) == 1 and (o[0].t, o[0].y) == (5, 7)
+    assert lttb_downsample(one.where("t < 0"), "t", "y").count() == 0
