@@ -4018,6 +4018,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("y")))
         return lttb_downsample(hourly, "t", "y", n_buckets=24)
 
+    def events_emd(spark, sf):
+        # Exact 1-D Wasserstein distance between click and view
+        # value distributions: one division at the very end
+        from mms_rdf_spark.operators.analytics import wasserstein_1d
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return wasserstein_1d(ev, "event_type", "value",
+                              "click", "view")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4500,6 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_logrank": events_logrank,
         "text_wordpiece": text_wordpiece,
         "events_lttb": events_lttb,
+        "events_emd": events_emd,
     }
 
 
@@ -13455,6 +13464,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM lo
         UNION ALL SELECT * FROM inner_pts
         UNION ALL SELECT * FROM hi)
+    """
+
+    # 1-D Wasserstein: cumsum difference integrated over support
+    # gaps, HUGEINT segment terms, one division; textual mirror of
+    # analytics.wasserstein_1d
+    q["events_emd"] = """
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS isa,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), per AS (
+        SELECT v, CAST(sum(isa) AS BIGINT) AS na,
+               CAST(sum(1 - isa) AS BIGINT) AS nb
+        FROM s GROUP BY v
+    ), cum AS (
+        SELECT v,
+               CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+               CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cb,
+               row_number() OVER (ORDER BY v) AS r
+        FROM per
+    ), seg AS (
+        SELECT a.ca, a.cb, b.v - a.v AS dv
+        FROM cum a JOIN cum b ON b.r = a.r + 1
+    ), tot AS (
+        SELECT CAST(sum(na) AS BIGINT) AS ta,
+               CAST(sum(nb) AS BIGINT) AS tb
+        FROM per
+    ), w AS (
+        SELECT sum(CAST(abs(ca * tb - cb * ta) AS HUGEINT) * dv)
+                   AS w
+        FROM seg, tot
+    )
+    SELECT ta AS n_a, tb AS n_b,
+           round(coalesce(CAST(w AS DOUBLE), 0.0)
+                 / (CAST(ta AS DOUBLE) * tb) / 100, 6) AS w1
+    FROM tot, w WHERE ta IS NOT NULL AND ta > 0 AND tb > 0
     """
 
     return q

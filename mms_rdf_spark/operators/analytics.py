@@ -3599,3 +3599,73 @@ def logrank_test(
         F.round(F.col("_es") / 1e9, 6).alias("e_a"),
         F.when(ok, F.round(z * z, 6)).alias("chi2"),
         F.when(ok, F.round(z, 6)).alias("z"))
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    unit: int = 100,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    groups' value distributions — the drift metric that, unlike PSI
+    or KS, weighs HOW FAR mass moved, in the value's own units:
+    W1 = integral |F_a(x) - F_b(x)| dx over the pooled support.
+    Values ride as integer `unit`ths (cents by default).
+
+    Exact arithmetic end-to-end: per distinct value, (n_a, n_b)
+    counts; inclusive cumsums via prefix.global_cumsum; consecutive
+    support gaps dv from a rank equi-join (global_rank + rank+1 —
+    no single-partition lead window); each segment contributes
+    |C_a*N_b - C_b*N_a| * dv as an exact DECIMAL(38,0)/HUGEINT, and
+    the ONLY division is the final /(N_a*N_b) (then /unit back to
+    value units).
+
+    Returns one row (n_a, n_b, w1), w1 rounded 6 in original value
+    units; 0 rows when either group is empty.
+
+    Scale shape: one distinct-value aggregate, two distributed
+    scans, one rank equi-join, a 1-row fold.
+
+    Reference provenance: no analog in the reference; beyond-
+    reference analytics suite.
+    """
+    from mms_rdf_spark.operators.link import global_rank
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = (df.where(F.col(group_col).isin([group_a, group_b])
+                  & F.col(value_col).isNotNull())
+         .select((F.col(group_col) == group_a).cast("long")
+                 .alias("_isa"),
+                 F.round(F.col(value_col) * unit).cast("long")
+                 .alias("_v")))
+    per = (s.groupBy("_v")
+           .agg(F.sum("_isa").cast("long").alias("_na"),
+                F.sum(1 - F.col("_isa")).cast("long").alias("_nb")))
+    ca = global_cumsum(per, "_v", "_v", "_na") \
+        .withColumnRenamed("cum", "_ca")
+    cb = global_cumsum(ca, "_v", "_v", "_nb") \
+        .withColumnRenamed("cum", "_cb")
+    ranked = global_rank(cb, "_v", "_v")
+    nxt = ranked.select((F.col("rank") - 1).alias("rank"),
+                        F.col("_v").alias("_vn"))
+    seg = ranked.join(nxt, on="rank")
+    tot = per.agg(F.sum("_na").cast("long").alias("_ta"),
+                  F.sum("_nb").cast("long").alias("_tb"))
+    seg = seg.crossJoin(F.broadcast(tot))
+    contrib = (F.abs(F.col("_ca") * F.col("_tb")
+                     - F.col("_cb") * F.col("_ta"))
+               .cast("decimal(38,0)")
+               * (F.col("_vn") - F.col("_v")))
+    wsum = seg.agg(F.sum(contrib).cast("decimal(38,0)").alias("_w"))
+    st = (tot.crossJoin(F.broadcast(wsum))
+          .select(F.col("_ta").alias("n_a"),
+                  F.col("_tb").alias("n_b"), "_w")
+          .where(F.col("n_a").isNotNull() & (F.col("n_a") > 0)
+                 & (F.col("n_b") > 0)))
+    w1 = (F.coalesce(F.col("_w").cast("double"), F.lit(0.0))
+          / (F.col("n_a").cast("double") * F.col("n_b"))
+          / unit)
+    return st.select("n_a", "n_b", F.round(w1, 6).alias("w1"))

@@ -1705,3 +1705,36 @@ def test_logrank_reference_and_guards(spark):
     with _pytest.raises(ValueError, match="two groups"):
         logrank_test(spark.createDataFrame(
             three, "g string, duration long, event long"), "g")
+
+
+def test_wasserstein_1d_hand_cases(spark):
+    from mms_rdf_spark.operators.analytics import wasserstein_1d
+
+    # point masses 1 unit apart: W1 = 1
+    rows = [("a", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    assert r.w1 == 1.0
+
+    # identical distributions: W1 = 0 (single shared value too)
+    same = [("a", 3.0), ("b", 3.0), ("a", 5.0), ("b", 5.0)]
+    r = wasserstein_1d(
+        spark.createDataFrame(same, "g string, v double"),
+        "g", "v", "a", "b").collect()[0]
+    assert r.w1 == 0.0
+
+    # textbook: a={0,1}, b={5,6,7} -> optimal transport cost =
+    # mean shift when CDFs don't cross... use the scipy-known value:
+    # W1 = integral |Fa - Fb| dx = (0..1):|.5-0|*1 + (1..5):|1-0|*4
+    #      + (5..6):|1-1/3|*1 + (6..7):|1-2/3|*1 = .5+4+2/3+1/3 = 5.5
+    rows = [("a", 0.0), ("a", 1.0),
+            ("b", 5.0), ("b", 6.0), ("b", 7.0)]
+    r = wasserstein_1d(
+        spark.createDataFrame(rows, "g string, v double"),
+        "g", "v", "a", "b").collect()[0]
+    assert abs(r.w1 - 5.5) < 1e-6
+    assert (r.n_a, r.n_b) == (2, 3)
+
+    # empty arm -> 0 rows
+    df2 = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    assert wasserstein_1d(df2, "g", "v", "a", "b").count() == 0
