@@ -4026,6 +4026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wasserstein_1d(ev, "event_type", "value",
                               "click", "view")
 
+    def text_kfold(spark, sf):
+        # Deterministic md5 k-fold split audit: per-(fold, lang)
+        # counts, bit-exact bucket arithmetic
+        from mms_rdf_spark.operators.mlops import kfold_summary
+        return kfold_summary(_docs(spark, sf), k=5)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4509,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wordpiece": text_wordpiece,
         "events_lttb": events_lttb,
         "events_emd": events_emd,
+        "text_kfold": text_kfold,
     }
 
 
@@ -13502,6 +13509,17 @@ def oracle_sql() -> dict[str, str]:
            round(coalesce(CAST(w AS DOUBLE), 0.0)
                  / (CAST(ta AS DOUBLE) * tb) / 100, 6) AS w1
     FROM tot, w WHERE ta IS NOT NULL AND ta > 0 AND tb > 0
+    """
+
+    # k-fold audit: the feature_hash md5-bucket recipe on doc_id,
+    # bit-exact; per-(fold, lang) counts
+    q["text_kfold"] = """
+    SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 6)) AS BIGINT) % 5
+                AS INT) AS fold,
+           lang AS stratum,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
     """
 
     return q

@@ -467,3 +467,36 @@ def ols2_breusch_pagan(
         "n",
         F.when(ok, F.round(F.col("n") * r2, 6)).alias("bp"),
         F.when(ok, F.lit(2).cast("int")).alias("dof"))
+
+
+def kfold_assign(docs: DataFrame, k: int = 5,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic k-fold assignment: fold = md5(id) mod k — the
+    cross-validation splitter that needs no fit state, survives
+    re-runs and re-partitioning bit-for-bit, and composes with
+    split_leakage for contamination checks. Returns (id, fold).
+
+    Same md5-bucket recipe as feature_hash (first 6 hex chars as an
+    integer), so the DuckDB oracle is bit-exact.
+    """
+    if k < 2:
+        raise ValueError("kfold_assign: k >= 2")
+    fold = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                               1, 6), 16, 10)
+            .cast("long") % k).cast("int")
+    return docs.select(F.col(id_col).alias("id"),
+                       fold.alias("fold"))
+
+
+def kfold_summary(docs: DataFrame, k: int = 5,
+                  id_col: str = "doc_id",
+                  strata_col: str = "lang") -> DataFrame:
+    """Per-fold audit of a kfold_assign split: size and per-stratum
+    counts — the "are my folds balanced?" table (md5 folds are
+    binomially balanced, not exactly equal; this is the check).
+    Returns (fold, stratum, n_docs) — exact longs."""
+    f = kfold_assign(docs, k, id_col)
+    j = docs.select(F.col(id_col).alias("id"),
+                    F.col(strata_col).alias("stratum")).join(f, on="id")
+    return (j.groupBy("fold", "stratum")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))

@@ -260,3 +260,26 @@ def test_breusch_pagan_detects_heteroscedasticity(spark):
     col = [(y, a, 2 * a) for y, a, _ in het]
     df3 = spark.createDataFrame(col, "y long, x1 long, x2 long")
     assert ols2_breusch_pagan(df3, "y", "x1", "x2").count() == 0
+
+
+def test_kfold_assign_deterministic_and_balanced(spark):
+    import pytest as _pytest
+
+    from mms_rdf_spark.operators.mlops import kfold_assign, kfold_summary
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(500)],
+        "doc_id long, lang string")
+    a = {r.id: r.fold for r in kfold_assign(docs, k=5).collect()}
+    b = {r.id: r.fold for r in kfold_assign(docs, k=5).collect()}
+    assert a == b                       # rerun-stable
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    sizes = [list(a.values()).count(f) for f in range(5)]
+    assert min(sizes) > 50              # binomially balanced
+
+    s = kfold_summary(docs, k=5).collect()
+    assert sum(r.n_docs for r in s) == 500
+    assert {(r.fold, r.stratum) for r in s} <= {
+        (f, l) for f in range(5) for l in ("en", "de")}
+    with _pytest.raises(ValueError, match="k >= 2"):
+        kfold_assign(docs, k=1)
