@@ -4032,6 +4032,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mms_rdf_spark.operators.mlops import kfold_summary
         return kfold_summary(_docs(spark, sf), k=5)
 
+    def text_alpha_int(spark, sf):
+        # Interval-metric Krippendorff alpha over three numeric
+        # length-bucket raters (one off-by-one, one with holes)
+        from mms_rdf_spark.operators.evalmetrics import (
+            krippendorff_alpha_interval)
+        docs = _docs(spark, sf)
+        b = F.least(F.lit(4), F.floor(F.col("n_chars") / 200)) \
+            .cast("long")
+        r1 = docs.select(F.col("doc_id").alias("item"),
+                         b.alias("value"))
+        r2 = docs.select(F.col("doc_id").alias("item"),
+                         F.least(F.lit(4), b + F.col("doc_id") % 2)
+                         .cast("long").alias("value"))
+        r3 = (docs.where(F.col("doc_id") % 7 != 0)
+              .select(F.col("doc_id").alias("item"),
+                      b.alias("value")))
+        ratings = r1.unionByName(r2).unionByName(r3)
+        return krippendorff_alpha_interval(ratings)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4516,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lttb": events_lttb,
         "events_emd": events_emd,
         "text_kfold": text_kfold,
+        "text_alpha_int": text_alpha_int,
     }
 
 
@@ -13520,6 +13540,58 @@ def oracle_sql() -> dict[str, str]:
            lang AS stratum,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY 1, 2
+    """
+
+    # Interval Krippendorff: pairwise (c-k)^2 collapsed to moments,
+    # nano-long item terms; textual mirror of
+    # evalmetrics.krippendorff_alpha_interval
+    q["text_alpha_int"] = """
+    WITH r AS (
+        SELECT doc_id AS i,
+               CAST(least(4, n_chars // 200) AS BIGINT) AS v
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST(least(4, least(4, n_chars // 200)
+                             + doc_id % 2) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(least(4, n_chars // 200) AS BIGINT)
+        FROM documents WHERE doc_id % 7 <> 0
+    ), per AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(v) AS BIGINT) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS q
+        FROM r WHERE v IS NOT NULL GROUP BY i
+        HAVING count(*) >= 2
+    ), do_t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(m) AS BIGINT) AS n_ratings,
+               CAST(sum(CAST(round(round(
+                   2.0 * CAST(CAST(m AS HUGEINT) * q
+                              - CAST(s AS HUGEINT) * s AS DOUBLE)
+                   / (m - 1), 9) * 1e9, 0) AS BIGINT)) AS BIGINT)
+                   AS d_o_nano
+        FROM per
+    ), kept AS (
+        SELECT r.i, r.v FROM r WHERE v IS NOT NULL
+          AND r.i IN (SELECT i FROM per)
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS ts,
+               sum(CAST(v AS HUGEINT) * v) AS tq
+        FROM kept
+    )
+    SELECT n_items, n_ratings, d_o_nano,
+           CASE WHEN 2.0 * CAST(CAST(n AS HUGEINT) * tq
+                               - CAST(ts AS HUGEINT) * ts AS DOUBLE)
+                     / (n - 1) > 0
+                THEN round(1.0 - (d_o_nano / 1e9)
+                           / (2.0 * CAST(CAST(n AS HUGEINT) * tq
+                                         - CAST(ts AS HUGEINT) * ts
+                                         AS DOUBLE) / (n - 1)), 6)
+           END AS alpha
+    FROM do_t, tot WHERE n_items IS NOT NULL AND n_items > 0
     """
 
     return q

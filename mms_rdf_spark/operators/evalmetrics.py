@@ -795,3 +795,64 @@ def matthews_corr(a: DataFrame, b: DataFrame, positive: str,
     return st.select(
         "n", "tp", "fp", "fn", "tn",
         F.when(den > 0, F.round(mcc, 6)).alias("mcc"))
+
+
+def krippendorff_alpha_interval(ratings: DataFrame,
+                                item_col: str = "item",
+                                value_col: str = "value"
+                                ) -> DataFrame:
+    """Krippendorff's alpha with the INTERVAL metric — the
+    krippendorff_alpha sibling for NUMERIC ratings (quality scores,
+    Likert scales): disagreement is (c - k)^2, so near-misses cost
+    less than opposite calls. Same multi-rater missing-tolerant
+    semantics: rater identity irrelevant, NULLs ignored, items with
+    fewer than 2 ratings excluded.
+
+    The pairwise sums collapse to moments — per item,
+    sum_{c,k} n_c n_k (c-k)^2 = 2(m*Q - S^2) with S/Q the item's
+    value sum / square sum — so nothing is ever pairwise:
+
+      D_o = sum_i 2(m_i Q_i - S_i^2) / (m_i - 1)
+      D_e = 2(n Q_tot - S_tot^2) / (n - 1)      over kept ratings
+      alpha = 1 - D_o / D_e
+
+    Exact arithmetic: values must be small exact integers (rating
+    scales); m*Q - S^2 rides DECIMAL(38,0)/HUGEINT, each item's D_o
+    term rounds to 9dp nano longs (order-free cross-item sum), the
+    finale is one division. alpha NULL when D_e degenerates (all
+    kept ratings identical). Returns (n_items, n_ratings, d_o_nano,
+    alpha); 0 rows when nothing survives the m >= 2 filter.
+    """
+    r = (ratings.where(F.col(value_col).isNotNull())
+         .select(F.col(item_col).alias("_i"),
+                 F.col(value_col).cast("long").alias("_v")))
+    per = (r.groupBy("_i")
+           .agg(F.count(F.lit(1)).cast("long").alias("_m"),
+                F.sum("_v").cast("long").alias("_s"),
+                F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v"))
+                .cast("decimal(38,0)").alias("_q"))
+           .where(F.col("_m") >= 2))
+    num = (F.col("_m").cast("decimal(38,0)") * F.col("_q")
+           - F.col("_s").cast("decimal(38,0)") * F.col("_s"))
+    t = F.round(F.round(
+        2.0 * num.cast("double") / (F.col("_m") - 1), 9)
+        * 1e9, 0).cast("long")
+    do = per.agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.sum("_m").cast("long").alias("n_ratings"),
+                 F.sum(t).cast("long").alias("d_o_nano"))
+    kept = r.join(per.select("_i"), on="_i", how="left_semi")
+    tot = kept.agg(
+        F.sum(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").cast("long").alias("_ts"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v"))
+        .cast("decimal(38,0)").alias("_tq"))
+    j = do.crossJoin(F.broadcast(tot)) \
+        .where(F.col("n_items").isNotNull() & (F.col("n_items") > 0))
+    de_num = (F.col("_n").cast("decimal(38,0)") * F.col("_tq")
+              - F.col("_ts").cast("decimal(38,0)") * F.col("_ts"))
+    de = 2.0 * de_num.cast("double") / (F.col("_n") - 1)
+    return j.select(
+        "n_items", "n_ratings", "d_o_nano",
+        F.when(de > 0,
+               F.round(1.0 - (F.col("d_o_nano") / 1e9) / de, 6))
+        .alias("alpha"))

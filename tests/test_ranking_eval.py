@@ -613,3 +613,51 @@ def test_brier_decomposition_hand_example(spark):
     assert brier_decomposition(withnull).collect()[0]["n"] == 1
     e = spark.createDataFrame([], "prob double, y int")
     assert brier_decomposition(e).count() == 0
+
+
+def _alpha_interval_reference(items):
+    """Pure-Python interval Krippendorff over {item: [values]}."""
+    kept = {i: vs for i, vs in items.items() if len(vs) >= 2}
+    if not kept:
+        return None
+    do = 0.0
+    for vs in kept.values():
+        m = len(vs)
+        do += sum((c - k) ** 2 for c in vs for k in vs) / (m - 1)
+    allv = [v for vs in kept.values() for v in vs]
+    n = len(allv)
+    de = sum((c - k) ** 2 for c in allv for k in allv) / (n - 1)
+    return 1.0 - do / de if de > 0 else None
+
+
+def test_krippendorff_interval_reference_and_guards(spark):
+    from mms_rdf_spark.operators.evalmetrics import (
+        krippendorff_alpha_interval,
+    )
+
+    items = {1: [1, 2], 2: [3, 3, 4], 3: [0, 0], 4: [5],
+             5: [2, 2, 2]}
+    rows = [(i, v) for i, vs in items.items() for v in vs]
+    df = spark.createDataFrame(rows, "item long, value long")
+    r = krippendorff_alpha_interval(df).collect()[0]
+    ref = _alpha_interval_reference(items)
+    assert r.n_items == 4          # the singleton item 4 excluded
+    assert r.n_ratings == 10
+    assert abs(r.alpha - ref) < 1e-6
+    # near agreement on a numeric scale scores high
+    assert r.alpha > 0.5
+
+    # perfect agreement -> alpha 1; constant ratings -> NULL
+    perf = [(i, i) for i in range(5) for _ in range(3)]
+    r = krippendorff_alpha_interval(
+        spark.createDataFrame(perf, "item long, value long")
+    ).collect()[0]
+    assert r.alpha == 1.0
+    const = [(1, 7), (1, 7), (2, 7), (2, 7)]
+    r = krippendorff_alpha_interval(
+        spark.createDataFrame(const, "item long, value long")
+    ).collect()[0]
+    assert r.alpha is None
+    # nothing with m >= 2 -> 0 rows
+    single = spark.createDataFrame([(1, 3)], "item long, value long")
+    assert krippendorff_alpha_interval(single).count() == 0
