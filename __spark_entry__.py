@@ -4051,6 +4051,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ratings = r1.unionByName(r2).unionByName(r3)
         return krippendorff_alpha_interval(ratings)
 
+    def events_mw_p(spark, sf):
+        # Mann-Whitney with the two-sided normal p-value via the
+        # A&S polynomial survival function (no SciPy anywhere)
+        from mms_rdf_spark.operators.analytics import (
+            mann_whitney_u, normal_sf)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        mw = mann_whitney_u(ev, "event_type", "value",
+                            "click", "view")
+        return mw.select(
+            "n_a", "n_b", "u_a", "z",
+            F.when(F.col("z").isNotNull(),
+                   F.round(2.0 * normal_sf(F.abs(F.col("z"))), 6))
+            .alias("p_two"))
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4536,6 +4550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_emd": events_emd,
         "text_kfold": text_kfold,
         "text_alpha_int": text_alpha_int,
+        "events_mw_p": events_mw_p,
     }
 
 
@@ -13592,6 +13607,17 @@ def oracle_sql() -> dict[str, str]:
                                          AS DOUBLE) / (n - 1)), 6)
            END AS alpha
     FROM do_t, tot WHERE n_items IS NOT NULL AND n_items > 0
+    """
+
+    # Mann-Whitney p-value: nests the MW oracle, p from the SAME
+    # A&S polynomial (analytics.normal_sf_sql emits the mirror)
+    from mms_rdf_spark.operators.analytics import normal_sf_sql
+    q["events_mw_p"] = f"""
+    SELECT n_a, n_b, u_a, z,
+           CASE WHEN z IS NOT NULL
+                THEN round(2.0 * {normal_sf_sql("abs(z)")}, 6)
+           END AS p_two
+    FROM ({q["events_mannwhitney"]})
     """
 
     return q

@@ -3669,3 +3669,38 @@ def wasserstein_1d(
           / (F.col("n_a").cast("double") * F.col("n_b"))
           / unit)
     return st.select("n_a", "n_b", F.round(w1, 6).alias("w1"))
+
+
+def normal_sf(z) -> Column:
+    """Standard-normal survival function 1 - Phi(z) by the
+    Abramowitz & Stegun 26.2.17 polynomial (|error| < 7.5e-8) —
+    turns any of the suite's z statistics into a p-value without
+    SciPy. Column-in, Column-out; fixed-order arithmetic with ONE
+    engine transcendental (exp), safe under the suite's 6dp output
+    rounding. `normal_sf_sql(expr)` emits the textually identical
+    SQL for oracles.
+    """
+    z = z.cast("double")
+    x = F.abs(z)
+    k = 1.0 / (1.0 + 0.2316419 * x)
+    poly = (k * (0.319381530
+                 + k * (-0.356563782
+                        + k * (1.781477937
+                               + k * (-1.821255978
+                                      + k * 1.330274429)))))
+    pdf = F.exp(-(x * x) / 2.0) / 2.5066282746310002
+    upper = pdf * poly
+    return F.when(z >= 0, upper).otherwise(1.0 - upper)
+
+
+def normal_sf_sql(expr: str) -> str:
+    """SQL mirror of normal_sf for a z expression string."""
+    x = f"abs(CAST({expr} AS DOUBLE))"
+    k = f"(1.0 / (1.0 + 0.2316419 * {x}))"
+    poly = (f"({k} * (0.319381530 + {k} * (-0.356563782 + {k} * "
+            f"(1.781477937 + {k} * (-1.821255978 + {k} * "
+            f"1.330274429)))))")
+    pdf = f"(exp(-({x} * {x}) / 2.0) / 2.5066282746310002)"
+    upper = f"({pdf} * {poly})"
+    return (f"(CASE WHEN CAST({expr} AS DOUBLE) >= 0 THEN {upper} "
+            f"ELSE 1.0 - {upper} END)")

@@ -1738,3 +1738,20 @@ def test_wasserstein_1d_hand_cases(spark):
     # empty arm -> 0 rows
     df2 = spark.createDataFrame([("a", 1.0)], "g string, v double")
     assert wasserstein_1d(df2, "g", "v", "a", "b").count() == 0
+
+
+def test_normal_sf_matches_reference_values(spark):
+    from mms_rdf_spark.operators.analytics import normal_sf
+
+    # textbook Phi values: sf(0)=.5, sf(1.96)~.0250, sf(-1)~.8413
+    df = spark.createDataFrame(
+        [(0.0,), (1.959964,), (-1.0,), (2.5758,), (-3.0,)],
+        "z double")
+    got = {round(r.z, 4): r.p for r in
+           df.select("z", normal_sf(F.col("z")).alias("p"))
+           .collect()}
+    assert abs(got[0.0] - 0.5) < 1e-7
+    assert abs(got[1.96] - 0.025) < 1e-6
+    assert abs(got[-1.0] - 0.8413447) < 1e-6
+    assert abs(got[2.5758] - 0.005) < 1e-6
+    assert abs(got[-3.0] - 0.9986501) < 1e-6
