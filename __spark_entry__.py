@@ -4065,6 +4065,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    F.round(2.0 * normal_sf(F.abs(F.col("z"))), 6))
             .alias("p_two"))
 
+    def events_kw_p(spark, sf):
+        # Kruskal-Wallis with its chi-square p-value (dof = k-1 = 4,
+        # gated on the expected arm count) — closed-form chi2 SF
+        from mms_rdf_spark.operators.analytics import (
+            chi2_sf, kruskal_wallis)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        kw = kruskal_wallis(ev, "event_type", "value")
+        p = F.when((F.col("k") == 5) & F.col("h_tie").isNotNull(),
+                   F.round(chi2_sf(F.col("h_tie"), 4), 6))
+        return kw.select("k", "n", "h", "h_tie", p.alias("p"))
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4551,6 +4562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kfold": text_kfold,
         "text_alpha_int": text_alpha_int,
         "events_mw_p": events_mw_p,
+        "events_kw_p": events_kw_p,
     }
 
 
@@ -13618,6 +13630,17 @@ def oracle_sql() -> dict[str, str]:
                 THEN round(2.0 * {normal_sf_sql("abs(z)")}, 6)
            END AS p_two
     FROM ({q["events_mannwhitney"]})
+    """
+
+    # KW p-value: nests the kruskal oracle, closed-form chi2 SF at
+    # dof 4 (analytics.chi2_sf_sql emits the literal mirror)
+    from mms_rdf_spark.operators.analytics import chi2_sf_sql
+    q["events_kw_p"] = f"""
+    SELECT k, n, h, h_tie,
+           CASE WHEN k = 5 AND h_tie IS NOT NULL
+                THEN round({chi2_sf_sql("h_tie", 4)}, 6)
+           END AS p
+    FROM ({q["events_kruskal"]})
     """
 
     return q

@@ -3704,3 +3704,70 @@ def normal_sf_sql(expr: str) -> str:
     upper = f"({pdf} * {poly})"
     return (f"(CASE WHEN CAST({expr} AS DOUBLE) >= 0 THEN {upper} "
             f"ELSE 1.0 - {upper} END)")
+
+
+def chi2_sf(x, dof: int) -> Column:
+    """Chi-square survival function P(X > x) for small INTEGER dof,
+    in closed form (no SciPy, no incomplete-gamma routine): even dof
+    is the finite Poisson sum e^{-x/2} sum (x/2)^i / i!, odd dof
+    adds 2*normal_sf(sqrt(x)) plus half-integer-gamma terms whose
+    coefficients are computed ONCE in Python and emitted as
+    literals. Powers build by repeated multiplication (fixed-order,
+    engine-mirrorable); the only engine transcendentals are exp/sqrt
+    (+ normal_sf's exp for odd dof). `chi2_sf_sql` emits the
+    textually identical SQL.
+    """
+    import math
+
+    if not 1 <= dof <= 64:
+        raise ValueError("chi2_sf: 1 <= dof <= 64")
+    x = x.cast("double")
+    h = x / 2.0
+    if dof % 2 == 0:
+        m = dof // 2
+        acc = F.lit(0.0)
+        term = F.lit(1.0)
+        for i in range(m):
+            if i > 0:
+                term = term * h / float(i)
+            acc = acc + term
+        return F.exp(-h) * acc
+    m = (dof - 1) // 2
+    out = 2.0 * normal_sf(F.sqrt(x))
+    if m > 0:
+        sq = F.sqrt(h)
+        pw = sq  # (x/2)^{i-1/2} at i=1
+        for i in range(1, m + 1):
+            if i > 1:
+                pw = pw * h
+            g = math.gamma(i + 0.5)
+            out = out + F.exp(-h) * pw * F.lit(1.0 / g)
+    return out
+
+
+def chi2_sf_sql(expr: str, dof: int) -> str:
+    """SQL mirror of chi2_sf for an x expression string."""
+    import math
+
+    if not 1 <= dof <= 64:
+        raise ValueError("chi2_sf_sql: 1 <= dof <= 64")
+    h = f"(CAST({expr} AS DOUBLE) / 2.0)"
+    if dof % 2 == 0:
+        m = dof // 2
+        acc = None
+        term = "1.0"
+        for i in range(m):
+            if i > 0:
+                term = f"({term} * {h} / {float(i)!r})"
+            acc = term if acc is None else f"({acc} + {term})"
+        return f"(exp(-{h}) * {acc})"
+    m = (dof - 1) // 2
+    out = (f"(2.0 * "
+           f"{normal_sf_sql(f'sqrt(CAST({expr} AS DOUBLE))')})")
+    pw = f"sqrt({h})"
+    for i in range(1, m + 1):
+        if i > 1:
+            pw = f"({pw} * {h})"
+        g = 1.0 / math.gamma(i + 0.5)
+        out = f"({out} + (exp(-{h}) * {pw} * {g!r}))"
+    return out

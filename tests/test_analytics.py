@@ -1755,3 +1755,17 @@ def test_normal_sf_matches_reference_values(spark):
     assert abs(got[-1.0] - 0.8413447) < 1e-6
     assert abs(got[2.5758] - 0.005) < 1e-6
     assert abs(got[-3.0] - 0.9986501) < 1e-6
+
+
+def test_chi2_sf_textbook_critical_values(spark):
+    from mms_rdf_spark.operators.analytics import chi2_sf
+
+    df = spark.createDataFrame(
+        [(3.841459, 1), (5.991465, 2), (7.814728, 3),
+         (9.487729, 4), (11.070498, 5)], "x double, dof int")
+    for dof in (1, 2, 3, 4, 5):
+        p = (df.where(F.col("dof") == dof)
+             .select(chi2_sf(F.col("x"), dof).alias("p"))
+             .collect()[0].p)
+        # 5% critical values -> SF = 0.05 to polynomial accuracy
+        assert abs(p - 0.05) < 1e-5, (dof, p)
