@@ -4076,6 +4076,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    F.round(chi2_sf(F.col("h_tie"), 4), 6))
         return kw.select("k", "n", "h", "h_tie", p.alias("p"))
 
+    def orders_fligner(spark, sf):
+        # Fligner-Killeen equal-variance test (normal scores of
+        # ranked |deviations|) across order priorities — the
+        # rank-based member of the variance trio
+        from mms_rdf_spark.operators.analytics import fligner_killeen
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cents = (orders.where(F.col("o_totalprice").isNotNull())
+                 .select(F.col("o_orderpriority").alias("g"),
+                         F.round(F.col("o_totalprice") * 100)
+                         .cast("long").alias("v")))
+        return fligner_killeen(cents, "g", "v")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4563,6 +4575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_alpha_int": text_alpha_int,
         "events_mw_p": events_mw_p,
         "events_kw_p": events_kw_p,
+        "orders_fligner": orders_fligner,
     }
 
 
@@ -13641,6 +13654,94 @@ def oracle_sql() -> dict[str, str]:
                 THEN round({chi2_sf_sql("h_tie", 4)}, 6)
            END AS p
     FROM ({q["events_kruskal"]})
+    """
+
+    # Fligner-Killeen: levene median CTEs + pooled tie-averaged
+    # ranks + Acklam normal scores (normal_ppf_sql emits the exact
+    # mirror), nano-long score sums, micro-long group terms
+    from mms_rdf_spark.operators.analytics import normal_ppf_sql
+    _fk_pp = ("0.5 + (2 * cum - cnt + 1) "
+              "/ (4.0 * (CAST(nn AS DOUBLE) + 1.0))")
+    q["orders_fligner"] = f"""
+    WITH s AS (
+        SELECT o_orderpriority AS g,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), pv0 AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+        FROM s GROUP BY g, v
+    ), cw AS (
+        SELECT g, v, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v)
+                    AS BIGINT) AS cum
+        FROM pv0
+    ), ng AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS ng FROM s GROUP BY g
+    ), med AS (
+        SELECT cw.g, cw.v AS m
+        FROM cw JOIN ng ON cw.g = ng.g
+        WHERE cw.cum - cw.cnt < floor((ng.ng + 1) / 2.0)
+          AND cw.cum >= floor((ng.ng + 1) / 2.0)
+    ), z AS (
+        SELECT s.g, abs(s.v - med.m) AS zz
+        FROM s JOIN med ON s.g = med.g
+    ), pgz AS (
+        SELECT g, zz, CAST(count(*) AS BIGINT) AS c
+        FROM z GROUP BY g, zz
+    ), pz AS (
+        SELECT zz, CAST(sum(c) AS BIGINT) AS cnt
+        FROM pgz GROUP BY zz
+    ), cz AS (
+        SELECT zz, cnt,
+               CAST(sum(cnt) OVER (ORDER BY zz) AS BIGINT) AS cum
+        FROM pz
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM cz
+    ), scored AS (
+        SELECT zz, cnt, nn,
+               CAST(round({normal_ppf_sql(_fk_pp)} * 1e9) AS BIGINT)
+                   AS a
+        FROM cz, tot
+    ), per_g AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS njg,
+               CAST(sum(c * a) AS BIGINT) AS sa
+        FROM pgz JOIN scored ON pgz.zz = scored.zz
+        GROUP BY g
+    ), pooled AS (
+        SELECT max(nn) AS n2, CAST(count(*) AS BIGINT) AS jz,
+               CAST(sum(cnt * a) AS BIGINT) AS ta,
+               sum(cnt * (CAST(a AS HUGEINT) * a)) AS qa
+        FROM scored
+    ), terms AS (
+        SELECT CAST(round(njg
+                    * (sa / (CAST(njg AS DOUBLE) * 1e9)
+                       - ta / (CAST(n2 AS DOUBLE) * 1e9))
+                    * (sa / (CAST(njg AS DOUBLE) * 1e9)
+                       - ta / (CAST(n2 AS DOUBLE) * 1e9))
+                    * 1e6) AS BIGINT) AS tm6,
+               n2, jz, ta, qa
+        FROM per_g, pooled
+    ), st AS (
+        SELECT n2, jz, ta, qa,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(tm6) AS BIGINT) AS tm
+        FROM terms GROUP BY n2, jz, ta, qa
+    )
+    SELECT k, CAST(n2 AS BIGINT) AS n,
+           CASE WHEN k > 1 AND jz > 1
+                 AND (CAST(qa AS DOUBLE) / 1e18
+                      - CAST(n2 AS DOUBLE)
+                        * (ta / (CAST(n2 AS DOUBLE) * 1e9))
+                        * (ta / (CAST(n2 AS DOUBLE) * 1e9)))
+                     / (CAST(n2 AS DOUBLE) - 1.0) > 0
+                THEN round(tm / 1e6
+                           / ((CAST(qa AS DOUBLE) / 1e18
+                               - CAST(n2 AS DOUBLE)
+                                 * (ta / (CAST(n2 AS DOUBLE) * 1e9))
+                                 * (ta / (CAST(n2 AS DOUBLE) * 1e9)))
+                              / (CAST(n2 AS DOUBLE) - 1.0)), 6)
+           END AS x2
+    FROM st WHERE n2 IS NOT NULL AND n2 > 0
     """
 
     return q

@@ -3771,3 +3771,183 @@ def chi2_sf_sql(expr: str, dof: int) -> str:
         g = 1.0 / math.gamma(i + 0.5)
         out = f"({out} + (exp(-{h}) * {pw} * {g!r}))"
     return out
+
+
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00)
+_ACKLAM_PLOW = 0.02425
+
+
+def normal_ppf(p) -> Column:
+    """Inverse standard-normal CDF by Acklam's rational
+    approximation (|relative error| < 1.15e-9) — the quantile
+    counterpart of normal_sf, unlocking normal-scores statistics
+    (Fligner-Killeen, van der Waerden) fully in-engine. Column-in,
+    Column-out; engine transcendentals are ln and sqrt only, every
+    coefficient a shared Python literal; `normal_ppf_sql` emits the
+    textually identical SQL. p must lie in (0, 1) — endpoints return
+    NULL (ln(0) degenerates)."""
+    p = p.cast("double")
+    a, b = _ACKLAM_A, _ACKLAM_B
+    c, d = _ACKLAM_C, _ACKLAM_D
+
+    def central(pp):
+        q = pp - 0.5
+        r = q * q
+        num = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+                + a[4]) * r + a[5]) * q
+        den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+               + b[4]) * r + 1.0
+        return num / den
+
+    def tail(pp):  # lower tail pp < PLOW; upper via symmetry
+        ql = F.sqrt(-2.0 * F.log(pp))
+        num = ((((c[0] * ql + c[1]) * ql + c[2]) * ql + c[3]) * ql
+               + c[4]) * ql + c[5]
+        den = (((d[0] * ql + d[1]) * ql + d[2]) * ql + d[3]) * ql \
+            + 1.0
+        return num / den
+
+    lo, hi = _ACKLAM_PLOW, 1.0 - _ACKLAM_PLOW
+    return (F.when((p <= 0.0) | (p >= 1.0), F.lit(None))
+            .when(p < lo, tail(p))
+            .when(p > hi, -tail(1.0 - p))
+            .otherwise(central(p)))
+
+
+def normal_ppf_sql(expr: str) -> str:
+    """SQL mirror of normal_ppf for a probability expression."""
+    a, b = _ACKLAM_A, _ACKLAM_B
+    c, d = _ACKLAM_C, _ACKLAM_D
+    p = f"CAST({expr} AS DOUBLE)"
+
+    def central(pp):
+        q = f"({pp} - 0.5)"
+        r = f"({q} * {q})"
+        num = (f"(((((({a[0]!r} * {r} + {a[1]!r}) * {r} + {a[2]!r})"
+               f" * {r} + {a[3]!r}) * {r} + {a[4]!r}) * {r}"
+               f" + {a[5]!r}) * {q})")
+        den = (f"((((({b[0]!r} * {r} + {b[1]!r}) * {r} + {b[2]!r})"
+               f" * {r} + {b[3]!r}) * {r} + {b[4]!r}) * {r} + 1.0)")
+        return f"({num} / {den})"
+
+    def tail(pp):
+        ql = f"sqrt(-2.0 * ln({pp}))"
+        num = (f"((((({c[0]!r} * {ql} + {c[1]!r}) * {ql}"
+               f" + {c[2]!r}) * {ql} + {c[3]!r}) * {ql}"
+               f" + {c[4]!r}) * {ql} + {c[5]!r})")
+        den = (f"(((({d[0]!r} * {ql} + {d[1]!r}) * {ql}"
+               f" + {d[2]!r}) * {ql} + {d[3]!r}) * {ql} + 1.0)")
+        return f"({num} / {den})"
+
+    lo, hi = _ACKLAM_PLOW, 1.0 - _ACKLAM_PLOW
+    return (f"(CASE WHEN {p} <= 0.0 OR {p} >= 1.0 THEN NULL"
+            f" WHEN {p} < {lo!r} THEN {tail(p)}"
+            f" WHEN {p} > {hi!r} THEN -{tail(f'(1.0 - {p})')}"
+            f" ELSE {central(p)} END)")
+
+
+def fligner_killeen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Fligner-Killeen test for equal variances — the RANK-based
+    member of the variance-test trio (bartlett_test: parametric,
+    levene_bf: robust means, this: normal scores of ranked absolute
+    deviations — the most outlier-resistant, scipy's default
+    recommendation for non-normal data). Values must already be
+    exact integers (pre-scaled units).
+
+    a_i = normal_ppf(1/2 + r_i/(2(N+1))) over pooled tie-averaged
+    ranks of |x - median_group|; X^2 = sum_j n_j (Abar_j - abar)^2
+    / V^2 with V^2 the sample variance of all scores.
+
+    Exact arithmetic: per-group exact LOWER medians (the levene_bf
+    machinery); per DISTINCT deviation the tie-averaged rank is the
+    exact half-unit (2*cum - cnt + 1)/2 from prefix.global_cumsum;
+    each distinct deviation's normal score computes ONCE and rounds
+    to integer NANO units, so per-group score sums and the pooled
+    square sum (nano^2 as DECIMAL/HUGEINT) are exact and order-free;
+    per-group chi-square terms round to micro longs before the
+    cross-group sum; three divisions at the finale, mirrored
+    textually in SQL (normal_ppf_sql emits the score mirror).
+
+    Returns one row (k, n, x2): NULL when k < 2 or the score
+    variance degenerates. Empty: 0 rows.
+    """
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(value_col).cast("long").alias("_v")))
+    pv0 = (s.groupBy("_g", "_v")
+           .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
+    wg = (Window.partitionBy("_g").orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum0 = pv0.withColumn("_cum", F.sum("_cnt").over(wg))
+    ng = s.groupBy("_g").agg(F.count(F.lit(1)).cast("long")
+                             .alias("_ng"))
+    med = (cum0.join(ng, on="_g")
+           .where((F.col("_cum") - F.col("_cnt"))
+                  < F.floor((F.col("_ng") + 1) / F.lit(2.0)))
+           .where(F.col("_cum")
+                  >= F.floor((F.col("_ng") + 1) / F.lit(2.0)))
+           .select("_g", F.col("_v").alias("_m")))
+    z = (s.join(med, on="_g")
+         .select("_g", F.abs(F.col("_v") - F.col("_m")).alias("_z")))
+    pgz = (z.groupBy("_g", "_z")
+           .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    pz = pgz.groupBy("_z").agg(F.sum("_c").cast("long")
+                               .alias("_cnt"))
+    cum = global_cumsum(pz, "_z", "_z", "_cnt")
+    tot = cum.agg(F.sum("_cnt").cast("long").alias("_nn"))
+    cum = cum.crossJoin(F.broadcast(tot))
+    nn = F.col("_nn").cast("double")
+    pp = 0.5 + (2 * F.col("cum") - F.col("_cnt") + 1) \
+        / (4.0 * (nn + 1.0))
+    scored = cum.select(
+        "_z", "_cnt", "_nn",
+        F.round(normal_ppf(pp) * 1e9).cast("long").alias("_a"))
+    per_g = (pgz.join(scored.select("_z", "_a"), on="_z")
+             .groupBy("_g")
+             .agg(F.sum("_c").cast("long").alias("_njg"),
+                  F.sum(F.col("_c") * F.col("_a")).cast("long")
+                  .alias("_sa")))
+    pooled = scored.agg(
+        F.max("_nn").alias("_n2"),
+        F.count(F.lit(1)).cast("long").alias("_jz"),
+        F.sum(F.col("_cnt") * F.col("_a")).cast("long").alias("_ta"),
+        F.sum(F.col("_cnt")
+              * (F.col("_a").cast("decimal(38,0)") * F.col("_a")))
+        .cast("decimal(38,0)").alias("_qa"))
+    j = per_g.crossJoin(F.broadcast(pooled))
+    n2d = F.col("_n2").cast("double")
+    abar = F.col("_ta") / (n2d * 1e9)
+    ajg = F.col("_sa") / (F.col("_njg").cast("double") * 1e9)
+    term = F.col("_njg") * (ajg - abar) * (ajg - abar)
+    st = (j.groupBy("_n2", "_jz", "_ta", "_qa")
+          .agg(F.count(F.lit(1)).cast("long").alias("k"),
+               F.sum(F.round(term * 1e6).cast("long"))
+               .cast("long").alias("_tm")))
+    st = st.where(F.col("_n2").isNotNull() & (F.col("_n2") > 0))
+    nd = F.col("_n2").cast("double")
+    v2 = ((F.col("_qa").cast("double") / 1e18
+           - nd * (F.col("_ta") / (nd * 1e9))
+             * (F.col("_ta") / (nd * 1e9)))
+          / (nd - 1.0))
+    ok = (F.col("k") > 1) & (F.col("_jz") > 1) & (v2 > 0)
+    return st.select(
+        "k", F.col("_n2").cast("long").alias("n"),
+        F.when(ok, F.round(F.col("_tm") / 1e6 / v2, 6)).alias("x2"))

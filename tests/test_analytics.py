@@ -1769,3 +1769,76 @@ def test_chi2_sf_textbook_critical_values(spark):
              .collect()[0].p)
         # 5% critical values -> SF = 0.05 to polynomial accuracy
         assert abs(p - 0.05) < 1e-5, (dof, p)
+
+
+def test_normal_ppf_reference_quantiles(spark):
+    from mms_rdf_spark.operators.analytics import normal_ppf
+
+    from statistics import NormalDist
+    probs = [0.001, 0.01, 0.02425, 0.3, 0.5, 0.8, 0.975, 0.999]
+    df = spark.createDataFrame([(p,) for p in probs], "p double")
+    got = {r.p: r.q for r in
+           df.select("p", normal_ppf(F.col("p")).alias("q"))
+           .collect()}
+    for p in probs:
+        assert abs(got[p] - NormalDist().inv_cdf(p)) < 1e-8, p
+    # endpoints -> NULL
+    e = spark.createDataFrame([(0.0,), (1.0,)], "p double")
+    assert all(r.q is None for r in
+               e.select(normal_ppf(F.col("p")).alias("q")).collect())
+
+
+def _fk_reference(groups):
+    """Pure-Python Fligner-Killeen (k, n, x2)."""
+    from statistics import NormalDist
+
+    devs = []
+    for g, vs in groups.items():
+        sv = sorted(vs)
+        med = sv[(len(sv) + 1) // 2 - 1]  # exact lower median
+        devs += [(g, abs(x - med)) for x in vs]
+    allz = sorted(d for _, d in devs)
+    n = len(allz)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and allz[j] == allz[i]:
+            j += 1
+        rank[allz[i]] = (i + 1 + j) / 2.0
+        i = j
+    nd = NormalDist()
+    a = [(g, nd.inv_cdf(0.5 + rank[d] / (2 * (n + 1))))
+         for g, d in devs]
+    abar = sum(x for _, x in a) / n
+    v2 = sum((x - abar) ** 2 for _, x in a) / (n - 1)
+    x2 = 0.0
+    for g in groups:
+        ag = [x for gg, x in a if gg == g]
+        x2 += len(ag) * (sum(ag) / len(ag) - abar) ** 2
+    return len(groups), n, x2 / v2
+
+
+def test_fligner_killeen_reference_and_guards(spark):
+    from mms_rdf_spark.operators.analytics import fligner_killeen
+
+    groups = {"a": [10, 12, 14, 11, 13, 12],
+              "b": [20, 30, 10, 25, 40, 5, 22],
+              "c": [7, 7, 8, 9, 7, 8, 9, 8]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = fligner_killeen(df, "g", "v").collect()[0]
+    k_ref, n_ref, x2_ref = _fk_reference(groups)
+    assert (r.k, r.n) == (k_ref, n_ref)
+    assert abs(r.x2 - x2_ref) < 1e-4
+    # dispersed group really drives the statistic
+    assert r.x2 > 5.0
+
+    # one group -> NULL; all-identical -> NULL; empty -> 0 rows
+    one = spark.createDataFrame([("a", 1), ("a", 2), ("a", 3)],
+                                "g string, v long")
+    assert fligner_killeen(one, "g", "v").collect()[0].x2 is None
+    const = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v long")
+    assert fligner_killeen(const, "g", "v").collect()[0].x2 is None
+    assert fligner_killeen(one.where("g='z'"), "g", "v").count() == 0
