@@ -4088,6 +4088,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .cast("long").alias("v")))
         return fligner_killeen(cents, "g", "v")
 
+    def events_vdw(spark, sf):
+        # Van der Waerden normal-scores location test across event
+        # types (the normal-scores sibling of events_kruskal)
+        from mms_rdf_spark.operators.analytics import van_der_waerden
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cents = (ev.where(F.col("value").isNotNull())
+                 .select(F.col("event_type").alias("g"),
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("v")))
+        return van_der_waerden(cents, "g", "v")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4576,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mw_p": events_mw_p,
         "events_kw_p": events_kw_p,
         "orders_fligner": orders_fligner,
+        "events_vdw": events_vdw,
     }
 
 
@@ -13688,6 +13700,72 @@ def oracle_sql() -> dict[str, str]:
     ), pgz AS (
         SELECT g, zz, CAST(count(*) AS BIGINT) AS c
         FROM z GROUP BY g, zz
+    ), pz AS (
+        SELECT zz, CAST(sum(c) AS BIGINT) AS cnt
+        FROM pgz GROUP BY zz
+    ), cz AS (
+        SELECT zz, cnt,
+               CAST(sum(cnt) OVER (ORDER BY zz) AS BIGINT) AS cum
+        FROM pz
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM cz
+    ), scored AS (
+        SELECT zz, cnt, nn,
+               CAST(round({normal_ppf_sql(_fk_pp)} * 1e9) AS BIGINT)
+                   AS a
+        FROM cz, tot
+    ), per_g AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS njg,
+               CAST(sum(c * a) AS BIGINT) AS sa
+        FROM pgz JOIN scored ON pgz.zz = scored.zz
+        GROUP BY g
+    ), pooled AS (
+        SELECT max(nn) AS n2, CAST(count(*) AS BIGINT) AS jz,
+               CAST(sum(cnt * a) AS BIGINT) AS ta,
+               sum(cnt * (CAST(a AS HUGEINT) * a)) AS qa
+        FROM scored
+    ), terms AS (
+        SELECT CAST(round(njg
+                    * (sa / (CAST(njg AS DOUBLE) * 1e9)
+                       - ta / (CAST(n2 AS DOUBLE) * 1e9))
+                    * (sa / (CAST(njg AS DOUBLE) * 1e9)
+                       - ta / (CAST(n2 AS DOUBLE) * 1e9))
+                    * 1e6) AS BIGINT) AS tm6,
+               n2, jz, ta, qa
+        FROM per_g, pooled
+    ), st AS (
+        SELECT n2, jz, ta, qa,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(tm6) AS BIGINT) AS tm
+        FROM terms GROUP BY n2, jz, ta, qa
+    )
+    SELECT k, CAST(n2 AS BIGINT) AS n,
+           CASE WHEN k > 1 AND jz > 1
+                 AND (CAST(qa AS DOUBLE) / 1e18
+                      - CAST(n2 AS DOUBLE)
+                        * (ta / (CAST(n2 AS DOUBLE) * 1e9))
+                        * (ta / (CAST(n2 AS DOUBLE) * 1e9)))
+                     / (CAST(n2 AS DOUBLE) - 1.0) > 0
+                THEN round(tm / 1e6
+                           / ((CAST(qa AS DOUBLE) / 1e18
+                               - CAST(n2 AS DOUBLE)
+                                 * (ta / (CAST(n2 AS DOUBLE) * 1e9))
+                                 * (ta / (CAST(n2 AS DOUBLE) * 1e9)))
+                              / (CAST(n2 AS DOUBLE) - 1.0)), 6)
+           END AS x2
+    FROM st WHERE n2 IS NOT NULL AND n2 > 0
+    """
+
+    # Van der Waerden: the fligner CTEs WITHOUT the median-centering
+    # step (scores on raw cents); same Acklam mirror
+    q["events_vdw"] = f"""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100) AS BIGINT) AS zz
+        FROM events WHERE value IS NOT NULL
+    ), pgz AS (
+        SELECT g, zz, CAST(count(*) AS BIGINT) AS c
+        FROM s GROUP BY g, zz
     ), pz AS (
         SELECT zz, CAST(sum(c) AS BIGINT) AS cnt
         FROM pgz GROUP BY zz

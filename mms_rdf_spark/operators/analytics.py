@@ -3907,6 +3907,17 @@ def fligner_killeen(
            .select("_g", F.col("_v").alias("_m")))
     z = (s.join(med, on="_g")
          .select("_g", F.abs(F.col("_v") - F.col("_m")).alias("_z")))
+    return _normal_scores_chi2(z)
+
+
+def _normal_scores_chi2(z: DataFrame) -> DataFrame:
+    """Shared finale for normal-scores k-sample tests
+    (fligner_killeen on |deviations|, van_der_waerden on raw
+    values): pooled tie-averaged ranks -> Acklam normal scores as
+    nano longs -> chi-square X^2 = sum n_j (Abar_j - abar)^2 / V^2.
+    Input: (_g, _z) rows with _z exact longs."""
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
     pgz = (z.groupBy("_g", "_z")
            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
     pz = pgz.groupBy("_z").agg(F.sum("_c").cast("long")
@@ -3951,3 +3962,25 @@ def fligner_killeen(
     return st.select(
         "k", F.col("_n2").cast("long").alias("n"),
         F.when(ok, F.round(F.col("_tm") / 1e6 / v2, 6)).alias("x2"))
+
+
+def van_der_waerden(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Van der Waerden normal-scores test — the k-sample LOCATION
+    test on normal scores of the pooled raw-value ranks: asymptotic
+    efficiency of ANOVA under normality WITH kruskal_wallis's
+    distribution-free robustness. Values must be exact integers
+    (pre-scaled units). Shares fligner_killeen's exact machinery
+    (_normal_scores_chi2) — FK scores |median deviations|
+    (dispersion), this scores the values themselves (location).
+
+    Returns one row (k, n, x2): NULL when k < 2 or the scores
+    degenerate. Empty: 0 rows.
+    """
+    z = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(value_col).cast("long").alias("_z")))
+    return _normal_scores_chi2(z)

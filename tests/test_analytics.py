@@ -1842,3 +1842,40 @@ def test_fligner_killeen_reference_and_guards(spark):
         [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v long")
     assert fligner_killeen(const, "g", "v").collect()[0].x2 is None
     assert fligner_killeen(one.where("g='z'"), "g", "v").count() == 0
+
+
+def test_van_der_waerden_reference_and_location_shift(spark):
+    from statistics import NormalDist
+
+    from mms_rdf_spark.operators.analytics import van_der_waerden
+
+    groups = {"a": [1, 2, 3, 4, 5, 6],
+              "b": [11, 12, 13, 14, 15],
+              "c": [2, 3, 4, 5, 6, 7]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = van_der_waerden(df, "g", "v").collect()[0]
+
+    # pure-Python twin
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        rank[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    nd = NormalDist()
+    a = [(g, nd.inv_cdf(0.5 + rank[v] / (2 * (n + 1))))
+         for g, vs in groups.items() for v in vs]
+    abar = sum(x for _, x in a) / n
+    v2 = sum((x - abar) ** 2 for _, x in a) / (n - 1)
+    x2 = sum(len([1 for gg, _ in a if gg == g])
+             * (sum(x for gg, x in a if gg == g)
+                / len([1 for gg, _ in a if gg == g]) - abar) ** 2
+             for g in groups) / v2
+    assert (r.k, r.n) == (3, n)
+    assert abs(r.x2 - x2) < 1e-4
+    assert r.x2 > 8.0  # group b's clear location shift dominates
