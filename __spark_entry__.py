@@ -4099,6 +4099,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .alias("v")))
         return van_der_waerden(cents, "g", "v")
 
+    def events_fdr(spark, sf):
+        # One-vs-rest MW battery per event type + Benjamini-Hochberg
+        # q-values: one pooled rank pass serves every test
+        from mms_rdf_spark.operators.analytics import (
+            mw_one_vs_rest_fdr)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return mw_one_vs_rest_fdr(ev, "event_type", "value")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4588,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kw_p": events_kw_p,
         "orders_fligner": orders_fligner,
         "events_vdw": events_vdw,
+        "events_fdr": events_fdr,
     }
 
 
@@ -13820,6 +13829,63 @@ def oracle_sql() -> dict[str, str]:
                               / (CAST(n2 AS DOUBLE) - 1.0)), 6)
            END AS x2
     FROM st WHERE n2 IS NOT NULL AND n2 > 0
+    """
+
+    # One-vs-rest MW + BH: one pooled rank pass, per-group z vs the
+    # complement, BH suffix min over the battery; z/p expressions
+    # mirror analytics.mw_one_vs_rest_fdr (normal_sf_sql shared)
+    _fdr_sig2 = ("(na * (nn - na) / 12e0) * ((nn + 1) "
+                 "- ties / (nn * (nn - 1e0)))")
+    _fdr_z = ("((r2a - na * (na + 1)) / 2e0 "
+              "- na * (nn - na) / 2e0) / sqrt(" + _fdr_sig2 + ")")
+    q["events_fdr"] = f"""
+    WITH s AS (
+        SELECT event_type AS g, value AS v
+        FROM events WHERE value IS NOT NULL
+    ), pgv AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        FROM s GROUP BY g, v
+    ), pv AS (
+        SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM pgv GROUP BY v
+    ), cw AS (
+        SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM pv
+    ), per_g AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS na,
+               CAST(sum(c * (2 * cum - cnt + 1)) AS BIGINT) AS r2a
+        FROM pgv JOIN cw USING (v) GROUP BY g
+    ), gl AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM cw
+    ), scored AS (
+        SELECT g AS grp, na AS n,
+               CASE WHEN na > 0 AND nn - na > 0
+                     AND {_fdr_sig2} > 0
+                    THEN round({_fdr_z}, 6) END AS z,
+               CASE WHEN na > 0 AND nn - na > 0
+                     AND {_fdr_sig2} > 0
+                    THEN round(2.0
+                               * {normal_sf_sql(f"abs({_fdr_z})")},
+                               6)
+               END AS p
+        FROM per_g, gl
+    ), wq AS (
+        SELECT grp, n, z, p,
+               CAST(count(*) OVER () AS BIGINT) AS m,
+               row_number() OVER (ORDER BY p, grp) AS rnk
+        FROM scored WHERE p IS NOT NULL
+    )
+    SELECT grp, n, z, p,
+           round(least(min(p * m / rnk)
+                       OVER (ORDER BY rnk DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW), 1.0), 6) AS q
+    FROM wq
+    UNION ALL
+    SELECT grp, n, z, p, CAST(NULL AS DOUBLE) AS q
+    FROM scored WHERE p IS NULL
     """
 
     return q

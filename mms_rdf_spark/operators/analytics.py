@@ -3984,3 +3984,81 @@ def van_der_waerden(
          .select(F.col(group_col).alias("_g"),
                  F.col(value_col).cast("long").alias("_z")))
     return _normal_scores_chi2(z)
+
+
+def mw_one_vs_rest_fdr(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """The multiple-testing composition: a one-vs-rest Mann-Whitney
+    test per group (does THIS group's value distribution differ from
+    everyone else's?) with Benjamini-Hochberg FDR correction across
+    the battery — the correct way to scan k segments for anomalies
+    without 'significant' noise at k tests * alpha.
+
+    One pass: the POOLED distinct-value cumsum (prefix.global_cumsum)
+    serves every group simultaneously — per group, the doubled rank
+    sum 2R_g = sum(c_gv * (2*cum - cnt + 1)) is exact, and the MW z
+    vs the complement uses mann_whitney_u's exact formula with
+    n_b = N - n_g. p = 2 * normal_sf(|z|) (A&S polynomial) rounded
+    6dp, then BH over the k-row battery: rank by (p, group),
+    q_i = min_{j>=i} p_j * m / j clamped to 1 (suffix running min
+    over the bounded frame), m = tests with defined p.
+
+    Returns one row per group (grp, n, z, p, q); degenerate groups
+    (variance 0) carry NULL z/p/q and are excluded from m.
+
+    Scale shape: one (g,v) aggregate, one distributed scan, one
+    value-keyed join of aggregated tables, then k-row windows.
+    """
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(value_col).alias("_v")))
+    pgv = (s.groupBy("_g", "_v")
+           .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    pv = pgv.groupBy("_v").agg(F.sum("_c").cast("long").alias("_cnt"))
+    cum = global_cumsum(pv, "_v", "_v", "_cnt")
+    per_g = (pgv.join(cum, on="_v")
+             .groupBy("_g")
+             .agg(F.sum("_c").cast("long").alias("_na"),
+                  F.sum(F.col("_c")
+                        * (2 * F.col("cum") - F.col("_cnt") + 1))
+                  .cast("long").alias("_r2a")))
+    glob = cum.agg(
+        F.sum("_cnt").cast("long").alias("_nn"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt")
+              - F.col("_cnt")).cast("long").alias("_ties"))
+    per = per_g.crossJoin(F.broadcast(glob))
+    na = F.col("_na")
+    nb = F.col("_nn") - na
+    nn = F.col("_nn")
+    u2 = F.col("_r2a") - na * (na + 1)
+    sig2 = (na * nb / F.lit(12.0)) \
+        * ((nn + 1) - F.col("_ties") / (nn * (nn - F.lit(1.0))))
+    z = (u2 / F.lit(2.0) - na * nb / F.lit(2.0)) / F.sqrt(sig2)
+    ok = (na > 0) & (nb > 0) & (sig2 > 0)
+    scored = per.select(
+        F.col("_g").alias("grp"), na.alias("n"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.round(2.0 * normal_sf(F.abs(z)), 6)).alias("p"))
+    m = Window.partitionBy()
+    wr = Window.orderBy("p", "grp")
+    ws = (Window.orderBy(F.col("_rnk").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    with_q = (scored.where(F.col("p").isNotNull())
+              .withColumn("_m", F.count(F.lit(1)).over(m))
+              .withColumn("_rnk", F.row_number().over(wr))
+              .withColumn("_f", F.col("p") * F.col("_m")
+                          / F.col("_rnk"))
+              .withColumn("q", F.round(
+                  F.least(F.min("_f").over(ws), F.lit(1.0)), 6))
+              .select("grp", "n", "z", "p", "q"))
+    rest = (scored.where(F.col("p").isNull())
+            .select("grp", "n", "z", "p",
+                    F.lit(None).cast("double").alias("q")))
+    return with_q.unionByName(rest)

@@ -1879,3 +1879,40 @@ def test_van_der_waerden_reference_and_location_shift(spark):
     assert (r.k, r.n) == (3, n)
     assert abs(r.x2 - x2) < 1e-4
     assert r.x2 > 8.0  # group b's clear location shift dominates
+
+
+def test_mw_one_vs_rest_fdr_battery(spark):
+    from mms_rdf_spark.operators.analytics import mw_one_vs_rest_fdr
+
+    # group c is shifted far above; a and b share the middle
+    rows = ([("a", float(v)) for v in range(1, 9)]
+            + [("b", float(v)) for v in range(2, 10)]
+            + [("c", float(v)) for v in range(50, 58)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.grp: r for r in
+           mw_one_vs_rest_fdr(df, "g", "v").collect()}
+    assert set(got) == {"a", "b", "c"}
+    # c's shift is the standout: smallest p, q <= the others'
+    assert got["c"].p < got["a"].p and got["c"].p < got["b"].p
+    assert got["c"].q <= got["a"].q and got["c"].q <= got["b"].q
+    # BH: q >= p, q <= 1, and q is monotone along the p order
+    rs = sorted(got.values(), key=lambda r: (r.p, r.grp))
+    for i, r in enumerate(rs):
+        assert r.q >= r.p - 1e-9 and r.q <= 1.0
+        if i:
+            assert rs[i].q >= rs[i - 1].q - 1e-9
+    # hand BH on the three (p, m=3) values
+    m = 3
+    exp_q = {}
+    run = 10.0
+    for i in range(m - 1, -1, -1):
+        run = min(run, rs[i].p * m / (i + 1), 1.0)
+        exp_q[rs[i].grp] = round(run, 6)
+    for g2, qv in exp_q.items():
+        assert abs(got[g2].q - qv) < 2e-6
+
+    # a constant-value frame degenerates every test -> q NULL
+    const = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "g string, v double")
+    rs2 = mw_one_vs_rest_fdr(const, "g", "v").collect()
+    assert all(r.p is None and r.q is None for r in rs2)
