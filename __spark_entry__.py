@@ -4107,6 +4107,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return mw_one_vs_rest_fdr(ev, "event_type", "value")
 
+    def events_catrend(spark, sf):
+        # Cochran-Armitage: does the same-user-purchase rate trend
+        # upward across the four six-hour buckets?
+        from mms_rdf_spark.operators.analytics import cochran_armitage
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        buyers = (ev.where(F.col("event_type") == "purchase")
+                  .select("user_id").distinct())
+        bucket = F.floor(_epoch_s("ts") % 86400 / 21600).cast("int")
+        d = (ev.where(F.col("user_id").isNotNull())
+             .join(buyers.withColumn("_b", F.lit(1)),
+                   on="user_id", how="left")
+             .select(bucket.cast("string").alias("g"),
+                     F.coalesce(F.col("_b"), F.lit(0)).alias("s")))
+        return cochran_armitage(d, "g", "s",
+                                order=["0", "1", "2", "3"])
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4597,6 +4614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fligner": orders_fligner,
         "events_vdw": events_vdw,
         "events_fdr": events_fdr,
+        "events_catrend": events_catrend,
     }
 
 
@@ -13886,6 +13904,49 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT grp, n, z, p, CAST(NULL AS DOUBLE) AS q
     FROM scored WHERE p IS NULL
+    """
+
+    # Cochran-Armitage: exact t-weighted margins, fixed-order z;
+    # textual mirror of analytics.cochran_armitage (scores 1..4 on
+    # the six-hour buckets)
+    q["events_catrend"] = """
+    WITH buyers AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+    ), d AS (
+        SELECT CAST(CAST(floor(CAST(floor(epoch(e.ts)) AS BIGINT)
+                               % 86400 / 21600) AS INT) AS VARCHAR)
+                   AS g,
+               CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS s
+        FROM events e LEFT JOIN buyers b ON e.user_id = b.user_id
+        WHERE e.user_id IS NOT NULL
+    ), per AS (
+        SELECT g, CAST(g AS INT) + 1 AS t,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS a
+        FROM d GROUP BY g
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS successes,
+               CAST(sum(t * a) AS BIGINT) AS ta,
+               CAST(sum(t * n) AS BIGINT) AS tn,
+               CAST(sum(t * t * n) AS BIGINT) AS t2n
+        FROM per
+    )
+    SELECT k, n, successes,
+           CASE WHEN successes > 0 AND successes < n
+                 AND (CAST(successes AS DOUBLE) / n)
+                     * (1.0 - CAST(successes AS DOUBLE) / n)
+                     * (t2n - CAST(tn AS DOUBLE) * tn / n) > 0
+                THEN round((ta - tn * CAST(successes AS DOUBLE) / n)
+                           / sqrt((CAST(successes AS DOUBLE) / n)
+                                  * (1.0 - CAST(successes AS DOUBLE)
+                                           / n)
+                                  * (t2n - CAST(tn AS DOUBLE) * tn
+                                           / n)), 6)
+           END AS z
+    FROM st WHERE n IS NOT NULL AND n > 0
     """
 
     return q

@@ -4062,3 +4062,66 @@ def mw_one_vs_rest_fdr(
             .select("grp", "n", "z", "p",
                     F.lit(None).cast("double").alias("q")))
     return with_q.unionByName(rest)
+
+
+def cochran_armitage(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    order: list,
+) -> DataFrame:
+    """Cochran-Armitage trend test — does a binomial RATE increase
+    along a pre-specified group order (doses, time buckets, model
+    sizes)? The 2 x k counterpart of page_trend_test: chi-square
+    independence would ignore the order; this is the test with power
+    against the monotone alternative. `order` lists the groups in
+    hypothesized ascending order (scores 1..k); groups outside it
+    raise. `success_col` must be 0/1 integers.
+
+    T = sum_i t_i (a_i - n_i A/N); under H0,
+    Var(T) = (A/N)(1 - A/N) (sum t_i^2 n_i - (sum t_i n_i)^2 / N).
+
+    Exact arithmetic: clearing denominators keeps everything long —
+    N*T = sum t_i (a_i N - n_i A) and N^2 * the bracket =
+    N sum t_i^2 n_i * N - (sum t_i n_i)^2 ... assembled as
+    fixed-order doubles over FIVE exact longs (a_i, n_i and their
+    t-weighted sums), one division + sqrt, mirrored textually in
+    SQL.
+
+    Returns one row (k, n, successes, z): z NULL when a margin is
+    empty or the score spread degenerates. Empty: 0 rows.
+    """
+    pos = df.sparkSession.createDataFrame(
+        [(g, i + 1) for i, g in enumerate(order)], "_g string, _t int")
+    s = (df.where(F.col(success_col).isNotNull())
+         .select(F.col(group_col).cast("string").alias("_g"),
+                 F.col(success_col).cast("long").alias("_s")))
+    extra = s.select("_g").distinct() \
+        .join(F.broadcast(pos), on="_g", how="left_anti")
+    if extra.take(1):
+        raise ValueError("cochran_armitage: groups outside `order`")
+    per = (s.groupBy("_g")
+           .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum("_s").cast("long").alias("_a"))
+           .join(F.broadcast(pos), on="_g"))
+    st = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_a").cast("long").alias("successes"),
+        F.sum(F.col("_t") * F.col("_a")).cast("long").alias("_ta"),
+        F.sum(F.col("_t") * F.col("_n")).cast("long").alias("_tn"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_n")).cast("long")
+        .alias("_t2n"))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    nn = F.col("n").cast("double")
+    aa = F.col("successes").cast("double")
+    t_num = F.col("_ta") - F.col("_tn") * aa / nn
+    bracket = F.col("_t2n") - F.col("_tn").cast("double") \
+        * F.col("_tn") / nn
+    var = (aa / nn) * (1.0 - aa / nn) * bracket
+    z = t_num / F.sqrt(var)
+    ok = ((F.col("successes") > 0) & (F.col("successes") < F.col("n"))
+          & (var > 0))
+    return st.select(
+        "k", "n", "successes",
+        F.when(ok, F.round(z, 6)).alias("z"))

@@ -1916,3 +1916,40 @@ def test_mw_one_vs_rest_fdr_battery(spark):
         [("a", 1.0), ("b", 1.0)], "g string, v double")
     rs2 = mw_one_vs_rest_fdr(const, "g", "v").collect()
     assert all(r.p is None and r.q is None for r in rs2)
+
+
+def test_cochran_armitage_hand_and_guards(spark):
+    import pytest as _pytest
+
+    from mms_rdf_spark.operators.analytics import cochran_armitage
+
+    # clean upward trend in rates: 1/10, 3/10, 7/10
+    rows = ([("a", 1)] * 1 + [("a", 0)] * 9
+            + [("b", 1)] * 3 + [("b", 0)] * 7
+            + [("c", 1)] * 7 + [("c", 0)] * 3)
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = cochran_armitage(df, "g", "s",
+                         order=["a", "b", "c"]).collect()[0]
+    # hand: t=(1,2,3), A=11, N=30, T = ta - tn*A/N
+    ta = 1 * 1 + 2 * 3 + 3 * 7
+    tn = 1 * 10 + 2 * 10 + 3 * 10
+    t2n = 1 * 10 + 4 * 10 + 9 * 10
+    tt = ta - tn * 11 / 30
+    var = (11 / 30) * (1 - 11 / 30) * (t2n - tn * tn / 30)
+    assert (r.k, r.n, r.successes) == (3, 30, 11)
+    assert abs(r.z - tt / var ** 0.5) < 1e-6
+    assert r.z > 2.5  # strong upward trend
+    # reversed order flips the sign
+    r2 = cochran_armitage(df, "g", "s",
+                          order=["c", "b", "a"]).collect()[0]
+    assert r2.z == -r.z
+
+    # degenerate margins -> NULL; unknown group raises; empty -> 0
+    allpos = spark.createDataFrame([("a", 1), ("b", 1)],
+                                   "g string, s int")
+    assert cochran_armitage(allpos, "g", "s",
+                            order=["a", "b"]).collect()[0].z is None
+    with _pytest.raises(ValueError, match="outside"):
+        cochran_armitage(df, "g", "s", order=["a"])
+    assert cochran_armitage(df.where("s > 9"), "g", "s",
+                            order=["a", "b", "c"]).count() == 0
