@@ -368,3 +368,112 @@ def test_round5_new_ops_on_empty(spark):
     assert greedy_matching(pairs).count() == 0
     lab = _empty(spark, "id long, label string")
     assert classification_report(lab, lab).count() == 0
+
+
+def test_continuation11_new_ops_on_empty(spark):
+    from mms_rdf_spark.operators.analytics import (
+        anderson_darling_k,
+        bartlett_test,
+        cliffs_delta,
+        cochran_armitage,
+        fligner_killeen,
+        forecast_accuracy,
+        grubbs_statistic,
+        hurst_exponent,
+        kruskal_wallis,
+        logrank_test,
+        lorenz_curve,
+        mood_median_test,
+        mw_one_vs_rest_fdr,
+        page_trend_test,
+        powerlaw_alpha,
+        spectral_power,
+        theils_u,
+        van_der_waerden,
+        wasserstein_1d,
+        wilcoxon_signed_rank,
+        wilson_rates,
+    )
+
+    gv = _empty(spark, "g string, v double")
+    gl = _empty(spark, "g string, v long")
+    assert kruskal_wallis(gv, "g", "v").count() == 0
+    assert anderson_darling_k(gv, "g", "v").count() == 0
+    assert mood_median_test(gv, "g", "v").count() == 0
+    assert bartlett_test(gl, "g", "v").count() == 0
+    assert fligner_killeen(gl, "g", "v").count() == 0
+    assert van_der_waerden(gl, "g", "v").count() == 0
+    # cliffs follows mann_whitney_u's 1-row convention (NULL stats)
+    assert cliffs_delta(gv, "g", "v", "a", "b") \
+        .collect()[0].delta is None
+    assert wasserstein_1d(gv, "g", "v", "a", "b").count() == 0
+    assert theils_u(gv, "g", "v").count() == 0
+    assert mw_one_vs_rest_fdr(gv, "g", "v").count() == 0
+    assert lorenz_curve(gl, "g", "v").count() == 0
+    assert wilson_rates(_empty(spark, "g string, s int"),
+                        "g", "s").count() == 0
+    ab = _empty(spark, "a long, b long")
+    assert wilcoxon_signed_rank(ab, "a", "b").count() == 0
+    assert grubbs_statistic(gl, "v").count() == 0
+    assert powerlaw_alpha(gl, "v").count() == 0
+    blk = _empty(spark, "blk long, g string, v long")
+    assert page_trend_test(blk, "blk", "g", "v",
+                           order=["x", "y"]).count() == 0
+    dur = _empty(spark, "g string, duration long, event long")
+    assert logrank_test(dur, "g").count() == 0
+    assert cochran_armitage(_empty(spark, "g string, s int"),
+                            "g", "s", order=["a", "b"]).count() == 0
+    ty = _empty(spark, "t long, y long")
+    assert forecast_accuracy(ty, "t", "y", 2, 1).count() == 0
+    assert hurst_exponent(ty, "t", "y", 1).count() == 0
+    assert spectral_power(ty, "t", "y", 1).count() == 0
+
+    from mms_rdf_spark.operators.temporal import lttb_downsample
+    assert lttb_downsample(ty, "t", "y").count() == 0
+
+    from mms_rdf_spark.operators.evalmetrics import (
+        krippendorff_alpha_interval,
+        matthews_corr,
+    )
+    lab = _empty(spark, "id long, label string")
+    assert matthews_corr(lab, lab, positive="x").count() == 0
+    assert krippendorff_alpha_interval(
+        _empty(spark, "item long, value long")).count() == 0
+
+    from mms_rdf_spark.operators.mlops import (
+        kfold_summary,
+        ols2_breusch_pagan,
+        ols2_train,
+    )
+    yxx = _empty(spark, "y long, x1 long, x2 long")
+    assert ols2_train(yxx, "y", "x1", "x2").count() == 0
+    assert ols2_breusch_pagan(yxx, "y", "x1", "x2").count() == 0
+    docs = _empty(spark, "doc_id long, text string, lang string")
+    assert kfold_summary(docs, k=5).count() == 0
+
+    from mms_rdf_spark.operators.textstats import (
+        heaps_fit,
+        lexical_diversity,
+    )
+    d2 = _empty(spark, "doc_id long, text string")
+    assert heaps_fit(d2).count() == 0
+    assert lexical_diversity(d2).count() == 0
+
+    from mms_rdf_spark.operators.bpe import wordpiece_merges
+    assert wordpiece_merges(d2, rounds=2).count() == 0
+
+    from mms_rdf_spark.operators.multimodal import (
+        cdc_chunks,
+        cdc_dedup_stats,
+    )
+    med = _empty(spark, "media_id long, payload binary")
+    assert cdc_chunks(med).count() == 0
+    assert cdc_dedup_stats(cdc_chunks(med)).count() == 0
+
+    from mms_rdf_spark.operators.pagerank import (
+        densest_subgraph,
+        density_profile,
+    )
+    e = _empty(spark, "src long, dst long")
+    assert density_profile(e).count() == 0
+    assert densest_subgraph(e).count() == 0
