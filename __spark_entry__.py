@@ -4124,6 +4124,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cochran_armitage(d, "g", "s",
                                 order=["0", "1", "2", "3"])
 
+    def events_gehan(spark, sf):
+        # Gehan-Breslow early-weighted survival comparison between
+        # the even/odd user arms (exact integer U, floored variance)
+        from pyspark.sql.window import Window
+
+        from mms_rdf_spark.operators.analytics import gehan_test
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .select("user_id", "event_type",
+                      _epoch_s("ts").alias("s")))
+        w = Window.partitionBy("user_id")
+        d = ev.withColumn(
+            "_sg", F.min(F.when(F.col("event_type") == "signup",
+                                F.col("s"))).over(w))
+        d = d.withColumn(
+            "_pu", F.min(F.when((F.col("event_type") == "purchase")
+                                & (F.col("s") > F.col("_sg")),
+                                F.col("s"))).over(w))
+        gmax = d.agg(F.max("s").alias("_gm"))
+        per_user = (d.groupBy("user_id")
+                    .agg(F.first("_sg").alias("sg"),
+                         F.first("_pu").alias("pu"))
+                    .where(F.col("sg").isNotNull())
+                    .crossJoin(F.broadcast(gmax)))
+        durations = per_user.select(
+            F.pmod(F.col("user_id"), 2).cast("string").alias("arm"),
+            F.floor((F.coalesce(F.col("pu"), F.col("_gm"))
+                     - F.col("sg")) / 86400).cast("long")
+            .alias("duration"),
+            F.when(F.col("pu").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("event"))
+        return gehan_test(durations, "arm")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4615,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_vdw": events_vdw,
         "events_fdr": events_fdr,
         "events_catrend": events_catrend,
+        "events_gehan": events_gehan,
     }
 
 
@@ -13947,6 +13981,37 @@ def oracle_sql() -> dict[str, str]:
                                            / n)), 6)
            END AS z
     FROM st WHERE n IS NOT NULL AND n > 0
+    """
+
+    # Gehan-Breslow: the logrank oracle's survival CTEs (sliced at
+    # the finale so the two can never drift) + the exact-integer
+    # weighted finale; mirror of analytics.gehan_test
+    _surv_ctes = q["events_logrank"].split("), contrib AS (")[0] + ")"
+    q["events_gehan"] = _surv_ctes + """
+    , contrib AS (
+        SELECT (na + nb) * da - (da + db) * na AS u,
+               CASE WHEN na + nb > 1
+                    THEN (CAST(da + db AS HUGEINT) * na * nb
+                          * ((na + nb) - (da + db)))
+                         // ((na + nb) - 1)
+                    ELSE 0 END AS v
+        FROM cells WHERE da + db > 0
+    ), st AS (
+        SELECT CAST(sum(u) AS BIGINT) AS us, sum(v) AS vs,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM contrib
+    ), ta AS (
+        SELECT CAST(sum(CASE WHEN grp = group_a THEN tot END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN grp = group_b THEN tot END)
+                    AS BIGINT) AS n_b
+        FROM grps, names
+    )
+    SELECT group_a, group_b, n_a, n_b, us AS u,
+           CASE WHEN CAST(vs AS DOUBLE) > 0
+                THEN round(us / sqrt(CAST(vs AS DOUBLE)), 6)
+           END AS z
+    FROM st, ta, names WHERE nt IS NOT NULL AND nt > 0
     """
 
     return q

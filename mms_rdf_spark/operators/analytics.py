@@ -3492,39 +3492,10 @@ def spectral_power(
         F.round((a * a + b * b) / nd, 6).alias("power"))
 
 
-def logrank_test(
-    durations: DataFrame,
-    group_col: str,
-    duration_col: str = "duration",
-    event_col: str = "event",
-) -> DataFrame:
-    """Two-sample log-rank (Mantel-Cox) test — kaplan_meier's
-    inferential companion: do two groups share one survival curve,
-    with right-censoring handled exactly like the KM estimator
-    (censored rows leave the risk set, never count as events)?
-    Input rows are (group, duration, event 0/1); exactly two
-    distinct groups (more raise).
-
-    At each pooled distinct time with >= 1 event: n_gj at risk,
-    d_gj events; O_a = sum d_a, E_a = sum d * n_a/n, V = sum
-    d * (n_a/n)(n_b/n)(n-d)/(n-1); z = (O_a - E_a)/sqrt(V),
-    chi2 = z^2.
-
-    Exact arithmetic: at-risk counts come from TOTAL minus the
-    within-group cumulative over the pooled time grid (one window
-    task per group over the DISTINCT pooled times — the levene_bf /
-    anderson_darling_k honest trade at 2 groups); every count is an
-    exact long; each time's E and V terms round to integer NANO
-    units so the cross-time sums are order-free; one division +
-    sqrt at the end, mirrored textually in SQL. Groups are ordered
-    lexically: group_a = the smaller label.
-
-    Returns one row (group_a, group_b, n_a, n_b, o_a, e_a, chi2,
-    z): NULL stats when V degenerates. Empty: 0 rows.
-
-    Reference provenance: no analog in the reference; beyond-
-    reference analytics suite.
-    """
+def _survival_cells(durations, group_col, duration_col, event_col):
+    """Shared per-event-time confusion cells for two-sample survival
+    tests (logrank_test, gehan_test): (cells with _na/_nb at risk and
+    _da/_db events per _t, names 1-row frame, groups 2-row frame)."""
     from pyspark.sql.window import Window
 
     s = (durations
@@ -3567,6 +3538,44 @@ def logrank_test(
                         .otherwise(0)).cast("long").alias("_da"),
                   F.sum(F.when(~F.col("_isa"), F.col("_d2"))
                         .otherwise(0)).cast("long").alias("_db")))
+    return cells, names, groups
+
+
+def logrank_test(
+    durations: DataFrame,
+    group_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test — kaplan_meier's
+    inferential companion: do two groups share one survival curve,
+    with right-censoring handled exactly like the KM estimator
+    (censored rows leave the risk set, never count as events)?
+    Input rows are (group, duration, event 0/1); exactly two
+    distinct groups (more raise).
+
+    At each pooled distinct time with >= 1 event: n_gj at risk,
+    d_gj events; O_a = sum d_a, E_a = sum d * n_a/n, V = sum
+    d * (n_a/n)(n_b/n)(n-d)/(n-1); z = (O_a - E_a)/sqrt(V),
+    chi2 = z^2.
+
+    Exact arithmetic: at-risk counts come from TOTAL minus the
+    within-group cumulative over the pooled time grid (one window
+    task per group over the DISTINCT pooled times — the levene_bf /
+    anderson_darling_k honest trade at 2 groups); every count is an
+    exact long; each time's E and V terms round to integer NANO
+    units so the cross-time sums are order-free; one division +
+    sqrt at the end, mirrored textually in SQL. Groups are ordered
+    lexically: group_a = the smaller label.
+
+    Returns one row (group_a, group_b, n_a, n_b, o_a, e_a, chi2,
+    z): NULL stats when V degenerates. Empty: 0 rows.
+
+    Reference provenance: no analog in the reference; beyond-
+    reference analytics suite.
+    """
+    cells, names, groups = _survival_cells(
+        durations, group_col, duration_col, event_col)
     n = F.col("_na") + F.col("_nb")
     d = F.col("_da") + F.col("_db")
     e_term = d * F.col("_na") / n
@@ -4125,3 +4134,57 @@ def cochran_armitage(
     return st.select(
         "k", "n", "successes",
         F.when(ok, F.round(z, 6)).alias("z"))
+
+
+def gehan_test(
+    durations: DataFrame,
+    group_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon test — logrank_test with weight n_t
+    (the pooled at-risk count) per event time: EARLY deaths weigh
+    more, so it out-powers the log-rank when hazards differ early
+    and cross later (exactly where the log-rank is blind). Same
+    input contract and risk-set machinery (_survival_cells).
+
+    The n_t weight makes the statistic EXACT: U = sum_t (n*d_a -
+    d*n_a) is an integer (the e-term's /n cancels), and Var's
+    per-time term n^2 v_t = d*n_a*n_b*(n-d)/(n-1) keeps an exact
+    DECIMAL numerator with the bartlett floor-division trick — the
+    only float is the final U/sqrt(Var).
+
+    Returns one row (group_a, group_b, n_a, n_b, u, z): NULL z when
+    the variance degenerates. Empty / all-censored: 0 rows.
+    """
+    cells, names, groups = _survival_cells(
+        durations, group_col, duration_col, event_col)
+    n = F.col("_na") + F.col("_nb")
+    d = F.col("_da") + F.col("_db")
+    u_t = n * F.col("_da") - d * F.col("_na")
+    vnum = (d.cast("decimal(38,0)") * F.col("_na") * F.col("_nb")
+            * (n - d))
+    v_t = F.when(
+        n > 1,
+        ((vnum - vnum % (n - 1)) / (n - 1)).cast("decimal(38,0)")
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    contrib = cells.where(d > 0).select(
+        u_t.cast("long").alias("_u"), v_t.alias("_v"))
+    st = contrib.agg(
+        F.sum("_u").cast("long").alias("_us"),
+        F.sum("_v").cast("decimal(38,0)").alias("_vs"),
+        F.count(F.lit(1)).cast("long").alias("_nt"))
+    ta = (groups.crossJoin(F.broadcast(names))
+          .agg(F.sum(F.when(F.col("_g") == F.col("group_a"),
+                            F.col("_tot"))).cast("long").alias("n_a"),
+               F.sum(F.when(F.col("_g") == F.col("group_b"),
+                            F.col("_tot"))).cast("long")
+               .alias("n_b")))
+    j = (st.crossJoin(F.broadcast(names)).crossJoin(F.broadcast(ta))
+         .where(F.col("_nt").isNotNull() & (F.col("_nt") > 0)))
+    vs = F.col("_vs").cast("double")
+    z = F.col("_us") / F.sqrt(vs)
+    return j.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.col("_us").alias("u"),
+        F.when(vs > 0, F.round(z, 6)).alias("z"))

@@ -1953,3 +1953,48 @@ def test_cochran_armitage_hand_and_guards(spark):
         cochran_armitage(df, "g", "s", order=["a"])
     assert cochran_armitage(df.where("s > 9"), "g", "s",
                             order=["a", "b", "c"]).count() == 0
+
+
+def test_gehan_reference_and_consistency(spark):
+    from mms_rdf_spark.operators.analytics import (
+        gehan_test,
+        logrank_test,
+    )
+
+    rows = [("a", 6, 1), ("a", 6, 1), ("a", 6, 0), ("a", 7, 1),
+            ("a", 10, 0), ("a", 13, 1), ("a", 16, 1),
+            ("b", 1, 1), ("b", 1, 1), ("b", 2, 1), ("b", 2, 1),
+            ("b", 3, 1), ("b", 4, 1), ("b", 5, 1), ("b", 8, 1),
+            ("b", 11, 1), ("b", 12, 1), ("b", 15, 1)]
+    df = spark.createDataFrame(rows, "g string, duration long, "
+                                     "event long")
+    r = gehan_test(df, "g").collect()[0]
+
+    # pure-Python twin with the floored variance terms
+    ga = "a"
+    times = sorted({t for _, t, e in rows if e == 1})
+    u = 0
+    v = 0
+    for t in times:
+        na = sum(1 for g, tt, _ in rows if g == ga and tt >= t)
+        nb = sum(1 for g, tt, _ in rows if g != ga and tt >= t)
+        da = sum(1 for g, tt, e in rows
+                 if g == ga and tt == t and e == 1)
+        db = sum(1 for g, tt, e in rows
+                 if g != ga and tt == t and e == 1)
+        n, d = na + nb, da + db
+        if d == 0:
+            continue
+        u += n * da - d * na
+        if n > 1:
+            v += (d * na * nb * (n - d)) // (n - 1)
+    assert r.u == u
+    assert r.z == round(u / v ** 0.5, 6)
+    # same direction as the log-rank on this data
+    lr = logrank_test(df, "g").collect()[0]
+    assert (r.z > 0) == (lr.z > 0)
+
+    # all censored -> 0 rows
+    cen = [("a", 5, 0), ("b", 6, 0)]
+    assert gehan_test(spark.createDataFrame(
+        cen, "g string, duration long, event long"), "g").count() == 0
