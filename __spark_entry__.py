@@ -4157,6 +4157,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("event"))
         return gehan_test(durations, "arm")
 
+    def events_pacf(spark, sf):
+        # Partial autocorrelation (lags 1..3) of hourly click volume
+        # via Toeplitz closed forms over the rounded ACF
+        from mms_rdf_spark.operators.analytics import (
+            lagged_crosscorr, pacf3)
+        acf = lagged_crosscorr(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            "click", "click", max_lag=3)
+        return pacf3(acf)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4649,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_fdr": events_fdr,
         "events_catrend": events_catrend,
         "events_gehan": events_gehan,
+        "events_pacf": events_pacf,
     }
 
 
@@ -14012,6 +14023,42 @@ def oracle_sql() -> dict[str, str]:
                 THEN round(us / sqrt(CAST(vs AS DOUBLE)), 6)
            END AS z
     FROM st, ta, names WHERE nt IS NOT NULL AND nt > 0
+    """
+
+    # PACF lags 1..3: pivots the nested ACF oracle's rounded r
+    # values into the SAME Toeplitz closed forms as analytics.pacf3
+    q["events_pacf"] = f"""
+    WITH one AS (
+        SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+               max(CASE WHEN lag = 2 THEN r END) AS r2,
+               max(CASE WHEN lag = 3 THEN r END) AS r3
+        FROM ({q["events_acf"]})
+    )
+    SELECT CAST(1 AS INT) AS lag,
+           CASE WHEN r1 IS NOT NULL THEN round(r1, 6) END AS pacf
+    FROM one
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+                 AND 1.0 - r1 * r1 <> 0.0
+                THEN round((r2 - r1 * r1) / (1.0 - r1 * r1), 6)
+           END
+    FROM one
+    UNION ALL
+    SELECT CAST(3 AS INT),
+           CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+                 AND r3 IS NOT NULL
+                 AND 1.0 * (1.0 - r1 * r1)
+                     - r1 * (r1 - r1 * r2)
+                     + r2 * (r1 * r1 - r2) <> 0.0
+                THEN round((1.0 * (1.0 * r3 - r2 * r1)
+                            - r1 * (r1 * r3 - r2 * r2)
+                            + r1 * (r1 * r1 - 1.0 * r2))
+                           / (1.0 * (1.0 - r1 * r1)
+                              - r1 * (r1 - r1 * r2)
+                              + r2 * (r1 * r1 - r2)), 6)
+           END
+    FROM one
     """
 
     return q

@@ -4188,3 +4188,54 @@ def gehan_test(
         "group_a", "group_b", "n_a", "n_b",
         F.col("_us").alias("u"),
         F.when(vs > 0, F.round(z, 6)).alias("z"))
+
+
+def pacf3(acf: DataFrame, lag_col: str = "lag",
+          r_col: str = "r") -> DataFrame:
+    """Partial autocorrelation at lags 1..3 from an ACF table (the
+    lagged_crosscorr output): the AR-order diagnostic next to
+    events_acf/ljung_box — phi_kk is the correlation at lag k AFTER
+    removing what shorter lags already explain, via the
+    Durbin-Levinson / Toeplitz closed forms:
+
+      phi_11 = r1
+      phi_22 = (r2 - r1^2) / (1 - r1^2)
+      phi_33 = det(M3) / det(R3)   (3x3 Toeplitz Cramer)
+
+    Exactness: inputs are the ACF's ROUNDED 6dp r values, so both
+    engines assemble identical doubles through the fixed-order
+    determinant expressions (the ols2 Cramer discipline); each
+    phi_kk is NULL when its lag is missing (degenerate series) or
+    its denominator is 0. Returns (lag, pacf) rows for lags 1..3.
+    """
+    one = acf.agg(
+        F.max(F.when(F.col(lag_col) == 1, F.col(r_col))).alias("r1"),
+        F.max(F.when(F.col(lag_col) == 2, F.col(r_col))).alias("r2"),
+        F.max(F.when(F.col(lag_col) == 3, F.col(r_col))).alias("r3"))
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p1 = r1
+    den2 = 1.0 - r1 * r1
+    p2 = (r2 - r1 * r1) / den2
+    det_r = (1.0 * (1.0 - r1 * r1)
+             - r1 * (r1 - r1 * r2)
+             + r2 * (r1 * r1 - r2))
+    det_m = (1.0 * (1.0 * r3 - r2 * r1)
+             - r1 * (r1 * r3 - r2 * r2)
+             + r1 * (r1 * r1 - 1.0 * r2))
+    p3 = det_m / det_r
+    rows = []
+    rows.append(one.select(
+        F.lit(1).cast("int").alias("lag"),
+        F.when(r1.isNotNull(), F.round(p1, 6)).alias("pacf")))
+    rows.append(one.select(
+        F.lit(2).cast("int").alias("lag"),
+        F.when(r1.isNotNull() & r2.isNotNull() & (den2 != 0.0),
+               F.round(p2, 6)).alias("pacf")))
+    rows.append(one.select(
+        F.lit(3).cast("int").alias("lag"),
+        F.when(r1.isNotNull() & r2.isNotNull() & r3.isNotNull()
+               & (det_r != 0.0), F.round(p3, 6)).alias("pacf")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1998,3 +1998,39 @@ def test_gehan_reference_and_consistency(spark):
     cen = [("a", 5, 0), ("b", 6, 0)]
     assert gehan_test(spark.createDataFrame(
         cen, "g string, duration long, event long"), "g").count() == 0
+
+
+def test_pacf3_closed_forms_match_durbin_levinson(spark):
+    from mms_rdf_spark.operators.analytics import pacf3
+
+    # hand ACF of an AR(1)-like process: r_k = 0.6^k
+    acf = spark.createDataFrame(
+        [(0, 1.0), (1, 0.6), (2, 0.36), (3, 0.216)],
+        "lag int, r double")
+    got = {r.lag: r.pacf for r in pacf3(acf).collect()}
+    # AR(1): pacf_1 = r1, pacf_2 = pacf_3 = 0
+    assert got[1] == 0.6
+    assert abs(got[2]) < 1e-9
+    assert abs(got[3]) < 1e-9
+
+    # general values vs a Durbin-Levinson twin
+    rs = {1: 0.5, 2: 0.4, 3: 0.2}
+    acf = spark.createDataFrame(
+        [(k, v) for k, v in rs.items()], "lag int, r double")
+    got = {r.lag: r.pacf for r in pacf3(acf).collect()}
+    # DL recursion
+    phi = {1: {1: rs[1]}}
+    for k in (2, 3):
+        num = rs[k] - sum(phi[k - 1][j] * rs[k - j]
+                          for j in range(1, k))
+        den = 1 - sum(phi[k - 1][j] * rs[j] for j in range(1, k))
+        phi[k] = {k: num / den}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - phi[k][k] * phi[k - 1][k - j]
+    for k in (1, 2, 3):
+        assert abs(got[k] - phi[k][k]) < 1e-6
+
+    # missing lag -> NULL
+    part = spark.createDataFrame([(1, 0.3)], "lag int, r double")
+    got = {r.lag: r.pacf for r in pacf3(part).collect()}
+    assert got[1] == 0.3 and got[2] is None and got[3] is None
