@@ -4167,6 +4167,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "click", "click", max_lag=3)
         return pacf3(acf)
 
+    def events_sax(spark, sf):
+        # SAX symbolic transform of the hourly series into 24
+        # segments over the 4-letter quartile alphabet
+        from mms_rdf_spark.operators.analytics import sax_transform
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hour = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.groupBy(hour.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return sax_transform(hourly, "t", "y", n_segments=24)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4660,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_catrend": events_catrend,
         "events_gehan": events_gehan,
         "events_pacf": events_pacf,
+        "events_sax": events_sax,
     }
 
 
@@ -14059,6 +14071,60 @@ def oracle_sql() -> dict[str, str]:
                               + r2 * (r1 * r1 - r2)), 6)
            END
     FROM one
+    """
+
+    # SAX: ntile segments over the time order, exact moments, z
+    # rounded BEFORE the shared literal breakpoints; mirror of
+    # analytics.sax_transform
+    q["events_sax"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS cnt FROM h
+    ), mom AS (
+        SELECT CAST(sum(y) AS BIGINT) AS s,
+               sum(CAST(y AS HUGEINT) * y) AS q
+        FROM h
+    ), rk AS (
+        SELECT y, row_number() OVER (ORDER BY t, y) AS r FROM h
+    ), seg AS (
+        SELECT CASE WHEN r <= (cnt % 24) * (cnt // 24 + 1)
+                    THEN CAST(ceil(r / (cnt // 24 + 1)) AS INT)
+                    ELSE CAST(cnt % 24
+                              + ceil((r - (cnt % 24)
+                                      * (cnt // 24 + 1))
+                                     / greatest(cnt // 24, 1))
+                              AS INT)
+               END AS segment, y, cnt
+        FROM rk, c
+    ), per AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               max(cnt) AS cnt
+        FROM seg GROUP BY segment
+    ), fin AS (
+        SELECT segment, n,
+               round((CAST(sy AS DOUBLE) / n
+                      - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                     / sqrt((CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s
+                               / CAST(cnt AS DOUBLE))
+                            / (CAST(cnt AS DOUBLE) - 1.0)), 6)
+                   AS mean_z,
+               (CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * s / CAST(cnt AS DOUBLE))
+               / (CAST(cnt AS DOUBLE) - 1.0) AS var
+        FROM per, mom
+    )
+    SELECT segment, n, mean_z,
+           CASE WHEN mean_z < -0.6745 THEN 'a'
+                WHEN mean_z < 0.0 THEN 'b'
+                WHEN mean_z < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM fin WHERE var > 0
     """
 
     return q

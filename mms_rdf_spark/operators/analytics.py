@@ -4239,3 +4239,70 @@ def pacf3(acf: DataFrame, lag_col: str = "lag",
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def sax_transform(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    n_segments: int = 24,
+) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003) over
+    a regular integer series: z-normalize, Piecewise Aggregate
+    Approximation into `n_segments` equal-count time segments, then
+    quantize each segment mean against the standard N(0,1) quartile
+    breakpoints into the 4-letter alphabet a/b/c/d — the
+    dimensionality reduction behind time-series motif/novelty
+    search.
+
+    Exact arithmetic: global moments and per-segment sums are exact
+    longs (one aggregate + one segment aggregate); segments come
+    from link.global_rank + the exact _ntile_from_rank arithmetic
+    over the TIME order; the z-score is one fixed-order float per
+    segment, ROUNDED 6dp BEFORE the breakpoint comparison so both
+    engines quantize identical values against the shared literal
+    breakpoints (-0.6745 / 0 / 0.6745). Returns (segment, n,
+    mean_z, symbol); 0 rows on empty or zero-variance input.
+
+    Scale shape: one rank pass + two aggregates; the driver holds
+    one count (the rfm/lorenz precedent).
+    """
+    from mms_rdf_spark.operators.link import global_rank
+
+    s = (series.where(F.col(t_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+         .select(F.col(t_col).cast("long").alias("_t"),
+                 F.col(y_col).cast("long").alias("_y")))
+    cnt = s.count()
+    if cnt == 0:
+        return s.select(F.lit(0).cast("int").alias("segment"),
+                        F.lit(0).cast("long").alias("n"),
+                        F.lit(0.0).alias("mean_z"),
+                        F.lit("").alias("symbol")).where(F.lit(False))
+    mom = s.agg(F.sum("_y").cast("long").alias("_s"),
+                F.sum(F.col("_y").cast("decimal(38,0)")
+                      * F.col("_y")).cast("decimal(38,0)")
+                .alias("_q"))
+    ranked = global_rank(s, "_t", "_y")
+    seg = (ranked.select(
+        _ntile_from_rank(F.col("rank"), cnt, n_segments)
+        .alias("segment"), "_y")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("_y").cast("long").alias("_sy"))
+        .crossJoin(F.broadcast(mom)))
+    nd = F.lit(float(cnt))
+    mu = F.col("_s").cast("double") / nd
+    var = ((F.col("_q").cast("double")
+            - F.col("_s").cast("double") * F.col("_s") / nd)
+           / (nd - 1.0))
+    z = ((F.col("_sy").cast("double") / F.col("n") - mu)
+         / F.sqrt(var))
+    zr = F.round(z, 6)
+    sym = (F.when(zr < -0.6745, "a")
+           .when(zr < 0.0, "b")
+           .when(zr < 0.6745, "c")
+           .otherwise("d"))
+    return (seg.where(var > 0)
+            .select("segment", "n", zr.alias("mean_z"),
+                    sym.alias("symbol")))

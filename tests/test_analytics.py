@@ -2034,3 +2034,32 @@ def test_pacf3_closed_forms_match_durbin_levinson(spark):
     part = spark.createDataFrame([(1, 0.3)], "lag int, r double")
     got = {r.lag: r.pacf for r in pacf3(part).collect()}
     assert got[1] == 0.3 and got[2] is None and got[3] is None
+
+
+def test_sax_transform_hand_case(spark):
+    from mms_rdf_spark.operators.analytics import sax_transform
+
+    # 8 points, 4 segments of 2: low-low-high-high pattern
+    ys = [0, 0, 5, 5, 10, 10, 5, 5]
+    rows = [(t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    got = {r.segment: r for r in
+           sax_transform(df, "t", "y", n_segments=4).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    assert all(got[s].n == 2 for s in got)
+    mu = sum(ys) / 8
+    var = sum((y - mu) ** 2 for y in ys) / 7
+    import math
+    z1 = (0 - mu) / math.sqrt(var)
+    assert abs(got[1].mean_z - round(z1, 6)) < 1e-9
+    # word reads low, mid, high, mid
+    word = "".join(got[s].symbol for s in sorted(got))
+    assert word[0] == "a" and word[2] == "d"
+    assert word[1] == word[3]
+
+    # constant series (zero variance) -> 0 rows; empty -> 0 rows
+    const = spark.createDataFrame([(t, 7) for t in range(8)],
+                                  "t long, y long")
+    assert sax_transform(const, "t", "y", 4).count() == 0
+    assert sax_transform(const.where("t < 0"), "t", "y", 4).count() \
+        == 0
