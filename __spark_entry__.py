@@ -4178,6 +4178,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .agg(F.count(F.lit(1)).cast("long").alias("y")))
         return sax_transform(hourly, "t", "y", n_segments=24)
 
+    def orders_gammafit(spark, sf):
+        # Method-of-moments Gamma fit of order-price cents
+        from mms_rdf_spark.operators.analytics import gamma_fit_mom
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cents = (orders.where(F.col("o_totalprice").isNotNull())
+                 .select(F.round(F.col("o_totalprice") * 100)
+                         .cast("long").alias("v")))
+        return gamma_fit_mom(cents, "v")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4672,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gehan": events_gehan,
         "events_pacf": events_pacf,
         "events_sax": events_sax,
+        "orders_gammafit": orders_gammafit,
     }
 
 
@@ -14125,6 +14135,33 @@ def oracle_sql() -> dict[str, str]:
                 WHEN mean_z < 0.6745 THEN 'c'
                 ELSE 'd' END AS symbol
     FROM fin WHERE var > 0
+    """
+
+    # Gamma MoM: exact moments, e = n*q - s^2, two ratios; mirror of
+    # analytics.gamma_fit_mom
+    q["orders_gammafit"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS q
+        FROM c WHERE v > 0
+    ), fin AS (
+        SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CAST(CAST(n AS HUGEINT) * q
+                    - CAST(s AS HUGEINT) * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                   AS var
+        FROM st WHERE n IS NOT NULL AND n > 0
+    )
+    SELECT n, round(mean, 6) AS mean,
+           CASE WHEN n > 1 AND var > 0
+                THEN round(mean * mean / var, 6) END AS k_shape,
+           CASE WHEN n > 1 AND var > 0
+                THEN round(var / mean, 6) END AS theta
+    FROM fin
     """
 
     return q

@@ -4306,3 +4306,39 @@ def sax_transform(
     return (seg.where(var > 0)
             .select("segment", "n", zr.alias("mean_z"),
                     sym.alias("symbol")))
+
+
+def gamma_fit_mom(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Gamma distribution fit by the method of moments — shape
+    k = mean^2/var, scale theta = var/mean — the standard quick
+    parametric summary for positive right-skewed metrics (spend,
+    latency, tokens/doc): one aggregate, two ratios. Values must be
+    positive exact integers (pre-scaled units); the parameters are
+    in those units.
+
+    Exact moments (n, sum, sumsq DECIMAL/HUGEINT), sample variance
+    via the exact e = n*q - s^2 numerator (the bartlett form),
+    fixed-order float finale mirrored in SQL. Returns one row
+    (n, mean, k_shape, theta): NULL fit when n < 2 or the variance
+    degenerates. Empty: 0 rows.
+    """
+    v = F.col(value_col).cast("long")
+    st = (df.where(v.isNotNull() & (v > 0))
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum(v).cast("long").alias("_s"),
+               F.sum(v.cast("decimal(38,0)") * v)
+               .cast("decimal(38,0)").alias("_q")))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    nd = F.col("n").cast("double")
+    e = (F.col("n").cast("decimal(38,0)") * F.col("_q")
+         - F.col("_s").cast("decimal(38,0)") * F.col("_s"))
+    mean = F.col("_s").cast("double") / nd
+    var = e.cast("double") / (nd * (nd - 1.0))
+    ok = (F.col("n") > 1) & (var > 0)
+    return st.select(
+        "n", F.round(mean, 6).alias("mean"),
+        F.when(ok, F.round(mean * mean / var, 6)).alias("k_shape"),
+        F.when(ok, F.round(var / mean, 6)).alias("theta"))

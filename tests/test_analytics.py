@@ -2063,3 +2063,21 @@ def test_sax_transform_hand_case(spark):
     assert sax_transform(const, "t", "y", 4).count() == 0
     assert sax_transform(const.where("t < 0"), "t", "y", 4).count() \
         == 0
+
+
+def test_gamma_fit_mom_hand_case(spark):
+    from mms_rdf_spark.operators.analytics import gamma_fit_mom
+
+    vals = [2, 4, 4, 6, 8, 12]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = gamma_fit_mom(df, "v").collect()[0]
+    m = sum(vals) / len(vals)
+    var = sum((x - m) ** 2 for x in vals) / (len(vals) - 1)
+    assert r.n == 6 and abs(r.mean - m) < 1e-9
+    assert abs(r.k_shape - m * m / var) < 1e-6
+    assert abs(r.theta - var / m) < 1e-6
+    # nonpositive values excluded; constants -> NULL fit
+    withz = spark.createDataFrame([(0,), (5,), (5,)], "v long")
+    r = gamma_fit_mom(withz, "v").collect()[0]
+    assert r.n == 2 and r.k_shape is None
+    assert gamma_fit_mom(withz.where("v < 0"), "v").count() == 0
