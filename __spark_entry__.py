@@ -4187,6 +4187,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .cast("long").alias("v")))
         return gamma_fit_mom(cents, "v")
 
+    def text_spiegelhalter(spark, sf):
+        # Spiegelhalter calibration Z over the trained logreg's
+        # 6dp-gridded probabilities (exact integer moment sums)
+        from mms_rdf_spark.operators.mlops import (
+            doc_features, logreg_score, logreg_train, spiegelhalter_z)
+        feats = doc_features(_docs(spark, sf))
+        return spiegelhalter_z(
+            logreg_score(feats, logreg_train(feats, iterations=6)))
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4682,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pacf": events_pacf,
         "events_sax": events_sax,
         "orders_gammafit": orders_gammafit,
+        "text_spiegelhalter": text_spiegelhalter,
     }
 
 
@@ -14162,6 +14172,39 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN n > 1 AND var > 0
                 THEN round(var / mean, 6) END AS theta
     FROM fin
+    """
+
+    # Spiegelhalter Z: the logreg/scoring CTEs + exact 1e12/1e24
+    # integer moment sums; p via the shared A&S mirror
+    q["text_spiegelhalter"] = lg + f""",
+    sc AS (
+        SELECT round(1.0 / (1.0 + exp(-(w.w0*f.x0 + w.w1*f.x1
+                   + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4))), 6) AS prob,
+               f.y
+        FROM feats f, w6 w),
+    d AS (
+        SELECT CAST(round(prob * 1e6) AS BIGINT) AS pu,
+               CAST(y AS BIGINT) * 1000000 AS yu
+        FROM sc),
+    st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(yu - pu AS HUGEINT)
+                   * (1000000 - 2 * pu)) AS nu,
+               sum(CAST(1000000 - 2 * pu AS HUGEINT)
+                   * (1000000 - 2 * pu) * pu
+                   * (1000000 - pu)) AS de
+        FROM d)
+    SELECT n,
+           CASE WHEN CAST(de AS DOUBLE) > 0
+                THEN round((CAST(nu AS DOUBLE) / 1e12)
+                           / sqrt(CAST(de AS DOUBLE) / 1e24), 6)
+           END AS z,
+           CASE WHEN CAST(de AS DOUBLE) > 0
+                THEN round(2.0 * {normal_sf_sql(
+                    "abs((CAST(nu AS DOUBLE) / 1e12)"
+                    " / sqrt(CAST(de AS DOUBLE) / 1e24))")}, 6)
+           END AS p_two
+    FROM st WHERE n IS NOT NULL AND n > 0
     """
 
     return q

@@ -500,3 +500,43 @@ def kfold_summary(docs: DataFrame, k: int = 5,
                     F.col(strata_col).alias("stratum")).join(f, on="id")
     return (j.groupBy("fold", "stratum")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+def spiegelhalter_z(scored: DataFrame) -> DataFrame:
+    """Spiegelhalter's calibration Z-test over (prob, y) scored rows
+    — calibration_error's INFERENTIAL companion: is the observed
+    miscalibration larger than chance given these probabilities?
+    Z = sum (y - p)(1 - 2p) / sqrt(sum (1-2p)^2 p (1-p)); |Z| > 2
+    means the probabilities are statistically miscalibrated.
+
+    Exact arithmetic: probs are 6dp-gridded at scoring, so with
+    pu = p*1e6 every term is an exact integer — numerator units
+    1e12, denominator units 1e24, summed as DECIMAL(38,0)/HUGEINT —
+    and the finale is one fixed-order division + sqrt, with the
+    two-sided p from analytics.normal_sf (same A&S mirror).
+
+    Returns one row (n, z, p_two): NULL when the variance
+    degenerates (all probs 0/1 or 1/2). Empty: 0 rows.
+    """
+    from mms_rdf_spark.operators.analytics import normal_sf
+
+    pu = F.round(F.col("prob") * 1e6).cast("long")
+    yu = F.col("y").cast("long") * 1000000
+    d = scored.select(pu.alias("_pu"), yu.alias("_yu"))
+    num = ((F.col("_yu") - F.col("_pu")).cast("decimal(38,0)")
+           * (1000000 - 2 * F.col("_pu")))
+    den = ((1000000 - 2 * F.col("_pu")).cast("decimal(38,0)")
+           * (1000000 - 2 * F.col("_pu"))
+           * F.col("_pu") * (1000000 - F.col("_pu")))
+    st = d.agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum(num).cast("decimal(38,0)").alias("_nu"),
+               F.sum(den).cast("decimal(38,0)").alias("_de"))
+    st = st.where(F.col("n").isNotNull() & (F.col("n") > 0))
+    z = (F.col("_nu").cast("double") / 1e12) \
+        / F.sqrt(F.col("_de").cast("double") / 1e24)
+    ok = F.col("_de").cast("double") > 0
+    return st.select(
+        "n",
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.round(2.0 * normal_sf(F.abs(z)), 6))
+        .alias("p_two"))

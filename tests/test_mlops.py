@@ -283,3 +283,34 @@ def test_kfold_assign_deterministic_and_balanced(spark):
         (f, l) for f in range(5) for l in ("en", "de")}
     with _pytest.raises(ValueError, match="k >= 2"):
         kfold_assign(docs, k=1)
+
+
+def test_spiegelhalter_z_calibrated_vs_not(spark):
+    from mms_rdf_spark.operators.mlops import spiegelhalter_z
+
+    # perfectly calibrated by construction: p of the y=1 fraction
+    rows = []
+    for p, block in [(0.2, 10), (0.5, 10), (0.8, 10)]:
+        ones = int(p * block)
+        rows += [(p, 1)] * ones + [(p, 0)] * (block - ones)
+    df = spark.createDataFrame(rows, "prob double, y int")
+    r = spiegelhalter_z(df).collect()[0]
+    assert abs(r.z) < 1.0 and r.p_two > 0.3
+
+    # badly miscalibrated: p=0.9 but y mostly 0
+    bad = [(0.9, 0)] * 18 + [(0.9, 1)] * 2
+    r = spiegelhalter_z(
+        spark.createDataFrame(bad, "prob double, y int")).collect()[0]
+    # hand: num = sum (y-p)(1-2p); den = sum (1-2p)^2 p(1-p)
+    num = sum((y - 0.9) * (1 - 1.8) for _, y in bad)
+    den = sum((1 - 1.8) ** 2 * 0.9 * 0.1 for _ in bad)
+    assert abs(r.z - num / den ** 0.5) < 1e-5
+    assert r.z > 4.0 and r.p_two < 1e-4
+
+    # degenerate: all probs at 1/2 -> weight 0 -> NULL
+    half = [(0.5, 1), (0.5, 0)]
+    r = spiegelhalter_z(
+        spark.createDataFrame(half, "prob double, y int")).collect()[0]
+    assert r.z is None
+    assert spiegelhalter_z(
+        df.where("prob < 0")).count() == 0
