@@ -4196,6 +4196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spiegelhalter_z(
             logreg_score(feats, logreg_train(feats, iterations=6)))
 
+    def mm_image_entropy(spark, sf):
+        # Shannon entropy of REAL decoded pixel bytes per image;
+        # the oracle computes the histogram analytically from the
+        # pixel generator formula
+        return MM.image_entropy(MM.synth_ppm_media(_docs(spark, sf)))
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4692,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sax": events_sax,
         "orders_gammafit": orders_gammafit,
         "text_spiegelhalter": text_spiegelhalter,
+        "mm_image_entropy": mm_image_entropy,
     }
 
 
@@ -14205,6 +14212,33 @@ def oracle_sql() -> dict[str, str]:
                     " / sqrt(CAST(de AS DOUBLE) / 1e24))")}, 6)
            END AS p_two
     FROM st WHERE n IS NOT NULL AND n > 0
+    """
+
+    # Image entropy: analytic histogram of the pixel generator
+    # formula over the 8x8x3 grid, nano-ln finale (the
+    # lexical_diversity discipline); REAL decode engine-side
+    q["mm_image_entropy"] = """
+    WITH px AS (
+        SELECT d.doc_id AS media_id,
+               (d.doc_id * 31 + r.r * 7 + c.c * 3 + ch.ch * 11) % 256
+                   AS value
+        FROM documents d,
+             unnest(generate_series(0, 7)) AS r(r),
+             unnest(generate_series(0, 7)) AS c(c),
+             unnest(generate_series(0, 2)) AS ch(ch)
+    ), h AS (
+        SELECT media_id, value, CAST(count(*) AS BIGINT) AS cnt
+        FROM px GROUP BY media_id, value
+    ), per AS (
+        SELECT media_id, CAST(sum(cnt) AS BIGINT) AS n_px,
+               CAST(sum(cnt * CAST(round(ln(cnt) * 1e9) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM h GROUP BY media_id
+    )
+    SELECT media_id, n_px,
+           round((n_px * CAST(round(ln(n_px) * 1e9) AS BIGINT) - s)
+                 / (n_px * 1e9), 6) AS entropy
+    FROM per
     """
 
     return q

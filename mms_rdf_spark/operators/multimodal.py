@@ -1001,3 +1001,50 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
         "distinct_bytes",
         F.round(F.col("distinct_bytes") / F.col("total_bytes"), 6)
         .alias("dedup_ratio"))
+
+
+def image_histogram(media: DataFrame) -> DataFrame:
+    """Exact per-image byte histogram over REAL decoded pixels
+    (decode_image dispatches PPM/PNG/BMP on magic bytes): rows of
+    (media_id, value, cnt) — the building block for entropy /
+    contrast / duplicate-content audits where channel MEANS are too
+    blunt. Arrow mapInPandas; payload bytes never shuffle — only the
+    <= 256-row histogram per image does."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "value": [], "cnt": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = decode_image(bytes(payload))
+                vals, cnts = np.unique(arr.reshape(-1),
+                                       return_counts=True)
+                out["media_id"] += [mid] * len(vals)
+                out["value"] += [int(v) for v in vals]
+                out["cnt"] += [int(c) for c in cnts]
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, value int, cnt long")
+
+
+def image_entropy(media: DataFrame) -> DataFrame:
+    """Per-image Shannon entropy (nats) of the decoded pixel bytes —
+    the flat-vs-structured content signal (synthetic/template media
+    scores low): H = ln n - sum(c ln c)/n over the exact histogram,
+    with each ln rounded to NANO units so the cross-value sum is an
+    exact long (the lexical_diversity discipline) and the finale is
+    one division, mirrored analytically in SQL from the pixel
+    generator formula. Returns (media_id, n_px, entropy)."""
+    h = image_histogram(media)
+    per = (h.groupBy("media_id")
+           .agg(F.sum("cnt").cast("long").alias("n_px"),
+                F.sum(F.col("cnt")
+                      * F.round(F.log("cnt") * 1e9).cast("long"))
+                .cast("long").alias("_s")))
+    n = F.col("n_px")
+    ln_n = F.round(F.log(n) * 1e9).cast("long")
+    return per.select(
+        "media_id", "n_px",
+        F.round((n * ln_n - F.col("_s")) / (n * 1e9), 6)
+        .alias("entropy"))

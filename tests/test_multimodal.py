@@ -419,3 +419,36 @@ def test_cdc_shared_suffix_shares_chunks(spark):
     # empty input -> 0 rows
     assert cdc_dedup_stats(
         cdc_chunks(media.where("media_id < 0"))).count() == 0
+
+
+def test_image_entropy_real_decode(spark):
+    import math
+
+    from mms_rdf_spark.operators.multimodal import (
+        image_entropy,
+        image_histogram,
+        ppm_pixels,
+        synth_ppm_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 10) for i in (1, 2, 3)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    media = synth_ppm_media(docs)
+    # histogram matches the generator's pixel counts exactly
+    h = {(r.media_id, r.value): r.cnt for r in
+         image_histogram(media).collect()}
+    import numpy as np
+    arr = ppm_pixels(1, 8, 8).reshape(-1)
+    vals, cnts = np.unique(arr, return_counts=True)
+    for v, c in zip(vals, cnts):
+        assert h[(1, int(v))] == int(c)
+    # entropy matches a pure-Python computation on those counts
+    e = {r.media_id: r.entropy for r in
+         image_entropy(media).collect()}
+    n = len(arr)
+    ref = math.log(n) - sum(
+        int(c) * math.log(int(c)) for c in cnts) / n
+    assert abs(e[1] - ref) < 1e-6
+    assert all(v > 0 for v in e.values())
