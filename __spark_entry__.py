@@ -4202,6 +4202,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pixel generator formula
         return MM.image_entropy(MM.synth_ppm_media(_docs(spark, sf)))
 
+    def events_motif(spark, sf):
+        # Top recurring 8-hour SAX words over the hourly series —
+        # motif discovery via equi-join word assembly
+        from mms_rdf_spark.operators.analytics import sax_motifs
+        from mms_rdf_spark.operators.temporal import _epoch_s
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        hour = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+        hourly = (ev.groupBy(hour.alias("t"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("y")))
+        return sax_motifs(hourly, "t", "y", step_s=3600,
+                          word_len=8, k=10)
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4699,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gammafit": orders_gammafit,
         "text_spiegelhalter": text_spiegelhalter,
         "mm_image_entropy": mm_image_entropy,
+        "events_motif": events_motif,
     }
 
 
@@ -14239,6 +14252,66 @@ def oracle_sql() -> dict[str, str]:
            round((n_px * CAST(round(ln(n_px) * 1e9) AS BIGINT) - s)
                  / (n_px * 1e9), 6) AS entropy
     FROM per
+    """
+
+    # SAX motifs: per-hour symbols (rounded z vs shared literal
+    # breakpoints), 8-symbol words via t+offset equi-joins, top-10;
+    # mirror of analytics.sax_motifs
+    q["events_motif"] = """
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               sum(CAST(y AS HUGEINT) * y) AS q
+        FROM h
+    ), sym AS (
+        SELECT t,
+               CASE WHEN round((y - CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                     / sqrt((CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s
+                               / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0)), 6)
+                         < -0.6745 THEN 'a'
+                    WHEN round((y - CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                     / sqrt((CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s
+                               / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0)), 6)
+                         < 0.0 THEN 'b'
+                    WHEN round((y - CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                     / sqrt((CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s
+                               / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0)), 6)
+                         < 0.6745 THEN 'c'
+                    ELSE 'd' END AS c0
+        FROM h, mom
+        WHERE n > 1
+          AND (CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0) > 0
+    ), words AS (
+        SELECT s0.c0 || s1.c0 || s2.c0 || s3.c0
+               || s4.c0 || s5.c0 || s6.c0 || s7.c0 AS word
+        FROM sym s0
+        JOIN sym s1 ON s1.t = s0.t + 3600
+        JOIN sym s2 ON s2.t = s0.t + 7200
+        JOIN sym s3 ON s3.t = s0.t + 10800
+        JOIN sym s4 ON s4.t = s0.t + 14400
+        JOIN sym s5 ON s5.t = s0.t + 18000
+        JOIN sym s6 ON s6.t = s0.t + 21600
+        JOIN sym s7 ON s7.t = s0.t + 25200
+    )
+    SELECT word, CAST(count(*) AS BIGINT) AS n_windows
+    FROM words GROUP BY word
+    ORDER BY n_windows DESC, word LIMIT 10
     """
 
     return q

@@ -4342,3 +4342,59 @@ def gamma_fit_mom(
         "n", F.round(mean, 6).alias("mean"),
         F.when(ok, F.round(mean * mean / var, 6)).alias("k_shape"),
         F.when(ok, F.round(var / mean, 6)).alias("theta"))
+
+
+def sax_motifs(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    step_s: int,
+    word_len: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Time-series motif discovery via per-point SAX words: each
+    point gets a quartile-alphabet symbol from its z-score, each
+    window start spells the `word_len`-symbol word of the next
+    points, and repeated words ARE the recurring shapes (the
+    Lin/Keogh motif recipe) — "which daily load pattern keeps
+    happening?".
+
+    Exact arithmetic: global moments exact; per-point z is one
+    fixed-order float ROUNDED 6dp before the shared literal
+    breakpoints; the word assembles from `word_len` t+offset
+    EQUI-JOINS (the forecast_accuracy lag pattern — no
+    single-partition lead window) and only complete windows count.
+    Top-k by (n desc, word) via TakeOrderedAndProject.
+
+    Returns <= k rows (word, n_windows). Empty/degenerate: 0 rows.
+    """
+    s = (series.where(F.col(t_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+         .select(F.col(t_col).cast("long").alias("_t"),
+                 F.col(y_col).cast("long").alias("_y")))
+    mom = s.agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum("_y").cast("long").alias("_s"),
+                F.sum(F.col("_y").cast("decimal(38,0)")
+                      * F.col("_y")).cast("decimal(38,0)")
+                .alias("_q"))
+    sym = s.crossJoin(F.broadcast(mom))
+    nd = F.col("_n").cast("double")
+    mu = F.col("_s").cast("double") / nd
+    var = ((F.col("_q").cast("double")
+            - F.col("_s").cast("double") * F.col("_s") / nd)
+           / (nd - 1.0))
+    zr = F.round((F.col("_y") - mu) / F.sqrt(var), 6)
+    letter = (F.when(zr < -0.6745, "a").when(zr < 0.0, "b")
+              .when(zr < 0.6745, "c").otherwise("d"))
+    sym = (sym.where((F.col("_n") > 1) & (var > 0))
+           .select("_t", letter.alias("_c0")))
+    words = sym
+    for i in range(1, word_len):
+        nxt = sym.select((F.col("_t") - i * step_s).alias("_t"),
+                         F.col("_c0").alias(f"_c{i}"))
+        words = words.join(nxt, on="_t")
+    word = F.concat(*[F.col(f"_c{i}") for i in range(word_len)])
+    return (words.select(word.alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+            .orderBy(F.col("n_windows").desc(), "word").limit(k))

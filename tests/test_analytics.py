@@ -2081,3 +2081,27 @@ def test_gamma_fit_mom_hand_case(spark):
     r = gamma_fit_mom(withz, "v").collect()[0]
     assert r.n == 2 and r.k_shape is None
     assert gamma_fit_mom(withz.where("v < 0"), "v").count() == 0
+
+
+def test_sax_motifs_finds_planted_pattern(spark):
+    from mms_rdf_spark.operators.analytics import sax_motifs
+
+    # strict 4-periodic series: every window of 4 is a rotation of
+    # the same shape; the word at each phase repeats ~n/4 times
+    ys = [0, 10, 20, 10] * 12
+    rows = [(t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    out = sax_motifs(df, "t", "y", step_s=1, word_len=4,
+                     k=4).collect()
+    assert len(out) == 4
+    # four phase words, each with (48 - 3) / 4-ish occurrences
+    assert {r.n_windows for r in out} <= {11, 12}
+    assert sum(r.n_windows for r in out) == len(ys) - 3
+    # all words are rotations of one another
+    ws = [r.word for r in out]
+    assert all(sorted(w) == sorted(ws[0]) for w in ws)
+
+    # constant series -> degenerate -> 0 rows
+    const = spark.createDataFrame([(t, 5) for t in range(20)],
+                                  "t long, y long")
+    assert sax_motifs(const, "t", "y", 1, 4).count() == 0
