@@ -4214,6 +4214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sax_motifs(hourly, "t", "y", step_s=3600,
                           word_len=8, k=10)
 
+    def events_dunn(spark, sf):
+        # Dunn's post-hoc pairwise mean-rank tests (the KW follow-up)
+        # with BH q-values across the pairs
+        from mms_rdf_spark.operators.analytics import dunn_posthoc
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return dunn_posthoc(ev, "event_type", "value")
+
     def sketch_cms_join(spark, sf):
         # CMS inner-product join-size estimate (orders x customer on
         # custkey) + the exact join size + the deterministic
@@ -4712,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_spiegelhalter": text_spiegelhalter,
         "mm_image_entropy": mm_image_entropy,
         "events_motif": events_motif,
+        "events_dunn": events_dunn,
     }
 
 
@@ -14312,6 +14320,67 @@ def oracle_sql() -> dict[str, str]:
     SELECT word, CAST(count(*) AS BIGINT) AS n_windows
     FROM words GROUP BY word
     ORDER BY n_windows DESC, word LIMIT 10
+    """
+
+    # Dunn post-hoc: the pooled-rank CTEs, pairwise exact-numerator
+    # mean-rank z, BH over the pair frame; mirror of
+    # analytics.dunn_posthoc
+    _dunn_sig2 = ("((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)"
+                  " / 12.0 - ties / (12.0 * (CAST(nn AS DOUBLE)"
+                  " - 1.0))) * (1.0 / n_a + 1.0 / n_b))")
+    _dunn_z = ("(CAST(CAST(r2a AS HUGEINT) * n_b"
+               " - CAST(r2b AS HUGEINT) * n_a AS DOUBLE)"
+               " / (2.0 * n_a * n_b)) / sqrt(" + _dunn_sig2 + ")")
+    q["events_dunn"] = f"""
+    WITH s AS (
+        SELECT event_type AS g, value AS v
+        FROM events WHERE value IS NOT NULL
+    ), pgv AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        FROM s GROUP BY g, v
+    ), pv AS (
+        SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM pgv GROUP BY v
+    ), cw AS (
+        SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM pv
+    ), per_g AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * (2 * cum - cnt + 1)) AS BIGINT) AS r2
+        FROM pgv JOIN cw USING (v) GROUP BY g
+    ), gl AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM cw
+    ), pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+               a.r2 AS r2a, b.r2 AS r2b, nn, ties
+        FROM per_g a, per_g b, gl WHERE a.g < b.g
+    ), scored AS (
+        SELECT g_a, g_b, n_a, n_b,
+               CASE WHEN {_dunn_sig2} > 0
+                    THEN round({_dunn_z}, 6) END AS z,
+               CASE WHEN {_dunn_sig2} > 0
+                    THEN round(2.0
+                               * {normal_sf_sql(f"abs({_dunn_z})")},
+                               6)
+               END AS p
+        FROM pairs
+    ), wq AS (
+        SELECT g_a, g_b, n_a, n_b, z, p,
+               CAST(count(*) OVER () AS BIGINT) AS m,
+               row_number() OVER (ORDER BY p, g_a, g_b) AS rnk
+        FROM scored WHERE p IS NOT NULL
+    )
+    SELECT g_a, g_b, n_a, n_b, z, p,
+           round(least(min(p * m / rnk)
+                       OVER (ORDER BY rnk DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW), 1.0), 6) AS q
+    FROM wq
+    UNION ALL
+    SELECT g_a, g_b, n_a, n_b, z, p, CAST(NULL AS DOUBLE) AS q
+    FROM scored WHERE p IS NULL
     """
 
     return q

@@ -4398,3 +4398,91 @@ def sax_motifs(
             .groupBy("word")
             .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
             .orderBy(F.col("n_windows").desc(), "word").limit(k))
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc test (Dunn 1964) — WHICH groups differ, after
+    kruskal_wallis says SOME do: pairwise mean-rank z-tests on the
+    POOLED ranks with the tie-corrected variance, plus
+    Benjamini-Hochberg q-values across the k(k-1)/2 pairs (the
+    mw_one_vs_rest_fdr discipline).
+
+    z_ij = (Rbar_i - Rbar_j) / sqrt((N(N+1)/12 - T/(12(N-1)))
+                                     * (1/n_i + 1/n_j)),
+    T = sum(t^3 - t).
+
+    Exact arithmetic: ONE pooled distinct-value cumsum serves every
+    pair; doubled rank sums 2R_g are exact longs, so Rbar_i - Rbar_j
+    = (2R_i*n_j - 2R_j*n_i)/(2 n_i n_j) has an exact integer
+    numerator; the variance is a fixed-order float over exact longs;
+    p = 2*normal_sf(|z|) (shared A&S mirror), BH over the bounded
+    pair frame. Pairs order by the groups' lexical order (g_a < g_b).
+
+    Returns one row per pair (g_a, g_b, n_a, n_b, z, p, q); pairs
+    with degenerate variance carry NULLs and are excluded from BH's
+    m. Empty / single group: 0 rows.
+    """
+    from pyspark.sql.window import Window
+
+    from mms_rdf_spark.operators.prefix import global_cumsum
+
+    s = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).cast("string").alias("_g"),
+                 F.col(value_col).alias("_v")))
+    pgv = (s.groupBy("_g", "_v")
+           .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    pv = pgv.groupBy("_v").agg(F.sum("_c").cast("long").alias("_cnt"))
+    cum = global_cumsum(pv, "_v", "_v", "_cnt")
+    per_g = (pgv.join(cum, on="_v")
+             .groupBy("_g")
+             .agg(F.sum("_c").cast("long").alias("_n"),
+                  F.sum(F.col("_c")
+                        * (2 * F.col("cum") - F.col("_cnt") + 1))
+                  .cast("long").alias("_r2")))
+    glob = cum.agg(
+        F.sum("_cnt").cast("long").alias("_nn"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt")
+              - F.col("_cnt")).cast("long").alias("_ties"))
+    a = per_g.select(F.col("_g").alias("g_a"),
+                     F.col("_n").alias("n_a"),
+                     F.col("_r2").alias("_r2a"))
+    b = per_g.select(F.col("_g").alias("g_b"),
+                     F.col("_n").alias("n_b"),
+                     F.col("_r2").alias("_r2b"))
+    pairs = (a.crossJoin(b).where(F.col("g_a") < F.col("g_b"))
+             .crossJoin(F.broadcast(glob)))
+    nn = F.col("_nn").cast("double")
+    # Rbar_i - Rbar_j with exact integer numerator
+    num = (F.col("_r2a").cast("decimal(38,0)") * F.col("n_b")
+           - F.col("_r2b").cast("decimal(38,0)") * F.col("n_a")
+           ).cast("double") \
+        / (2.0 * F.col("n_a") * F.col("n_b"))
+    sig2 = ((nn * (nn + 1.0) / 12.0
+             - F.col("_ties") / (12.0 * (nn - 1.0)))
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = num / F.sqrt(sig2)
+    ok = sig2 > 0
+    scored = pairs.select(
+        "g_a", "g_b", "n_a", "n_b",
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.round(2.0 * normal_sf(F.abs(z)), 6)).alias("p"))
+    m = Window.partitionBy()
+    wr = Window.orderBy("p", "g_a", "g_b")
+    ws = (Window.orderBy(F.col("_rnk").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    with_q = (scored.where(F.col("p").isNotNull())
+              .withColumn("_m", F.count(F.lit(1)).over(m))
+              .withColumn("_rnk", F.row_number().over(wr))
+              .withColumn("_f", F.col("p") * F.col("_m")
+                          / F.col("_rnk"))
+              .withColumn("q", F.round(
+                  F.least(F.min("_f").over(ws), F.lit(1.0)), 6))
+              .select("g_a", "g_b", "n_a", "n_b", "z", "p", "q"))
+    rest = (scored.where(F.col("p").isNull())
+            .select("g_a", "g_b", "n_a", "n_b", "z", "p",
+                    F.lit(None).cast("double").alias("q")))
+    return with_q.unionByName(rest)

@@ -2105,3 +2105,48 @@ def test_sax_motifs_finds_planted_pattern(spark):
     const = spark.createDataFrame([(t, 5) for t in range(20)],
                                   "t long, y long")
     assert sax_motifs(const, "t", "y", 1, 4).count() == 0
+
+
+def test_dunn_posthoc_pairs_and_bh(spark):
+    from statistics import NormalDist
+
+    from mms_rdf_spark.operators.analytics import dunn_posthoc
+
+    groups = {"a": [1.0, 2.0, 3.0, 4.0],
+              "b": [3.0, 4.0, 5.0, 6.0],
+              "c": [50.0, 51.0, 52.0, 53.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r.g_a, r.g_b): r for r in dunn_posthoc(df, "g", "v")
+           .collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    # twin: pooled tie-averaged mean ranks + Dunn variance
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        rank[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    from collections import Counter
+    ties = sum(t ** 3 - t for t in Counter(allv).values())
+    nd = NormalDist()
+    for (ga, gb), r in got.items():
+        ra = sum(rank[v] for v in groups[ga]) / len(groups[ga])
+        rb = sum(rank[v] for v in groups[gb]) / len(groups[gb])
+        sig2 = ((n * (n + 1) / 12 - ties / (12 * (n - 1)))
+                * (1 / len(groups[ga]) + 1 / len(groups[gb])))
+        z = (ra - rb) / sig2 ** 0.5
+        assert abs(r.z - z) < 1e-5
+        p = 2 * (1 - nd.cdf(abs(z)))
+        assert abs(r.p - p) < 1e-6
+    # c's separation drives the two smallest q-values
+    assert got[("a", "c")].q <= got[("a", "b")].q
+    assert got[("b", "c")].q <= got[("a", "b")].q
+    # BH sanity
+    for r in got.values():
+        assert r.q >= r.p - 1e-9 and r.q <= 1.0
