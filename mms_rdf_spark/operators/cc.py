@@ -83,23 +83,29 @@ def connected_components(
     same string. Row-identical to the string path (pinned in tests);
     at IRI-width keys every loop shuffle moves 8-byte keys instead."""
     from mms_rdf_spark.operators.pagerank import (
+        _loop_partitions,
         _node_dict,
-        _shuffle_partitions,
         partitioned_checkpoint,
     )
 
-    p = _shuffle_partitions(edges)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    # loop join key is b: partition once, reuse every round
-    sym = partitioned_checkpoint(sym.repartition(p, "b"))
+    # plain checkpoint first: the driver fast path needs only a count
+    # and a collect, so the keyed-partitioning capture (AQE off/on
+    # round-trip + full-width repartition) is deferred to the
+    # distributed path that actually loops on it
+    sym = sym.localCheckpoint()
     n_edges = sym.count()
     if n_edges <= driver_threshold:
         return _driver_union_find(edges.sparkSession, sym)
+    # loop join key is b: partition once (scale-adaptive count),
+    # reuse every round
+    p = _loop_partitions(sym, n_edges)
+    sym = partitioned_checkpoint(sym.repartition(p, "b"))
     dict_df = None
     if encode:
         nodes_s = (sym.select(F.col("a").alias("node")).distinct())

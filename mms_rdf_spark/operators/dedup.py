@@ -85,6 +85,17 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
 # salt group instead of a fixed 1/16 haircut.
 MAX_BUCKET = 4096
 
+# buckets wider than this are decomposed into a g x g triangle of join
+# cells so their quadratic pair generation parallelizes across ~g^2/2
+# tasks instead of one (round-6 straggler fix: at sf0.1 two ~2.3k-doc
+# buckets generated ~5.4M pairs in TWO single tasks while 30 cores sat
+# idle — guide §2.5 "split hot keys"). Unlike the salt cap this is
+# LOSSLESS: every in-bucket pair is still emitted exactly once; only
+# the task layout changes. ~(width/PARALLEL_BUCKET)^2/2 pairs per cell
+# bounds the worst task; with MAX_BUCKET salting above it, g <=
+# ceil(MAX_BUCKET / PARALLEL_BUCKET) = 8 rows of replication per side.
+PARALLEL_BUCKET = 512
+
 
 def _banded_keys(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc_id, band, key): one LSH bucket key per band per doc."""
@@ -104,6 +115,7 @@ def _banded_keys(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 def capped_bucket_pairs(
     banded: DataFrame, id_col: str = "doc_id",
     max_bucket: int | None = MAX_BUCKET,
+    parallel_bucket: int | None = PARALLEL_BUCKET,
 ) -> DataFrame:
     """In-bucket pair join with hot-bucket sub-salting.
 
@@ -133,41 +145,98 @@ def capped_bucket_pairs(
     never silent. max_bucket=None disables capping (the exact
     small-scale plan).
     """
-    if max_bucket is not None:
+    # materialize the banded-key table ONCE: it is referenced by the
+    # hot-bucket aggregate AND both sides of the pair self-join, and
+    # without the checkpoint each reference re-runs the upstream
+    # minhash pipeline (measured at sf0.1: 4 full corpus scans +
+    # signature aggregates in one plan; guide §8 "decide with small
+    # rows" — the banded table IS the lightweight proxy: one short row
+    # per (id, band), never the documents themselves)
+    banded = banded.localCheckpoint()
+    thresholds = [t for t in (max_bucket, parallel_bucket)
+                  if t is not None]
+    if thresholds:
         # broadcast ONLY the oversized buckets: on a healthy corpus the
         # full width table is ~one row per (id, band) — billions of
         # rows at 10^9 docs, an OOM as a broadcast — while buckets
-        # wider than the cap are few by construction. Rows in healthy
-        # buckets miss the left join and default to salt 0.
-        hot = (banded.groupBy("band", "key")
-               .agg(F.count(F.lit(1)).alias("_bn"))
-               .where(F.col("_bn") > max_bucket))
+        # wider than the smallest threshold are few by construction
+        # (at most n_rows / threshold). Rows in healthy buckets miss
+        # the left join: salt 0, one join cell.
+        wide = (banded.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .where(F.col("_bn") > min(thresholds)))
+        banded = banded.join(F.broadcast(wide), on=["band", "key"],
+                             how="left")
+    else:
+        banded = banded.withColumn("_bn", F.lit(None).cast("long"))
+    if max_bucket is not None:
         salt_hash = F.conv(
             F.substring(F.md5(F.concat_ws("|", F.col("band"),
                                           F.col(id_col).cast("string"))),
                         1, 15), 16, 10).cast("long")
-        banded = banded.join(F.broadcast(hot), on=["band", "key"], how="left") \
-            .withColumn(
-                "_salt",
-                F.when(F.col("_bn").isNotNull(),
-                       salt_hash
-                       % F.ceil(F.col("_bn") / max_bucket).cast("long"))
-                .otherwise(F.lit(0)))
+        banded = banded.withColumn(
+            "_salt",
+            F.when(F.col("_bn") > max_bucket,
+                   salt_hash
+                   % F.ceil(F.col("_bn") / max_bucket).cast("long"))
+            .otherwise(F.lit(0)))
     else:
         banded = banded.withColumn("_salt", F.lit(0))
+    # ---- lossless triangle decomposition of wide buckets (§2.5):
+    # rows in a bucket (or salt group) wider than `parallel_bucket`
+    # are hashed into g groups; the pair join runs per (x, y) cell
+    # with x <= y — the L side replicates a gid-x row to cells
+    # (x, x..g-1), the R side to cells (0..y, y), so every unordered
+    # pair lands in EXACTLY one cell (its sorted group pair), ordered
+    # pairs in a diagonal cell deduped by id order. Same pair set as
+    # the plain self-join; the hot bucket's quadratic work spreads
+    # over g(g+1)/2 tasks instead of one.
+    if parallel_bucket is not None:
+        if max_bucket is not None:
+            # salted buckets parallelize their per-salt-group width
+            eff_width = F.when(
+                F.col("_bn") > max_bucket,
+                F.col("_bn") / F.ceil(F.col("_bn") / max_bucket)
+            ).otherwise(F.col("_bn"))
+        else:
+            eff_width = F.col("_bn")
+        g = F.when(F.col("_bn").isNull(), F.lit(1).cast("long")) \
+            .otherwise(F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(eff_width / parallel_bucket).cast("long")))
+        gid_hash = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit("g"), F.col("band"),
+                                          F.col(id_col).cast("string"))),
+                        1, 15), 16, 10).cast("long")
+        banded = banded.withColumn("_g", g) \
+            .withColumn("_gid", gid_hash % F.col("_g"))
+    else:
+        banded = banded.withColumn("_g", F.lit(1).cast("long")) \
+            .withColumn("_gid", F.lit(0).cast("long"))
+    left = banded.select(
+        "band", "key", "_salt", F.col(id_col).alias("_ida"),
+        F.col("_gid").alias("_kx"),
+        F.explode(F.sequence(F.col("_gid"), F.col("_g") - 1))
+        .alias("_ky"))
+    right = banded.select(
+        "band", "key", "_salt", F.col(id_col).alias("_idb"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_gid")))
+        .alias("_kx"),
+        F.col("_gid").alias("_ky"))
     # AQE's byte-based coalescing is fan-out-blind and would fold the
     # quadratic in-bucket expansion into one task (measured: 111M
     # pairs single-threaded at the 10x scale point) — pin the exchange
     from mms_rdf_spark.operators.skew import pin_fanout_partitions
-    banded = pin_fanout_partitions(banded, "band", "key", "_salt")
-    a, b = banded.alias("a"), banded.alias("b")
+    left = pin_fanout_partitions(left, "band", "key", "_salt",
+                                 "_kx", "_ky")
+    right = pin_fanout_partitions(right, "band", "key", "_salt",
+                                  "_kx", "_ky")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a._salt") == F.col("b._salt"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("a_id"),
-                F.col(f"b.{id_col}").alias("b_id"))
+        left.join(right, on=["band", "key", "_salt", "_kx", "_ky"])
+        .where((F.col("_kx") != F.col("_ky"))
+               | (F.col("_ida") < F.col("_idb")))
+        .select(F.least("_ida", "_idb").alias("a_id"),
+                F.greatest("_ida", "_idb").alias("b_id"))
         .distinct()
     )
 

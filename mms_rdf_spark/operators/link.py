@@ -102,11 +102,20 @@ def candidate_edges(
       - fuzzy edges: within (block, salt) candidate pairs scored by
         3-gram Jaccard.
     """
-    s = surfaces.select("surface", "norm").where(F.col("norm") != "").distinct()
+    # materialize the collapsed surface table and its per-norm
+    # representative ONCE: tier 1 references both, and each blocking
+    # pass re-derives `reps` from norm_rep — without the checkpoints
+    # every reference re-runs the upstream surface extraction (at
+    # sf0.1 the kg_link_cc composition re-scanned the staged triples
+    # parquet 6x for a 5-row surface table). Both frames are
+    # entity-surface-sized (the lightweight proxy, never the corpus).
+    s = (surfaces.select("surface", "norm")
+         .where(F.col("norm") != "").distinct().localCheckpoint())
 
     # tier 1: all surfaces sharing a norm link to the norm's min surface
     # (star topology — CC collapses it; avoids quadratic within-norm pairs)
-    norm_rep = s.groupBy("norm").agg(F.min("surface").alias("rep"))
+    norm_rep = s.groupBy("norm").agg(F.min("surface").alias("rep")) \
+        .localCheckpoint()
     exact_edges = (
         s.join(norm_rep, on="norm")
         .where(F.col("surface") != F.col("rep"))
@@ -165,10 +174,13 @@ def entity_table(surfaces: DataFrame, components: DataFrame) -> DataFrame:
     canonical id = min norm within the component (deterministic, data-
     derived); singleton surfaces (no edges -> absent from components)
     become their own entity."""
+    # labeled is consumed twice (the canonical-id aggregate and the
+    # final join) — checkpoint so the surface/component join runs once
     labeled = (
         surfaces.join(components.withColumnRenamed("node", "surface"),
                       on="surface", how="left")
         .withColumn("component", F.coalesce("component", "surface"))
+        .localCheckpoint()
     )
     canon = (
         labeled.groupBy("component")

@@ -44,6 +44,33 @@ def _shuffle_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
+def _loop_partitions(df: DataFrame, n_rows: int) -> int:
+    """Scale-adaptive partition count for iterative-loop frames (guide
+    §2: derive the partitioning from input size instead of a constant
+    tuned for either local mode or the cluster). The loop frames are
+    repartitioned with an EXPLICIT count (required so the checkpointed
+    HashPartitioning survives and the per-round joins stay
+    exchange-free), which makes them AQE-coalescing-exempt — so a toy
+    graph would otherwise pay shuffle.partitions near-empty tasks per
+    materialization per round. ceil(n_rows / rowsPerPartition) clamped
+    to [1, spark.sql.shuffle.partitions]: small inputs collapse to a
+    few real tasks, large inputs keep the configured ceiling
+    (production sizes via spark.sql.shuffle.partitions as before;
+    rows-per-partition via spark.graft.loop.rowsPerPartition).
+
+    NOTE this sizes LOOP STATE frames only (rank/label vectors, edge
+    tables) whose row count is known; pair-generating fan-out joins
+    keep skew.pin_fanout_partitions at the full shuffle.partitions —
+    fan-out width is NOT predictable from input rows (the 111M-pairs
+    AQE lesson)."""
+    import math
+
+    per = int(df.sparkSession.conf.get(
+        "spark.graft.loop.rowsPerPartition", "65536"))
+    return max(1, min(_shuffle_partitions(df),
+                      math.ceil(n_rows / max(per, 1))))
+
+
 def partitioned_checkpoint(df: DataFrame) -> DataFrame:
     """localCheckpoint that PRESERVES the frame's hash partitioning.
 
@@ -141,9 +168,11 @@ def pagerank(
     # the loop re-references these every iteration: materialize ONCE
     # (localCheckpoint) instead of recomputing the node/degree lineage
     # `iters` times from the raw edge scan
-    p = _shuffle_partitions(edges)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .localCheckpoint()
+    # loop partition count derived from the (checkpointed, so cheap to
+    # count) edge table — n_nodes <= 2*n_edges bounds every loop frame
+    p = _loop_partitions(e, e.count())
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct())
@@ -1621,9 +1650,13 @@ def simrank(
     """
     from mms_rdf_spark.operators.skew import pin_fanout_partitions
 
-    p = _shuffle_partitions(edges)
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct().localCheckpoint())
+    # loop state frames sized from the edge count (the pair frame can
+    # outgrow this at high fan-out, but its generating join is pinned
+    # at full width by pin_fanout_partitions below — only the
+    # carried state repartitions use p)
+    p = _loop_partitions(e, e.count())
     if hub_cap is not None:
         outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
         big = outd.where(F.col("_od") > hub_cap).select("src")
