@@ -209,14 +209,25 @@ def nb_train(docs: DataFrame, label_col: str = "lang",
         F.col(label_col).alias("label"),
         F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))
                   ).alias("token"))
+    # materialize the (label, token, c) count table ONCE: V, the class
+    # totals, and the weight table all derive from it, and without the
+    # checkpoint each consumer re-ran the corpus token explode (the
+    # text_nb_lang plan scanned `documents` 10x at sf0.1). counts is
+    # the model's own size (sparse vocab x classes), never the corpus.
     counts = (toks.groupBy("label", "token")
-              .agg(F.count(F.lit(1)).cast("long").alias("c")))
-    vocab = toks.select("token").distinct().agg(
+              .agg(F.count(F.lit(1)).cast("long").alias("c"))
+              .localCheckpoint())
+    # V from the count table (identical set: a token appears in counts
+    # iff it appears in the corpus), saving a second corpus explode
+    vocab = counts.select("token").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("v"))
     tot = counts.groupBy("label").agg(F.sum("c").alias("tot"))
     nd = (docs.groupBy(F.col(label_col).alias("label"))
-          .agg(F.count(F.lit(1)).cast("long").alias("nd")))
-    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+          .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+          .localCheckpoint())
+    # n_docs folded from the per-class doc counts (same number, one
+    # scan of `docs` saved)
+    n_docs = nd.agg(F.sum("nd").cast("long").alias("n"))
 
     def _micro(x):
         return F.round(F.round(x, 9) * 1e9).cast("long")
@@ -260,12 +271,15 @@ def nb_score(docs: DataFrame, weights: DataFrame, meta: DataFrame,
 
     from mms_rdf_spark.operators.dedup import _tokens
 
+    # the doc-term table feeds BOTH the per-doc token totals and the
+    # weight join — checkpoint so the scoring corpus explodes once
     dt = (docs.select(F.col(id_col).alias("doc_id"),
                       F.explode(_tokens(
                           F.coalesce(F.col(text_col), F.lit(""))))
                       .alias("token"))
           .groupBy("doc_id", "token")
-          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+          .localCheckpoint())
     ntok = dt.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
     # docs with zero tokens still need a prediction row
     ntok = (docs.select(F.col(id_col).alias("doc_id"))
