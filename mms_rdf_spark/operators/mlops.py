@@ -223,10 +223,10 @@ def nb_train(docs: DataFrame, label_col: str = "lang",
         F.count(F.lit(1)).cast("long").alias("v"))
     tot = counts.groupBy("label").agg(F.sum("c").alias("tot"))
     nd = (docs.groupBy(F.col(label_col).alias("label"))
-          .agg(F.count(F.lit(1)).cast("long").alias("nd"))
-          .localCheckpoint())
+          .agg(F.count(F.lit(1)).cast("long").alias("nd")))
     # n_docs folded from the per-class doc counts (same number, one
-    # scan of `docs` saved)
+    # scan of `docs` saved; the shared nd aggregate dedupes via
+    # runtime exchange reuse)
     n_docs = nd.agg(F.sum("nd").cast("long").alias("n"))
 
     def _micro(x):
@@ -272,14 +272,16 @@ def nb_score(docs: DataFrame, weights: DataFrame, meta: DataFrame,
     from mms_rdf_spark.operators.dedup import _tokens
 
     # the doc-term table feeds BOTH the per-doc token totals and the
-    # weight join — checkpoint so the scoring corpus explodes once
+    # weight join; its aggregate exchange is identical in both subtrees
+    # so AQE's runtime exchange reuse computes it once — an eager
+    # checkpoint here measured NET-NEGATIVE (~+0.5 s at sf0.1) and
+    # would materialize a corpus-sized table at scale
     dt = (docs.select(F.col(id_col).alias("doc_id"),
                       F.explode(_tokens(
                           F.coalesce(F.col(text_col), F.lit(""))))
                       .alias("token"))
           .groupBy("doc_id", "token")
-          .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-          .localCheckpoint())
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
     ntok = dt.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
     # docs with zero tokens still need a prediction row
     ntok = (docs.select(F.col(id_col).alias("doc_id"))
