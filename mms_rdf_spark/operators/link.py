@@ -128,42 +128,61 @@ def candidate_edges(
     # hot-block sub-salting. A true pair is lost only if it crosses
     # salts inside oversized blocks under BOTH keys; classic multi-pass
     # blocking keeps recall while each pass stays O(sum b_i^2).
+    #
+    # Both passes run in ONE exploded-key self-join: each norm emits a
+    # (ki, block, salt_char) row per blocking key, the key index rides
+    # the join keys so cross-key pairs never meet, and a pair matched
+    # under both keys appears twice exactly as the old two-pass union
+    # did (the trailing distinct dedupes either way). Same pair set,
+    # half the aggregate/broadcast/join stages.
     reps = norm_rep.select(F.col("norm"), F.col("rep")) \
         .withColumn("grams", _ngrams(F.col("norm")))
     block_keys = blocking_keys()
     salt_chars = [F.substring("norm", 3, 1),
                   F.substring(F.col("norm"), -3, 1)]
-
-    fuzzy_parts = []
-    for block_key, salt_char in zip(block_keys, salt_chars):
-        blocked = reps.withColumn("block", block_key)
-        # sub-block salting: blocks over MAX_BLOCK norms split on a hash
-        # of a data-derived char; caps the worst block at
-        # ~MAX_BLOCK^2/16 pairs, AQE skew-join covers the residue.
-        block_sizes = blocked.groupBy("block").agg(
-            F.count(F.lit(1)).alias("_bn"))
-        blocked = blocked.join(F.broadcast(block_sizes), on="block") \
-            .withColumn(
-                "salt",
-                F.when(F.col("_bn") > MAX_BLOCK,
-                       F.crc32(salt_char) % 16).otherwise(F.lit(0)))
-        # pin the pair exchange — AQE byte-based coalescing is blind
-        # to the quadratic in-block fan-out (skew.pin_fanout_partitions)
-        from mms_rdf_spark.operators.skew import pin_fanout_partitions
-        blocked = pin_fanout_partitions(blocked, "block", "salt")
-        a, b = blocked.alias("a"), blocked.alias("b")
-        fuzzy_parts.append(
-            a.join(b, (F.col("a.block") == F.col("b.block"))
-                   & (F.col("a.salt") == F.col("b.salt"))
-                   & (F.col("a.norm") < F.col("b.norm")))
-            .select(
-                F.col("a.rep").alias("src"), F.col("b.rep").alias("dst"),
-                (F.size(F.array_intersect("a.grams", "b.grams"))
-                 / F.size(F.array_union("a.grams", "b.grams")))
-                .alias("score"))
-        )
-    fuzzy = fuzzy_parts[0].unionByName(fuzzy_parts[1]) \
+    blocked = reps.select(
+        "norm", "rep", "grams",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ki"), bk.alias("block"),
+                     sc.alias("salt_char"))
+            for i, (bk, sc) in enumerate(zip(block_keys, salt_chars))
+        ])).alias("bk")
+    ).select("norm", "rep", "grams",
+             F.col("bk.ki").alias("ki"), F.col("bk.block").alias("block"),
+             F.col("bk.salt_char").alias("salt_char"))
+    # sub-block salting: blocks over MAX_BLOCK norms split on a hash
+    # of a data-derived char; caps the worst block at ~MAX_BLOCK^2/16
+    # pairs, AQE skew-join covers the residue. Only the OVERSIZED
+    # block widths are broadcast (rows in healthy blocks miss the left
+    # join: salt 0) — the full width table is norm-count-sized at
+    # scale, an OOM as a broadcast.
+    big_blocks = (blocked.groupBy("ki", "block")
+                  .agg(F.count(F.lit(1)).alias("_bn"))
+                  .where(F.col("_bn") > MAX_BLOCK))
+    blocked = (blocked.join(F.broadcast(big_blocks), on=["ki", "block"],
+                            how="left")
+               .withColumn("salt",
+                           F.when(F.col("_bn").isNotNull(),
+                                  F.crc32(F.col("salt_char")) % 16)
+                           .otherwise(F.lit(0)))
+               .drop("_bn", "salt_char"))
+    # pin the pair exchange — AQE byte-based coalescing is blind
+    # to the quadratic in-block fan-out (skew.pin_fanout_partitions)
+    from mms_rdf_spark.operators.skew import pin_fanout_partitions
+    blocked = pin_fanout_partitions(blocked, "ki", "block", "salt")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    fuzzy = (
+        a.join(b, (F.col("a.ki") == F.col("b.ki"))
+               & (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.salt") == F.col("b.salt"))
+               & (F.col("a.norm") < F.col("b.norm")))
+        .select(
+            F.col("a.rep").alias("src"), F.col("b.rep").alias("dst"),
+            (F.size(F.array_intersect("a.grams", "b.grams"))
+             / F.size(F.array_union("a.grams", "b.grams")))
+            .alias("score"))
         .where(F.col("score") >= jaccard_threshold).distinct()
+    )
     return exact_edges.unionByName(fuzzy)
 
 
