@@ -151,6 +151,60 @@ def _finish_rank(nodes: DataFrame, nn, dangling: DataFrame,
                     precision).alias("r")))
 
 
+def _round_half_up_dp(x: float, precision: int) -> float:
+    """Python mirror of Spark's F.round on doubles: HALF_UP at
+    `precision` dp over the double's SHORTEST decimal representation
+    (BigDecimal.valueOf(double) uses Double.toString; Python's repr is
+    the same shortest round-trip form)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-precision), rounding=ROUND_HALF_UP))
+
+
+def _driver_pagerank(edges: DataFrame, rows, damping: float, iters: int,
+                     precision: int) -> DataFrame:
+    """PageRank over a collected edge list (small-graph fast path —
+    the cc._driver_union_find / bradley_terry fold="driver" precedent):
+    below the driver threshold the distributed fixpoint costs ~10
+    eager jobs of pure overhead. Same per-iteration arithmetic in the
+    same expression order as the frame loop ((1-d)/n + d*(contrib +
+    dm/n), HALF_UP-rounded per round), so the result is row-identical
+    (pinned in tests and by the shared DuckDB oracle). Deterministic:
+    contributions accumulate in collect order, dangling mass in sorted
+    node order."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = edges.sparkSession
+    deg: dict = {}
+    nodes = set()
+    for s, d in rows:
+        deg[s] = deg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    n = len(nodes)
+    out_schema = StructType([
+        StructField("node", edges.schema[0].dataType),
+        StructField("rank", DoubleType()),
+    ])
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    om = 1.0 - damping
+    r = {v: _round_half_up_dp(1.0 / n, precision) for v in nodes}
+    danglers = sorted(v for v in nodes if v not in deg)
+    for _ in range(iters):
+        c: dict = {}
+        for s, d in rows:
+            c[d] = c.get(d, 0.0) + r[s] / deg[s]
+        dm = 0.0
+        for v in danglers:
+            dm += r[v]
+        r = {v: _round_half_up_dp(om / n + damping
+                                  * (c.get(v, 0.0) + dm / n), precision)
+             for v in nodes}
+    return spark.createDataFrame(sorted(r.items()), out_schema)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -159,20 +213,28 @@ def pagerank(
     iters: int = 3,
     precision: int = 8,
     encode: bool = False,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, rank) for every node appearing in `edges`. Dangling-node
     mass (sinks) is redistributed uniformly each iteration, so total
     rank stays ~1 (up to the per-iteration rounding). `encode=True`
     runs the iterations on dense long ids (see module docstring);
-    row-identical output."""
+    row-identical output. Graphs at or under `driver_threshold` edges
+    solve on the driver (row-identical, see _driver_pagerank); the
+    encode flag is then moot since both paths are pinned identical."""
     # the loop re-references these every iteration: materialize ONCE
     # (localCheckpoint) instead of recomputing the node/degree lineage
     # `iters` times from the raw edge scan
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .localCheckpoint()
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        rows = [(row["src"], row["dst"]) for row in e.collect()]
+        if all(s is not None and d is not None for s, d in rows):
+            return _driver_pagerank(e, rows, damping, iters, precision)
     # loop partition count derived from the (checkpointed, so cheap to
     # count) edge table — n_nodes <= 2*n_edges bounds every loop frame
-    p = _loop_partitions(e, e.count())
+    p = _loop_partitions(e, n_edges)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct())

@@ -96,6 +96,10 @@ def bradley_terry(games: DataFrame, iterations: int = 8,
     behavior); the pair table keeps them joined so their opponents'
     denominators stay correct.
     """
+    # the games table is players^2-bounded (kilobytes) but its lineage
+    # is the full corpus pass — checkpoint once so nn AND the win
+    # totals don't each re-run the upstream window + self-join
+    games = games.localCheckpoint()
     # symmetric pair table n_ij (+ per-player totals), computed once
     fwd = games.select(F.col("winner").alias("i"),
                        F.col("loser").alias("j"), "n")
