@@ -260,11 +260,11 @@ def _min_reach_labels(nodes: DataFrame, e: DataFrame,
     O(diameter) rounds, lineage truncated per round; edges partitioned
     on the loop key once so rounds never reshuffle them."""
     from mms_rdf_spark.operators.pagerank import (
-        _shuffle_partitions,
+        _loop_partitions,
         partitioned_checkpoint,
     )
 
-    p = _shuffle_partitions(e)
+    p = _loop_partitions(e, e.count())
     e = partitioned_checkpoint(e.repartition(p, "a"))
     # bare nodes checkpointed, label aliased lazily on top (see
     # connected_components: an in-plan alias collapses the partitioning
@@ -418,11 +418,11 @@ def topological_layers(
                  .union(dag_edges.select(F.col(dst).alias("node")))
                  .distinct())
     from mms_rdf_spark.operators.pagerank import (
-        _shuffle_partitions,
+        _loop_partitions,
         partitioned_checkpoint,
     )
 
-    p = _shuffle_partitions(dag_edges)
+    p = _loop_partitions(dag_edges, dag_edges.count())
     e = partitioned_checkpoint(
         dag_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .distinct().repartition(p, "a"))

@@ -425,7 +425,7 @@ def neighborhood_mean(edges: DataFrame, features: DataFrame,
     engines divide the identical integer at every hop."""
     e = partitioned_checkpoint(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .repartition(_shuffle_partitions(edges), "_s"))
+        .repartition(_loop_partitions(edges, edges.count()), "_s"))
     h = features.select(F.col(id_col).alias("node"),
                         F.col(feature_col).cast("double").alias("f"))
     for _ in range(hops):
@@ -467,7 +467,7 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = partitioned_checkpoint(
         (e.union(e.select(F.col("dst"), F.col("src")))
@@ -517,7 +517,7 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k_core: k >= 1")
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = partitioned_checkpoint(
         (e.union(e.select(F.col("dst"), F.col("src")))
@@ -561,7 +561,7 @@ def bfs_levels(
     doubling, no distances, O(log diameter) rounds vs O(diameter) here
     — use closure for deep chains, BFS for hop-bounded neighborhoods).
     """
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
         e = e.union(e.select(F.col("dst"), F.col("src")))
@@ -599,7 +599,7 @@ def hits(
     auth sum (mirrored), each followed by a broadcast 1-row max; no
     collect anywhere; localCheckpoint truncates lineage.
     """
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e0 = edges.select(F.col(src).alias("src"),
                       F.col(dst).alias("dst")).distinct()
     # the loop joins e on BOTH keys; keep one copy partitioned per key
@@ -756,7 +756,7 @@ def weighted_sssp(
                      F.col(weight_col).cast("long").alias("w"))
     if not directed:
         e = e.union(e.select(F.col("d"), F.col("s"), F.col("w")))
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e = partitioned_checkpoint(
         e.where(F.col("s") != F.col("d"))
         .groupBy("s", "d").agg(F.min("w").alias("w"))
@@ -873,7 +873,7 @@ def katz_centrality(
     localCheckpoint lineage truncation. Pick α < 1/λ_max for the
     convergent regime; bounded rounds are well-defined either way.
     """
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e = partitioned_checkpoint(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct().repartition(p, "src"))
@@ -952,7 +952,7 @@ def personalized_pagerank(
     aggregate per round, localCheckpoint); dangling mass returns to
     the seeds as well, keeping total mass ~1.
     """
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
@@ -1494,7 +1494,7 @@ def weighted_pagerank(
     broadcasts are 1-row scalars); weights are exact longs summed
     into the out-weight table once up front. The DuckDB unrolled-CTE
     oracle (kg_pagerank_weighted) hash-matches."""
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      F.col(weight).cast("long").alias("w")) \
         .localCheckpoint()
@@ -1670,6 +1670,55 @@ def eccentricity(
                     .alias("ecc")))
 
 
+def _driver_simrank(e: DataFrame, rows, c: float, iters: int,
+                    precision: int, eps: float) -> DataFrame:
+    """SimRank over a collected (distinct, hub-capped) edge list —
+    the small-graph fast path. Replicates the frame loop's arithmetic
+    exactly: per-pair contributions are HALF_UP-gridded to 1e9-unit
+    longs (so the t sums are EXACT integers, order-free), the update
+    is c * (t/1e9) / (din_a * din_b) rounded HALF_UP to `precision`,
+    and the eps cut applies to the rounded value. Row-identical to the
+    distributed loop (pinned in tests)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = e.sparkSession
+    ntype = e.schema[0].dataType
+    out_schema = StructType([
+        StructField("a", ntype), StructField("b", ntype),
+        StructField("s", DoubleType()),
+    ])
+    out_edges: dict = {}
+    din: dict = {}
+    nodes = set()
+    for u, v in rows:
+        out_edges.setdefault(u, []).append(v)
+        din[v] = din.get(v, 0) + 1
+        nodes.add(u)
+        nodes.add(v)
+    if not nodes:
+        return spark.createDataFrame([], out_schema)
+    pairs = {(v, v): 1.0 for v in nodes}
+    for _ in range(iters):
+        t: dict = {}
+        for (a, b), sv in pairs.items():
+            su = int(_round_half_up_dp(sv * 1e9, 0))
+            for _a in out_edges.get(a, ()):
+                for _b in out_edges.get(b, ()):
+                    if _a != _b:
+                        k = (_a, _b)
+                        t[k] = t.get(k, 0) + su
+        upd = {}
+        for (_a, _b), tu in t.items():
+            sp = _round_half_up_dp(
+                c * (tu / 1e9) / (din[_a] * din[_b]), precision)
+            if sp >= eps:
+                upd[(_a, _b)] = sp
+        pairs = {(v, v): 1.0 for v in nodes}
+        pairs.update(upd)
+    out = sorted((a, b, s) for (a, b), s in pairs.items() if a < b)
+    return spark.createDataFrame(out, out_schema)
+
+
 def simrank(
     edges: DataFrame,
     src: str = "src",
@@ -1679,6 +1728,7 @@ def simrank(
     precision: int = 9,
     eps: float = 1e-4,
     hub_cap: int | None = None,
+    driver_threshold: int = 2000,
 ) -> DataFrame:
     """SimRank (Jeh & Widom 2002) node-pair similarity over the
     directed edge set: two nodes are similar when their IN-neighbors
@@ -1718,12 +1768,21 @@ def simrank(
     # outgrow this at high fan-out, but its generating join is pinned
     # at full width by pin_fanout_partitions below — only the
     # carried state repartitions use p)
-    p = _loop_partitions(e, e.count())
+    n_edges = e.count()
+    p = _loop_partitions(e, n_edges)
     if hub_cap is not None:
         outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
         big = outd.where(F.col("_od") > hub_cap).select("src")
         e = e.join(F.broadcast(big), on="src", how="left_anti") \
             .localCheckpoint()
+    if n_edges <= driver_threshold:
+        # small-graph fold (row-identical; see _driver_simrank). The
+        # threshold is deliberately LOW — the Python loop's work is
+        # quadratic in pair fan-out, not edges, so only toy graphs
+        # qualify; eps pruning keeps those loops in the ~1e5-op range.
+        rows = [(r["src"], r["dst"]) for r in e.collect()]
+        if all(u is not None and v is not None for u, v in rows):
+            return _driver_simrank(e, rows, c, iters, precision, eps)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
@@ -1808,7 +1867,7 @@ def maximal_independent_set(
     round truncates lineage; the only driver action is the bounded
     per-round pool count.
     """
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     sym = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
            .where(F.col("src") != F.col("dst")))
     sym = (sym.unionByName(sym.select(F.col("dst").alias("src"),
@@ -1953,7 +2012,7 @@ def boruvka_mst(
     the bounded per-round cross-edge count."""
     from mms_rdf_spark.operators.cc import connected_components
 
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src),
                                                        F.col(dst))
     und = (edges.where(F.col(src) != F.col(dst))
@@ -2221,7 +2280,7 @@ def peel_rounds(
     if eps <= 0:
         raise ValueError("peel_rounds: eps must be > 0 (termination)")
     spark = edges.sparkSession
-    p = _shuffle_partitions(edges)
+    p = _loop_partitions(edges, edges.count())
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = partitioned_checkpoint(
         (e.union(e.select(F.col("dst"), F.col("src")))

@@ -88,6 +88,26 @@ def test_pagerank_driver_fold_null_edges_fall_back(spark):
     assert slow.exceptAll(out).count() == 0
 
 
+def test_simrank_driver_fold_row_identical(spark):
+    # bipartite-ish graph with a hub: fold must match the frame loop
+    # bit-for-bit (integer micro-unit t sums make this deterministic)
+    from mms_rdf_spark.operators.pagerank import simrank
+
+    edges = spark.createDataFrame(
+        [("c1", "n1"), ("c2", "n1"), ("c3", "n1"), ("c4", "n2"),
+         ("n1", "c1"), ("n1", "c2"), ("n1", "c3"), ("n2", "c4"),
+         ("n1", "r1"), ("n2", "r1")],
+        "src string, dst string")
+    fast = simrank(edges, iters=2)
+    slow = simrank(edges, iters=2, driver_threshold=-1)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    capped_f = simrank(edges, iters=2, hub_cap=2)
+    capped_s = simrank(edges, iters=2, hub_cap=2, driver_threshold=-1)
+    assert capped_f.exceptAll(capped_s).count() == 0
+    assert capped_s.exceptAll(capped_f).count() == 0
+
+
 def test_candidate_edges_fused_blocking_multi_pass_recall(spark):
     # two norms sharing ONLY the suffix bigram block must still pair
     # (the fused exploded-key join keeps both blocking passes)
