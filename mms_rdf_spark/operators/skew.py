@@ -14,6 +14,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Parallelize a narrow input scan (guide §2.5 "input skew: one
+    huge unsplittable file"): when the scan's partitioning is below
+    the session parallelism — single-file single-row-group parquet
+    yields ONE task, serializing all pre-shuffle work on one core —
+    redistribute once right after the read. Scale-adaptive and
+    conditional: a real multi-file table already scans at >= cores
+    partitions and passes through untouched, so this never adds a
+    shuffle at scale; column pruning and filter pushdown both reach
+    the scan THROUGH the repartition (verified in plans).
+
+    Measured discipline (round 6): ONLY worth it when the downstream
+    per-row work dominates the exchange cost. At sf0.1 it wins big for
+    curate_full (heavy fused projection: quality + dup-ratio grams +
+    split hash per row, 2.9 s -> 1.7 s) but LOSES for cheap
+    split-explode pipelines (nb_train +0.8 s) and count-pruned plans
+    (events_hilbert +0.5 s) — apply per call site with numbers, never
+    blanket on a shared reader."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:  # plan-only, runs no job
+        return df.repartition(target)
+    return df
+
+
 def pin_fanout_partitions(df: DataFrame, *keys: str) -> DataFrame:
     """Repartition on `keys` with an EXPLICIT partition count, for use
     immediately before a pair-generating (self-)join whose output fans
