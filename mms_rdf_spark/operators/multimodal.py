@@ -182,7 +182,17 @@ def synth_ppm_media(docs: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
     """Real encoded P6 payloads, deterministically generated per doc —
     an Arrow-batched encode stage (mapInPandas, one Python call per
     batch)."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    # spread the (id-only) frame BEFORE the opaque mapInPandas stage:
+    # a narrow-partitioned docs scan would otherwise run the whole
+    # encode AND every downstream decode in one task (count() cannot
+    # prune an opaque stage); the exchange carries only ids, never
+    # payloads. Target 8, not full width: each extra partition costs a
+    # Python worker spin-up, measured break-even at sf0.1 (0.55 s
+    # plain vs 0.63 s at 8 vs 0.96 s at 32) while 10x data decodes 8x
+    # parallel instead of serial. No-op when the scan is already wide.
+    from mms_rdf_spark.operators.skew import spread_input
+
+    ids = spread_input(docs.select(F.col("doc_id").alias("media_id")), 8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -410,7 +420,17 @@ def synth_png_media(docs: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
     """Real encoded PNG payloads over the SAME deterministic pixel
     formula as synth_ppm_media, with per-row filter types cycling
     0..4 — the analytic oracle checks the full inflate+unfilter path."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    # spread the (id-only) frame BEFORE the opaque mapInPandas stage:
+    # a narrow-partitioned docs scan would otherwise run the whole
+    # encode AND every downstream decode in one task (count() cannot
+    # prune an opaque stage); the exchange carries only ids, never
+    # payloads. Target 8, not full width: each extra partition costs a
+    # Python worker spin-up, measured break-even at sf0.1 (0.55 s
+    # plain vs 0.63 s at 8 vs 0.96 s at 32) while 10x data decodes 8x
+    # parallel instead of serial. No-op when the scan is already wide.
+    from mms_rdf_spark.operators.skew import spread_input
+
+    ids = spread_input(docs.select(F.col("doc_id").alias("media_id")), 8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -481,7 +501,17 @@ def synth_bmp_media(docs: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
     formula as synth_ppm_media — the analytic oracle exercises the
     header parse + row flip + BGR swap + 4-byte row padding (w=8
     makes padding zero; pass odd w in tests to exercise it)."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    # spread the (id-only) frame BEFORE the opaque mapInPandas stage:
+    # a narrow-partitioned docs scan would otherwise run the whole
+    # encode AND every downstream decode in one task (count() cannot
+    # prune an opaque stage); the exchange carries only ids, never
+    # payloads. Target 8, not full width: each extra partition costs a
+    # Python worker spin-up, measured break-even at sf0.1 (0.55 s
+    # plain vs 0.63 s at 8 vs 0.96 s at 32) while 10x data decodes 8x
+    # parallel instead of serial. No-op when the scan is already wide.
+    from mms_rdf_spark.operators.skew import spread_input
+
+    ids = spread_input(docs.select(F.col("doc_id").alias("media_id")), 8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -551,7 +581,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 def synth_wav_media(docs: DataFrame, n: int = 64,
                     rate: int = 8000) -> DataFrame:
     """Real encoded WAV payloads per doc (Arrow-batched encode)."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    # spread the (id-only) frame BEFORE the opaque mapInPandas stage:
+    # a narrow-partitioned docs scan would otherwise run the whole
+    # encode AND every downstream decode in one task (count() cannot
+    # prune an opaque stage); the exchange carries only ids, never
+    # payloads. Target 8, not full width: each extra partition costs a
+    # Python worker spin-up, measured break-even at sf0.1 (0.55 s
+    # plain vs 0.63 s at 8 vs 0.96 s at 32) while 10x data decodes 8x
+    # parallel instead of serial. No-op when the scan is already wide.
+    from mms_rdf_spark.operators.skew import spread_input
+
+    ids = spread_input(docs.select(F.col("doc_id").alias("media_id")), 8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -655,7 +695,17 @@ def decode_y4m(data: bytes) -> np.ndarray:
 def synth_y4m_media(docs: DataFrame, n_frames: int = 4, h: int = 8,
                     w: int = 8) -> DataFrame:
     """Real encoded Y4M payloads per doc (Arrow-batched encode)."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    # spread the (id-only) frame BEFORE the opaque mapInPandas stage:
+    # a narrow-partitioned docs scan would otherwise run the whole
+    # encode AND every downstream decode in one task (count() cannot
+    # prune an opaque stage); the exchange carries only ids, never
+    # payloads. Target 8, not full width: each extra partition costs a
+    # Python worker spin-up, measured break-even at sf0.1 (0.55 s
+    # plain vs 0.63 s at 8 vs 0.96 s at 32) while 10x data decodes 8x
+    # parallel instead of serial. No-op when the scan is already wide.
+    from mms_rdf_spark.operators.skew import spread_input
+
+    ids = spread_input(docs.select(F.col("doc_id").alias("media_id")), 8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
