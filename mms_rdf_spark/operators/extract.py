@@ -258,13 +258,16 @@ def _conversation_triples(turns: DataFrame) -> DataFrame:
     """Per-conversation element + ordered _turns list (W1): the one
     shuffle, keyed by conv_id, ordered by turn_idx (data-derived).
 
-    All three triple kinds come out of ONE windowed pass: each turn row
-    emits its _turns list entry, and the conversation's rdf:type /
-    elementId rows ride the idx==0 turn (every conversation present in
-    the data has a first turn, so the emitted conversation set is
-    identical to the old `turns.select("conv_id").distinct()` branch —
-    which cost two extra input scans + a distinct exchange per
-    reference). Same row set, 3 subtrees -> 1."""
+    Kept as THREE union branches with LITERAL predicate columns on
+    purpose (round-6 lesson): a fused explode emitting all three kinds
+    from one windowed pass was measurably equivalent but made the
+    branch non-statically-prunable — every `predicate == ...` consumer
+    then ran the window at runtime instead of pruning the branch at
+    plan time, and under ANSI mode a downstream expression that is
+    only valid on turn subjects (kg_sparql_graph's conv-number cast)
+    became reachable on conversation rows and crashed. Literal
+    predicates let Catalyst fold the filter per branch and delete dead
+    subtrees; the two extra scans here are narrow (conv_id only)."""
     t = _with_element_cols(turns)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     conv_turns = (
@@ -272,38 +275,31 @@ def _conversation_triples(turns: DataFrame) -> DataFrame:
         .withColumn("idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
         .withColumn("subject", element_iri_col(F.col("conv_id")))
     )
-    first = F.col("idx") == 0
-
-    def _e(predicate, obj, is_iri, datatype=None, idx=None, turn_idx=None,
-           guard=None):
-        # turn_idx provenance: present on _turns list rows (their turn),
-        # NULL on the conversation element's own rows — exactly the old
-        # three-branch union's column values
-        st = F.struct(
-            F.lit(predicate).alias("predicate"),
-            obj.cast("string").alias("object"),
-            F.lit(is_iri).alias("object_is_iri"),
-            F.lit(datatype).cast("string").alias("datatype"),
-            (F.lit(None) if idx is None else idx).cast("int").alias("idx"),
-            (F.lit(None) if turn_idx is None else turn_idx).cast("int")
-            .alias("turn_idx"),
-        )
-        return st if guard is None else F.when(guard, st)
-
-    emitted = conv_turns.select(
-        "conv_id", "subject",
-        F.explode(F.filter(F.array(
-            _e("mms-property:turns", F.col("turn_subject"), True,
-               idx=F.col("idx"), turn_idx=F.col("turn_idx")),
-            _e("rdf:type", F.lit("mms-class:Conversation"), True,
-               guard=first),
-            _e("mms-ontology:elementId", F.col("conv_id"), False,
-               datatype="xsd:string", guard=first),
-        ), lambda x: x.isNotNull())).alias("tr"),
-    ).select("conv_id", F.col("tr.turn_idx").alias("turn_idx"), "subject",
-             "tr.predicate", "tr.object", "tr.object_is_iri",
-             "tr.datatype", "tr.idx")
-    return _finish(emitted, idx=F.col("idx"))
+    turns_list_triples = _finish(
+        conv_turns.select(
+            "conv_id", "turn_idx", "subject",
+            F.lit("mms-property:turns").alias("predicate"),
+            F.col("turn_subject").alias("object"),
+            F.lit(True).alias("object_is_iri"), "idx"),
+        idx=F.col("idx"),
+    )
+    convs = turns.select("conv_id").distinct() \
+        .withColumn("subject", element_iri_col(F.col("conv_id")))
+    conv_type_triples = _finish(
+        convs.select("conv_id", "subject",
+                     F.lit("rdf:type").alias("predicate"),
+                     F.lit("mms-class:Conversation").alias("object"),
+                     F.lit(True).alias("object_is_iri"))
+    )
+    conv_id_triples = _finish(
+        convs.select("conv_id", "subject",
+                     F.lit("mms-ontology:elementId").alias("predicate"),
+                     F.col("conv_id").alias("object"),
+                     F.lit(False).alias("object_is_iri"),
+                     F.lit("xsd:string").alias("datatype"))
+    )
+    return turns_list_triples.unionByName(conv_type_triples) \
+        .unionByName(conv_id_triples)
 
 
 def unmapped_keys(spark: SparkSession, turns: DataFrame) -> DataFrame:

@@ -321,7 +321,8 @@ def test_fanout_pins_cover_link_and_ahash_joins(spark):
         F.concat(F.lit("tool_"), (F.col("id") % 7).cast("string"))
         .alias("norm"))
     plan = _plan(candidate_edges(surfaces))
-    assert "hashpartitioning(block#" in plan, plan
+    # fused multi-pass blocking pins on (ki, block, salt) — round 6
+    assert "hashpartitioning(ki#" in plan and "block#" in plan, plan
     assert f", {n})" in plan, plan
 
     import mms_rdf_spark.operators.multimodal as MM
