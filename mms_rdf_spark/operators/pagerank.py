@@ -202,7 +202,15 @@ def _driver_pagerank(edges: DataFrame, rows, damping: float, iters: int,
         r = {v: _round_half_up_dp(om / n + damping
                                   * (c.get(v, 0.0) + dm / n), precision)
              for v in nodes}
-    return spark.createDataFrame(sorted(r.items()), out_schema)
+    import pandas as pd
+
+    items = sorted(r.items())
+    # Arrow path for the return trip (a plain list-of-tuples
+    # createDataFrame serializes row-by-row through py4j — measurable
+    # at the 200k-node threshold)
+    pdf = pd.DataFrame({"node": [k for k, _ in items],
+                        "rank": [v for _, v in items]})
+    return spark.createDataFrame(pdf, out_schema)
 
 
 def pagerank(
@@ -229,8 +237,12 @@ def pagerank(
         .localCheckpoint()
     n_edges = e.count()
     if n_edges <= driver_threshold:
-        rows = [(row["src"], row["dst"]) for row in e.collect()]
-        if all(s is not None and d is not None for s, d in rows):
+        # Arrow collect (toPandas) — the row-object collect() path costs
+        # ~2x at the threshold size. Null endpoints (which pandas would
+        # coerce, e.g. long -> NaN float) fall back to the frame loop.
+        pdf = e.toPandas()
+        if not pdf.isnull().values.any():
+            rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
             return _driver_pagerank(e, rows, damping, iters, precision)
     # loop partition count derived from the (checkpointed, so cheap to
     # count) edge table — n_nodes <= 2*n_edges bounds every loop frame

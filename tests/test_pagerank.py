@@ -43,13 +43,17 @@ def test_stable_under_repartition(spark):
 
 
 def test_no_collect_in_loop(spark):
-    """The loop must stay declarative: scalar stages (node count,
-    dangling mass) enter via broadcast nested-loop joins, never a
-    driver round-trip. Guard: the final plan contains broadcast
-    exchanges and the ranks frame is a checkpointed scan (bounded
-    lineage), not a 3-iteration join tower."""
+    """The DISTRIBUTED loop must stay declarative: scalar stages (node
+    count, dangling mass) enter via broadcast nested-loop joins, never
+    a driver round-trip per iteration. Guard: the final plan contains
+    broadcast exchanges and the ranks frame is a checkpointed scan
+    (bounded lineage), not a 3-iteration join tower.
+    driver_threshold=-1 forces the frame loop — sub-threshold graphs
+    take the round-6 driver fold (row-identical, pinned in
+    test_r06_optimizations), which is a deliberate single collect,
+    not a per-iteration round-trip."""
     e = _edges(spark, [("a", "b"), ("b", "c")])
-    out = pagerank(e, iters=2)
+    out = pagerank(e, iters=2, driver_threshold=-1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # localCheckpoint per iteration truncates lineage: final plan is
     # flat (scan of the checkpointed RDD), not nested joins
