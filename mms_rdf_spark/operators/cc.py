@@ -88,9 +88,16 @@ def connected_components(
         partitioned_checkpoint,
     )
 
+    # both edge directions from ONE pass over the (possibly expensive)
+    # edge lineage: the union-of-flip form evaluated `edges` twice —
+    # for the linking composition that was the whole candidate-edge
+    # pipeline re-run. explode(array(fwd, rev)) is row-equivalent.
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+        )).alias("_e"))
+        .select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
