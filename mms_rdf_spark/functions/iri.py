@@ -72,9 +72,12 @@ def turn_element_id(conv_id: str, turn_idx: int) -> str:
 
 # ---------------------------------------------------------------- column form
 def sanitize_suffix_col(c: Column) -> Column:
-    return F.regexp_replace(
-        F.regexp_replace(F.regexp_replace(c, r"\s+", "_"), "<", "-"), ">", "-"
-    )
+    # translate replaces the two single-char regexp_replace calls:
+    # identical output (1:1 char map, no pattern semantics involved),
+    # one regex engine per value instead of three — this runs on every
+    # subject/artifact/mention IRI the extractor mints (round-6; the
+    # \s+ RUN-collapse must stay a regex)
+    return F.translate(F.regexp_replace(c, r"\s+", "_"), "<>", "--")
 
 
 def element_iri_col(id_col: Column) -> Column:
