@@ -75,44 +75,46 @@ def validate(spark: SparkSession, triples: DataFrame,
         F.first("datatype", ignorenulls=True).alias("obs_datatype"),
         F.first("lang", ignorenulls=True).alias("obs_lang"),
     )
-    # the five constraint branches below all filter this one frame;
-    # truncate lineage so the expensive join runs once, not per branch
-    joined = expected.join(observed, on=["subject", "predicate"], how="left") \
-        .localCheckpoint()
+    # all five constraint checks fire from ONE streaming pass over the
+    # joined frame: each check contributes an optional violation struct
+    # to a per-row array that is filtered and exploded in place — the
+    # row SET is identical to the old five-filter union, but the join
+    # runs once and nothing is eagerly materialized (round 6: the old
+    # localCheckpoint of the multi-million-row joined frame was the
+    # pipeline SHACL stage's dominant cost). Safe to fuse here (unlike
+    # extract's conversation branches): `validate` has a single
+    # consumer (the pipeline count) and no downstream predicate filter
+    # relies on per-branch constant folding.
+    joined = expected.join(observed, on=["subject", "predicate"], how="left")
 
-    cardinality_min = joined.where(
-        (F.col("min_count") > 0) & F.col("n").isNull()
-    ).select("subject", "predicate", F.lit("minCount").alias("constraint"),
-             F.lit("missing required property").alias("detail"))
+    def _v(cond, constraint, detail):
+        return F.when(cond, F.struct(
+            F.lit(constraint).alias("constraint"),
+            detail.cast("string").alias("detail")))
 
-    cardinality_max = joined.where(
-        F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count"))
-    ).select("subject", "predicate", F.lit("maxCount").alias("constraint"),
-             F.concat(F.lit("count="), F.col("n").cast("string"))
-             .alias("detail"))
-
-    node_kind = joined.where(
-        F.col("n").isNotNull() & (
+    checks = F.filter(F.array(
+        _v((F.col("min_count") > 0) & F.col("n").isNull(),
+           "minCount", F.lit("missing required property")),
+        _v(F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count")),
+           "maxCount", F.concat(F.lit("count="), F.col("n").cast("string"))),
+        _v(F.col("n").isNotNull() & (
             ((F.col("node_kind") == "IRI") & (F.col("all_iri") == 0))
-            | ((F.col("node_kind") == "Literal") & (F.col("any_iri") == 1)))
-    ).select("subject", "predicate", F.lit("nodeKind").alias("constraint"),
-             F.col("node_kind").alias("detail"))
+            | ((F.col("node_kind") == "Literal") & (F.col("any_iri") == 1))),
+           "nodeKind", F.col("node_kind")),
+        _v(F.col("datatype").isNotNull() & F.col("n").isNotNull()
+           & ~F.col("datatype").eqNullSafe(F.col("obs_datatype")),
+           "datatype",
+           F.concat_ws(" != ", F.col("obs_datatype"), F.col("datatype"))),
+        _v(F.col("lang").isNotNull() & F.col("n").isNotNull()
+           & ~F.col("lang").eqNullSafe(F.col("obs_lang")),
+           "lang", F.lit("missing/incorrect language tag")),
+    ), lambda x: x.isNotNull())
 
-    datatype = joined.where(
-        F.col("datatype").isNotNull() & F.col("n").isNotNull()
-        & ~F.col("datatype").eqNullSafe(F.col("obs_datatype"))
-    ).select("subject", "predicate", F.lit("datatype").alias("constraint"),
-             F.concat_ws(" != ", F.col("obs_datatype"), F.col("datatype"))
-             .alias("detail"))
-
-    lang = joined.where(
-        F.col("lang").isNotNull() & F.col("n").isNotNull()
-        & ~F.col("lang").eqNullSafe(F.col("obs_lang"))
-    ).select("subject", "predicate", F.lit("lang").alias("constraint"),
-             F.lit("missing/incorrect language tag").alias("detail"))
-
-    return (cardinality_min.unionByName(cardinality_max)
-            .unionByName(node_kind).unionByName(datatype).unionByName(lang))
+    return (joined.select("subject", "predicate",
+                          F.explode(checks).alias("_v"))
+            .select("subject", "predicate",
+                    F.col("_v.constraint").alias("constraint"),
+                    F.col("_v.detail").alias("detail")))
 
 
 # ------------------------------------------------------------ text export
